@@ -1,0 +1,70 @@
+"""HTML → text extraction (stateless map_batches stage).
+
+Ray-Data re-expression of the reference extractor pipeline
+(bioner/preprocessing/pubmed_parser.py:20-53): where the reference
+iterates ``Article/Abstract/AbstractText`` nodes of gzipped PubMed XML
+and appends one processed abstract per line, we treat each page's
+``<p>…</p>`` blocks as the abstract-text units, apply the byte-faithful
+``process_abstract_text`` to each, and concatenate — so the per-url
+output is the exact byte sequence the reference writer would have
+produced for the same units.
+
+The ``html`` column (potentially MBs per row) is dropped in the same
+batch transform the moment text is extracted — wide-row hygiene per
+SURVEY.md §7.4.6.
+"""
+
+from __future__ import annotations
+
+import html as html_mod
+import re
+
+import pyarrow as pa
+
+from bioner_ray.functions.text import process_abstract_text
+
+_PARA_RE = re.compile(rb"<p(?:\s[^>]*)?>(.*?)</p>", re.DOTALL | re.IGNORECASE)
+
+
+def extract_text_from_html(raw_html: bytes) -> tuple[str, str]:
+    """(text, truncated_kind) for one page.
+
+    Every ``<p>`` block is one abstract-text unit: unescape entities,
+    then process exactly like the reference's per-abstract step
+    (detect-but-keep truncation marker + exactly one trailing newline,
+    pubmed_parser.py:41-53). Pages with no ``<p>`` yield "".
+    """
+    parts: list[str] = []
+    kind = "none"
+    for m in _PARA_RE.finditer(raw_html):
+        unit = html_mod.unescape(m.group(1).decode("utf-8", errors="replace"))
+        processed, k = process_abstract_text(unit)
+        parts.append(processed)
+        if kind == "none":
+            kind = k
+    return "".join(parts), kind
+
+
+def extract_batch(batch: pa.Table) -> pa.Table:
+    """pyarrow batch fn: (url, warc_ts, html, lang, …) → EXTRACTED_SCHEMA."""
+    htmls = batch.column("html").to_pylist()
+    texts = []
+    kinds = []
+    for h in htmls:
+        text, kind = extract_text_from_html(h if h is not None else b"")
+        texts.append(text)
+        kinds.append(kind)
+    return pa.table(
+        {
+            "url": batch.column("url"),
+            "warc_ts": batch.column("warc_ts"),
+            "text": pa.array(texts, type=pa.string()),
+            "lang": batch.column("lang"),
+            "truncated_kind": pa.array(kinds, type=pa.string()),
+        }
+    )
+
+
+def extract_stage(ds, batch_size: int = 256):
+    """Dataset stage: pages → extracted text (html dropped)."""
+    return ds.map_batches(extract_batch, batch_format="pyarrow", batch_size=batch_size)

@@ -1,0 +1,57 @@
+"""Sentence segmentation + tokenization (stateless map_batches stage).
+
+Produces the engine's nested document rows (DOCUMENTS_SCHEMA): sentence
+and token order live *inside* the row, mirroring the reference's
+Document → Sentence → Token nesting (bioner/model/document.py:1-14,
+sentence.py:6-18, token.py:6-17) so downstream position features and
+BIO decoding never need cross-row order (SURVEY.md §2.9).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from bioner_ray.functions.text import split_sentences, tokenize_with_offsets
+from bioner_ray.schemas import SENTENCE_TYPE
+
+
+def segment_document(text: str) -> list[dict]:
+    """One document's nested sentence structs."""
+    out = []
+    for sent_id, sent in enumerate(split_sentences(text)):
+        texts, starts, ends = tokenize_with_offsets(sent)
+        out.append(
+            {
+                "sent_id": sent_id,
+                "token_text": texts,
+                "token_start": starts,
+                "token_end": ends,
+            }
+        )
+    return out
+
+
+def segment_batch(batch: pa.Table) -> pa.Table:
+    """(url, text, lang, …) → DOCUMENTS_SCHEMA rows (text dropped)."""
+    texts = batch.column("text").to_pylist()
+    sentences = []
+    n_sentences = []
+    n_tokens = []
+    for text in texts:
+        sents = segment_document(text or "")
+        sentences.append(sents)
+        n_sentences.append(len(sents))
+        n_tokens.append(sum(len(s["token_text"]) for s in sents))
+    return pa.table(
+        {
+            "url": batch.column("url"),
+            "lang": batch.column("lang"),
+            "sentences": pa.array(sentences, type=pa.list_(SENTENCE_TYPE)),
+            "n_sentences": pa.array(n_sentences, type=pa.int32()),
+            "n_tokens": pa.array(n_tokens, type=pa.int32()),
+        }
+    )
+
+
+def segment_stage(ds, batch_size: int = 256):
+    return ds.map_batches(segment_batch, batch_format="pyarrow", batch_size=batch_size)
