@@ -39,6 +39,23 @@ def keep_only_printable_chars(text: str) -> str:
 # ---------------------------------------------------------------------------
 
 
+_EDGE_PUNCT_RE = regex.compile(r"^\p{P}+|\p{P}+$")
+
+
+@functools.lru_cache(maxsize=262144)
+def normalize_match_token(token: str) -> str:
+    """Dictionary-matching normalization: ``keep_only_printable_chars``
+    plus edge-punctuation strip, so ``ASPIRIN,`` and sentence-final
+    ``aspirin.`` match the surface ``aspirin``. Used by the gazetteer
+    tagger and the entity linker so both sides agree."""
+    return _EDGE_PUNCT_RE.sub("", keep_only_printable_chars(token))
+
+
+def normalize_surface(surface: str) -> str:
+    """Whitespace-separated multi-token normalization for surfaces."""
+    return " ".join(normalize_match_token(w) for w in surface.split())
+
+
 def create_n_grams(token: str, n: int) -> list[str]:
     """``'#' + normalized + '#'`` sliding window of size n.
 

@@ -1,0 +1,130 @@
+"""The flagship KG-construction pipeline (north rule; SURVEY.md §3.1's
+Ray version).
+
+pages parquet ──read (pruned columns)──► extract (stateless map)
+  ──► segment (stateless map) ──► score (actor pool, broadcast model
+  state) ──► mentions + linking (actor pool, broadcast ConceptIndex)
+  ──► triple assembly (in-row) ──► canonicalize (two-stage combine +
+  groupby) ──► partitioned Parquet node/edge tables.
+
+Every stage is checkpointed (state/checkpoint.py): `resume=True` skips
+any stage whose _SUCCESS manifest exists, so a failed run restarts at
+the first incomplete stage. All stages stream — nothing materializes
+the corpus driver-side; only the bounded nodes table is collected.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+import pyarrow as pa
+
+from bioner_ray.fixtures import make_concepts
+from bioner_ray.stages.extract import extract_stage
+from bioner_ray.stages.link import broadcast_concept_index, link_stage
+from bioner_ray.stages.mentions import mentions_stage
+from bioner_ray.stages.scorer import score_stage
+from bioner_ray.stages.segment import segment_stage
+from bioner_ray.stages.triples import canonicalize_edges, canonicalize_nodes, triples_stage
+from bioner_ray.state import checkpoint as ckpt
+
+
+def run_kg_pipeline(
+    pages_path: str,
+    out_root: str,
+    concepts: Optional[pa.Table] = None,
+    model_name: str = "gazetteer",
+    resume: bool = True,
+    concurrency: int = 4,
+    lang_filter: Optional[str] = None,
+    salt_buckets: Optional[int] = None,
+) -> dict:
+    """Run (or resume) the full pipeline; returns the summary manifest."""
+    import ray.data as rd
+
+    concepts = concepts if concepts is not None else make_concepts()
+    index_ref = broadcast_concept_index(concepts)
+    surfaces = concepts.column("surface").to_pylist()
+
+    def build_documents():
+        # prune at the read: html is needed for extraction, text/golden is not
+        ds = rd.read_parquet(pages_path, columns=["url", "warc_ts", "html", "lang"])
+        ds = extract_stage(ds)
+        if lang_filter:
+            import pyarrow.compute as pc
+
+            ds = ds.map_batches(
+                lambda t: t.filter(pc.equal(t["lang"], lang_filter)), batch_format="pyarrow"
+            )
+        return segment_stage(ds)
+
+    documents = ckpt.run_stage(out_root, "documents", build_documents, resume=resume)
+
+    def build_tagged():
+        import ray
+
+        if model_name == "gazetteer":
+            cfg = {"surfaces": ray.put(surfaces)}
+        elif model_name == "datexis-numpy":
+            from bioner_ray.stages.vocab import build_vocab
+
+            vocab = build_vocab(documents, n=3, min_word_frequency=2)
+            cfg = {"vocab": ray.put(vocab)}
+        else:
+            cfg = {}
+        return score_stage(documents, model_name=model_name, model_config=cfg, concurrency=concurrency)
+
+    tagged = ckpt.run_stage(out_root, "tagged", build_tagged, resume=resume)
+
+    mentions = ckpt.run_stage(
+        out_root,
+        "mentions",
+        lambda: link_stage(mentions_stage(tagged), index_ref, concurrency=concurrency),
+        resume=resume,
+    )
+
+    triples = ckpt.run_stage(
+        out_root,
+        "triples",
+        lambda: triples_stage(tagged, index_ref, concurrency=concurrency),
+        resume=resume,
+    )
+
+    edges = ckpt.run_stage(
+        out_root,
+        "edges",
+        lambda: canonicalize_edges(triples, salt_buckets=salt_buckets),
+        resume=resume,
+    )
+
+    nodes_dir = ckpt.stage_dir(out_root, "nodes")
+    if not (resume and ckpt.is_complete(out_root, "nodes")):
+        import shutil
+
+        if os.path.exists(nodes_dir):
+            shutil.rmtree(nodes_dir)
+        os.makedirs(nodes_dir)
+        nodes_tbl = canonicalize_nodes(mentions)
+        import pyarrow.parquet as pq
+
+        pq.write_table(nodes_tbl, os.path.join(nodes_dir, "nodes-00000.parquet"))
+        with open(os.path.join(nodes_dir, ckpt.MANIFEST), "w") as f:
+            json.dump({"stage": "nodes", "rows": nodes_tbl.num_rows}, f)
+
+    summary = {
+        "documents": ckpt.read_manifest(out_root, "documents")["rows"],
+        "tagged": ckpt.read_manifest(out_root, "tagged")["rows"],
+        "mentions": ckpt.read_manifest(out_root, "mentions")["rows"],
+        "triples": ckpt.read_manifest(out_root, "triples")["rows"],
+        "edges": ckpt.read_manifest(out_root, "edges")["rows"],
+        "nodes": ckpt.read_manifest(out_root, "nodes")["rows"],
+        "stage_walls": {
+            s: ckpt.read_manifest(out_root, s).get("wall_seconds")
+            for s in ("documents", "tagged", "mentions", "triples", "edges")
+        },
+    }
+    with open(os.path.join(out_root, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+    return summary

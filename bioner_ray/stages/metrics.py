@@ -1,0 +1,159 @@
+"""Distributed entity-level evaluation (reference G4-G6, J4-J6, G7, M11).
+
+The reference accumulates streaming counters inside ignite metric
+objects (EntityLevelPrecision/Recall.update,
+entity_level_precision_recall.py:26-103): per batch it decodes gold and
+prediction spans, intersects them (J4, :167-168), and adds to
+``_true_positives`` / ``_positives``. That is exactly a
+partial+final aggregate: here each ``map_batches`` block emits one
+(tp, n_pred, n_gold) partial row and the driver sums three integers —
+no shuffle, any corpus size.
+
+Gold and predicted tags are sibling columns of the same nested row, so
+the span intersection is in-row (no join); padding semantics (-100 →
+PAD, positional truncation) follow filtered_labels (:171-182).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import pyarrow as pa
+
+from bioner_ray.functions.bio import (
+    decode_bio_spans,
+    f1_from_counts,
+    sentence_prf_counts,
+    strip_padding,
+    truncate_predictions,
+)
+
+
+def _prf_partial_batch(batch: pa.Table, gold_key: str, pred_key: str) -> pa.Table:
+    tp = n_pred = n_gold = 0
+    for doc_sents in batch.column("sentences").to_pylist():
+        for sent in doc_sents:
+            t, p, g = sentence_prf_counts(sent[gold_key], sent[pred_key])
+            tp += t
+            n_pred += p
+            n_gold += g
+    return pa.table(
+        {
+            "tp": pa.array([tp], type=pa.int64()),
+            "n_pred": pa.array([n_pred], type=pa.int64()),
+            "n_gold": pa.array([n_gold], type=pa.int64()),
+        }
+    )
+
+
+def entity_level_prf(docs_ds, gold_key: str = "gold_tags", pred_key: str = "pred_tags") -> dict:
+    """Corpus-level entity precision/recall/F1 (G4-G6)."""
+    partials = docs_ds.map_batches(
+        lambda b: _prf_partial_batch(b, gold_key, pred_key), batch_format="pyarrow"
+    )
+    tp = partials.sum("tp")
+    n_pred = partials.sum("n_pred")
+    n_gold = partials.sum("n_gold")
+    p, r, f1 = f1_from_counts(tp or 0, n_pred or 0, n_gold or 0)
+    return {
+        "precision": p,
+        "recall": r,
+        "f1": f1,
+        "true_positives": int(tp or 0),
+        "predicted_spans": int(n_pred or 0),
+        "gold_spans": int(n_gold or 0),
+    }
+
+
+def _error_stats_partial(batch: pa.Table, gold_key: str, pred_key: str) -> pa.Table:
+    """G7: per gold-span length, (total, errors) — a gold span is an
+    error when absent from the predicted span set
+    (misc/error_analysis/analysis.py:188-203)."""
+    totals: dict[int, int] = defaultdict(int)
+    errors: dict[int, int] = defaultdict(int)
+    for doc_sents in batch.column("sentences").to_pylist():
+        for sent in doc_sents:
+            gold_clean = strip_padding(sent[gold_key])
+            pred_clean = truncate_predictions(list(sent[pred_key]), len(gold_clean))
+            pred_spans = set(decode_bio_spans(pred_clean))
+            for span in decode_bio_spans(gold_clean):
+                length = span[1] - span[0] + 1  # Annotation.__len__ (:117-118)
+                totals[length] += 1
+                if span not in pred_spans:
+                    errors[length] += 1
+    lengths = sorted(totals)
+    return pa.table(
+        {
+            "length": pa.array(lengths, type=pa.int32()),
+            "total": pa.array([totals[l] for l in lengths], type=pa.int64()),
+            "errors": pa.array([errors[l] for l in lengths], type=pa.int64()),
+        }
+    )
+
+
+def error_stats_by_length(docs_ds, gold_key: str = "gold_tags", pred_key: str = "pred_tags"):
+    """Grouped error ratios per entity length (G7) as a small Dataset."""
+    from ray.data.aggregate import Sum
+
+    partials = docs_ds.map_batches(
+        lambda b: _error_stats_partial(b, gold_key, pred_key), batch_format="pyarrow"
+    )
+    agg = partials.groupby("length").aggregate(Sum("total"), Sum("errors"))
+    return agg.rename_columns({"sum(total)": "total", "sum(errors)": "errors"})
+
+
+def _span_sets_batch(batch: pa.Table, key_a: str, key_b: str) -> pa.Table:
+    """J5/J6 partials: per-sentence TP/FP/FN between two tag columns
+    (set intersection / differences over span identity,
+    analysis.py:140-149,160-170)."""
+    tp = fp = fn = 0
+    for doc_sents in batch.column("sentences").to_pylist():
+        for sent in doc_sents:
+            a = set(decode_bio_spans(strip_padding(sent[key_a])))
+            b = set(decode_bio_spans(strip_padding(sent[key_b])))
+            tp += len(a & b)
+            fn += len(a - b)
+            fp += len(b - a)
+    return pa.table(
+        {
+            "tp": pa.array([tp], type=pa.int64()),
+            "fp": pa.array([fp], type=pa.int64()),
+            "fn": pa.array([fn], type=pa.int64()),
+        }
+    )
+
+
+def span_confusion(docs_ds, gold_key: str = "gold_tags", pred_key: str = "pred_tags") -> dict:
+    """Corpus TP/FP/FN (J4/J6) between two in-row tag columns."""
+    partials = docs_ds.map_batches(
+        lambda b: _span_sets_batch(b, gold_key, pred_key), batch_format="pyarrow"
+    )
+    return {
+        "tp": int(partials.sum("tp") or 0),
+        "fp": int(partials.sum("fp") or 0),
+        "fn": int(partials.sum("fn") or 0),
+    }
+
+
+def ensemble_tags_batch(batch: pa.Table, key_a: str, key_b: str, out_key: str = "ensemble_tags") -> pa.Table:
+    """J5: per-sentence span-set intersection of two annotators,
+    re-encoded as BIO tags (Ensemble.create_overlapping_annotations,
+    analysis.py:106-114). In-row — both tag columns are co-located."""
+    from bioner_ray.functions.bio import B, I, O
+
+    docs = batch.column("sentences").to_pylist()
+    new_docs = []
+    for doc_sents in docs:
+        new_sents = []
+        for sent in doc_sents:
+            a = set(decode_bio_spans(list(sent[key_a])))
+            b = set(decode_bio_spans(list(sent[key_b])))
+            tags = [O] * len(sent["token_text"])
+            for start, end in a & b:
+                tags[start] = B
+                for i in range(start + 1, end + 1):
+                    tags[i] = I
+            new_sents.append({**sent, out_key: tags})
+        new_docs.append(new_sents)
+    idx = batch.schema.get_field_index("sentences")
+    return batch.set_column(idx, "sentences", pa.array(new_docs))

@@ -1,0 +1,232 @@
+"""NER scoring stage — the stateful actor-pool heart of the pipeline.
+
+Re-expresses the reference inference path (A1-A4 + M3-M7):
+``Annotator.predict_labels`` (bioner/model/annotator.py:266-281) loads
+the corpus, encodes every token, batches 128 sentences with
+pad-to-batch-max (collate_batch, annotator.py:26-46), forwards through
+the BioNER BiLSTM stack (bioner_model.py:16-93), argmaxes over the
+class dim and truncates each row to its true length (annotator.py:277-279).
+
+Here the whole of that is ONE ``map_batches`` stage over nested
+document rows, run by a pool of actors: the model (weights, gazetteer,
+vocab) is built once per actor in ``__init__`` (the reference loads
+fastText once per process, fasttext_encoder.py:14-15) and ``__call__``
+scores a zero-copy Arrow batch. Predictions come back as a sibling
+``tags`` column on the same row — the reference's positional write-back
+join (J2, annotator.py:250-264) disappears by construction.
+
+No torch exists in this environment, so the registry (mirroring
+``ModelLoader.load_model``, model_loader.py:64-115) offers:
+
+* ``datexis-numpy`` — a seeded, pure-numpy analog of the reference
+  architecture: sparse DATEXIS features (position‖surface‖trigram,
+  datexis_encoder.py:28-38) → ReLU feed-forward → bidirectional tanh
+  recurrence → linear → argmax. Deterministic across runs and worker
+  counts (SURVEY.md §7.4.8).
+* ``gazetteer`` — greedy longest-match dictionary tagger over a
+  broadcast surface set; the flagship KG default (meaningful mentions
+  without trained weights).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+
+from bioner_ray.functions.text import (
+    POSITION_DIM,
+    SURFACE_DIM,
+    keep_only_printable_chars,
+    position_features,
+    surface_features_batch,
+)
+from bioner_ray.functions.bio import B, I, O
+from bioner_ray.schemas import TAGS_TYPE
+from bioner_ray.stages.vocab import Vocab
+
+INFERENCE_SENTENCE_BATCH = 128  # reference: annotator.py:272-273
+
+
+from bioner_ray.functions.text import normalize_match_token as gazetteer_normalize
+
+
+class GazetteerModel:
+    """Greedy longest-match tagger: token windows whose normalized join
+    is in the surface set get B I I…; everything else O. Deterministic."""
+
+    name = "gazetteer"
+
+    def __init__(self, surfaces: list[str]):
+        self.surface_set = set()
+        self.max_words = 1
+        for s in surfaces:
+            norm = tuple(gazetteer_normalize(w) for w in s.split())
+            if norm and all(norm):
+                self.surface_set.add(norm)
+                self.max_words = max(self.max_words, len(norm))
+
+    def predict_document(self, sentences: list[dict]) -> list[list[int]]:
+        out = []
+        for sent in sentences:
+            tokens = sent["token_text"]
+            norm = [gazetteer_normalize(t) for t in tokens]
+            n = len(tokens)
+            tags = [O] * n
+            i = 0
+            while i < n:
+                matched = 0
+                for w in range(min(self.max_words, n - i), 0, -1):
+                    if tuple(norm[i : i + w]) in self.surface_set:
+                        matched = w
+                        break
+                if matched:
+                    tags[i] = B
+                    for j in range(i + 1, i + matched):
+                        tags[j] = I
+                    i += matched
+                else:
+                    i += 1
+            out.append(tags)
+        return out
+
+
+class DatexisNumpyModel:
+    """Seeded numpy analog of the BioNER stack (bioner_model.py:16-93):
+    ff1+ReLU → bidirectional tanh recurrence → linear(3). The trigram
+    block of ff1 is applied SPARSELY (sum of weight columns at the
+    one-hot indices) so the V-wide one-hot never materializes — the
+    scale-path replacement for densifying vocab-sized vectors per token.
+    """
+
+    name = "datexis-numpy"
+
+    def __init__(self, vocab: Vocab, hidden: int = 64, ff: int = 128, seed: int = 1632737901):
+        # seed default = the reference's global seed (train_bioner.py:72)
+        self.vocab = vocab
+        rng = np.random.default_rng(seed)
+        v = len(vocab)
+        dense_in = POSITION_DIM + SURFACE_DIM
+        std = np.sqrt(2.0 / max(dense_in + v, 1))  # relu init, bioner_model.py:59-61
+        self.W_dense = rng.normal(0.0, std, (dense_in, ff)).astype(np.float32)
+        self.W_tri = rng.normal(0.0, std, (max(v, 1), ff)).astype(np.float32)
+        self.b_ff = np.zeros(ff, dtype=np.float32)
+        lim = np.sqrt(6.0 / (ff + hidden))  # xavier, bioner_model.py:52-57
+        self.W_xh_f = rng.uniform(-lim, lim, (ff, hidden)).astype(np.float32)
+        self.W_hh_f = rng.uniform(-lim, lim, (hidden, hidden)).astype(np.float32)
+        self.W_xh_b = rng.uniform(-lim, lim, (ff, hidden)).astype(np.float32)
+        self.W_hh_b = rng.uniform(-lim, lim, (hidden, hidden)).astype(np.float32)
+        lim2 = np.sqrt(6.0 / (2 * hidden + 3))
+        self.W_out = rng.uniform(-lim2, lim2, (2 * hidden, 3)).astype(np.float32)
+
+    def _features(self, sentences: list[dict]) -> list[np.ndarray]:
+        """Per-sentence (len, ff) post-ff1 activations, built sparsely."""
+        lengths = [len(s["token_text"]) for s in sentences]
+        all_tokens = [t for s in sentences for t in s["token_text"]]
+        if not all_tokens:
+            return [np.zeros((0, self.W_dense.shape[1]), dtype=np.float32) for _ in sentences]
+        surf = surface_features_batch(all_tokens)  # (N, 11)
+        pos_blocks = position_features(len(sentences), lengths)
+        pos = np.concatenate(pos_blocks) if pos_blocks else np.zeros((0, POSITION_DIM), np.float32)
+        dense = np.concatenate([pos, surf], axis=1)  # (N, 15)
+        acts = dense @ self.W_dense + self.b_ff
+        for row, tok in enumerate(all_tokens):
+            idx = self.vocab.encode_indices(tok)
+            if idx:
+                acts[row] += self.W_tri[idx].sum(axis=0)
+        acts = np.maximum(acts, 0.0)  # ReLU (bioner_model.py:66-67)
+        out, off = [], 0
+        for ln in lengths:
+            out.append(acts[off : off + ln])
+            off += ln
+        return out
+
+    def predict_document(self, sentences: list[dict]) -> list[list[int]]:
+        feats = self._features(sentences)
+        hidden = self.W_hh_f.shape[0]
+        tags = []
+        for x in feats:
+            n = x.shape[0]
+            if n == 0:
+                tags.append([])
+                continue
+            xf = x @ self.W_xh_f
+            xb = x @ self.W_xh_b
+            hf = np.zeros((n, hidden), dtype=np.float32)
+            hb = np.zeros((n, hidden), dtype=np.float32)
+            h = np.zeros(hidden, dtype=np.float32)
+            for t in range(n):
+                h = np.tanh(xf[t] + h @ self.W_hh_f)
+                hf[t] = h
+            h = np.zeros(hidden, dtype=np.float32)
+            for t in range(n - 1, -1, -1):
+                h = np.tanh(xb[t] + h @ self.W_hh_b)
+                hb[t] = h
+            logits = np.concatenate([hf, hb], axis=1) @ self.W_out
+            tags.append(np.argmax(logits, axis=1).astype(np.uint8).tolist())
+        return tags
+
+
+def load_model(name: str, **config):
+    """Model registry by name string (reference ModelLoader.load_model,
+    model_loader.py:64-115: unknown name raises)."""
+    if name == "gazetteer":
+        return GazetteerModel(config["surfaces"])
+    if name == "datexis-numpy":
+        return DatexisNumpyModel(
+            config["vocab"],
+            hidden=config.get("hidden", 64),
+            ff=config.get("ff", 128),
+            seed=config.get("seed", 1632737901),
+        )
+    raise ValueError(f"unknown model: {name}")
+
+
+class NERScorer:
+    """Actor-pool callable for ``map_batches(NERScorer, concurrency=N)``.
+
+    ``__init__`` resolves broadcast state ONCE per actor (ray.put
+    ObjectRefs are accepted for the heavy config values); ``__call__``
+    adds a ``tags`` column (list<list<uint8>>, aligned with the nested
+    sentences) to each document row.
+    """
+
+    def __init__(self, model_name: str = "gazetteer", model_config: Optional[dict] = None):
+        import ray
+
+        cfg = dict(model_config or {})
+        for key, val in cfg.items():
+            if isinstance(val, ray.ObjectRef):
+                cfg[key] = ray.get(val)
+        self.model = load_model(model_name, **cfg)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        docs = batch.column("sentences").to_pylist()
+        # Whole documents go to the model so position features keep their
+        # per-document begin/end semantics (position_encoder.py:10-26).
+        # The reference pads 128 sentences to the batch max and wastes
+        # O(max_len) per short sentence (annotator.py:26-46); our models
+        # compute per-sentence with no padding at all, so no length
+        # bucketing is needed.
+        all_tags = [self.model.predict_document(sentences) for sentences in docs]
+        return batch.append_column("tags", pa.array(all_tags, type=TAGS_TYPE))
+
+
+def score_stage(
+    docs_ds,
+    model_name: str = "gazetteer",
+    model_config: Optional[dict] = None,
+    concurrency: int | tuple[int, int] = 4,
+    batch_size: int = 64,
+    num_cpus: float = 1,
+):
+    """Attach the scorer actor pool to a documents Dataset."""
+    return docs_ds.map_batches(
+        NERScorer,
+        fn_constructor_kwargs={"model_name": model_name, "model_config": model_config},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=num_cpus,
+    )

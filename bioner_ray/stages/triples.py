@@ -1,0 +1,263 @@
+"""Triple assembly + canonicalization (north rule; reference patterns
+G9/D2 — the G1 count-shuffle pattern applied to (subj, pred, obj)).
+
+Assembly is IN-ROW: a tagged document row already holds its sentences,
+tags and (via the broadcast ConceptIndex) its linked mentions, so
+subject/predicate/object extraction never crosses rows — the
+partitioning assumption (SURVEY.md §7.3) is that documents are never
+split mid-sentence, which segmentation guarantees structurally.
+
+Canonicalization is the classic two-stage combine: a local
+``map_batches`` pre-aggregate collapses each block to one row per
+distinct (s,p,o) BEFORE the wide ``groupby`` — after that combiner the
+shuffle moves at most one row per distinct triple per block, which is
+what makes hot entities (20% of fixture pages mention one surface)
+survivable at 10^12-document scale; the groupby itself then sums
+weights / maxes scores / mins provenance. Salting hot keys further
+(ngram-style, §7.3) is unnecessary once the combiner bounds per-key
+fan-in to the block count, but ``salt_buckets`` exposes it for truly
+adversarial skew.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import Optional
+
+import pyarrow as pa
+
+from bioner_ray.functions.bio import decode_bio_spans
+from bioner_ray.functions.text import keep_only_printable_chars
+from bioner_ray.schemas import EDGES_SCHEMA, NIL_CONCEPT, TRIPLES_SCHEMA
+from bioner_ray.stages.link import ConceptIndex
+
+RELATION_LEXICON = frozenset(
+    ["inhibits", "treats", "causes", "activates", "binds", "reduces", "induces"]
+)
+DEFAULT_RELATION = "co_occurs_with"
+
+
+def assemble_sentence_triples(
+    tokens: list[str], tags: list[int], index: ConceptIndex
+) -> list[tuple[str, str, str, float]]:
+    """(subj, pred, obj, score) for each consecutive pair of linked
+    mentions in one sentence. The predicate is the first
+    relation-lexicon token strictly between the two mentions, else the
+    ``co_occurs_with`` default. NIL-linked mentions never form triples."""
+    spans = decode_bio_spans(tags)
+    linked = []
+    for start, end in spans:
+        surface = " ".join(tokens[start : end + 1])
+        cid, score = index.link_one(surface)
+        if cid != NIL_CONCEPT:
+            linked.append((start, end, cid, score))
+    triples = []
+    for (s1, e1, c1, sc1), (s2, e2, c2, sc2) in zip(linked, linked[1:]):
+        pred = DEFAULT_RELATION
+        for t in tokens[e1 + 1 : s2]:
+            if keep_only_printable_chars(t) in RELATION_LEXICON:
+                pred = keep_only_printable_chars(t)
+                break
+        triples.append((c1, pred, c2, min(sc1, sc2)))
+    return triples
+
+
+class TripleAssembler:
+    """Actor-pool callable: tagged document rows → triple rows."""
+
+    def __init__(self, index_ref):
+        import ray
+
+        self.index: ConceptIndex = (
+            ray.get(index_ref) if isinstance(index_ref, ray.ObjectRef) else index_ref
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        subjs, preds, objs, urls, sent_ids, scores = [], [], [], [], [], []
+        url_col = batch.column("url").to_pylist()
+        sents_col = batch.column("sentences").to_pylist()
+        tags_col = batch.column("tags").to_pylist()
+        for url, sentences, doc_tags in zip(url_col, sents_col, tags_col):
+            for sent, tags in zip(sentences, doc_tags):
+                for s, p, o, sc in assemble_sentence_triples(sent["token_text"], tags, self.index):
+                    subjs.append(s)
+                    preds.append(p)
+                    objs.append(o)
+                    urls.append(url)
+                    sent_ids.append(sent["sent_id"])
+                    scores.append(sc)
+        return pa.table(
+            {
+                "subj": pa.array(subjs, type=pa.string()),
+                "pred": pa.array(preds, type=pa.string()),
+                "obj": pa.array(objs, type=pa.string()),
+                "url": pa.array(urls, type=pa.string()),
+                "sent_id": pa.array(sent_ids, type=pa.int32()),
+                "score": pa.array(scores, type=pa.float32()),
+            },
+            schema=TRIPLES_SCHEMA,
+        )
+
+
+def triples_stage(tagged_ds, index_ref, concurrency: int | tuple[int, int] = 4, batch_size: int = 64):
+    return tagged_ds.map_batches(
+        TripleAssembler,
+        fn_constructor_kwargs={"index_ref": index_ref},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def _edge_partial_batch(batch: pa.Table) -> pa.Table:
+    """Local combiner: one partial edge row per distinct (s,p,o) in the block."""
+    agg: dict[tuple[str, str, str], list] = defaultdict(lambda: [0, 0.0, None])
+    for s, p, o, url, sc in zip(
+        batch.column("subj").to_pylist(),
+        batch.column("pred").to_pylist(),
+        batch.column("obj").to_pylist(),
+        batch.column("url").to_pylist(),
+        batch.column("score").to_pylist(),
+    ):
+        entry = agg[(s, p, o)]
+        entry[0] += 1
+        entry[1] = max(entry[1], sc)
+        entry[2] = url if entry[2] is None else min(entry[2], url)
+    keys = list(agg.keys())
+    return pa.table(
+        {
+            "subj": pa.array([k[0] for k in keys], type=pa.string()),
+            "pred": pa.array([k[1] for k in keys], type=pa.string()),
+            "obj": pa.array([k[2] for k in keys], type=pa.string()),
+            "weight": pa.array([agg[k][0] for k in keys], type=pa.int64()),
+            "score": pa.array([agg[k][1] for k in keys], type=pa.float32()),
+            "first_url": pa.array([agg[k][2] for k in keys], type=pa.string()),
+        }
+    )
+
+
+def canonicalize_edges(triples_ds, batch_size: int = 65536, salt_buckets: Optional[int] = None):
+    """(s,p,o)-distinct edge table with weight/score/provenance.
+
+    Two-stage combine (see module docstring). ``salt_buckets`` shards
+    each key into N sub-keys before the shuffle and re-merges after —
+    only needed when a single (s,p,o) dominates entire blocks.
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    partial = triples_ds.map_batches(
+        _edge_partial_batch, batch_format="pyarrow", batch_size=batch_size
+    )
+    if salt_buckets:
+        import zlib
+
+        def add_salt(t: pa.Table) -> pa.Table:
+            salts = [
+                zlib.crc32(u.encode()) % salt_buckets for u in t.column("first_url").to_pylist()
+            ]
+            return t.append_column("salt", pa.array(salts, type=pa.int32()))
+
+        partial = partial.map_batches(add_salt, batch_format="pyarrow")
+        salted = partial.groupby(["subj", "pred", "obj", "salt"]).aggregate(
+            Sum("weight"), Max("score"), Min("first_url")
+        )
+        salted = salted.drop_columns(["salt"])
+        merged = (
+            salted.rename_columns(
+                {"sum(weight)": "weight", "max(score)": "score", "min(first_url)": "first_url"}
+            )
+            .groupby(["subj", "pred", "obj"])
+            .aggregate(Sum("weight"), Max("score"), Min("first_url"))
+        )
+    else:
+        merged = partial.groupby(["subj", "pred", "obj"]).aggregate(
+            Sum("weight"), Max("score"), Min("first_url")
+        )
+    merged = merged.rename_columns(
+        {"sum(weight)": "weight", "max(score)": "score", "min(first_url)": "first_url"}
+    )
+
+    def cast(t: pa.Table) -> pa.Table:
+        return t.select(EDGES_SCHEMA.names).cast(EDGES_SCHEMA)
+
+    return merged.map_batches(cast, batch_format="pyarrow")
+
+
+def _node_partial_batch(batch: pa.Table) -> pa.Table:
+    """Local combiner for nodes: (concept_id, surface) partial counts +
+    per-key url sample set is avoided; n_urls is computed exactly via a
+    second small groupby in ``canonicalize_nodes``."""
+    agg: dict[tuple[str, str], int] = defaultdict(int)
+    for cid, surf in zip(
+        batch.column("concept_id").to_pylist(), batch.column("surface").to_pylist()
+    ):
+        if cid != NIL_CONCEPT:
+            agg[(cid, surf)] += 1
+    keys = list(agg.keys())
+    return pa.table(
+        {
+            "concept_id": pa.array([k[0] for k in keys], type=pa.string()),
+            "surface": pa.array([k[1] for k in keys], type=pa.string()),
+            "count": pa.array([agg[k] for k in keys], type=pa.int64()),
+        }
+    )
+
+
+def canonicalize_nodes(linked_mentions_ds, batch_size: int = 65536):
+    """Node table from linked mentions: per concept, total mention count,
+    most-frequent surface (ties: lexicographically smallest) and exact
+    distinct-url count. Output is bounded by the concept dictionary, so
+    the final merge is driver-side over a small table."""
+    from ray.data.aggregate import Sum
+
+    import pyarrow.compute as pc
+
+    surface_counts = (
+        linked_mentions_ds.map_batches(
+            _node_partial_batch, batch_format="pyarrow", batch_size=batch_size
+        )
+        .groupby(["concept_id", "surface"])
+        .aggregate(Sum("count"))
+    )
+
+    def url_partial(batch: pa.Table) -> pa.Table:
+        pairs = {
+            (c, u)
+            for c, u in zip(
+                batch.column("concept_id").to_pylist(), batch.column("url").to_pylist()
+            )
+            if c != NIL_CONCEPT
+        }
+        keys = list(pairs)
+        return pa.table(
+            {
+                "concept_id": pa.array([k[0] for k in keys], type=pa.string()),
+                "url": pa.array([k[1] for k in keys], type=pa.string()),
+            }
+        )
+
+    url_counts = (
+        linked_mentions_ds.map_batches(url_partial, batch_format="pyarrow", batch_size=batch_size)
+        .groupby(["concept_id", "url"])
+        .count()
+        .groupby("concept_id")
+        .count()
+    )
+
+    sc = surface_counts.to_pandas()  # bounded by |concepts| × surface variants
+    uc = url_counts.to_pandas().rename(columns={"count()": "n_urls"})
+    sc = sc.rename(columns={"sum(count)": "count"})
+    sc = sc.sort_values(["concept_id", "count", "surface"], ascending=[True, False, True])
+    total = sc.groupby("concept_id", as_index=False)["count"].sum()
+    best = sc.drop_duplicates("concept_id")[["concept_id", "surface"]]
+    out = total.merge(best, on="concept_id").merge(uc, on="concept_id", how="left")
+    out["n_urls"] = out["n_urls"].fillna(0).astype("int64")
+    tbl = pa.table(
+        {
+            "concept_id": pa.array(out["concept_id"], type=pa.string()),
+            "surface": pa.array(out["surface"], type=pa.string()),
+            "count": pa.array(out["count"], type=pa.int64()),
+            "n_urls": pa.array(out["n_urls"], type=pa.int64()),
+        }
+    )
+    return tbl
