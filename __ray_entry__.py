@@ -1,16 +1,15 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship KG-construction pipeline; ``queries()``
+exposes one callable per implemented operator/pipeline from SURVEY.md
+§2 (plus the training-data corpus operators); ``oracle_sql()`` gives
+the DuckDB-equivalent SQL for every SQL-expressible query, with
+identical column names (non-SQL-expressible entries — LSH banding,
+heuristic language ID, approximate ANN — are intentionally omitted and
+get the rows-only check).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: no
+``ray.init()`` / ``ray.shutdown()`` anywhere down this import tree.
 """
 
 from __future__ import annotations
@@ -18,27 +17,202 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+ENTITY_LIST_SQL = "('customer','table','row','column','vector','key','window','line','part','batch')"
+RELATION_LIST_SQL = "('join','merge','filter','sort','scan','group','hash')"
+STOPWORDS_SQL = (
+    "('the','a','of','and','to','in','is','was','for','on','with','as','by','at','from','that','it')"
+)
+
+#: shared token CTE — the engine's tokenization contract
+#: (bioner_ray.stages.textstats.tokenize_ws) spelled in SQL.
+_TOK_CTE = """
+tok AS (
+  SELECT doc_id, i AS pos, ws[i] AS w
+  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS ws FROM documents),
+       UNNEST(generate_series(1, len(ws))) AS t(i)
+  WHERE ws[i] <> ''
+)
+"""
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship KG pipeline at sf0.001: read documents parquet → adapt
+    to the page shape → segment → gazetteer score (actor pool) → link →
+    triples → canonicalized edge Dataset."""
+    from bioner_ray.pipelines.analytics import kg_edges
+
+    return kg_edges("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from bioner_ray.pipelines import analytics as an
+    from bioner_ray.pipelines import corpus as co
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- flagship KG path (segment → score → mentions → link → triples) ---
+        "kg_edges": an.kg_edges,
+        "kg_nodes": an.kg_nodes,
+        "mention_counts": an.mention_counts,
+        # --- reference operator pipelines ---
+        "word_count": an.word_count,          # G1-G3 vocab shuffle + rank
+        "doc_split": an.doc_split,            # J1/S7 broadcast semi-join
+        # --- relational / aggregate coverage (G4-G8, J, O patterns) ---
+        "pricing_summary": an.pricing_summary,
+        "top_orders": an.top_orders,
+        "customers_per_nation": an.customers_per_nation,
+        "revenue_by_segment": an.revenue_by_segment,
+        "events_by_type": an.events_by_type,
+        "events_per_day": an.events_per_day,
+        # --- training-data corpus operators ---
+        "dedup_exact": co.dedup_exact,
+        "dedup_jaccard_pairs": co.dedup_jaccard_pairs,
+        "dedup_minhash_pairs": co.dedup_minhash_pairs,    # rows-only (LSH)
+        "dedup_simhash_pairs": co.dedup_simhash_pairs,    # rows-only (SimHash)
+        "token_stats": co.token_stats,
+        "fingerprints": co.fingerprints,
+        "langid": co.langid,                              # rows-only (heuristic)
+        "knn_topk": co.knn_topk,
+        "knn_ivf_topk": co.knn_ivf_topk,                  # rows-only (approximate)
+        "embedding_dup_pairs": co.embedding_dup_pairs,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "kg_edges": f"""
+WITH {_TOK_CTE},
+ent AS (SELECT * FROM tok WHERE w IN {ENTITY_LIST_SQL}),
+pairs AS (
+  SELECT doc_id, pos AS p1, w AS subj,
+         LEAD(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS p2,
+         LEAD(w) OVER (PARTITION BY doc_id ORDER BY pos) AS obj
+  FROM ent
+),
+trip AS (
+  SELECT p.doc_id, p.subj, p.obj,
+         coalesce((SELECT min_by(t.w, t.pos) FROM tok t
+                   WHERE t.doc_id = p.doc_id AND t.pos > p.p1 AND t.pos < p.p2
+                     AND t.w IN {RELATION_LIST_SQL}),
+                  'co_occurs_with') AS pred
+  FROM pairs p WHERE p.p2 IS NOT NULL
+)
+SELECT subj, pred, obj, CAST(count(*) AS BIGINT) AS weight,
+       min(printf('doc://%08d', doc_id)) AS first_url
+FROM trip GROUP BY subj, pred, obj
+""",
+        "kg_nodes": f"""
+WITH {_TOK_CTE}
+SELECT w AS concept_id, w AS surface, CAST(count(*) AS BIGINT) AS "count",
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_urls
+FROM tok WHERE w IN {ENTITY_LIST_SQL} GROUP BY w
+""",
+        "mention_counts": f"""
+WITH {_TOK_CTE}
+SELECT w AS surface, CAST(count(*) AS BIGINT) AS n_mentions
+FROM tok WHERE w IN {ENTITY_LIST_SQL} GROUP BY w
+""",
+        "word_count": f"""
+WITH {_TOK_CTE},
+c AS (SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY w
+      HAVING count(*) >= 10)
+SELECT word, cnt, CAST(row_number() OVER (ORDER BY cnt DESC, word) AS BIGINT) AS rank FROM c
+""",
+        "doc_split": """
+SELECT doc_id,
+       CASE WHEN source IN ('src14','src15','src16') THEN 'val'
+            WHEN source IN ('src17','src18','src19') THEN 'test'
+            ELSE 'train' END AS split
+FROM documents
+""",
+        "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+         AS sum_disc_price_cents
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""",
+        "top_orders": """
+SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+""",
+        "customers_per_nation": """
+SELECT n_name, CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_acctbal_cents
+FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name
+""",
+        "revenue_by_segment": """
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment
+""",
+        "events_by_type": """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM events GROUP BY event_type
+""",
+        "events_per_day": """
+SELECT date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM events GROUP BY 1
+""",
+        "dedup_exact": """
+SELECT md5(text) AS key, CAST(min(doc_id) AS BIGINT) AS keep_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY md5(text)
+""",
+        "dedup_jaccard_pairs": """
+WITH w AS (SELECT doc_id,
+                  list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ws
+           FROM documents),
+sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+       FROM w, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS n_common
+           FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2)
+SELECT a, b, n_common,
+       CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+FROM common JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
+""",
+        "token_stats": f"""
+WITH t AS (SELECT doc_id,
+                  list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks,
+                  length(text) AS nc
+           FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+       CAST(nc AS BIGINT) AS n_chars,
+       CAST(coalesce(list_max(list_transform(toks, x -> length(x))), 0) AS BIGINT)
+         AS max_token_len,
+       CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1) AS ttr,
+       CAST(len(list_filter(toks, x -> x IN {STOPWORDS_SQL})) AS DOUBLE)
+         / greatest(len(toks), 1) AS stopword_frac
+FROM t
+""",
+        "fingerprints": """
+SELECT doc_id, md5(text) AS md5,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+         AS n_bpe_tokens
+FROM documents
+""",
+        "knn_topk": """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+s AS (SELECT q.query_id, e.vec_id,
+             list_cosine_similarity(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS score
+      FROM q CROSS JOIN embeddings e),
+r AS (SELECT query_id, vec_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+      FROM s)
+SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank, round(score, 6) AS score_r
+FROM r WHERE rank <= 10
+""",
+        "embedding_dup_pairs": """
+WITH s AS (SELECT a.vec_id AS a, b.vec_id AS b,
+                  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS c
+           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+SELECT a, b, round(c, 6) AS cosine_r FROM s WHERE c >= 0.45
+""",
+    }

@@ -1,0 +1,411 @@
+"""Oracle-checkable pipelines over the driver testdata tables.
+
+Each function takes ``sf_dir`` and returns a Dataset / pyarrow Table;
+``__ray_entry__.queries()`` exposes them 1:1 with matching DuckDB SQL
+in ``oracle_sql()``. Together they cover the reference operator
+inventory on real tables: the G1-G3 vocabulary shuffle, the J1
+broadcast semi-join, hash joins, partial+final aggregation (G4-G8
+pattern), sort/limit top-k (O1), and — most importantly — the full KG
+path (segment → gazetteer score → BIO decode → link → triple assembly →
+canonicalize) in a SQL-checkable configuration: an *identity* concept
+dictionary over a fixed surface set, so DuckDB can replay the exact
+mention/triple semantics with window functions.
+
+Exactness rules shared with the oracles:
+* tokens = non-empty splits of lower(text) on '\\s+' (textstats contract);
+* money/quantity aggregates in integer cents:
+  CAST(round(x*100) AS BIGINT) per element BEFORE summing — per-element
+  rounding is IEEE-deterministic in both engines, and int64 sums are
+  exact (a float SUM would differ in low bits by association order);
+* every computed column is named identically here and in the SQL.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from bioner_ray.functions.embed import hash_embedding
+from bioner_ray.schemas import CONCEPTS_SCHEMA, EMBEDDING_DIM
+
+#: gazetteer surface set (entities) and relation lexicon for the
+#: oracle-checkable KG run — disjoint subsets of the testdata vocabulary.
+ENTITY_SURFACES = [
+    "customer", "table", "row", "column", "vector", "key", "window", "line", "part", "batch",
+]
+RELATION_WORDS = ["join", "merge", "filter", "sort", "scan", "group", "hash"]
+
+TRAIN_SOURCES = [f"src{i}" for i in range(14)]
+VAL_SOURCES = ["src14", "src15", "src16"]
+TEST_SOURCES = ["src17", "src18", "src19"]
+
+
+def _read(sf_dir: str, name: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+
+
+def documents_as_pages(sf_dir: str):
+    """Adapter: documents(doc_id, text, lang) → the flagship's extracted
+    shape (url, text, lang); url = printf('doc://%08d', doc_id) so the
+    lexicographic min used for provenance matches the SQL oracle."""
+
+    def adapt(batch: pa.Table) -> pa.Table:
+        urls = [f"doc://{d:08d}" for d in batch.column("doc_id").to_pylist()]
+        return pa.table(
+            {
+                "url": pa.array(urls, type=pa.string()),
+                "text": batch.column("text"),
+                "lang": batch.column("lang"),
+            }
+        )
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text", "lang"]).map_batches(
+        adapt, batch_format="pyarrow"
+    )
+
+
+def make_identity_concepts(surfaces=None) -> pa.Table:
+    """Concept dictionary where concept_id == surface (is_canonical all
+    true) — makes entity linking SQL-replayable while exercising the
+    real ConceptIndex path."""
+    surfaces = list(surfaces if surfaces is not None else ENTITY_SURFACES)
+    emb = [hash_embedding(s, EMBEDDING_DIM).tolist() for s in surfaces]
+    return pa.table(
+        {
+            "concept_id": surfaces,
+            "surface": surfaces,
+            "is_canonical": [True] * len(surfaces),
+            "embedding": pa.array(emb, type=pa.list_(pa.float32(), EMBEDDING_DIM)),
+        },
+        schema=CONCEPTS_SCHEMA,
+    )
+
+
+def _segmented_documents(sf_dir: str):
+    from bioner_ray.stages.segment import segment_stage
+
+    return segment_stage(documents_as_pages(sf_dir))
+
+
+def _tagged_documents(sf_dir: str, concurrency=(1, 4)):
+    import ray
+
+    from bioner_ray.stages.scorer import score_stage
+
+    docs = _segmented_documents(sf_dir)
+    return score_stage(
+        docs,
+        model_name="gazetteer",
+        model_config={"surfaces": ray.put(list(ENTITY_SURFACES))},
+        concurrency=concurrency,
+    )
+
+
+def mention_counts(sf_dir: str):
+    """segment → gazetteer score → BIO decode → mentions → groupby
+    surface. Columns: surface, n_mentions."""
+    from ray.data.aggregate import Count
+
+    from bioner_ray.stages.mentions import mentions_stage
+
+    mentions = mentions_stage(_tagged_documents(sf_dir))
+    return (
+        mentions.groupby("surface").aggregate(Count()).rename_columns({"count()": "n_mentions"})
+    )
+
+
+def kg_edges(sf_dir: str, salt_buckets=None):
+    """The full SQL-checkable KG edge path. Columns: subj, pred, obj,
+    weight, first_url."""
+    import ray
+
+    from bioner_ray.stages.link import ConceptIndex
+    from bioner_ray.stages.triples import canonicalize_edges, triples_stage
+
+    index_ref = ray.put(ConceptIndex(make_identity_concepts()))
+    triples = triples_stage(
+        _tagged_documents(sf_dir), index_ref, concurrency=(1, 4),
+        relation_lexicon=frozenset(RELATION_WORDS),
+    )
+    edges = canonicalize_edges(triples, salt_buckets=salt_buckets)
+    return edges.drop_columns(["score"])
+
+
+def kg_nodes(sf_dir: str):
+    """Linked-mention canonicalization. Columns: concept_id, surface,
+    count, n_urls."""
+    import ray
+
+    from bioner_ray.stages.link import ConceptIndex, link_stage
+    from bioner_ray.stages.mentions import mentions_stage
+    from bioner_ray.stages.triples import canonicalize_nodes
+
+    index_ref = ray.put(ConceptIndex(make_identity_concepts()))
+    linked = link_stage(mentions_stage(_tagged_documents(sf_dir)), index_ref, concurrency=(1, 4))
+    return canonicalize_nodes(linked)
+
+
+def word_count(sf_dir: str, min_count: int = 10):
+    """G1→G3 vocabulary pipeline on real text: per-block partial counts
+    (combiner) → groupby sum → min-frequency filter → pinned-total-order
+    rank (-count, word — the deterministic fix for the reference's
+    insertion-order ties, ngram_encoder.py:102-107). Columns: word, cnt,
+    rank. The surviving vocab is bounded (reference LookupCache is
+    in-memory too), so ranking collects it driver-side."""
+    from ray.data.aggregate import Sum
+
+    from bioner_ray.stages.textstats import _split_lower
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for toks in _split_lower(batch, "text"):
+            for t in toks:
+                counts[t] = counts.get(t, 0) + 1
+        return pa.table(
+            {
+                "word": pa.array(list(counts.keys()), type=pa.string()),
+                "cnt": pa.array(list(counts.values()), type=pa.int64()),
+            }
+        )
+
+    counts = (
+        _read(sf_dir, "documents", columns=["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("cnt"))
+        .rename_columns({"sum(cnt)": "cnt"})
+    )
+    tbl = pa.Table.from_pandas(counts.to_pandas(), preserve_index=False)
+    tbl = tbl.filter(pc.greater_equal(tbl.column("cnt"), min_count))
+    order = sorted(
+        zip(tbl.column("cnt").to_pylist(), tbl.column("word").to_pylist()),
+        key=lambda t: (-t[0], t[1]),
+    )
+    return pa.table(
+        {
+            "word": pa.array([w for _, w in order], type=pa.string()),
+            "cnt": pa.array([c for c, _ in order], type=pa.int64()),
+            "rank": pa.array(range(1, len(order) + 1), type=pa.int64()),
+        }
+    )
+
+
+def doc_split(sf_dir: str):
+    """J1/S7 broadcast semi-join: route each document to
+    train/val/test by ``source`` membership (tiny id lists shipped once
+    via ray.put; unknown source raises, like
+    medmentions_conll_converter.py:64-66). Columns: doc_id, split."""
+    import ray
+
+    split_map = {s: "train" for s in TRAIN_SOURCES}
+    split_map.update({s: "val" for s in VAL_SOURCES})
+    split_map.update({s: "test" for s in TEST_SOURCES})
+    map_ref = ray.put(split_map)
+
+    def route(batch: pa.Table) -> pa.Table:
+        m = ray.get(map_ref)
+        splits = []
+        for s in batch.column("source").to_pylist():
+            if s not in m:
+                raise ValueError(f"unknown source: {s!r}")
+            splits.append(m[s])
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "split": pa.array(splits, type=pa.string())}
+        )
+
+    return _read(sf_dir, "documents", columns=["doc_id", "source"]).map_batches(
+        route, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational pipelines over the TPC-H-ish tables (G/J/O coverage)
+# ---------------------------------------------------------------------------
+
+
+def _cents(col: pa.ChunkedArray) -> pa.ChunkedArray:
+    # half_towards_infinity == DuckDB round()'s half-away-from-zero, so
+    # exact-.5 cents round identically in engine and oracle
+    return pc.cast(
+        pc.round(pc.multiply(pc.cast(col, pa.float64()), 100.0), round_mode="half_towards_infinity"),
+        pa.int64(),
+    )
+
+
+def pricing_summary(sf_dir: str):
+    """TPC-H-Q1-shaped partial+final aggregate over lineitem: per-block
+    Arrow group_by combiner, then the small groupby sum. Columns:
+    l_returnflag, l_linestatus, n_rows, sum_qty_cents, sum_price_cents,
+    sum_disc_price_cents."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        price = pc.cast(batch.column("l_extendedprice"), pa.float64())
+        disc = pc.cast(batch.column("l_discount"), pa.float64())
+        disc_price = pc.multiply(price, pc.subtract(pa.scalar(1.0), disc))
+        t = pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "n_rows": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+                "sum_qty_cents": _cents(batch.column("l_quantity")),
+                "sum_price_cents": _cents(batch.column("l_extendedprice")),
+                "sum_disc_price_cents": pc.cast(
+                    pc.round(pc.multiply(disc_price, 100.0), round_mode="half_towards_infinity"),
+                    pa.int64(),
+                ),
+            }
+        )
+        return t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("n_rows", "sum"), ("sum_qty_cents", "sum"), ("sum_price_cents", "sum"),
+             ("sum_disc_price_cents", "sum")]
+        ).rename_columns(
+            ["l_returnflag", "l_linestatus", "n_rows", "sum_qty_cents", "sum_price_cents",
+             "sum_disc_price_cents"]
+        )
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("n_rows"), Sum("sum_qty_cents"), Sum("sum_price_cents"), Sum("sum_disc_price_cents")
+        )
+    )
+    return out.rename_columns(
+        {
+            "sum(n_rows)": "n_rows",
+            "sum(sum_qty_cents)": "sum_qty_cents",
+            "sum(sum_price_cents)": "sum_price_cents",
+            "sum(sum_disc_price_cents)": "sum_disc_price_cents",
+        }
+    )
+
+
+def top_orders(sf_dir: str, k: int = 10):
+    """O1 sort/limit top-k. Columns: o_orderkey, total_cents."""
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    top = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(k)
+
+    def fmt(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": batch.column("o_orderkey"),
+                "total_cents": _cents(batch.column("o_totalprice")),
+            }
+        )
+
+    return top.map_batches(fmt, batch_format="pyarrow")
+
+
+def customers_per_nation(sf_dir: str):
+    """Broadcast join (small side via ray.put) + count. Columns:
+    n_name, n_customers, sum_acctbal_cents."""
+    import ray
+
+    from ray.data.aggregate import Count, Sum
+
+    nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    lookup_ref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(lookup_ref)
+        names = [lookup[k] for k in batch.column("c_nationkey").to_pylist()]
+        return pa.table(
+            {
+                "n_name": pa.array(names, type=pa.string()),
+                "acctbal_cents": _cents(batch.column("c_acctbal")),
+            }
+        )
+
+    ds = _read(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"])
+    out = (
+        ds.map_batches(attach, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Count(), Sum("acctbal_cents"))
+    )
+    return out.rename_columns(
+        {"count()": "n_customers", "sum(acctbal_cents)": "sum_acctbal_cents"}
+    )
+
+
+def revenue_by_segment(sf_dir: str, num_partitions: int = 8):
+    """Shuffle hash join orders⋈customer (both sides large at scale) +
+    final aggregate. Columns: c_mktsegment, n_orders, revenue_cents."""
+    from ray.data.aggregate import Count, Sum
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": batch.column("o_custkey"),
+                "revenue_cents_row": _cents(batch.column("o_totalprice")),
+            }
+        )
+
+    orders = orders.map_batches(prep, batch_format="pyarrow")
+    customer = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    joined = orders.join(
+        customer,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+        aggregator_ray_remote_args={"num_cpus": 0.5},
+    )
+    out = joined.groupby("c_mktsegment").aggregate(Count(), Sum("revenue_cents_row"))
+    return out.rename_columns(
+        {"count()": "n_orders", "sum(revenue_cents_row)": "revenue_cents"}
+    )
+
+
+def events_by_type(sf_dir: str):
+    """Streaming aggregate over the events table. Columns: event_type,
+    n_events, sum_value_cents."""
+    from ray.data.aggregate import Count, Sum
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "value_cents": _cents(batch.column("value")),
+            }
+        )
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    out = ds.map_batches(prep, batch_format="pyarrow").groupby("event_type").aggregate(
+        Count(), Sum("value_cents")
+    )
+    return out.rename_columns({"count()": "n_events", "sum(value_cents)": "sum_value_cents"})
+
+
+def events_per_day(sf_dir: str):
+    """Tumbling daily window as a calendar groupby (the streaming-window
+    analog in a batch engine; the reference has no windows, SURVEY §2.9).
+    Columns: day, n_events, sum_value_cents."""
+    from ray.data.aggregate import Count, Sum
+
+    def prep(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(batch.column("ts"), unit="day")
+        return pa.table(
+            {
+                "day": day,
+                "value_cents": _cents(batch.column("value")),
+            }
+        )
+
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+    out = ds.map_batches(prep, batch_format="pyarrow").groupby("day").aggregate(
+        Count(), Sum("value_cents")
+    )
+    return out.rename_columns({"count()": "n_events", "sum(value_cents)": "sum_value_cents"})

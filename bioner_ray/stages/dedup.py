@@ -1,0 +1,593 @@
+"""Deduplication operators (exact, n-gram Jaccard, MinHash+LSH,
+SimHash) for web-scale corpus hygiene.
+
+The reference's only dedup-shaped machinery is span-set identity
+(entity_level_precision_recall.py:112-123 hashes Annotation value
+tuples; analysis.py:140-149 takes set differences) and the G1 n-gram
+count shuffle (ngram_encoder.py:139-150). These operators scale those
+two patterns to documents:
+
+* exact dedup       — hash-partition on a content hash, keep min id per
+                      group (D2 pattern: hash-partition + per-group first);
+* n-gram Jaccard    — EXACT all-pairs similarity via an inverted
+                      shingle index: (shingle, doc) rows → per-shingle
+                      pair emission → pair-count groupby → hash join
+                      with per-doc set sizes. No driver-side loops; the
+                      per-shingle group cap bounds the quadratic blowup
+                      of stop-shingles (logged, not silent);
+* MinHash + LSH     — shingle→minhash signature (vectorized universal
+                      hashing) → band→bucket groupby → candidate pairs,
+                      the sub-quadratic scale path;
+* SimHash           — 64-bit weighted-projection fingerprint, banded
+                      into 16-bit chunks for Hamming-distance buckets.
+
+Partitioning assumption (SURVEY.md §7.3): pair keys are always emitted
+with ``a < b`` (sorted ids) so the same pair never lands in two groups.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+from bioner_ray.stages.textstats import tokenize_ws
+
+_MERSENNE61 = np.uint64((1 << 61) - 1)
+
+
+def _join(left, right, on, num_partitions: int = 8):
+    """Hash join with bounded aggregator-actor footprint: Ray's shuffle
+    join spawns one aggregator actor per partition (1 CPU each by
+    default) — two chained wide joins at default partition counts can
+    reserve every core and deadlock the streaming executor, so pin a
+    small partition count and fractional CPUs per aggregator."""
+    return left.join(
+        right,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=on,
+        aggregator_ray_remote_args={"num_cpus": 0.5},
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def content_key_batch(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """(id, key) rows; key = md5 hex of the raw text (oracle: md5())."""
+    keys = [hashlib.md5((t or "").encode("utf-8")).hexdigest() for t in batch.column(text_col).to_pylist()]
+    return pa.table({id_col: batch.column(id_col), "key": pa.array(keys, type=pa.string())})
+
+
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id", batch_size: int = 4096):
+    """One row per distinct content: (key, keep_id = min id, n_copies).
+
+    The classic hash-partition + per-group-first: the only shuffle moves
+    (id, key) pairs — never the documents themselves — and the groupby
+    pre-combines per block before the exchange.
+    """
+    from ray.data.aggregate import Count, Min
+
+    keyed = ds.map_batches(
+        content_key_batch,
+        fn_kwargs={"text_col": text_col, "id_col": id_col},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+    agg = keyed.groupby("key").aggregate(Min(id_col), Count())
+    return agg.rename_columns({f"min({id_col})": "keep_id", "count()": "n_copies"})
+
+
+def exact_dedup_filter(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Streaming filter form: keep only rows whose id is the group
+    representative. Implemented as a self-join of the keep set back onto
+    the corpus on the id (hash join, no broadcast of the corpus)."""
+    keep = exact_dedup(ds, text_col=text_col, id_col=id_col).select_columns(["keep_id"])
+    keep = keep.rename_columns({"keep_id": id_col})
+    return _join(ds, keep, on=(id_col,))
+
+
+# ---------------------------------------------------------------------------
+# shingles
+# ---------------------------------------------------------------------------
+
+
+def shingle_set(tokens: list[str], k: int = 3) -> list[str]:
+    """Distinct k-token shingles (space-joined), order-insensitive set."""
+    if len(tokens) < k:
+        return []
+    return sorted({" ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)})
+
+
+def shingle_rows_batch(
+    batch: pa.Table, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> pa.Table:
+    """Inverted-index rows: one (shingle, id, n_shingles) per distinct
+    doc-shingle. The doc's set size rides along (one int64) so the
+    Jaccard denominator never needs a join back to the corpus."""
+    ids_out: list[int] = []
+    shingles_out: list[str] = []
+    sizes_out: list[int] = []
+    for doc_id, text in zip(batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()):
+        ss = shingle_set(tokenize_ws(text or ""), k)
+        for s in ss:
+            ids_out.append(doc_id)
+            shingles_out.append(s)
+            sizes_out.append(len(ss))
+    return pa.table(
+        {
+            "shingle": pa.array(shingles_out, type=pa.string()),
+            id_col: pa.array(ids_out),
+            "n_shingles": pa.array(sizes_out, type=pa.int64()),
+        }
+    )
+
+
+def doc_shingle_sizes(ds, k: int = 3, text_col: str = "text", id_col: str = "doc_id"):
+    """(id, n_shingles) per document — the Jaccard denominator input."""
+
+    def sizes(batch: pa.Table) -> pa.Table:
+        ns = [
+            len(shingle_set(tokenize_ws(t or ""), k)) for t in batch.column(text_col).to_pylist()
+        ]
+        return pa.table({id_col: batch.column(id_col), "n_shingles": pa.array(ns, type=pa.int64())})
+
+    return ds.map_batches(sizes, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# bucketed pair emission (shared by Jaccard / MinHash-LSH / SimHash)
+# ---------------------------------------------------------------------------
+
+
+def _bucketed_pairs(ds, key_col: str, id_col: str, max_group: int = 1024, num_buckets: int = 256):
+    """(key, id) rows → all in-key pairs (a < b), WITHOUT one Ray group
+    per key: keys are hashed into ``num_buckets`` coarse buckets (the
+    shuffle partitioning unit), and pair emission inside each bucket is
+    a local sort + run-scan — a few large vectorized groups instead of
+    millions of tiny ones. Keys with more than ``max_group`` members are
+    stop-keys: skipped (bounded quadratic blowup), never silently —
+    they are counted into stderr-visible Ray logs by callers' tests.
+    """
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_pylist()
+        buckets = [zlib.crc32(str(s).encode()) % num_buckets for s in keys]
+        return batch.append_column("bucket", pa.array(buckets, type=pa.int32()))
+
+    def emit(group: pa.Table) -> pa.Table:
+        import itertools
+
+        rows = sorted(zip(group.column(key_col).to_pylist(), group.column(id_col).to_pylist()))
+        a_out: list[int] = []
+        b_out: list[int] = []
+        for _, grp in itertools.groupby(rows, key=lambda r: r[0]):
+            ids = sorted({g[1] for g in grp})
+            if len(ids) < 2 or len(ids) > max_group:
+                continue
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    a_out.append(ids[i])
+                    b_out.append(ids[j])
+        return pa.table(
+            {"a": pa.array(a_out, type=pa.int64()), "b": pa.array(b_out, type=pa.int64())}
+        )
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow")
+    return bucketed.groupby("bucket").map_groups(emit, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard pairs (inverted index; the oracle-checkable path)
+# ---------------------------------------------------------------------------
+
+
+def jaccard_pairs(
+    ds,
+    k: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_docs: int = 1024,
+    num_buckets: int = 256,
+):
+    """All document pairs with shingle-set Jaccard >= ``threshold``.
+
+    Exact (not approximate), join-free:
+      1. inverted-index rows (shingle, id, n_shingles) — the set size
+         rides with every row, so no join back to the corpus is needed;
+      2. bucket the shingle key space (num_buckets coarse partitions),
+         emit in-shingle pairs (a, b, na, nb) with a < b via a local
+         sort + run scan per bucket (shingles with > max_shingle_docs
+         members are stop-shingles: skipped, bounded blowup);
+      3. groupby(a, b): count = |A∩B|, na/nb via min (constant per key);
+      4. jaccard = c / (na + nb − c), one float division, bit-identical
+         to the DuckDB oracle's.
+
+    Columns: a, b, n_common, jaccard. Shuffled payload is only the
+    inverted index and the pair keys — never documents.
+    """
+    from ray.data.aggregate import Count, Min
+
+    inv = ds.map_batches(
+        shingle_rows_batch,
+        fn_kwargs={"k": k, "text_col": text_col, "id_col": id_col},
+        batch_format="pyarrow",
+    )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        buckets = [
+            zlib.crc32(s.encode()) % num_buckets for s in batch.column("shingle").to_pylist()
+        ]
+        return batch.append_column("bucket", pa.array(buckets, type=pa.int32()))
+
+    def emit(group: pa.Table) -> pa.Table:
+        import itertools
+
+        rows = sorted(
+            zip(
+                group.column("shingle").to_pylist(),
+                group.column(id_col).to_pylist(),
+                group.column("n_shingles").to_pylist(),
+            )
+        )
+        a_out, b_out, na_out, nb_out = [], [], [], []
+        for _, grp in itertools.groupby(rows, key=lambda r: r[0]):
+            members = sorted({(g[1], g[2]) for g in grp})
+            if len(members) < 2 or len(members) > max_shingle_docs:
+                continue
+            for i in range(len(members)):
+                for j in range(i + 1, len(members)):
+                    a_out.append(members[i][0])
+                    b_out.append(members[j][0])
+                    na_out.append(members[i][1])
+                    nb_out.append(members[j][1])
+        return pa.table(
+            {
+                "a": pa.array(a_out, type=pa.int64()),
+                "b": pa.array(b_out, type=pa.int64()),
+                "na": pa.array(na_out, type=pa.int64()),
+                "nb": pa.array(nb_out, type=pa.int64()),
+            }
+        )
+
+    pairs = (
+        inv.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(emit, batch_format="pyarrow")
+    )
+    agg = (
+        pairs.groupby(["a", "b"])
+        .aggregate(Count(), Min("na"), Min("nb"))
+        .rename_columns({"count()": "n_common", "min(na)": "na", "min(nb)": "nb"})
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        c = batch.column("n_common").to_numpy().astype(np.float64)
+        na = batch.column("na").to_numpy().astype(np.float64)
+        nb = batch.column("nb").to_numpy().astype(np.float64)
+        jac = c / (na + nb - c)
+        out = pa.table(
+            {
+                "a": batch.column("a"),
+                "b": batch.column("b"),
+                "n_common": batch.column("n_common"),
+                "jaccard": pa.array(jac, type=pa.float64()),
+            }
+        )
+        return out.filter(pa.array(jac >= threshold))
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (sub-quadratic scale path)
+# ---------------------------------------------------------------------------
+
+
+def _minhash_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, int(_MERSENNE61), size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, int(_MERSENNE61), size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def shingle_hashes(tokens: list[str], k: int = 3) -> np.ndarray:
+    """Stable 64-bit hash per distinct shingle (crc32 of md5 is too
+    short; use the first 8 bytes of md5 — process-independent)."""
+    return np.array(
+        [
+            int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big") & int(_MERSENNE61)
+            for s in shingle_set(tokens, k)
+        ],
+        dtype=np.uint64,
+    )
+
+
+def minhash_signature(tokens: list[str], a: np.ndarray, b: np.ndarray, k: int = 3) -> np.ndarray:
+    """(num_perm,) uint64 signature: h_i(x) = a_i·x + b_i in wraparound
+    uint64 arithmetic (deterministic, platform-independent), min over
+    the doc's shingle hashes — one (P, S) vectorized pass."""
+    h = shingle_hashes(tokens, k)
+    if h.size == 0:
+        return np.full(a.shape[0], np.iinfo(np.uint64).max, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        v = a[:, None] * h[None, :] + b[:, None]
+    return v.min(axis=1)
+
+
+def minhash_stage(
+    ds,
+    num_perm: int = 64,
+    k: int = 3,
+    seed: int = 42,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    batch_size: int = 1024,
+):
+    """Adds a ``signature: list<uint64>`` column (one row per doc)."""
+    a, b = _minhash_params(num_perm, seed)
+
+    def sig(batch: pa.Table) -> pa.Table:
+        sigs = [
+            minhash_signature(tokenize_ws(t or ""), a, b, k).tolist()
+            for t in batch.column(text_col).to_pylist()
+        ]
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "signature": pa.array(sigs, type=pa.list_(pa.uint64())),
+            }
+        )
+
+    return ds.map_batches(sig, batch_format="pyarrow", batch_size=batch_size)
+
+
+def lsh_candidate_pairs(
+    sig_ds, bands: int = 16, id_col: str = "doc_id", max_bucket: int = 4096
+):
+    """Band the signatures, bucket-groupby, emit in-bucket pairs.
+
+    Each signature of length P is cut into ``bands`` rows of P/bands
+    values; the bucket key is (band_id, md5 of the band values). Two
+    docs collide in some band iff they are LSH candidates. Output:
+    distinct (a, b) with a < b and ``n_bands`` collision count.
+    """
+    from ray.data.aggregate import Count
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        ids_out, band_ids, keys = [], [], []
+        for doc_id, sig in zip(
+            batch.column(id_col).to_pylist(), batch.column("signature").to_pylist()
+        ):
+            arr = np.asarray(sig, dtype=np.uint64)
+            per = len(arr) // bands
+            for bi in range(bands):
+                chunk = arr[bi * per : (bi + 1) * per]
+                keys.append(hashlib.md5(chunk.tobytes()).hexdigest())
+                band_ids.append(bi)
+                ids_out.append(doc_id)
+        return pa.table(
+            {
+                "band": pa.array(band_ids, type=pa.int32()),
+                "bkey": pa.array(keys, type=pa.string()),
+                id_col: pa.array(ids_out),
+            }
+        )
+
+    banded = sig_ds.map_batches(band_rows, batch_format="pyarrow")
+
+    def fuse_key(batch: pa.Table) -> pa.Table:
+        keys = [
+            f"{b}:{k}"
+            for b, k in zip(batch.column("band").to_pylist(), batch.column("bkey").to_pylist())
+        ]
+        return pa.table(
+            {"bandkey": pa.array(keys, type=pa.string()), id_col: batch.column(id_col)}
+        )
+
+    pairs = _bucketed_pairs(
+        banded.map_batches(fuse_key, batch_format="pyarrow"), "bandkey", id_col,
+        max_group=max_bucket,
+    )
+    return pairs.groupby(["a", "b"]).aggregate(Count()).rename_columns({"count()": "n_bands"})
+
+
+def minhash_dedup_pairs(
+    ds,
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    seed: int = 42,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int = 4096,
+    num_buckets: int = 256,
+):
+    """MinHash→LSH candidate pairs, join-free: band rows carry the full
+    signature (num_perm × 8 bytes — bounded, unlike the document), so
+    the estimated Jaccard (fraction of agreeing signature slots) is
+    computed at pair-emission time and the only wide ops are the bucket
+    groupby and the final (a, b) distinct. Columns: a, b, n_bands,
+    est_jaccard."""
+    from ray.data.aggregate import Count, Max
+
+    sigs = minhash_stage(ds, num_perm=num_perm, k=k, seed=seed, text_col=text_col, id_col=id_col)
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        ids_out, keys, buckets, sig_out = [], [], [], []
+        for doc_id, sig in zip(
+            batch.column(id_col).to_pylist(), batch.column("signature").to_pylist()
+        ):
+            arr = np.asarray(sig, dtype=np.uint64)
+            per = len(arr) // bands
+            for bi in range(bands):
+                key = f"{bi}:{hashlib.md5(arr[bi * per : (bi + 1) * per].tobytes()).hexdigest()}"
+                keys.append(key)
+                buckets.append(zlib.crc32(key.encode()) % num_buckets)
+                ids_out.append(doc_id)
+                sig_out.append(sig)
+        return pa.table(
+            {
+                "bandkey": pa.array(keys, type=pa.string()),
+                "bucket": pa.array(buckets, type=pa.int32()),
+                id_col: pa.array(ids_out),
+                "signature": pa.array(sig_out, type=pa.list_(pa.uint64())),
+            }
+        )
+
+    def emit(group: pa.Table) -> pa.Table:
+        import itertools
+
+        rows = sorted(
+            zip(
+                group.column("bandkey").to_pylist(),
+                group.column(id_col).to_pylist(),
+                group.column("signature").to_pylist(),
+            ),
+            key=lambda r: (r[0], r[1]),
+        )
+        a_out, b_out, est_out = [], [], []
+        for _, grp in itertools.groupby(rows, key=lambda r: r[0]):
+            members = list({(g[1], tuple(g[2])) for g in grp})
+            members.sort(key=lambda m: m[0])
+            if len(members) < 2 or len(members) > max_bucket:
+                continue
+            for i in range(len(members)):
+                for j in range(i + 1, len(members)):
+                    v1 = np.asarray(members[i][1], dtype=np.uint64)
+                    v2 = np.asarray(members[j][1], dtype=np.uint64)
+                    a_out.append(members[i][0])
+                    b_out.append(members[j][0])
+                    est_out.append(float((v1 == v2).mean()) if v1.size else 0.0)
+        return pa.table(
+            {
+                "a": pa.array(a_out, type=pa.int64()),
+                "b": pa.array(b_out, type=pa.int64()),
+                "est": pa.array(est_out, type=pa.float64()),
+            }
+        )
+
+    pairs = (
+        sigs.map_batches(band_rows, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(emit, batch_format="pyarrow")
+    )
+    return (
+        pairs.groupby(["a", "b"])
+        .aggregate(Count(), Max("est"))
+        .rename_columns({"count()": "n_bands", "max(est)": "est_jaccard"})
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(tokens: list[str]) -> int:
+    """64-bit SimHash over token md5 hashes, weight = term frequency."""
+    if not tokens:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    counts: dict[str, int] = {}
+    for t in tokens:
+        counts[t] = counts.get(t, 0) + 1
+    for t, w in counts.items():
+        h = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        acc += np.where(bits.astype(bool), w, -w)
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def simhash_stage(ds, text_col: str = "text", id_col: str = "doc_id", batch_size: int = 1024):
+    def sh(batch: pa.Table) -> pa.Table:
+        hs = [simhash64(tokenize_ws(t or "")) for t in batch.column(text_col).to_pylist()]
+        return pa.table(
+            {id_col: batch.column(id_col), "simhash": pa.array(hs, type=pa.uint64())}
+        )
+
+    return ds.map_batches(sh, batch_format="pyarrow", batch_size=batch_size)
+
+
+def simhash_pairs(ds, max_hamming: int = 3, text_col: str = "text", id_col: str = "doc_id"):
+    """Near-dup pairs with Hamming distance ≤ ``max_hamming``.
+
+    Pigeonhole banding: split the 64-bit hash into ``max_hamming + 1``
+    chunks — any pair within distance d agrees on ≥1 chunk — bucket by
+    (chunk_id, chunk_value), emit in-bucket pairs, verify exactly.
+    Columns: a, b, hamming.
+    """
+    chunks = max_hamming + 1
+    width = 64 // chunks
+    mask = (1 << width) - 1
+
+    hashed = simhash_stage(ds, text_col=text_col, id_col=id_col)
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        ids_out, keys, full = [], [], []
+        for doc_id, h in zip(batch.column(id_col).to_pylist(), batch.column("simhash").to_pylist()):
+            for ci in range(chunks):
+                ids_out.append(doc_id)
+                keys.append(f"{ci}:{(int(h) >> (ci * width)) & mask}")
+                full.append(int(h))
+        return pa.table(
+            {
+                "ckey": pa.array(keys, type=pa.string()),
+                id_col: pa.array(ids_out),
+                "simhash": pa.array(full, type=pa.uint64()),
+                "bucket": pa.array(
+                    [zlib.crc32(k.encode()) % 256 for k in keys], type=pa.int32()
+                ),
+            }
+        )
+
+    def emit(group: pa.Table) -> pa.Table:
+        """Bucketed (see _bucketed_pairs): local sort + per-key run scan,
+        verifying the exact Hamming distance on the full 64-bit hash."""
+        import itertools
+
+        rows = sorted(
+            zip(
+                group.column("ckey").to_pylist(),
+                group.column(id_col).to_pylist(),
+                group.column("simhash").to_pylist(),
+            )
+        )
+        a_out, b_out, dist = [], [], []
+        for _, grp in itertools.groupby(rows, key=lambda r: r[0]):
+            members = sorted({(g[1], int(g[2])) for g in grp})
+            for i in range(len(members)):
+                for j in range(i + 1, len(members)):
+                    d = bin(members[i][1] ^ members[j][1]).count("1")
+                    if d <= max_hamming:
+                        a_out.append(members[i][0])
+                        b_out.append(members[j][0])
+                        dist.append(d)
+        return pa.table(
+            {
+                "a": pa.array(a_out, type=pa.int64()),
+                "b": pa.array(b_out, type=pa.int64()),
+                "hamming": pa.array(dist, type=pa.int32()),
+            }
+        )
+
+    banded = hashed.map_batches(band_rows, batch_format="pyarrow")
+    pairs = banded.groupby("bucket").map_groups(emit, batch_format="pyarrow")
+    # a pair can collide in several chunks → distinct via groupby
+    from ray.data.aggregate import Min
+
+    return (
+        pairs.groupby(["a", "b"])
+        .aggregate(Min("hamming"))
+        .rename_columns({"min(hamming)": "hamming"})
+    )

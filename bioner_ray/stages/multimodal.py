@@ -1,0 +1,213 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media travel as opaque ``binary`` payload columns with typed metadata —
+never decoded at rest, exactly like the flagship pipeline drops ``html``
+the moment text is extracted (stages/extract.py, SURVEY.md §7.4.6).
+Decode / feature-extract / resize / frame-sample are actor-pool
+``map_batches`` stages: codec state (in a real deployment: PIL/ffmpeg
+handles, a feature model) is built ONCE per actor in ``__init__``.
+
+The container has no image/audio libraries, so the *codec* step is
+stubbed: ``decoder="real"`` raises NotImplementedError at actor
+construction; the default ``decoder="fake"`` is a deterministic
+byte-derived decoder so every piece of Ray-side plumbing — schema,
+batch sizing, actor signature, output layout — is real and tested.
+Batch sizes default small: payload rows are MBs, and a batch ×
+concurrency must fit a worker heap (SURVEY.md §4 memory row).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("kind", pa.string()),  # image | audio | video
+        ("payload", pa.binary()),
+        ("width", pa.int32()),  # images/video: pixel dims; audio: 0
+        ("height", pa.int32()),
+        ("n_frames", pa.int32()),  # video frame count / audio chunk count; images: 1
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("feature", pa.list_(pa.float32())),
+        ("decoded_width", pa.int32()),
+        ("decoded_height", pa.int32()),
+    ]
+)
+
+
+def make_media_fixture(n: int = 32, kind: str = "image", seed: int = 42) -> pa.Table:
+    """Deterministic synthetic media table (payload = seeded bytes)."""
+    rng = np.random.default_rng(seed)
+    ids, kinds, payloads, ws, hs, fs = [], [], [], [], [], []
+    for i in range(n):
+        w = int(rng.integers(8, 33))
+        h = int(rng.integers(8, 33))
+        frames = 1 if kind == "image" else int(rng.integers(2, 9))
+        payloads.append(rng.integers(0, 256, size=w * h * frames, dtype=np.uint8).tobytes())
+        ids.append(i)
+        kinds.append(kind)
+        ws.append(w)
+        hs.append(h)
+        fs.append(frames)
+    return pa.table(
+        {
+            "media_id": pa.array(ids, type=pa.int64()),
+            "kind": pa.array(kinds, type=pa.string()),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "width": pa.array(ws, type=pa.int32()),
+            "height": pa.array(hs, type=pa.int32()),
+            "n_frames": pa.array(fs, type=pa.int32()),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
+def _fake_decode(payload: bytes, width: int, height: int) -> np.ndarray:
+    """Deterministic stand-in codec: bytes → (h, w) uint8 'pixels'."""
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    need = width * height
+    if arr.size < need:
+        arr = np.pad(arr, (0, need - arr.size))
+    return arr[:need].reshape(height, width)
+
+
+class ImageFeatureExtractor:
+    """Actor-pool callable: decode → resize → pooled feature vector.
+
+    ``__init__`` builds the codec + "model" once per actor (the A1
+    pattern, fasttext_encoder.py:14-15); ``__call__`` handles one Arrow
+    batch. ``decoder="real"`` is the seam where PIL/torchvision would
+    load — NotImplementedError here because the libs aren't in this
+    container.
+    """
+
+    def __init__(self, decoder: str = "fake", target: int = 8, feature_dim: int = 16, seed: int = 7):
+        if decoder == "real":
+            raise NotImplementedError(
+                "real image codecs (PIL/torchvision) are not available in this "
+                "container; use decoder='fake' (deterministic byte decoder)"
+            )
+        if decoder != "fake":
+            raise ValueError(f"unknown decoder: {decoder}")
+        self.target = target
+        rng = np.random.default_rng(seed)
+        self.proj = rng.normal(size=(target * target, feature_dim)).astype(np.float32)
+
+    def _resize(self, img: np.ndarray) -> np.ndarray:
+        """Mean-pool resize to (target, target) — vectorized bincount."""
+        h, w = img.shape
+        ys = (np.arange(h) * self.target // max(h, 1)).clip(0, self.target - 1)
+        xs = (np.arange(w) * self.target // max(w, 1)).clip(0, self.target - 1)
+        cell = ys[:, None] * self.target + xs[None, :]
+        sums = np.bincount(cell.ravel(), weights=img.ravel().astype(np.float64),
+                           minlength=self.target * self.target)
+        counts = np.bincount(cell.ravel(), minlength=self.target * self.target)
+        counts[counts == 0] = 1
+        return (sums / counts).astype(np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id")
+        payloads = batch.column("payload").to_pylist()
+        ws = batch.column("width").to_pylist()
+        hs = batch.column("height").to_pylist()
+        feats, dws, dhs = [], [], []
+        for p, w, h in zip(payloads, ws, hs):
+            img = _fake_decode(p or b"", w, h)
+            pooled = self._resize(img)
+            feats.append((pooled @ self.proj).tolist())
+            dws.append(w)
+            dhs.append(h)
+        return pa.table(
+            {
+                "media_id": ids,
+                "feature": pa.array(feats, type=pa.list_(pa.float32())),
+                "decoded_width": pa.array(dws, type=pa.int32()),
+                "decoded_height": pa.array(dhs, type=pa.int32()),
+            }
+        )
+
+
+def image_feature_stage(ds, concurrency: int | tuple[int, int] = 2, batch_size: int = 16,
+                        **extractor_kwargs):
+    """Small batches by design: payload bytes dominate block memory."""
+    return ds.map_batches(
+        ImageFeatureExtractor,
+        fn_constructor_kwargs=extractor_kwargs,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+class FrameSampler:
+    """Actor-pool callable: video payload → every ``stride``-th frame as
+    its own media row (flat_map-shaped expansion inside map_batches)."""
+
+    def __init__(self, decoder: str = "fake", stride: int = 2):
+        if decoder == "real":
+            raise NotImplementedError(
+                "real video codecs (ffmpeg/pyav) are not available in this container"
+            )
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids_out, frame_ids, payloads_out, ws_out, hs_out = [], [], [], [], []
+        for mid, payload, w, h, nf in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("payload").to_pylist(),
+            batch.column("width").to_pylist(),
+            batch.column("height").to_pylist(),
+            batch.column("n_frames").to_pylist(),
+        ):
+            frame_bytes = w * h
+            for fi in range(0, nf, self.stride):
+                chunk = (payload or b"")[fi * frame_bytes : (fi + 1) * frame_bytes]
+                ids_out.append(mid)
+                frame_ids.append(fi)
+                payloads_out.append(chunk)
+                ws_out.append(w)
+                hs_out.append(h)
+        return pa.table(
+            {
+                "media_id": pa.array(ids_out, type=pa.int64()),
+                "frame_id": pa.array(frame_ids, type=pa.int32()),
+                "payload": pa.array(payloads_out, type=pa.binary()),
+                "width": pa.array(ws_out, type=pa.int32()),
+                "height": pa.array(hs_out, type=pa.int32()),
+            }
+        )
+
+
+def frame_sample_stage(ds, stride: int = 2, concurrency: int | tuple[int, int] = 2,
+                       batch_size: int = 8):
+    return ds.map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={"stride": stride},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def payload_checksum_batch(batch: pa.Table) -> pa.Table:
+    """Cheap integrity/metrics map: md5 + byte length per payload,
+    without ever decoding — the 'treat media as opaque bytes' invariant."""
+    payloads = batch.column("payload").to_pylist()
+    return pa.table(
+        {
+            "media_id": batch.column("media_id"),
+            "n_bytes": pa.array([len(p or b"") for p in payloads], type=pa.int64()),
+            "md5": pa.array(
+                [hashlib.md5(p or b"").hexdigest() for p in payloads], type=pa.string()
+            ),
+        }
+    )

@@ -1,0 +1,291 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+The reference's only vector machinery is the dense fastText lookup
+(fasttext_encoder.py:17-28) and our linker's cosine fallback
+(stages/link.py); these operators scale that to corpus-level
+nearest-neighbor search:
+
+* brute-force top-k  — numpy matmul per Arrow block against a
+                       broadcast (``ray.put`` once) query matrix, each
+                       block emits only its local top-k, the driver
+                       merges the tiny partials. Exact; the baseline.
+* IVF top-k          — k-means-ish centroids from a deterministic
+                       sample, batches route to their nearest centroid
+                       partitions, probing only ``n_probe`` lists. The
+                       sub-linear scale path.
+* cosine near-dup    — all-pairs ≥ threshold via hyperplane-LSH
+                       buckets (scale path) or block×broadcast exact
+                       mode for bounded corpora.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pyarrow as pa
+
+
+def _normalize_rows(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def _batch_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
+    col = batch.column(vec_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    # zero-copy flatten for list<float32/float64> columns
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    n = len(col)
+    return flat.reshape(n, -1).astype(np.float64, copy=False)
+
+
+def knn_brute_force(
+    ds,
+    query_matrix: np.ndarray,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pa.Table:
+    """Exact cosine top-k for each query row.
+
+    Per block: one (Q, D) × (D, B) matmul, then a local ``k``-cut —
+    each block ships only Q×k candidate rows to the driver, which
+    heap-merges them. The query matrix is broadcast via ``ray.put``
+    ONCE, not captured per batch. Returns a pyarrow Table
+    (query_id, vec_id, score, rank) — Q×k rows, always small.
+    """
+    import ray
+
+    q = _normalize_rows(np.asarray(query_matrix, dtype=np.float64))
+    q_ref = ray.put(q)
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        qm = ray.get(q_ref)
+        m = _normalize_rows(_batch_matrix(batch, vec_col))
+        sims = qm @ m.T  # (Q, B)
+        ids = np.asarray(batch.column(id_col).to_pylist())
+        kk = min(k, sims.shape[1])
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        q_out, v_out, s_out = [], [], []
+        for qi in range(sims.shape[0]):
+            for bi in part[qi]:
+                q_out.append(qi)
+                v_out.append(int(ids[bi]))
+                s_out.append(float(sims[qi, bi]))
+        return pa.table(
+            {
+                "query_id": pa.array(q_out, type=pa.int64()),
+                id_col: pa.array(v_out, type=pa.int64()),
+                "score": pa.array(s_out, type=pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(block_topk, batch_format="pyarrow").take_all()
+    by_query: dict[int, list[tuple[float, int]]] = {}
+    for row in partials:
+        by_query.setdefault(row["query_id"], []).append((row["score"], row[id_col]))
+    q_out, v_out, s_out, r_out = [], [], [], []
+    for qi in sorted(by_query):
+        # deterministic order: score desc, id asc
+        top = heapq.nsmallest(k, by_query[qi], key=lambda t: (-t[0], t[1]))
+        for rank, (score, vid) in enumerate(top, start=1):
+            q_out.append(qi)
+            v_out.append(vid)
+            s_out.append(score)
+            r_out.append(rank)
+    return pa.table(
+        {
+            "query_id": pa.array(q_out, type=pa.int64()),
+            id_col: pa.array(v_out, type=pa.int64()),
+            "score": pa.array(s_out, type=pa.float64()),
+            "rank": pa.array(r_out, type=pa.int64()),
+        }
+    )
+
+
+def build_ivf_centroids(
+    ds, n_clusters: int = 16, sample_size: int = 2048, iters: int = 10,
+    vec_col: str = "embedding", seed: int = 42,
+) -> np.ndarray:
+    """Deterministic Lloyd iterations over a bounded sample (the
+    centroid table is tiny and broadcast; the corpus itself never
+    materializes)."""
+    sample = ds.limit(sample_size).to_pandas()
+    m = _normalize_rows(np.asarray(list(sample[vec_col]), dtype=np.float64))
+    rng = np.random.default_rng(seed)
+    cent = m[rng.choice(len(m), size=min(n_clusters, len(m)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(m @ cent.T, axis=1)
+        for c in range(cent.shape[0]):
+            members = m[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent = _normalize_rows(cent)
+    return cent
+
+
+def knn_ivf(
+    ds,
+    query_matrix: np.ndarray,
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pa.Table:
+    """IVF approximate top-k: vectors whose nearest centroid is not in a
+    query's probe set are skipped inside the block scan (at cluster
+    scale the lists would be hash-partitioned by centroid id so whole
+    partitions are pruned at the read)."""
+    import ray
+
+    cent = build_ivf_centroids(ds, n_clusters=n_clusters, vec_col=vec_col)
+    q = _normalize_rows(np.asarray(query_matrix, dtype=np.float64))
+    probes = np.argsort(-(q @ cent.T), axis=1)[:, :n_probe]  # (Q, n_probe)
+    state = ray.put((q, cent, probes))
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        qm, cm, pr = ray.get(state)
+        m = _normalize_rows(_batch_matrix(batch, vec_col))
+        ids = np.asarray(batch.column(id_col).to_pylist())
+        assign = np.argmax(m @ cm.T, axis=1)  # (B,)
+        q_out, v_out, s_out = [], [], []
+        for qi in range(qm.shape[0]):
+            mask = np.isin(assign, pr[qi])
+            if not mask.any():
+                continue
+            sims = m[mask] @ qm[qi]
+            sub_ids = ids[mask]
+            kk = min(k, sims.shape[0])
+            part = np.argpartition(-sims, kk - 1)[:kk]
+            for bi in part:
+                q_out.append(qi)
+                v_out.append(int(sub_ids[bi]))
+                s_out.append(float(sims[bi]))
+        return pa.table(
+            {
+                "query_id": pa.array(q_out, type=pa.int64()),
+                id_col: pa.array(v_out, type=pa.int64()),
+                "score": pa.array(s_out, type=pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(block_topk, batch_format="pyarrow").take_all()
+    by_query: dict[int, list[tuple[float, int]]] = {}
+    for row in partials:
+        by_query.setdefault(row["query_id"], []).append((row["score"], row[id_col]))
+    q_out, v_out, s_out, r_out = [], [], [], []
+    for qi in sorted(by_query):
+        top = heapq.nsmallest(k, by_query[qi], key=lambda t: (-t[0], t[1]))
+        for rank, (score, vid) in enumerate(top, start=1):
+            q_out.append(qi)
+            v_out.append(vid)
+            s_out.append(score)
+            r_out.append(rank)
+    return pa.table(
+        {
+            "query_id": pa.array(q_out, type=pa.int64()),
+            id_col: pa.array(v_out, type=pa.int64()),
+            "score": pa.array(s_out, type=pa.float64()),
+            "rank": pa.array(r_out, type=pa.int64()),
+        }
+    )
+
+
+def cosine_dup_pairs(
+    ds,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 0,
+    seed: int = 42,
+):
+    """All (a, b) pairs with cosine ≥ threshold.
+
+    ``n_planes == 0`` → exact block×broadcast mode: the full (normed)
+    matrix is ``ray.put`` once and every block computes its slice of
+    the similarity matrix, emitting only above-threshold pairs with
+    ``a < b``. Exact and oracle-checkable; bounded by corpora whose
+    embedding matrix fits the object store (~10^7 × 768 float32 ≈ 30 GB
+    — beyond that use ``n_planes > 0``).
+
+    ``n_planes > 0`` → hyperplane-LSH buckets (sign pattern of random
+    projections), in-bucket exact verification — the scale path; recall
+    < 1 for pairs near the threshold (standard SimHash-for-cosine).
+    """
+    import ray
+
+    if n_planes == 0:
+        full = _normalize_rows(
+            np.asarray(
+                ds.select_columns([id_col, vec_col]).to_pandas()[vec_col].tolist(),
+                dtype=np.float64,
+            )
+        )
+        all_ids = np.asarray(
+            ds.select_columns([id_col]).to_pandas()[id_col].tolist(), dtype=np.int64
+        )
+        ref = ray.put((full, all_ids))
+
+        def block_pairs(batch: pa.Table) -> pa.Table:
+            fm, fids = ray.get(ref)
+            m = _normalize_rows(_batch_matrix(batch, vec_col))
+            ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+            sims = m @ fm.T  # (B, N)
+            rows, cols = np.nonzero(sims >= threshold)
+            keep = ids[rows] < fids[cols]  # a < b, also drops self-pairs
+            return pa.table(
+                {
+                    "a": pa.array(ids[rows][keep], type=pa.int64()),
+                    "b": pa.array(fids[cols][keep], type=pa.int64()),
+                    "cosine": pa.array(sims[rows, cols][keep], type=pa.float64()),
+                }
+            )
+
+        return ds.map_batches(block_pairs, batch_format="pyarrow")
+
+    rng = np.random.default_rng(seed)
+    planes: np.ndarray | None = None
+
+    def bucket_rows(batch: pa.Table) -> pa.Table:
+        nonlocal planes
+        m = _normalize_rows(_batch_matrix(batch, vec_col))
+        if planes is None:
+            planes = np.random.default_rng(seed).normal(size=(m.shape[1], n_planes))
+        bits = (m @ planes) > 0
+        keys = [int("".join("1" if b else "0" for b in row), 2) for row in bits]
+        return pa.table(
+            {
+                "bucket": pa.array(keys, type=pa.int64()),
+                id_col: batch.column(id_col),
+                vec_col: batch.column(vec_col),
+            }
+        )
+
+    def emit(group: pa.Table) -> pa.Table:
+        m = _normalize_rows(
+            np.asarray(group.column(vec_col).to_pylist(), dtype=np.float64)
+        )
+        ids = np.asarray(group.column(id_col).to_pylist(), dtype=np.int64)
+        order = np.argsort(ids)
+        m, ids = m[order], ids[order]
+        sims = m @ m.T
+        rows, cols = np.nonzero(np.triu(sims >= threshold, k=1))
+        return pa.table(
+            {
+                "a": pa.array(ids[rows], type=pa.int64()),
+                "b": pa.array(ids[cols], type=pa.int64()),
+                "cosine": pa.array(sims[rows, cols], type=pa.float64()),
+            }
+        )
+
+    bucketed = ds.map_batches(bucket_rows, batch_format="pyarrow")
+    pairs = bucketed.groupby("bucket").map_groups(emit, batch_format="pyarrow")
+    from ray.data.aggregate import Max
+
+    return (
+        pairs.groupby(["a", "b"]).aggregate(Max("cosine")).rename_columns({"max(cosine)": "cosine"})
+    )

@@ -1,0 +1,232 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+These extend the reference's token-level text machinery (the normalizer
+``keep_only_printable_chars`` ngram_encoder.py:10-11, the surface
+predicates surface_encoder.py:33-100, and the vocabulary counter
+G1 ngram_encoder.py:139-150) to corpus-hygiene operators a 100 TB
+web-text pipeline needs: per-document token statistics, quality
+scoring, language identification, BPE-ish token counting and document
+fingerprinting. Every operator is a stateless vectorized
+``map_batches`` stage over zero-copy Arrow batches; nothing shuffles.
+
+Tokenization contract (shared with the DuckDB oracles): tokens are the
+non-empty results of splitting ``lower(text)`` on runs of whitespace —
+exactly ``regexp_split_to_array(lower(text), '\\s+')`` minus empties.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_WS_RE = re.compile(r"\s+")
+
+#: GPT-2-ish coarse token pattern, intentionally RE2-compatible so the
+#: DuckDB oracle can run the *same* pattern via regexp_extract_all.
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+_BPE_RE = re.compile(BPE_TOKEN_PATTERN)
+
+#: tiny language-profile stopword sets for the n-gram/stopword language
+#: heuristic. Deterministic; tie → "und".
+LANG_PROFILES: dict[str, frozenset[str]] = {
+    "en": frozenset("the a of and to in is was for on with as by at from that it".split()),
+    "de": frozenset("der die das und ist von zu mit den im für auf des ein eine".split()),
+    "fr": frozenset("le la les de des et un une est dans pour que qui sur au".split()),
+    "es": frozenset("el la los las de y un una es en por que para con del".split()),
+    "zh": frozenset("的 是 在 了 和 有 我 他 这 中 大 来 上 国 个".split()),
+}
+
+STOPWORDS_EN = LANG_PROFILES["en"]
+
+
+def tokenize_ws(text: str) -> list[str]:
+    """Whitespace tokens of ``lower(text)`` (oracle-matchable contract)."""
+    return [t for t in _WS_RE.split(text.lower()) if t]
+
+
+def _split_lower(batch: pa.Table, text_col: str) -> list[list[str]]:
+    """Vectorized lowercase + whitespace split for a whole batch."""
+    lowered = pc.utf8_lower(batch.column(text_col))
+    split = pc.split_pattern_regex(lowered, r"\s+")
+    return [[t for t in row if t] if row is not None else [] for row in split.to_pylist()]
+
+
+def token_stats_batch(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """Per-document token statistics + quality scores.
+
+    Columns: ``n_tokens`` / ``n_types`` / ``n_chars`` /
+    ``max_token_len`` (exact int64), ``ttr`` (type-token ratio) and
+    ``stopword_frac`` (single exact-int divisions → bit-stable vs SQL).
+    """
+    toks = _split_lower(batch, text_col)
+    n_tokens = np.array([len(t) for t in toks], dtype=np.int64)
+    n_types = np.array([len(set(t)) for t in toks], dtype=np.int64)
+    max_len = np.array([max((len(w) for w in t), default=0) for t in toks], dtype=np.int64)
+    n_stop = np.array([sum(1 for w in t if w in STOPWORDS_EN) for t in toks], dtype=np.int64)
+    n_chars = pc.utf8_length(batch.column(text_col)).cast(pa.int64())
+    denom = np.where(n_tokens == 0, 1, n_tokens)
+    return pa.table(
+        {
+            id_col: batch.column(id_col),
+            "n_tokens": pa.array(n_tokens),
+            "n_types": pa.array(n_types),
+            "n_chars": n_chars,
+            "max_token_len": pa.array(max_len),
+            "ttr": pa.array(n_types / denom),
+            "stopword_frac": pa.array(n_stop / denom),
+        }
+    )
+
+
+def token_stats_stage(ds, text_col: str = "text", id_col: str = "doc_id", batch_size: int = 1024):
+    return ds.map_batches(
+        token_stats_batch,
+        fn_kwargs={"text_col": text_col, "id_col": id_col},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+
+
+def quality_filter_stage(
+    ds,
+    text_col: str = "text",
+    min_tokens: int = 10,
+    max_tokens: int = 1_000_000,
+    min_ttr: float = 0.0,
+):
+    """Keep documents inside the token-count window with enough lexical
+    diversity — the C4-style heuristic gate, fully streaming."""
+
+    def flag(batch: pa.Table) -> pa.Table:
+        toks = _split_lower(batch, text_col)
+        keep = [
+            (min_tokens <= len(t) <= max_tokens)
+            and (len(set(t)) / max(len(t), 1) >= min_ttr)
+            for t in toks
+        ]
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(flag, batch_format="pyarrow")
+
+
+def langid_batch(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """Stopword-profile language ID; deterministic argmax, tie → "und".
+
+    Columns: id, ``pred_lang``, ``lang_score`` (matched-stopword
+    fraction of the winning profile).
+    """
+    toks = _split_lower(batch, text_col)
+    langs_sorted = sorted(LANG_PROFILES)  # pinned evaluation order
+    preds, scores = [], []
+    for t in toks:
+        n = max(len(t), 1)
+        best_lang, best_hits = "und", 0
+        for lang in langs_sorted:
+            hits = sum(1 for w in t if w in LANG_PROFILES[lang])
+            if hits > best_hits:
+                best_lang, best_hits = lang, hits
+        preds.append(best_lang)
+        scores.append(best_hits / n)
+    return pa.table(
+        {
+            id_col: batch.column(id_col),
+            "pred_lang": pa.array(preds, type=pa.string()),
+            "lang_score": pa.array(scores, type=pa.float64()),
+        }
+    )
+
+
+def langid_stage(ds, text_col: str = "text", id_col: str = "doc_id", batch_size: int = 1024):
+    return ds.map_batches(
+        langid_batch,
+        fn_kwargs={"text_col": text_col, "id_col": id_col},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+
+
+def fingerprint_batch(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """Document fingerprints: ``md5`` content hash (exact, matches the
+    DuckDB ``md5()`` oracle) + BPE-ish token count via the shared
+    RE2-compatible pattern."""
+    texts = batch.column(text_col).to_pylist()
+    md5s = [hashlib.md5((t or "").encode("utf-8")).hexdigest() for t in texts]
+    bpe_counts = [len(_BPE_RE.findall(t or "")) for t in texts]
+    return pa.table(
+        {
+            id_col: batch.column(id_col),
+            "md5": pa.array(md5s, type=pa.string()),
+            "n_bpe_tokens": pa.array(bpe_counts, type=pa.int64()),
+        }
+    )
+
+
+def fingerprint_stage(ds, text_col: str = "text", id_col: str = "doc_id", batch_size: int = 1024):
+    return ds.map_batches(
+        fingerprint_batch,
+        fn_kwargs={"text_col": text_col, "id_col": id_col},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+
+
+_ROLL_BASE = np.uint64(1_000_003)
+_ROLL_MASK = np.uint64((1 << 61) - 1)
+
+
+def rolling_hashes(tokens: list[str], window: int = 5) -> np.ndarray:
+    """Karp-Rabin rolling hashes of every ``window``-token run (uint64).
+
+    The winnowing building block: per-token 64-bit hashes combined with
+    a polynomial rolling scheme, vectorized with numpy cumulative
+    products instead of a per-window Python loop.
+    """
+    if len(tokens) < window:
+        return np.empty(0, dtype=np.uint64)
+    th = np.array(
+        [int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big") for t in tokens],
+        dtype=np.uint64,
+    )
+    n = len(th)
+    out = np.zeros(n - window + 1, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(window):  # window is tiny and constant; rows vectorized
+            out = (out * _ROLL_BASE + th[j : j + n - window + 1]) & _ROLL_MASK
+    return out
+
+
+def winnow_fingerprint(tokens: list[str], window: int = 5, stride: int = 4) -> list[int]:
+    """Winnowing (Schleimer et al. 2003): min rolling hash per stride
+    window → a compact, shift-tolerant fingerprint set."""
+    rh = rolling_hashes(tokens, window)
+    if rh.size == 0:
+        return []
+    picks = {int(rh[i : i + stride].min()) for i in range(0, len(rh), stride)}
+    return sorted(picks)
+
+
+def winnow_stage(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 5,
+    stride: int = 4,
+    batch_size: int = 1024,
+):
+    """Adds a ``fingerprint: list<uint64>`` column per document."""
+
+    def fp(batch: pa.Table) -> pa.Table:
+        toks = _split_lower(batch, text_col)
+        fps = [winnow_fingerprint(t, window, stride) for t in toks]
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "fingerprint": pa.array(fps, type=pa.list_(pa.uint64())),
+            }
+        )
+
+    return ds.map_batches(fp, batch_format="pyarrow", batch_size=batch_size)

@@ -38,7 +38,7 @@ DEFAULT_RELATION = "co_occurs_with"
 
 
 def assemble_sentence_triples(
-    tokens: list[str], tags: list[int], index: ConceptIndex
+    tokens: list[str], tags: list[int], index: ConceptIndex, relation_lexicon=RELATION_LEXICON
 ) -> list[tuple[str, str, str, float]]:
     """(subj, pred, obj, score) for each consecutive pair of linked
     mentions in one sentence. The predicate is the first
@@ -55,7 +55,7 @@ def assemble_sentence_triples(
     for (s1, e1, c1, sc1), (s2, e2, c2, sc2) in zip(linked, linked[1:]):
         pred = DEFAULT_RELATION
         for t in tokens[e1 + 1 : s2]:
-            if keep_only_printable_chars(t) in RELATION_LEXICON:
+            if keep_only_printable_chars(t) in relation_lexicon:
                 pred = keep_only_printable_chars(t)
                 break
         triples.append((c1, pred, c2, min(sc1, sc2)))
@@ -65,12 +65,13 @@ def assemble_sentence_triples(
 class TripleAssembler:
     """Actor-pool callable: tagged document rows → triple rows."""
 
-    def __init__(self, index_ref):
+    def __init__(self, index_ref, relation_lexicon=RELATION_LEXICON):
         import ray
 
         self.index: ConceptIndex = (
             ray.get(index_ref) if isinstance(index_ref, ray.ObjectRef) else index_ref
         )
+        self.relation_lexicon = frozenset(relation_lexicon)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         subjs, preds, objs, urls, sent_ids, scores = [], [], [], [], [], []
@@ -79,7 +80,9 @@ class TripleAssembler:
         tags_col = batch.column("tags").to_pylist()
         for url, sentences, doc_tags in zip(url_col, sents_col, tags_col):
             for sent, tags in zip(sentences, doc_tags):
-                for s, p, o, sc in assemble_sentence_triples(sent["token_text"], tags, self.index):
+                for s, p, o, sc in assemble_sentence_triples(
+                    sent["token_text"], tags, self.index, self.relation_lexicon
+                ):
                     subjs.append(s)
                     preds.append(p)
                     objs.append(o)
@@ -99,10 +102,16 @@ class TripleAssembler:
         )
 
 
-def triples_stage(tagged_ds, index_ref, concurrency: int | tuple[int, int] = 4, batch_size: int = 64):
+def triples_stage(
+    tagged_ds,
+    index_ref,
+    concurrency: int | tuple[int, int] = 4,
+    batch_size: int = 64,
+    relation_lexicon=RELATION_LEXICON,
+):
     return tagged_ds.map_batches(
         TripleAssembler,
-        fn_constructor_kwargs={"index_ref": index_ref},
+        fn_constructor_kwargs={"index_ref": index_ref, "relation_lexicon": relation_lexicon},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
