@@ -147,19 +147,35 @@ def make_pages(n_pages: int = 64, seed: int = SEED, n_concepts: int = 64) -> pa.
     )
 
 
-def write_pages_parquet(path: str, n_pages: int = 64, seed: int = SEED, shards: int = 1) -> None:
-    """Materialize the pages fixture as (optionally sharded) Parquet —
-    shard i gets a disjoint url/seed range so any scale is reproducible
-    shard-by-shard (resumable-generation analog of the output contract)."""
+def _write_pages_shard(path: str, shard: int, per: int, seed: int) -> None:
     import os
 
     import pyarrow.parquet as pq
 
+    tbl = make_pages(per, seed=seed + shard)
+    # re-key urls so shards do not collide
+    urls = [f"https://example.org/crawl/{shard:04d}/{i:08d}" for i in range(per)]
+    tbl = tbl.set_column(0, "url", pa.array(urls))
+    pq.write_table(tbl, os.path.join(path, f"pages-{shard:05d}.parquet"))
+
+
+def write_pages_parquet(
+    path: str, n_pages: int = 64, seed: int = SEED, shards: int = 1, parallel: bool = False
+) -> None:
+    """Materialize the pages fixture as (optionally sharded) Parquet —
+    shard i gets a disjoint url/seed range so any scale is reproducible
+    shard-by-shard (resumable-generation analog of the output contract).
+    ``parallel=True`` fans shards out as Ray tasks (bit-identical
+    output: each shard's RNG is seeded independently)."""
+    import os
+
     os.makedirs(path, exist_ok=True)
     per = n_pages // shards
-    for s in range(shards):
-        tbl = make_pages(per, seed=seed + s)
-        # re-key urls so shards do not collide
-        urls = [f"https://example.org/crawl/{s:04d}/{i:08d}" for i in range(per)]
-        tbl = tbl.set_column(0, "url", pa.array(urls))
-        pq.write_table(tbl, os.path.join(path, f"pages-{s:05d}.parquet"))
+    if parallel:
+        import ray
+
+        shard_task = ray.remote(_write_pages_shard)
+        ray.get([shard_task.remote(path, s, per, seed) for s in range(shards)])
+    else:
+        for s in range(shards):
+            _write_pages_shard(path, s, per, seed)

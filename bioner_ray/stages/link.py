@@ -30,8 +30,14 @@ from bioner_ray.schemas import EMBEDDING_DIM, LINKED_MENTIONS_SCHEMA, NIL_CONCEP
 class ConceptIndex:
     """Broadcastable linking state: exact-surface dict + embedding matrix."""
 
+    #: memo cap — linking is pure, so results are cached per distinct
+    #: surface; web-scale surface diversity is bounded per actor block
+    #: stream, but cap anyway so a pathological corpus can't OOM an actor
+    MEMO_MAX = 1_000_000
+
     def __init__(self, concepts: pa.Table, threshold: float = 0.70):
         self.threshold = threshold
+        self._memo: dict[str, tuple[str, float]] = {}
         self.surface_map: dict[str, str] = {}
         by_surface: dict[str, list[str]] = {}
         for cid, surf in zip(
@@ -50,20 +56,29 @@ class ConceptIndex:
         self.emb_matrix = emb  # (C, D), rows unit-norm
 
     def link_one(self, surface: str) -> tuple[str, float]:
+        cached = self._memo.get(surface)
+        if cached is not None:
+            return cached
         norm = _normalize_surface(surface)
         hit = self.surface_map.get(norm)
         if hit is not None:
-            return hit, 1.0
-        if len(self.canon_ids) == 0:
-            return NIL_CONCEPT, 0.0
-        q = hash_embedding(norm, EMBEDDING_DIM)
-        sims = self.emb_matrix @ q
-        best = float(sims.max())
-        if best >= self.threshold:
-            # ties by smallest concept_id for determinism
-            winners = [self.canon_ids[i] for i in np.flatnonzero(sims >= best - 1e-9)]
-            return min(winners), best
-        return NIL_CONCEPT, best
+            res = (hit, 1.0)
+        elif len(self.canon_ids) == 0:
+            res = (NIL_CONCEPT, 0.0)
+        else:
+            # embedding fallback — the expensive path; memoized below
+            q = hash_embedding(norm, EMBEDDING_DIM)
+            sims = self.emb_matrix @ q
+            best = float(sims.max())
+            if best >= self.threshold:
+                # ties by smallest concept_id for determinism
+                winners = [self.canon_ids[i] for i in np.flatnonzero(sims >= best - 1e-9)]
+                res = (min(winners), best)
+            else:
+                res = (NIL_CONCEPT, best)
+        if len(self._memo) < self.MEMO_MAX:
+            self._memo[surface] = res
+        return res
 
     def link_many(self, surfaces: list[str]) -> tuple[list[str], list[float]]:
         """Vectorized over the batch: each distinct surface linked once."""
