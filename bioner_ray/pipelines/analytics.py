@@ -338,7 +338,7 @@ def customers_per_nation(sf_dir: str):
     )
 
 
-def revenue_by_segment(sf_dir: str, num_partitions: int = 8):
+def revenue_by_segment(sf_dir: str, num_partitions: int = 4):
     """Shuffle hash join orders⋈customer (both sides large at scale) +
     final aggregate. Columns: c_mktsegment, n_orders, revenue_cents."""
     from ray.data.aggregate import Count, Sum
@@ -361,7 +361,7 @@ def revenue_by_segment(sf_dir: str, num_partitions: int = 8):
         num_partitions=num_partitions,
         on=("o_custkey",),
         right_on=("c_custkey",),
-        aggregator_ray_remote_args={"num_cpus": 0.5},
+        aggregator_ray_remote_args={"num_cpus": 0.25},
     )
     out = joined.groupby("c_mktsegment").aggregate(Count(), Sum("revenue_cents_row"))
     return out.rename_columns(

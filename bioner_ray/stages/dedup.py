@@ -38,18 +38,19 @@ from bioner_ray.stages.textstats import tokenize_ws
 _MERSENNE61 = np.uint64((1 << 61) - 1)
 
 
-def _join(left, right, on, num_partitions: int = 8):
+def _join(left, right, on, num_partitions: int = 4):
     """Hash join with bounded aggregator-actor footprint: Ray's shuffle
     join spawns one aggregator actor per partition (1 CPU each by
-    default) — two chained wide joins at default partition counts can
-    reserve every core and deadlock the streaming executor, so pin a
-    small partition count and fractional CPUs per aggregator."""
+    default) — at default partition counts the aggregators can reserve
+    every core and deadlock the streaming executor (upstream tasks
+    starve), so pin a small partition count and fractional CPUs: 4 × ¼
+    = one core total, leaving the rest to the map/read stages."""
     return left.join(
         right,
         join_type="inner",
         num_partitions=num_partitions,
         on=on,
-        aggregator_ray_remote_args={"num_cpus": 0.5},
+        aggregator_ray_remote_args={"num_cpus": 0.25},
     )
 
 

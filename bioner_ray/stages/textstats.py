@@ -200,13 +200,19 @@ def rolling_hashes(tokens: list[str], window: int = 5) -> np.ndarray:
 
 
 def winnow_fingerprint(tokens: list[str], window: int = 5, stride: int = 4) -> list[int]:
-    """Winnowing (Schleimer et al. 2003): min rolling hash per stride
-    window → a compact, shift-tolerant fingerprint set."""
+    """Winnowing (Schleimer et al. 2003): min rolling hash in every
+    SLIDING window of ``stride`` consecutive hashes — sliding (not
+    fixed-offset) windows are what make the fingerprint shift-tolerant.
+    Vectorized via a strided view; no per-window Python loop."""
     rh = rolling_hashes(tokens, window)
     if rh.size == 0:
         return []
-    picks = {int(rh[i : i + stride].min()) for i in range(0, len(rh), stride)}
-    return sorted(picks)
+    if rh.size <= stride:
+        return [int(rh.min())]
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    mins = sliding_window_view(rh, stride).min(axis=1)
+    return sorted({int(m) for m in mins})
 
 
 def winnow_stage(

@@ -1,0 +1,97 @@
+"""Analytics/corpus query layer at sf0.001, cross-checked inline
+against DuckDB using the very SQL from __ray_entry__.oracle_sql() —
+the same contract the driver enforces at sf0.01."""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+SQL_CHECKED = [
+    "kg_edges",
+    "kg_nodes",
+    "mention_counts",
+    "word_count",
+    "doc_split",
+    "pricing_summary",
+    "top_orders",
+    "customers_per_nation",
+    "revenue_by_segment",
+    "events_by_type",
+    "events_per_day",
+    "dedup_exact",
+    "dedup_jaccard_pairs",
+    "token_stats",
+    "fingerprints",
+    "knn_topk",
+    "embedding_dup_pairs",
+]
+
+ROWS_ONLY = ["dedup_minhash_pairs", "dedup_simhash_pairs", "langid", "knn_ivf_topk"]
+
+
+@pytest.fixture(scope="module")
+def entrymod():
+    import __ray_entry__ as m
+
+    return m
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    return c
+
+
+def _to_pandas(res):
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+@pytest.mark.parametrize("name", SQL_CHECKED)
+def test_query_matches_oracle(entrymod, con, name):
+    mine = _canon(_to_pandas(entrymod.queries()[name](SF_DIR)))
+    ref = _canon(con.sql(entrymod.oracle_sql()[name]).df())
+    assert sorted(mine.columns) == sorted(ref.columns)
+    assert len(mine) == len(ref)
+    for col in mine.columns:
+        x, y = mine[col].to_numpy(), ref[col].to_numpy()
+        if np.issubdtype(x.dtype, np.floating) or np.issubdtype(np.asarray(y).dtype, np.floating):
+            np.testing.assert_allclose(x.astype(float), y.astype(float), rtol=0, atol=0)
+        else:
+            assert (pd.Series(x).astype(str) == pd.Series(y).astype(str)).all(), col
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(entrymod, name):
+    out = _to_pandas(entrymod.queries()[name](SF_DIR))
+    assert len(out) >= 0 and len(out.columns) >= 2
+
+
+def test_every_query_has_oracle_or_is_documented(entrymod):
+    qs = set(entrymod.queries())
+    oracles = set(entrymod.oracle_sql())
+    assert oracles <= qs
+    assert qs - oracles == set(ROWS_ONLY)
