@@ -108,14 +108,16 @@ def _tagged_documents(sf_dir: str, concurrency=(1, 4)):
 
 def mention_counts(sf_dir: str):
     """segment → gazetteer score → BIO decode → mentions → groupby
-    surface. Columns: surface, n_mentions."""
-    from ray.data.aggregate import Count
-
+    surface. Columns: surface, n_mentions. Surface cardinality grows
+    with the corpus → bucketed Arrow merge, not Ray's per-group path."""
     from bioner_ray.stages.mentions import mentions_stage
+    from bioner_ray.stages.shuffle import bucketed_aggregate, with_ones
 
     mentions = mentions_stage(_tagged_documents(sf_dir))
-    return (
-        mentions.groupby("surface").aggregate(Count()).rename_columns({"count()": "n_mentions"})
+    return bucketed_aggregate(
+        with_ones(mentions.select_columns(["surface"]), "n_mentions"),
+        ["surface"],
+        [("n_mentions", "sum")],
     )
 
 

@@ -33,6 +33,7 @@ import zlib
 import numpy as np
 import pyarrow as pa
 
+from bioner_ray.stages.shuffle import bucketed_aggregate, with_ones
 from bioner_ray.stages.textstats import tokenize_ws
 
 _MERSENNE61 = np.uint64((1 << 61) - 1)
@@ -70,18 +71,21 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id", batch_size: 
 
     The classic hash-partition + per-group-first: the only shuffle moves
     (id, key) pairs — never the documents themselves — and the groupby
-    pre-combines per block before the exchange.
+    pre-combines per block before the exchange. Key cardinality ≈ the
+    number of distinct documents, so the final merge runs through
+    ``bucketed_aggregate`` (C-speed Arrow group_by per coarse bucket),
+    not Ray's per-group Python aggregate.
     """
-    from ray.data.aggregate import Count, Min
-
     keyed = ds.map_batches(
         content_key_batch,
         fn_kwargs={"text_col": text_col, "id_col": id_col},
         batch_format="pyarrow",
         batch_size=batch_size,
     )
-    agg = keyed.groupby("key").aggregate(Min(id_col), Count())
-    return agg.rename_columns({f"min({id_col})": "keep_id", "count()": "n_copies"})
+    agg = bucketed_aggregate(
+        with_ones(keyed, "n_copies"), ["key"], [(id_col, "min"), ("n_copies", "sum")]
+    )
+    return agg.rename_columns({id_col: "keep_id"})
 
 
 def exact_dedup_filter(ds, text_col: str = "text", id_col: str = "doc_id"):
@@ -213,8 +217,6 @@ def jaccard_pairs(
     Columns: a, b, n_common, jaccard. Shuffled payload is only the
     inverted index and the pair keys — never documents.
     """
-    from ray.data.aggregate import Count, Min
-
     inv = ds.map_batches(
         shingle_rows_batch,
         fn_kwargs={"k": k, "text_col": text_col, "id_col": id_col},
@@ -262,10 +264,14 @@ def jaccard_pairs(
         .groupby("bucket")
         .map_groups(emit, batch_format="pyarrow")
     )
-    agg = (
-        pairs.groupby(["a", "b"])
-        .aggregate(Count(), Min("na"), Min("nb"))
-        .rename_columns({"count()": "n_common", "min(na)": "na", "min(nb)": "nb"})
+    # (a, b) cardinality ≈ number of candidate pairs (millions) — Ray's
+    # per-group aggregate would dominate wall time; bucketed_aggregate
+    # keeps the merge at Arrow C speed.
+    agg = bucketed_aggregate(
+        with_ones(pairs, "n_common"),
+        ["a", "b"],
+        [("n_common", "sum"), ("na", "min"), ("nb", "min")],
+        num_buckets=num_buckets,
     )
 
     def finish(batch: pa.Table) -> pa.Table:
@@ -359,7 +365,6 @@ def lsh_candidate_pairs(
     docs collide in some band iff they are LSH candidates. Output:
     distinct (a, b) with a < b and ``n_bands`` collision count.
     """
-    from ray.data.aggregate import Count
 
     def band_rows(batch: pa.Table) -> pa.Table:
         ids_out, band_ids, keys = [], [], []
@@ -396,7 +401,7 @@ def lsh_candidate_pairs(
         banded.map_batches(fuse_key, batch_format="pyarrow"), "bandkey", id_col,
         max_group=max_bucket,
     )
-    return pairs.groupby(["a", "b"]).aggregate(Count()).rename_columns({"count()": "n_bands"})
+    return bucketed_aggregate(with_ones(pairs, "n_bands"), ["a", "b"], [("n_bands", "sum")])
 
 
 def minhash_dedup_pairs(
@@ -416,8 +421,6 @@ def minhash_dedup_pairs(
     computed at pair-emission time and the only wide ops are the bucket
     groupby and the final (a, b) distinct. Columns: a, b, n_bands,
     est_jaccard."""
-    from ray.data.aggregate import Count, Max
-
     sigs = minhash_stage(ds, num_perm=num_perm, k=k, seed=seed, text_col=text_col, id_col=id_col)
 
     def band_rows(batch: pa.Table) -> pa.Table:
@@ -479,11 +482,12 @@ def minhash_dedup_pairs(
         .groupby("bucket")
         .map_groups(emit, batch_format="pyarrow")
     )
-    return (
-        pairs.groupby(["a", "b"])
-        .aggregate(Count(), Max("est"))
-        .rename_columns({"count()": "n_bands", "max(est)": "est_jaccard"})
-    )
+    return bucketed_aggregate(
+        with_ones(pairs, "n_bands"),
+        ["a", "b"],
+        [("n_bands", "sum"), ("est", "max")],
+        num_buckets=num_buckets,
+    ).rename_columns({"est": "est_jaccard"})
 
 
 # ---------------------------------------------------------------------------
@@ -584,11 +588,5 @@ def simhash_pairs(ds, max_hamming: int = 3, text_col: str = "text", id_col: str 
 
     banded = hashed.map_batches(band_rows, batch_format="pyarrow")
     pairs = banded.groupby("bucket").map_groups(emit, batch_format="pyarrow")
-    # a pair can collide in several chunks → distinct via groupby
-    from ray.data.aggregate import Min
-
-    return (
-        pairs.groupby(["a", "b"])
-        .aggregate(Min("hamming"))
-        .rename_columns({"min(hamming)": "hamming"})
-    )
+    # a pair can collide in several chunks → distinct via bucketed merge
+    return bucketed_aggregate(pairs, ["a", "b"], [("hamming", "min")])

@@ -1,0 +1,98 @@
+"""High-cardinality exact groupby: the coarse-bucket aggregate.
+
+Ray Data's built-in ``groupby(...).aggregate(...)`` pays Python-level
+cost per distinct group — fine for hundreds of groups (pricing
+summaries, per-language counts), catastrophic for millions (pair
+dedup, triple canonicalization: 1M distinct keys ≈ 20 s of pure group
+bookkeeping on 32 cores). ``bucketed_aggregate`` keeps the exact same
+semantics but restructures the physical plan:
+
+1. **partial** — per-block Arrow ``Table.group_by`` (C speed): one row
+   per distinct key per block, so the shuffle moves pre-combined rows
+   (this is the G1 combiner pattern from the reference's vocabulary
+   count, ngram_encoder.py:139-150, applied generically);
+2. **shuffle** — hash the key columns into ``num_buckets`` coarse
+   buckets; Ray shuffles on the *bucket* (fixed cardinality regardless
+   of key cardinality — also the salted-key answer to hot keys: a hot
+   key shares its bucket, it never owns a straggler partition of its
+   own);
+3. **final** — per-bucket Arrow ``group_by`` again (C speed).
+
+Supported ops: sum / min / max (count = sum over a ones column —
+callers add it, cf. pipelines/analytics.pricing_summary).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+_FNV = np.uint64(1099511628211)
+
+#: ops whose partial and final step are the same op (decomposable)
+_OPS = {"sum", "min", "max"}
+
+
+def _bucket_column(batch: pa.Table, keys: list[str], num_buckets: int) -> pa.Array:
+    """Deterministic, process-independent bucket id per row (numpy mix
+    for integer keys, crc32 for strings)."""
+    acc = np.zeros(batch.num_rows, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for k in keys:
+            col = batch.column(k)
+            if pa.types.is_integer(col.type):
+                v = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+            else:
+                v = np.fromiter(
+                    (zlib.crc32(str(x).encode()) for x in col.to_pylist()),
+                    dtype=np.uint64,
+                    count=batch.num_rows,
+                )
+            acc = acc * _FNV + v
+    return pa.array((acc % np.uint64(num_buckets)).astype(np.int32))
+
+
+def _arrow_agg(t: pa.Table, keys: list[str], aggs: list[tuple[str, str]]) -> pa.Table:
+    out = t.group_by(keys).aggregate([(c, op) for c, op in aggs])
+    return out.rename_columns(keys + [c for c, _ in aggs])
+
+
+def bucketed_aggregate(
+    ds,
+    keys: list[str],
+    aggs: list[tuple[str, str]],
+    num_buckets: int = 256,
+    batch_size: int = 65536,
+):
+    """Exact distributed groupby for arbitrary key cardinality.
+
+    ``aggs`` = [(column, op)] with op ∈ {sum, min, max}; output columns
+    keep their input names. See module docstring for the plan shape.
+    """
+    for _, op in aggs:
+        if op not in _OPS:
+            raise ValueError(f"unsupported op {op!r}; use sum/min/max (+ ones column for count)")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = _arrow_agg(batch, keys, aggs)
+        return t.append_column("_bucket", _bucket_column(t, keys, num_buckets))
+
+    def final(group: pa.Table) -> pa.Table:
+        return _arrow_agg(group.drop_columns(["_bucket"]), keys, aggs)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
+        .groupby("_bucket")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
+def with_ones(ds, name: str = "one"):
+    """Append an int64 ones column (count = sum(one) after aggregation)."""
+
+    def add(batch: pa.Table) -> pa.Table:
+        return batch.append_column(name, pa.array(np.ones(batch.num_rows, dtype=np.int64)))
+
+    return ds.map_batches(add, batch_format="pyarrow")

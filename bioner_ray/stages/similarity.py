@@ -284,8 +284,7 @@ def cosine_dup_pairs(
 
     bucketed = ds.map_batches(bucket_rows, batch_format="pyarrow")
     pairs = bucketed.groupby("bucket").map_groups(emit, batch_format="pyarrow")
-    from ray.data.aggregate import Max
+    # pair-keyed dedup at candidate-pair cardinality → bucketed Arrow merge
+    from bioner_ray.stages.shuffle import bucketed_aggregate
 
-    return (
-        pairs.groupby(["a", "b"]).aggregate(Max("cosine")).rename_columns({"max(cosine)": "cosine"})
-    )
+    return bucketed_aggregate(pairs, ["a", "b"], [("cosine", "max")])

@@ -13,10 +13,12 @@ distinct (s,p,o) BEFORE the wide ``groupby`` — after that combiner the
 shuffle moves at most one row per distinct triple per block, which is
 what makes hot entities (20% of fixture pages mention one surface)
 survivable at 10^12-document scale; the groupby itself then sums
-weights / maxes scores / mins provenance. Salting hot keys further
-(ngram-style, §7.3) is unnecessary once the combiner bounds per-key
-fan-in to the block count, but ``salt_buckets`` exposes it for truly
-adversarial skew.
+weights / maxes scores / mins provenance. The wide merge itself is a
+``bucketed_aggregate`` (stages/shuffle.py): Ray shuffles on a coarse
+fixed-cardinality bucket of hash(s,p,o) and the real per-key merge is
+Arrow ``Table.group_by`` at C speed — which also makes hot keys
+harmless (a hot triple shares its bucket; it never owns a straggler
+partition), so explicit salting is subsumed.
 """
 
 from __future__ import annotations
@@ -145,45 +147,33 @@ def _edge_partial_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def canonicalize_edges(triples_ds, batch_size: int = 65536, salt_buckets: Optional[int] = None):
+def canonicalize_edges(
+    triples_ds,
+    batch_size: int = 65536,
+    salt_buckets: Optional[int] = None,
+    num_buckets: int = 256,
+):
     """(s,p,o)-distinct edge table with weight/score/provenance.
 
-    Two-stage combine (see module docstring). ``salt_buckets`` shards
-    each key into N sub-keys before the shuffle and re-merges after —
-    only needed when a single (s,p,o) dominates entire blocks.
+    Two-stage combine (see module docstring), with the wide merge run
+    through ``bucketed_aggregate``: triple cardinality is unbounded
+    (10^8+ distinct edges at web scale), so the final group_by must be
+    Arrow-C-speed per coarse bucket, never Ray's per-group Python path.
+    Bucketing also subsumes key salting — the shuffle key is the coarse
+    bucket (fixed cardinality), so a hot (s,p,o) shares its bucket and
+    never owns a straggler partition. ``salt_buckets``, if given,
+    overrides the bucket count (kept for API compatibility).
     """
-    from ray.data.aggregate import Max, Min, Sum
+    from bioner_ray.stages.shuffle import bucketed_aggregate
 
     partial = triples_ds.map_batches(
         _edge_partial_batch, batch_format="pyarrow", batch_size=batch_size
     )
-    if salt_buckets:
-        import zlib
-
-        def add_salt(t: pa.Table) -> pa.Table:
-            salts = [
-                zlib.crc32(u.encode()) % salt_buckets for u in t.column("first_url").to_pylist()
-            ]
-            return t.append_column("salt", pa.array(salts, type=pa.int32()))
-
-        partial = partial.map_batches(add_salt, batch_format="pyarrow")
-        salted = partial.groupby(["subj", "pred", "obj", "salt"]).aggregate(
-            Sum("weight"), Max("score"), Min("first_url")
-        )
-        salted = salted.drop_columns(["salt"])
-        merged = (
-            salted.rename_columns(
-                {"sum(weight)": "weight", "max(score)": "score", "min(first_url)": "first_url"}
-            )
-            .groupby(["subj", "pred", "obj"])
-            .aggregate(Sum("weight"), Max("score"), Min("first_url"))
-        )
-    else:
-        merged = partial.groupby(["subj", "pred", "obj"]).aggregate(
-            Sum("weight"), Max("score"), Min("first_url")
-        )
-    merged = merged.rename_columns(
-        {"sum(weight)": "weight", "max(score)": "score", "min(first_url)": "first_url"}
+    merged = bucketed_aggregate(
+        partial,
+        ["subj", "pred", "obj"],
+        [("weight", "sum"), ("score", "max"), ("first_url", "min")],
+        num_buckets=salt_buckets or num_buckets,
     )
 
     def cast(t: pa.Table) -> pa.Table:
@@ -216,17 +206,20 @@ def canonicalize_nodes(linked_mentions_ds, batch_size: int = 65536):
     """Node table from linked mentions: per concept, total mention count,
     most-frequent surface (ties: lexicographically smallest) and exact
     distinct-url count. Output is bounded by the concept dictionary, so
-    the final merge is driver-side over a small table."""
-    from ray.data.aggregate import Sum
+    the final merge is driver-side over a small table. The two wide
+    merges ((concept, surface) counts; (concept, url) distinct) run
+    through ``bucketed_aggregate`` — their pre-merge cardinality grows
+    with the corpus, not the dictionary."""
+    import numpy as np
 
-    import pyarrow.compute as pc
+    from bioner_ray.stages.shuffle import bucketed_aggregate, with_ones
 
-    surface_counts = (
+    surface_counts = bucketed_aggregate(
         linked_mentions_ds.map_batches(
             _node_partial_batch, batch_format="pyarrow", batch_size=batch_size
-        )
-        .groupby(["concept_id", "surface"])
-        .aggregate(Sum("count"))
+        ),
+        ["concept_id", "surface"],
+        [("count", "sum")],
     )
 
     def url_partial(batch: pa.Table) -> pa.Table:
@@ -245,17 +238,33 @@ def canonicalize_nodes(linked_mentions_ds, batch_size: int = 65536):
             }
         )
 
-    url_counts = (
-        linked_mentions_ds.map_batches(url_partial, batch_format="pyarrow", batch_size=batch_size)
-        .groupby(["concept_id", "url"])
-        .count()
-        .groupby("concept_id")
-        .count()
+    distinct_cu = bucketed_aggregate(
+        with_ones(
+            linked_mentions_ds.map_batches(
+                url_partial, batch_format="pyarrow", batch_size=batch_size
+            ),
+            "n",
+        ),
+        ["concept_id", "url"],
+        [("n", "sum")],
+    )
+
+    def ones_per_concept(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "concept_id": t.column("concept_id"),
+                "n_urls": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    url_counts = bucketed_aggregate(
+        distinct_cu.map_batches(ones_per_concept, batch_format="pyarrow"),
+        ["concept_id"],
+        [("n_urls", "sum")],
     )
 
     sc = surface_counts.to_pandas()  # bounded by |concepts| × surface variants
-    uc = url_counts.to_pandas().rename(columns={"count()": "n_urls"})
-    sc = sc.rename(columns={"sum(count)": "count"})
+    uc = url_counts.to_pandas()
     sc = sc.sort_values(["concept_id", "count", "surface"], ascending=[True, False, True])
     total = sc.groupby("concept_id", as_index=False)["count"].sum()
     best = sc.drop_duplicates("concept_id")[["concept_id", "surface"]]

@@ -82,11 +82,17 @@ def _partial_counts_batch(batch: pa.Table, n: int) -> pa.Table:
 
 
 def ngram_count_dataset(docs_ds, n: int = 3, batch_size: int = 256):
-    """Documents Dataset → (ngram, count) Dataset via partial+final aggregate."""
+    """Documents Dataset → (ngram, count) Dataset via partial+final aggregate.
+
+    The final merge runs through ``bucketed_aggregate`` (vocabulary
+    cardinality is unbounded pre-filter — web-scale corpora have 10^7+
+    distinct n-grams, far past Ray's per-group aggregate sweet spot)."""
+    from bioner_ray.stages.shuffle import bucketed_aggregate
+
     partial = docs_ds.map_batches(
         lambda b: _partial_counts_batch(b, n), batch_format="pyarrow", batch_size=batch_size
     )
-    return partial.groupby("ngram").sum("count")
+    return bucketed_aggregate(partial, ["ngram"], [("count", "sum")])
 
 
 def build_vocab(docs_ds, n: int = 3, min_word_frequency: int = 10, batch_size: int = 256) -> Vocab:
@@ -100,11 +106,11 @@ def build_vocab(docs_ds, n: int = 3, min_word_frequency: int = 10, batch_size: i
 
     counts = ngram_count_dataset(docs_ds, n=n, batch_size=batch_size)
     counts = counts.map_batches(
-        lambda t: t.filter(pc.greater_equal(t["sum(count)"], min_word_frequency)),
+        lambda t: t.filter(pc.greater_equal(t["count"], min_word_frequency)),
         batch_format="pyarrow",
     )
     rows = counts.take_all()
-    rows.sort(key=lambda r: (-r["sum(count)"], r["ngram"]))
+    rows.sort(key=lambda r: (-r["count"], r["ngram"]))
     return Vocab([r["ngram"] for r in rows], n=n)
 
 

@@ -1,0 +1,107 @@
+"""bucketed_aggregate: exactness vs a driver-side reference aggregate.
+
+The primitive replaces Ray's per-group aggregate wherever key
+cardinality is unbounded (pair dedup, triple canonicalization, vocab
+counts); these tests pin that it is EXACT — same groups, same values —
+for every supported op, across bucket counts, key types and the
+multi-batch partial/final split.
+"""
+
+from collections import defaultdict
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from bioner_ray.stages.shuffle import bucketed_aggregate, with_ones
+
+
+def _reference(rows, keys, aggs):
+    acc = {}
+    for r in rows:
+        k = tuple(r[c] for c in keys)
+        if k not in acc:
+            acc[k] = {c: r[c] for c, _ in aggs}
+        else:
+            for c, op in aggs:
+                if op == "sum":
+                    acc[k][c] += r[c]
+                elif op == "min":
+                    acc[k][c] = min(acc[k][c], r[c])
+                elif op == "max":
+                    acc[k][c] = max(acc[k][c], r[c])
+    return {k: tuple(v[c] for c, _ in aggs) for k, v in acc.items()}
+
+
+def _collect(ds, keys, aggs):
+    out = {}
+    for r in ds.take_all():
+        out[tuple(r[c] for c in keys)] = tuple(r[c] for c, _ in aggs)
+    return out
+
+
+class TestBucketedAggregate:
+    def test_int_keys_all_ops_exact(self):
+        rng = np.random.default_rng(7)
+        rows = [
+            {
+                "a": int(rng.integers(0, 50)),
+                "b": int(rng.integers(0, 20)),
+                "v": int(rng.integers(-100, 100)),
+                "w": float(rng.normal()),
+            }
+            for _ in range(5000)
+        ]
+        aggs = [("v", "sum"), ("w", "max")]
+        ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(8)
+        got = _collect(bucketed_aggregate(ds, ["a", "b"], aggs, num_buckets=16), ["a", "b"], aggs)
+        want = _reference(rows, ["a", "b"], aggs)
+        assert set(got) == set(want)
+        for k in want:
+            assert got[k][0] == want[k][0]
+            assert abs(got[k][1] - want[k][1]) < 1e-12
+
+    def test_string_keys_min_on_strings(self):
+        rows = [
+            {"k": f"key-{i % 37}", "url": f"https://s/{(i * 7) % 91}", "n": 1}
+            for i in range(2000)
+        ]
+        aggs = [("n", "sum"), ("url", "min")]
+        ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(5)
+        got = _collect(bucketed_aggregate(ds, ["k"], aggs, num_buckets=8), ["k"], aggs)
+        want = _reference(rows, ["k"], aggs)
+        assert got == want
+
+    def test_bucket_count_invariance(self):
+        rows = [{"k": i % 101, "v": i} for i in range(3000)]
+        ds1 = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(4)
+        ds2 = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(4)
+        a = _collect(bucketed_aggregate(ds1, ["k"], [("v", "sum")], num_buckets=2), ["k"], [("v", "sum")])
+        b = _collect(bucketed_aggregate(ds2, ["k"], [("v", "sum")], num_buckets=64), ["k"], [("v", "sum")])
+        assert a == b
+
+    def test_small_batch_partial_final_split(self):
+        # batch_size smaller than the table forces multiple partials per key
+        rows = [{"k": i % 10, "v": 1} for i in range(500)]
+        ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+        out = _collect(
+            bucketed_aggregate(ds, ["k"], [("v", "sum")], num_buckets=4, batch_size=64),
+            ["k"],
+            [("v", "sum")],
+        )
+        assert out == {(i,): (50,) for i in range(10)}
+
+    def test_with_ones_count(self):
+        rows = [{"k": i % 3} for i in range(30)]
+        ds = with_ones(ray.data.from_arrow(pa.Table.from_pylist(rows)), "n")
+        out = _collect(bucketed_aggregate(ds, ["k"], [("n", "sum")]), ["k"], [("n", "sum")])
+        assert out == {(0,): (10,), (1,): (10,), (2,): (10,)}
+
+    def test_unsupported_op_raises(self):
+        ds = ray.data.from_arrow(pa.table({"k": [1], "v": [1]}))
+        try:
+            bucketed_aggregate(ds, ["k"], [("v", "mean")])
+        except ValueError as e:
+            assert "mean" in str(e)
+        else:
+            raise AssertionError("expected ValueError for unsupported op")
