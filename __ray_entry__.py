@@ -19,6 +19,10 @@ from typing import Any
 
 ENTITY_LIST_SQL = "('customer','table','row','column','vector','key','window','line','part','batch')"
 RELATION_LIST_SQL = "('join','merge','filter','sort','scan','group','hash')"
+#: the degraded-annotator surface set (analytics.PRED_SURFACES) and its
+#: intersection with the gold entity set — the eval-harness oracles.
+PRED_LIST_SQL = "('customer','table','row','column','vector','key','window','join','merge','filter')"
+BOTH_LIST_SQL = "('customer','table','row','column','vector','key','window')"
 STOPWORDS_SQL = (
     "('the','a','of','and','to','in','is','was','for','on','with','as','by','at','from','that','it')"
 )
@@ -53,6 +57,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_edges": an.kg_edges,
         "kg_nodes": an.kg_nodes,
         "mention_counts": an.mention_counts,
+        # --- eval harness (G4-G7, J4/J5: two-annotator in-row metrics) ---
+        "ner_eval": an.ner_eval,
+        "error_length_stats": an.error_length_stats,
+        "ensemble_mention_counts": an.ensemble_mention_counts,
         # --- reference operator pipelines ---
         "word_count": an.word_count,          # G1-G3 vocab shuffle + rank
         "doc_split": an.doc_split,            # J1/S7 broadcast semi-join
@@ -69,6 +77,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_pairs": co.dedup_minhash_pairs,    # rows-only (LSH)
         "dedup_simhash_pairs": co.dedup_simhash_pairs,    # rows-only (SimHash)
         "token_stats": co.token_stats,
+        "quality_docs": co.quality_docs,
+        "winnow_fingerprints": co.winnow_fingerprints,    # rows-only (winnowing)
         "fingerprints": co.fingerprints,
         "langid": co.langid,                              # rows-only (heuristic)
         "knn_topk": co.knn_topk,
@@ -110,6 +120,35 @@ FROM tok WHERE w IN {ENTITY_LIST_SQL} GROUP BY w
 WITH {_TOK_CTE}
 SELECT w AS surface, CAST(count(*) AS BIGINT) AS n_mentions
 FROM tok WHERE w IN {ENTITY_LIST_SQL} GROUP BY w
+""",
+        "ner_eval": f"""
+WITH {_TOK_CTE},
+c AS (
+  SELECT CAST(count(*) FILTER (WHERE w IN {BOTH_LIST_SQL}) AS BIGINT) AS tp,
+         CAST(count(*) FILTER (WHERE w IN {PRED_LIST_SQL}) AS BIGINT) AS n_pred,
+         CAST(count(*) FILTER (WHERE w IN {ENTITY_LIST_SQL}) AS BIGINT) AS n_gold
+  FROM tok
+),
+pr AS (
+  SELECT tp, n_pred, n_gold,
+         CASE WHEN n_pred = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / n_pred END AS "precision",
+         CASE WHEN n_gold = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / n_gold END AS "recall"
+  FROM c
+)
+SELECT tp, n_pred, n_gold, "precision", "recall",
+       "precision" * "recall" * 2 / ("precision" + "recall" + 1e-20) AS f1
+FROM pr
+""",
+        "error_length_stats": f"""
+WITH {_TOK_CTE}
+SELECT CAST(1 AS INTEGER) AS "length", CAST(count(*) AS BIGINT) AS total,
+       CAST(count(*) FILTER (WHERE w NOT IN {PRED_LIST_SQL}) AS BIGINT) AS errors
+FROM tok WHERE w IN {ENTITY_LIST_SQL}
+""",
+        "ensemble_mention_counts": f"""
+WITH {_TOK_CTE}
+SELECT w AS surface, CAST(count(*) AS BIGINT) AS n_mentions
+FROM tok WHERE w IN {BOTH_LIST_SQL} GROUP BY w
 """,
         "word_count": f"""
 WITH {_TOK_CTE},
@@ -191,6 +230,14 @@ SELECT doc_id,
        CAST(len(list_filter(toks, x -> x IN {STOPWORDS_SQL})) AS DOUBLE)
          / greatest(len(toks), 1) AS stopword_frac
 FROM t
+""",
+        "quality_docs": """
+WITH t AS (SELECT doc_id,
+                  list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks
+           FROM documents)
+SELECT doc_id FROM t
+WHERE len(toks) BETWEEN 20 AND 1000000
+  AND CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1) >= 0.3
 """,
         "fingerprints": """
 SELECT doc_id, md5(text) AS md5,

@@ -38,6 +38,15 @@ ENTITY_SURFACES = [
 ]
 RELATION_WORDS = ["join", "merge", "filter", "sort", "scan", "group", "hash"]
 
+#: the "degraded annotator" surface set for the eval-harness queries:
+#: 7 of the 10 entity surfaces (misses line/part/batch → false
+#: negatives) plus 3 relation words (false positives) — so the G4-G6
+#: precision/recall are both strictly inside (0, 1) and SQL-replayable.
+PRED_SURFACES = [
+    "customer", "table", "row", "column", "vector", "key", "window",
+    "join", "merge", "filter",
+]
+
 TRAIN_SOURCES = [f"src{i}" for i in range(14)]
 VAL_SOURCES = ["src14", "src15", "src16"]
 TEST_SOURCES = ["src17", "src18", "src19"]
@@ -114,6 +123,108 @@ def mention_counts(sf_dir: str):
     from bioner_ray.stages.shuffle import bucketed_aggregate, with_ones
 
     mentions = mentions_stage(_tagged_documents(sf_dir))
+    return bucketed_aggregate(
+        with_ones(mentions.select_columns(["surface"]), "n_mentions"),
+        ["surface"],
+        [("n_mentions", "sum")],
+    )
+
+
+def _inject_tags(key: str):
+    """Move the scorer's top-level ``tags`` column into each sentence
+    dict under ``key`` (so a second scorer pass can add its own tags and
+    the metrics stages see both columns in-row, J4 pattern)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        sents_col = batch.column("sentences").to_pylist()
+        tags_col = batch.column("tags").to_pylist()
+        new_docs = [
+            [{**s, key: t} for s, t in zip(sents, dtags)]
+            for sents, dtags in zip(sents_col, tags_col)
+        ]
+        idx = batch.schema.get_field_index("sentences")
+        return batch.set_column(idx, "sentences", pa.array(new_docs)).drop_columns(["tags"])
+
+    return fn
+
+
+def _dual_tagged_documents(sf_dir: str, concurrency=(1, 2)):
+    """Documents with gold_tags (full gazetteer) and pred_tags (degraded
+    gazetteer, PRED_SURFACES) inside each sentence — the two-annotator
+    input shape for the G4-G7/J5 eval harness."""
+    import ray
+
+    from bioner_ray.stages.scorer import score_stage
+
+    docs = _segmented_documents(sf_dir)
+    gold = score_stage(
+        docs,
+        model_name="gazetteer",
+        model_config={"surfaces": ray.put(list(ENTITY_SURFACES))},
+        concurrency=concurrency,
+    ).map_batches(_inject_tags("gold_tags"), batch_format="pyarrow")
+    return score_stage(
+        gold,
+        model_name="gazetteer",
+        model_config={"surfaces": ray.put(list(PRED_SURFACES))},
+        concurrency=concurrency,
+    ).map_batches(_inject_tags("pred_tags"), batch_format="pyarrow")
+
+
+def ner_eval(sf_dir: str):
+    """Distributed entity-level P/R/F1 (G4-G6 + J4): per-block partial
+    (tp, n_pred, n_gold) rows, three driver-side integer sums, F1 per
+    annotator.py:108-110. One row: tp, n_pred, n_gold, precision,
+    recall, f1."""
+    import pandas as pd
+
+    from bioner_ray.stages.metrics import entity_level_prf
+
+    m = entity_level_prf(_dual_tagged_documents(sf_dir))
+    return pd.DataFrame(
+        [
+            {
+                "tp": m["true_positives"],
+                "n_pred": m["predicted_spans"],
+                "n_gold": m["gold_spans"],
+                "precision": m["precision"],
+                "recall": m["recall"],
+                "f1": m["f1"],
+            }
+        ]
+    )
+
+
+def error_length_stats(sf_dir: str):
+    """G7 grouped error ratio per gold-span length. Columns: length,
+    total, errors."""
+    from bioner_ray.stages.metrics import error_stats_by_length
+
+    return error_stats_by_length(_dual_tagged_documents(sf_dir))
+
+
+def ensemble_mention_counts(sf_dir: str):
+    """J5 two-annotator span intersection re-encoded as BIO, then the
+    mention-count aggregate over the ensemble tags. Columns: surface,
+    n_mentions."""
+    from bioner_ray.stages.mentions import mentions_stage
+    from bioner_ray.stages.metrics import ensemble_tags_batch
+    from bioner_ray.stages.shuffle import bucketed_aggregate, with_ones
+
+    tagged = _dual_tagged_documents(sf_dir)
+    ens = tagged.map_batches(
+        lambda b: ensemble_tags_batch(b, "gold_tags", "pred_tags"),
+        batch_format="pyarrow",
+    )
+
+    def lift(batch: pa.Table) -> pa.Table:
+        docs = batch.column("sentences").to_pylist()
+        tags = [[s["ensemble_tags"] for s in sents] for sents in docs]
+        from bioner_ray.schemas import TAGS_TYPE
+
+        return batch.append_column("tags", pa.array(tags, type=TAGS_TYPE))
+
+    mentions = mentions_stage(ens.map_batches(lift, batch_format="pyarrow"))
     return bucketed_aggregate(
         with_ones(mentions.select_columns(["surface"]), "n_mentions"),
         ["surface"],

@@ -64,6 +64,36 @@ def token_stats(sf_dir: str):
     return token_stats_stage(_documents(sf_dir))
 
 
+def quality_docs(sf_dir: str, min_tokens: int = 20, min_ttr: float = 0.3):
+    """C4-style quality gate: documents inside the token window with
+    enough lexical diversity. Columns: doc_id."""
+    from bioner_ray.stages.textstats import quality_filter_stage
+
+    kept = quality_filter_stage(_documents(sf_dir), min_tokens=min_tokens, min_ttr=min_ttr)
+    return kept.select_columns(["doc_id"])
+
+
+def winnow_fingerprints(sf_dir: str, window: int = 5, stride: int = 4):
+    """Winnowing document fingerprints (Schleimer et al. 2003) — the
+    shift-tolerant near-dup signature (rows-only check; the strided-min
+    selection is not SQL-replayable). Columns: doc_id, n_fp."""
+    from bioner_ray.stages.textstats import winnow_stage
+
+    fps = winnow_stage(_documents(sf_dir), window=window, stride=stride)
+
+    def count_fp(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_fp": pc.cast(pc.list_value_length(batch.column("fingerprint")), pa.int64()),
+            }
+        )
+
+    return fps.map_batches(count_fp, batch_format="pyarrow")
+
+
 def fingerprints(sf_dir: str):
     """Columns: doc_id, md5, n_bpe_tokens."""
     from bioner_ray.stages.textstats import fingerprint_stage

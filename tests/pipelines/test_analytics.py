@@ -34,9 +34,19 @@ SQL_CHECKED = [
     "fingerprints",
     "knn_topk",
     "embedding_dup_pairs",
+    "ner_eval",
+    "error_length_stats",
+    "ensemble_mention_counts",
+    "quality_docs",
 ]
 
-ROWS_ONLY = ["dedup_minhash_pairs", "dedup_simhash_pairs", "langid", "knn_ivf_topk"]
+ROWS_ONLY = [
+    "dedup_minhash_pairs",
+    "dedup_simhash_pairs",
+    "langid",
+    "knn_ivf_topk",
+    "winnow_fingerprints",
+]
 
 
 @pytest.fixture(scope="module")
