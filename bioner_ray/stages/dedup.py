@@ -149,15 +149,65 @@ def doc_shingle_sizes(ds, k: int = 3, text_col: str = "text", id_col: str = "doc
 # bucketed pair emission (shared by Jaccard / MinHash-LSH / SimHash)
 # ---------------------------------------------------------------------------
 
+_POPCOUNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint16)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Per-element popcount of a uint64 array (byte-table lookup — no
+    Python bit twiddling per element)."""
+    x = np.ascontiguousarray(x, dtype=np.uint64)
+    if x.size == 0:
+        return np.zeros(0, dtype=np.int32)
+    return _POPCOUNT8[x.view(np.uint8)].reshape(len(x), 8).sum(axis=1).astype(np.int32)
+
+
+def _sorted_runs(group: pa.Table, key_col: str, id_col: str):
+    """Arrow-sorted (key, id) view of ``group`` plus run boundaries:
+    rows bounds[k]:bounds[k+1] share one key value. Sort and adjacent
+    compare are Arrow C kernels; no Python per row. Requires distinct
+    (key, id) input rows (all callers emit each doc once per key)."""
+    import pyarrow.compute as pc
+
+    if group.num_rows == 0:
+        return group, np.zeros(1, dtype=np.int64)
+    idx = pc.sort_indices(group, sort_keys=[(key_col, "ascending"), (id_col, "ascending")])
+    t = group.take(idx).combine_chunks()
+    n = t.num_rows
+    keys = t.column(key_col)
+    neq = pc.not_equal(keys.slice(1), keys.slice(0, n - 1)).to_numpy(zero_copy_only=False)
+    change = np.nonzero(neq)[0] + 1
+    bounds = np.concatenate(
+        [np.zeros(1, dtype=np.int64), change.astype(np.int64), np.array([n], dtype=np.int64)]
+    )
+    return t, bounds
+
+
+def _run_pair_indices(bounds: np.ndarray, max_group: int):
+    """Global (i, j) row-index pairs for every within-run combination;
+    runs with <2 or >``max_group`` members are skipped (stop-key bound
+    on the quadratic blowup). Python iterates RUNS, never rows/pairs —
+    each run contributes one ``triu_indices`` array op."""
+    ii, jj = [], []
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        m = int(e - s)
+        if m < 2 or m > max_group:
+            continue
+        iu, ju = np.triu_indices(m, k=1)
+        ii.append(iu.astype(np.int64) + s)
+        jj.append(ju.astype(np.int64) + s)
+    if not ii:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z
+    return np.concatenate(ii), np.concatenate(jj)
+
 
 def _bucketed_pairs(ds, key_col: str, id_col: str, max_group: int = 1024, num_buckets: int = 256):
     """(key, id) rows → all in-key pairs (a < b), WITHOUT one Ray group
     per key: keys are hashed into ``num_buckets`` coarse buckets (the
     shuffle partitioning unit), and pair emission inside each bucket is
-    a local sort + run-scan — a few large vectorized groups instead of
-    millions of tiny ones. Keys with more than ``max_group`` members are
-    stop-keys: skipped (bounded quadratic blowup), never silently —
-    they are counted into stderr-visible Ray logs by callers' tests.
+    a local Arrow sort + vectorized run-scan — a few large groups
+    instead of millions of tiny ones. Keys with more than ``max_group``
+    members are stop-keys: skipped (bounded quadratic blowup).
     """
 
     def add_bucket(batch: pa.Table) -> pa.Table:
@@ -166,21 +216,11 @@ def _bucketed_pairs(ds, key_col: str, id_col: str, max_group: int = 1024, num_bu
         return batch.append_column("bucket", pa.array(buckets, type=pa.int32()))
 
     def emit(group: pa.Table) -> pa.Table:
-        import itertools
-
-        rows = sorted(zip(group.column(key_col).to_pylist(), group.column(id_col).to_pylist()))
-        a_out: list[int] = []
-        b_out: list[int] = []
-        for _, grp in itertools.groupby(rows, key=lambda r: r[0]):
-            ids = sorted({g[1] for g in grp})
-            if len(ids) < 2 or len(ids) > max_group:
-                continue
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    a_out.append(ids[i])
-                    b_out.append(ids[j])
+        t, bounds = _sorted_runs(group, key_col, id_col)
+        ii, jj = _run_pair_indices(bounds, max_group)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64) if t.num_rows else np.zeros(0, dtype=np.int64)
         return pa.table(
-            {"a": pa.array(a_out, type=pa.int64()), "b": pa.array(b_out, type=pa.int64())}
+            {"a": pa.array(ids[ii], type=pa.int64()), "b": pa.array(ids[jj], type=pa.int64())}
         )
 
     bucketed = ds.map_batches(add_bucket, batch_format="pyarrow")
@@ -230,32 +270,19 @@ def jaccard_pairs(
         return batch.append_column("bucket", pa.array(buckets, type=pa.int32()))
 
     def emit(group: pa.Table) -> pa.Table:
-        import itertools
-
-        rows = sorted(
-            zip(
-                group.column("shingle").to_pylist(),
-                group.column(id_col).to_pylist(),
-                group.column("n_shingles").to_pylist(),
-            )
-        )
-        a_out, b_out, na_out, nb_out = [], [], [], []
-        for _, grp in itertools.groupby(rows, key=lambda r: r[0]):
-            members = sorted({(g[1], g[2]) for g in grp})
-            if len(members) < 2 or len(members) > max_shingle_docs:
-                continue
-            for i in range(len(members)):
-                for j in range(i + 1, len(members)):
-                    a_out.append(members[i][0])
-                    b_out.append(members[j][0])
-                    na_out.append(members[i][1])
-                    nb_out.append(members[j][1])
+        t, bounds = _sorted_runs(group, "shingle", id_col)
+        ii, jj = _run_pair_indices(bounds, max_shingle_docs)
+        if t.num_rows:
+            ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            ns = t.column("n_shingles").to_numpy(zero_copy_only=False).astype(np.int64)
+        else:
+            ids = ns = np.zeros(0, dtype=np.int64)
         return pa.table(
             {
-                "a": pa.array(a_out, type=pa.int64()),
-                "b": pa.array(b_out, type=pa.int64()),
-                "na": pa.array(na_out, type=pa.int64()),
-                "nb": pa.array(nb_out, type=pa.int64()),
+                "a": pa.array(ids[ii], type=pa.int64()),
+                "b": pa.array(ids[jj], type=pa.int64()),
+                "na": pa.array(ns[ii], type=pa.int64()),
+                "nb": pa.array(ns[jj], type=pa.int64()),
             }
         )
 
@@ -418,27 +445,32 @@ def minhash_dedup_pairs(
     """MinHash→LSH candidate pairs, join-free: band rows carry the full
     signature (num_perm × 8 bytes — bounded, unlike the document), so
     the estimated Jaccard (fraction of agreeing signature slots) is
-    computed at pair-emission time and the only wide ops are the bucket
-    groupby and the final (a, b) distinct. Columns: a, b, n_bands,
+    computed at pair-emission time, so the ONLY wide op is the bucket
+    groupby: a pair colliding in several bands is emitted exclusively by
+    its first agreeing band (checked on the signatures both rows carry),
+    and ``n_bands`` is counted per pair from the same signatures — the
+    final (a, b) dedup shuffle does not exist. Columns: a, b, n_bands,
     est_jaccard."""
     sigs = minhash_stage(ds, num_perm=num_perm, k=k, seed=seed, text_col=text_col, id_col=id_col)
+    per = num_perm // bands
 
     def band_rows(batch: pa.Table) -> pa.Table:
-        ids_out, keys, buckets, sig_out = [], [], [], []
+        ids_out, keys, band_out, buckets, sig_out = [], [], [], [], []
         for doc_id, sig in zip(
             batch.column(id_col).to_pylist(), batch.column("signature").to_pylist()
         ):
             arr = np.asarray(sig, dtype=np.uint64)
-            per = len(arr) // bands
             for bi in range(bands):
                 key = f"{bi}:{hashlib.md5(arr[bi * per : (bi + 1) * per].tobytes()).hexdigest()}"
                 keys.append(key)
+                band_out.append(bi)
                 buckets.append(zlib.crc32(key.encode()) % num_buckets)
                 ids_out.append(doc_id)
                 sig_out.append(sig)
         return pa.table(
             {
                 "bandkey": pa.array(keys, type=pa.string()),
+                "band": pa.array(band_out, type=pa.int32()),
                 "bucket": pa.array(buckets, type=pa.int32()),
                 id_col: pa.array(ids_out),
                 "signature": pa.array(sig_out, type=pa.list_(pa.uint64())),
@@ -446,48 +478,41 @@ def minhash_dedup_pairs(
         )
 
     def emit(group: pa.Table) -> pa.Table:
-        import itertools
-
-        rows = sorted(
-            zip(
-                group.column("bandkey").to_pylist(),
-                group.column(id_col).to_pylist(),
-                group.column("signature").to_pylist(),
-            ),
-            key=lambda r: (r[0], r[1]),
+        t, bounds = _sorted_runs(group, "bandkey", id_col)
+        ii, jj = _run_pair_indices(bounds, max_bucket)
+        empty = pa.table(
+            {
+                "a": pa.array([], type=pa.int64()),
+                "b": pa.array([], type=pa.int64()),
+                "n_bands": pa.array([], type=pa.int64()),
+                "est_jaccard": pa.array([], type=pa.float64()),
+            }
         )
-        a_out, b_out, est_out = [], [], []
-        for _, grp in itertools.groupby(rows, key=lambda r: r[0]):
-            members = list({(g[1], tuple(g[2])) for g in grp})
-            members.sort(key=lambda m: m[0])
-            if len(members) < 2 or len(members) > max_bucket:
-                continue
-            for i in range(len(members)):
-                for j in range(i + 1, len(members)):
-                    v1 = np.asarray(members[i][1], dtype=np.uint64)
-                    v2 = np.asarray(members[j][1], dtype=np.uint64)
-                    a_out.append(members[i][0])
-                    b_out.append(members[j][0])
-                    est_out.append(float((v1 == v2).mean()) if v1.size else 0.0)
+        if len(ii) == 0:
+            return empty
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        band_col = t.column("band").to_numpy(zero_copy_only=False).astype(np.int64)
+        sigs_m = np.asarray(t.column("signature").to_pylist(), dtype=np.uint64)  # (n, P)
+        eq = sigs_m[ii] == sigs_m[jj]  # (pairs, P)
+        band_eq = eq[:, : bands * per].reshape(len(ii), bands, per).all(axis=2)
+        first_band = band_eq.argmax(axis=1)  # first agreeing band (≥1 exists: this run's)
+        keep = band_col[ii] == first_band
+        if not keep.any():
+            return empty
         return pa.table(
             {
-                "a": pa.array(a_out, type=pa.int64()),
-                "b": pa.array(b_out, type=pa.int64()),
-                "est": pa.array(est_out, type=pa.float64()),
+                "a": pa.array(ids[ii][keep], type=pa.int64()),
+                "b": pa.array(ids[jj][keep], type=pa.int64()),
+                "n_bands": pa.array(band_eq.sum(axis=1)[keep], type=pa.int64()),
+                "est_jaccard": pa.array(eq.mean(axis=1)[keep], type=pa.float64()),
             }
         )
 
-    pairs = (
+    return (
         sigs.map_batches(band_rows, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(emit, batch_format="pyarrow")
     )
-    return bucketed_aggregate(
-        with_ones(pairs, "n_bands"),
-        ["a", "b"],
-        [("n_bands", "sum"), ("est", "max")],
-        num_buckets=num_buckets,
-    ).rename_columns({"est": "est_jaccard"})
 
 
 # ---------------------------------------------------------------------------
@@ -524,69 +549,87 @@ def simhash_stage(ds, text_col: str = "text", id_col: str = "doc_id", batch_size
     return ds.map_batches(sh, batch_format="pyarrow", batch_size=batch_size)
 
 
-def simhash_pairs(ds, max_hamming: int = 3, text_col: str = "text", id_col: str = "doc_id"):
+def simhash_pairs(
+    ds,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_chunk_group: int = 65536,
+):
     """Near-dup pairs with Hamming distance ≤ ``max_hamming``.
 
     Pigeonhole banding: split the 64-bit hash into ``max_hamming + 1``
     chunks — any pair within distance d agrees on ≥1 chunk — bucket by
     (chunk_id, chunk_value), emit in-bucket pairs, verify exactly.
+    Fully vectorized: banding is one numpy shift/mask pass, pair
+    verification is a table-lookup popcount over ``xor`` arrays — no
+    Python per row or per pair. Chunk groups over ``max_chunk_group``
+    members are stop-keys (narrow chunks at corpus scale collide
+    heavily; the bound keeps the quadratic verify survivable).
     Columns: a, b, hamming.
     """
     chunks = max_hamming + 1
     width = 64 // chunks
-    mask = (1 << width) - 1
+    mask = np.uint64((1 << width) - 1)
 
     hashed = simhash_stage(ds, text_col=text_col, id_col=id_col)
 
     def band_rows(batch: pa.Table) -> pa.Table:
-        ids_out, keys, full = [], [], []
-        for doc_id, h in zip(batch.column(id_col).to_pylist(), batch.column("simhash").to_pylist()):
-            for ci in range(chunks):
-                ids_out.append(doc_id)
-                keys.append(f"{ci}:{(int(h) >> (ci * width)) & mask}")
-                full.append(int(h))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        h = batch.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        ci = np.arange(chunks, dtype=np.uint64)
+        vals = (h[:, None] >> (ci[None, :] * np.uint64(width))) & mask  # (n, chunks)
+        ckey = vals.astype(np.int64) * chunks + np.arange(chunks, dtype=np.int64)[None, :]
+        ckey = ckey.reshape(-1)
+        with np.errstate(over="ignore"):
+            bucket = ((ckey.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(256)).astype(
+                np.int32
+            )
         return pa.table(
             {
-                "ckey": pa.array(keys, type=pa.string()),
-                id_col: pa.array(ids_out),
-                "simhash": pa.array(full, type=pa.uint64()),
-                "bucket": pa.array(
-                    [zlib.crc32(k.encode()) % 256 for k in keys], type=pa.int32()
-                ),
+                "ckey": pa.array(ckey, type=pa.int64()),
+                id_col: pa.array(np.repeat(ids, chunks), type=pa.int64()),
+                "simhash": pa.array(np.repeat(h, chunks), type=pa.uint64()),
+                "bucket": pa.array(bucket, type=pa.int32()),
             }
         )
 
     def emit(group: pa.Table) -> pa.Table:
-        """Bucketed (see _bucketed_pairs): local sort + per-key run scan,
-        verifying the exact Hamming distance on the full 64-bit hash."""
-        import itertools
+        """Bucketed (see _bucketed_pairs): Arrow sort + vectorized run
+        scan, exact Hamming verify on the full 64-bit hash.
 
-        rows = sorted(
-            zip(
-                group.column("ckey").to_pylist(),
-                group.column(id_col).to_pylist(),
-                group.column("simhash").to_pylist(),
+        First-agreeing-chunk ownership: a pair that collides in several
+        chunks is emitted ONLY by the lowest agreeing chunk id (checked
+        directly on the xor of the full hashes), so the output is
+        already distinct — the cross-bucket dedup shuffle that a naive
+        emit would need simply does not exist."""
+        t, bounds = _sorted_runs(group, "ckey", id_col)
+        ii, jj = _run_pair_indices(bounds, max_chunk_group)
+        if len(ii) == 0:
+            return pa.table(
+                {
+                    "a": pa.array([], type=pa.int64()),
+                    "b": pa.array([], type=pa.int64()),
+                    "hamming": pa.array([], type=pa.int32()),
+                }
             )
-        )
-        a_out, b_out, dist = [], [], []
-        for _, grp in itertools.groupby(rows, key=lambda r: r[0]):
-            members = sorted({(g[1], int(g[2])) for g in grp})
-            for i in range(len(members)):
-                for j in range(i + 1, len(members)):
-                    d = bin(members[i][1] ^ members[j][1]).count("1")
-                    if d <= max_hamming:
-                        a_out.append(members[i][0])
-                        b_out.append(members[j][0])
-                        dist.append(d)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        h = t.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        ck = t.column("ckey").to_numpy(zero_copy_only=False).astype(np.int64)
+        x = h[ii] ^ h[jj]
+        d = _popcount64(x)
+        keep = d <= max_hamming
+        chunk_of_pair = ck[ii] % chunks
+        for k in range(chunks - 1):
+            agree_k = ((x >> np.uint64(k * width)) & mask) == 0
+            keep &= ~((chunk_of_pair > k) & agree_k)
         return pa.table(
             {
-                "a": pa.array(a_out, type=pa.int64()),
-                "b": pa.array(b_out, type=pa.int64()),
-                "hamming": pa.array(dist, type=pa.int32()),
+                "a": pa.array(ids[ii][keep], type=pa.int64()),
+                "b": pa.array(ids[jj][keep], type=pa.int64()),
+                "hamming": pa.array(d[keep], type=pa.int32()),
             }
         )
 
     banded = hashed.map_batches(band_rows, batch_format="pyarrow")
-    pairs = banded.groupby("bucket").map_groups(emit, batch_format="pyarrow")
-    # a pair can collide in several chunks → distinct via bucketed merge
-    return bucketed_aggregate(pairs, ["a", "b"], [("hamming", "min")])
+    return banded.groupby("bucket").map_groups(emit, batch_format="pyarrow")
