@@ -135,6 +135,44 @@ def span_confusion(docs_ds, gold_key: str = "gold_tags", pred_key: str = "pred_t
     }
 
 
+def shuffle_documents(docs_ds, seed: int = 1632737901):
+    """O2: document-level shuffle (conll_dataloader.py:9-13 shuffles
+    ``dataset.documents`` before flattening). Rows ARE documents in our
+    model, so ``random_shuffle`` has exactly the reference semantics;
+    the seed default is the reference's global training seed
+    (train_bioner.py:71)."""
+    return docs_ds.random_shuffle(seed=seed)
+
+
+def sample_error_documents(docs_ds, n: int = 10, seed: int = 42,
+                           gold_key: str = "gold_tags", pred_key: str = "pred_tags"):
+    """O3: seeded sample of documents containing at least one span error
+    (select_errors, misc/error_analysis/analysis.py:206-215 draws error
+    sentences with random.choice under a fixed seed). Distributed form:
+    filter(has_error) → seeded random_shuffle → limit(n) — same
+    contract (n error-carrying rows, deterministic per seed), without
+    reproducing the driver-side RNG draw order (SURVEY.md §2.6 O3)."""
+
+    def has_error(batch: pa.Table) -> pa.Table:
+        keep = []
+        for doc_sents in batch.column("sentences").to_pylist():
+            err = False
+            for sent in doc_sents:
+                gold_clean = strip_padding(sent[gold_key])
+                pred_clean = truncate_predictions(list(sent[pred_key]), len(gold_clean))
+                if set(decode_bio_spans(gold_clean)) != set(decode_bio_spans(pred_clean)):
+                    err = True
+                    break
+            keep.append(err)
+        return batch.filter(pa.array(keep))
+
+    return (
+        docs_ds.map_batches(has_error, batch_format="pyarrow")
+        .random_shuffle(seed=seed)
+        .limit(n)
+    )
+
+
 def ensemble_tags_batch(batch: pa.Table, key_a: str, key_b: str, out_key: str = "ensemble_tags") -> pa.Table:
     """J5: per-sentence span-set intersection of two annotators,
     re-encoded as BIO tags (Ensemble.create_overlapping_annotations,
