@@ -71,6 +71,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_segment": an.revenue_by_segment,
         "events_by_type": an.events_by_type,
         "events_per_day": an.events_per_day,
+        "events_rolling_7d": an.events_rolling_7d,   # windowed aggregate
+        "events_last_order": an.events_last_order,   # as-of join
         # --- training-data corpus operators ---
         "dedup_exact": co.dedup_exact,
         "dedup_jaccard_pairs": co.dedup_jaccard_pairs,
@@ -195,6 +197,23 @@ FROM events GROUP BY event_type
 SELECT date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS n_events,
        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
 FROM events GROUP BY 1
+""",
+        "events_rolling_7d": """
+WITH d AS (SELECT date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS n_events,
+                  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+           FROM events GROUP BY 1)
+SELECT day, n_events, sum_value_cents,
+       CAST(sum(n_events) OVER w AS BIGINT) AS n_events_7d,
+       CAST(sum(sum_value_cents) OVER w AS BIGINT) AS sum_value_cents_7d
+FROM d
+WINDOW w AS (ORDER BY day RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+""",
+        "events_last_order": """
+SELECT e.event_id,
+       coalesce((SELECT o.o_orderkey FROM orders o
+                 WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+                 ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1), -1) AS last_o_orderkey
+FROM events e
 """,
         "dedup_exact": """
 SELECT md5(text) AS key, CAST(min(doc_id) AS BIGINT) AS keep_id,

@@ -522,3 +522,39 @@ def events_per_day(sf_dir: str):
         Count(), Sum("value_cents")
     )
     return out.rename_columns({"count()": "n_events", "sum(value_cents)": "sum_value_cents"})
+
+
+def events_rolling_7d(sf_dir: str):
+    """Trailing 7-day calendar window over the daily aggregate (the
+    windowed-aggregate custom operator; stages/window.py). Columns:
+    day, n_events, sum_value_cents, n_events_7d, sum_value_cents_7d."""
+    from bioner_ray.stages.window import rolling_daily_aggregate
+
+    def cents(batch: pa.Table) -> pa.Table:
+        return pa.table({"ts": batch.column("ts"), "value_cents": _cents(batch.column("value"))})
+
+    ds = _read(sf_dir, "events", columns=["ts", "value"]).map_batches(
+        cents, batch_format="pyarrow"
+    )
+    return rolling_daily_aggregate(ds, window_days=7)
+
+
+def events_last_order(sf_dir: str):
+    """As-of join: each event matched to the user's latest order at or
+    before the event time (stages/window.py:asof_join_latest — union →
+    key-bucket shuffle → per-bucket sort + forward-fill). Columns:
+    event_id, last_o_orderkey (-1 when no prior order)."""
+    from bioner_ray.stages.window import asof_join_latest
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    return asof_join_latest(
+        ev,
+        orders,
+        left_key="user_id",
+        left_ts="ts",
+        left_id="event_id",
+        right_key="o_custkey",
+        right_ts="o_orderdate",
+        right_payload="o_orderkey",
+    )

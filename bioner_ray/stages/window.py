@@ -1,0 +1,177 @@
+"""Time-window operators: rolling calendar aggregates and as-of joins.
+
+The reference has no streaming/window constructs (SURVEY.md §2.9), but a
+web-scale training-data pipeline needs them; these are the batch-engine
+forms, built on the same primitives as the rest of the engine:
+
+* ``rolling_daily_aggregate`` — tumbling daily aggregate (the
+  events_per_day pattern) extended with a trailing W-day window. The
+  per-day aggregate is a ``bucketed_aggregate`` over the corpus; the
+  rolling pass then runs over the AGGREGATED table, whose cardinality
+  is bounded by the calendar (days in the data), not by the corpus —
+  so finishing it driver-side is scale-safe, the same argument as
+  canonicalize_nodes.
+* ``asof_join_latest`` — for every left row (event), the most recent
+  right row (order) with the same key and time ≤ the event time. Ray
+  Data has no as-of join; the composition is union → coarse key-bucket
+  shuffle → per-bucket Arrow sort + vectorized forward-fill scan. The
+  partitioning assumption: all rows of one key land in one bucket
+  (guaranteed by hashing the key), so the merge never crosses buckets;
+  a hot key shares its bucket and cannot own a straggler partition.
+  Ties are pinned: right rows sort before left at equal time
+  (inclusive ≤), equal (key, time) right rows resolve to the largest
+  payload key — both replayed exactly by the DuckDB oracle's
+  ``ORDER BY t DESC, okey DESC LIMIT 1``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from bioner_ray.stages.shuffle import bucketed_aggregate
+
+
+def rolling_daily_aggregate(
+    events_ds,
+    window_days: int = 7,
+    ts_col: str = "ts",
+    value_cents_col: str = "value_cents",
+):
+    """Input: rows with ``ts`` and an integer value column. Output
+    pa.Table: day, n_events, sum_value_cents, n_events_<W>d,
+    sum_value_cents_<W>d (trailing window INCLUDING the current day,
+    calendar-gap-aware via searchsorted, matching SQL
+    ``RANGE BETWEEN INTERVAL W-1 DAY PRECEDING AND CURRENT ROW``)."""
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "day": pc.floor_temporal(batch.column(ts_col), unit="day"),
+                "n_events": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+                "sum_value_cents": batch.column(value_cents_col),
+            }
+        )
+
+    agg = bucketed_aggregate(
+        events_ds.map_batches(prep, batch_format="pyarrow"),
+        ["day"],
+        [("n_events", "sum"), ("sum_value_cents", "sum")],
+    )
+
+    t = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)  # bounded by calendar
+    if t.num_rows == 0:
+        empty = pa.array([], type=pa.int64())
+        return pa.table(
+            {
+                "day": pa.array([], type=pa.timestamp("us")),
+                "n_events": empty,
+                "sum_value_cents": empty,
+                f"n_events_{window_days}d": empty,
+                f"sum_value_cents_{window_days}d": empty,
+            }
+        )
+    t = t.take(pc.sort_indices(t, sort_keys=[("day", "ascending")])).combine_chunks()
+    days = t.column("day").to_numpy(zero_copy_only=False)
+    d_int = days.astype("datetime64[D]").astype(np.int64)
+    n = t.column("n_events").to_numpy(zero_copy_only=False).astype(np.int64)
+    v = t.column("sum_value_cents").to_numpy(zero_copy_only=False).astype(np.int64)
+    cn = np.concatenate([[0], np.cumsum(n)])
+    cv = np.concatenate([[0], np.cumsum(v)])
+    lo = np.searchsorted(d_int, d_int - (window_days - 1), side="left")
+    hi = np.arange(len(d_int)) + 1
+    return t.append_column(
+        f"n_events_{window_days}d", pa.array(cn[hi] - cn[lo], type=pa.int64())
+    ).append_column(
+        f"sum_value_cents_{window_days}d", pa.array(cv[hi] - cv[lo], type=pa.int64())
+    )
+
+
+def asof_join_latest(
+    left_ds,
+    right_ds,
+    left_key: str,
+    left_ts: str,
+    left_id: str,
+    right_key: str,
+    right_ts: str,
+    right_payload: str,
+    num_buckets: int = 64,
+    missing: int = -1,
+):
+    """For each left row, the ``right_payload`` of the latest right row
+    with the same key and time ≤ the left time (``missing`` when none).
+    Columns: <left_id>, last_<right_payload>. See module docstring for
+    the plan and tie rules."""
+
+    def left_rows(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": pc.cast(b.column(left_key), pa.int64()),
+                "t": b.column(left_ts),
+                "kind": pa.array(np.ones(b.num_rows, dtype=np.int32)),
+                "okey": pa.array(np.full(b.num_rows, missing, dtype=np.int64)),
+                "row_id": pc.cast(b.column(left_id), pa.int64()),
+            }
+        )
+
+    def right_rows(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": pc.cast(b.column(right_key), pa.int64()),
+                "t": b.column(right_ts),
+                "kind": pa.array(np.zeros(b.num_rows, dtype=np.int32)),
+                "okey": pc.cast(b.column(right_payload), pa.int64()),
+                "row_id": pa.array(np.full(b.num_rows, missing, dtype=np.int64)),
+            }
+        )
+
+    unioned = left_ds.map_batches(left_rows, batch_format="pyarrow").union(
+        right_ds.map_batches(right_rows, batch_format="pyarrow")
+    )
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        k = b.column("k").to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            bucket = ((k * np.uint64(2654435761)) % np.uint64(num_buckets)).astype(np.int32)
+        return b.append_column("bucket", pa.array(bucket, type=pa.int32()))
+
+    def merge(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[
+                ("k", "ascending"),
+                ("t", "ascending"),
+                ("kind", "ascending"),
+                ("okey", "ascending"),
+            ],
+        )
+        t = group.take(idx).combine_chunks()
+        n = t.num_rows
+        k = t.column("k").to_numpy(zero_copy_only=False)
+        kind = t.column("kind").to_numpy(zero_copy_only=False)
+        okey = t.column("okey").to_numpy(zero_copy_only=False)
+        rid = t.column("row_id").to_numpy(zero_copy_only=False)
+        is_right = kind == 0
+        pos = np.where(is_right, np.arange(n), -1)
+        ff = np.maximum.accumulate(pos) if n else pos
+        newkey = np.ones(n, dtype=bool)
+        if n > 1:
+            newkey[1:] = k[1:] != k[:-1]
+        run_start = np.maximum.accumulate(np.where(newkey, np.arange(n), 0))
+        valid = (ff >= run_start) & (ff >= 0)
+        last = np.where(valid, okey[np.clip(ff, 0, None)], missing)
+        keep = ~is_right
+        return pa.table(
+            {
+                left_id: pa.array(rid[keep], type=pa.int64()),
+                f"last_{right_payload}": pa.array(last[keep], type=pa.int64()),
+            }
+        )
+
+    return (
+        unioned.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(merge, batch_format="pyarrow")
+    )

@@ -28,6 +28,8 @@ SQL_CHECKED = [
     "revenue_by_segment",
     "events_by_type",
     "events_per_day",
+    "events_rolling_7d",
+    "events_last_order",
     "dedup_exact",
     "dedup_jaccard_pairs",
     "token_stats",
