@@ -101,7 +101,7 @@ def _segmented_documents(sf_dir: str):
     return segment_stage(documents_as_pages(sf_dir))
 
 
-def _tagged_documents(sf_dir: str, concurrency=(1, 4)):
+def _tagged_documents(sf_dir: str, concurrency=(1, 16)):
     import ray
 
     from bioner_ray.stages.scorer import score_stage
@@ -148,7 +148,7 @@ def _inject_tags(key: str):
     return fn
 
 
-def _dual_tagged_documents(sf_dir: str, concurrency=(1, 2)):
+def _dual_tagged_documents(sf_dir: str, concurrency=(1, 8)):
     """Documents with gold_tags (full gazetteer) and pred_tags (degraded
     gazetteer, PRED_SURFACES) inside each sentence — the two-annotator
     input shape for the G4-G7/J5 eval harness."""
@@ -232,6 +232,25 @@ def ensemble_mention_counts(sf_dir: str):
     )
 
 
+def write_doc_splits(sf_dir: str, out_dir: str):
+    """S7 sink parity: the reference routes each document block into one
+    of three FILES (medmentions_conll_converter.py:32-77); here the same
+    routing materializes as hive-partitioned Parquet
+    (``out_dir/split=train/…``), so a consumer — and a resumed run —
+    addresses each split as its own directory. Returns rows per split."""
+    import pyarrow.dataset as pads
+
+    ds = doc_split(sf_dir)
+    ds.write_parquet(out_dir, partition_cols=["split"])
+    scanned = pads.dataset(out_dir, format="parquet", partitioning="hive").to_table(
+        columns=["split"]
+    )
+    counts: dict[str, int] = {}
+    for s in scanned.column("split").to_pylist():
+        counts[s] = counts.get(s, 0) + 1
+    return counts
+
+
 def kg_edges(sf_dir: str, salt_buckets=None):
     """The full SQL-checkable KG edge path. Columns: subj, pred, obj,
     weight, first_url."""
@@ -242,7 +261,7 @@ def kg_edges(sf_dir: str, salt_buckets=None):
 
     index_ref = ray.put(ConceptIndex(make_identity_concepts()))
     triples = triples_stage(
-        _tagged_documents(sf_dir), index_ref, concurrency=(1, 4),
+        _tagged_documents(sf_dir), index_ref, concurrency=(1, 16),
         relation_lexicon=frozenset(RELATION_WORDS),
     )
     edges = canonicalize_edges(triples, salt_buckets=salt_buckets)
@@ -259,7 +278,7 @@ def kg_nodes(sf_dir: str):
     from bioner_ray.stages.triples import canonicalize_nodes
 
     index_ref = ray.put(ConceptIndex(make_identity_concepts()))
-    linked = link_stage(mentions_stage(_tagged_documents(sf_dir)), index_ref, concurrency=(1, 4))
+    linked = link_stage(mentions_stage(_tagged_documents(sf_dir)), index_ref, concurrency=(1, 16))
     return canonicalize_nodes(linked)
 
 

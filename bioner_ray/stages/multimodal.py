@@ -198,6 +198,74 @@ def frame_sample_stage(ds, stride: int = 2, concurrency: int | tuple[int, int] =
     )
 
 
+AUDIO_FEATURES_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("n_windows", pa.int32()),
+        ("rms", pa.list_(pa.float32())),   # per-window root-mean-square energy
+        ("zcr", pa.list_(pa.float32())),   # per-window zero-crossing rate
+    ]
+)
+
+
+class AudioFeatureExtractor:
+    """Actor-pool callable: audio payload → windowed RMS + zero-crossing
+    features (the MFCC-shaped plumbing with the codec stubbed).
+
+    ``decoder="real"`` (soundfile/librosa) raises NotImplementedError —
+    those wheels are absent here; ``decoder="fake"`` interprets the
+    payload bytes as int8 PCM samples, deterministically. Feature
+    extraction itself (windowed reduce over the waveform) is real numpy
+    and identical for both decoders.
+    """
+
+    def __init__(self, decoder: str = "fake", window: int = 256):
+        if decoder == "real":
+            raise NotImplementedError(
+                "real audio codecs (soundfile/librosa) are not available in this container"
+            )
+        self.window = window
+
+    def _decode(self, payload: bytes) -> np.ndarray:
+        return np.frombuffer(payload or b"", dtype=np.int8).astype(np.float32) / 128.0
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, n_windows, rms_out, zcr_out = [], [], [], []
+        for mid, payload in zip(
+            batch.column("media_id").to_pylist(), batch.column("payload").to_pylist()
+        ):
+            wave = self._decode(payload)
+            n = len(wave) // self.window
+            w = wave[: n * self.window].reshape(n, self.window)
+            rms = np.sqrt((w * w).mean(axis=1)) if n else np.zeros(0, dtype=np.float32)
+            zcr = (np.signbit(w[:, 1:]) != np.signbit(w[:, :-1])).mean(axis=1) if n else np.zeros(0)
+            ids.append(mid)
+            n_windows.append(n)
+            rms_out.append(rms.astype(np.float32).tolist())
+            zcr_out.append(np.asarray(zcr, dtype=np.float32).tolist())
+        return pa.table(
+            {
+                "media_id": pa.array(ids, type=pa.int64()),
+                "n_windows": pa.array(n_windows, type=pa.int32()),
+                "rms": pa.array(rms_out, type=pa.list_(pa.float32())),
+                "zcr": pa.array(zcr_out, type=pa.list_(pa.float32())),
+            },
+            schema=AUDIO_FEATURES_SCHEMA,
+        )
+
+
+def audio_feature_stage(ds, concurrency: int | tuple[int, int] = 2, batch_size: int = 16,
+                        **extractor_kwargs):
+    """Small batches by design: payload bytes dominate block memory."""
+    return ds.map_batches(
+        AudioFeatureExtractor,
+        fn_constructor_kwargs=extractor_kwargs,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 def payload_checksum_batch(batch: pa.Table) -> pa.Table:
     """Cheap integrity/metrics map: md5 + byte length per payload,
     without ever decoding — the 'treat media as opaque bytes' invariant."""

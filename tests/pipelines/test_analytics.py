@@ -107,3 +107,14 @@ def test_every_query_has_oracle_or_is_documented(entrymod):
     oracles = set(entrymod.oracle_sql())
     assert oracles <= qs
     assert qs - oracles == set(ROWS_ONLY)
+
+
+def test_write_doc_splits_partitioned(entrymod, tmp_path):
+    from bioner_ray.pipelines.analytics import write_doc_splits
+
+    counts = write_doc_splits(SF_DIR, str(tmp_path / "splits"))
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 500
+    import os
+
+    assert sorted(os.listdir(tmp_path / "splits")) == ["split=test", "split=train", "split=val"]

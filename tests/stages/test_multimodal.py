@@ -63,3 +63,39 @@ class TestChecksum:
         tbl = make_media_fixture(4)
         out = payload_checksum_batch(tbl)
         assert out.column("n_bytes").to_pylist() == [len(p) for p in tbl.column("payload").to_pylist()]
+
+
+class TestAudioFeatures:
+    def test_windowed_features_deterministic(self):
+        from bioner_ray.stages.multimodal import (
+            AudioFeatureExtractor,
+            audio_feature_stage,
+            make_media_fixture,
+        )
+        import ray.data as rd
+
+        tbl = make_media_fixture(n=8, kind="audio", seed=3)
+        out = {r["media_id"]: r for r in audio_feature_stage(rd.from_arrow(tbl), window=64).take_all()}
+        assert len(out) == 8
+        for mid, r in out.items():
+            assert r["n_windows"] == len(r["rms"]) == len(r["zcr"])
+            assert all(0.0 <= z <= 1.0 for z in r["zcr"])
+        # same payload → same features
+        direct = AudioFeatureExtractor(window=64)(tbl.slice(0, 1))
+        assert direct.column("rms").to_pylist()[0] == out[0]["rms"]
+
+    def test_real_decoder_is_gated(self):
+        from bioner_ray.stages.multimodal import AudioFeatureExtractor
+        import pytest
+
+        with pytest.raises(NotImplementedError):
+            AudioFeatureExtractor(decoder="real")
+
+    def test_empty_payload(self):
+        from bioner_ray.stages.multimodal import AudioFeatureExtractor
+        import pyarrow as pa
+
+        t = pa.table({"media_id": pa.array([1], type=pa.int64()),
+                      "payload": pa.array([b""], type=pa.binary())})
+        out = AudioFeatureExtractor(window=64)(t)
+        assert out.column("n_windows").to_pylist() == [0]
