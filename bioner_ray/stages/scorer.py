@@ -66,12 +66,22 @@ class GazetteerModel:
             if norm and all(norm):
                 self.surface_set.add(norm)
                 self.max_words = max(self.max_words, len(norm))
+        # token-normalization memo (regex per call otherwise); capped
+        self._norm_memo: dict[str, str] = {}
+
+    def _norm(self, token: str) -> str:
+        n = self._norm_memo.get(token)
+        if n is None:
+            n = gazetteer_normalize(token)
+            if len(self._norm_memo) < 262144:
+                self._norm_memo[token] = n
+        return n
 
     def predict_document(self, sentences: list[dict]) -> list[list[int]]:
         out = []
         for sent in sentences:
             tokens = sent["token_text"]
-            norm = [gazetteer_normalize(t) for t in tokens]
+            norm = [self._norm(t) for t in tokens]
             n = len(tokens)
             tags = [O] * n
             i = 0
@@ -119,6 +129,11 @@ class DatexisNumpyModel:
         self.W_hh_b = rng.uniform(-lim, lim, (hidden, hidden)).astype(np.float32)
         lim2 = np.sqrt(6.0 / (2 * hidden + 3))
         self.W_out = rng.uniform(-lim2, lim2, (2 * hidden, 3)).astype(np.float32)
+        # per-actor memo: token → summed trigram weight row. Web text is
+        # Zipfian, so the same tokens recur constantly; capped so a
+        # pathological vocabulary can't grow an actor heap unboundedly.
+        self._tri_memo: dict[str, np.ndarray] = {}
+        self._zero_ff = np.zeros(ff, dtype=np.float32)
 
     def _features(self, sentences: list[dict]) -> list[np.ndarray]:
         """Per-sentence (len, ff) post-ff1 activations, built sparsely."""
@@ -131,10 +146,19 @@ class DatexisNumpyModel:
         pos = np.concatenate(pos_blocks) if pos_blocks else np.zeros((0, POSITION_DIM), np.float32)
         dense = np.concatenate([pos, surf], axis=1)  # (N, 15)
         acts = dense @ self.W_dense + self.b_ff
-        for row, tok in enumerate(all_tokens):
-            idx = self.vocab.encode_indices(tok)
-            if idx:
-                acts[row] += self.W_tri[idx].sum(axis=0)
+        # trigram block: one lookup per DISTINCT token (memoized), then a
+        # vectorized gather back onto rows
+        uniq, inv = np.unique(np.asarray(all_tokens, dtype=object), return_inverse=True)
+        tri = np.empty((len(uniq), self.W_dense.shape[1]), dtype=np.float32)
+        for i, tok in enumerate(uniq):
+            vec = self._tri_memo.get(tok)
+            if vec is None:
+                idx = self.vocab.encode_indices(tok)
+                vec = self.W_tri[idx].sum(axis=0) if idx else self._zero_ff
+                if len(self._tri_memo) < 65536:
+                    self._tri_memo[tok] = vec
+            tri[i] = vec
+        acts += tri[inv]
         acts = np.maximum(acts, 0.0)  # ReLU (bioner_model.py:66-67)
         out, off = [], 0
         for ln in lengths:
@@ -142,30 +166,69 @@ class DatexisNumpyModel:
             off += ln
         return out
 
-    def predict_document(self, sentences: list[dict]) -> list[list[int]]:
-        feats = self._features(sentences)
+    def _batch_rnn(self, feats: list[np.ndarray]) -> list[list[int]]:
+        """Padded batched BiRNN over a bucket of sentences (the A4
+        collator pattern, annotator.py:26-46) — the time loop runs
+        max_len steps of (S, H) matmuls instead of Σlen Python steps.
+        Backward states are re-zeroed past each sentence's length so the
+        pad region never leaks into valid positions; forward pad outputs
+        are truncated away (annotator.py:277-279 semantics)."""
+        n_sent = len(feats)
+        lens = np.array([f.shape[0] for f in feats], dtype=np.int64)
+        max_len = int(lens.max()) if n_sent else 0
+        if max_len == 0:
+            return [[] for _ in feats]
         hidden = self.W_hh_f.shape[0]
-        tags = []
-        for x in feats:
-            n = x.shape[0]
-            if n == 0:
-                tags.append([])
-                continue
-            xf = x @ self.W_xh_f
-            xb = x @ self.W_xh_b
-            hf = np.zeros((n, hidden), dtype=np.float32)
-            hb = np.zeros((n, hidden), dtype=np.float32)
-            h = np.zeros(hidden, dtype=np.float32)
-            for t in range(n):
-                h = np.tanh(xf[t] + h @ self.W_hh_f)
-                hf[t] = h
-            h = np.zeros(hidden, dtype=np.float32)
-            for t in range(n - 1, -1, -1):
-                h = np.tanh(xb[t] + h @ self.W_hh_b)
-                hb[t] = h
-            logits = np.concatenate([hf, hb], axis=1) @ self.W_out
-            tags.append(np.argmax(logits, axis=1).astype(np.uint8).tolist())
-        return tags
+        ff = self.W_dense.shape[1]
+        x = np.zeros((n_sent, max_len, ff), dtype=np.float32)
+        for i, f in enumerate(feats):
+            x[i, : f.shape[0]] = f
+        xf = x @ self.W_xh_f  # (S, L, H)
+        xb = x @ self.W_xh_b
+        hf = np.empty((n_sent, max_len, hidden), dtype=np.float32)
+        hb = np.empty((n_sent, max_len, hidden), dtype=np.float32)
+        h = np.zeros((n_sent, hidden), dtype=np.float32)
+        for t in range(max_len):
+            h = np.tanh(xf[:, t] + h @ self.W_hh_f)
+            hf[:, t] = h
+        h = np.zeros((n_sent, hidden), dtype=np.float32)
+        for t in range(max_len - 1, -1, -1):
+            h = np.tanh(xb[:, t] + h @ self.W_hh_b)
+            h[lens <= t] = 0.0  # pad tail must not leak into valid steps
+            hb[:, t] = h
+        logits = np.concatenate([hf, hb], axis=2) @ self.W_out  # (S, L, 3)
+        pred = np.argmax(logits, axis=2).astype(np.uint8)
+        return [pred[i, : lens[i]].tolist() for i in range(n_sent)]
+
+    #: sentences per padded recurrence bucket
+    RNN_BUCKET = 512
+
+    def predict_documents(self, docs: list[list[dict]]) -> list[list[list[int]]]:
+        """Cross-document batched inference with LENGTH BUCKETING: all
+        sentences of the Ray batch are sorted by length and run through
+        the padded recurrence in buckets of ``RNN_BUCKET``, so one giant
+        sentence pads only its own bucket — the mitigation for the
+        reference's pad-to-batch-max skew (annotator.py:30, SURVEY.md
+        §7.4.5). Features stay per-document (position features need the
+        document context, position_encoder.py:10-26)."""
+        feats_per_doc = [self._features(sents) for sents in docs]
+        flat: list[tuple[int, int, np.ndarray]] = [
+            (d, s, f)
+            for d, doc in enumerate(feats_per_doc)
+            for s, f in enumerate(doc)
+        ]
+        results: list[list[list[int]]] = [[[] for _ in doc] for doc in feats_per_doc]
+        order = sorted(range(len(flat)), key=lambda i: flat[i][2].shape[0])
+        for c0 in range(0, len(order), self.RNN_BUCKET):
+            idxs = order[c0 : c0 + self.RNN_BUCKET]
+            preds = self._batch_rnn([flat[i][2] for i in idxs])
+            for i, p in zip(idxs, preds):
+                d, s, _ = flat[i]
+                results[d][s] = p
+        return results
+
+    def predict_document(self, sentences: list[dict]) -> list[list[int]]:
+        return self.predict_documents([sentences])[0]
 
 
 def load_model(name: str, **config):
@@ -205,11 +268,14 @@ class NERScorer:
         docs = batch.column("sentences").to_pylist()
         # Whole documents go to the model so position features keep their
         # per-document begin/end semantics (position_encoder.py:10-26).
-        # The reference pads 128 sentences to the batch max and wastes
-        # O(max_len) per short sentence (annotator.py:26-46); our models
-        # compute per-sentence with no padding at all, so no length
-        # bucketing is needed.
-        all_tags = [self.model.predict_document(sentences) for sentences in docs]
+        # Models exposing predict_documents get the WHOLE Ray batch at
+        # once (length-bucketed padded recurrence — the reference pads
+        # 128 sentences to the batch max and wastes O(max_len) per short
+        # sentence, annotator.py:26-46; bucketing caps that waste).
+        if hasattr(self.model, "predict_documents"):
+            all_tags = self.model.predict_documents(docs)
+        else:
+            all_tags = [self.model.predict_document(sentences) for sentences in docs]
         return batch.append_column("tags", pa.array(all_tags, type=TAGS_TYPE))
 
 
