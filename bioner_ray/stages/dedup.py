@@ -110,13 +110,26 @@ def shingle_set(tokens: list[str], k: int = 3) -> list[str]:
 
 
 def shingle_rows_batch(
-    batch: pa.Table, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+    batch: pa.Table,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hashed: bool = True,
 ) -> pa.Table:
     """Inverted-index rows: one (shingle, id, n_shingles) per distinct
     doc-shingle. The doc's set size rides along (one int64) so the
-    Jaccard denominator never needs a join back to the corpus."""
+    Jaccard denominator never needs a join back to the corpus.
+
+    ``hashed=True`` (default) keys the index by the 64-bit md5-derived
+    shingle hash instead of the shingle string: the shuffle then moves
+    8 bytes per row instead of ~k words, and bucketing is a vectorized
+    integer op. Distinct shingles colliding in 64 bits would overcount
+    n_common by 1 — probability ≈ m²/2⁶⁵ per document pair, negligible
+    at any realistic shingle count (and absent at test scales);
+    ``hashed=False`` keeps exact strings.
+    """
     ids_out: list[int] = []
-    shingles_out: list[str] = []
+    shingles_out: list = []
     sizes_out: list[int] = []
     for doc_id, text in zip(batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()):
         ss = shingle_set(tokenize_ws(text or ""), k)
@@ -124,9 +137,21 @@ def shingle_rows_batch(
             ids_out.append(doc_id)
             shingles_out.append(s)
             sizes_out.append(len(ss))
+    if hashed:
+        shingle_col = pa.array(
+            np.array(
+                [
+                    int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
+                    for s in shingles_out
+                ],
+                dtype=np.uint64,
+            )
+        )
+    else:
+        shingle_col = pa.array(shingles_out, type=pa.string())
     return pa.table(
         {
-            "shingle": pa.array(shingles_out, type=pa.string()),
+            "shingle": shingle_col,
             id_col: pa.array(ids_out),
             "n_shingles": pa.array(sizes_out, type=pa.int64()),
         }
@@ -264,9 +289,13 @@ def jaccard_pairs(
     )
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        buckets = [
-            zlib.crc32(s.encode()) % num_buckets for s in batch.column("shingle").to_pylist()
-        ]
+        col = batch.column("shingle")
+        if pa.types.is_unsigned_integer(col.type) or pa.types.is_integer(col.type):
+            h = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+            with np.errstate(over="ignore"):
+                buckets = ((h * np.uint64(2654435761)) % np.uint64(num_buckets)).astype(np.int32)
+            return batch.append_column("bucket", pa.array(buckets, type=pa.int32()))
+        buckets = [zlib.crc32(str(s).encode()) % num_buckets for s in col.to_pylist()]
         return batch.append_column("bucket", pa.array(buckets, type=pa.int32()))
 
     def emit(group: pa.Table) -> pa.Table:

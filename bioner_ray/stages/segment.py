@@ -15,19 +15,30 @@ from bioner_ray.functions.text import split_sentences, tokenize_with_offsets
 from bioner_ray.schemas import SENTENCE_TYPE
 
 
-def segment_document(text: str) -> list[dict]:
-    """One document's nested sentence structs."""
+def segment_document(text: str, max_sentence_tokens: int = 512) -> list[dict]:
+    """One document's nested sentence structs.
+
+    A sentence longer than ``max_sentence_tokens`` is split at token
+    boundaries into continuation sentences (each gets its own sent_id;
+    offsets stay relative to the ORIGINAL sentence, so provenance is
+    preserved). This is the pad-skew guard of SURVEY.md §7.4.5: one
+    pathological unpunctuated page must not inflate a whole scorer
+    bucket or blow the padded recurrence's (S, L, ff) buffer.
+    """
     out = []
-    for sent_id, sent in enumerate(split_sentences(text)):
+    sent_id = 0
+    for sent in split_sentences(text):
         texts, starts, ends = tokenize_with_offsets(sent)
-        out.append(
-            {
-                "sent_id": sent_id,
-                "token_text": texts,
-                "token_start": starts,
-                "token_end": ends,
-            }
-        )
+        for off in range(0, max(len(texts), 1), max_sentence_tokens):
+            out.append(
+                {
+                    "sent_id": sent_id,
+                    "token_text": texts[off : off + max_sentence_tokens],
+                    "token_start": starts[off : off + max_sentence_tokens],
+                    "token_end": ends[off : off + max_sentence_tokens],
+                }
+            )
+            sent_id += 1
     return out
 
 

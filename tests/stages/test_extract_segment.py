@@ -80,3 +80,24 @@ class TestSegment:
         docs = segment_stage(extract_stage(ds)).take_all()
         assert len(docs) == pages_table.num_rows
         assert all(d["n_sentences"] >= 1 for d in docs)
+
+
+class TestSentenceLengthCap:
+    def test_giant_sentence_split_at_token_boundaries(self):
+        from bioner_ray.stages.segment import segment_document
+
+        text = " ".join(f"w{i}" for i in range(1300))  # no punctuation: one sentence
+        sents = segment_document(text, max_sentence_tokens=512)
+        assert [len(s["token_text"]) for s in sents] == [512, 512, 276]
+        assert [s["sent_id"] for s in sents] == [0, 1, 2]
+        # offsets stay relative to the ORIGINAL sentence (provenance)
+        assert sents[1]["token_start"][0] > sents[0]["token_end"][-1]
+        flat = [t for s in sents for t in s["token_text"]]
+        assert flat == text.split()
+
+    def test_short_sentences_unaffected(self):
+        from bioner_ray.stages.segment import segment_document
+
+        sents = segment_document("One two. Three four five.", max_sentence_tokens=512)
+        assert [s["token_text"] for s in sents] == [["One", "two."], ["Three", "four", "five."]]
+        assert [s["sent_id"] for s in sents] == [0, 1]
