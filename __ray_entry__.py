@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_pairs": co.dedup_minhash_pairs,    # rows-only (LSH)
         "dedup_simhash_pairs": co.dedup_simhash_pairs,    # rows-only (SimHash)
         "token_stats": co.token_stats,
+        "conll_roundtrip": co.conll_roundtrip,            # S1/S2 format↔parse parity
         "quality_docs": co.quality_docs,
         "winnow_fingerprints": co.winnow_fingerprints,    # rows-only (winnowing)
         "fingerprints": co.fingerprints,
@@ -249,6 +250,12 @@ SELECT doc_id,
        CAST(len(list_filter(toks, x -> x IN {STOPWORDS_SQL})) AS DOUBLE)
          / greatest(len(toks), 1) AS stopword_frac
 FROM t
+""",
+        "conll_roundtrip": f"""
+WITH {_TOK_CTE},
+c AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens FROM tok GROUP BY doc_id)
+SELECT d.doc_id, coalesce(c.n_tokens, 0) AS n_tokens
+FROM documents d LEFT JOIN c USING (doc_id)
 """,
         "quality_docs": """
 WITH t AS (SELECT doc_id,

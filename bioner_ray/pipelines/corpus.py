@@ -64,6 +64,51 @@ def token_stats(sf_dir: str):
     return token_stats_stage(_documents(sf_dir))
 
 
+def conll_roundtrip(sf_dir: str):
+    """S1/S2 parity as a distributed query: each document is segmented,
+    formatted to its exact CoNLL byte block (S2 writer semantics) and
+    re-parsed (S1 reader semantics) inside the same batch; a token
+    mismatch raises. Columns: doc_id, n_tokens (token count surviving
+    the round trip — SQL-checkable as the whitespace token count)."""
+    from bioner_ray.sources.conll import format_conll_document, parse_conll
+    from bioner_ray.stages.segment import segment_document
+
+    def rt(batch: pa.Table) -> pa.Table:
+        ids, counts = [], []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            sents = segment_document(text or "")
+            doc = {
+                "doc_id": 0,
+                "sentences": [
+                    {
+                        "sent_id": s["sent_id"],
+                        "token_text": s["token_text"],
+                        "token_start": [str(x) for x in s["token_start"]],
+                        "token_end": [str(x) for x in s["token_end"]],
+                        "gold_tags": [2] * len(s["token_text"]),  # O
+                    }
+                    for s in sents
+                ],
+            }
+            parsed = parse_conll(format_conll_document(doc))
+            got = [t for d in parsed for s in d["sentences"] for t in s["token_text"]]
+            want = [t for s in sents for t in s["token_text"]]
+            if got != want:
+                raise ValueError(f"CoNLL round-trip mismatch for doc {doc_id}")
+            ids.append(doc_id)
+            counts.append(len(want))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "n_tokens": pa.array(counts, type=pa.int64()),
+            }
+        )
+
+    return _documents(sf_dir).map_batches(rt, batch_format="pyarrow")
+
+
 def quality_docs(sf_dir: str, min_tokens: int = 20, min_ttr: float = 0.3):
     """C4-style quality gate: documents inside the token window with
     enough lexical diversity. Columns: doc_id."""

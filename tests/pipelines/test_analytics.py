@@ -37,6 +37,7 @@ SQL_CHECKED = [
     "knn_topk",
     "embedding_dup_pairs",
     "ner_eval",
+    "conll_roundtrip",
     "error_length_stats",
     "ensemble_mention_counts",
     "quality_docs",
