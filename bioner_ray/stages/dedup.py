@@ -39,13 +39,20 @@ from bioner_ray.stages.textstats import tokenize_ws
 _MERSENNE61 = np.uint64((1 << 61) - 1)
 
 
-def _join(left, right, on, num_partitions: int = 4):
+def _join(left, right, on, num_partitions: int | None = None):
     """Hash join with bounded aggregator-actor footprint: Ray's shuffle
     join spawns one aggregator actor per partition (1 CPU each by
     default) — at default partition counts the aggregators can reserve
     every core and deadlock the streaming executor (upstream tasks
-    starve), so pin a small partition count and fractional CPUs: 4 × ¼
-    = one core total, leaving the rest to the map/read stages."""
+    starve). So: fractional-CPU aggregators (¼ core each) and a
+    partition count sized to the cluster — cpus/4, floor 4 — which
+    keeps the aggregators to ≤ 1/16 of the cluster while scaling the
+    exchange width with the hardware."""
+    if num_partitions is None:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+        num_partitions = max(4, cpus // 4)
     return left.join(
         right,
         join_type="inner",

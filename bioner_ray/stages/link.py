@@ -24,7 +24,7 @@ import pyarrow as pa
 
 from bioner_ray.functions.embed import hash_embedding
 from bioner_ray.functions.text import normalize_surface as _normalize_surface
-from bioner_ray.schemas import EMBEDDING_DIM, LINKED_MENTIONS_SCHEMA, NIL_CONCEPT
+from bioner_ray.schemas import EMBEDDING_DIM, NIL_CONCEPT
 
 
 class ConceptIndex:
