@@ -470,10 +470,20 @@ def customers_per_nation(sf_dir: str):
     )
 
 
-def revenue_by_segment(sf_dir: str, num_partitions: int = 4):
+def revenue_by_segment(sf_dir: str, num_partitions: int | None = None):
     """Shuffle hash join orders⋈customer (both sides large at scale) +
-    final aggregate. Columns: c_mktsegment, n_orders, revenue_cents."""
+    final aggregate — the deliberate shuffle-join counterpart to
+    customers_per_nation's broadcast join. Partition count sized to the
+    cluster (cpus/4, floor 4) with quarter-core aggregator actors so
+    the exchange never starves the map stages. Columns: c_mktsegment,
+    n_orders, revenue_cents."""
+    import ray
+
     from ray.data.aggregate import Count, Sum
+
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+        num_partitions = max(4, cpus // 4)
 
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
 
