@@ -1,0 +1,182 @@
+"""Property-based tests (hypothesis) for the semantics-critical pure
+kernels, plus seeded brute-force equivalence checks for the dedup
+operators. The reference has no property testing (SURVEY.md §5); these
+pin the invariants its golden tests only sample:
+
+* the BIO automaton (D3) against an independently-written reference
+  decoder, plus structural span invariants;
+* winnowing's shift tolerance (the guarantee fixed-stride windows
+  break);
+* popcount / minhash estimator bounds;
+* SimHash pigeonhole completeness and Jaccard pair exactness against
+  driver-side brute force (seeded, through the real Ray pipeline).
+"""
+
+import itertools
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from bioner_ray.functions.bio import B, I, O, decode_bio_spans
+from bioner_ray.stages.dedup import _popcount64, shingle_set, simhash64
+from bioner_ray.stages.textstats import tokenize_ws, winnow_fingerprint
+
+TAGS = st.lists(st.sampled_from([B, I, O]), max_size=40)
+
+
+def _reference_decoder(tags):
+    """Independent re-derivation: spans are maximal runs of non-O where
+    every non-first element is I (a B starts a new span); I after O
+    starts a span (the reference's I-after-O rule)."""
+    spans, i, n = [], 0, len(tags)
+    while i < n:
+        if tags[i] == O:
+            i += 1
+            continue
+        start = i
+        i += 1
+        while i < n and tags[i] == I:
+            i += 1
+        spans.append((start, i - 1))
+    return spans
+
+
+class TestBioAutomatonProperties:
+    @given(TAGS)
+    def test_matches_independent_decoder(self, tags):
+        assert decode_bio_spans(tags) == _reference_decoder(tags)
+
+    @given(TAGS)
+    def test_spans_are_sorted_disjoint_and_cover_non_O(self, tags):
+        spans = decode_bio_spans(tags)
+        covered = set()
+        prev_end = -1
+        for s, e in spans:
+            assert 0 <= s <= e < len(tags)
+            assert s > prev_end
+            prev_end = e
+            covered.update(range(s, e + 1))
+        assert covered == {i for i, t in enumerate(tags) if t != O}
+
+    @given(TAGS)
+    def test_roundtrip_via_reencode(self, tags):
+        # re-encode spans as B I I … and decode again → same spans
+        re = [O] * len(tags)
+        spans = decode_bio_spans(tags)
+        for s, e in spans:
+            re[s] = B
+            for k in range(s + 1, e + 1):
+                re[k] = I
+        assert decode_bio_spans(re) == spans
+
+
+class TestWinnowingProperties:
+    @given(st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee"]), min_size=20, max_size=60),
+           st.integers(min_value=0, max_value=8))
+    @settings(max_examples=40)
+    def test_shift_tolerance(self, tokens, prefix_len):
+        """Prepending tokens must preserve most fingerprints of the
+        common suffix: winnowing guarantees any window of `stride`
+        consecutive hashes contributes its min, and the suffix's hash
+        sequence is unchanged — so the original fingerprint set minus at
+        most the first (stride-1) window mins survives."""
+        prefix = ["zz"] * prefix_len
+        fp0 = set(winnow_fingerprint(tokens, window=4, stride=3))
+        fp1 = set(winnow_fingerprint(prefix + tokens, window=4, stride=3))
+        # all but a bounded head of the original mins must reappear
+        missing = fp0 - fp1
+        assert len(missing) <= 3
+
+    @given(st.lists(st.text(alphabet="abc", min_size=1, max_size=4), max_size=30))
+    def test_deterministic_and_sorted(self, tokens):
+        a = winnow_fingerprint(tokens)
+        assert a == winnow_fingerprint(list(tokens))
+        assert a == sorted(set(a))
+
+
+class TestHashKernels:
+    @given(st.lists(st.integers(min_value=0, max_value=2**64 - 1), max_size=50))
+    def test_popcount_matches_python(self, vals):
+        arr = np.array(vals, dtype=np.uint64)
+        got = _popcount64(arr)
+        assert [int(x) for x in got] == [bin(v).count("1") for v in vals]
+
+    @given(st.lists(st.sampled_from("abcdefg"), min_size=1, max_size=30))
+    def test_simhash_is_deterministic_and_64bit(self, tokens):
+        h = simhash64(tokens)
+        assert h == simhash64(list(tokens))
+        assert 0 <= h < 2**64
+
+    @given(st.lists(st.sampled_from(["x", "y", "z", "w"]), min_size=3, max_size=25))
+    def test_shingle_set_is_set_of_kgrams(self, tokens):
+        ss = shingle_set(tokens, 3)
+        want = {" ".join(tokens[i : i + 3]) for i in range(len(tokens) - 2)}
+        assert set(ss) == want and ss == sorted(ss)
+
+
+WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+
+
+def _random_corpus(n_docs=60, seed=11):
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n_docs):
+        base = rng.choice(WORDS, size=rng.integers(8, 20))
+        text = " ".join(base)
+        if i % 5 == 0 and i > 0:  # planted near-dups
+            prev = rows[i - 1]["text"].split()
+            prev[0] = "alpha"
+            text = " ".join(prev)
+        rows.append({"doc_id": i, "text": text})
+    return rows
+
+
+class TestDedupBruteForceEquivalence:
+    def test_simhash_pairs_match_brute_force(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from bioner_ray.stages.dedup import simhash_pairs
+
+        rows = _random_corpus()
+        got = {
+            (r["a"], r["b"]): r["hamming"]
+            for r in simhash_pairs(
+                rd.from_arrow(pa.Table.from_pylist(rows)), max_hamming=6
+            ).take_all()
+        }
+        hashes = {r["doc_id"]: simhash64(tokenize_ws(r["text"])) for r in rows}
+        want = {}
+        for a, b in itertools.combinations(sorted(hashes), 2):
+            d = bin(hashes[a] ^ hashes[b]).count("1")
+            if d <= 6:
+                want[(a, b)] = d
+        assert got == want
+
+    def test_jaccard_pairs_match_brute_force(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from bioner_ray.stages.dedup import jaccard_pairs
+
+        rows = _random_corpus(seed=23)
+        got = {
+            (r["a"], r["b"]): round(r["jaccard"], 9)
+            for r in jaccard_pairs(
+                rd.from_arrow(pa.Table.from_pylist(rows)), threshold=0.4
+            ).take_all()
+        }
+        sets = {r["doc_id"]: set(shingle_set(tokenize_ws(r["text"]), 3)) for r in rows}
+        want = {}
+        for a, b in itertools.combinations(sorted(sets), 2):
+            sa, sb = sets[a], sets[b]
+            if not sa or not sb:
+                continue
+            c = len(sa & sb)
+            if c:
+                j = c / (len(sa) + len(sb) - c)
+                if j >= 0.4:
+                    want[(a, b)] = round(j, 9)
+        assert got == want
