@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- training-data corpus operators ---
         "dedup_exact": co.dedup_exact,
         "dedup_jaccard_pairs": co.dedup_jaccard_pairs,
+        "dedup_components": co.dedup_components,          # near-dup clusters (iterative)
         "dedup_minhash_pairs": co.dedup_minhash_pairs,    # rows-only (LSH)
         "dedup_simhash_pairs": co.dedup_simhash_pairs,    # rows-only (SimHash)
         "token_stats": co.token_stats,
@@ -234,6 +235,25 @@ SELECT a, b, n_common,
        CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
 FROM common JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
 WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
+""",
+        "dedup_components": """
+WITH RECURSIVE
+w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ws
+      FROM documents),
+sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+       FROM w, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS c
+           FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2),
+pairs AS (SELECT a, b FROM common JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+          WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5),
+edges AS (SELECT a AS x, b AS y FROM pairs UNION SELECT b, a FROM pairs),
+walk(x, label) AS (
+  SELECT x, x FROM (SELECT DISTINCT x FROM edges)
+  UNION
+  SELECT e.x, ww.label FROM edges e JOIN walk ww ON ww.x = e.y
+)
+SELECT x AS node, CAST(min(label) AS BIGINT) AS component FROM walk GROUP BY x
 """,
         "token_stats": f"""
 WITH t AS (SELECT doc_id,

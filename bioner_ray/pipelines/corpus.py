@@ -64,6 +64,17 @@ def token_stats(sf_dir: str):
     return token_stats_stage(_documents(sf_dir))
 
 
+def dedup_components(sf_dir: str, threshold: float = 0.5):
+    """Near-dup clusters: exact Jaccard pairs → connected components →
+    (node, component = min doc id in cluster); the component id is the
+    cluster's keeper. Columns: node, component."""
+    from bioner_ray.stages.dedup import jaccard_pairs
+    from bioner_ray.stages.graph import connected_components
+
+    pairs = jaccard_pairs(_documents(sf_dir), threshold=threshold)
+    return connected_components(pairs)
+
+
 def conll_roundtrip(sf_dir: str):
     """S1/S2 parity as a distributed query: each document is segmented,
     formatted to its exact CoNLL byte block (S2 writer semantics) and

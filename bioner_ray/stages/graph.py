@@ -1,0 +1,89 @@
+"""Graph ops over pair datasets: connected components (dedup clusters).
+
+The "keep one document per near-duplicate CLUSTER" step: pair emission
+(Jaccard / MinHash / SimHash / cosine) yields edges, and the component
+representative (min doc id reachable) is the keeper. Ray Data has no
+iterative graph primitive, so this is min-label propagation composed
+from the engine's own pieces:
+
+* labels start as each node's own id;
+* per round, every edge ships its neighbor's current label to the node
+  (hash join on the neighbor — both sides are the PAIR GRAPH, bounded
+  by the near-dup population, not the corpus) and
+  ``bucketed_aggregate`` takes the per-node min;
+* labels monotonically decrease and are bounded below, so
+  ``sum(labels)`` is a fixpoint detector that costs one cheap
+  aggregate, never a join;
+* each round's labels are materialized — the label table is
+  O(#nodes-in-pairs), so this is the same bounded-table argument as
+  canonicalize_nodes, and it keeps round k+1 from re-executing round
+  k's join lineage.
+
+Rounds needed = graph diameter (near-dup clusters are dense, so
+typically 2-3); ``max_iters`` bounds pathological chains.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from bioner_ray.stages.shuffle import bucketed_aggregate
+
+
+def connected_components(
+    pairs_ds,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iters: int = 20,
+    num_partitions: int | None = None,
+):
+    """(a, b) pair Dataset → (node, component) with component = min
+    node id in the connected component. See module docstring."""
+    import ray
+
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+        num_partitions = max(4, cpus // 4)
+
+    def sym(batch: pa.Table) -> pa.Table:
+        a = batch.column(a_col)
+        b = batch.column(b_col)
+        return pa.table(
+            {
+                "node": pa.concat_arrays([pa.array(a.to_pylist(), type=pa.int64()),
+                                          pa.array(b.to_pylist(), type=pa.int64())]),
+                "nbr": pa.concat_arrays([pa.array(b.to_pylist(), type=pa.int64()),
+                                         pa.array(a.to_pylist(), type=pa.int64())]),
+            }
+        )
+
+    edges = pairs_ds.map_batches(sym, batch_format="pyarrow").materialize()
+
+    def init_labels(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch.column("node"), "label": batch.column("node")})
+
+    labels = bucketed_aggregate(
+        edges.map_batches(init_labels, batch_format="pyarrow"), ["node"], [("label", "min")]
+    ).materialize()
+
+    prev_sum = None
+    for _ in range(max_iters):
+        nbr_labels = labels.rename_columns({"node": "nbr", "label": "nbr_label"})
+        msgs = edges.join(
+            nbr_labels,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("nbr",),
+            aggregator_ray_remote_args={"num_cpus": 0.25},
+        ).map_batches(
+            lambda t: pa.table({"node": t.column("node"), "label": t.column("nbr_label")}),
+            batch_format="pyarrow",
+        )
+        labels = bucketed_aggregate(
+            labels.union(msgs), ["node"], [("label", "min")]
+        ).materialize()
+        s = labels.sum("label")
+        if s == prev_sum:
+            break
+        prev_sum = s
+    return labels.rename_columns({"label": "component"})

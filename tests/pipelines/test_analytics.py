@@ -32,6 +32,7 @@ SQL_CHECKED = [
     "events_last_order",
     "dedup_exact",
     "dedup_jaccard_pairs",
+    "dedup_components",
     "token_stats",
     "fingerprints",
     "knn_topk",
