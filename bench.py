@@ -134,7 +134,10 @@ OPERATOR_QUERIES = [
 ]
 
 
-def run_operator_suite(sf_dir: str) -> dict[str, float]:
+def run_operator_suite(sf_dir: str, repeats: int = 2) -> dict[str, float]:
+    """Best-of-``repeats`` per query: single cold runs on this shared
+    box swing ±30-40% (BASELINE.md variance caveat); the min is the
+    reproducible figure."""
     import pyarrow as pa
     import ray.data
 
@@ -144,15 +147,19 @@ def run_operator_suite(sf_dir: str) -> dict[str, float]:
     qs = entrymod.queries()
     times: dict[str, float] = {}
     for name in OPERATOR_QUERIES:
-        t0 = time.time()
-        res = qs[name](sf_dir)
-        if isinstance(res, ray.data.Dataset):
-            # consume the stream without materializing to the driver
-            for _ in res.iter_batches(batch_size=8192, batch_format="pyarrow"):
-                pass
-        elif isinstance(res, pa.Table):
-            res.num_rows
-        times[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(repeats):
+            t0 = time.time()
+            res = qs[name](sf_dir)
+            if isinstance(res, ray.data.Dataset):
+                # consume the stream without materializing to the driver
+                for _ in res.iter_batches(batch_size=8192, batch_format="pyarrow"):
+                    pass
+            elif isinstance(res, pa.Table):
+                res.num_rows
+            wall = time.time() - t0
+            best = wall if best is None else min(best, wall)
+        times[name] = round(best, 3)
     return times
 
 
