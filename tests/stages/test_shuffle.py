@@ -105,3 +105,26 @@ class TestBucketedAggregate:
             assert "mean" in str(e)
         else:
             raise AssertionError("expected ValueError for unsupported op")
+
+
+class TestSkew:
+    def test_hot_key_exactness_and_no_straggler_partition(self):
+        """One key owning 95% of rows must aggregate exactly and share
+        its coarse bucket with other keys (the salting-subsumption
+        claim): the hot key's bucket never becomes a dedicated
+        straggler partition."""
+        rows = [{"k": 0, "v": 1}] * 9500 + [{"k": i, "v": 1} for i in range(1, 501)]
+        ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(8)
+        out = _collect(
+            bucketed_aggregate(ds, ["k"], [("v", "sum")], num_buckets=16), ["k"], [("v", "sum")]
+        )
+        assert out[(0,)] == (9500,)
+        assert all(out[(i,)] == (1,) for i in range(1, 501))
+        # the hot key's bucket hosts other keys too (fixed-cardinality
+        # bucket space, ~500/16 keys per bucket)
+        from bioner_ray.stages.shuffle import _bucket_column
+
+        t = pa.table({"k": pa.array(list(range(501)), type=pa.int64())})
+        buckets = _bucket_column(t, ["k"], 16).to_pylist()
+        hot_bucket = buckets[0]
+        assert sum(1 for b in buckets if b == hot_bucket) > 1
