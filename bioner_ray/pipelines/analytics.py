@@ -289,8 +289,6 @@ def word_count(sf_dir: str, min_count: int = 10):
     insertion-order ties, ngram_encoder.py:102-107). Columns: word, cnt,
     rank. The surviving vocab is bounded (reference LookupCache is
     in-memory too), so ranking collects it driver-side."""
-    from ray.data.aggregate import Sum
-
     from bioner_ray.stages.textstats import _split_lower
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -305,25 +303,30 @@ def word_count(sf_dir: str, min_count: int = 10):
             }
         )
 
-    counts = (
-        _read(sf_dir, "documents", columns=["text"])
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby("word")
-        .aggregate(Sum("cnt"))
-        .rename_columns({"sum(cnt)": "cnt"})
+    from bioner_ray.stages.shuffle import bucketed_aggregate
+
+    # Exact high-cardinality merge (the G1/G2 path of stages/vocab.py):
+    # bucketed Arrow group_by for the wide merge, then the min-frequency
+    # filter runs DISTRIBUTED so only the small survivor vocabulary is
+    # ever collected — the pre-filter vocabulary (10^8+ rows at web
+    # scale) never reaches the driver.
+    counts = bucketed_aggregate(
+        _read(sf_dir, "documents", columns=["text"]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        ["word"],
+        [("cnt", "sum")],
+    ).map_batches(
+        lambda t: t.filter(pc.greater_equal(t["cnt"], min_count)),
+        batch_format="pyarrow",
     )
     tbl = pa.Table.from_pandas(counts.to_pandas(), preserve_index=False)
-    tbl = tbl.filter(pc.greater_equal(tbl.column("cnt"), min_count))
-    order = sorted(
-        zip(tbl.column("cnt").to_pylist(), tbl.column("word").to_pylist()),
-        key=lambda t: (-t[0], t[1]),
+    order = pc.sort_indices(
+        tbl, sort_keys=[("cnt", "descending"), ("word", "ascending")]
     )
-    return pa.table(
-        {
-            "word": pa.array([w for _, w in order], type=pa.string()),
-            "cnt": pa.array([c for c, _ in order], type=pa.int64()),
-            "rank": pa.array(range(1, len(order) + 1), type=pa.int64()),
-        }
+    tbl = tbl.take(order)
+    return tbl.append_column(
+        "rank", pa.array(np.arange(1, tbl.num_rows + 1, dtype=np.int64))
     )
 
 

@@ -14,7 +14,8 @@ two patterns to documents:
                       pair emission → pair-count groupby → hash join
                       with per-doc set sizes. No driver-side loops; the
                       per-shingle group cap bounds the quadratic blowup
-                      of stop-shingles (logged, not silent);
+                      of stop-shingles (each block logs dropped-group
+                      counts when the cap fires);
 * MinHash + LSH     — shingle→minhash signature (vectorized universal
                       hashing) → band→bucket groupby → candidate pairs,
                       the sub-quadratic scale path;
@@ -28,6 +29,7 @@ with ``a < b`` (sorted ids) so the same pair never lands in two groups.
 from __future__ import annotations
 
 import hashlib
+import logging
 import zlib
 
 import numpy as np
@@ -37,6 +39,7 @@ from bioner_ray.stages.shuffle import bucketed_aggregate, with_ones
 from bioner_ray.stages.textstats import tokenize_ws
 
 _MERSENNE61 = np.uint64((1 << 61) - 1)
+_LOG = logging.getLogger(__name__)
 
 
 def _join(left, right, on, num_partitions: int | None = None):
@@ -214,19 +217,35 @@ def _sorted_runs(group: pa.Table, key_col: str, id_col: str):
     return t, bounds
 
 
-def _run_pair_indices(bounds: np.ndarray, max_group: int):
+def _run_pair_indices(bounds: np.ndarray, max_group: int, what: str = "key"):
     """Global (i, j) row-index pairs for every within-run combination;
     runs with <2 or >``max_group`` members are skipped (stop-key bound
     on the quadratic blowup). Python iterates RUNS, never rows/pairs —
-    each run contributes one ``triu_indices`` array op."""
+    each run contributes one ``triu_indices`` array op.
+
+    Over-cap runs are NOT silent: each block logs a warning with the
+    number of dropped keys/rows so a run that diverges from an exact
+    oracle because of the cap is visible in the worker logs."""
     ii, jj = [], []
+    dropped_runs = 0
+    dropped_rows = 0
     for s, e in zip(bounds[:-1], bounds[1:]):
         m = int(e - s)
-        if m < 2 or m > max_group:
+        if m < 2:
+            continue
+        if m > max_group:
+            dropped_runs += 1
+            dropped_rows += m
             continue
         iu, ju = np.triu_indices(m, k=1)
         ii.append(iu.astype(np.int64) + s)
         jj.append(ju.astype(np.int64) + s)
+    if dropped_runs:
+        _LOG.warning(
+            "stop-%s cap (max_group=%d) dropped %d over-cap %s group(s) "
+            "covering %d rows in this block; pairs within them are NOT emitted",
+            what, max_group, dropped_runs, what, dropped_rows,
+        )
     if not ii:
         z = np.zeros(0, dtype=np.int64)
         return z, z
@@ -275,7 +294,10 @@ def jaccard_pairs(
 ):
     """All document pairs with shingle-set Jaccard >= ``threshold``.
 
-    Exact (not approximate), join-free:
+    Exact UP TO the stop-shingle cap: a shingle shared by more than
+    ``max_shingle_docs`` documents contributes no pairs (the blocks log
+    a warning with the dropped counts when this fires) — raise the cap
+    for small oracle-checked corpora, keep it for web scale. Join-free:
       1. inverted-index rows (shingle, id, n_shingles) — the set size
          rides with every row, so no join back to the corpus is needed;
       2. bucket the shingle key space (num_buckets coarse partitions),
@@ -307,7 +329,7 @@ def jaccard_pairs(
 
     def emit(group: pa.Table) -> pa.Table:
         t, bounds = _sorted_runs(group, "shingle", id_col)
-        ii, jj = _run_pair_indices(bounds, max_shingle_docs)
+        ii, jj = _run_pair_indices(bounds, max_shingle_docs, what="shingle")
         if t.num_rows:
             ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
             ns = t.column("n_shingles").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -515,7 +537,7 @@ def minhash_dedup_pairs(
 
     def emit(group: pa.Table) -> pa.Table:
         t, bounds = _sorted_runs(group, "bandkey", id_col)
-        ii, jj = _run_pair_indices(bounds, max_bucket)
+        ii, jj = _run_pair_indices(bounds, max_bucket, what="band-bucket")
         empty = pa.table(
             {
                 "a": pa.array([], type=pa.int64()),
@@ -640,7 +662,7 @@ def simhash_pairs(
         already distinct — the cross-bucket dedup shuffle that a naive
         emit would need simply does not exist."""
         t, bounds = _sorted_runs(group, "ckey", id_col)
-        ii, jj = _run_pair_indices(bounds, max_chunk_group)
+        ii, jj = _run_pair_indices(bounds, max_chunk_group, what="simhash-chunk")
         if len(ii) == 0:
             return pa.table(
                 {

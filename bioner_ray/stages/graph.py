@@ -46,14 +46,14 @@ def connected_components(
         num_partitions = max(4, cpus // 4)
 
     def sym(batch: pa.Table) -> pa.Table:
-        a = batch.column(a_col)
-        b = batch.column(b_col)
+        import pyarrow.compute as pc
+
+        a = pc.cast(batch.column(a_col), pa.int64()).combine_chunks()
+        b = pc.cast(batch.column(b_col), pa.int64()).combine_chunks()
         return pa.table(
             {
-                "node": pa.concat_arrays([pa.array(a.to_pylist(), type=pa.int64()),
-                                          pa.array(b.to_pylist(), type=pa.int64())]),
-                "nbr": pa.concat_arrays([pa.array(b.to_pylist(), type=pa.int64()),
-                                         pa.array(a.to_pylist(), type=pa.int64())]),
+                "node": pa.chunked_array([a, b]).combine_chunks(),
+                "nbr": pa.chunked_array([b, a]).combine_chunks(),
             }
         )
 
@@ -67,6 +67,7 @@ def connected_components(
     ).materialize()
 
     prev_sum = None
+    converged = False
     for _ in range(max_iters):
         nbr_labels = labels.rename_columns({"node": "nbr", "label": "nbr_label"})
         msgs = edges.join(
@@ -84,6 +85,15 @@ def connected_components(
         ).materialize()
         s = labels.sum("label")
         if s == prev_sum:
+            converged = True
             break
         prev_sum = s
+    if not converged:
+        # A component with propagation diameter > max_iters would get
+        # silently-wrong labels; fail loudly instead (raise the cap or
+        # pre-contract long chains if this ever fires in practice).
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iters} rounds "
+            "(component diameter exceeds max_iters); labels would be incorrect"
+        )
     return labels.rename_columns({"label": "component"})

@@ -56,7 +56,11 @@ def _bucket_column(batch: pa.Table, keys: list[str], num_buckets: int) -> pa.Arr
 
 def _arrow_agg(t: pa.Table, keys: list[str], aggs: list[tuple[str, str]]) -> pa.Table:
     out = t.group_by(keys).aggregate([(c, op) for c, op in aggs])
-    return out.rename_columns(keys + [c for c, _ in aggs])
+    # Select by the GENERATED names ("{col}_{op}"), not by position: if a
+    # pyarrow version ever reorders group_by output, this raises a loud
+    # KeyError instead of silently mislabeling aggregate columns.
+    out = out.select(list(keys) + [f"{c}_{op}" for c, op in aggs])
+    return out.rename_columns(list(keys) + [c for c, _ in aggs])
 
 
 def bucketed_aggregate(

@@ -200,34 +200,48 @@ def cosine_dup_pairs(
     threshold: float = 0.9,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    n_planes: int = 0,
+    n_planes: int | None = None,
     seed: int = 42,
+    n_tables: int = 8,
+    max_exact_rows: int = 200_000,
 ):
     """All (a, b) pairs with cosine ≥ threshold.
+
+    ``n_planes`` selects the plan; the default ``None`` SIZE-GATES it:
+    corpora up to ``max_exact_rows`` rows run the exact mode, larger
+    ones the LSH mode (with ``n_planes=12``) — so the default path
+    never materializes an unbounded matrix driver-side, while small
+    (oracle-checkable) inputs stay exact.
 
     ``n_planes == 0`` → exact block×broadcast mode: the full (normed)
     matrix is ``ray.put`` once and every block computes its slice of
     the similarity matrix, emitting only above-threshold pairs with
-    ``a < b``. Exact and oracle-checkable; bounded by corpora whose
-    embedding matrix fits the object store (~10^7 × 768 float32 ≈ 30 GB
-    — beyond that use ``n_planes > 0``).
+    ``a < b``. Exact; bounded by corpora whose embedding matrix fits
+    the object store AND driver heap (~200k × 768 float64 ≈ 1.2 GB at
+    the default gate).
 
-    ``n_planes > 0`` → hyperplane-LSH buckets (sign pattern of random
-    projections), in-bucket exact verification — the scale path; recall
-    < 1 for pairs near the threshold (standard SimHash-for-cosine).
+    ``n_planes > 0`` → multi-table hyperplane-LSH (sign pattern of
+    ``n_planes`` random projections, ``n_tables`` independent tables —
+    OR-amplification), in-bucket EXACT verification so every emitted
+    pair carries its true cosine — the scale path. Recall < 1 for
+    pairs near the threshold (standard SimHash-for-cosine; miss
+    probability per pair = (1 - p^n_planes)^n_tables with
+    p = 1 - θ/π); each row is shuffled ``n_tables`` times, the
+    recall/shuffle-bytes knob.
     """
     import ray
 
+    if n_planes is None:
+        n_rows = ds.count()
+        n_planes = 0 if n_rows <= max_exact_rows else 12
+
     if n_planes == 0:
-        full = _normalize_rows(
-            np.asarray(
-                ds.select_columns([id_col, vec_col]).to_pandas()[vec_col].tolist(),
-                dtype=np.float64,
-            )
-        )
-        all_ids = np.asarray(
-            ds.select_columns([id_col]).to_pandas()[id_col].tolist(), dtype=np.int64
-        )
+        # ONE pass for ids and vectors: separate executions of the same
+        # dataset need not agree on row order, so zipping two to_pandas()
+        # results positionally would mis-attribute vectors to ids.
+        df = ds.select_columns([id_col, vec_col]).to_pandas()
+        full = _normalize_rows(np.asarray(df[vec_col].tolist(), dtype=np.float64))
+        all_ids = np.asarray(df[id_col].tolist(), dtype=np.int64)
         ref = ray.put((full, all_ids))
 
         def block_pairs(batch: pa.Table) -> pa.Table:
@@ -247,25 +261,38 @@ def cosine_dup_pairs(
 
         return ds.map_batches(block_pairs, batch_format="pyarrow")
 
-    rng = np.random.default_rng(seed)
-    planes: np.ndarray | None = None
-
     def bucket_rows(batch: pa.Table) -> pa.Table:
-        nonlocal planes
         m = _normalize_rows(_batch_matrix(batch, vec_col))
-        if planes is None:
-            planes = np.random.default_rng(seed).normal(size=(m.shape[1], n_planes))
-        bits = (m @ planes) > 0
-        keys = [int("".join("1" if b else "0" for b in row), 2) for row in bits]
+        # one plane matrix per table, seeds pinned → deterministic across
+        # workers and runs; all tables' projections in one (D, T*P) matmul
+        planes = np.concatenate(
+            [
+                np.random.default_rng(seed + t).normal(size=(m.shape[1], n_planes))
+                for t in range(n_tables)
+            ],
+            axis=1,
+        )
+        bits = (m @ planes) > 0  # (B, T*P)
+        weights = (1 << np.arange(n_planes, dtype=np.int64))[::-1]
+        buckets = bits.astype(np.int64).reshape(len(m), n_tables, n_planes) @ weights  # (B, T)
+        table_ids = np.broadcast_to(np.arange(n_tables, dtype=np.int64), (len(m), n_tables))
+        rep = np.repeat(np.arange(len(m)), n_tables)
+        ids_rep = batch.column(id_col).take(pa.array(rep))
+        vecs_rep = batch.column(vec_col).take(pa.array(rep))
         return pa.table(
             {
-                "bucket": pa.array(keys, type=pa.int64()),
-                id_col: batch.column(id_col),
-                vec_col: batch.column(vec_col),
+                "table": pa.array(table_ids.ravel(), type=pa.int64()),
+                "bucket": pa.array(buckets.ravel(), type=pa.int64()),
+                id_col: ids_rep,
+                vec_col: vecs_rep,
             }
         )
 
     def emit(group: pa.Table) -> pa.Table:
+        # a (table, bucket) group may be empty or cross-key-free; the
+        # ownership of a pair is NOT deduped here (the same pair can
+        # collide in several tables) — the bucketed_aggregate below is
+        # the exact dedup.
         m = _normalize_rows(
             np.asarray(group.column(vec_col).to_pylist(), dtype=np.float64)
         )
@@ -283,7 +310,7 @@ def cosine_dup_pairs(
         )
 
     bucketed = ds.map_batches(bucket_rows, batch_format="pyarrow")
-    pairs = bucketed.groupby("bucket").map_groups(emit, batch_format="pyarrow")
+    pairs = bucketed.groupby(["table", "bucket"]).map_groups(emit, batch_format="pyarrow")
     # pair-keyed dedup at candidate-pair cardinality → bucketed Arrow merge
     from bioner_ray.stages.shuffle import bucketed_aggregate
 

@@ -124,11 +124,15 @@ def langid_batch(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id"
     preds, scores = [], []
     for t in toks:
         n = max(len(t), 1)
-        best_lang, best_hits = "und", 0
+        best_lang, best_hits, tied = "und", 0, False
         for lang in langs_sorted:
             hits = sum(1 for w in t if w in LANG_PROFILES[lang])
             if hits > best_hits:
-                best_lang, best_hits = lang, hits
+                best_lang, best_hits, tied = lang, hits, False
+            elif hits == best_hits and hits > 0:
+                tied = True
+        if tied:  # two profiles tie on the max hit count → undetermined
+            best_lang = "und"
         preds.append(best_lang)
         scores.append(best_hits / n)
     return pa.table(
