@@ -76,7 +76,7 @@ def run_streaming_headline(num_cpus: int, n_pages: int, model: str = "datexis-nu
         out_root,
         model_name=model,
         vocab=_bench_vocab() if model == "datexis-numpy" else None,
-        concurrency=(1, num_cpus),
+        concurrency=None,  # stages/pool.py sizes a fixed pool from the cluster
         override_num_blocks=max(SCALING_SHARDS, 4 * num_cpus),
     )
     wall = time.time() - t0
@@ -101,9 +101,7 @@ def run_headline(num_cpus: int, n_pages: int = BENCH_PAGES) -> dict:
     shutil.rmtree(out_root, ignore_errors=True)
     os.makedirs(out_root, exist_ok=True)
     t0 = time.time()
-    summary = run_kg_pipeline(
-        pages, out_root, resume=False, concurrency=(1, max(2, num_cpus // 2))
-    )
+    summary = run_kg_pipeline(pages, out_root, resume=False)
     wall = time.time() - t0
     return {
         "wall_s": wall,

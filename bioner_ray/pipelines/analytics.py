@@ -98,14 +98,18 @@ def make_identity_concepts(surfaces=None) -> pa.Table:
 def _segmented_documents(sf_dir: str):
     from bioner_ray.stages.segment import segment_stage
 
-    return segment_stage(documents_as_pages(sf_dir))
+    # KG/eval queries never read token offsets — skip building them
+    return segment_stage(documents_as_pages(sf_dir), with_offsets=False)
 
 
-def _tagged_documents(sf_dir: str, concurrency=(1, 16)):
+def _tagged_documents(sf_dir: str, concurrency=None, pools: int = 1):
     import ray
 
+    from bioner_ray.stages.pool import pool_size
     from bioner_ray.stages.scorer import score_stage
 
+    if concurrency is None:
+        concurrency = pool_size(16, pools=pools)
     docs = _segmented_documents(sf_dir)
     return score_stage(
         docs,
@@ -148,14 +152,18 @@ def _inject_tags(key: str):
     return fn
 
 
-def _dual_tagged_documents(sf_dir: str, concurrency=(1, 8)):
+def _dual_tagged_documents(sf_dir: str, concurrency=None):
     """Documents with gold_tags (full gazetteer) and pred_tags (degraded
     gazetteer, PRED_SURFACES) inside each sentence — the two-annotator
     input shape for the G4-G7/J5 eval harness."""
     import ray
 
+    from bioner_ray.stages.pool import pool_size
     from bioner_ray.stages.scorer import score_stage
 
+    if concurrency is None:
+        # two scorer pools run CONCURRENTLY in this pipeline
+        concurrency = pool_size(8, pools=2)
     docs = _segmented_documents(sf_dir)
     gold = score_stage(
         docs,
@@ -259,9 +267,12 @@ def kg_edges(sf_dir: str, salt_buckets=None):
     from bioner_ray.stages.link import ConceptIndex
     from bioner_ray.stages.triples import canonicalize_edges, triples_stage
 
+    from bioner_ray.stages.pool import pool_size
+
     index_ref = ray.put(ConceptIndex(make_identity_concepts()))
     triples = triples_stage(
-        _tagged_documents(sf_dir), index_ref, concurrency=(1, 16),
+        _tagged_documents(sf_dir, pools=2), index_ref,
+        concurrency=pool_size(16, pools=2),
         relation_lexicon=frozenset(RELATION_WORDS),
     )
     edges = canonicalize_edges(triples, salt_buckets=salt_buckets)
@@ -277,8 +288,13 @@ def kg_nodes(sf_dir: str):
     from bioner_ray.stages.mentions import mentions_stage
     from bioner_ray.stages.triples import canonicalize_nodes
 
+    from bioner_ray.stages.pool import pool_size
+
     index_ref = ray.put(ConceptIndex(make_identity_concepts()))
-    linked = link_stage(mentions_stage(_tagged_documents(sf_dir)), index_ref, concurrency=(1, 16))
+    linked = link_stage(
+        mentions_stage(_tagged_documents(sf_dir, pools=2)), index_ref,
+        concurrency=pool_size(16, pools=2),
+    )
     return canonicalize_nodes(linked)
 
 

@@ -37,7 +37,7 @@ def run_kg_streaming(
     model_name: str = "gazetteer",
     concepts: Optional[pa.Table] = None,
     vocab=None,
-    concurrency: int | tuple[int, int] = (1, 8),
+    concurrency: int | tuple[int, int] | None = None,
     override_num_blocks: Optional[int] = None,
     salt_buckets: Optional[int] = None,
 ) -> dict:
@@ -57,7 +57,13 @@ def run_kg_streaming(
     import ray.data as rd
 
     from bioner_ray.stages.link import ConceptIndex
+    from bioner_ray.stages.pool import pool_size
 
+    if concurrency is None:
+        # FIXED pool at ¾ of the cluster (see stages/pool.py): the
+        # autoscaling (1, N) pool measured at half the throughput
+        # because it never ramped past ~N/4 actors
+        concurrency = pool_size()
     concepts = concepts if concepts is not None else make_concepts()
     index_ref = ray.put(ConceptIndex(concepts))
     surfaces = concepts.column("surface").to_pylist()
@@ -67,7 +73,9 @@ def run_kg_streaming(
         columns=["url", "warc_ts", "html", "lang"],
         override_num_blocks=override_num_blocks,
     )
-    ds = segment_stage(extract_stage(ds))
+    # throughput form: token offsets (CoNLL provenance) are never read
+    # downstream of the fused score+assemble — skip building/shipping them
+    ds = segment_stage(extract_stage(ds), with_offsets=False)
     if model_name == "gazetteer":
         cfg = {"surfaces": ray.put(surfaces)}
     elif model_name == "datexis-numpy":
@@ -130,13 +138,17 @@ def run_kg_pipeline(
     concepts: Optional[pa.Table] = None,
     model_name: str = "gazetteer",
     resume: bool = True,
-    concurrency: int = 4,
+    concurrency: int | tuple[int, int] | None = None,
     lang_filter: Optional[str] = None,
     salt_buckets: Optional[int] = None,
 ) -> dict:
     """Run (or resume) the full pipeline; returns the summary manifest."""
     import ray.data as rd
 
+    from bioner_ray.stages.pool import pool_size
+
+    if concurrency is None:
+        concurrency = pool_size()
     concepts = concepts if concepts is not None else make_concepts()
     index_ref = broadcast_concept_index(concepts)
     surfaces = concepts.column("surface").to_pylist()

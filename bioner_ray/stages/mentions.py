@@ -18,18 +18,24 @@ from bioner_ray.schemas import MENTIONS_SCHEMA
 
 
 def mentions_batch(batch: pa.Table) -> pa.Table:
+    from bioner_ray.stages.nested import doc_boundaries, flat_struct_fields, flat_tags
+
     urls, sent_ids, starts, ends, surfaces = [], [], [], [], []
     url_col = batch.column("url").to_pylist()
-    sents_col = batch.column("sentences").to_pylist()
-    tags_col = batch.column("tags").to_pylist()
-    for url, sentences, doc_tags in zip(url_col, sents_col, tags_col):
-        for sent, tags in zip(sentences, doc_tags):
-            for start, end in decode_bio_spans(tags):
+    sents = batch.column("sentences")
+    bounds = doc_boundaries(sents)
+    # only token_text + sent_id leave Arrow; offsets stay buffered
+    tok_ll, sid_ll = flat_struct_fields(sents, ["token_text", "sent_id"])
+    tags_ll = flat_tags(batch)
+    for d, url in enumerate(url_col):
+        for si in range(bounds[d], bounds[d + 1]):
+            toks = tok_ll[si]
+            for start, end in decode_bio_spans(tags_ll[si]):
                 urls.append(url)
-                sent_ids.append(sent["sent_id"])
+                sent_ids.append(sid_ll[si])
                 starts.append(start)
                 ends.append(end)
-                surfaces.append(" ".join(sent["token_text"][start : end + 1]))
+                surfaces.append(" ".join(toks[start : end + 1]))
     return pa.table(
         {
             "url": pa.array(urls, type=pa.string()),

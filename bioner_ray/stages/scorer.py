@@ -96,9 +96,24 @@ class GazetteerModel:
         return n
 
     def predict_documents(self, docs: list[list[dict]]) -> list[list[list[int]]]:
-        all_tokens = [t for sents in docs for s in sents for t in s["token_text"]]
+        return [
+            [t.tolist() for t in doc]
+            for doc in self.predict_documents_tokens(
+                [[s["token_text"] for s in sents] for sents in docs]
+            )
+        ]
+
+    def predict_documents_tokens(
+        self, docs: list[list[list[str]]]
+    ) -> list[list[np.ndarray]]:
+        """Token-list form of ``predict_documents`` — the hot-path entry
+        used by ``NERScorer`` (which extracts only the ``token_text``
+        child array from the Arrow batch, never the full sentence
+        structs). Returns per-sentence uint8 arrays (the scorer builds
+        the nested Arrow column from offsets, no per-int Python)."""
+        all_tokens = [t for sents in docs for toks in sents for t in toks]
         if not all_tokens:
-            return [[[] for _ in sents] for sents in docs]
+            return [[np.zeros(0, dtype=np.uint8) for _ in sents] for sents in docs]
         uniq, inv = np.unique(np.asarray(all_tokens, dtype=object), return_inverse=True)
         u_norm = np.asarray([self._norm(t) for t in uniq], dtype=object)
         u_single = np.fromiter((n in self.single for n in u_norm), dtype=bool, count=len(u_norm))
@@ -106,12 +121,12 @@ class GazetteerModel:
         tok_single = u_single[inv]
         tok_multi_start = u_multi[inv]
         tok_norm = u_norm[inv]
-        results: list[list[list[int]]] = []
+        results: list[list[np.ndarray]] = []
         off = 0
         for sents in docs:
-            doc_tags: list[list[int]] = []
-            for sent in sents:
-                n = len(sent["token_text"])
+            doc_tags: list[np.ndarray] = []
+            for toks in sents:
+                n = len(toks)
                 tags = np.full(n, O, dtype=np.uint8)
                 sl_multi = tok_multi_start[off : off + n]
                 if sl_multi.any():
@@ -134,7 +149,7 @@ class GazetteerModel:
                 # a multi-word span (a single never alters the scan path)
                 free_single = np.logical_and(tags == O, tok_single[off : off + n])
                 tags[free_single] = B
-                doc_tags.append(tags.tolist())
+                doc_tags.append(tags)
                 off += n
             results.append(doc_tags)
         return results
@@ -176,10 +191,11 @@ class DatexisNumpyModel:
         self._tri_memo: dict[str, np.ndarray] = {}
         self._zero_ff = np.zeros(ff, dtype=np.float32)
 
-    def _features(self, sentences: list[dict]) -> list[np.ndarray]:
-        """Per-sentence (len, ff) post-ff1 activations, built sparsely."""
-        lengths = [len(s["token_text"]) for s in sentences]
-        all_tokens = [t for s in sentences for t in s["token_text"]]
+    def _features(self, sentences: list[list[str]]) -> list[np.ndarray]:
+        """Per-sentence (len, ff) post-ff1 activations, built sparsely.
+        ``sentences`` is a list of token lists (one per sentence)."""
+        lengths = [len(toks) for toks in sentences]
+        all_tokens = [t for toks in sentences for t in toks]
         if not all_tokens:
             return [np.zeros((0, self.W_dense.shape[1]), dtype=np.float32) for _ in sentences]
         surf = surface_features_batch(all_tokens)  # (N, 11)
@@ -207,7 +223,7 @@ class DatexisNumpyModel:
             off += ln
         return out
 
-    def _batch_rnn(self, feats: list[np.ndarray]) -> list[list[int]]:
+    def _batch_rnn(self, feats: list[np.ndarray]) -> list[np.ndarray]:
         """Padded batched BiRNN over a bucket of sentences (the A4
         collator pattern, annotator.py:26-46) — the time loop runs
         max_len steps of (S, H) matmuls instead of Σlen Python steps.
@@ -218,7 +234,7 @@ class DatexisNumpyModel:
         lens = np.array([f.shape[0] for f in feats], dtype=np.int64)
         max_len = int(lens.max()) if n_sent else 0
         if max_len == 0:
-            return [[] for _ in feats]
+            return [np.zeros(0, dtype=np.uint8) for _ in feats]
         hidden = self.W_hh_f.shape[0]
         ff = self.W_dense.shape[1]
         x = np.zeros((n_sent, max_len, ff), dtype=np.float32)
@@ -239,12 +255,22 @@ class DatexisNumpyModel:
             hb[:, t] = h
         logits = np.concatenate([hf, hb], axis=2) @ self.W_out  # (S, L, 3)
         pred = np.argmax(logits, axis=2).astype(np.uint8)
-        return [pred[i, : lens[i]].tolist() for i in range(n_sent)]
+        return [pred[i, : lens[i]] for i in range(n_sent)]
 
     #: sentences per padded recurrence bucket
     RNN_BUCKET = 512
 
     def predict_documents(self, docs: list[list[dict]]) -> list[list[list[int]]]:
+        return [
+            [t.tolist() for t in doc]
+            for doc in self.predict_documents_tokens(
+                [[s["token_text"] for s in sents] for sents in docs]
+            )
+        ]
+
+    def predict_documents_tokens(
+        self, docs: list[list[list[str]]]
+    ) -> list[list[np.ndarray]]:
         """Cross-document batched inference with LENGTH BUCKETING: all
         sentences of the Ray batch are sorted by length and run through
         the padded recurrence in buckets of ``RNN_BUCKET``, so one giant
@@ -258,7 +284,9 @@ class DatexisNumpyModel:
             for d, doc in enumerate(feats_per_doc)
             for s, f in enumerate(doc)
         ]
-        results: list[list[list[int]]] = [[[] for _ in doc] for doc in feats_per_doc]
+        results: list[list[np.ndarray]] = [
+            [np.zeros(0, dtype=np.uint8) for _ in doc] for doc in feats_per_doc
+        ]
         order = sorted(range(len(flat)), key=lambda i: flat[i][2].shape[0])
         for c0 in range(0, len(order), self.RNN_BUCKET):
             idxs = order[c0 : c0 + self.RNN_BUCKET]
@@ -306,17 +334,35 @@ class NERScorer:
         self.model = load_model(model_name, **cfg)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        docs = batch.column("sentences").to_pylist()
         # Whole documents go to the model so position features keep their
         # per-document begin/end semantics (position_encoder.py:10-26).
-        # Models exposing predict_documents get the WHOLE Ray batch at
-        # once (length-bucketed padded recurrence — the reference pads
-        # 128 sentences to the batch max and wastes O(max_len) per short
-        # sentence, annotator.py:26-46; bucketing caps that waste).
-        if hasattr(self.model, "predict_documents"):
-            all_tags = self.model.predict_documents(docs)
-        else:
-            all_tags = [self.model.predict_document(sentences) for sentences in docs]
+        # Models exposing predict_documents_tokens get the WHOLE Ray
+        # batch at once (length-bucketed padded recurrence — the
+        # reference pads 128 sentences to the batch max and wastes
+        # O(max_len) per short sentence, annotator.py:26-46; bucketing
+        # caps that waste) — and ONLY the token_text child array is
+        # converted to Python (stages/nested.py), not the offset fields.
+        if hasattr(self.model, "predict_documents_tokens"):
+            from bioner_ray.stages.nested import doc_token_lists
+
+            docs_tokens, _ = doc_token_lists(batch)
+            all_tags = self.model.predict_documents_tokens(docs_tokens)
+            # build list<list<uint8>> from offsets — no per-int Python
+            sent_arrays = [t for doc in all_tags for t in doc]
+            flat = (
+                np.concatenate(sent_arrays).astype(np.uint8, copy=False)
+                if sent_arrays
+                else np.zeros(0, dtype=np.uint8)
+            )
+            inner_off = np.zeros(len(sent_arrays) + 1, dtype=np.int32)
+            np.cumsum([len(a) for a in sent_arrays], out=inner_off[1:])
+            inner = pa.ListArray.from_arrays(pa.array(inner_off), pa.array(flat))
+            outer_off = np.zeros(len(all_tags) + 1, dtype=np.int32)
+            np.cumsum([len(d) for d in all_tags], out=outer_off[1:])
+            tags_arr = pa.ListArray.from_arrays(pa.array(outer_off), inner).cast(TAGS_TYPE)
+            return batch.append_column("tags", tags_arr)
+        docs = batch.column("sentences").to_pylist()
+        all_tags = [self.model.predict_document(sentences) for sentences in docs]
         return batch.append_column("tags", pa.array(all_tags, type=TAGS_TYPE))
 
 

@@ -15,7 +15,9 @@ from bioner_ray.functions.text import split_sentences, tokenize_with_offsets
 from bioner_ray.schemas import SENTENCE_TYPE
 
 
-def segment_document(text: str, max_sentence_tokens: int = 512) -> list[dict]:
+def segment_document(
+    text: str, max_sentence_tokens: int = 512, with_offsets: bool = True
+) -> list[dict]:
     """One document's nested sentence structs.
 
     A sentence longer than ``max_sentence_tokens`` is split at token
@@ -24,11 +26,20 @@ def segment_document(text: str, max_sentence_tokens: int = 512) -> list[dict]:
     preserved). This is the pad-skew guard of SURVEY.md §7.4.5: one
     pathological unpunctuated page must not inflate a whole scorer
     bucket or blow the padded recurrence's (S, L, ff) buffer.
+
+    ``with_offsets=False`` leaves ``token_start``/``token_end`` empty
+    (schema unchanged): offsets exist for CoNLL export provenance and
+    the KG path never reads them — skipping them cuts tokenize time,
+    Arrow construction and every downstream shuffle's payload.
     """
     out = []
     sent_id = 0
     for sent in split_sentences(text):
-        texts, starts, ends = tokenize_with_offsets(sent)
+        if with_offsets:
+            texts, starts, ends = tokenize_with_offsets(sent)
+        else:
+            texts = sent.split()
+            starts = ends = []
         for off in range(0, max(len(texts), 1), max_sentence_tokens):
             out.append(
                 {
@@ -42,14 +53,14 @@ def segment_document(text: str, max_sentence_tokens: int = 512) -> list[dict]:
     return out
 
 
-def segment_batch(batch: pa.Table) -> pa.Table:
+def segment_batch(batch: pa.Table, with_offsets: bool = True) -> pa.Table:
     """(url, text, lang, …) → DOCUMENTS_SCHEMA rows (text dropped)."""
     texts = batch.column("text").to_pylist()
     sentences = []
     n_sentences = []
     n_tokens = []
     for text in texts:
-        sents = segment_document(text or "")
+        sents = segment_document(text or "", with_offsets=with_offsets)
         sentences.append(sents)
         n_sentences.append(len(sents))
         n_tokens.append(sum(len(s["token_text"]) for s in sents))
@@ -64,5 +75,10 @@ def segment_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def segment_stage(ds, batch_size: int = 256):
-    return ds.map_batches(segment_batch, batch_format="pyarrow", batch_size=batch_size)
+def segment_stage(ds, batch_size: int = 256, with_offsets: bool = True):
+    return ds.map_batches(
+        segment_batch,
+        fn_kwargs={"with_offsets": with_offsets},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )

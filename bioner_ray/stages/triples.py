@@ -76,20 +76,26 @@ class TripleAssembler:
         self.relation_lexicon = frozenset(relation_lexicon)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from bioner_ray.stages.nested import doc_boundaries, flat_struct_fields, flat_tags
+
         subjs, preds, objs, urls, sent_ids, scores = [], [], [], [], [], []
         url_col = batch.column("url").to_pylist()
-        sents_col = batch.column("sentences").to_pylist()
-        tags_col = batch.column("tags").to_pylist()
-        for url, sentences, doc_tags in zip(url_col, sents_col, tags_col):
-            for sent, tags in zip(sentences, doc_tags):
+        # only the token_text + sent_id child arrays leave Arrow — the
+        # offset fields (the widest part of the struct) stay buffered
+        sents = batch.column("sentences")
+        bounds = doc_boundaries(sents)
+        tok_ll, sid_ll = flat_struct_fields(sents, ["token_text", "sent_id"])
+        tags_ll = flat_tags(batch)
+        for d, url in enumerate(url_col):
+            for si in range(bounds[d], bounds[d + 1]):
                 for s, p, o, sc in assemble_sentence_triples(
-                    sent["token_text"], tags, self.index, self.relation_lexicon
+                    tok_ll[si], tags_ll[si], self.index, self.relation_lexicon
                 ):
                     subjs.append(s)
                     preds.append(p)
                     objs.append(o)
                     urls.append(url)
-                    sent_ids.append(sent["sent_id"])
+                    sent_ids.append(sid_ll[si])
                     scores.append(sc)
         return pa.table(
             {
@@ -121,28 +127,22 @@ def triples_stage(
 
 
 def _edge_partial_batch(batch: pa.Table) -> pa.Table:
-    """Local combiner: one partial edge row per distinct (s,p,o) in the block."""
-    agg: dict[tuple[str, str, str], list] = defaultdict(lambda: [0, 0.0, None])
-    for s, p, o, url, sc in zip(
-        batch.column("subj").to_pylist(),
-        batch.column("pred").to_pylist(),
-        batch.column("obj").to_pylist(),
-        batch.column("url").to_pylist(),
-        batch.column("score").to_pylist(),
-    ):
-        entry = agg[(s, p, o)]
-        entry[0] += 1
-        entry[1] = max(entry[1], sc)
-        entry[2] = url if entry[2] is None else min(entry[2], url)
-    keys = list(agg.keys())
+    """Local combiner: one partial edge row per distinct (s,p,o) in the
+    block — a single Arrow ``group_by`` (C speed), no Python dict loop."""
+    import pyarrow.compute as pc
+
+    t = batch.select(["subj", "pred", "obj", "url", "score"])
+    out = t.group_by(["subj", "pred", "obj"]).aggregate(
+        [("url", "count"), ("score", "max"), ("url", "min")]
+    )
     return pa.table(
         {
-            "subj": pa.array([k[0] for k in keys], type=pa.string()),
-            "pred": pa.array([k[1] for k in keys], type=pa.string()),
-            "obj": pa.array([k[2] for k in keys], type=pa.string()),
-            "weight": pa.array([agg[k][0] for k in keys], type=pa.int64()),
-            "score": pa.array([agg[k][1] for k in keys], type=pa.float32()),
-            "first_url": pa.array([agg[k][2] for k in keys], type=pa.string()),
+            "subj": out.column("subj"),
+            "pred": out.column("pred"),
+            "obj": out.column("obj"),
+            "weight": pc.cast(out.column("url_count"), pa.int64()),
+            "score": pc.cast(out.column("score_max"), pa.float32()),
+            "first_url": out.column("url_min"),
         }
     )
 
