@@ -79,8 +79,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_components": co.dedup_components,          # near-dup clusters (iterative)
         "dedup_minhash_pairs": co.dedup_minhash_pairs,    # rows-only (LSH)
         "dedup_simhash_pairs": co.dedup_simhash_pairs,    # rows-only (SimHash)
+        "dedup_filter": co.dedup_filter,                  # pairs→components→keep-representatives
         "token_stats": co.token_stats,
         "conll_roundtrip": co.conll_roundtrip,            # S1/S2 format↔parse parity
+        "pubmed_extract": co.pubmed_extract,              # S4/S5/G8 XML extract round-trip
+        "conlleval_export": co.conlleval_export,          # S3/S8/M12/J3 export round-trip
         "quality_docs": co.quality_docs,
         "winnow_fingerprints": co.winnow_fingerprints,    # rows-only (winnowing)
         "fingerprints": co.fingerprints,
@@ -254,6 +257,53 @@ walk(x, label) AS (
   SELECT e.x, ww.label FROM edges e JOIN walk ww ON ww.x = e.y
 )
 SELECT x AS node, CAST(min(label) AS BIGINT) AS component FROM walk GROUP BY x
+""",
+        "dedup_filter": """
+WITH RECURSIVE
+w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ws
+      FROM documents),
+sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+       FROM w, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS c
+           FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2),
+pairs AS (SELECT a, b FROM common JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+          WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5),
+edges AS (SELECT a AS x, b AS y FROM pairs UNION SELECT b, a FROM pairs),
+walk(x, label) AS (
+  SELECT x, x FROM (SELECT DISTINCT x FROM edges)
+  UNION
+  SELECT e.x, ww.label FROM edges e JOIN walk ww ON ww.x = e.y
+),
+comp AS (SELECT x AS node, min(label) AS component FROM walk GROUP BY x)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
+""",
+        "pubmed_extract": """
+WITH m AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 50 = 0
+              THEN text || ' (ABSTRACT TRUNCATED AT 250 WORDS)'
+              ELSE text END AS t
+  FROM documents WHERE length(text) > 0
+)
+SELECT doc_id, CAST(length(t) + 1 AS BIGINT) AS n_chars,
+       CASE WHEN t LIKE '%(ABSTRACT TRUNCATED AT 250 WORDS)' THEN '250'
+            WHEN t LIKE '%(ABSTRACT TRUNCATED AT 400 WORDS)' THEN '400'
+            WHEN t LIKE '%(ABSTRACT TRUNCATED)' THEN 'plain'
+            ELSE 'none' END AS truncated_kind
+FROM m
+""",
+        "conlleval_export": f"""
+WITH {_TOK_CTE},
+c AS (SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(count(*) FILTER (WHERE w IN {ENTITY_LIST_SQL}) AS BIGINT) AS n_gold_b,
+             CAST(count(*) FILTER (WHERE w IN {PRED_LIST_SQL}) AS BIGINT) AS n_pred_b
+      FROM tok GROUP BY doc_id)
+SELECT d.doc_id, coalesce(c.n_lines, 0) AS n_lines,
+       coalesce(c.n_gold_b, 0) AS n_gold_b, coalesce(c.n_pred_b, 0) AS n_pred_b
+FROM documents d LEFT JOIN c USING (doc_id)
 """,
         "token_stats": f"""
 WITH t AS (SELECT doc_id,

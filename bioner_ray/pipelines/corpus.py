@@ -120,6 +120,165 @@ def conll_roundtrip(sf_dir: str):
     return _documents(sf_dir).map_batches(rt, batch_format="pyarrow")
 
 
+#: every 50th document gets a reference truncation marker appended, so
+#: the S5 detect-but-keep semantics are visible in the oracle hash
+_TRUNC_EVERY = 50
+
+
+def pubmed_extract(sf_dir: str):
+    """S4/S5/G8 as a distributed query: each document is wrapped into a
+    deterministic PubMed XML article (Abstract/AbstractText, escaped),
+    parsed back through the real S4 reader (``parse_pubmed_xml``) and
+    normalized by the byte-faithful S5 ``process_abstract_text`` — all
+    inside one ``map_batches``. Docs with ``doc_id % 50 == 0`` carry the
+    ``(ABSTRACT TRUNCATED AT 250 WORDS)`` suffix so the truncation
+    detector (reference counters G8, pubmed_parser.py:14-18) has
+    non-trivial output. Empty texts are skipped exactly like the
+    reference skips text-less articles (pubmed_parser.py:30-39).
+
+    Columns: doc_id, n_chars (extracted length incl. the appended
+    newline), truncated_kind.
+    """
+    from xml.sax.saxutils import escape
+
+    from bioner_ray.functions.text import ABSTRACT_TRUNCATED_AT_250
+    from bioner_ray.sources.pubmed import parse_pubmed_xml
+
+    def rt(batch: pa.Table) -> pa.Table:
+        ids, n_chars, kinds = [], [], []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            text = text or ""
+            if not text:
+                continue  # reference: articles without abstract text are skipped
+            if doc_id % _TRUNC_EVERY == 0:
+                text = text + " " + ABSTRACT_TRUNCATED_AT_250
+            xml = (
+                "<PubmedArticleSet><PubmedArticle><Article>"
+                "<Abstract><AbstractText>"
+                + escape(text)
+                + "</AbstractText></Abstract>"
+                "</Article></PubmedArticle></PubmedArticleSet>"
+            ).encode("utf-8")
+            rows = parse_pubmed_xml(xml, gzipped=False)
+            assert len(rows) == 1, f"expected one abstract for doc {doc_id}"
+            ids.append(doc_id)
+            n_chars.append(len(rows[0]["text"]))
+            kinds.append(rows[0]["truncated_kind"])
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "n_chars": pa.array(n_chars, type=pa.int64()),
+                "truncated_kind": pa.array(kinds, type=pa.string()),
+            }
+        )
+
+    return _documents(sf_dir).map_batches(rt, batch_format="pyarrow")
+
+
+def conlleval_export(sf_dir: str):
+    """S3/M12/J3/S8 as a distributed query: per document — segment,
+    gold-tag (full gazetteer) and pred-tag (degraded gazetteer), format
+    the conlleval side-by-side block (S3 writer), derive the external
+    ``token label`` TSV, re-read it through the S8 prediction reader and
+    positionally re-annotate the documents (M12/J3, asserting token
+    equality like postprocess_predictions.py:31-34). A disagreement
+    between the re-annotated tags and the original predictions raises.
+
+    Columns: doc_id, n_lines (token lines in the export), n_gold_b,
+    n_pred_b (B-tagged tokens per annotator — SQL-replayable because
+    the gazetteer surfaces are single words).
+    """
+    from bioner_ray.functions.bio import B
+    from bioner_ray.pipelines.analytics import ENTITY_SURFACES, PRED_SURFACES
+    from bioner_ray.sources.conll import (
+        annotate_documents_positionally,
+        format_conlleval_document,
+        read_prediction_tsv,
+    )
+    from bioner_ray.stages.scorer import GazetteerModel
+    from bioner_ray.stages.segment import segment_document
+
+    class Export:
+        def __init__(self):
+            self.gold = GazetteerModel(list(ENTITY_SURFACES))
+            self.pred = GazetteerModel(list(PRED_SURFACES))
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids, n_lines, n_gold, n_pred = [], [], [], []
+            for doc_id, text in zip(
+                batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+            ):
+                sents = segment_document(text or "", with_offsets=False)
+                gold_tags = self.gold.predict_document(sents)
+                pred_tags = self.pred.predict_document(sents)
+                doc = {
+                    "doc_id": doc_id,
+                    "sentences": [
+                        {**s, "gold_tags": g, "pred_tags": p}
+                        for s, g, p in zip(sents, gold_tags, pred_tags)
+                    ],
+                }
+                block = format_conlleval_document(doc)  # S3 writer
+                # external annotator's view: token<space>pred_label TSV
+                tsv = "\n".join(
+                    " ".join((ln.split(" ")[0], ln.split(" ")[2]))
+                    for ln in block.split("\n")
+                    if ln
+                )
+                annotated = read_prediction_tsv(tsv)  # S8 reader
+                redone = annotate_documents_positionally([doc], annotated)  # M12/J3
+                for s_orig, s_new in zip(doc["sentences"], redone[0]["sentences"]):
+                    if s_new["pred_tags"] != list(s_orig["pred_tags"]):
+                        raise ValueError(f"conlleval round-trip mismatch in doc {doc_id}")
+                ids.append(doc_id)
+                n_lines.append(sum(len(s["token_text"]) for s in sents))
+                n_gold.append(sum(t == B for tags in gold_tags for t in tags))
+                n_pred.append(sum(t == B for tags in pred_tags for t in tags))
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids, type=pa.int64()),
+                    "n_lines": pa.array(n_lines, type=pa.int64()),
+                    "n_gold_b": pa.array(n_gold, type=pa.int64()),
+                    "n_pred_b": pa.array(n_pred, type=pa.int64()),
+                }
+            )
+
+    return _documents(sf_dir).map_batches(
+        Export, batch_format="pyarrow", batch_size=256, concurrency=(1, 4)
+    )
+
+
+def dedup_filter(sf_dir: str, threshold: float = 0.5):
+    """The end-to-end corpus-hygiene composition a 100-TB run executes:
+    exact Jaccard pairs → connected components → KEEP one document per
+    near-dup cluster (the min-id representative) plus every document in
+    no cluster. The non-representative set is bounded by the near-dup
+    population, so it broadcasts via one ``ray.put`` and the corpus
+    filter streams. Columns: doc_id."""
+    import pyarrow.compute as pc
+    import ray
+
+    from bioner_ray.stages.dedup import jaccard_pairs
+    from bioner_ray.stages.graph import connected_components
+
+    comps = connected_components(jaccard_pairs(_documents(sf_dir), threshold=threshold))
+    drop = [
+        r["node"] for r in comps.take_all() if r["node"] != r["component"]
+    ]  # bounded by the near-dup population
+    drop_ref = ray.put(set(drop))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        d = ray.get(drop_ref)
+        mask = pa.array([i not in d for i in batch.column("doc_id").to_pylist()])
+        return pa.table({"doc_id": batch.column("doc_id").filter(mask)})
+
+    return _read(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        keep, batch_format="pyarrow"
+    )
+
+
 def quality_docs(sf_dir: str, min_tokens: int = 20, min_ttr: float = 0.3):
     """C4-style quality gate: documents inside the token window with
     enough lexical diversity. Columns: doc_id."""

@@ -300,6 +300,173 @@ class DatexisNumpyModel:
         return self.predict_documents([sentences])[0]
 
 
+def _build_bioner_torch_module(
+    input_vector_size: int,
+    feedforward_layer_size: int,
+    lstm_layer_size: int,
+    out_features: int,
+    dropout_probability: float,
+):
+    """The reference architecture verbatim (bioner_model.py:16-93): ff
+    2048 + ReLU + dropout(0.8) → BiLSTM 1024 → 2 more BiLSTM 1024 →
+    LSTM decoder 1024 → linear 3, packed/padded forward with lengths,
+    output permuted to [batch, classes, seq]. Import-gated: torch is
+    absent from this container, so callers reach this only through
+    ``BioNERTorchModel`` which raises a STUB error first."""
+    import torch
+    from torch import nn
+    from torch.nn.utils.rnn import pack_padded_sequence, pad_packed_sequence
+
+    class _BioNER(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.dropout = nn.Dropout(p=dropout_probability)
+            self.ff1 = nn.Linear(input_vector_size, feedforward_layer_size)
+            self.biLSTM = nn.LSTM(
+                feedforward_layer_size, lstm_layer_size, bidirectional=True, batch_first=True
+            )
+            self.additional_biLSTM_layers = nn.ModuleList(
+                [
+                    nn.LSTM(lstm_layer_size * 2, lstm_layer_size, bidirectional=True, batch_first=True)
+                    for _ in range(2)
+                ]
+            )
+            self.encoderLSTM = nn.LSTM(lstm_layer_size * 2, lstm_layer_size, batch_first=True)
+            self.hidden2tag = nn.Linear(lstm_layer_size, out_features)
+
+        def _dropout_packed(self, seq, lengths):
+            x, _ = pad_packed_sequence(seq, batch_first=True)
+            x = self.dropout(x)
+            return pack_padded_sequence(x, lengths.cpu(), batch_first=True, enforce_sorted=False)
+
+        def forward(self, x, lengths):
+            x = torch.relu(self.ff1(x))
+            x = self.dropout(x)
+            x = pack_padded_sequence(x, lengths.cpu(), batch_first=True, enforce_sorted=False)
+            out, _ = self.biLSTM(x)
+            out = self._dropout_packed(out, lengths)
+            for layer in self.additional_biLSTM_layers:
+                out, _ = layer(out)
+                out = self._dropout_packed(out, lengths)
+            out, _ = self.encoderLSTM(out)
+            out, _ = pad_packed_sequence(out, batch_first=True)
+            tag_space = self.hidden2tag(out)
+            return tag_space.permute(0, 2, 1)  # [batch, classes, seq]
+
+    return _BioNER()
+
+
+class BioNERTorchModel:
+    """Import-gated torch backend for the REAL BioNER BiLSTM stack.
+
+    Loads a published ``.pt`` checkpoint into the reference architecture
+    (bioner_model.py:16-93) and runs the reference inference loop
+    (annotator.py:266-281): 128-sentence batches, pad to batch max,
+    forward with original lengths, argmax over the class dim, truncate
+    each row to its true length. Token vectors come from the engine's
+    encoder backends (stages/encode.EmbeddingEncoder — ``hash`` is the
+    deterministic container-safe default; ``fasttext`` is the
+    reference's real 300-d encoder, itself import-gated).
+
+    Without torch in the environment, construction raises
+    ``NotImplementedError`` with a STUB marker (same seam as
+    encode.py's fasttext gate); the registry entry, config plumbing and
+    collation contract are real and under test.
+    """
+
+    name = "bioner-bilstm"
+    INFERENCE_SENTENCE_BATCH = INFERENCE_SENTENCE_BATCH  # annotator.py:272-273
+
+    def __init__(
+        self,
+        checkpoint_path: Optional[str] = None,
+        input_vector_size: int = 300,
+        feedforward_layer_size: int = 2048,
+        lstm_layer_size: int = 1024,
+        out_features: int = 3,
+        dropout_probability: float = 0.8,
+        encoder_backend: str = "hash",
+        encoder_model_path: Optional[str] = None,
+    ):
+        try:
+            import torch  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "STUB: torch is not installed in this environment; the "
+                "'bioner-bilstm' backend needs torch plus a BioNER "
+                "checkpoint (architecture: "
+                "/root/reference/bioner/model/bioner_model.py:16-93). "
+                "Use 'datexis-numpy' (seeded analog) or 'gazetteer'."
+            ) from e
+        from bioner_ray.stages.encode import EmbeddingEncoder
+
+        self.encoder = EmbeddingEncoder(
+            backend=encoder_backend, model_path=encoder_model_path, dim=input_vector_size
+        )
+        self.module = _build_bioner_torch_module(
+            input_vector_size,
+            feedforward_layer_size,
+            lstm_layer_size,
+            out_features,
+            dropout_probability,
+        )
+        if checkpoint_path:
+            state = torch.load(checkpoint_path, map_location="cpu")
+            # the reference trains via ignite Checkpoint(to_save={'model': …})
+            # (annotator.py:150-166) → accept both wrapped and raw state dicts
+            if isinstance(state, dict) and "model" in state:
+                state = state["model"]
+            self.module.load_state_dict(state)
+        self.module.eval()
+
+    def predict_documents_tokens(
+        self, docs: list[list[list[str]]]
+    ) -> list[list[np.ndarray]]:
+        import torch
+
+        flat_tokens = [toks for sents in docs for toks in sents]
+        preds: list[np.ndarray] = []
+        with torch.no_grad():
+            for c0 in range(0, len(flat_tokens), self.INFERENCE_SENTENCE_BATCH):
+                chunk = flat_tokens[c0 : c0 + self.INFERENCE_SENTENCE_BATCH]
+                lens = [len(t) for t in chunk]
+                max_len = max(lens, default=0)
+                if max_len == 0:
+                    preds.extend(np.zeros(0, dtype=np.uint8) for _ in chunk)
+                    continue
+                dim = self.encoder.dim
+                x = np.zeros((len(chunk), max_len, dim), dtype=np.float32)
+                for i, toks in enumerate(chunk):
+                    if toks:
+                        x[i, : len(toks)] = self.encoder._encode_tokens(list(toks))
+                # pack_padded_sequence rejects zero lengths → clamp to 1
+                # (the pad row is zeros; the argmax rows past the true
+                # length are truncated away below, annotator.py:277-279)
+                lengths = torch.tensor([max(l, 1) for l in lens], dtype=torch.long)
+                y = self.module(torch.from_numpy(x), lengths)  # [B, C, L']
+                idx = torch.argmax(y, dim=1).cpu().numpy()  # [B, L']
+                preds.extend(
+                    idx[i, : lens[i]].astype(np.uint8) for i in range(len(chunk))
+                )
+        out: list[list[np.ndarray]] = []
+        pos = 0
+        for sents in docs:
+            out.append(preds[pos : pos + len(sents)])
+            pos += len(sents)
+        return out
+
+    def predict_documents(self, docs: list[list[dict]]) -> list[list[list[int]]]:
+        return [
+            [t.tolist() for t in doc]
+            for doc in self.predict_documents_tokens(
+                [[s["token_text"] for s in sents] for sents in docs]
+            )
+        ]
+
+    def predict_document(self, sentences: list[dict]) -> list[list[int]]:
+        return self.predict_documents([sentences])[0]
+
+
 def load_model(name: str, **config):
     """Model registry by name string (reference ModelLoader.load_model,
     model_loader.py:64-115: unknown name raises)."""
@@ -312,6 +479,8 @@ def load_model(name: str, **config):
             ff=config.get("ff", 128),
             seed=config.get("seed", 1632737901),
         )
+    if name == "bioner-bilstm":
+        return BioNERTorchModel(**config)
     raise ValueError(f"unknown model: {name}")
 
 

@@ -42,6 +42,9 @@ SQL_CHECKED = [
     "error_length_stats",
     "ensemble_mention_counts",
     "quality_docs",
+    "dedup_filter",
+    "pubmed_extract",
+    "conlleval_export",
 ]
 
 ROWS_ONLY = [
