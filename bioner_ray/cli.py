@@ -29,6 +29,9 @@ def _ensure_ray():
 
     if not ray.is_initialized():
         ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    from bioner_ray.stages.shuffle import quiet_empty_bundle_warnings
+
+    quiet_empty_bundle_warnings()
     return ray
 
 

@@ -393,7 +393,6 @@ def pricing_summary(sf_dir: str):
     Arrow group_by combiner, then the small groupby sum. Columns:
     l_returnflag, l_linestatus, n_rows, sum_qty_cents, sum_price_cents,
     sum_disc_price_cents."""
-    from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
         price = pc.cast(batch.column("l_extendedprice"), pa.float64())
@@ -425,20 +424,13 @@ def pricing_summary(sf_dir: str):
         "lineitem",
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
     )
-    out = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("n_rows"), Sum("sum_qty_cents"), Sum("sum_price_cents"), Sum("sum_disc_price_cents")
-        )
-    )
-    return out.rename_columns(
-        {
-            "sum(n_rows)": "n_rows",
-            "sum(sum_qty_cents)": "sum_qty_cents",
-            "sum(sum_price_cents)": "sum_price_cents",
-            "sum(sum_disc_price_cents)": "sum_disc_price_cents",
-        }
+    from bioner_ray.stages.shuffle import bucketed_aggregate
+
+    return bucketed_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        [("n_rows", "sum"), ("sum_qty_cents", "sum"), ("sum_price_cents", "sum"),
+         ("sum_disc_price_cents", "sum")],
     )
 
 
@@ -463,7 +455,7 @@ def customers_per_nation(sf_dir: str):
     n_name, n_customers, sum_acctbal_cents."""
     import ray
 
-    from ray.data.aggregate import Count, Sum
+    from bioner_ray.stages.shuffle import bucketed_aggregate, with_ones
 
     nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
     lookup_ref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
@@ -479,14 +471,12 @@ def customers_per_nation(sf_dir: str):
         )
 
     ds = _read(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"])
-    out = (
-        ds.map_batches(attach, batch_format="pyarrow")
-        .groupby("n_name")
-        .aggregate(Count(), Sum("acctbal_cents"))
+    out = bucketed_aggregate(
+        with_ones(ds.map_batches(attach, batch_format="pyarrow"), "n_customers"),
+        ["n_name"],
+        [("n_customers", "sum"), ("acctbal_cents", "sum")],
     )
-    return out.rename_columns(
-        {"count()": "n_customers", "sum(acctbal_cents)": "sum_acctbal_cents"}
-    )
+    return out.rename_columns({"acctbal_cents": "sum_acctbal_cents"})
 
 
 def revenue_by_segment(sf_dir: str, num_partitions: int | None = None):
@@ -498,7 +488,7 @@ def revenue_by_segment(sf_dir: str, num_partitions: int | None = None):
     n_orders, revenue_cents."""
     import ray
 
-    from ray.data.aggregate import Count, Sum
+    from bioner_ray.stages.shuffle import bucketed_aggregate, with_ones
 
     if num_partitions is None:
         cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
@@ -524,16 +514,21 @@ def revenue_by_segment(sf_dir: str, num_partitions: int | None = None):
         right_on=("c_custkey",),
         aggregator_ray_remote_args={"num_cpus": 0.25},
     )
-    out = joined.groupby("c_mktsegment").aggregate(Count(), Sum("revenue_cents_row"))
-    return out.rename_columns(
-        {"count()": "n_orders", "sum(revenue_cents_row)": "revenue_cents"}
+    keyed = joined.map_batches(
+        lambda t: t.select(["c_mktsegment", "revenue_cents_row"]), batch_format="pyarrow"
     )
+    out = bucketed_aggregate(
+        with_ones(keyed, "n_orders"),
+        ["c_mktsegment"],
+        [("n_orders", "sum"), ("revenue_cents_row", "sum")],
+    )
+    return out.rename_columns({"revenue_cents_row": "revenue_cents"})
 
 
 def events_by_type(sf_dir: str):
     """Streaming aggregate over the events table. Columns: event_type,
     n_events, sum_value_cents."""
-    from ray.data.aggregate import Count, Sum
+    from bioner_ray.stages.shuffle import bucketed_aggregate, with_ones
 
     def prep(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -544,17 +539,19 @@ def events_by_type(sf_dir: str):
         )
 
     ds = _read(sf_dir, "events", columns=["event_type", "value"])
-    out = ds.map_batches(prep, batch_format="pyarrow").groupby("event_type").aggregate(
-        Count(), Sum("value_cents")
+    out = bucketed_aggregate(
+        with_ones(ds.map_batches(prep, batch_format="pyarrow"), "n_events"),
+        ["event_type"],
+        [("n_events", "sum"), ("value_cents", "sum")],
     )
-    return out.rename_columns({"count()": "n_events", "sum(value_cents)": "sum_value_cents"})
+    return out.rename_columns({"value_cents": "sum_value_cents"})
 
 
 def events_per_day(sf_dir: str):
     """Tumbling daily window as a calendar groupby (the streaming-window
     analog in a batch engine; the reference has no windows, SURVEY §2.9).
     Columns: day, n_events, sum_value_cents."""
-    from ray.data.aggregate import Count, Sum
+    from bioner_ray.stages.shuffle import bucketed_aggregate, with_ones
 
     def prep(batch: pa.Table) -> pa.Table:
         day = pc.floor_temporal(batch.column("ts"), unit="day")
@@ -566,10 +563,12 @@ def events_per_day(sf_dir: str):
         )
 
     ds = _read(sf_dir, "events", columns=["ts", "value"])
-    out = ds.map_batches(prep, batch_format="pyarrow").groupby("day").aggregate(
-        Count(), Sum("value_cents")
+    out = bucketed_aggregate(
+        with_ones(ds.map_batches(prep, batch_format="pyarrow"), "n_events"),
+        ["day"],
+        [("n_events", "sum"), ("value_cents", "sum")],
     )
-    return out.rename_columns({"count()": "n_events", "sum(value_cents)": "sum_value_cents"})
+    return out.rename_columns({"value_cents": "sum_value_cents"})
 
 
 def events_rolling_7d(sf_dir: str):

@@ -97,6 +97,17 @@ def run_kg_streaming(
             self.assembler = TripleAssembler(index_ref, relation_lexicon)
 
         def __call__(self, batch):
+            # fused fast path: token lists leave Arrow ONCE, predictions
+            # stay numpy — no intermediate tags column is built just to
+            # be converted back (profiled at ~1/3 of the assemble cost)
+            model = self.scorer.model
+            if hasattr(model, "predict_documents_tokens"):
+                from bioner_ray.stages.nested import doc_token_lists
+
+                docs_tokens, _ = doc_token_lists(batch)
+                all_tags = model.predict_documents_tokens(docs_tokens)
+                urls = batch.column("url").to_pylist()
+                return self.assembler.assemble_from_tokens(urls, docs_tokens, all_tags)
             return self.assembler(self.scorer(batch))
 
     from bioner_ray.stages.triples import RELATION_LEXICON

@@ -93,13 +93,12 @@ def _error_stats_partial(batch: pa.Table, gold_key: str, pred_key: str) -> pa.Ta
 
 def error_stats_by_length(docs_ds, gold_key: str = "gold_tags", pred_key: str = "pred_tags"):
     """Grouped error ratios per entity length (G7) as a small Dataset."""
-    from ray.data.aggregate import Sum
+    from bioner_ray.stages.shuffle import bucketed_aggregate
 
     partials = docs_ds.map_batches(
         lambda b: _error_stats_partial(b, gold_key, pred_key), batch_format="pyarrow"
     )
-    agg = partials.groupby("length").aggregate(Sum("total"), Sum("errors"))
-    return agg.rename_columns({"sum(total)": "total", "sum(errors)": "errors"})
+    return bucketed_aggregate(partials, ["length"], [("total", "sum"), ("errors", "sum")])
 
 
 def _span_sets_batch(batch: pa.Table, key_a: str, key_b: str) -> pa.Table:

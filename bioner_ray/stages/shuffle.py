@@ -93,6 +93,26 @@ def bucketed_aggregate(
     )
 
 
+def quiet_empty_bundle_warnings() -> None:
+    """Filter Ray's "RefBundle with a different schema … new schema: ."
+    log line. At toy scale, sort-based shuffles (the machinery under
+    ``groupby().map_groups`` / ``aggregate``) emit EMPTY reduce
+    partitions whose bundles carry no schema; the streaming executor
+    logs a schema-change warning for each. The bundles are empty —
+    nothing downstream can misbehave — and at production density every
+    reduce partition holds data, so the condition itself vanishes.
+    Entry points (bench, CLI, oracle checker) call this once."""
+    import logging
+
+    class _Filter(logging.Filter):
+        def filter(self, record: logging.LogRecord) -> bool:
+            return "RefBundle with a different schema" not in record.getMessage()
+
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).addFilter(_Filter())
+
+
 def with_ones(ds, name: str = "one"):
     """Append an int64 ones column (count = sum(one) after aggregation)."""
 

@@ -127,24 +127,13 @@ def build_ivf_centroids(
     return cent
 
 
-def knn_ivf(
-    ds,
-    query_matrix: np.ndarray,
-    k: int = 10,
-    n_clusters: int = 16,
-    n_probe: int = 4,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-) -> pa.Table:
-    """IVF approximate top-k: vectors whose nearest centroid is not in a
-    query's probe set are skipped inside the block scan (at cluster
-    scale the lists would be hash-partitioned by centroid id so whole
-    partitions are pruned at the read)."""
+def _ivf_scan(ds, q: np.ndarray, cent: np.ndarray, probes: np.ndarray, k: int,
+              vec_col: str, id_col: str) -> pa.Table:
+    """Shared IVF scan: per block, assign vectors to centroids, mask to
+    each query's probe lists, local top-k; driver heap-merges the tiny
+    Q×k-per-block partials."""
     import ray
 
-    cent = build_ivf_centroids(ds, n_clusters=n_clusters, vec_col=vec_col)
-    q = _normalize_rows(np.asarray(query_matrix, dtype=np.float64))
-    probes = np.argsort(-(q @ cent.T), axis=1)[:, :n_probe]  # (Q, n_probe)
     state = ray.put((q, cent, probes))
 
     def block_topk(batch: pa.Table) -> pa.Table:
@@ -193,6 +182,114 @@ def knn_ivf(
             "rank": pa.array(r_out, type=pa.int64()),
         }
     )
+
+
+def knn_ivf(
+    ds,
+    query_matrix: np.ndarray,
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pa.Table:
+    """IVF approximate top-k over an UNPARTITIONED dataset: vectors
+    whose nearest centroid is not in a query's probe set are skipped
+    inside the block scan. For read-level pruning (whole partitions
+    skipped at the storage layer), build a centroid-partitioned index
+    with ``build_ivf_index`` and query it with ``knn_ivf_index`` —
+    this in-memory form and the index form return IDENTICAL results
+    for the same centroid seed."""
+    cent = build_ivf_centroids(ds, n_clusters=n_clusters, vec_col=vec_col)
+    q = _normalize_rows(np.asarray(query_matrix, dtype=np.float64))
+    probes = np.argsort(-(q @ cent.T), axis=1)[:, :n_probe]  # (Q, n_probe)
+    return _ivf_scan(ds, q, cent, probes, k, vec_col, id_col)
+
+
+def build_ivf_index(
+    ds,
+    index_dir: str,
+    n_clusters: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_size: int = 2048,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Materialize a centroid-partitioned IVF index: one Parquet
+    partition directory per inverted list (``list_id=K/``), centroids
+    saved alongside. This is the scale path the in-memory scan's
+    docstring promises: a query with ``n_probe`` lists reads ONLY those
+    directories — partition pruning happens at the STORAGE layer, the
+    unprobed ~(1 - n_probe/n_clusters) of the corpus never leaves disk.
+    Writing is one streaming pass (assign = one matmul per block against
+    the broadcast centroids + a partitioned write); returns the
+    centroid matrix."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray
+
+    cent = build_ivf_centroids(
+        ds, n_clusters=n_clusters, sample_size=sample_size, iters=iters,
+        vec_col=vec_col, seed=seed,
+    )
+    cent_ref = ray.put(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cm = ray.get(cent_ref)
+        m = _normalize_rows(_batch_matrix(batch, vec_col))
+        a = np.argmax(m @ cm.T, axis=1).astype(np.int64)
+        return batch.select([id_col, vec_col]).append_column(
+            "list_id", pa.array(a, type=pa.int64())
+        )
+
+    os.makedirs(index_dir, exist_ok=True)
+    ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+        index_dir, partition_cols=["list_id"]
+    )
+    pq.write_table(
+        pa.table({"centroid": pa.array(cent.tolist(), type=pa.list_(pa.float64()))}),
+        os.path.join(index_dir, "centroids.parquet"),
+    )
+    return cent
+
+
+def knn_ivf_index(
+    index_dir: str,
+    query_matrix: np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pa.Table:
+    """Approximate top-k against a ``build_ivf_index`` directory,
+    reading ONLY the partitions in the queries' probe union — the
+    read-level pruning counterpart of ``knn_ivf`` (identical output
+    for the same centroids)."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    cent = np.asarray(
+        pq.read_table(os.path.join(index_dir, "centroids.parquet"))
+        .column("centroid")
+        .to_pylist(),
+        dtype=np.float64,
+    )
+    q = _normalize_rows(np.asarray(query_matrix, dtype=np.float64))
+    probes = np.argsort(-(q @ cent.T), axis=1)[:, :n_probe]  # (Q, n_probe)
+    used = sorted({int(p) for row in probes for p in row})
+    paths = []
+    for c in used:
+        d = os.path.join(index_dir, f"list_id={c}")
+        if os.path.isdir(d):  # a list can be empty → no directory written
+            paths.extend(
+                os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")
+            )
+    pruned = rd.read_parquet(paths, columns=[id_col, vec_col])
+    return _ivf_scan(pruned, q, cent, probes, k, vec_col, id_col)
 
 
 def cosine_dup_pairs(

@@ -75,6 +75,43 @@ class TripleAssembler:
         )
         self.relation_lexicon = frozenset(relation_lexicon)
 
+    def assemble_from_tokens(
+        self,
+        urls: list[str],
+        docs_tokens: list[list[list[str]]],
+        docs_tags: list[list],
+    ) -> pa.Table:
+        """Fused-path entry: assemble directly from the scorer's
+        in-memory token lists and per-sentence tag arrays — the tags
+        never round-trip through an Arrow column and the token lists
+        are converted from Arrow exactly once per batch (sent_id is the
+        within-document sentence index by construction,
+        segment.segment_document)."""
+        subjs, preds, objs, out_urls, sent_ids, scores = [], [], [], [], [], []
+        for url, sents, tags in zip(urls, docs_tokens, docs_tags):
+            for si, (toks, t) in enumerate(zip(sents, tags)):
+                t = t.tolist() if hasattr(t, "tolist") else t
+                for s, p, o, sc in assemble_sentence_triples(
+                    toks, t, self.index, self.relation_lexicon
+                ):
+                    subjs.append(s)
+                    preds.append(p)
+                    objs.append(o)
+                    out_urls.append(url)
+                    sent_ids.append(si)
+                    scores.append(sc)
+        return pa.table(
+            {
+                "subj": pa.array(subjs, type=pa.string()),
+                "pred": pa.array(preds, type=pa.string()),
+                "obj": pa.array(objs, type=pa.string()),
+                "url": pa.array(out_urls, type=pa.string()),
+                "sent_id": pa.array(sent_ids, type=pa.int32()),
+                "score": pa.array(scores, type=pa.float32()),
+            },
+            schema=TRIPLES_SCHEMA,
+        )
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         from bioner_ray.stages.nested import doc_boundaries, flat_struct_fields, flat_tags
 

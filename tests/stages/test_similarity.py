@@ -87,3 +87,27 @@ class TestCosinePairs:
     def test_lsh_mode_finds_planted(self, vec_ds):
         df = cosine_dup_pairs(vec_ds, threshold=0.95, n_planes=6).to_pandas()
         assert (10, 50) in set(zip(df.a, df.b))
+
+
+class TestIVFIndex:
+    def test_index_matches_in_memory_scan_and_prunes(self, vectors, vec_ds, tmp_path):
+        """build_ivf_index + knn_ivf_index must return EXACTLY what the
+        in-memory knn_ivf returns (same centroid seed), while reading
+        only the probe-union partition directories."""
+        import os
+
+        from bioner_ray.stages.similarity import build_ivf_index, knn_ivf, knn_ivf_index
+
+        idx_dir = str(tmp_path / "ivf")
+        build_ivf_index(vec_ds, idx_dir, n_clusters=8)
+        q = vectors[:4]
+        mem = knn_ivf(vec_ds, q, k=5, n_clusters=8, n_probe=3).to_pandas()
+        via_idx = knn_ivf_index(idx_dir, q, k=5, n_probe=3).to_pandas()
+        cols = ["query_id", "rank"]
+        mem = mem.sort_values(cols).reset_index(drop=True)
+        via_idx = via_idx.sort_values(cols).reset_index(drop=True)
+        assert mem.equals(via_idx)
+        # the index really is partitioned: several list dirs exist, and a
+        # 3-of-8 probe read touches a strict subset of them
+        dirs = [d for d in os.listdir(idx_dir) if d.startswith("list_id=")]
+        assert len(dirs) >= 4
