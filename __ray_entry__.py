@@ -61,6 +61,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ner_eval": an.ner_eval,
         "error_length_stats": an.error_length_stats,
         "ensemble_mention_counts": an.ensemble_mention_counts,
+        "surface_stats": an.surface_stats,                 # M3 surface encoder
+        "doc_shuffle": an.doc_shuffle,                     # O2 (rows-only, seeded)
+        "error_samples": an.error_samples,                 # O3 (rows-only, seeded)
         # --- reference operator pipelines ---
         "word_count": an.word_count,          # G1-G3 vocab shuffle + rank
         "doc_split": an.doc_split,            # J1/S7 broadcast semi-join
@@ -162,6 +165,33 @@ WITH {_TOK_CTE},
 c AS (SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY w
       HAVING count(*) >= 10)
 SELECT word, cnt, CAST(row_number() OVER (ORDER BY cnt DESC, word) AS BIGINT) AS rank FROM c
+""",
+        "surface_stats": """
+WITH raw AS (
+  SELECT doc_id, i AS pos, ws[i] AS w
+  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS ws FROM documents),
+       UNNEST(generate_series(1, len(ws))) AS t(i)
+  WHERE ws[i] <> ''
+),
+tr AS (
+  SELECT doc_id,
+         CASE WHEN pos % 4 = 0 THEN upper(w)
+              WHEN pos % 4 = 1 THEN w || '7'
+              WHEN pos % 4 = 2 THEN w || '.'
+              ELSE w END AS t
+  FROM raw
+),
+f AS (
+  SELECT doc_id, t,
+         regexp_replace(t, '[^a-zA-Z]', '', 'g') AS L
+  FROM tr
+)
+SELECT doc_id,
+       CAST(count(*) FILTER (WHERE regexp_matches(L, '^[A-Z]')) AS BIGINT) AS n_upper_start,
+       CAST(count(*) FILTER (WHERE L <> '' AND L = upper(L)) AS BIGINT) AS n_all_upper,
+       CAST(count(*) FILTER (WHERE regexp_matches(t, '[0-9]|[.]')) AS BIGINT) AS n_incl_numeric,
+       CAST(count(*) FILTER (WHERE regexp_matches(t, '[.]$')) AS BIGINT) AS n_ends_punct
+FROM f GROUP BY doc_id
 """,
         "doc_split": """
 SELECT doc_id,

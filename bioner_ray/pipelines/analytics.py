@@ -605,3 +605,91 @@ def events_last_order(sf_dir: str):
         right_ts="o_orderdate",
         right_payload="o_orderkey",
     )
+
+def surface_stats(sf_dir: str):
+    """M3 surface encoder as an oracle-checked query: tokens get a
+    deterministic case/digit/punct transform (pos % 4 — the testdata
+    lexicon is all-lowercase, so the transform makes every predicate
+    family non-trivial), then the REAL 11-predicate kernel
+    (functions/text.surface_features, surface_encoder.py:12-104 parity)
+    runs and four SQL-replayable predicate counts aggregate per doc.
+
+    Token/pos contract matches the shared ``_TOK_CTE``: 1-based index
+    into the '\\s+' split of lower(text), empties skipped but their
+    index consumed. Columns: doc_id, n_upper_start, n_all_upper,
+    n_incl_numeric, n_ends_punct.
+    """
+    import re as _re
+
+    from bioner_ray.functions.text import surface_features
+
+    ws_re = _re.compile(r"\s+")
+
+    def stats(batch: pa.Table) -> pa.Table:
+        ids, c0, c2, c6, c10 = [], [], [], [], []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            n0 = n2 = n6 = n10 = 0
+            for pos, w in enumerate(ws_re.split((text or "").lower()), start=1):
+                if not w:
+                    continue
+                if pos % 4 == 0:
+                    t = w.upper()
+                elif pos % 4 == 1:
+                    t = w + "7"
+                elif pos % 4 == 2:
+                    t = w + "."
+                else:
+                    t = w
+                f = surface_features(t)
+                n0 += int(f[0])   # starts_with_uppercase
+                n2 += int(f[2])   # is_all_uppercase
+                n6 += int(f[6])   # includes_numeric
+                n10 += int(f[10])  # ends_with_punctuation
+            ids.append(doc_id)
+            c0.append(n0)
+            c2.append(n2)
+            c6.append(n6)
+            c10.append(n10)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "n_upper_start": pa.array(c0, type=pa.int64()),
+                "n_all_upper": pa.array(c2, type=pa.int64()),
+                "n_incl_numeric": pa.array(c6, type=pa.int64()),
+                "n_ends_punct": pa.array(c10, type=pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        stats, batch_format="pyarrow"
+    )
+
+
+def doc_shuffle(sf_dir: str, seed: int = 1632737901):
+    """O2 document shuffle (rows-only: the permutation is seeded Ray
+    internals, not SQL-replayable). Columns: doc_id, n_chars."""
+    from bioner_ray.stages.metrics import shuffle_documents
+
+    def width(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_chars": pc.cast(pc.utf8_length(batch.column("text")), pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        width, batch_format="pyarrow"
+    )
+    return shuffle_documents(ds, seed=seed)
+
+
+def error_samples(sf_dir: str, n: int = 10):
+    """O3 seeded error sampling over the dual-tagged corpus (rows-only:
+    sample membership is seeded-shuffle-dependent). Columns: url, n_sentences."""
+    from bioner_ray.stages.metrics import sample_error_documents
+
+    sampled = sample_error_documents(_dual_tagged_documents(sf_dir), n=n)
+    return sampled.select_columns(["url", "n_sentences"])

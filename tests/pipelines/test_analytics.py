@@ -45,9 +45,12 @@ SQL_CHECKED = [
     "dedup_filter",
     "pubmed_extract",
     "conlleval_export",
+    "surface_stats",
 ]
 
 ROWS_ONLY = [
+    "doc_shuffle",
+    "error_samples",
     "dedup_minhash_pairs",
     "dedup_simhash_pairs",
     "langid",

@@ -72,11 +72,10 @@ def main() -> int:
 
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=8, include_dashboard=False, ignore_reinit_error=True)
+    sys.path.insert(0, "/root/repo")
     from bioner_ray.stages.shuffle import quiet_empty_bundle_warnings
 
     quiet_empty_bundle_warnings()
-
-    sys.path.insert(0, "/root/repo")
     import __ray_entry__ as entrymod
 
     con = duckdb.connect()
