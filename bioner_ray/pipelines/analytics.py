@@ -136,18 +136,14 @@ def mention_counts(sf_dir: str):
 
 def _inject_tags(key: str):
     """Move the scorer's top-level ``tags`` column into each sentence
-    dict under ``key`` (so a second scorer pass can add its own tags and
-    the metrics stages see both columns in-row, J4 pattern)."""
+    struct under ``key`` (so a second scorer pass can add its own tags
+    and the metrics stages see both columns in-row, J4 pattern). Pure
+    Arrow struct surgery — no Python row rebuild."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        sents_col = batch.column("sentences").to_pylist()
-        tags_col = batch.column("tags").to_pylist()
-        new_docs = [
-            [{**s, key: t} for s, t in zip(sents, dtags)]
-            for sents, dtags in zip(sents_col, tags_col)
-        ]
-        idx = batch.schema.get_field_index("sentences")
-        return batch.set_column(idx, "sentences", pa.array(new_docs)).drop_columns(["tags"])
+        from bioner_ray.stages.nested import add_sentence_field
+
+        return add_sentence_field(batch, key, "tags")
 
     return fn
 

@@ -30,13 +30,15 @@ from bioner_ray.functions.bio import (
 
 
 def _prf_partial_batch(batch: pa.Table, gold_key: str, pred_key: str) -> pa.Table:
+    from bioner_ray.stages.nested import flat_struct_fields
+
     tp = n_pred = n_gold = 0
-    for doc_sents in batch.column("sentences").to_pylist():
-        for sent in doc_sents:
-            t, p, g = sentence_prf_counts(sent[gold_key], sent[pred_key])
-            tp += t
-            n_pred += p
-            n_gold += g
+    gold_ll, pred_ll = flat_struct_fields(batch.column("sentences"), [gold_key, pred_key])
+    for gold, pred in zip(gold_ll, pred_ll):
+        t, p, g = sentence_prf_counts(gold, pred)
+        tp += t
+        n_pred += p
+        n_gold += g
     return pa.table(
         {
             "tp": pa.array([tp], type=pa.int64()),
@@ -69,18 +71,20 @@ def _error_stats_partial(batch: pa.Table, gold_key: str, pred_key: str) -> pa.Ta
     """G7: per gold-span length, (total, errors) — a gold span is an
     error when absent from the predicted span set
     (misc/error_analysis/analysis.py:188-203)."""
+    from bioner_ray.stages.nested import flat_struct_fields
+
     totals: dict[int, int] = defaultdict(int)
     errors: dict[int, int] = defaultdict(int)
-    for doc_sents in batch.column("sentences").to_pylist():
-        for sent in doc_sents:
-            gold_clean = strip_padding(sent[gold_key])
-            pred_clean = truncate_predictions(list(sent[pred_key]), len(gold_clean))
-            pred_spans = set(decode_bio_spans(pred_clean))
-            for span in decode_bio_spans(gold_clean):
-                length = span[1] - span[0] + 1  # Annotation.__len__ (:117-118)
-                totals[length] += 1
-                if span not in pred_spans:
-                    errors[length] += 1
+    gold_ll, pred_ll = flat_struct_fields(batch.column("sentences"), [gold_key, pred_key])
+    for gold, pred in zip(gold_ll, pred_ll):
+        gold_clean = strip_padding(gold)
+        pred_clean = truncate_predictions(pred, len(gold_clean))
+        pred_spans = set(decode_bio_spans(pred_clean))
+        for span in decode_bio_spans(gold_clean):
+            length = span[1] - span[0] + 1  # Annotation.__len__ (:117-118)
+            totals[length] += 1
+            if span not in pred_spans:
+                errors[length] += 1
     lengths = sorted(totals)
     return pa.table(
         {
@@ -153,12 +157,17 @@ def sample_error_documents(docs_ds, n: int = 10, seed: int = 42,
     reproducing the driver-side RNG draw order (SURVEY.md §2.6 O3)."""
 
     def has_error(batch: pa.Table) -> pa.Table:
+        from bioner_ray.stages.nested import doc_boundaries, flat_struct_fields
+
+        sents = batch.column("sentences")
+        bounds = doc_boundaries(sents)
+        gold_ll, pred_ll = flat_struct_fields(sents, [gold_key, pred_key])
         keep = []
-        for doc_sents in batch.column("sentences").to_pylist():
+        for d in range(len(bounds) - 1):
             err = False
-            for sent in doc_sents:
-                gold_clean = strip_padding(sent[gold_key])
-                pred_clean = truncate_predictions(list(sent[pred_key]), len(gold_clean))
+            for si in range(bounds[d], bounds[d + 1]):
+                gold_clean = strip_padding(gold_ll[si])
+                pred_clean = truncate_predictions(pred_ll[si], len(gold_clean))
                 if set(decode_bio_spans(gold_clean)) != set(decode_bio_spans(pred_clean)):
                     err = True
                     break
@@ -176,21 +185,33 @@ def ensemble_tags_batch(batch: pa.Table, key_a: str, key_b: str, out_key: str = 
     """J5: per-sentence span-set intersection of two annotators,
     re-encoded as BIO tags (Ensemble.create_overlapping_annotations,
     analysis.py:106-114). In-row — both tag columns are co-located."""
-    from bioner_ray.functions.bio import B, I, O
+    import pyarrow.compute as pc
 
-    docs = batch.column("sentences").to_pylist()
-    new_docs = []
-    for doc_sents in docs:
-        new_sents = []
-        for sent in doc_sents:
-            a = set(decode_bio_spans(list(sent[key_a])))
-            b = set(decode_bio_spans(list(sent[key_b])))
-            tags = [O] * len(sent["token_text"])
-            for start, end in a & b:
-                tags[start] = B
-                for i in range(start + 1, end + 1):
-                    tags[i] = I
-            new_sents.append({**sent, out_key: tags})
-        new_docs.append(new_sents)
+    from bioner_ray.functions.bio import B, I, O
+    from bioner_ray.stages.nested import doc_boundaries, flat_struct_fields
+
+    sents = batch.column("sentences")
+    if isinstance(sents, pa.ChunkedArray):
+        sents = sents.combine_chunks()
+    a_ll, b_ll = flat_struct_fields(sents, [key_a, key_b])
+    flat = pc.list_flatten(sents)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    n_tok = pc.list_value_length(pc.struct_field(flat, "token_text")).to_pylist()
+    ens = []
+    for ta, tb, n in zip(a_ll, b_ll, n_tok):
+        spans = set(decode_bio_spans(ta)) & set(decode_bio_spans(tb))
+        tags = [O] * n
+        for start, end in spans:
+            tags[start] = B
+            for i in range(start + 1, end + 1):
+                tags[i] = I
+        ens.append(tags)
+    vals = pa.array(ens, type=pa.list_(pa.uint8()))
+    names = [f.name for f in flat.type] + [out_key]
+    children = [flat.field(i) for i in range(flat.type.num_fields)] + [vals]
+    new_flat = pa.StructArray.from_arrays(children, names=names)
+    bounds = doc_boundaries(sents)
+    new_sents = pa.ListArray.from_arrays(pa.array(bounds.astype("int32")), new_flat)
     idx = batch.schema.get_field_index("sentences")
-    return batch.set_column(idx, "sentences", pa.array(new_docs))
+    return batch.set_column(idx, "sentences", new_sents)

@@ -55,3 +55,27 @@ def flat_tags(batch: pa.Table, col: str = "tags") -> list[list[int]]:
     column, flat in document order (aligned with
     ``flat_struct_fields``'s sentence order)."""
     return pc.list_flatten(batch.column(col)).to_pylist()
+
+
+def add_sentence_field(batch: pa.Table, field_name: str, values_col: str = "tags") -> pa.Table:
+    """Move a top-level ``list<list<T>>`` column (one inner list per
+    sentence) INTO the nested sentence structs as a new field — pure
+    Arrow surgery (rebuild the StructArray with one extra child and
+    re-wrap with the original offsets), no Python per row. Replaces the
+    to_pylist-and-rebuild pattern for the two-annotator eval shape."""
+    sents = batch.column("sentences")
+    if isinstance(sents, pa.ChunkedArray):
+        sents = sents.combine_chunks()
+    flat = pc.list_flatten(sents)  # StructArray of sentences
+    vals = pc.list_flatten(batch.column(values_col))  # one list per sentence
+    if isinstance(vals, pa.ChunkedArray):
+        vals = vals.combine_chunks()
+    names = [f.name for f in flat.type] + [field_name]
+    children = [flat.field(i) for i in range(flat.type.num_fields)] + [vals]
+    new_flat = pa.StructArray.from_arrays(children, names=names)
+    bounds = doc_boundaries(sents)
+    new_sents = pa.ListArray.from_arrays(
+        pa.array(bounds.astype("int32")), new_flat
+    )
+    idx = batch.schema.get_field_index("sentences")
+    return batch.set_column(idx, "sentences", new_sents).drop_columns([values_col])
