@@ -262,7 +262,13 @@ def _bucketed_pairs(ds, key_col: str, id_col: str, max_group: int = 1024, num_bu
     """
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        keys = batch.column(key_col).to_pylist()
+        col = batch.column(key_col)
+        if pa.types.is_integer(col.type):
+            h = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+            with np.errstate(over="ignore"):
+                buckets = ((h * np.uint64(2654435761)) % np.uint64(num_buckets)).astype(np.int32)
+            return batch.append_column("bucket", pa.array(buckets, type=pa.int32()))
+        keys = col.to_pylist()
         buckets = [zlib.crc32(str(s).encode()) % num_buckets for s in keys]
         return batch.append_column("bucket", pa.array(buckets, type=pa.int32()))
 
@@ -499,18 +505,72 @@ def minhash_dedup_pairs(
     id_col: str = "doc_id",
     max_bucket: int = 4096,
     num_buckets: int = 256,
+    payload: str = "bandhash",
 ):
-    """MinHash→LSH candidate pairs, join-free: band rows carry the full
-    signature (num_perm × 8 bytes — bounded, unlike the document), so
-    the estimated Jaccard (fraction of agreeing signature slots) is
-    computed at pair-emission time, so the ONLY wide op is the bucket
-    groupby: a pair colliding in several bands is emitted exclusively by
-    its first agreeing band (checked on the signatures both rows carry),
-    and ``n_bands`` is counted per pair from the same signatures — the
-    final (a, b) dedup shuffle does not exist. Columns: a, b, n_bands,
-    est_jaccard."""
+    """MinHash→LSH candidate pairs. Columns: a, b, n_bands, est_jaccard.
+
+    Two payload strategies (same candidate-pair set either way — pair
+    selection is band-hash equality in both):
+
+    * ``payload="bandhash"`` (default, the 100-TB shape): each band row
+      carries only an 8-byte hash of its own band slice, so the bucket
+      shuffle moves ~16 B/doc/band instead of the full signature
+      (num_perm × 8 B/doc/band — 34× more at 64 perms). Collisions are
+      aggregated per (a, b) in a SECOND, tiny shuffle whose volume is
+      the candidate-pair population (near-dups + LSH false positives),
+      not the corpus. ``est_jaccard`` is the band-level estimator
+      ``(n_bands/bands)^(1/rows_per_band)`` (E[band agrees] = J^r).
+    * ``payload="signature"``: join-free — band rows carry the full
+      signature; a pair colliding in several bands is emitted
+      exclusively by its first agreeing band (checked on the carried
+      signatures), the pair shuffle does not exist, and ``est_jaccard``
+      is slot-wise (fraction of agreeing signature slots — a finer
+      estimator). Costs ``bands×`` signature bytes through the shuffle.
+    """
     sigs = minhash_stage(ds, num_perm=num_perm, k=k, seed=seed, text_col=text_col, id_col=id_col)
     per = num_perm // bands
+
+    if payload == "bandhash":
+
+        def band_hash_rows(batch: pa.Table) -> pa.Table:
+            ids_out: list = []
+            keys: list[int] = []
+            for doc_id, sig in zip(
+                batch.column(id_col).to_pylist(), batch.column("signature").to_pylist()
+            ):
+                arr = np.asarray(sig, dtype=np.uint64)
+                for bi in range(bands):
+                    # band index folded into the hash input so the same
+                    # slice values in different bands never share a key
+                    digest = hashlib.md5(
+                        bi.to_bytes(4, "big") + arr[bi * per : (bi + 1) * per].tobytes()
+                    ).digest()
+                    keys.append(int.from_bytes(digest[:8], "big"))
+                    ids_out.append(doc_id)
+            return pa.table(
+                {
+                    "bandkey": pa.array(np.array(keys, dtype=np.uint64)),
+                    id_col: pa.array(ids_out),
+                }
+            )
+
+        banded = sigs.map_batches(band_hash_rows, batch_format="pyarrow")
+        pairs = _bucketed_pairs(
+            banded, "bandkey", id_col, max_group=max_bucket, num_buckets=num_buckets
+        )
+        agg = bucketed_aggregate(
+            with_ones(pairs, "n_bands"), ["a", "b"], [("n_bands", "sum")],
+            num_buckets=num_buckets,
+        )
+
+        def finish(batch: pa.Table) -> pa.Table:
+            nb = batch.column("n_bands").to_numpy().astype(np.float64)
+            est = (nb / float(bands)) ** (1.0 / per)
+            return batch.append_column("est_jaccard", pa.array(est, type=pa.float64()))
+
+        return agg.map_batches(finish, batch_format="pyarrow")
+    if payload != "signature":
+        raise ValueError(f"unknown payload mode {payload!r}")
 
     def band_rows(batch: pa.Table) -> pa.Table:
         ids_out, keys, band_out, buckets, sig_out = [], [], [], [], []

@@ -100,6 +100,19 @@ class TestMinhash:
         exact = out[(out.a == 0) & (out.b == 100)].iloc[0]
         assert exact.est_jaccard == 1.0 and exact.n_bands == 16
 
+    def test_payload_modes_agree_on_pairs(self, corpus):
+        """Pair selection is band-hash equality either way: the light
+        bandhash payload and the join-free signature payload must emit
+        the SAME (a, b, n_bands) set; only est_jaccard granularity
+        differs (band-level vs slot-wise)."""
+        light = minhash_dedup_pairs(rd.from_arrow(corpus), payload="bandhash").to_pandas()
+        full = minhash_dedup_pairs(rd.from_arrow(corpus), payload="signature").to_pandas()
+        key = lambda df: sorted(zip(df.a, df.b, df.n_bands))  # noqa: E731
+        assert key(light) == key(full)
+        # exact dup estimates 1.0 in both estimators
+        for df in (light, full):
+            assert df[(df.a == 0) & (df.b == 100)].iloc[0].est_jaccard == 1.0
+
 
 class TestSimhash:
     def test_identical_and_near(self):
