@@ -62,6 +62,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "error_length_stats": an.error_length_stats,
         "ensemble_mention_counts": an.ensemble_mention_counts,
         "surface_stats": an.surface_stats,                 # M3 surface encoder
+        "position_stats": an.position_stats,               # M4 position encoder
+        "unknown_words": an.unknown_words,                 # M8 + G1/G2 vocab
+        "bioul_map": an.bioul_map,                         # M9 BIOUL→BIO2
         "doc_shuffle": an.doc_shuffle,                     # O2 (rows-only, seeded)
         "error_samples": an.error_samples,                 # O3 (rows-only, seeded)
         # --- reference operator pipelines ---
@@ -91,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_fingerprints": co.winnow_fingerprints,    # rows-only (winnowing)
         "fingerprints": co.fingerprints,
         "langid": co.langid,                              # rows-only (heuristic)
+        "encoding_stats": co.encoding_stats,              # M6/A1 (rows-only, CRC32 hashing)
         "knn_topk": co.knn_topk,
         "knn_ivf_topk": co.knn_ivf_topk,                  # rows-only (approximate)
         "embedding_dup_pairs": co.embedding_dup_pairs,
@@ -192,6 +196,59 @@ SELECT doc_id,
        CAST(count(*) FILTER (WHERE regexp_matches(t, '[0-9]|[.]')) AS BIGINT) AS n_incl_numeric,
        CAST(count(*) FILTER (WHERE regexp_matches(t, '[.]$')) AS BIGINT) AS n_ends_punct
 FROM f GROUP BY doc_id
+""",
+        "position_stats": """
+WITH s AS (
+  SELECT doc_id,
+         list_filter(
+           regexp_split_to_array(
+             regexp_replace(text, '([.!?])(\\s+)', '\\1' || chr(1), 'g'), chr(1)),
+           x -> len(regexp_extract_all(x, '\\S+')) > 0) AS sents
+  FROM documents),
+p AS (SELECT doc_id,
+             list_transform(sents, x -> len(regexp_extract_all(x, '\\S+'))) AS lens
+      FROM s)
+SELECT printf('doc://%08d', doc_id) AS url,
+       CAST(len(lens) AS BIGINT) AS n_sentences,
+       CAST(coalesce(list_sum(lens), 0) AS BIGINT) AS n_tokens,
+       CAST(CASE WHEN len(lens) > 0 THEN 1 ELSE 0 END AS BIGINT) AS n_begin_doc,
+       CAST(len(lens) AS BIGINT) AS n_begin_sent,
+       CAST(len(lens) AS BIGINT) AS n_end_sent,
+       CAST(CASE WHEN len(lens) > 0 THEN 1 ELSE 0 END AS BIGINT) AS n_end_doc
+FROM p
+""",
+        "unknown_words": f"""
+WITH {_TOK_CTE},
+kp AS (
+  SELECT doc_id, pos,
+         '#' || regexp_replace(w, '[^\\pL\\pN\\pP\\p{{Sm}}\\p{{Sc}}]', '', 'g') || '#' AS p
+  FROM tok),
+grams AS (
+  SELECT doc_id, pos, substr(p, i, 3) AS g
+  FROM kp, UNNEST(generate_series(1, length(p) - 2)) AS t(i)),
+vocab AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 10),
+u AS (
+  SELECT doc_id, pos, max(CASE WHEN v.g IS NULL THEN 1 ELSE 0 END) AS unk
+  FROM grams LEFT JOIN vocab v USING (g) GROUP BY doc_id, pos)
+SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(coalesce(sum(u.unk), 0) AS BIGINT) AS n_unknown
+FROM tok t LEFT JOIN u ON u.doc_id = t.doc_id AND u.pos = t.pos
+GROUP BY t.doc_id
+""",
+        "bioul_map": f"""
+WITH {_TOK_CTE},
+seq AS (SELECT doc_id,
+               row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS p
+        FROM tok),
+m AS (SELECT doc_id,
+             CASE p % 5 WHEN 0 THEN 'B' WHEN 1 THEN 'I' WHEN 2 THEN 'I'
+                        WHEN 3 THEN 'O' ELSE 'B' END AS bio
+      FROM seq)
+SELECT doc_id,
+       CAST(count(*) FILTER (WHERE bio = 'B') AS BIGINT) AS n_b,
+       CAST(count(*) FILTER (WHERE bio = 'I') AS BIGINT) AS n_i,
+       CAST(count(*) FILTER (WHERE bio = 'O') AS BIGINT) AS n_o
+FROM m GROUP BY doc_id
 """,
         "doc_split": """
 SELECT doc_id,

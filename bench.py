@@ -123,6 +123,7 @@ OPERATOR_QUERIES = [
     "kg_edges",
     "mention_counts",
     "word_count",
+    "unknown_words",
     "dedup_exact",
     "dedup_jaccard_pairs",
     "dedup_minhash_pairs",

@@ -689,3 +689,142 @@ def error_samples(sf_dir: str, n: int = 10):
 
     sampled = sample_error_documents(_dual_tagged_documents(sf_dir), n=n)
     return sampled.select_columns(["url", "n_sentences"])
+
+
+def position_stats(sf_dir: str):
+    """M4 position encoder over real segmented documents: run
+    ``position_features`` per document and aggregate each feature
+    channel (the four one-hot position flags of
+    position_encoder.py:27-33) to per-doc sums the oracle can replay
+    from sentence/token counts. Columns: url, n_sentences, n_tokens,
+    n_begin_doc, n_begin_sent, n_end_sent, n_end_doc."""
+    from bioner_ray.functions.text import position_features
+    from bioner_ray.stages.nested import sentence_token_counts
+
+    def stats(batch: pa.Table) -> pa.Table:
+        n_sents_col, lengths_per_doc = sentence_token_counts(batch)
+        sums = np.zeros((batch.num_rows, 4), dtype=np.int64)
+        n_tokens = np.zeros(batch.num_rows, dtype=np.int64)
+        for i, lengths in enumerate(lengths_per_doc):
+            blocks = position_features(len(lengths), lengths)
+            if blocks:
+                sums[i] = np.add.reduce([b.sum(axis=0) for b in blocks]).astype(np.int64)
+            n_tokens[i] = sum(lengths)
+        return pa.table(
+            {
+                "url": batch.column("url"),
+                "n_sentences": pa.array(n_sents_col, type=pa.int64()),
+                "n_tokens": pa.array(n_tokens),
+                "n_begin_doc": pa.array(sums[:, 0]),
+                "n_begin_sent": pa.array(sums[:, 1]),
+                "n_end_sent": pa.array(sums[:, 2]),
+                "n_end_doc": pa.array(sums[:, 3]),
+            }
+        )
+
+    return _segmented_documents(sf_dir).map_batches(stats, batch_format="pyarrow")
+
+
+def unknown_words(sf_dir: str, n: int = 3, min_word_frequency: int = 10):
+    """M8 unknown-word predicate composed with the G1→G2 vocabulary
+    build (ngram_encoder.py:179-186: a token is unknown iff ANY of its
+    n-grams is missing from the min-frequency-filtered vocabulary).
+    The vocab is built distributed (partial counts → bucketed merge →
+    distributed min-count filter), collected only post-filter, and
+    broadcast once via ray.put; the per-doc unknown scan memoizes per
+    unique token. Columns: doc_id, n_tokens, n_unknown."""
+    import ray
+
+    from bioner_ray.functions.text import create_n_grams
+    from bioner_ray.stages.shuffle import bucketed_aggregate
+    from bioner_ray.stages.textstats import _split_lower
+    from bioner_ray.stages.vocab import Vocab
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        counter: Counter[str] = Counter()
+        for toks in _split_lower(batch, "text"):
+            for t in toks:
+                counter.update(create_n_grams(t, n))
+        items = list(counter.items())
+        return pa.table(
+            {
+                "ngram": pa.array([k for k, _ in items], type=pa.string()),
+                "count": pa.array([v for _, v in items], type=pa.int64()),
+            }
+        )
+
+    counts = bucketed_aggregate(
+        _read(sf_dir, "documents", columns=["text"]).map_batches(partial, batch_format="pyarrow"),
+        ["ngram"],
+        [("count", "sum")],
+    ).map_batches(
+        lambda t: t.filter(pc.greater_equal(t["count"], min_word_frequency)),
+        batch_format="pyarrow",
+    )
+    surviving = counts.to_pandas()
+    surviving = surviving.sort_values(["count", "ngram"], ascending=[False, True])
+    vocab_ref = ray.put(Vocab(list(surviving["ngram"]), n=n))
+
+    def scan(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        v = _ray.get(vocab_ref)
+        memo: dict[str, bool] = {}
+        n_tokens, n_unknown = [], []
+        for toks in _split_lower(batch, "text"):
+            unk = 0
+            for t in toks:
+                got = memo.get(t)
+                if got is None:
+                    got = memo[t] = v.is_unknown(t)
+                unk += got
+            n_tokens.append(len(toks))
+            n_unknown.append(unk)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pa.array(n_tokens, type=pa.int64()),
+                "n_unknown": pa.array(n_unknown, type=pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        scan, batch_format="pyarrow"
+    )
+
+
+def bioul_map(sf_dir: str):
+    """M9 BIOUL→BIO2 mapper over a deterministic synthetic tagging:
+    token at 0-based position p gets BIOUL tag 'BILOU'[p % 5] + '-ENT',
+    is mapped through ``bioul_to_bio2`` (scibert_eval.py:125-134
+    semantics: L→I, U→B, suffix ignored), and the BIO2 outcome is
+    counted per document. Columns: doc_id, n_b, n_i, n_o."""
+    from bioner_ray.functions.text import bioul_to_bio2
+    from bioner_ray.stages.textstats import _split_lower
+
+    letters = "BILOU"
+    mapped = [bioul_to_bio2(letters[r] + "-ENT") for r in range(5)]
+
+    def scan(batch: pa.Table) -> pa.Table:
+        n_b, n_i, n_o = [], [], []
+        for toks in _split_lower(batch, "text"):
+            c = {"B": 0, "I": 0, "O": 0}
+            for p in range(len(toks)):
+                c[mapped[p % 5]] += 1
+            n_b.append(c["B"])
+            n_i.append(c["I"])
+            n_o.append(c["O"])
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_b": pa.array(n_b, type=pa.int64()),
+                "n_i": pa.array(n_i, type=pa.int64()),
+                "n_o": pa.array(n_o, type=pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        scan, batch_format="pyarrow"
+    )

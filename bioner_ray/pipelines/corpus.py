@@ -382,3 +382,45 @@ def embedding_dup_pairs(sf_dir: str, threshold: float = 0.45):
         )
 
     return pairs.map_batches(round_batch, batch_format="pyarrow")
+
+
+def encoding_stats(sf_dir: str, dim: int = 32):
+    """M6/A1 token-embedding encoder (hash backend) through the real
+    actor pool (rows-only check: the CRC32 feature hashing is not
+    SQL-replayable). One row per document: url, n_vectors (== tokens),
+    dim, checksum (sum of all vector components, rounded — stable
+    because per-doc summation order is fixed)."""
+    import pyarrow.compute as pc
+
+    from bioner_ray.pipelines.analytics import documents_as_pages
+    from bioner_ray.stages.encode import encode_stage
+    from bioner_ray.stages.pool import pool_size
+    from bioner_ray.stages.segment import segment_stage
+
+    docs = segment_stage(documents_as_pages(sf_dir), with_offsets=False)
+    # pool_size leaves CPUs for the read/segment tasks — a pool equal to
+    # the whole cluster deadlocks the streaming executor (stages/pool.py)
+    encoded = encode_stage(docs, backend="hash", dim=dim, concurrency=pool_size(8))
+
+    def stats(batch: pa.Table) -> pa.Table:
+        enc = batch.column("encodings")
+        n_vec, checksum = [], []
+        for doc in enc.to_pylist():
+            total = 0
+            acc = 0.0
+            for sent in doc:
+                total += len(sent)
+                if sent:
+                    acc += float(np.sum(np.asarray(sent, dtype=np.float64)))
+            n_vec.append(total)
+            checksum.append(round(acc, 4))
+        return pa.table(
+            {
+                "url": batch.column("url"),
+                "n_vectors": pa.array(n_vec, type=pa.int64()),
+                "dim": pa.array([dim] * batch.num_rows, type=pa.int64()),
+                "checksum": pa.array(checksum, type=pa.float64()),
+            }
+        )
+
+    return encoded.map_batches(stats, batch_format="pyarrow")

@@ -50,6 +50,21 @@ def doc_token_lists(batch: pa.Table, col: str = "sentences") -> tuple[list[list[
     return docs, bounds
 
 
+def sentence_token_counts(batch: pa.Table, col: str = "sentences") -> tuple[np.ndarray, list[np.ndarray]]:
+    """(per-doc sentence counts, per-doc arrays of sentence token
+    lengths) — everything the position encoder (M4) needs, without
+    touching the token strings: only the list offsets are read."""
+    sents = batch.column(col)
+    bounds = doc_boundaries(sents)
+    flat = pc.list_flatten(sents)
+    tok_lens = pc.list_value_length(pc.struct_field(flat, "token_text")).to_numpy(
+        zero_copy_only=False
+    )
+    n_sents = np.diff(bounds)
+    lengths = [tok_lens[bounds[i] : bounds[i + 1]] for i in range(len(bounds) - 1)]
+    return n_sents, lengths
+
+
 def flat_tags(batch: pa.Table, col: str = "tags") -> list[list[int]]:
     """Per-sentence tag lists from the ``list<list<uint8>>`` tags
     column, flat in document order (aligned with

@@ -46,6 +46,9 @@ SQL_CHECKED = [
     "pubmed_extract",
     "conlleval_export",
     "surface_stats",
+    "position_stats",
+    "unknown_words",
+    "bioul_map",
 ]
 
 ROWS_ONLY = [
@@ -56,6 +59,7 @@ ROWS_ONLY = [
     "langid",
     "knn_ivf_topk",
     "winnow_fingerprints",
+    "encoding_stats",
 ]
 
 
