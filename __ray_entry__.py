@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "position_stats": an.position_stats,               # M4 position encoder
         "unknown_words": an.unknown_words,                 # M8 + G1/G2 vocab
         "bioul_map": an.bioul_map,                         # M9 BIOUL→BIO2
+        "datexis_mentions": an.datexis_mentions,           # M7/A2/A4 (rows-only, seeded net)
         "doc_shuffle": an.doc_shuffle,                     # O2 (rows-only, seeded)
         "error_samples": an.error_samples,                 # O3 (rows-only, seeded)
         # --- reference operator pipelines ---

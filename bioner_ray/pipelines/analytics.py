@@ -828,3 +828,34 @@ def bioul_map(sf_dir: str):
     return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
         scan, batch_format="pyarrow"
     )
+
+
+def datexis_mentions(sf_dir: str):
+    """M7/A2/A4 through the driver: segment → G1-G3 vocab build
+    (distributed, broadcast once) → datexis-numpy scorer actor pool
+    (composite DATEXIS encoder + length-bucketed padded BiRNN collator)
+    → BIO decode → mention counts. Rows-only check: the seeded
+    random-init recurrence is deterministic but not SQL-replayable.
+    Columns: surface, n_mentions."""
+    import ray
+
+    from bioner_ray.stages.mentions import mentions_stage
+    from bioner_ray.stages.pool import pool_size
+    from bioner_ray.stages.scorer import score_stage
+    from bioner_ray.stages.shuffle import bucketed_aggregate, with_ones
+    from bioner_ray.stages.vocab import build_vocab
+
+    docs = _segmented_documents(sf_dir)
+    vocab = build_vocab(docs, n=3, min_word_frequency=10)
+    tagged = score_stage(
+        docs,
+        model_name="datexis-numpy",
+        model_config={"vocab": ray.put(vocab)},
+        concurrency=pool_size(16),
+    )
+    mentions = mentions_stage(tagged)
+    return bucketed_aggregate(
+        with_ones(mentions.select_columns(["surface"]), "n_mentions"),
+        ["surface"],
+        [("n_mentions", "sum")],
+    )

@@ -60,6 +60,7 @@ ROWS_ONLY = [
     "knn_ivf_topk",
     "winnow_fingerprints",
     "encoding_stats",
+    "datexis_mentions",
 ]
 
 
