@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": co.token_stats,
         "conll_roundtrip": co.conll_roundtrip,            # S1/S2 format↔parse parity
         "pubmed_extract": co.pubmed_extract,              # S4/S5/G8 XML extract round-trip
+        "pubtator_conll": co.pubtator_conll,              # S6 PubTator→CoNLL (native)
         "conlleval_export": co.conlleval_export,          # S3/S8/M12/J3 export round-trip
         "quality_docs": co.quality_docs,
         "winnow_fingerprints": co.winnow_fingerprints,    # rows-only (winnowing)
@@ -381,6 +382,18 @@ SELECT doc_id, CAST(length(t) + 1 AS BIGINT) AS n_chars,
             WHEN t LIKE '%(ABSTRACT TRUNCATED)' THEN 'plain'
             ELSE 'none' END AS truncated_kind
 FROM m
+""",
+        "pubtator_conll": f"""
+WITH {_TOK_CTE},
+c AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) FILTER (WHERE w IN {ENTITY_LIST_SQL}) AS BIGINT) AS nb
+      FROM tok GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(2 + coalesce(c.n, 0) AS BIGINT) AS n_tokens,
+       coalesce(c.nb, 0) AS n_b,
+       CAST(0 AS BIGINT) AS n_i,
+       coalesce(c.nb, 0) AS n_annotations
+FROM documents d LEFT JOIN c USING (doc_id)
 """,
         "conlleval_export": f"""
 WITH {_TOK_CTE},

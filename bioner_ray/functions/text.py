@@ -247,6 +247,23 @@ def split_sentences(text: str) -> list[str]:
     return [s for s in _SENT_BOUNDARY_RE.split(text) if s.strip()]
 
 
+def split_sentences_with_offsets(text: str) -> list[tuple[str, int]]:
+    """``split_sentences`` plus each sentence's char offset into
+    ``text`` — needed when downstream spans (PubTator annotations)
+    index the original string. Same segments, same drop rule."""
+    out = []
+    pos = 0
+    for m in _SENT_BOUNDARY_RE.finditer(text):
+        seg = text[pos : m.start()]
+        if seg.strip():
+            out.append((seg, pos))
+        pos = m.end()
+    seg = text[pos:]
+    if seg.strip():
+        out.append((seg, pos))
+    return out
+
+
 def tokenize_with_offsets(sentence: str) -> tuple[list[str], list[int], list[int]]:
     """Whitespace tokens with [start, end) char offsets into the sentence.
 

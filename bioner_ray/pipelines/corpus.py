@@ -424,3 +424,60 @@ def encoding_stats(sf_dir: str, dim: int = 32):
         )
 
     return encoded.map_batches(stats, batch_format="pyarrow")
+
+
+def pubtator_conll(sf_dir: str):
+    """S6 PubTator→CoNLL, natively (no bconv): build a deterministic
+    PubTator block per document (title ``doc <8-digit id>``, abstract =
+    text, one single-token annotation per whitespace token whose
+    lowercase form is a gazetteer entity surface, with real char
+    offsets), round-trip it through the FORMAT (format → parse), then
+    convert to S1-shaped CoNLL documents and count tags. Columns:
+    doc_id, n_tokens, n_b, n_i, n_annotations."""
+    import pyarrow.compute as pc
+
+    from bioner_ray.functions.bio import B as TAG_B, I as TAG_I
+    from bioner_ray.functions.text import tokenize_with_offsets
+    from bioner_ray.pipelines.analytics import ENTITY_SURFACES
+    from bioner_ray.sources.pubtator import (
+        format_pubtator_document,
+        parse_pubtator,
+        pubtator_doc_to_conll,
+    )
+
+    entity_set = frozenset(ENTITY_SURFACES)
+
+    def convert(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        n_tokens, n_b, n_i, n_ann = [], [], [], []
+        for doc_id, text in zip(doc_ids, texts):
+            title = f"doc {doc_id:08d}"
+            fulltext = title + " " + (text or "")
+            toks, starts, ends = tokenize_with_offsets(fulltext)
+            anns = [
+                {"start": s, "end": e, "mention": t, "type": "ENT", "concept_id": t.lower()}
+                for t, s, e in zip(toks, starts, ends)
+                if t.lower() in entity_set
+            ]
+            block = format_pubtator_document(
+                {"pmid": str(doc_id), "title": title, "abstract": text or "", "annotations": anns}
+            )
+            (doc,) = parse_pubtator(block)  # exercise the format round-trip
+            conll = pubtator_doc_to_conll(doc, doc_id)
+            tags = [g for s in conll["sentences"] for g in s["gold_tags"]]
+            n_tokens.append(len(tags))
+            n_b.append(sum(1 for g in tags if g == TAG_B))
+            n_i.append(sum(1 for g in tags if g == TAG_I))
+            n_ann.append(len(doc["annotations"]))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pa.array(n_tokens, type=pa.int64()),
+                "n_b": pa.array(n_b, type=pa.int64()),
+                "n_i": pa.array(n_i, type=pa.int64()),
+                "n_annotations": pa.array(n_ann, type=pa.int64()),
+            }
+        )
+
+    return _documents(sf_dir).map_batches(convert, batch_format="pyarrow")

@@ -46,6 +46,7 @@ SQL_CHECKED = [
     "pubmed_extract",
     "conlleval_export",
     "surface_stats",
+    "pubtator_conll",
     "position_stats",
     "unknown_words",
     "bioul_map",
