@@ -58,6 +58,14 @@ def _read(sf_dir: str, name: str, columns=None):
     return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
 
 
+def _nrows(sf_dir: str, name: str) -> int:
+    """Row count from Parquet footer metadata — no data read; feeds
+    work-aware actor-pool sizing (stages/pool.sized_pool)."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(os.path.join(sf_dir, f"{name}.parquet")).metadata.num_rows
+
+
 def documents_as_pages(sf_dir: str):
     """Adapter: documents(doc_id, text, lang) → the flagship's extracted
     shape (url, text, lang); url = printf('doc://%08d', doc_id) so the
@@ -105,11 +113,11 @@ def _segmented_documents(sf_dir: str):
 def _tagged_documents(sf_dir: str, concurrency=None, pools: int = 1):
     import ray
 
-    from bioner_ray.stages.pool import pool_size
+    from bioner_ray.stages.pool import sized_pool
     from bioner_ray.stages.scorer import score_stage
 
     if concurrency is None:
-        concurrency = pool_size(16, pools=pools)
+        concurrency = sized_pool(_nrows(sf_dir, "documents"), batch_size=64, max_actors=16, pools=pools)
     docs = _segmented_documents(sf_dir)
     return score_stage(
         docs,
@@ -154,12 +162,12 @@ def _dual_tagged_documents(sf_dir: str, concurrency=None):
     input shape for the G4-G7/J5 eval harness."""
     import ray
 
-    from bioner_ray.stages.pool import pool_size
+    from bioner_ray.stages.pool import sized_pool
     from bioner_ray.stages.scorer import score_stage
 
     if concurrency is None:
         # two scorer pools run CONCURRENTLY in this pipeline
-        concurrency = pool_size(8, pools=2)
+        concurrency = sized_pool(_nrows(sf_dir, "documents"), batch_size=64, max_actors=8, pools=2)
     docs = _segmented_documents(sf_dir)
     gold = score_stage(
         docs,
@@ -263,12 +271,12 @@ def kg_edges(sf_dir: str, salt_buckets=None):
     from bioner_ray.stages.link import ConceptIndex
     from bioner_ray.stages.triples import canonicalize_edges, triples_stage
 
-    from bioner_ray.stages.pool import pool_size
+    from bioner_ray.stages.pool import sized_pool
 
     index_ref = ray.put(ConceptIndex(make_identity_concepts()))
     triples = triples_stage(
         _tagged_documents(sf_dir, pools=2), index_ref,
-        concurrency=pool_size(16, pools=2),
+        concurrency=sized_pool(_nrows(sf_dir, "documents"), batch_size=64, max_actors=16, pools=2),
         relation_lexicon=frozenset(RELATION_WORDS),
     )
     edges = canonicalize_edges(triples, salt_buckets=salt_buckets)
@@ -284,12 +292,12 @@ def kg_nodes(sf_dir: str):
     from bioner_ray.stages.mentions import mentions_stage
     from bioner_ray.stages.triples import canonicalize_nodes
 
-    from bioner_ray.stages.pool import pool_size
+    from bioner_ray.stages.pool import sized_pool
 
     index_ref = ray.put(ConceptIndex(make_identity_concepts()))
     linked = link_stage(
         mentions_stage(_tagged_documents(sf_dir, pools=2)), index_ref,
-        concurrency=pool_size(16, pools=2),
+        concurrency=sized_pool(_nrows(sf_dir, "documents"), batch_size=64, max_actors=16, pools=2),
     )
     return canonicalize_nodes(linked)
 
@@ -840,7 +848,7 @@ def datexis_mentions(sf_dir: str):
     import ray
 
     from bioner_ray.stages.mentions import mentions_stage
-    from bioner_ray.stages.pool import pool_size
+    from bioner_ray.stages.pool import sized_pool
     from bioner_ray.stages.scorer import score_stage
     from bioner_ray.stages.shuffle import bucketed_aggregate, with_ones
     from bioner_ray.stages.vocab import build_vocab
@@ -851,7 +859,7 @@ def datexis_mentions(sf_dir: str):
         docs,
         model_name="datexis-numpy",
         model_config={"vocab": ray.put(vocab)},
-        concurrency=pool_size(16),
+        concurrency=sized_pool(_nrows(sf_dir, "documents"), batch_size=64, max_actors=16),
     )
     mentions = mentions_stage(tagged)
     return bucketed_aggregate(

@@ -392,15 +392,18 @@ def encoding_stats(sf_dir: str, dim: int = 32):
     because per-doc summation order is fixed)."""
     import pyarrow.compute as pc
 
-    from bioner_ray.pipelines.analytics import documents_as_pages
+    from bioner_ray.pipelines.analytics import _nrows, documents_as_pages
     from bioner_ray.stages.encode import encode_stage
-    from bioner_ray.stages.pool import pool_size
+    from bioner_ray.stages.pool import sized_pool
     from bioner_ray.stages.segment import segment_stage
 
     docs = segment_stage(documents_as_pages(sf_dir), with_offsets=False)
-    # pool_size leaves CPUs for the read/segment tasks — a pool equal to
-    # the whole cluster deadlocks the streaming executor (stages/pool.py)
-    encoded = encode_stage(docs, backend="hash", dim=dim, concurrency=pool_size(8))
+    # work-aware pool that still leaves CPUs for the read/segment tasks —
+    # a pool equal to the whole cluster deadlocks the streaming executor
+    encoded = encode_stage(
+        docs, backend="hash", dim=dim,
+        concurrency=sized_pool(_nrows(sf_dir, "documents"), batch_size=64, max_actors=8),
+    )
 
     def stats(batch: pa.Table) -> pa.Table:
         enc = batch.column("encodings")

@@ -38,3 +38,26 @@ def pool_size(
     if max_actors is not None:
         size = max(1, min(size, max_actors))
     return size
+
+
+def sized_pool(
+    n_rows: int | None,
+    batch_size: int = 256,
+    max_actors: int | None = None,
+    pools: int = 1,
+    min_batches_per_actor: int = 2,
+) -> int:
+    """``pool_size`` additionally capped by the WORK: no more actors
+    than ``batches / min_batches_per_actor`` — an actor that exists for
+    a single batch costs more in cold start than it contributes. At
+    production scale (thousands of batches) the cluster fraction is the
+    binding cap and this is identical to ``pool_size``; at bench/test
+    scale it stops 24 actors spawning for 20 batches of work.
+
+    ``n_rows=None`` (unknown input size) falls back to ``pool_size``.
+    """
+    cap = pool_size(max_actors, pools=pools)
+    if n_rows is None:
+        return cap
+    batches = max(1, -(-int(n_rows) // max(batch_size, 1)))
+    return max(1, min(cap, batches // max(min_batches_per_actor, 1) or 1))
