@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_pairs": co.dedup_minhash_pairs,    # rows-only (LSH)
         "dedup_simhash_pairs": co.dedup_simhash_pairs,    # rows-only (SimHash)
         "dedup_filter": co.dedup_filter,                  # pairs→components→keep-representatives
+        "corpus_clean": co.corpus_clean,                  # lang→quality→dedup flagship
         "token_stats": co.token_stats,
         "conll_roundtrip": co.conll_roundtrip,            # S1/S2 format↔parse parity
         "pubmed_extract": co.pubmed_extract,              # S4/S5/G8 XML extract round-trip
@@ -366,6 +367,35 @@ walk(x, label) AS (
 ),
 comp AS (SELECT x AS node, min(label) AS component FROM walk GROUP BY x)
 SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
+""",
+        "corpus_clean": """
+WITH RECURSIVE
+surv AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks
+    FROM documents WHERE lang = 'en')
+  WHERE len(toks) BETWEEN 20 AND 1000000
+    AND CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1) >= 0.3
+),
+w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ws
+      FROM surv),
+sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+       FROM w, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS c
+           FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2),
+pairs AS (SELECT a, b FROM common JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+          WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5),
+edges AS (SELECT a AS x, b AS y FROM pairs UNION SELECT b, a FROM pairs),
+walk(x, label) AS (
+  SELECT x, x FROM (SELECT DISTINCT x FROM edges)
+  UNION
+  SELECT e.x, ww.label FROM edges e JOIN walk ww ON ww.x = e.y
+),
+comp AS (SELECT x AS node, min(label) AS component FROM walk GROUP BY x)
+SELECT doc_id FROM surv
 WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
 """,
         "pubmed_extract": """

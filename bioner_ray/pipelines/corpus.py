@@ -267,16 +267,59 @@ def dedup_filter(sf_dir: str, threshold: float = 0.5):
     drop = [
         r["node"] for r in comps.take_all() if r["node"] != r["component"]
     ]  # bounded by the near-dup population
-    drop_ref = ray.put(set(drop))
+    # broadcast ONE Arrow array (zero-copy from the object store into
+    # every task) and filter with the C++ is_in kernel — the keep filter
+    # touches every corpus row, so no per-row Python here
+    drop_ref = ray.put(pa.array(sorted(drop), type=pa.int64()))
 
     def keep(batch: pa.Table) -> pa.Table:
-        d = ray.get(drop_ref)
-        mask = pa.array([i not in d for i in batch.column("doc_id").to_pylist()])
-        return pa.table({"doc_id": batch.column("doc_id").filter(mask)})
+        ids = batch.column("doc_id")
+        mask = pc.invert(pc.is_in(ids, value_set=ray.get(drop_ref)))
+        return pa.table({"doc_id": ids.filter(mask)})
 
     return _read(sf_dir, "documents", columns=["doc_id"]).map_batches(
         keep, batch_format="pyarrow"
     )
+
+
+def corpus_clean(
+    sf_dir: str,
+    threshold: float = 0.5,
+    lang: str = "en",
+    min_tokens: int = 20,
+    min_ttr: float = 0.3,
+):
+    """The full corpus-hygiene flagship a training-data run executes:
+    language gate → C4-style quality gate → near-dup dedup keeping one
+    representative per cluster. The cheap vectorized filters run FIRST
+    so the shingle/dedup stage only shoulders survivors — the right
+    order at 100 TB, where lang+quality drop most of the crawl before
+    any shuffle. The survivor stream is consumed twice (once to mine
+    near-dup pairs, once for the final keep filter); a production run
+    checkpoints it to Parquet between the passes (state/checkpoint.py)
+    instead of re-executing. Columns: doc_id."""
+    import pyarrow.compute as pc
+    import ray
+
+    from bioner_ray.stages.dedup import jaccard_pairs
+    from bioner_ray.stages.graph import connected_components
+    from bioner_ray.stages.textstats import quality_filter_stage
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    docs = docs.map_batches(
+        lambda t: t.filter(pc.equal(t["lang"], lang)), batch_format="pyarrow"
+    )
+    kept = quality_filter_stage(docs, min_tokens=min_tokens, min_ttr=min_ttr)
+    comps = connected_components(jaccard_pairs(kept, threshold=threshold))
+    drop = [r["node"] for r in comps.take_all() if r["node"] != r["component"]]
+    drop_ref = ray.put(pa.array(sorted(drop), type=pa.int64()))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        mask = pc.invert(pc.is_in(ids, value_set=ray.get(drop_ref)))
+        return pa.table({"doc_id": ids.filter(mask)})
+
+    return kept.select_columns(["doc_id"]).map_batches(keep, batch_format="pyarrow")
 
 
 def quality_docs(sf_dir: str, min_tokens: int = 20, min_ttr: float = 0.3):

@@ -43,6 +43,7 @@ SQL_CHECKED = [
     "ensemble_mention_counts",
     "quality_docs",
     "dedup_filter",
+    "corpus_clean",
     "pubmed_extract",
     "conlleval_export",
     "surface_stats",
