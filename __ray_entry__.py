@@ -101,6 +101,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_topk": co.knn_topk,
         "knn_ivf_topk": co.knn_ivf_topk,                  # rows-only (approximate)
         "embedding_dup_pairs": co.embedding_dup_pairs,
+        "token_shards": co.token_shards,                  # distributed prefix-sum packing
+        "stratified_sample": co.stratified_sample,        # deterministic hash sampling
+        "decontaminate": co.decontaminate,                # benchmark n-gram decontamination
+        "repetition_stats": co.repetition_stats,          # Gopher-style repetition signals
     }
 
 
@@ -488,5 +492,45 @@ WITH s AS (SELECT a.vec_id AS a, b.vec_id AS b,
                   list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS c
            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
 SELECT a, b, round(c, 6) AS cosine_r FROM s WHERE c >= 0.45
+""",
+        "token_shards": """
+WITH n AS (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS BIGINT) AS n_tok
+  FROM documents)
+SELECT doc_id, n_tok,
+       CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS BIGINT) AS shard
+FROM n
+""",
+        "stratified_sample": """
+SELECT doc_id, lang FROM documents
+WHERE (CAST(doc_id AS HUGEINT) * 2654435761 % 4294967296) % 1000
+      < CASE WHEN lang = 'en' THEN 500 ELSE 100 END
+""",
+        "decontaminate": """
+WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ws
+           FROM documents),
+g AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS gm
+      FROM w, UNNEST(generate_series(1, len(ws) - 4)) AS t(i)),
+bad AS (SELECT DISTINCT doc_id FROM g WHERE doc_id % 97 <> 0
+        AND gm IN (SELECT gm FROM g WHERE doc_id % 97 = 0))
+SELECT doc_id FROM documents
+WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
+""",
+        "repetition_stats": """
+WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ws
+           FROM documents),
+t AS (SELECT doc_id, unnest(ws) AS tok FROM w),
+tc AS (SELECT doc_id, max(c) AS top
+       FROM (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2) GROUP BY 1),
+b AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg
+      FROM w, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)),
+bc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nb, CAST(count(DISTINCT bg) AS BIGINT) AS db
+       FROM b GROUP BY 1)
+SELECT w.doc_id,
+       CAST(len(ws) AS BIGINT) AS n_tokens,
+       CAST(coalesce(tc.top, 0) AS DOUBLE) / greatest(len(ws), 1) AS top_token_frac,
+       CAST(coalesce(bc.nb - bc.db, 0) AS DOUBLE) / greatest(coalesce(bc.nb, 1), 1) AS dup_bigram_frac
+FROM w LEFT JOIN tc USING (doc_id) LEFT JOIN bc USING (doc_id)
 """,
     }

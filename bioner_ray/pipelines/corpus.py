@@ -322,6 +322,57 @@ def corpus_clean(
     return kept.select_columns(["doc_id"]).map_batches(keep, batch_format="pyarrow")
 
 
+def token_shards(sf_dir: str, budget: int = 2048, bucket_width: int = 64):
+    """Token-budget training-shard packing via a two-level distributed
+    prefix sum (stages/sampling.py). ``bucket_width=64`` keeps the
+    multi-bucket path exercised even at sf0.001. Columns: doc_id,
+    n_tok, shard."""
+    from bioner_ray.stages.sampling import token_shards as shards
+
+    return shards(_documents(sf_dir), budget=budget, bucket_width=bucket_width)
+
+
+def stratified_sample(sf_dir: str):
+    """Deterministic per-language hash sampling: 50% of English docs,
+    10% of everything else — the up/down-sampling mix step of a
+    training-data run, reproducible on any cluster size. Columns:
+    doc_id, lang."""
+    from bioner_ray.stages.sampling import stratified_sample_stage
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    return stratified_sample_stage(ds, rates_permille={"en": 500}, default_permille=100)
+
+
+def decontaminate(sf_dir: str, n: int = 5):
+    """Benchmark decontamination: the held-out "benchmark" is the
+    deterministic doc_id % 97 == 0 slice; drop every other (train) doc
+    sharing any word 5-gram with it — the planted near-dup clusters in
+    the testdata make this non-trivial. Columns: doc_id."""
+    import pyarrow.compute as pc
+
+    from bioner_ray.stages.contamination import decontaminate_stage, eval_gram_set
+
+    docs = _documents(sf_dir)
+
+    def _is_eval(batch: pa.Table, want: bool) -> pa.Table:
+        mask = batch.column("doc_id").to_numpy(zero_copy_only=False) % 97 == 0
+        return batch.filter(pa.array(mask if want else ~mask))
+
+    ev_ref = eval_gram_set(
+        docs.map_batches(lambda t: _is_eval(t, True), batch_format="pyarrow"), n=n
+    )
+    train = docs.map_batches(lambda t: _is_eval(t, False), batch_format="pyarrow")
+    return decontaminate_stage(train, ev_ref, n=n).select_columns(["doc_id"])
+
+
+def repetition_stats(sf_dir: str):
+    """Gopher-style repetition signals. Columns: doc_id, n_tokens,
+    top_token_frac, dup_bigram_frac."""
+    from bioner_ray.stages.textstats import repetition_stats_stage
+
+    return repetition_stats_stage(_documents(sf_dir))
+
+
 def quality_docs(sf_dir: str, min_tokens: int = 20, min_ttr: float = 0.3):
     """C4-style quality gate: documents inside the token window with
     enough lexical diversity. Columns: doc_id."""

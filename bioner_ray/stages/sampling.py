@@ -1,0 +1,150 @@
+"""Deterministic sampling + token-budget shard packing.
+
+Training-data preparation needs two order-independent primitives the
+reference has no analog for (scale extensions, cf. SURVEY.md §2.8):
+
+* **Hash sampling** — keep a row iff a multiplicative hash of its id
+  lands under a per-stratum rate. Stateless, exactly reproducible on
+  any cluster size, and replayable in ANSI SQL (the driver oracle),
+  unlike ``Dataset.random_sample``.
+* **Token-budget shard packing** — assign every document to a training
+  shard such that shards hold ``budget`` tokens each in ``doc_id``
+  order. This is a distributed *prefix sum*: shard(doc) =
+  exclusive-cumsum(tokens) // budget. Computed in two levels so no
+  stage ever sees the whole corpus:
+
+  1. per-doc token counts + a coarse ``doc_id // bucket_width`` range
+     bucket (stateless ``map_batches``);
+  2. per-block partial bucket sums (Arrow ``group_by``) — the driver
+     collects only ~buckets×blocks tiny rows, exclusive-scans the
+     per-bucket totals (10^6 buckets at 10^12 docs with the default
+     width — MBs, not the corpus), and broadcasts the offsets with one
+     ``ray.put``;
+  3. per-bucket ``groupby().map_groups``: sort the bucket by doc_id,
+     local cumsum + the bucket's broadcast offset, integer-divide by
+     the budget. Each bucket holds ≤ ``bucket_width`` fixed-width rows,
+     so group size is bounded by construction (no skew: doc_id ranges
+     are uniform by definition).
+
+  The count stage is executed twice (once feeding the partial sums,
+  once feeding the final assignment); a production run checkpoints the
+  counts to Parquet between the passes (state/checkpoint.py) — they are
+  3 int64 columns, ~24 bytes/doc, vs re-reading the text corpus.
+
+Token contract matches textstats: whitespace tokens of lower(text),
+i.e. ``regexp_split_to_array(lower(text), '\\s+')`` minus empties.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from bioner_ray.stages.textstats import _split_lower
+
+#: Knuth's multiplicative constant; the product is taken mod 2^64
+#: (numpy uint64 wraparound) then mod 2^32, which equals
+#: ``CAST(id AS HUGEINT) * 2654435761 % 4294967296`` in SQL because
+#: 2^32 divides 2^64.
+_KNUTH = np.uint64(2654435761)
+_MOD32 = np.uint64(4294967296)
+
+
+def hash_permille(ids: pa.Array) -> np.ndarray:
+    """Deterministic per-id value in [0, 1000) for rate comparisons."""
+    v = ids.to_numpy(zero_copy_only=False).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        return ((v * _KNUTH) % _MOD32) % np.uint64(1000)
+
+
+def stratified_sample_stage(
+    ds,
+    rates_permille: dict[str, int],
+    default_permille: int,
+    id_col: str = "doc_id",
+    stratum_col: str = "lang",
+):
+    """Keep each row iff hash_permille(id) < the stratum's rate.
+
+    Stateless and cluster-size-independent: the same (id, stratum)
+    always makes the same keep/drop decision, so a resumed or
+    repartitioned run samples identically. The rate table is a plain
+    broadcast-by-closure dict (strata are few: languages, sources).
+    """
+
+    def keep(batch: pa.Table) -> pa.Table:
+        h = hash_permille(batch.column(id_col))
+        strata = batch.column(stratum_col).to_pylist()
+        limit = np.fromiter(
+            (rates_permille.get(s, default_permille) for s in strata),
+            dtype=np.uint64,
+            count=batch.num_rows,
+        )
+        return batch.filter(pa.array(h < limit))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def _token_counts(ds, id_col: str, text_col: str, bucket_width: int):
+    def counts(batch: pa.Table) -> pa.Table:
+        toks = _split_lower(batch, text_col)
+        n = np.array([len(t) for t in toks], dtype=np.int64)
+        ids = batch.column(id_col)
+        bucket = pc.divide(ids, pa.scalar(bucket_width, type=pa.int64()))
+        return pa.table({id_col: ids, "n_tok": pa.array(n), "_bucket": bucket})
+
+    return ds.map_batches(counts, batch_format="pyarrow")
+
+
+def token_shards(
+    ds,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_width: int = 1 << 20,
+):
+    """Assign each document to a token-budget shard (see module doc).
+
+    shard = (sum of n_tok over all docs with smaller doc_id) // budget —
+    i.e. documents are packed greedily in doc_id order and never split,
+    so a shard may overrun by at most one document. Output columns:
+    id_col, ``n_tok``, ``shard`` (all int64).
+    """
+    import ray
+
+    counted = _token_counts(ds, id_col, text_col, bucket_width)
+
+    # level 1: per-block partial sums per bucket — tiny (≤ buckets×blocks
+    # rows of two int64s) regardless of corpus size
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.group_by(["_bucket"]).aggregate([("n_tok", "sum")])
+        t = t.select(["_bucket", "n_tok_sum"])
+        return t.rename_columns(["_bucket", "n_tok"])
+
+    parts = counted.map_batches(partial, batch_format="pyarrow").take_all()
+    totals: dict[int, int] = {}
+    for row in parts:
+        totals[row["_bucket"]] = totals.get(row["_bucket"], 0) + row["n_tok"]
+    offsets: dict[int, int] = {}
+    acc = 0
+    for b in sorted(totals):  # exclusive scan over bucket totals
+        offsets[b] = acc
+        acc += totals[b]
+    off_ref = ray.put(offsets)
+
+    # level 2: per-bucket local exclusive cumsum + broadcast offset
+    def assign(group: pa.Table) -> pa.Table:
+        group = group.sort_by(id_col)
+        n = group.column("n_tok").to_numpy()
+        start = ray.get(off_ref)[group.column("_bucket")[0].as_py()]
+        excl = start + np.concatenate(([0], np.cumsum(n[:-1], dtype=np.int64)))
+        return pa.table(
+            {
+                id_col: group.column(id_col),
+                "n_tok": group.column("n_tok"),
+                "shard": pa.array(excl // budget, type=pa.int64()),
+            }
+        )
+
+    return counted.groupby("_bucket").map_groups(assign, batch_format="pyarrow")

@@ -113,6 +113,55 @@ def quality_filter_stage(
     return ds.map_batches(flag, batch_format="pyarrow")
 
 
+def repetition_stats_batch(
+    batch: pa.Table, text_col: str = "text", id_col: str = "doc_id"
+) -> pa.Table:
+    """Gopher-style repetition signals per document.
+
+    Columns: ``n_tokens``, ``top_token_frac`` (count of the most
+    frequent token / n_tokens; 0.0 for empty docs) and
+    ``dup_bigram_frac`` ((n_bigrams − distinct_bigrams) / n_bigrams;
+    0.0 when < 2 tokens). Both are single exact-int divisions →
+    bit-stable vs the SQL oracle (same contract as token_stats).
+    """
+    from collections import Counter
+
+    toks = _split_lower(batch, text_col)
+    n_tokens = np.array([len(t) for t in toks], dtype=np.int64)
+    top = np.array(
+        [max(Counter(t).values()) if t else 0 for t in toks], dtype=np.int64
+    )
+    n_bi = np.maximum(n_tokens - 1, 0)
+    dup_bi = np.array(
+        [
+            (len(t) - 1) - len({(t[j], t[j + 1]) for j in range(len(t) - 1)})
+            if len(t) >= 2
+            else 0
+            for t in toks
+        ],
+        dtype=np.int64,
+    )
+    return pa.table(
+        {
+            id_col: batch.column(id_col),
+            "n_tokens": pa.array(n_tokens),
+            "top_token_frac": pa.array(top / np.where(n_tokens == 0, 1, n_tokens)),
+            "dup_bigram_frac": pa.array(dup_bi / np.where(n_bi == 0, 1, n_bi)),
+        }
+    )
+
+
+def repetition_stats_stage(
+    ds, text_col: str = "text", id_col: str = "doc_id", batch_size: int = 1024
+):
+    return ds.map_batches(
+        repetition_stats_batch,
+        fn_kwargs={"text_col": text_col, "id_col": id_col},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+
+
 def langid_batch(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
     """Stopword-profile language ID; deterministic argmax, tie → "und".
 

@@ -51,6 +51,10 @@ SQL_CHECKED = [
     "position_stats",
     "unknown_words",
     "bioul_map",
+    "token_shards",
+    "stratified_sample",
+    "decontaminate",
+    "repetition_stats",
 ]
 
 ROWS_ONLY = [
