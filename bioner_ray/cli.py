@@ -67,6 +67,16 @@ def _cmd_kg(args) -> dict:
     )
 
 
+def _cmd_run(args) -> dict:
+    from bioner_ray.pipeline_config import run_config
+
+    with open(args.config) as f:
+        cfg = json.load(f)
+    return run_config(
+        cfg, args.input, args.output, columns=args.columns.split(",") if args.columns else None
+    )
+
+
 def _cmd_splits(args) -> dict:
     from bioner_ray.pipelines.analytics import write_doc_splits
 
@@ -92,6 +102,13 @@ def main(argv: list[str] | None = None) -> int:
     kc.add_argument("--resume", action="store_true", default=False)
     kc.add_argument("--concurrency", type=int, default=8)
     kc.set_defaults(fn=_cmd_kg)
+
+    rn = sub.add_parser("run", help="config-driven pipeline: JSON stage list over parquet")
+    rn.add_argument("--config", required=True, help="JSON file: {stages: [{stage, params}]}")
+    rn.add_argument("--input", required=True)
+    rn.add_argument("--output", required=True)
+    rn.add_argument("--columns", default=None, help="comma-separated read projection")
+    rn.set_defaults(fn=_cmd_run)
 
     sp = sub.add_parser("splits", help="hive-partitioned train/val/test split write")
     sp.add_argument("--sf-dir", required=True)
