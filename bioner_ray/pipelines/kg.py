@@ -143,6 +143,25 @@ def run_kg_streaming(
     return summary
 
 
+def _pin_http_probe() -> None:
+    """Make Ray's per-path fsspec-HTTP probe thread-safe.
+
+    ``path_util._is_http_filesystem`` retries
+    ``from fsspec.implementations.http import HTTPFileSystem`` on EVERY
+    read/write path resolution and catches only ModuleNotFoundError.
+    When aiohttp is absent the import fails and is retried each call,
+    and two threads resolving paths concurrently can observe the
+    other's partially-initialized module as a plain ImportError
+    ("cannot import name 'HTTPFileSystem'"), which escapes the catch.
+    Resolve the probe ONCE, sequentially, and pin the result."""
+    try:
+        from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
+    except ImportError:
+        from ray.data.datasource import path_util
+
+        path_util._is_http_filesystem = lambda fs: False
+
+
 def run_kg_pipeline(
     pages_path: str,
     out_root: str,
@@ -194,19 +213,37 @@ def run_kg_pipeline(
 
     tagged = ckpt.run_stage(out_root, "tagged", build_tagged, resume=resume)
 
-    mentions = ckpt.run_stage(
-        out_root,
-        "mentions",
-        lambda: link_stage(mentions_stage(tagged), index_ref, concurrency=concurrency),
-        resume=resume,
+    _pin_http_probe()
+    # mentions and triples are independent consumers of the tagged
+    # checkpoint — run their stage executions CONCURRENTLY (two
+    # datasets, two threads) so their actor pools timeshare the cluster
+    # instead of serializing two full passes; wall ≈ max, not sum. Each
+    # keeps its own manifest, so resume semantics are unchanged. Halve
+    # each pool so the pair fits the same cores a single stage used.
+    half = (
+        tuple(max(1, c // 2) for c in concurrency)
+        if isinstance(concurrency, tuple)
+        else max(1, concurrency // 2)
     )
+    from concurrent.futures import ThreadPoolExecutor
 
-    triples = ckpt.run_stage(
-        out_root,
-        "triples",
-        lambda: triples_stage(tagged, index_ref, concurrency=concurrency),
-        resume=resume,
-    )
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_mentions = pool.submit(
+            ckpt.run_stage,
+            out_root,
+            "mentions",
+            lambda: link_stage(mentions_stage(tagged), index_ref, concurrency=half),
+            resume=resume,
+        )
+        f_triples = pool.submit(
+            ckpt.run_stage,
+            out_root,
+            "triples",
+            lambda: triples_stage(tagged, index_ref, concurrency=half),
+            resume=resume,
+        )
+        mentions = f_mentions.result()
+        triples = f_triples.result()
 
     edges = ckpt.run_stage(
         out_root,
