@@ -105,6 +105,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": co.stratified_sample,        # deterministic hash sampling
         "decontaminate": co.decontaminate,                # benchmark n-gram decontamination
         "repetition_stats": co.repetition_stats,          # Gopher-style repetition signals
+        "training_shards": co.training_shards,            # clean corpus → token-budget shards
+        "media_features": co.media_features,              # rows-only (multimodal actor pool)
     }
 
 
@@ -532,5 +534,40 @@ SELECT w.doc_id,
        CAST(coalesce(tc.top, 0) AS DOUBLE) / greatest(len(ws), 1) AS top_token_frac,
        CAST(coalesce(bc.nb - bc.db, 0) AS DOUBLE) / greatest(coalesce(bc.nb, 1), 1) AS dup_bigram_frac
 FROM w LEFT JOIN tc USING (doc_id) LEFT JOIN bc USING (doc_id)
+""",
+        "training_shards": """
+WITH RECURSIVE
+surv AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks
+    FROM documents WHERE lang = 'en')
+  WHERE len(toks) BETWEEN 20 AND 1000000
+    AND CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1) >= 0.3
+),
+w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ws
+      FROM surv),
+sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+       FROM w, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS c
+           FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2),
+pairs AS (SELECT a, b FROM common JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+          WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5),
+edges AS (SELECT a AS x, b AS y FROM pairs UNION SELECT b, a FROM pairs),
+walk(x, label) AS (
+  SELECT x, x FROM (SELECT DISTINCT x FROM edges)
+  UNION
+  SELECT e.x, ww.label FROM edges e JOIN walk ww ON ww.x = e.y
+),
+comp AS (SELECT x AS node, min(label) AS component FROM walk GROUP BY x),
+clean AS (SELECT doc_id, text FROM surv
+          WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)),
+n AS (SELECT doc_id,
+             CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS BIGINT) AS n_tok
+      FROM clean)
+SELECT doc_id, n_tok,
+       CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS BIGINT) AS shard
+FROM n
 """,
     }

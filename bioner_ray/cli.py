@@ -83,6 +83,14 @@ def _cmd_splits(args) -> dict:
     return write_doc_splits(args.sf_dir, args.out)
 
 
+def _cmd_shards(args) -> dict:
+    from bioner_ray.pipelines.corpus import write_training_shards
+
+    return write_training_shards(
+        args.sf_dir, args.out, budget=args.budget, resume=args.resume
+    )
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="bioner_ray", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -114,6 +122,15 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--sf-dir", required=True)
     sp.add_argument("--out", required=True)
     sp.set_defaults(fn=_cmd_splits)
+
+    sh = sub.add_parser(
+        "shards", help="clean corpus -> token-budget training shards (partitioned parquet)"
+    )
+    sh.add_argument("--sf-dir", required=True)
+    sh.add_argument("--out", required=True)
+    sh.add_argument("--budget", type=int, default=2048)
+    sh.add_argument("--resume", action="store_true", default=False)
+    sh.set_defaults(fn=_cmd_shards)
 
     args = p.parse_args(argv)
     ray = _ensure_ray()

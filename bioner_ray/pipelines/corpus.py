@@ -282,22 +282,22 @@ def dedup_filter(sf_dir: str, threshold: float = 0.5):
     )
 
 
-def corpus_clean(
+def _cleaned_docs(
     sf_dir: str,
     threshold: float = 0.5,
     lang: str = "en",
     min_tokens: int = 20,
     min_ttr: float = 0.3,
 ):
-    """The full corpus-hygiene flagship a training-data run executes:
-    language gate → C4-style quality gate → near-dup dedup keeping one
-    representative per cluster. The cheap vectorized filters run FIRST
-    so the shingle/dedup stage only shoulders survivors — the right
-    order at 100 TB, where lang+quality drop most of the crawl before
-    any shuffle. The survivor stream is consumed twice (once to mine
-    near-dup pairs, once for the final keep filter); a production run
-    checkpoints it to Parquet between the passes (state/checkpoint.py)
-    instead of re-executing. Columns: doc_id."""
+    """The corpus-hygiene core: language gate → C4-style quality gate →
+    near-dup dedup keeping one representative per cluster, returning
+    the surviving (doc_id, text) stream. The cheap vectorized filters
+    run FIRST so the shingle/dedup stage only shoulders survivors —
+    the right order at 100 TB, where lang+quality drop most of the
+    crawl before any shuffle. The survivor stream is consumed twice
+    (once to mine near-dup pairs, once for the final keep filter); a
+    production run checkpoints it to Parquet between the passes
+    (write_training_shards does) instead of re-executing."""
     import pyarrow.compute as pc
     import ray
 
@@ -315,11 +315,75 @@ def corpus_clean(
     drop_ref = ray.put(pa.array(sorted(drop), type=pa.int64()))
 
     def keep(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id")
-        mask = pc.invert(pc.is_in(ids, value_set=ray.get(drop_ref)))
-        return pa.table({"doc_id": ids.filter(mask)})
+        mask = pc.invert(pc.is_in(batch.column("doc_id"), value_set=ray.get(drop_ref)))
+        return batch.filter(mask)
 
-    return kept.select_columns(["doc_id"]).map_batches(keep, batch_format="pyarrow")
+    return kept.select_columns(["doc_id", "text"]).map_batches(
+        keep, batch_format="pyarrow"
+    )
+
+
+def corpus_clean(
+    sf_dir: str,
+    threshold: float = 0.5,
+    lang: str = "en",
+    min_tokens: int = 20,
+    min_ttr: float = 0.3,
+):
+    """The corpus-hygiene flagship (see ``_cleaned_docs``). Columns:
+    doc_id."""
+    return _cleaned_docs(
+        sf_dir, threshold=threshold, lang=lang, min_tokens=min_tokens, min_ttr=min_ttr
+    ).select_columns(["doc_id"])
+
+
+def training_shards(sf_dir: str, budget: int = 2048, bucket_width: int = 64):
+    """The end deliverable of a training-data run: the CLEANED corpus
+    (lang → quality → near-dup dedup) packed into token-budget
+    training shards via the distributed prefix sum
+    (stages/sampling.py). Composition stays lazy and streaming; the
+    materializing form is ``write_training_shards``. Columns: doc_id,
+    n_tok, shard."""
+    from bioner_ray.stages.sampling import token_shards as shards
+
+    return shards(_cleaned_docs(sf_dir), budget=budget, bucket_width=bucket_width)
+
+
+def write_training_shards(
+    sf_dir: str, out_root: str, budget: int = 2048, resume: bool = True
+) -> dict:
+    """Checkpointed export: clean → checkpoint the survivor corpus →
+    shard-assign (text carried through the one output shuffle) →
+    Parquet partitioned by ``shard`` (resumable; one directory per
+    shard, never one giant file)."""
+    import os
+
+    import ray.data as rd
+
+    from bioner_ray.stages.sampling import token_shards as shards
+    from bioner_ray.state import checkpoint as ckpt
+
+    clean = ckpt.run_stage(
+        out_root, "clean", lambda: _cleaned_docs(sf_dir), resume=resume
+    )
+    out_dir = os.path.join(out_root, "shards")
+    if not (resume and ckpt.is_complete(out_root, "shards")):
+        import json
+        import shutil
+
+        if os.path.exists(out_dir):
+            shutil.rmtree(out_dir)  # torn/previous write — idempotent rewrite
+        os.makedirs(out_dir)
+        assigned = shards(
+            clean.select_columns(["doc_id", "text"]),
+            budget=budget,
+            passthrough_cols=("text",),
+        )
+        assigned.write_parquet(out_dir, partition_cols=["shard"])
+        with open(os.path.join(out_dir, ckpt.MANIFEST), "w") as f:
+            json.dump({"stage": "shards", "budget": budget}, f)
+    check = rd.read_parquet(out_dir)
+    return {"rows": check.count(), "out": out_dir}
 
 
 def token_shards(sf_dir: str, budget: int = 2048, bucket_width: int = 64):
@@ -371,6 +435,49 @@ def repetition_stats(sf_dir: str):
     from bioner_ray.stages.textstats import repetition_stats_stage
 
     return repetition_stats_stage(_documents(sf_dir))
+
+
+def media_features(sf_dir: str, side: int = 16):
+    """Multimodal plumbing driven end-to-end from the driver tables:
+    each document's utf-8 bytes become an opaque binary payload with
+    typed (width, height) metadata, decoded + pooled to a feature
+    vector on the image actor pool (deterministic fake codec; real
+    PIL/torchvision is the import-gated seam). Rows-only check — the
+    fake codec is not SQL-expressible. Columns: media_id, feat_norm,
+    decoded_width, decoded_height."""
+    import pyarrow.compute as pc
+
+    from bioner_ray.stages.multimodal import image_feature_stage
+
+    def to_media(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "media_id": t.column("doc_id"),
+                "payload": t.column("text").cast(pa.binary()),
+                "width": pa.array([side] * n, type=pa.int32()),
+                "height": pa.array([side] * n, type=pa.int32()),
+            }
+        )
+
+    media = _documents(sf_dir).map_batches(to_media, batch_format="pyarrow")
+
+    def norm(t: pa.Table) -> pa.Table:
+        feats = t.column("feature").to_pylist()
+        import numpy as np
+
+        return pa.table(
+            {
+                "media_id": t.column("media_id"),
+                "feat_norm": pa.array(
+                    [float(np.linalg.norm(f)) for f in feats], type=pa.float64()
+                ),
+                "decoded_width": t.column("decoded_width"),
+                "decoded_height": t.column("decoded_height"),
+            }
+        )
+
+    return image_feature_stage(media).map_batches(norm, batch_format="pyarrow")
 
 
 def quality_docs(sf_dir: str, min_tokens: int = 20, min_ttr: float = 0.3):

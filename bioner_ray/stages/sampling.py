@@ -86,13 +86,16 @@ def stratified_sample_stage(
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
-def _token_counts(ds, id_col: str, text_col: str, bucket_width: int):
+def _token_counts(ds, id_col: str, text_col: str, bucket_width: int, passthrough: tuple):
     def counts(batch: pa.Table) -> pa.Table:
         toks = _split_lower(batch, text_col)
         n = np.array([len(t) for t in toks], dtype=np.int64)
         ids = batch.column(id_col)
         bucket = pc.divide(ids, pa.scalar(bucket_width, type=pa.int64()))
-        return pa.table({id_col: ids, "n_tok": pa.array(n), "_bucket": bucket})
+        cols = {id_col: ids, "n_tok": pa.array(n), "_bucket": bucket}
+        for c in passthrough:
+            cols[c] = batch.column(c)
+        return pa.table(cols)
 
     return ds.map_batches(counts, batch_format="pyarrow")
 
@@ -103,17 +106,23 @@ def token_shards(
     id_col: str = "doc_id",
     text_col: str = "text",
     bucket_width: int = 1 << 20,
+    passthrough_cols: tuple = (),
 ):
     """Assign each document to a token-budget shard (see module doc).
 
     shard = (sum of n_tok over all docs with smaller doc_id) // budget —
     i.e. documents are packed greedily in doc_id order and never split,
     so a shard may overrun by at most one document. Output columns:
-    id_col, ``n_tok``, ``shard`` (all int64).
+    id_col, ``n_tok``, ``shard`` (all int64), plus any
+    ``passthrough_cols`` carried verbatim. Passing the text column
+    through means the bucket shuffle moves the corpus once — that IS
+    the output repartition a shard-materializing export performs; leave
+    it empty for assignment-only (3 int64 columns through the
+    shuffle).
     """
     import ray
 
-    counted = _token_counts(ds, id_col, text_col, bucket_width)
+    counted = _token_counts(ds, id_col, text_col, bucket_width, tuple(passthrough_cols))
 
     # level 1: per-block partial sums per bucket — tiny (≤ buckets×blocks
     # rows of two int64s) regardless of corpus size
@@ -139,12 +148,13 @@ def token_shards(
         n = group.column("n_tok").to_numpy()
         start = ray.get(off_ref)[group.column("_bucket")[0].as_py()]
         excl = start + np.concatenate(([0], np.cumsum(n[:-1], dtype=np.int64)))
-        return pa.table(
-            {
-                id_col: group.column(id_col),
-                "n_tok": group.column("n_tok"),
-                "shard": pa.array(excl // budget, type=pa.int64()),
-            }
-        )
+        cols = {
+            id_col: group.column(id_col),
+            "n_tok": group.column("n_tok"),
+            "shard": pa.array(excl // budget, type=pa.int64()),
+        }
+        for c in passthrough_cols:
+            cols[c] = group.column(c)
+        return pa.table(cols)
 
     return counted.groupby("_bucket").map_groups(assign, batch_format="pyarrow")

@@ -55,6 +55,7 @@ SQL_CHECKED = [
     "stratified_sample",
     "decontaminate",
     "repetition_stats",
+    "training_shards",
 ]
 
 ROWS_ONLY = [
@@ -67,6 +68,7 @@ ROWS_ONLY = [
     "winnow_fingerprints",
     "encoding_stats",
     "datexis_mentions",
+    "media_features",
 ]
 
 

@@ -142,6 +142,40 @@ class TestDecontaminate:
         assert kept.count() == 50
 
 
+class TestTrainingShardExport:
+    def test_write_partitioned_and_resume(self, tmp_path):
+        from bioner_ray.pipelines.corpus import write_training_shards
+
+        out = str(tmp_path / "shards")
+        s1 = write_training_shards("/root/testdata/sf0.001", out, budget=512, resume=False)
+        assert s1["rows"] > 0
+        import os
+
+        shard_dirs = [d for d in os.listdir(s1["out"]) if d.startswith("shard=")]
+        assert len(shard_dirs) > 1  # one directory per shard, never one file
+        # resume skips the clean stage (manifest exists) and rewrites shards
+        s2 = write_training_shards("/root/testdata/sf0.001", out, budget=512, resume=True)
+        assert s2["rows"] == s1["rows"]
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(s1["out"])
+        assert {"doc_id", "n_tok", "text"} <= set(t.schema.names)
+
+    def test_passthrough_survives_shuffle(self):
+        t = _corpus(120, seed=5)
+        out = (
+            token_shards(
+                rd.from_arrow(t).repartition(5),
+                budget=64,
+                bucket_width=16,
+                passthrough_cols=("text",),
+            )
+            .to_pandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+        assert list(out["text"]) == t.column("text").to_pylist()
+
+
 class TestRepetitionStats:
     def test_golden(self):
         docs = pa.table(
