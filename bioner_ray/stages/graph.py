@@ -19,8 +19,12 @@ from the engine's own pieces:
   canonicalize_nodes, and it keeps round k+1 from re-executing round
   k's join lineage.
 
-Rounds needed = graph diameter (near-dup clusters are dense, so
-typically 2-3); ``max_iters`` bounds pathological chains.
+Rounds needed: near-dup clusters are dense, so plain propagation
+converges in 2-3 rounds. From round 3 on, each round ALSO
+pointer-jumps (label ← label[label], one extra bounded self-join), so
+a pathological long chain converges in O(log diameter) rounds instead
+of O(diameter) — ``max_iters`` = 30 therefore covers diameters past
+2^25 while typical inputs never pay the extra join.
 """
 
 from __future__ import annotations
@@ -34,7 +38,7 @@ def connected_components(
     pairs_ds,
     a_col: str = "a",
     b_col: str = "b",
-    max_iters: int = 20,
+    max_iters: int = 30,
     num_partitions: int | None = None,
 ):
     """(a, b) pair Dataset → (node, component) with component = min
@@ -68,7 +72,7 @@ def connected_components(
 
     prev_sum = None
     converged = False
-    for _ in range(max_iters):
+    for rnd in range(max_iters):
         nbr_labels = labels.rename_columns({"node": "nbr", "label": "nbr_label"})
         msgs = edges.join(
             nbr_labels,
@@ -83,6 +87,28 @@ def connected_components(
         labels = bucketed_aggregate(
             labels.union(msgs), ["node"], [("label", "min")]
         ).materialize()
+        if rnd >= 2:
+            # pointer jumping: label ← label[label]. Every label value
+            # is itself a node (labels are mins over reachable node
+            # ids, monotone ≤ node), so the inner self-join is total;
+            # the jump squares the propagation radius per round.
+            ptr = labels.rename_columns({"node": "label", "label": "jump"})
+            labels = (
+                labels.join(
+                    ptr,
+                    join_type="inner",
+                    num_partitions=num_partitions,
+                    on=("label",),
+                    aggregator_ray_remote_args={"num_cpus": 0.25},
+                )
+                .map_batches(
+                    lambda t: pa.table(
+                        {"node": t.column("node"), "label": t.column("jump")}
+                    ),
+                    batch_format="pyarrow",
+                )
+                .materialize()
+            )
         s = labels.sum("label")
         if s == prev_sum:
             converged = True

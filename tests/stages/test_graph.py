@@ -56,6 +56,14 @@ class TestConnectedComponents:
         assert set(got.values()) == {0}
         assert len(got) == 13
 
+    def test_very_long_chain_pointer_jumps(self):
+        # diameter 300 ≫ max_iters: plain propagation would need 300
+        # rounds; pointer jumping must converge in O(log d)
+        pairs = [(i, i + 1) for i in range(300)]
+        got = _run(pairs)
+        assert set(got.values()) == {0}
+        assert len(got) == 301
+
     def test_random_graph_matches_union_find(self):
         rng = np.random.default_rng(5)
         pairs = sorted(
