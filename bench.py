@@ -133,6 +133,9 @@ OPERATOR_QUERIES = [
     "langid",
     "knn_topk",
     "embedding_dup_pairs",
+    "corpus_clean",
+    "training_shards",
+    "decontaminate",
     "pricing_summary",
     "revenue_by_segment",
     "events_per_day",

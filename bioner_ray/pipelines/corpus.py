@@ -294,10 +294,13 @@ def _cleaned_docs(
     the surviving (doc_id, text) stream. The cheap vectorized filters
     run FIRST so the shingle/dedup stage only shoulders survivors —
     the right order at 100 TB, where lang+quality drop most of the
-    crawl before any shuffle. The survivor stream is consumed twice
-    (once to mine near-dup pairs, once for the final keep filter); a
-    production run checkpoints it to Parquet between the passes
-    (write_training_shards does) instead of re-executing."""
+    crawl before any shuffle. The survivor stream has multiple
+    consumers (near-dup pair mining, the final keep filter, any
+    downstream packing), so it is ``materialize()``d ONCE into the
+    object store — the in-memory stand-in for the Parquet stage
+    checkpoint a durable run writes (write_training_shards does
+    exactly that); at cluster scale the object store spills blocks to
+    disk rather than re-executing the whole gate per consumer."""
     import pyarrow.compute as pc
     import ray
 
@@ -309,7 +312,7 @@ def _cleaned_docs(
     docs = docs.map_batches(
         lambda t: t.filter(pc.equal(t["lang"], lang)), batch_format="pyarrow"
     )
-    kept = quality_filter_stage(docs, min_tokens=min_tokens, min_ttr=min_ttr)
+    kept = quality_filter_stage(docs, min_tokens=min_tokens, min_ttr=min_ttr).materialize()
     comps = connected_components(jaccard_pairs(kept, threshold=threshold))
     drop = [r["node"] for r in comps.take_all() if r["node"] != r["component"]]
     drop_ref = ray.put(pa.array(sorted(drop), type=pa.int64()))

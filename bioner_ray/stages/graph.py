@@ -34,20 +34,67 @@ import pyarrow as pa
 from bioner_ray.stages.shuffle import bucketed_aggregate
 
 
+def _driver_components(rows, a_col: str, b_col: str):
+    """Union-find with path compression over a COLLECTED pair list —
+    the fast path for pair sets under the driver gate. Exact same
+    contract: (node, component=min node id in the component)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        a, b = int(r[a_col]), int(r[b_col])
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)  # min-id root → component = min
+    import ray.data as rd
+
+    nodes = sorted(parent)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(nodes, type=pa.int64()),
+                "component": pa.array([find(n) for n in nodes], type=pa.int64()),
+            }
+        )
+    )
+
+
 def connected_components(
     pairs_ds,
     a_col: str = "a",
     b_col: str = "b",
     max_iters: int = 30,
     num_partitions: int | None = None,
+    driver_max_pairs: int = 2_000_000,
 ):
     """(a, b) pair Dataset → (node, component) with component = min
-    node id in the connected component. See module docstring."""
+    node id in the connected component. See module docstring.
+
+    The pair set is bounded by the NEAR-DUP population, not the corpus
+    — and the downstream keep-filter collects the non-representative
+    ids to the driver anyway (pipelines/corpus.py dedup_filter). So
+    under ``driver_max_pairs`` the exact union-find runs driver-side
+    (micro-seconds vs seconds of per-round join overhead); above it,
+    the distributed label-propagation + pointer-jumping path runs.
+    Both produce identical labels."""
     import ray
 
     if num_partitions is None:
         cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
         num_partitions = max(4, cpus // 4)
+
+    pairs_ds = pairs_ds.materialize()  # bounded; single execution, both paths
+    if driver_max_pairs and pairs_ds.count() <= driver_max_pairs:
+        return _driver_components(pairs_ds.take_all(), a_col, b_col)
 
     def sym(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

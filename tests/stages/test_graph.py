@@ -33,14 +33,17 @@ def _union_find(pairs, nodes):
     return out
 
 
-def _run(pairs):
+def _run(pairs, distributed=False):
     tbl = pa.table(
         {
             "a": pa.array([p[0] for p in pairs], type=pa.int64()),
             "b": pa.array([p[1] for p in pairs], type=pa.int64()),
         }
     )
-    got = connected_components(rd.from_arrow(tbl))
+    # driver_max_pairs=0 forces the distributed label-propagation path
+    got = connected_components(
+        rd.from_arrow(tbl), driver_max_pairs=0 if distributed else 2_000_000
+    )
     return {r["node"]: r["component"] for r in got.take_all()}
 
 
@@ -50,6 +53,13 @@ class TestConnectedComponents:
         nodes = sorted({x for p in pairs for x in p})
         assert _run(pairs) == _union_find(pairs, nodes)
 
+    def test_driver_and_distributed_paths_agree(self):
+        rng = np.random.default_rng(11)
+        pairs = sorted(
+            {tuple(sorted(p)) for p in rng.integers(0, 60, size=(80, 2)) if p[0] != p[1]}
+        )
+        assert _run(pairs) == _run(pairs, distributed=True)
+
     def test_long_chain_needs_iterations(self):
         pairs = [(i, i + 1) for i in range(12)]
         got = _run(pairs)
@@ -58,9 +68,10 @@ class TestConnectedComponents:
 
     def test_very_long_chain_pointer_jumps(self):
         # diameter 300 ≫ max_iters: plain propagation would need 300
-        # rounds; pointer jumping must converge in O(log d)
+        # rounds; pointer jumping must converge in O(log d) on the
+        # DISTRIBUTED path (the driver path is trivially exact)
         pairs = [(i, i + 1) for i in range(300)]
-        got = _run(pairs)
+        got = _run(pairs, distributed=True)
         assert set(got.values()) == {0}
         assert len(got) == 301
 

@@ -180,3 +180,85 @@ class TestDedupBruteForceEquivalence:
                 if j >= 0.4:
                     want[(a, b)] = round(j, 9)
         assert got == want
+
+
+class TestSamplingProperties:
+    @given(
+        st.lists(st.integers(min_value=0, max_value=10**12), min_size=1, max_size=200, unique=True),
+        st.integers(min_value=0, max_value=1000),
+    )
+    @settings(max_examples=50, deadline=None)
+    def test_hash_permille_matches_pure_formula(self, ids, rate):
+        """The vectorized uint64-wraparound hash must equal the exact
+        integer formula the SQL oracle computes with HUGEINT."""
+        import pyarrow as pa
+
+        from bioner_ray.stages.sampling import hash_permille
+
+        got = hash_permille(pa.array(ids, type=pa.int64()))
+        want = [((i * 2654435761) % 4294967296) % 1000 for i in ids]
+        assert got.tolist() == want
+        # the keep-decision is a pure per-id predicate: partition-free
+        assert [(h < rate) for h in got] == [(w < rate) for w in want]
+
+    @given(
+        st.lists(
+            st.lists(st.sampled_from("ab cd ef gh ij kl".split()), max_size=30),
+            min_size=1,
+            max_size=40,
+        ),
+        st.integers(min_value=1, max_value=200),
+    )
+    @settings(max_examples=25, deadline=None)
+    def test_token_shards_is_exclusive_prefix_sum(self, docs, budget):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from bioner_ray.stages.sampling import token_shards
+
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(len(docs)), type=pa.int64()),
+                "text": [" ".join(d) for d in docs],
+            }
+        )
+        out = (
+            token_shards(rd.from_arrow(t), budget=budget, bucket_width=7)
+            .to_pandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+        n = [len(d) for d in docs]
+        excl = np.concatenate(([0], np.cumsum(n[:-1]))) if len(n) > 1 else np.array([0])
+        assert out["n_tok"].tolist() == n
+        assert out["shard"].tolist() == (excl // budget).tolist()
+
+
+class TestDecontaminationProperties:
+    @given(
+        st.lists(st.sampled_from("aa bb cc dd ee".split()), min_size=3, max_size=12),
+        st.integers(min_value=2, max_value=3),
+    )
+    @settings(max_examples=25, deadline=None)
+    def test_exact_overlap_always_dropped_disjoint_always_kept(self, eval_toks, n):
+        """A train doc CONTAINING the eval doc verbatim must be dropped;
+        a train doc over a disjoint vocabulary must be kept."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from bioner_ray.stages.contamination import decontaminate_stage, eval_gram_set
+
+        ev = pa.table({"doc_id": pa.array([0], type=pa.int64()), "text": [" ".join(eval_toks)]})
+        train = pa.table(
+            {
+                "doc_id": pa.array([1, 2], type=pa.int64()),
+                "text": [
+                    "zz " + " ".join(eval_toks) + " zz",  # superset → contaminated
+                    " ".join(["qq"] * len(eval_toks)),  # disjoint vocab → clean
+                ],
+            }
+        )
+        ref = eval_gram_set(rd.from_arrow(ev), n=n)
+        kept = sorted(
+            r["doc_id"] for r in decontaminate_stage(rd.from_arrow(train), ref, n=n).take_all()
+        )
+        assert kept == [2]
