@@ -80,6 +80,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_per_day": an.events_per_day,
         "events_rolling_7d": an.events_rolling_7d,   # windowed aggregate
         "events_last_order": an.events_last_order,   # as-of join
+        "sessions": an.sessions,                     # gap-based sessionization
+        "top_orders_per_customer": an.top_orders_per_customer,  # per-group top-k rank
         # --- training-data corpus operators ---
         "dedup_exact": co.dedup_exact,
         "dedup_jaccard_pairs": co.dedup_jaccard_pairs,
@@ -106,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": co.decontaminate,                # benchmark n-gram decontamination
         "repetition_stats": co.repetition_stats,          # Gopher-style repetition signals
         "training_shards": co.training_shards,            # clean corpus → token-budget shards
+        "dup_span_stats": co.dup_span_stats,              # Lee-et-al duplicated-window fraction
         "media_features": co.media_features,              # rows-only (multimodal actor pool)
     }
 
@@ -494,6 +497,40 @@ WITH s AS (SELECT a.vec_id AS a, b.vec_id AS b,
                   list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS c
            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
 SELECT a, b, round(c, 6) AS cosine_r FROM s WHERE c >= 0.45
+""",
+        "sessions": """
+SELECT event_id, user_id,
+       CAST(sum(CASE WHEN prev_ts IS NULL
+                     OR epoch_us(ts) - epoch_us(prev_ts) > 1800 * 1000000
+                THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+FROM (SELECT event_id, user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events)
+""",
+        "top_orders_per_customer": """
+SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(row_number() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
+  FROM orders)
+WHERE rk <= 3
+""",
+        "dup_span_stats": """
+WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ws
+           FROM documents),
+g AS (SELECT DISTINCT doc_id,
+             ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS span
+      FROM w, UNNEST(generate_series(1, len(ws) - 4)) AS t(i)),
+cnt AS (SELECT span, count(*) AS nd FROM g GROUP BY 1),
+per AS (SELECT g.doc_id,
+               CAST(count(*) AS BIGINT) AS n_windows,
+               CAST(sum(CASE WHEN cnt.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+        FROM g JOIN cnt USING (span) GROUP BY 1)
+SELECT doc_id, n_windows, n_dup,
+       CAST(n_dup AS DOUBLE) / n_windows AS dup_frac
+FROM per
 """,
         "token_shards": """
 WITH n AS (

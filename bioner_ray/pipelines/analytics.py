@@ -867,3 +867,28 @@ def datexis_mentions(sf_dir: str):
         ["surface"],
         [("n_mentions", "sum")],
     )
+
+
+def sessions(sf_dir: str, gap_seconds: int = 1800):
+    """Gap-based sessionization over the event stream
+    (stages/window.py:sessionize — one sort-based key groupby +
+    vectorized diff/cumsum). Columns: event_id, user_id, session_id."""
+    from bioner_ray.stages.window import sessionize
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    return sessionize(ev, gap_seconds=gap_seconds)
+
+
+def top_orders_per_customer(sf_dir: str, k: int = 3):
+    """Per-group top-k (stages/rank.py — block-local top-k prune, then
+    per-group re-rank; shuffle moves ≤ k rows per (block, customer)).
+    Columns: o_custkey, o_orderkey, o_totalprice, rk."""
+    from bioner_ray.stages.rank import top_k_per_group
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"])
+    return top_k_per_group(
+        orders,
+        key_col="o_custkey",
+        order_by=[("o_totalprice", "descending"), ("o_orderkey", "ascending")],
+        k=k,
+    )

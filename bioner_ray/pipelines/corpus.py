@@ -688,3 +688,12 @@ def pubtator_conll(sf_dir: str):
         )
 
     return _documents(sf_dir).map_batches(convert, batch_format="pyarrow")
+
+
+def dup_span_stats(sf_dir: str, w: int = 5):
+    """Per-doc duplicated-window fraction (Lee-et-al-style substring
+    dedup signal, stages/spans.py). Columns: doc_id, n_windows, n_dup,
+    dup_frac."""
+    from bioner_ray.stages.spans import dup_span_stats as stats
+
+    return stats(_documents(sf_dir), w=w)

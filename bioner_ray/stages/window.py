@@ -88,6 +88,43 @@ def rolling_daily_aggregate(
     )
 
 
+def sessionize(
+    events_ds,
+    gap_seconds: int = 1800,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+):
+    """Gap-based sessionization: per key, events ordered by
+    ``(ts, id)``; a new session starts when the gap from the previous
+    event strictly exceeds ``gap_seconds``. ``session_id`` is 0-based
+    per key.
+
+    Shuffle shape: ONE sort-based ``groupby(key)`` — each group is one
+    key's events, bounded by per-key activity, not the corpus; the
+    in-group pass is a vectorized diff + cumsum. The skew assumption
+    is the usual map_groups one: a pathologically hot key's events
+    must fit one group (sessionize cannot split a key without losing
+    gap continuity — the honest lower bound for any engine).
+    Output columns: id_col, key_col, ``session_id`` (int64).
+    """
+
+    def assign(group: pa.Table) -> pa.Table:
+        group = group.sort_by([(ts_col, "ascending"), (id_col, "ascending")])
+        ts = group.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)  # µs
+        new = np.ones(len(ts), dtype=bool)
+        new[1:] = (ts[1:] - ts[:-1]) > gap_seconds * 1_000_000
+        return pa.table(
+            {
+                id_col: group.column(id_col),
+                key_col: group.column(key_col),
+                "session_id": pa.array(np.cumsum(new) - 1, type=pa.int64()),
+            }
+        )
+
+    return events_ds.groupby(key_col).map_groups(assign, batch_format="pyarrow")
+
+
 def asof_join_latest(
     left_ds,
     right_ds,

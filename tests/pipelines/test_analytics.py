@@ -56,6 +56,9 @@ SQL_CHECKED = [
     "decontaminate",
     "repetition_stats",
     "training_shards",
+    "sessions",
+    "top_orders_per_customer",
+    "dup_span_stats",
 ]
 
 ROWS_ONLY = [
