@@ -81,6 +81,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling_7d": an.events_rolling_7d,   # windowed aggregate
         "events_last_order": an.events_last_order,   # as-of join
         "sessions": an.sessions,                     # gap-based sessionization
+        "value_percentiles": an.value_percentiles,   # exact distributed order statistics
+        "distinct_users_per_type": an.distinct_users_per_type,  # exact count-distinct
         "top_orders_per_customer": an.top_orders_per_customer,  # per-group top-k rank
         # --- training-data corpus operators ---
         "dedup_exact": co.dedup_exact,
@@ -497,6 +499,17 @@ WITH s AS (SELECT a.vec_id AS a, b.vec_id AS b,
                   list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS c
            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
 SELECT a, b, round(c, 6) AS cosine_r FROM s WHERE c >= 0.45
+""",
+        "value_percentiles": """
+SELECT event_type,
+       CAST(quantile_disc(CAST(round(value * 100) AS BIGINT), 0.50) AS BIGINT) AS p50_cents,
+       CAST(quantile_disc(CAST(round(value * 100) AS BIGINT), 0.90) AS BIGINT) AS p90_cents,
+       CAST(quantile_disc(CAST(round(value * 100) AS BIGINT), 0.99) AS BIGINT) AS p99_cents
+FROM events GROUP BY event_type
+""",
+        "distinct_users_per_type": """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
 """,
         "sessions": """
 SELECT event_id, user_id,

@@ -892,3 +892,76 @@ def top_orders_per_customer(sf_dir: str, k: int = 3):
         order_by=[("o_totalprice", "descending"), ("o_orderkey", "ascending")],
         k=k,
     )
+
+
+def value_percentiles(sf_dir: str):
+    """Exact distributed order statistics per event type: p50/p90/p99
+    of the cent-quantized value. The wide step is ONE
+    ``bucketed_aggregate`` over (event_type, value_cents) — the
+    shuffle moves one combined row per distinct (type, cents) per
+    block, and the driver finish walks a table bounded by
+    types × distinct cents (the price domain), never the event
+    stream. For genuinely unbounded real-valued domains the same plan
+    runs over fixed-width histogram bins (then the result is
+    approximate); cents quantization keeps it exact here, matching
+    DuckDB ``quantile_disc`` (first value with cumulative count ≥
+    ceil(p·n) — verified rule). Columns: event_type, p50_cents,
+    p90_cents, p99_cents."""
+    from bioner_ray.stages.shuffle import bucketed_aggregate, with_ones
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "cents": _cents(batch.column("value")),
+            }
+        )
+
+    ev = _read(sf_dir, "events", columns=["event_type", "value"]).map_batches(
+        prep, batch_format="pyarrow"
+    )
+    counts = bucketed_aggregate(with_ones(ev), ["event_type", "cents"], [("one", "sum")])
+    rows = counts.take_all()  # bounded: types x distinct cents
+
+    by_type: dict[str, list[tuple[int, int]]] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append((r["cents"], r["one"]))
+    out_type, out = [], {p: [] for p in (50, 90, 99)}
+    for et in sorted(by_type):
+        vals = sorted(by_type[et])
+        n = sum(c for _, c in vals)
+        for p in (50, 90, 99):
+            target = (p * n + 99) // 100  # ceil(p/100 * n), exact ints
+            cum = 0
+            for cents, c in vals:
+                cum += c
+                if cum >= target:
+                    out[p].append(cents)
+                    break
+        out_type.append(et)
+    return pa.table(
+        {
+            "event_type": pa.array(out_type, type=pa.string()),
+            "p50_cents": pa.array(out[50], type=pa.int64()),
+            "p90_cents": pa.array(out[90], type=pa.int64()),
+            "p99_cents": pa.array(out[99], type=pa.int64()),
+        }
+    )
+
+
+def distinct_users_per_type(sf_dir: str):
+    """Exact distributed count-distinct: first ``bucketed_aggregate``
+    collapses to one row per distinct (event_type, user_id) — the G1
+    combiner applied to dedup — then a second counts survivors per
+    type. No driver-side set, no per-group Python. Columns:
+    event_type, n_users."""
+    from bioner_ray.stages.shuffle import bucketed_aggregate, with_ones
+
+    ev = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    pairs = bucketed_aggregate(
+        with_ones(ev), ["event_type", "user_id"], [("one", "sum")]
+    ).select_columns(["event_type", "user_id"])
+    out = bucketed_aggregate(
+        with_ones(pairs, "n_users"), ["event_type"], [("n_users", "sum")]
+    )
+    return out.select_columns(["event_type", "n_users"])

@@ -59,6 +59,8 @@ SQL_CHECKED = [
     "sessions",
     "top_orders_per_customer",
     "dup_span_stats",
+    "value_percentiles",
+    "distinct_users_per_type",
 ]
 
 ROWS_ONLY = [
