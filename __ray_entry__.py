@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": co.repetition_stats,          # Gopher-style repetition signals
         "training_shards": co.training_shards,            # clean corpus → token-budget shards
         "dup_span_stats": co.dup_span_stats,              # Lee-et-al duplicated-window fraction
+        "incremental_dedup": co.incremental_dedup,        # rows-only (LSH store ingest)
         "media_features": co.media_features,              # rows-only (multimodal actor pool)
     }
 

@@ -697,3 +697,32 @@ def dup_span_stats(sf_dir: str, w: int = 5):
     from bioner_ray.stages.spans import dup_span_stats as stats
 
     return stats(_documents(sf_dir), w=w)
+
+
+def incremental_dedup(sf_dir: str, split_at: int = 250):
+    """Incremental ingest demo over the driver table: docs below
+    ``split_at`` form the existing corpus (band-hash store on scratch
+    disk), the rest arrive as a new shard; the result is every LSH
+    candidate pair INVOLVING a new doc — old×new via one store join,
+    new×new in-shard — without re-shingling the old corpus
+    (pipelines/ingest.py). Rows-only check (LSH banding is not
+    SQL-replayable). Columns: a, b, n_bands, est_jaccard."""
+    import tempfile
+
+    import pyarrow.compute as pc
+
+    from bioner_ray.pipelines.ingest import ingest_shard, init_store
+
+    docs = _documents(sf_dir)
+
+    def _half(batch: pa.Table, old: bool) -> pa.Table:
+        mask = pc.less(batch.column("doc_id"), split_at)
+        return batch.filter(mask if old else pc.invert(mask))
+
+    store = tempfile.mkdtemp(prefix="bandstore-")
+    init_store(docs.map_batches(lambda t: _half(t, True), batch_format="pyarrow"), store)
+    return ingest_shard(
+        docs.map_batches(lambda t: _half(t, False), batch_format="pyarrow"),
+        store,
+        shard_name="delta",
+    )

@@ -495,6 +495,37 @@ def lsh_candidate_pairs(
     return bucketed_aggregate(with_ones(pairs, "n_bands"), ["a", "b"], [("n_bands", "sum")])
 
 
+def band_hash_stage(sigs_ds, bands: int, num_perm: int, id_col: str = "doc_id"):
+    """Signature rows → (bandkey: uint64, id) LSH band rows, 8 bytes of
+    key per band (the band index is folded into the hash input so the
+    same slice values in different bands never share a key). Shared by
+    ``minhash_dedup_pairs(payload="bandhash")`` and the incremental
+    ingest store (pipelines/ingest.py)."""
+    per = num_perm // bands
+
+    def band_hash_rows(batch: pa.Table) -> pa.Table:
+        ids_out: list = []
+        keys: list[int] = []
+        for doc_id, sig in zip(
+            batch.column(id_col).to_pylist(), batch.column("signature").to_pylist()
+        ):
+            arr = np.asarray(sig, dtype=np.uint64)
+            for bi in range(bands):
+                digest = hashlib.md5(
+                    bi.to_bytes(4, "big") + arr[bi * per : (bi + 1) * per].tobytes()
+                ).digest()
+                keys.append(int.from_bytes(digest[:8], "big"))
+                ids_out.append(doc_id)
+        return pa.table(
+            {
+                "bandkey": pa.array(np.array(keys, dtype=np.uint64)),
+                id_col: pa.array(ids_out),
+            }
+        )
+
+    return sigs_ds.map_batches(band_hash_rows, batch_format="pyarrow")
+
+
 def minhash_dedup_pairs(
     ds,
     num_perm: int = 64,
@@ -531,30 +562,7 @@ def minhash_dedup_pairs(
     per = num_perm // bands
 
     if payload == "bandhash":
-
-        def band_hash_rows(batch: pa.Table) -> pa.Table:
-            ids_out: list = []
-            keys: list[int] = []
-            for doc_id, sig in zip(
-                batch.column(id_col).to_pylist(), batch.column("signature").to_pylist()
-            ):
-                arr = np.asarray(sig, dtype=np.uint64)
-                for bi in range(bands):
-                    # band index folded into the hash input so the same
-                    # slice values in different bands never share a key
-                    digest = hashlib.md5(
-                        bi.to_bytes(4, "big") + arr[bi * per : (bi + 1) * per].tobytes()
-                    ).digest()
-                    keys.append(int.from_bytes(digest[:8], "big"))
-                    ids_out.append(doc_id)
-            return pa.table(
-                {
-                    "bandkey": pa.array(np.array(keys, dtype=np.uint64)),
-                    id_col: pa.array(ids_out),
-                }
-            )
-
-        banded = sigs.map_batches(band_hash_rows, batch_format="pyarrow")
+        banded = band_hash_stage(sigs, bands=bands, num_perm=num_perm, id_col=id_col)
         pairs = _bucketed_pairs(
             banded, "bandkey", id_col, max_group=max_bucket, num_buckets=num_buckets
         )

@@ -74,6 +74,7 @@ ROWS_ONLY = [
     "encoding_stats",
     "datexis_mentions",
     "media_features",
+    "incremental_dedup",
 ]
 
 

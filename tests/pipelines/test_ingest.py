@@ -1,0 +1,76 @@
+"""Incremental ingest: candidate-set equivalence with the batch LSH
+pass, idempotent shard append, and multi-shard accumulation."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from bioner_ray.pipelines.ingest import ingest_shard, init_store
+from bioner_ray.stages.dedup import minhash_dedup_pairs
+
+SF_DOCS = "/root/testdata/sf0.001/documents.parquet"
+SPLIT = 250
+
+
+def _half(old: bool):
+    def f(batch: pa.Table) -> pa.Table:
+        mask = pc.less(batch.column("doc_id"), SPLIT)
+        return batch.filter(mask if old else pc.invert(mask))
+
+    return f
+
+
+def _pairs(ds):
+    return {
+        (r["a"], r["b"]): (r["n_bands"], round(r["est_jaccard"], 9))
+        for r in ds.take_all()
+    }
+
+
+class TestIngest:
+    def test_matches_batch_lsh_on_new_involving_pairs(self, tmp_path):
+        docs = rd.read_parquet(SF_DOCS, columns=["doc_id", "text"])
+        store = str(tmp_path / "store")
+        init_store(docs.map_batches(_half(True), batch_format="pyarrow"), store)
+        got = _pairs(
+            ingest_shard(
+                docs.map_batches(_half(False), batch_format="pyarrow"), store, "delta"
+            )
+        )
+        full = _pairs(minhash_dedup_pairs(docs))
+        want = {k: v for k, v in full.items() if k[0] >= SPLIT or k[1] >= SPLIT}
+        assert got == want and len(got) > 0
+
+    def test_reingest_is_idempotent_and_second_shard_sees_first(self, tmp_path):
+        docs = rd.read_parquet(SF_DOCS, columns=["doc_id", "text"])
+        store = str(tmp_path / "store")
+        init_store(docs.map_batches(_half(True), batch_format="pyarrow"), store)
+        new = docs.map_batches(_half(False), batch_format="pyarrow")
+        _ = _pairs(ingest_shard(new, store, "delta"))
+        # re-ingest of the same shard name: store unchanged (manifest)
+        shard_dir = os.path.join(store, "bands", "delta")
+        before = sorted(os.listdir(shard_dir))
+        ingest_shard(new, store, "delta")
+        assert sorted(os.listdir(shard_dir)) == before
+        # second shard = duplicate copies of three old docs under new ids:
+        # each must collide with its original ACROSS the store
+        clones = pa.table(
+            {
+                "doc_id": pa.array([100001, 100002, 100003], type=pa.int64()),
+                "text": [
+                    r["text"]
+                    for r in docs.take_all()
+                    if r["doc_id"] in (0, 1, 2)
+                ],
+            }
+        )
+        p3 = _pairs(ingest_shard(rd.from_arrow(clones), store, "delta2"))
+        hit_lows = {a for (a, b) in p3 if b in (100001, 100002, 100003)}
+        assert {0, 1, 2} <= hit_lows
+        # exact clones agree on every band
+        for orig, clone in ((0, 100001), (1, 100002), (2, 100003)):
+            assert p3[(orig, clone)][0] == 16  # all bands
