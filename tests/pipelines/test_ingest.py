@@ -63,7 +63,8 @@ class TestIngest:
                 "doc_id": pa.array([100001, 100002, 100003], type=pa.int64()),
                 "text": [
                     r["text"]
-                    for r in docs.take_all()
+                    # take_all row order is not guaranteed; pin by doc_id
+                    for r in sorted(docs.take_all(), key=lambda r: r["doc_id"])
                     if r["doc_id"] in (0, 1, 2)
                 ],
             }
