@@ -5,7 +5,7 @@ exposes one callable per implemented operator/pipeline from SURVEY.md
 §2 (plus the training-data corpus operators); ``oracle_sql()`` gives
 the DuckDB-equivalent SQL for every SQL-expressible query, with
 identical column names (non-SQL-expressible entries — LSH banding,
-heuristic language ID, approximate ANN — are intentionally omitted and
+approximate ANN, seeded shuffles — are intentionally omitted and
 get the rows-only check).
 
 Ray is initialised by the driver BEFORE this module is imported: no
@@ -100,7 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_docs": co.quality_docs,
         "winnow_fingerprints": co.winnow_fingerprints,    # rows-only (winnowing)
         "fingerprints": co.fingerprints,
-        "langid": co.langid,                              # rows-only (heuristic)
+        "langid": co.langid,                              # SQL twin generated from LANG_PROFILES
         "encoding_stats": co.encoding_stats,              # M6/A1 (rows-only, CRC32 hashing)
         "knn_topk": co.knn_topk,
         "knn_ivf_topk": co.knn_ivf_topk,                  # rows-only (approximate)
@@ -116,8 +116,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _langid_sql() -> str:
+    """DuckDB twin of stages/textstats.py:langid_batch, generated from
+    the SAME ``LANG_PROFILES`` constant so the two can never drift:
+    per-language stopword hit counts over the shared whitespace
+    tokenization, pinned-order argmax, tie-on-positive-max → 'und',
+    score = max_hits / max(n_tokens, 1) (kept even when tied)."""
+    from bioner_ray.stages.textstats import LANG_PROFILES
+
+    langs = sorted(LANG_PROFILES)
+    hits = ",\n       ".join(
+        "len(list_filter(toks, x -> list_contains(["
+        + ", ".join(f"'{w}'" for w in sorted(LANG_PROFILES[lang]))
+        + f"], x))) AS hits_{lang}"
+        for lang in langs
+    )
+    mx = "greatest(" + ", ".join(f"hits_{lang}" for lang in langs) + ")"
+    ntie = " + ".join(f"CAST(hits_{lang} = mx AS INT)" for lang in langs)
+    pred = "".join(f"\n         WHEN hits_{lang} = mx THEN '{lang}'" for lang in langs)
+    return f"""
+WITH t AS (SELECT doc_id,
+       list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents),
+h AS (SELECT doc_id, greatest(len(toks), 1) AS n,
+       {hits}
+  FROM t),
+m AS (SELECT *, {mx} AS mx FROM h)
+SELECT doc_id,
+       CASE WHEN mx = 0 OR {ntie} >= 2 THEN 'und'{pred}
+       END AS pred_lang,
+       CAST(mx AS DOUBLE) / n AS lang_score
+FROM m
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "langid": _langid_sql(),
         "kg_edges": f"""
 WITH {_TOK_CTE},
 ent AS (SELECT * FROM tok WHERE w IN {ENTITY_LIST_SQL}),

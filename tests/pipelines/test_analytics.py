@@ -61,6 +61,7 @@ SQL_CHECKED = [
     "dup_span_stats",
     "value_percentiles",
     "distinct_users_per_type",
+    "langid",
 ]
 
 ROWS_ONLY = [
@@ -68,7 +69,6 @@ ROWS_ONLY = [
     "error_samples",
     "dedup_minhash_pairs",
     "dedup_simhash_pairs",
-    "langid",
     "knn_ivf_topk",
     "winnow_fingerprints",
     "encoding_stats",
