@@ -150,9 +150,50 @@ FROM m
 """
 
 
+#: DuckDB twin of stages/textstats.py:rolling_hashes + winnow_fingerprint
+#: (window=5 tokens, stride=4 hashes). Token hash = first 8 bytes of md5
+#: big-endian; recurrence out=(out*1000003+h) & (2^61-1) — the AND keeps
+#: only low bits, so it commutes through numpy's mod-2^64 wrap and SQL
+#: can replay it exactly with HUGEINT intermediates and % 2^61.
+_WINNOW_SQL = """
+WITH tok AS (
+  SELECT doc_id, i AS pos, ws[i] AS w
+  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS ws FROM documents),
+       UNNEST(generate_series(1, len(ws))) AS t(i)
+  WHERE ws[i] <> ''
+),
+th AS (SELECT doc_id, pos,
+              CAST(concat('0x', substr(md5(w), 1, 16)) AS UBIGINT) AS h
+       FROM tok),
+l AS (SELECT doc_id, pos, h,
+             lead(h, 1) OVER win AS h1, lead(h, 2) OVER win AS h2,
+             lead(h, 3) OVER win AS h3, lead(h, 4) OVER win AS h4
+      FROM th WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+rh AS (SELECT doc_id, pos,
+              CAST(((((((((CAST(h AS HUGEINT) % 2305843009213693952)
+                 * 1000003 + h1) % 2305843009213693952)
+                 * 1000003 + h2) % 2305843009213693952)
+                 * 1000003 + h3) % 2305843009213693952)
+                 * 1000003 + h4) % 2305843009213693952 AS UBIGINT) AS r
+       FROM l WHERE h4 IS NOT NULL),
+w4 AS (SELECT doc_id, r,
+              lead(r, 1) OVER win AS r1, lead(r, 2) OVER win AS r2,
+              lead(r, 3) OVER win AS r3,
+              count(*) OVER (PARTITION BY doc_id) AS nr
+       FROM rh WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+mins AS (
+  SELECT doc_id, least(r, r1, r2, r3) AS fp FROM w4 WHERE nr > 4 AND r3 IS NOT NULL
+  UNION ALL
+  SELECT doc_id, min(r) AS fp FROM rh GROUP BY doc_id HAVING count(*) <= 4
+)
+SELECT DISTINCT doc_id, CAST(fp AS BIGINT) AS fp FROM mins
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "langid": _langid_sql(),
+        "winnow_fingerprints": _WINNOW_SQL,
         "kg_edges": f"""
 WITH {_TOK_CTE},
 ent AS (SELECT * FROM tok WHERE w IN {ENTITY_LIST_SQL}),

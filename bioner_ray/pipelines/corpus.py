@@ -494,23 +494,28 @@ def quality_docs(sf_dir: str, min_tokens: int = 20, min_ttr: float = 0.3):
 
 def winnow_fingerprints(sf_dir: str, window: int = 5, stride: int = 4):
     """Winnowing document fingerprints (Schleimer et al. 2003) — the
-    shift-tolerant near-dup signature (rows-only check; the strided-min
-    selection is not SQL-replayable). Columns: doc_id, n_fp."""
+    shift-tolerant near-dup signature, exploded to one row per selected
+    hash so the DuckDB oracle value-matches every fingerprint (the
+    Karp-Rabin recurrence's `& (2^61-1)` commutes through numpy's
+    uint64 wrap, so SQL can replay it with HUGEINT intermediates).
+    Columns: doc_id, fp; docs shorter than ``window`` tokens emit no
+    rows."""
     from bioner_ray.stages.textstats import winnow_stage
 
     fps = winnow_stage(_documents(sf_dir), window=window, stride=stride)
 
-    def count_fp(batch: pa.Table) -> pa.Table:
+    def explode(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        col = batch.column("fingerprint")
         return pa.table(
             {
-                "doc_id": batch.column("doc_id"),
-                "n_fp": pc.cast(pc.list_value_length(batch.column("fingerprint")), pa.int64()),
+                "doc_id": pc.take(batch.column("doc_id"), pc.list_parent_indices(col)),
+                "fp": pc.cast(pc.list_flatten(col), pa.int64()),
             }
         )
 
-    return fps.map_batches(count_fp, batch_format="pyarrow")
+    return fps.map_batches(explode, batch_format="pyarrow")
 
 
 def fingerprints(sf_dir: str):

@@ -62,6 +62,7 @@ SQL_CHECKED = [
     "value_percentiles",
     "distinct_users_per_type",
     "langid",
+    "winnow_fingerprints",
 ]
 
 ROWS_ONLY = [
@@ -70,7 +71,6 @@ ROWS_ONLY = [
     "dedup_minhash_pairs",
     "dedup_simhash_pairs",
     "knn_ivf_topk",
-    "winnow_fingerprints",
     "encoding_stats",
     "datexis_mentions",
     "media_features",
