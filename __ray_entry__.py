@@ -190,10 +190,60 @@ SELECT DISTINCT doc_id, CAST(fp AS BIGINT) AS fp FROM mins
 """
 
 
+def _minhash_sql() -> str:
+    """DuckDB twin of stages/dedup.py:minhash_dedup_pairs (num_perm=64,
+    bands=16, k=3, seed=42), with the seeded permutation constants
+    generated by the SAME ``_minhash_params`` call and inlined: distinct
+    3-token shingles → md5-based 61-bit shingle hash → min over
+    shingles of (a_i·h + b_i) mod 2^64 per permutation (HUGEINT
+    replays numpy's uint64 wrap) → docs pair iff a 4-slot band agrees,
+    n_bands = agreeing-band count, est = (n/16)^(1/4). Shingle-less
+    docs carry the all-max signature, exactly as the engine."""
+    from bioner_ray.stages.dedup import _minhash_params
+
+    a, b = _minhash_params(64, seed=42)
+    perms = ", ".join(f"({i}, {int(a[i])}, {int(b[i])})" for i in range(64))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, i AS pos, ws[i] AS w
+  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS ws FROM documents),
+       UNNEST(generate_series(1, len(ws))) AS t(i)
+  WHERE ws[i] <> ''
+),
+tri AS (SELECT doc_id, w || ' ' || w1 || ' ' || w2 AS s
+        FROM (SELECT doc_id, w,
+                     lead(w, 1) OVER win AS w1, lead(w, 2) OVER win AS w2
+              FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos))
+        WHERE w2 IS NOT NULL),
+hsh AS (SELECT DISTINCT doc_id,
+               CAST(concat('0x', substr(md5(s), 1, 16)) AS UBIGINT)
+                 % 2305843009213693952 AS h
+        FROM tri),
+perms(i, pa, pb) AS (VALUES {perms}),
+sigp AS (SELECT d.doc_id, p.i,
+                coalesce(min((CAST(p.pa AS HUGEINT) * h.h + p.pb)
+                             % 18446744073709551616),
+                         18446744073709551615) AS v
+         FROM (SELECT doc_id FROM documents) d
+         CROSS JOIN perms p
+         LEFT JOIN hsh h ON h.doc_id = d.doc_id
+         GROUP BY d.doc_id, p.i),
+bnd AS (SELECT doc_id, i // 4 AS band,
+               string_agg(v::VARCHAR, ',' ORDER BY i) AS bv
+        FROM sigp GROUP BY doc_id, i // 4)
+SELECT x.doc_id AS a, y.doc_id AS b,
+       count(*) AS n_bands,
+       power(count(*) / 16.0, 0.25) AS est_jaccard
+FROM bnd x JOIN bnd y ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id
+GROUP BY x.doc_id, y.doc_id
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "langid": _langid_sql(),
         "winnow_fingerprints": _WINNOW_SQL,
+        "dedup_minhash_pairs": _minhash_sql(),
         "kg_edges": f"""
 WITH {_TOK_CTE},
 ent AS (SELECT * FROM tok WHERE w IN {ENTITY_LIST_SQL}),

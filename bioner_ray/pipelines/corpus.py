@@ -42,8 +42,10 @@ def dedup_jaccard_pairs(sf_dir: str, threshold: float = 0.5):
 
 
 def dedup_minhash_pairs(sf_dir: str):
-    """MinHash+LSH candidates (rows-only check — banding is not
-    SQL-replayable). Columns: a, b, n_bands, est_jaccard."""
+    """MinHash+LSH candidates. Columns: a, b, n_bands, est_jaccard.
+    SQL-oracled: the DuckDB twin replays shingling, the seeded
+    permutations (constants inlined from the same ``_minhash_params``
+    call) and band agreement exactly (``__ray_entry__._minhash_sql``)."""
     from bioner_ray.stages.dedup import minhash_dedup_pairs
 
     return minhash_dedup_pairs(_documents(sf_dir))

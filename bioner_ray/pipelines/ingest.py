@@ -29,6 +29,7 @@ pinned by tests against ``minhash_dedup_pairs`` over old ∪ new.
 from __future__ import annotations
 
 import json
+import math
 import logging
 import os
 import shutil
@@ -179,8 +180,10 @@ def ingest_shard(
     )
 
     def finish(batch: pa.Table) -> pa.Table:
-        nb = batch.column("n_bands").to_numpy(zero_copy_only=False).astype(np.float64)
-        est = (nb / float(bands)) ** (1.0 / per)
+        # math.pow to stay bit-identical with minhash_dedup_pairs'
+        # estimator (and the DuckDB oracle); see dedup.py finish.
+        nb = batch.column("n_bands").to_numpy(zero_copy_only=False)
+        est = [math.pow(n / float(bands), 1.0 / per) for n in nb]
         return batch.append_column("est_jaccard", pa.array(est, type=pa.float64()))
 
     pairs = agg.map_batches(finish, batch_format="pyarrow")

@@ -28,6 +28,7 @@ with ``a < b`` (sorted ids) so the same pair never lands in two groups.
 
 from __future__ import annotations
 
+import math
 import hashlib
 import logging
 import zlib
@@ -572,8 +573,11 @@ def minhash_dedup_pairs(
         )
 
         def finish(batch: pa.Table) -> pa.Table:
-            nb = batch.column("n_bands").to_numpy().astype(np.float64)
-            est = (nb / float(bands)) ** (1.0 / per)
+            # math.pow, not numpy's vectorized **: libm matches the
+            # DuckDB oracle bit-for-bit; numpy's SIMD pow is 1 ulp off.
+            # Volume here is the candidate-pair population — tiny.
+            nb = batch.column("n_bands").to_numpy()
+            est = [math.pow(n / float(bands), 1.0 / per) for n in nb]
             return batch.append_column("est_jaccard", pa.array(est, type=pa.float64()))
 
         return agg.map_batches(finish, batch_format="pyarrow")

@@ -63,12 +63,12 @@ SQL_CHECKED = [
     "distinct_users_per_type",
     "langid",
     "winnow_fingerprints",
+    "dedup_minhash_pairs",
 ]
 
 ROWS_ONLY = [
     "doc_shuffle",
     "error_samples",
-    "dedup_minhash_pairs",
     "dedup_simhash_pairs",
     "knn_ivf_topk",
     "encoding_stats",
