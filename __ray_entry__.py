@@ -239,11 +239,47 @@ GROUP BY x.doc_id, y.doc_id
 """
 
 
+#: DuckDB twin of stages/dedup.py:simhash_pairs (max_hamming=8). The
+#: engine's pigeonhole banding + first-agreeing-chunk ownership emits
+#: each qualifying pair exactly once and drops none (hamming ≤ 8 over
+#: 64 bits guarantees ≥1 clean 7-bit chunk), so the oracle is simply
+#: every (a < b) pair with exact Hamming ≤ 8 between the SimHash
+#: fingerprints — bit j set iff the term-frequency-weighted ±1 sum over
+#: md5 token-hash bits is positive; token-less docs hash to 0.
+_SIMHASH_SQL = """
+WITH tok AS (
+  SELECT doc_id, ws[i] AS w
+  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS ws FROM documents),
+       UNNEST(generate_series(1, len(ws))) AS t(i)
+  WHERE ws[i] <> ''
+),
+tc AS (SELECT doc_id, w, count(*) AS cnt FROM tok GROUP BY doc_id, w),
+th AS (SELECT doc_id, cnt,
+              CAST(concat('0x', substr(md5(w), 1, 16)) AS UBIGINT) AS h
+       FROM tc),
+bits AS (SELECT doc_id, j.j,
+                sum(CASE WHEN (h >> j.j) & 1 = 1 THEN cnt ELSE -cnt END) AS acc
+         FROM th CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) j
+         GROUP BY doc_id, j.j),
+sims0 AS (SELECT doc_id,
+                 CAST(sum(CASE WHEN acc > 0 THEN CAST(1 AS HUGEINT) << j ELSE 0 END)
+                      AS UBIGINT) AS s
+          FROM bits GROUP BY doc_id),
+sims AS (SELECT d.doc_id, coalesce(s0.s, CAST(0 AS UBIGINT)) AS s
+         FROM documents d LEFT JOIN sims0 s0 ON s0.doc_id = d.doc_id)
+SELECT x.doc_id AS a, y.doc_id AS b,
+       CAST(bit_count(xor(x.s, y.s)) AS INTEGER) AS hamming
+FROM sims x JOIN sims y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.s, y.s)) <= 8
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "langid": _langid_sql(),
         "winnow_fingerprints": _WINNOW_SQL,
         "dedup_minhash_pairs": _minhash_sql(),
+        "dedup_simhash_pairs": _SIMHASH_SQL,
         "kg_edges": f"""
 WITH {_TOK_CTE},
 ent AS (SELECT * FROM tok WHERE w IN {ENTITY_LIST_SQL}),

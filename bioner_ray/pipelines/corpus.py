@@ -52,7 +52,9 @@ def dedup_minhash_pairs(sf_dir: str):
 
 
 def dedup_simhash_pairs(sf_dir: str, max_hamming: int = 8):
-    """SimHash near-dup pairs (rows-only check). Columns: a, b, hamming."""
+    """SimHash near-dup pairs. Columns: a, b, hamming. SQL-oracled:
+    the DuckDB twin recomputes the fingerprints and takes every pair
+    with exact Hamming <= max_hamming (__ray_entry__._SIMHASH_SQL)."""
     from bioner_ray.stages.dedup import simhash_pairs
 
     return simhash_pairs(_documents(sf_dir), max_hamming=max_hamming)

@@ -64,12 +64,12 @@ SQL_CHECKED = [
     "langid",
     "winnow_fingerprints",
     "dedup_minhash_pairs",
+    "dedup_simhash_pairs",
 ]
 
 ROWS_ONLY = [
     "doc_shuffle",
     "error_samples",
-    "dedup_simhash_pairs",
     "knn_ivf_topk",
     "encoding_stats",
     "datexis_mentions",
