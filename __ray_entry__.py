@@ -88,8 +88,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": co.dedup_exact,
         "dedup_jaccard_pairs": co.dedup_jaccard_pairs,
         "dedup_components": co.dedup_components,          # near-dup clusters (iterative)
-        "dedup_minhash_pairs": co.dedup_minhash_pairs,    # rows-only (LSH)
-        "dedup_simhash_pairs": co.dedup_simhash_pairs,    # rows-only (SimHash)
+        "dedup_minhash_pairs": co.dedup_minhash_pairs,    # SQL twin with inlined seeded perms
+        "dedup_simhash_pairs": co.dedup_simhash_pairs,    # SQL twin (exact Hamming)
         "dedup_filter": co.dedup_filter,                  # pairs→components→keep-representatives
         "corpus_clean": co.corpus_clean,                  # lang→quality→dedup flagship
         "token_stats": co.token_stats,
@@ -98,7 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pubtator_conll": co.pubtator_conll,              # S6 PubTator→CoNLL (native)
         "conlleval_export": co.conlleval_export,          # S3/S8/M12/J3 export round-trip
         "quality_docs": co.quality_docs,
-        "winnow_fingerprints": co.winnow_fingerprints,    # rows-only (winnowing)
+        "winnow_fingerprints": co.winnow_fingerprints,    # SQL twin (Karp-Rabin replay)
         "fingerprints": co.fingerprints,
         "langid": co.langid,                              # SQL twin generated from LANG_PROFILES
         "encoding_stats": co.encoding_stats,              # M6/A1 (rows-only, CRC32 hashing)
@@ -111,7 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": co.repetition_stats,          # Gopher-style repetition signals
         "training_shards": co.training_shards,            # clean corpus → token-budget shards
         "dup_span_stats": co.dup_span_stats,              # Lee-et-al duplicated-window fraction
-        "incremental_dedup": co.incremental_dedup,        # rows-only (LSH store ingest)
+        "incremental_dedup": co.incremental_dedup,        # LSH store ingest (SQL: filtered minhash twin)
         "media_features": co.media_features,              # rows-only (multimodal actor pool)
     }
 
@@ -280,6 +280,13 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fingerprints": _WINNOW_SQL,
         "dedup_minhash_pairs": _minhash_sql(),
         "dedup_simhash_pairs": _SIMHASH_SQL,
+        # the incremental ingest is pinned (tests/pipelines/test_ingest.py)
+        # to equal the batch LSH pass restricted to pairs involving a
+        # NEW doc (doc_id >= split_at=250), so its oracle is the
+        # minhash twin plus that filter.
+        "incremental_dedup": (
+            f"SELECT * FROM ({_minhash_sql()}) WHERE a >= 250 OR b >= 250"
+        ),
         "kg_edges": f"""
 WITH {_TOK_CTE},
 ent AS (SELECT * FROM tok WHERE w IN {ENTITY_LIST_SQL}),

@@ -714,8 +714,9 @@ def incremental_dedup(sf_dir: str, split_at: int = 250):
     disk), the rest arrive as a new shard; the result is every LSH
     candidate pair INVOLVING a new doc — old×new via one store join,
     new×new in-shard — without re-shingling the old corpus
-    (pipelines/ingest.py). Rows-only check (LSH banding is not
-    SQL-replayable). Columns: a, b, n_bands, est_jaccard."""
+    (pipelines/ingest.py). SQL-oracled: the minhash DuckDB twin
+    filtered to pairs involving a new doc. Columns: a, b, n_bands,
+    est_jaccard."""
     import tempfile
 
     import pyarrow.compute as pc

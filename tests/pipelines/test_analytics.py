@@ -65,6 +65,7 @@ SQL_CHECKED = [
     "winnow_fingerprints",
     "dedup_minhash_pairs",
     "dedup_simhash_pairs",
+    "incremental_dedup",
 ]
 
 ROWS_ONLY = [
@@ -74,7 +75,6 @@ ROWS_ONLY = [
     "encoding_stats",
     "datexis_mentions",
     "media_features",
-    "incremental_dedup",
 ]
 
 
