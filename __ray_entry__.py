@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": co.repetition_stats,          # Gopher-style repetition signals
         "training_shards": co.training_shards,            # clean corpus → token-budget shards
         "dup_span_stats": co.dup_span_stats,              # Lee-et-al duplicated-window fraction
+        "doc_top_terms": co.doc_top_terms,                # integer-exact TF-IDF top-k per doc
         "incremental_dedup": co.incremental_dedup,        # LSH store ingest (SQL: filtered minhash twin)
         "media_features": co.media_features,              # rows-only (multimodal actor pool)
     }
@@ -287,6 +288,16 @@ def oracle_sql() -> dict[str, str]:
         "incremental_dedup": (
             f"SELECT * FROM ({_minhash_sql()}) WHERE a >= 250 OR b >= 250"
         ),
+        "doc_top_terms": f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, w AS term, count(*) AS tf FROM tok GROUP BY doc_id, w),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+j AS (SELECT tf.doc_id, tf.term, tf.tf, df.df FROM tf JOIN df USING (term)),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tf DESC, df ASC, term ASC) AS rk
+      FROM j)
+SELECT doc_id, term, tf, df, rk FROM r WHERE rk <= 3
+""",
         "kg_edges": f"""
 WITH {_TOK_CTE},
 ent AS (SELECT * FROM tok WHERE w IN {ENTITY_LIST_SQL}),

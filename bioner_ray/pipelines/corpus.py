@@ -736,3 +736,52 @@ def incremental_dedup(sf_dir: str, split_at: int = 250):
         store,
         shard_name="delta",
     )
+
+
+def doc_top_terms(sf_dir: str, k: int = 3):
+    """Most distinctive terms per document — the integer-exact TF-IDF
+    shape: rank each doc's terms by (tf DESC, df ASC, term ASC), keep
+    the top ``k``. Integer ordering (rarest term wins ties, then
+    lexicographic) keeps the result exactly SQL-replayable where a
+    float tf·idf score would tie-break on ulps.
+
+    Scale shape — two token-level wide steps, both combiner-pruned:
+    (1) tf: ``bucketed_aggregate`` over (doc_id, term) — the shuffle
+    moves one combined row per distinct doc-term per block; (2) df:
+    the tf rows are already distinct (doc, term), so document
+    frequency is a second bucketed count over term (the two-level
+    count-distinct pattern). df joins back on term via the shuffle
+    hash join (token-scale both sides — no broadcast of an unbounded
+    vocab), and the per-doc rank is stages/rank.py's pruned top-k
+    (shuffle ≤ k rows per (block, doc)). Columns: doc_id, term, tf,
+    df, rk."""
+    from bioner_ray.stages.dedup import _join
+    from bioner_ray.stages.rank import top_k_per_group
+    from bioner_ray.stages.shuffle import bucketed_aggregate, with_ones
+    from bioner_ray.stages.textstats import _split_lower
+
+    def tok_rows(batch: pa.Table) -> pa.Table:
+        toks = _split_lower(batch, "text")
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        counts = np.fromiter((len(t) for t in toks), dtype=np.int64, count=len(toks))
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(ids, counts)),
+                "term": pa.array(
+                    [w for ts in toks for w in ts], type=pa.string()
+                ),
+            }
+        )
+
+    tok = _documents(sf_dir).map_batches(tok_rows, batch_format="pyarrow")
+    tf = bucketed_aggregate(with_ones(tok, "tf"), ["doc_id", "term"], [("tf", "sum")])
+    df = bucketed_aggregate(
+        with_ones(tf.select_columns(["term"]), "df"), ["term"], [("df", "sum")]
+    )
+    top = top_k_per_group(
+        _join(tf, df, on=("term",)),
+        key_col="doc_id",
+        order_by=[("tf", "descending"), ("df", "ascending"), ("term", "ascending")],
+        k=k,
+    )
+    return top.select_columns(["doc_id", "term", "tf", "df", "rk"])

@@ -66,6 +66,7 @@ SQL_CHECKED = [
     "dedup_minhash_pairs",
     "dedup_simhash_pairs",
     "incremental_dedup",
+    "doc_top_terms",
 ]
 
 ROWS_ONLY = [
