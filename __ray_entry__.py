@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_shards": co.training_shards,            # clean corpus → token-budget shards
         "dup_span_stats": co.dup_span_stats,              # Lee-et-al duplicated-window fraction
         "doc_top_terms": co.doc_top_terms,                # integer-exact TF-IDF top-k per doc
+        "source_quota": co.source_quota,                  # per-source doc cap (source balancing)
         "incremental_dedup": co.incremental_dedup,        # LSH store ingest (SQL: filtered minhash twin)
         "media_features": co.media_features,              # rows-only (multimodal actor pool)
     }
@@ -297,6 +298,12 @@ r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
                                    ORDER BY tf DESC, df ASC, term ASC) AS rk
       FROM j)
 SELECT doc_id, term, tf, df, rk FROM r WHERE rk <= 3
+""",
+        "source_quota": """
+SELECT doc_id, source,
+       row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+FROM documents
+QUALIFY rk <= 10
 """,
         "kg_edges": f"""
 WITH {_TOK_CTE},

@@ -785,3 +785,17 @@ def doc_top_terms(sf_dir: str, k: int = 3):
         k=k,
     )
     return top.select_columns(["doc_id", "term", "tf", "df", "rk"])
+
+
+def source_quota(sf_dir: str, cap: int = 10):
+    """Per-source document cap (RefinedWeb-style source balancing for a
+    crawl mix): keep the first ``cap`` docs per source in deterministic
+    doc_id order. Reuses the pruned per-group top-k (stages/rank.py):
+    each block forwards at most ``cap`` rows per (block, source), so a
+    source with a billion pages costs the shuffle cap × blocks rows,
+    never its full count. Columns: doc_id, source, rk."""
+    from bioner_ray.stages.rank import top_k_per_group
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    top = top_k_per_group(docs, "source", [("doc_id", "ascending")], cap)
+    return top.select_columns(["doc_id", "source", "rk"])

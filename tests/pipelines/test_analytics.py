@@ -67,6 +67,7 @@ SQL_CHECKED = [
     "dedup_simhash_pairs",
     "incremental_dedup",
     "doc_top_terms",
+    "source_quota",
 ]
 
 ROWS_ONLY = [
