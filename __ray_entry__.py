@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessions": an.sessions,                     # gap-based sessionization
         "value_percentiles": an.value_percentiles,   # exact distributed order statistics
         "distinct_users_per_type": an.distinct_users_per_type,  # exact count-distinct
+        "distinct_users_kmv": an.distinct_users_kmv,            # KMV bottom-k distinct sketch
         "top_orders_per_customer": an.top_orders_per_customer,  # per-group top-k rank
         # --- training-data corpus operators ---
         "dedup_exact": co.dedup_exact,
@@ -304,6 +305,24 @@ SELECT doc_id, source,
        row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk
 FROM documents
 QUALIFY rk <= 10
+""",
+        # KMV sketch twin: same md5-derived 61-bit hash, bottom-64
+        # synopsis, (k-1)*2^61/h_k estimator (exact when nd < k).
+        "distinct_users_kmv": """
+WITH h AS (SELECT DISTINCT event_type,
+                  CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 16))
+                       AS UBIGINT) % 2305843009213693952 AS hv
+           FROM events),
+r AS (SELECT event_type, hv,
+             row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rk,
+             count(*) OVER (PARTITION BY event_type) AS nd
+      FROM h)
+SELECT event_type,
+       CAST(least(nd, 64) AS BIGINT) AS n_synopsis,
+       CAST(hv AS BIGINT) AS kth_hash,
+       CASE WHEN nd < 64 THEN CAST(nd AS DOUBLE)
+            ELSE 63 * 2305843009213693952.0 / hv END AS est_distinct
+FROM r WHERE rk = least(nd, 64)
 """,
         "kg_edges": f"""
 WITH {_TOK_CTE},

@@ -965,3 +965,18 @@ def distinct_users_per_type(sf_dir: str):
         with_ones(pairs, "n_users"), ["event_type"], [("n_users", "sum")]
     )
     return out.select_columns(["event_type", "n_users"])
+
+
+def distinct_users_kmv(sf_dir: str, k: int = 64):
+    """Distinct users per event type via the KMV bottom-k sketch
+    (stages/sketch.py) — the bounded-shuffle scale path next to the
+    exact ``distinct_users_per_type`` (the shuffle moves ≤ k hashes
+    per (block, type) instead of one row per distinct user). k=64 so
+    the testdata exercises BOTH branches: estimator at sf0.01 (150
+    distinct > k), exact at sf0.001 (15 < k). Deterministic md5-derived
+    hashing → the DuckDB oracle replays the estimate bit-for-bit.
+    Columns: event_type, n_synopsis, kth_hash, est_distinct."""
+    from bioner_ray.stages.sketch import kmv_distinct
+
+    ev = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    return kmv_distinct(ev, key_col="event_type", value_col="user_id", k=k)

@@ -68,6 +68,7 @@ SQL_CHECKED = [
     "incremental_dedup",
     "doc_top_terms",
     "source_quota",
+    "distinct_users_kmv",
 ]
 
 ROWS_ONLY = [
