@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_per_type": an.distinct_users_per_type,  # exact count-distinct
         "distinct_users_kmv": an.distinct_users_kmv,            # KMV bottom-k distinct sketch
         "top_orders_per_customer": an.top_orders_per_customer,  # per-group top-k rank
+        "customers_without_orders": an.customers_without_orders,  # native left_anti join
         # --- training-data corpus operators ---
         "dedup_exact": co.dedup_exact,
         "dedup_jaccard_pairs": co.dedup_jaccard_pairs,
@@ -323,6 +324,10 @@ SELECT event_type,
        CASE WHEN nd < 64 THEN CAST(nd AS DOUBLE)
             ELSE 63 * 2305843009213693952.0 / hv END AS est_distinct
 FROM r WHERE rk = least(nd, 64)
+""",
+        "customers_without_orders": """
+SELECT c_custkey, c_nationkey FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
 """,
         "kg_edges": f"""
 WITH {_TOK_CTE},

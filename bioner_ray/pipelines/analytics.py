@@ -980,3 +980,33 @@ def distinct_users_kmv(sf_dir: str, k: int = 64):
 
     ev = _read(sf_dir, "events", columns=["event_type", "user_id"])
     return kmv_distinct(ev, key_col="event_type", value_col="user_id", k=k)
+
+
+def customers_without_orders(sf_dir: str, num_partitions: int | None = None):
+    """Distributed anti-join — Ray's native ``left_anti`` shuffle join:
+    customers with NO high-value order (o_totalprice > 400000) — the
+    NOT IN / NOT EXISTS shape (docs never linked, urls never fetched).
+    Both sides stream through the hash exchange; no driver-side key
+    set, no broadcast of an unbounded side; the right side is
+    filter-pruned before the shuffle. Columns: c_custkey,
+    c_nationkey."""
+    import pyarrow.compute as pc
+    import ray
+
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+        num_partitions = max(4, cpus // 4)
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]).map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], 400000.0)).select(["o_custkey"]),
+        batch_format="pyarrow",
+    )
+    return cust.join(
+        orders,
+        join_type="left_anti",
+        num_partitions=num_partitions,
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+        aggregator_ray_remote_args={"num_cpus": 0.25},
+    )

@@ -69,6 +69,7 @@ SQL_CHECKED = [
     "doc_top_terms",
     "source_quota",
     "distinct_users_kmv",
+    "customers_without_orders",
 ]
 
 ROWS_ONLY = [
