@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_span_stats": co.dup_span_stats,              # Lee-et-al duplicated-window fraction
         "doc_top_terms": co.doc_top_terms,                # integer-exact TF-IDF top-k per doc
         "source_quota": co.source_quota,                  # per-source doc cap (source balancing)
+        "upsample_mix": co.upsample_mix,                  # fractional-epoch replication mix
         "incremental_dedup": co.incremental_dedup,        # LSH store ingest (SQL: filtered minhash twin)
         "media_features": co.media_features,              # rows-only (multimodal actor pool)
     }
@@ -328,6 +329,20 @@ FROM r WHERE rk = least(nd, 64)
         "customers_without_orders": """
 SELECT c_custkey, c_nationkey FROM customer
 WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+""",
+        "upsample_mix": """
+WITH w AS (SELECT doc_id, source,
+                  CASE WHEN source IN ('src0', 'src1') THEN 2500
+                       WHEN source = 'src2' THEN 1500
+                       ELSE 400 END AS pm
+           FROM documents),
+r AS (SELECT doc_id, source,
+             pm // 1000
+             + CASE WHEN (CAST(doc_id AS HUGEINT) * 2654435761 % 4294967296) % 1000
+                         < pm % 1000 THEN 1 ELSE 0 END AS reps
+      FROM w)
+SELECT doc_id, source, copy
+FROM r, UNNEST(generate_series(1, reps)) AS t(copy)
 """,
         "kg_edges": f"""
 WITH {_TOK_CTE},

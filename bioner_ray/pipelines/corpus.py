@@ -799,3 +799,19 @@ def source_quota(sf_dir: str, cap: int = 10):
     docs = _read(sf_dir, "documents", columns=["doc_id", "source"])
     top = top_k_per_group(docs, "source", [("doc_id", "ascending")], cap)
     return top.select_columns(["doc_id", "source", "rk"])
+
+
+def upsample_mix(sf_dir: str):
+    """Fractional-epoch data mixing (stages/sampling.py): sources src0
+    and src1 trained for "2.5 epochs" (2500 permille), src2 for 1.5,
+    everything else downsampled to 0.4 — each doc deterministically
+    replicated floor(w) times plus a hash-drawn fractional copy.
+    Columns: doc_id, source, copy (1-based replica index)."""
+    from bioner_ray.stages.sampling import upsample_mix_stage
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    return upsample_mix_stage(
+        docs,
+        weights_permille={"src0": 2500, "src1": 2500, "src2": 1500},
+        default_permille=400,
+    )

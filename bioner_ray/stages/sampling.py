@@ -158,3 +158,35 @@ def token_shards(
         return pa.table(cols)
 
     return counted.groupby("_bucket").map_groups(assign, batch_format="pyarrow")
+
+
+def upsample_mix_stage(
+    ds,
+    weights_permille: dict[str, int],
+    default_permille: int,
+    id_col: str = "doc_id",
+    stratum_col: str = "source",
+):
+    """Fractional-epoch data mixing: replicate each row floor(w) times
+    plus one more iff ``hash_permille(id) < w mod 1000`` (w in
+    permille; 2500 = "2.5 epochs", 400 = downsample to 0.4). The
+    flat-map counterpart of ``stratified_sample_stage`` — deterministic
+    and cluster-size-independent, so a resumed run reproduces the
+    exact training mix. Adds ``copy`` (1-based replica index);
+    vectorized ``Table.take`` on a repeat index, no per-row Python."""
+
+    def reps(batch: pa.Table) -> pa.Table:
+        h = hash_permille(batch.column(id_col))
+        strata = batch.column(stratum_col).to_pylist()
+        w = np.fromiter(
+            (weights_permille.get(s, default_permille) for s in strata),
+            dtype=np.int64,
+            count=len(strata),
+        )
+        n = w // 1000 + (h < (w % 1000).astype(np.uint64)).astype(np.int64)
+        idx = np.repeat(np.arange(len(n)), n)
+        copy = np.arange(idx.size, dtype=np.int64) - np.repeat(np.cumsum(n) - n, n) + 1
+        out = batch.take(pa.array(idx))
+        return out.append_column("copy", pa.array(copy, type=pa.int64()))
+
+    return ds.map_batches(reps, batch_format="pyarrow")

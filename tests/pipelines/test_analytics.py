@@ -70,6 +70,7 @@ SQL_CHECKED = [
     "source_quota",
     "distinct_users_kmv",
     "customers_without_orders",
+    "upsample_mix",
 ]
 
 ROWS_ONLY = [
