@@ -38,6 +38,26 @@ tok AS (
 )
 """
 
+# The KG triple chain (tokenize → entity gazetteer → consecutive-entity
+# pairs → relation pick) shared by the kg_edges / kg_degree /
+# kg_pagerank oracles — one text, three consumers, zero drift.
+_KG_TRIP_CTES = f"""{_TOK_CTE},
+ent AS (SELECT * FROM tok WHERE w IN {ENTITY_LIST_SQL}),
+pairs AS (
+  SELECT doc_id, pos AS p1, w AS subj,
+         LEAD(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS p2,
+         LEAD(w) OVER (PARTITION BY doc_id ORDER BY pos) AS obj
+  FROM ent
+),
+trip AS (
+  SELECT p.doc_id, p.subj, p.obj,
+         coalesce((SELECT min_by(t.w, t.pos) FROM tok t
+                   WHERE t.doc_id = p.doc_id AND t.pos > p.p1 AND t.pos < p.p2
+                     AND t.w IN {RELATION_LIST_SQL}),
+                  'co_occurs_with') AS pred
+  FROM pairs p WHERE p.p2 IS NOT NULL
+)"""
+
 
 def entry() -> Any:
     """Flagship KG pipeline at sf0.001: read documents parquet → adapt
@@ -56,6 +76,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- flagship KG path (segment → score → mentions → link → triples) ---
         "kg_edges": an.kg_edges,
         "kg_nodes": an.kg_nodes,
+        "kg_degree": an.kg_degree,            # per-node degree/strength (hub audit)
+        "kg_pagerank": an.kg_pagerank,        # scaled-integer fixed-iteration PageRank
         "mention_counts": an.mention_counts,
         # --- eval harness (G4-G7, J4/J5: two-annotator in-row metrics) ---
         "ner_eval": an.ner_eval,
@@ -70,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "error_samples": an.error_samples,                 # O3 (rows-only, seeded)
         # --- reference operator pipelines ---
         "word_count": an.word_count,          # G1-G3 vocab shuffle + rank
+        "alias_groups": an.alias_groups,      # surface-form merge (canonicalization)
         "doc_split": an.doc_split,            # J1/S7 broadcast semi-join
         # --- relational / aggregate coverage (G4-G8, J, O patterns) ---
         "pricing_summary": an.pricing_summary,
@@ -345,25 +368,50 @@ SELECT doc_id, source, copy
 FROM r, UNNEST(generate_series(1, reps)) AS t(copy)
 """,
         "kg_edges": f"""
-WITH {_TOK_CTE},
-ent AS (SELECT * FROM tok WHERE w IN {ENTITY_LIST_SQL}),
-pairs AS (
-  SELECT doc_id, pos AS p1, w AS subj,
-         LEAD(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS p2,
-         LEAD(w) OVER (PARTITION BY doc_id ORDER BY pos) AS obj
-  FROM ent
-),
-trip AS (
-  SELECT p.doc_id, p.subj, p.obj,
-         coalesce((SELECT min_by(t.w, t.pos) FROM tok t
-                   WHERE t.doc_id = p.doc_id AND t.pos > p.p1 AND t.pos < p.p2
-                     AND t.w IN {RELATION_LIST_SQL}),
-                  'co_occurs_with') AS pred
-  FROM pairs p WHERE p.p2 IS NOT NULL
-)
+WITH {_KG_TRIP_CTES}
 SELECT subj, pred, obj, CAST(count(*) AS BIGINT) AS weight,
        min(printf('doc://%08d', doc_id)) AS first_url
 FROM trip GROUP BY subj, pred, obj
+""",
+        "kg_degree": f"""
+WITH {_KG_TRIP_CTES},
+e AS (SELECT subj, obj, CAST(count(*) AS BIGINT) AS weight
+      FROM trip GROUP BY subj, pred, obj),
+o AS (SELECT subj AS node, count(*) AS od, sum(weight) AS ow FROM e GROUP BY subj),
+i AS (SELECT obj AS node, count(*) AS idg, sum(weight) AS iw FROM e GROUP BY obj)
+SELECT coalesce(o.node, i.node) AS node,
+       CAST(coalesce(od, 0) AS BIGINT) AS out_degree,
+       CAST(coalesce(idg, 0) AS BIGINT) AS in_degree,
+       CAST(coalesce(ow, 0) AS BIGINT) AS out_weight,
+       CAST(coalesce(iw, 0) AS BIGINT) AS in_weight
+FROM o FULL JOIN i ON o.node = i.node
+""",
+        # Scaled-integer PageRank twin: every step is HUGEINT floor
+        # division, replaying stages/graph.py pagerank() bit-exactly
+        # (scale 10^12, damping 850/1000, 3 iterations, dangling mass
+        # evaporates).
+        "kg_pagerank": f"""
+WITH {_KG_TRIP_CTES},
+spo AS (SELECT subj, pred, obj, CAST(count(*) AS HUGEINT) AS weight
+        FROM trip GROUP BY subj, pred, obj),
+e0 AS (SELECT subj, obj, sum(weight) AS w FROM spo GROUP BY subj, obj),
+ow AS (SELECT subj, sum(w) AS outw FROM e0 GROUP BY subj),
+e AS (SELECT e0.subj, e0.obj, e0.w, ow.outw FROM e0 JOIN ow USING (subj)),
+nodes AS (SELECT subj AS node FROM e0 UNION SELECT obj FROM e0),
+r0 AS (SELECT node, CAST(1000000000000 AS HUGEINT) AS r FROM nodes),
+c1 AS (SELECT e.obj AS node, sum((850 * r.r * e.w) // (1000 * e.outw)) AS c
+       FROM e JOIN r0 r ON r.node = e.subj GROUP BY e.obj),
+r1 AS (SELECT n.node, 150000000000 + coalesce(c.c, 0) AS r
+       FROM nodes n LEFT JOIN c1 c USING (node)),
+c2 AS (SELECT e.obj AS node, sum((850 * r.r * e.w) // (1000 * e.outw)) AS c
+       FROM e JOIN r1 r ON r.node = e.subj GROUP BY e.obj),
+r2 AS (SELECT n.node, 150000000000 + coalesce(c.c, 0) AS r
+       FROM nodes n LEFT JOIN c2 c USING (node)),
+c3 AS (SELECT e.obj AS node, sum((850 * r.r * e.w) // (1000 * e.outw)) AS c
+       FROM e JOIN r2 r ON r.node = e.subj GROUP BY e.obj),
+r3 AS (SELECT n.node, 150000000000 + coalesce(c.c, 0) AS r
+       FROM nodes n LEFT JOIN c3 c USING (node))
+SELECT node, CAST(r AS BIGINT) AS rank FROM r3
 """,
         "kg_nodes": f"""
 WITH {_TOK_CTE}
@@ -410,6 +458,29 @@ WITH {_TOK_CTE},
 c AS (SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY w
       HAVING count(*) >= 10)
 SELECT word, cnt, CAST(row_number() OVER (ORDER BY cnt DESC, word) AS BIGINT) AS rank FROM c
+""",
+        "alias_groups": """
+WITH raw AS (
+  SELECT doc_id, i AS pos, ws[i] AS w
+  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS ws FROM documents),
+       UNNEST(generate_series(1, len(ws))) AS t(i)
+  WHERE ws[i] <> ''
+),
+tr AS (
+  SELECT CASE WHEN pos % 4 = 0 THEN upper(w)
+              WHEN pos % 4 = 1 THEN w || '7'
+              WHEN pos % 4 = 2 THEN w || '.'
+              ELSE w END AS t
+  FROM raw
+),
+al AS (
+  SELECT lower(regexp_replace(t, '[^a-zA-Z]', '', 'g')) AS alias, t
+  FROM tr
+),
+g AS (SELECT alias, t, count(*) AS cnt FROM al WHERE alias <> '' GROUP BY alias, t)
+SELECT alias, CAST(count(*) AS BIGINT) AS n_variants,
+       CAST(sum(cnt) AS BIGINT) AS n_occurrences
+FROM g GROUP BY alias HAVING count(*) >= 2
 """,
         "surface_stats": """
 WITH raw AS (

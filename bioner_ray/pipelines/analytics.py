@@ -302,6 +302,92 @@ def kg_nodes(sf_dir: str):
     return canonicalize_nodes(linked)
 
 
+def kg_degree(sf_dir: str):
+    """Graph-quality report over the canonical edge table: per-node
+    out/in degree and strength (stages/graph.py degree_stats). The hub
+    audit a KG build runs before any per-entity groupby. Columns:
+    node, out_degree, in_degree, out_weight, in_weight."""
+    from bioner_ray.stages.graph import degree_stats
+
+    return degree_stats(kg_edges(sf_dir))
+
+
+def kg_pagerank(sf_dir: str, iters: int = 3):
+    """Fixed-iteration weighted PageRank over the canonical KG edges,
+    in deterministic scaled-integer arithmetic (stages/graph.py
+    pagerank — every step is integer floor division, so the DuckDB
+    twin replays it bit-exactly). Columns: node, rank (pagerank ×
+    10^12 as int64)."""
+    from bioner_ray.stages.graph import pagerank
+
+    return pagerank(kg_edges(sf_dir), iters=iters)
+
+
+def alias_groups(sf_dir: str, min_variants: int = 2):
+    """Entity-canonicalization surface merge: map every (transformed)
+    token to a normalized alias key (lowercase, letters only) and
+    report keys backed by ≥ ``min_variants`` distinct surface forms —
+    the "PD-1 / PD1 / pd-1 → one node" step a KG build runs between
+    linking and canonicalization. The pos%4 case/digit/punct transform
+    (same contract as ``surface_stats``) makes the testdata's
+    all-lowercase lexicon produce real multi-surface groups.
+
+    Fully vectorized: whitespace split, position recovery from list
+    offsets, case transform, regex strip and lowercasing are all Arrow
+    kernels; no per-token Python. The merge is two bucketed aggregates
+    — (alias, surface) counts, then per-alias variant/occurrence sums —
+    and the ≥2-variant filter runs distributed, so only the bounded
+    multi-surface group table ever leaves the workers. Columns: alias,
+    n_variants, n_occurrences.
+    """
+    from bioner_ray.stages.shuffle import bucketed_aggregate, with_ones
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch.column("text"), "")
+        split = pc.split_pattern_regex(pc.utf8_lower(text), r"\s+").combine_chunks()
+        off = split.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = split.values.slice(off[0], off[-1] - off[0])
+        lengths = np.diff(off)
+        # 1-based token position within each doc (empties consume one)
+        pos = np.arange(len(vals), dtype=np.int64) - np.repeat(off[:-1] - off[0], lengths) + 1
+        pm = pos % 4
+        upper = pc.utf8_upper(vals)
+        with7 = pc.binary_join_element_wise(vals, "7", "")
+        withdot = pc.binary_join_element_wise(vals, ".", "")
+        t = pc.if_else(pa.array(pm == 0), upper, vals)
+        t = pc.if_else(pa.array(pm == 1), with7, t)
+        t = pc.if_else(pa.array(pm == 2), withdot, t)
+        alias = pc.utf8_lower(pc.replace_substring_regex(t, "[^a-zA-Z]", ""))
+        keep = pc.and_(pc.not_equal(vals, ""), pc.not_equal(alias, ""))
+        out = pa.table({"alias": alias, "surface": t}).filter(keep)
+        return out.append_column(
+            "cnt", pa.array(np.ones(out.num_rows, dtype=np.int64))
+        )
+
+    per_surface = bucketed_aggregate(
+        _read(sf_dir, "documents", columns=["text"]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        ["alias", "surface"],
+        [("cnt", "sum")],
+    )
+    merged = bucketed_aggregate(
+        with_ones(per_surface),
+        ["alias"],
+        [("one", "sum"), ("cnt", "sum")],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "alias": t.column("alias"),
+                "n_variants": t.column("one"),
+                "n_occurrences": t.column("cnt"),
+            }
+        ).filter(pc.greater_equal(t.column("one"), min_variants)),
+        batch_format="pyarrow",
+    )
+    return merged
+
+
 def word_count(sf_dir: str, min_count: int = 10):
     """G1→G3 vocabulary pipeline on real text: per-block partial counts
     (combiner) → groupby sum → min-frequency filter → pinned-total-order

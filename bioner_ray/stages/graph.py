@@ -31,7 +31,7 @@ from __future__ import annotations
 
 import pyarrow as pa
 
-from bioner_ray.stages.shuffle import bucketed_aggregate
+from bioner_ray.stages.shuffle import bucketed_aggregate, bucketed_inner_join, pin_schema
 
 
 def _driver_components(rows, a_col: str, b_col: str):
@@ -170,3 +170,262 @@ def connected_components(
             "(component diameter exceeds max_iters); labels would be incorrect"
         )
     return labels.rename_columns({"label": "component"})
+
+
+def degree_stats(
+    edges_ds,
+    subj_col: str = "subj",
+    obj_col: str = "obj",
+    weight_col: str = "weight",
+    num_buckets: int = 256,
+):
+    """Per-node degree/strength over a directed weighted edge table:
+    (node, out_degree, in_degree, out_weight, in_weight).
+
+    The canonical first KG-quality report (hub detection, skew audit
+    before any per-entity groupby). One pass over the edges: each edge
+    emits its two endpoint rows, and the wide merge is a single
+    ``bucketed_aggregate`` — the shuffle moves per-block-combined
+    (node, 4×int64) rows, never the edge table, so cost is O(distinct
+    nodes per block) regardless of edge multiplicity. Hot hubs (the
+    reason this report exists) share a coarse bucket and cannot own a
+    straggler partition.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        w = pc.cast(batch.column(weight_col), pa.int64()).combine_chunks()
+        n = batch.num_rows
+        ones = pa.array(np.ones(n, dtype=np.int64))
+        zeros = pa.array(np.zeros(n, dtype=np.int64))
+        subj = pc.cast(batch.column(subj_col), pa.string()).combine_chunks()
+        obj = pc.cast(batch.column(obj_col), pa.string()).combine_chunks()
+        out_rows = pa.table(
+            {
+                "node": subj,
+                "out_degree": ones,
+                "in_degree": zeros,
+                "out_weight": w,
+                "in_weight": zeros,
+            }
+        )
+        in_rows = pa.table(
+            {
+                "node": obj,
+                "out_degree": zeros,
+                "in_degree": ones,
+                "out_weight": zeros,
+                "in_weight": w,
+            }
+        )
+        return pa.concat_tables([out_rows, in_rows])
+
+    return bucketed_aggregate(
+        edges_ds.map_batches(endpoints, batch_format="pyarrow"),
+        ["node"],
+        [
+            ("out_degree", "sum"),
+            ("in_degree", "sum"),
+            ("out_weight", "sum"),
+            ("in_weight", "sum"),
+        ],
+        num_buckets=num_buckets,
+    )
+
+
+def _pagerank_contrib(r, w, ow, damp_num: int, damp_den: int):
+    """Exact per-edge PageRank contribution
+    ``(damp_num * r * w) // (damp_den * ow)`` as int64.
+
+    Fast path is vectorized int64; when the intermediate product could
+    exceed 2^63 the batch falls back to Python big-ints (bit-identical
+    result, the oracle's HUGEINT path). The arithmetic is pinned to
+    integer floor division precisely so distributed summation order
+    can never perturb the result — scaled-integer ranks make the whole
+    iteration order-independent and SQL-replayable."""
+    import numpy as np
+
+    r = np.asarray(r, dtype=np.int64)
+    w = np.asarray(w, dtype=np.int64)
+    ow = np.asarray(ow, dtype=np.int64)
+    if r.size == 0:
+        return np.zeros(0, dtype=np.int64)
+    max_prod = int(r.max()) * int(w.max()) * damp_num
+    if max_prod < 2**63:
+        return (damp_num * r * w) // (damp_den * ow)
+    return np.array(
+        [
+            (damp_num * int(ri) * int(wi)) // (damp_den * int(oi))
+            for ri, wi, oi in zip(r.tolist(), w.tolist(), ow.tolist())
+        ],
+        dtype=np.int64,
+    )
+
+
+def pagerank(
+    edges_ds,
+    iters: int = 3,
+    scale: int = 10**12,
+    damp_num: int = 850,
+    damp_den: int = 1000,
+    subj_col: str = "subj",
+    obj_col: str = "obj",
+    weight_col: str = "weight",
+    num_buckets: int = 256,
+):
+    """Fixed-iteration weighted PageRank over a directed edge table,
+    in deterministic scaled-integer arithmetic: (node, rank) with
+    rank ≈ pagerank × ``scale`` as int64.
+
+    Semantics (exactly replayable in SQL, hence oracle-checkable):
+      * multi-edges collapse to (subj, obj, Σweight) first;
+      * rank₀[v] = scale for every node;
+      * per iteration, edge (s→o, w) sends
+        ``(damp_num · rank[s] · w) // (damp_den · out_weight[s])``
+        and rank'[v] = ((damp_den−damp_num)·scale)//damp_den + Σ inbox;
+      * dangling mass evaporates (no redistribution) — the standard
+        "pagerank without dangling patch" variant, chosen because it
+        keeps every step a local edge computation plus one bounded
+        per-node sum.
+
+    Shape per iteration: ONE ``bucketed_inner_join`` (edges ⋈ ranks on
+    subj — the rank table is O(nodes), edges stream through it; the
+    bucketed join is used instead of Ray's native join because the
+    latter crashes on hash partitions that receive zero rows) and ONE
+    ``bucketed_aggregate`` (per-node sum, combiner-compressed). The
+    rank table is materialized per round so round k+1 never re-executes
+    round k's join lineage — same bounded-table argument as
+    ``connected_components``. Hot hubs: both shuffles key on coarse
+    buckets, and the JOIN side that fans out (many in-edges of one hub)
+    is the edge stream, not a per-key partition, so a 10^6-in-degree
+    entity costs bandwidth, not a straggler.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def to_pair(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "subj": pc.cast(batch.column(subj_col), pa.string()),
+                "obj": pc.cast(batch.column(obj_col), pa.string()),
+                "w": pc.cast(batch.column(weight_col), pa.int64()),
+            }
+        )
+
+    edge_schema = pa.schema(
+        [("subj", pa.string()), ("obj", pa.string()), ("w", pa.int64())]
+    )
+    rank_schema = pa.schema([("node", pa.string()), ("r", pa.int64())])
+
+    edges = pin_schema(
+        bucketed_aggregate(
+            edges_ds.map_batches(to_pair, batch_format="pyarrow"),
+            ["subj", "obj"],
+            [("w", "sum")],
+            num_buckets=num_buckets,
+        ),
+        edge_schema,
+    ).materialize()
+
+    outw = pin_schema(
+        bucketed_aggregate(
+            edges.map_batches(
+                lambda t: pa.table({"subj": t.column("subj"), "outw": t.column("w")}),
+                batch_format="pyarrow",
+            ),
+            ["subj"],
+            [("outw", "sum")],
+            num_buckets=num_buckets,
+        ),
+        pa.schema([("subj", pa.string()), ("outw", pa.int64())]),
+    )
+    edges_w = bucketed_inner_join(
+        edges,
+        outw,
+        ["subj"],
+        edge_schema,
+        pa.schema([("subj", pa.string()), ("outw", pa.int64())]),
+        num_buckets=num_buckets,
+    ).materialize()
+
+    def endpoint_nodes(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.chunked_array(
+                    [
+                        batch.column("subj").combine_chunks(),
+                        batch.column("obj").combine_chunks(),
+                    ]
+                ).combine_chunks()
+            }
+        ).append_column("r", pa.array(np.zeros(2 * batch.num_rows, dtype=np.int64)))
+
+    # distinct nodes, carried with r=0 so base+contrib union-aggregates
+    nodes = pin_schema(
+        bucketed_aggregate(
+            edges.map_batches(endpoint_nodes, batch_format="pyarrow"),
+            ["node"],
+            [("r", "min")],
+            num_buckets=num_buckets,
+        ),
+        rank_schema,
+    ).materialize()
+
+    base = ((damp_den - damp_num) * scale) // damp_den
+
+    def with_const(value: int):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "node": t.column("node"),
+                    "r": pa.array(
+                        np.full(t.num_rows, value, dtype=np.int64)
+                    ),
+                }
+            )
+
+        return fn
+
+    ranks = nodes.map_batches(with_const(scale), batch_format="pyarrow").materialize()
+    base_rows = nodes.map_batches(with_const(base), batch_format="pyarrow").materialize()
+
+    def contrib(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:  # schema-less empty reduce partition
+            return rank_schema.empty_table()
+        c = _pagerank_contrib(
+            t.column("r").to_numpy(zero_copy_only=False),
+            t.column("w").to_numpy(zero_copy_only=False),
+            t.column("outw").to_numpy(zero_copy_only=False),
+            damp_num,
+            damp_den,
+        )
+        return pa.table({"node": t.column("obj"), "r": pa.array(c)})
+
+    for _ in range(iters):
+        joined = bucketed_inner_join(
+            edges_w,
+            ranks.rename_columns({"node": "subj"}),
+            ["subj"],
+            pa.schema(
+                [
+                    ("subj", pa.string()),
+                    ("obj", pa.string()),
+                    ("w", pa.int64()),
+                    ("outw", pa.int64()),
+                ]
+            ),
+            pa.schema([("subj", pa.string()), ("r", pa.int64())]),
+            num_buckets=num_buckets,
+        )
+        contribs = joined.map_batches(contrib, batch_format="pyarrow")
+        ranks = pin_schema(
+            bucketed_aggregate(
+                base_rows.union(contribs),
+                ["node"],
+                [("r", "sum")],
+                num_buckets=num_buckets,
+            ),
+            rank_schema,
+        ).materialize()
+    return ranks.rename_columns({"r": "rank"})

@@ -93,6 +93,90 @@ def bucketed_aggregate(
     )
 
 
+def bucketed_inner_join(
+    left,
+    right,
+    keys: list[str],
+    left_schema: pa.Schema,
+    right_schema: pa.Schema,
+    num_buckets: int = 256,
+    batch_size: int = 65536,
+):
+    """Empty-partition-proof distributed inner hash join.
+
+    Ray's native ``Dataset.join`` (2.49) crashes whenever a hash
+    partition receives zero rows on either side: the aggregator builds
+    a zero-COLUMN empty table and pyarrow's join raises ``No match …
+    for key field reference`` — guaranteed to fire at toy scale and
+    possible at any scale under key skew. This join reuses the
+    engine's coarse-bucket shuffle instead: both sides are tagged and
+    padded to a common schema, unioned, shuffled on the bucket of the
+    key columns (fixed cardinality — a hot key shares its bucket), and
+    each bucket runs pyarrow's C-speed ``Table.join`` locally. Typed
+    zero-ROW sides inside a bucket are fine; zero-column tables never
+    reach the join. Non-key column names must be disjoint."""
+    lcols = [f.name for f in left_schema]
+    rcols = [f.name for f in right_schema]
+    rval = [c for c in rcols if c not in keys]
+    overlap = set(rval) & set(lcols)
+    if overlap:
+        raise ValueError(f"non-key columns must be disjoint; overlap: {sorted(overlap)}")
+    all_fields = list(left_schema) + [right_schema.field(c) for c in rval]
+
+    def prep(side: int, schema: pa.Schema):
+        def fn(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0:
+                t = schema.empty_table()
+            n = t.num_rows
+            cols = {}
+            for f in all_fields:
+                if f.name in t.column_names:
+                    cols[f.name] = t.column(f.name).cast(f.type)
+                else:
+                    cols[f.name] = pa.nulls(n, type=f.type)
+            out = pa.table(cols)
+            out = out.append_column(
+                "_side", pa.array(np.full(n, side, dtype=np.int8))
+            )
+            return out.append_column("_bucket", _bucket_column(out, keys, num_buckets))
+
+        return fn
+
+    u = left.map_batches(prep(0, left_schema), batch_format="pyarrow", batch_size=batch_size).union(
+        right.map_batches(prep(1, right_schema), batch_format="pyarrow", batch_size=batch_size)
+    )
+
+    def final(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_bucket"])
+        side = g.column("_side")
+        import pyarrow.compute as pc
+
+        lt = g.filter(pc.equal(side, 0)).select(lcols)
+        rt = g.filter(pc.equal(side, 1)).select(keys + rval)
+        return lt.join(rt, keys=keys, join_type="inner")
+
+    return u.groupby("_bucket").map_groups(final, batch_format="pyarrow")
+
+
+def pin_schema(ds, schema: pa.Schema):
+    """Cast every block to ``schema``, turning the sort-shuffle's
+    schema-less EMPTY reduce partitions into typed empty tables.
+
+    Required before feeding an aggregate/map_groups output into a hash
+    JOIN: pyarrow's join raises ``No match … for key field reference``
+    if any left-side block is a zero-column empty table, which is
+    exactly what an empty reduce partition looks like at toy scale
+    (at production density every partition holds data and this is a
+    zero-cost cast)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return schema.empty_table()
+        return t.select(schema.names).cast(schema)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def quiet_empty_bundle_warnings() -> None:
     """Filter Ray's "RefBundle with a different schema … new schema: ."
     log line. At toy scale, sort-based shuffles (the machinery under

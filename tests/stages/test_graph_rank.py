@@ -1,0 +1,108 @@
+"""degree_stats / pagerank vs exact driver-side replays.
+
+The pagerank brute force replays the SAME scaled-integer recurrence
+with Python big-ints (arbitrary precision — the oracle's HUGEINT
+analog), so the distributed result must match bit-for-bit regardless
+of summation order.
+"""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from bioner_ray.stages.graph import _pagerank_contrib, degree_stats, pagerank
+
+
+def _edges_table(rows):
+    subj, obj, w = zip(*rows)
+    return pa.table(
+        {
+            "subj": pa.array(subj, type=pa.string()),
+            "obj": pa.array(obj, type=pa.string()),
+            "weight": pa.array(w, type=pa.int64()),
+        }
+    )
+
+
+EDGES = [
+    ("a", "b", 3),
+    ("a", "c", 1),
+    ("b", "c", 2),
+    ("c", "a", 5),
+    ("c", "d", 1),
+    ("d", "d", 2),  # self loop
+    ("e", "a", 4),  # e is dangling-in only from a's view; e has out-edge
+]
+
+
+def _brute_pagerank(rows, iters=3, scale=10**12, dn=850, dd=1000):
+    from collections import defaultdict
+
+    ew = defaultdict(int)
+    for s, o, w in rows:
+        ew[(s, o)] += w
+    outw = defaultdict(int)
+    for (s, _o), w in ew.items():
+        outw[s] += w
+    nodes = sorted({s for s, _ in ew} | {o for _, o in ew})
+    base = ((dd - dn) * scale) // dd
+    r = {n: scale for n in nodes}
+    for _ in range(iters):
+        nxt = {n: base for n in nodes}
+        for (s, o), w in ew.items():
+            nxt[o] += (dn * r[s] * w) // (dd * outw[s])
+        r = nxt
+    return r
+
+
+def test_degree_stats_exact():
+    ds = rd.from_arrow(_edges_table(EDGES)).repartition(3)
+    got = {r["node"]: r for r in degree_stats(ds).take_all()}
+    # hand-checked: a: out (b,3),(c,1); in (c,5),(e,4)
+    assert got["a"]["out_degree"] == 2 and got["a"]["out_weight"] == 4
+    assert got["a"]["in_degree"] == 2 and got["a"]["in_weight"] == 9
+    assert got["d"]["out_degree"] == 1 and got["d"]["in_degree"] == 2
+    assert got["d"]["out_weight"] == 2 and got["d"]["in_weight"] == 3
+    assert got["e"]["out_degree"] == 1 and got["e"]["in_degree"] == 0
+    # degree sums balance: Σout_degree == Σin_degree == #edges
+    assert sum(r["out_degree"] for r in got.values()) == len(EDGES)
+    assert sum(r["in_degree"] for r in got.values()) == len(EDGES)
+
+
+def test_pagerank_matches_bigint_replay():
+    ds = rd.from_arrow(_edges_table(EDGES)).repartition(3)
+    got = {r["node"]: r["rank"] for r in pagerank(ds, iters=3).take_all()}
+    want = _brute_pagerank(EDGES, iters=3)
+    assert got == want
+    # sink-heavy node c (in-weight 3) outranks pure-source e (base only)
+    assert got["c"] > got["e"]
+    assert got["e"] == ((1000 - 850) * 10**12) // 1000
+
+
+def test_pagerank_multiedge_collapse():
+    # duplicate (s,p,o)-style multi-edges must collapse to summed weight
+    rows = [("x", "y", 1), ("x", "y", 2), ("y", "x", 1)]
+    ds = rd.from_arrow(_edges_table(rows)).repartition(2)
+    got = {r["node"]: r["rank"] for r in pagerank(ds, iters=2).take_all()}
+    assert got == _brute_pagerank(rows, iters=2)
+
+
+def test_contrib_overflow_fallback_matches_bigint():
+    # ranks near 2^62: the int64 fast path would overflow; the fallback
+    # must produce the exact big-int floor-division result
+    r = np.array([2**62, 2**61 + 12345], dtype=np.int64)
+    w = np.array([7, 3], dtype=np.int64)
+    ow = np.array([10, 10], dtype=np.int64)
+    got = _pagerank_contrib(r, w, ow, 850, 1000)
+    want = [(850 * int(ri) * int(wi)) // (1000 * int(oi)) for ri, wi, oi in zip(r, w, ow)]
+    assert got.tolist() == want
+
+
+def test_contrib_fast_path_matches_bigint():
+    rng = np.random.default_rng(7)
+    r = rng.integers(1, 10**12, 256)
+    w = rng.integers(1, 50, 256)
+    ow = rng.integers(50, 500, 256)
+    got = _pagerank_contrib(r, w, ow, 850, 1000)
+    want = [(850 * int(ri) * int(wi)) // (1000 * int(oi)) for ri, wi, oi in zip(r, w, ow)]
+    assert got.tolist() == want
