@@ -78,6 +78,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_nodes": an.kg_nodes,
         "kg_degree": an.kg_degree,            # per-node degree/strength (hub audit)
         "kg_pagerank": an.kg_pagerank,        # scaled-integer fixed-iteration PageRank
+        "kg_top_neighbors": an.kg_top_neighbors,  # per-node top-k neighbor lists
+        "kg_edge_delta": an.kg_edge_delta,    # snapshot-diff incremental KG update set
         "mention_counts": an.mention_counts,
         # --- eval harness (G4-G7, J4/J5: two-annotator in-row metrics) ---
         "ner_eval": an.ner_eval,
@@ -385,6 +387,32 @@ SELECT coalesce(o.node, i.node) AS node,
        CAST(coalesce(ow, 0) AS BIGINT) AS out_weight,
        CAST(coalesce(iw, 0) AS BIGINT) AS in_weight
 FROM o FULL JOIN i ON o.node = i.node
+""",
+        "kg_top_neighbors": f"""
+WITH {_KG_TRIP_CTES},
+spo AS (SELECT subj, pred, obj, count(*) AS c FROM trip GROUP BY subj, pred, obj),
+e0 AS (SELECT subj, obj, CAST(sum(c) AS BIGINT) AS w FROM spo GROUP BY subj, obj),
+r AS (SELECT subj, obj, w,
+             row_number() OVER (PARTITION BY subj ORDER BY w DESC, obj) AS rk
+      FROM e0)
+SELECT subj, obj, w, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 3
+""",
+        "kg_edge_delta": f"""
+WITH {_KG_TRIP_CTES},
+eb AS (SELECT subj, pred, obj, CAST(count(*) AS BIGINT) AS w_b
+       FROM trip GROUP BY subj, pred, obj),
+ea AS (SELECT subj, pred, obj, CAST(count(*) AS BIGINT) AS w_a
+       FROM trip WHERE doc_id % 2 = 0 GROUP BY subj, pred, obj)
+SELECT coalesce(ea.subj, eb.subj) AS subj,
+       coalesce(ea.pred, eb.pred) AS pred,
+       coalesce(ea.obj, eb.obj) AS obj,
+       coalesce(w_a, 0) AS w_a, coalesce(w_b, 0) AS w_b,
+       CASE WHEN coalesce(w_a, 0) = 0 THEN 'added'
+            WHEN coalesce(w_b, 0) = 0 THEN 'removed'
+            ELSE 'changed' END AS status
+FROM ea FULL JOIN eb
+  ON ea.subj = eb.subj AND ea.pred = eb.pred AND ea.obj = eb.obj
+WHERE coalesce(w_a, 0) <> coalesce(w_b, 0)
 """,
         # Scaled-integer PageRank twin: every step is HUGEINT floor
         # division, replaying stages/graph.py pagerank() bit-exactly

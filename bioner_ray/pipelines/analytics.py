@@ -66,12 +66,21 @@ def _nrows(sf_dir: str, name: str) -> int:
     return pq.ParquetFile(os.path.join(sf_dir, f"{name}.parquet")).metadata.num_rows
 
 
-def documents_as_pages(sf_dir: str):
+def documents_as_pages(sf_dir: str, doc_parity: int | None = None):
     """Adapter: documents(doc_id, text, lang) → the flagship's extracted
     shape (url, text, lang); url = printf('doc://%08d', doc_id) so the
-    lexicographic min used for provenance matches the SQL oracle."""
+    lexicographic min used for provenance matches the SQL oracle.
+    ``doc_parity`` keeps only doc_id % 2 == parity — the crawl-snapshot
+    stand-in for the incremental kg_edge_delta query."""
 
     def adapt(batch: pa.Table) -> pa.Table:
+        if doc_parity is not None:
+            batch = batch.filter(
+                pc.equal(
+                    pc.bit_wise_and(pc.cast(batch.column("doc_id"), pa.int64()), 1),
+                    doc_parity,
+                )
+            )
         urls = [f"doc://{d:08d}" for d in batch.column("doc_id").to_pylist()]
         return pa.table(
             {
@@ -103,14 +112,16 @@ def make_identity_concepts(surfaces=None) -> pa.Table:
     )
 
 
-def _segmented_documents(sf_dir: str):
+def _segmented_documents(sf_dir: str, doc_parity: int | None = None):
     from bioner_ray.stages.segment import segment_stage
 
     # KG/eval queries never read token offsets — skip building them
-    return segment_stage(documents_as_pages(sf_dir), with_offsets=False)
+    return segment_stage(documents_as_pages(sf_dir, doc_parity=doc_parity), with_offsets=False)
 
 
-def _tagged_documents(sf_dir: str, concurrency=None, pools: int = 1):
+def _tagged_documents(
+    sf_dir: str, concurrency=None, pools: int = 1, doc_parity: int | None = None
+):
     import ray
 
     from bioner_ray.stages.pool import sized_pool
@@ -118,7 +129,7 @@ def _tagged_documents(sf_dir: str, concurrency=None, pools: int = 1):
 
     if concurrency is None:
         concurrency = sized_pool(_nrows(sf_dir, "documents"), batch_size=64, max_actors=16, pools=pools)
-    docs = _segmented_documents(sf_dir)
+    docs = _segmented_documents(sf_dir, doc_parity=doc_parity)
     return score_stage(
         docs,
         model_name="gazetteer",
@@ -263,9 +274,19 @@ def write_doc_splits(sf_dir: str, out_dir: str):
     return counts
 
 
-def kg_edges(sf_dir: str, salt_buckets=None):
+def kg_edges(
+    sf_dir: str,
+    salt_buckets=None,
+    doc_parity: int | None = None,
+    pools: int = 2,
+):
     """The full SQL-checkable KG edge path. Columns: subj, pred, obj,
-    weight, first_url."""
+    weight, first_url. ``doc_parity`` restricts the corpus to
+    doc_id % 2 == parity (the snapshot stand-in for kg_edge_delta);
+    ``pools`` = concurrent actor-pool stages sharing this EXECUTION
+    (kg_edges itself runs two — scorer + triples; callers that union
+    two kg_edges branches pass 4 so the combined reservation still
+    leaves CPUs for the task-pool stages)."""
     import ray
 
     from bioner_ray.stages.link import ConceptIndex
@@ -275,8 +296,8 @@ def kg_edges(sf_dir: str, salt_buckets=None):
 
     index_ref = ray.put(ConceptIndex(make_identity_concepts()))
     triples = triples_stage(
-        _tagged_documents(sf_dir, pools=2), index_ref,
-        concurrency=sized_pool(_nrows(sf_dir, "documents"), batch_size=64, max_actors=16, pools=2),
+        _tagged_documents(sf_dir, pools=pools, doc_parity=doc_parity), index_ref,
+        concurrency=sized_pool(_nrows(sf_dir, "documents"), batch_size=64, max_actors=16, pools=pools),
         relation_lexicon=frozenset(RELATION_WORDS),
     )
     edges = canonicalize_edges(triples, salt_buckets=salt_buckets)
@@ -321,6 +342,105 @@ def kg_pagerank(sf_dir: str, iters: int = 3):
     from bioner_ray.stages.graph import pagerank
 
     return pagerank(kg_edges(sf_dir), iters=iters)
+
+
+def kg_top_neighbors(sf_dir: str, k: int = 3):
+    """Per-node neighborhood summary: each node's top-k out-neighbors
+    by total edge weight (preds collapsed), ties by obj — the entity
+    context-feature extraction step (neighbor lists feed embedding /
+    candidate-generation stages). Combiner-pruned per-group top-k
+    (stages/rank.py): the shuffle moves ≤ k rows per (block, subj).
+    Columns: subj, obj, w, rk."""
+    from bioner_ray.stages.rank import top_k_per_group
+    from bioner_ray.stages.shuffle import bucketed_aggregate
+
+    def to_pair(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "subj": t.column("subj"),
+                "obj": t.column("obj"),
+                "w": pc.cast(t.column("weight"), pa.int64()),
+            }
+        )
+
+    collapsed = bucketed_aggregate(
+        kg_edges(sf_dir).map_batches(to_pair, batch_format="pyarrow"),
+        ["subj", "obj"],
+        [("w", "sum")],
+    )
+    return top_k_per_group(
+        collapsed,
+        key_col="subj",
+        order_by=[("w", "descending"), ("obj", "ascending")],
+        k=k,
+    )
+
+
+def kg_edge_delta(sf_dir: str):
+    """Incremental KG maintenance: diff the canonical edge table built
+    from the even-doc_id snapshot ("yesterday's crawl") against the
+    full corpus, reporting edges whose weight changed — the update set
+    a production KG would apply instead of rebuilding. Join-free: both
+    edge tables are tagged (w_a / w_b), unioned, and merged by ONE
+    ``bucketed_aggregate`` on (subj, pred, obj); the ≠ filter and
+    status tagging run distributed, so only the bounded delta ever
+    leaves the workers. Columns: subj, pred, obj, w_a, w_b, status
+    (added / removed / changed)."""
+    from bioner_ray.stages.shuffle import bucketed_aggregate
+
+    def tag(a_side: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            w = pc.cast(t.column("weight"), pa.int64())
+            zeros = pa.array(np.zeros(t.num_rows, dtype=np.int64))
+            return pa.table(
+                {
+                    "subj": t.column("subj"),
+                    "pred": t.column("pred"),
+                    "obj": t.column("obj"),
+                    "w_a": w if a_side else zeros,
+                    "w_b": zeros if a_side else w,
+                }
+            )
+
+        return fn
+
+    # The two snapshot pipelines run SEQUENTIALLY, each materializing
+    # its bounded edge table (edges, never the corpus) — running them
+    # in one execution would put 4 fixed actor pools on the cluster at
+    # once and starve the task-pool stages on small clusters. This is
+    # also the checkpoint shape: in production snapshot A's edge table
+    # is yesterday's persisted output, not recomputed.
+    a = kg_edges(sf_dir, doc_parity=0).map_batches(tag(True), batch_format="pyarrow").materialize()
+    b = kg_edges(sf_dir).map_batches(tag(False), batch_format="pyarrow").materialize()
+    merged = bucketed_aggregate(
+        a.union(b), ["subj", "pred", "obj"], [("w_a", "sum"), ("w_b", "sum")]
+    )
+
+    delta_schema = pa.schema(
+        [
+            ("subj", pa.string()),
+            ("pred", pa.string()),
+            ("obj", pa.string()),
+            ("w_a", pa.int64()),
+            ("w_b", pa.int64()),
+            ("status", pa.string()),
+        ]
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:  # schema-less empty reduce partition
+            return delta_schema.empty_table()
+        t = t.filter(pc.not_equal(t.column("w_a"), t.column("w_b")))
+        status = pc.if_else(
+            pc.equal(t.column("w_a"), 0),
+            pa.scalar("added"),
+            pc.if_else(
+                pc.equal(t.column("w_b"), 0), pa.scalar("removed"), pa.scalar("changed")
+            ),
+        )
+        return t.append_column("status", status)
+
+    return merged.map_batches(finish, batch_format="pyarrow")
 
 
 def alias_groups(sf_dir: str, min_variants: int = 2):

@@ -71,6 +71,11 @@ SQL_CHECKED = [
     "distinct_users_kmv",
     "customers_without_orders",
     "upsample_mix",
+    "kg_degree",
+    "kg_pagerank",
+    "kg_top_neighbors",
+    "kg_edge_delta",
+    "alias_groups",
 ]
 
 ROWS_ONLY = [
