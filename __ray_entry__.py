@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pagerank": an.kg_pagerank,        # scaled-integer fixed-iteration PageRank
         "kg_top_neighbors": an.kg_top_neighbors,  # per-node top-k neighbor lists
         "kg_edge_delta": an.kg_edge_delta,    # snapshot-diff incremental KG update set
+        "kg_edge_pmi": an.kg_edge_pmi,        # PMI/NPMI edge association scoring
         "mention_counts": an.mention_counts,
         # --- eval harness (G4-G7, J4/J5: two-annotator in-row metrics) ---
         "ner_eval": an.ner_eval,
@@ -396,6 +397,25 @@ r AS (SELECT subj, obj, w,
              row_number() OVER (PARTITION BY subj ORDER BY w DESC, obj) AS rk
       FROM e0)
 SELECT subj, obj, w, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 3
+""",
+        # PMI twin: the engine pins its log to libm math.log because
+        # numpy's SIMD log differs from DuckDB's ln by 1 ulp; the
+        # arithmetic composition (mul, mul, div, ln, div) is identical
+        # on both sides so the doubles compare exactly.
+        "kg_edge_pmi": f"""
+WITH {_KG_TRIP_CTES},
+spo AS (SELECT subj, pred, obj, count(*) AS c FROM trip GROUP BY subj, pred, obj),
+e0 AS (SELECT subj, obj, CAST(sum(c) AS BIGINT) AS w FROM spo GROUP BY subj, obj),
+ma AS (SELECT subj, CAST(sum(w) AS BIGINT) AS n_subj FROM e0 GROUP BY subj),
+mb AS (SELECT obj, CAST(sum(w) AS BIGINT) AS n_obj FROM e0 GROUP BY obj),
+tot AS (SELECT CAST(sum(w) AS DOUBLE) AS n FROM e0)
+SELECT e0.subj, e0.obj, e0.w, ma.n_subj, mb.n_obj,
+       ln((CAST(e0.w AS DOUBLE) * tot.n)
+          / (CAST(ma.n_subj AS DOUBLE) * CAST(mb.n_obj AS DOUBLE))) AS pmi,
+       ln((CAST(e0.w AS DOUBLE) * tot.n)
+          / (CAST(ma.n_subj AS DOUBLE) * CAST(mb.n_obj AS DOUBLE)))
+         / (-ln(CAST(e0.w AS DOUBLE) / tot.n)) AS npmi
+FROM e0 JOIN ma USING (subj) JOIN mb USING (obj) CROSS JOIN tot
 """,
         "kg_edge_delta": f"""
 WITH {_KG_TRIP_CTES},

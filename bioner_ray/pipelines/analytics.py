@@ -376,6 +376,103 @@ def kg_top_neighbors(sf_dir: str, k: int = 3):
     )
 
 
+def kg_edge_pmi(sf_dir: str):
+    """Association-strength edge scoring: PMI / normalized PMI per
+    (subj, obj) over the collapsed co-occurrence counts — the edge
+    re-weighting step that separates informative KG links from
+    frequency artifacts (a hub pair with big raw weight can carry
+    near-zero PMI). Distributed shape: marginals are two bucketed
+    aggregates; attaching them is two bucketed joins; N is ONE scalar.
+    The log itself is pinned to libm ``math.log`` per row (numpy's
+    SIMD log differs by 1 ulp from DuckDB's ``ln``, which would break
+    the exact-float oracle); the scored table is the bounded edge set,
+    so the per-row loop prices in at O(edges), not O(corpus). Columns:
+    subj, obj, w, n_subj, n_obj, pmi, npmi."""
+    import math
+
+    from bioner_ray.stages.shuffle import (
+        bucketed_aggregate,
+        bucketed_inner_join,
+        pin_schema,
+    )
+
+    pair_schema = pa.schema(
+        [("subj", pa.string()), ("obj", pa.string()), ("w", pa.int64())]
+    )
+
+    def to_pair(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "subj": t.column("subj"),
+                "obj": t.column("obj"),
+                "w": pc.cast(t.column("weight"), pa.int64()),
+            }
+        )
+
+    pairs = pin_schema(
+        bucketed_aggregate(
+            kg_edges(sf_dir).map_batches(to_pair, batch_format="pyarrow"),
+            ["subj", "obj"],
+            [("w", "sum")],
+        ),
+        pair_schema,
+    ).materialize()
+    n_total = pairs.sum("w")
+
+    def marginal(key: str, out: str):
+        return pin_schema(
+            bucketed_aggregate(
+                pairs.map_batches(
+                    lambda t, key=key, out=out: pa.table(
+                        {key: t.column(key), out: t.column("w")}
+                    ),
+                    batch_format="pyarrow",
+                ),
+                [key],
+                [(out, "sum")],
+            ),
+            pa.schema([(key, pa.string()), (out, pa.int64())]),
+        )
+
+    j1 = bucketed_inner_join(
+        pairs,
+        marginal("subj", "n_subj"),
+        ["subj"],
+        pair_schema,
+        pa.schema([("subj", pa.string()), ("n_subj", pa.int64())]),
+    )
+    j1_schema = pair_schema.append(pa.field("n_subj", pa.int64()))
+    j2 = bucketed_inner_join(
+        j1,
+        marginal("obj", "n_obj"),
+        ["obj"],
+        j1_schema,
+        pa.schema([("obj", pa.string()), ("n_obj", pa.int64())]),
+    )
+
+    out_schema = j1_schema.append(pa.field("n_obj", pa.int64())).append(
+        pa.field("pmi", pa.float64())
+    ).append(pa.field("npmi", pa.float64()))
+
+    def score(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return out_schema.empty_table()
+        w = t.column("w").to_pylist()
+        na = t.column("n_subj").to_pylist()
+        nb = t.column("n_obj").to_pylist()
+        N = float(n_total)
+        pmi, npmi = [], []
+        for wi, ai, bi in zip(w, na, nb):
+            p = math.log((float(wi) * N) / (float(ai) * float(bi)))
+            pmi.append(p)
+            npmi.append(p / (-math.log(float(wi) / N)))
+        return t.append_column("pmi", pa.array(pmi, type=pa.float64())).append_column(
+            "npmi", pa.array(npmi, type=pa.float64())
+        )
+
+    return j2.map_batches(score, batch_format="pyarrow")
+
+
 def kg_edge_delta(sf_dir: str):
     """Incremental KG maintenance: diff the canonical edge table built
     from the even-doc_id snapshot ("yesterday's crawl") against the

@@ -75,6 +75,7 @@ SQL_CHECKED = [
     "kg_pagerank",
     "kg_top_neighbors",
     "kg_edge_delta",
+    "kg_edge_pmi",
     "alias_groups",
 ]
 
