@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_top_neighbors": an.kg_top_neighbors,  # per-node top-k neighbor lists
         "kg_edge_delta": an.kg_edge_delta,    # snapshot-diff incremental KG update set
         "kg_edge_pmi": an.kg_edge_pmi,        # PMI/NPMI edge association scoring
+        "kg_walks": an.kg_walks,              # hash-greedy walk corpus (RNG-free)
         "mention_counts": an.mention_counts,
         # --- eval harness (G4-G7, J4/J5: two-annotator in-row metrics) ---
         "ner_eval": an.ner_eval,
@@ -397,6 +398,26 @@ r AS (SELECT subj, obj, w,
              row_number() OVER (PARTITION BY subj ORDER BY w DESC, obj) AS rk
       FROM e0)
 SELECT subj, obj, w, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 3
+""",
+        "kg_walks": f"""
+WITH {_KG_TRIP_CTES},
+e0 AS (SELECT DISTINCT subj, obj FROM trip),
+s0 AS (SELECT DISTINCT subj AS start FROM e0),
+c1 AS (SELECT s0.start, e0.obj AS n1,
+              row_number() OVER (PARTITION BY s0.start
+                                 ORDER BY md5(s0.start || '|1|' || e0.obj), e0.obj) AS rn
+       FROM s0 JOIN e0 ON e0.subj = s0.start),
+w1 AS (SELECT start, n1 FROM c1 WHERE rn = 1),
+c2 AS (SELECT w1.start, w1.n1, e0.obj AS n2,
+              row_number() OVER (PARTITION BY w1.start
+                                 ORDER BY md5(w1.n1 || '|2|' || e0.obj), e0.obj) AS rn
+       FROM w1 JOIN e0 ON e0.subj = w1.n1),
+w2 AS (SELECT start, n1, n2 FROM c2 WHERE rn = 1),
+c3 AS (SELECT w2.start, w2.n1, w2.n2, e0.obj AS n3,
+              row_number() OVER (PARTITION BY w2.start
+                                 ORDER BY md5(w2.n2 || '|3|' || e0.obj), e0.obj) AS rn
+       FROM w2 JOIN e0 ON e0.subj = w2.n2)
+SELECT start, n1, n2, n3 FROM c3 WHERE rn = 1
 """,
         # PMI twin: the engine pins its log to libm math.log because
         # numpy's SIMD log differs from DuckDB's ln by 1 ulp; the

@@ -376,6 +376,17 @@ def kg_top_neighbors(sf_dir: str, k: int = 3):
     )
 
 
+def kg_walks(sf_dir: str, length: int = 3):
+    """Deterministic hash-greedy walk corpus over the KG (stages/
+    graph.py hash_walks): from every node with out-edges, a 3-step walk
+    whose step i picks the out-neighbor minimizing md5(cur|i|nbr) —
+    pseudo-random but RNG-free and SQL-replayable, the sequence
+    generator KG-embedding training reads. Columns: start, n1, n2, n3."""
+    from bioner_ray.stages.graph import hash_walks
+
+    return hash_walks(kg_edges(sf_dir), length=length)
+
+
 def kg_edge_pmi(sf_dir: str):
     """Association-strength edge scoring: PMI / normalized PMI per
     (subj, obj) over the collapsed co-occurrence counts — the edge

@@ -429,3 +429,114 @@ def pagerank(
             rank_schema,
         ).materialize()
     return ranks.rename_columns({"r": "rank"})
+
+
+def hash_walks(
+    edges_ds,
+    length: int = 3,
+    subj_col: str = "subj",
+    obj_col: str = "obj",
+    num_buckets: int = 256,
+):
+    """Deterministic hash-greedy walks over a directed edge table: from
+    every node with out-edges, a ``length``-step walk where step i
+    moves to the out-neighbor minimizing ``md5(cur|i|nbr)`` (ties by
+    neighbor id — md5 makes the choice pseudo-random but replayable,
+    in SQL as well as here). The walk-sequence corpus for KG-embedding
+    training, without any RNG state to distribute.
+
+    Per step: ONE ``bucketed_inner_join`` (walk frontier ⋈ edges on the
+    current node) and ONE combiner-pruned per-group top-1
+    (``stages/rank.top_k_per_group`` — ≤ 1 candidate per (block, walk)
+    is shuffled). Walks whose current node has no out-edges are dropped
+    (inner-join semantics: the output is walks that complete all
+    ``length`` steps — chained inner joins in the SQL twin). Columns:
+    start, n1 … n``length``.
+    """
+    import hashlib
+
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from bioner_ray.stages.rank import top_k_per_group
+
+    def to_pair(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cur": pc.cast(batch.column(subj_col), pa.string()),
+                "nxt": pc.cast(batch.column(obj_col), pa.string()),
+                "one": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+
+    edge_schema = pa.schema([("cur", pa.string()), ("nxt", pa.string())])
+    edges = pin_schema(
+        bucketed_aggregate(
+            edges_ds.map_batches(to_pair, batch_format="pyarrow"),
+            ["cur", "nxt"],
+            [("one", "min")],
+            num_buckets=num_buckets,
+        ),
+        edge_schema,  # select() drops the ones column
+    ).materialize()
+
+    start_schema = pa.schema([("start", pa.string()), ("cur", pa.string())])
+    walks = pin_schema(
+        bucketed_aggregate(
+            edges.map_batches(
+                lambda t: pa.table({"start": t.column("cur"), "cur": t.column("cur")}),
+                batch_format="pyarrow",
+            ),
+            ["start"],
+            [("cur", "min")],
+            num_buckets=num_buckets,
+        ),
+        start_schema,
+    ).materialize()
+
+    walk_cols = ["start"]
+    walk_schema = start_schema
+    for i in range(1, length + 1):
+
+        def add_hash(t: pa.Table, step=i, cols=tuple(walk_cols)) -> pa.Table:
+            if t.num_columns == 0:
+                return pa.table(
+                    {
+                        **{c: pa.array([], type=pa.string()) for c in cols},
+                        "cur": pa.array([], type=pa.string()),
+                        "nxt": pa.array([], type=pa.string()),
+                        "h": pa.array([], type=pa.string()),
+                    }
+                )
+            h = [
+                hashlib.md5(f"{c}|{step}|{n}".encode()).hexdigest()
+                for c, n in zip(t.column("cur").to_pylist(), t.column("nxt").to_pylist())
+            ]
+            return t.append_column("h", pa.array(h, type=pa.string()))
+
+        cand = bucketed_inner_join(
+            walks, edges, ["cur"], walk_schema, edge_schema, num_buckets=num_buckets
+        ).map_batches(add_hash, batch_format="pyarrow")
+        picked = top_k_per_group(
+            cand,
+            key_col="start",
+            order_by=[("h", "ascending"), ("nxt", "ascending")],
+            k=1,
+        )
+        walk_cols = walk_cols + [f"n{i}"]
+        walk_schema = pa.schema(
+            [(c, pa.string()) for c in walk_cols] + [("cur", pa.string())]
+        )
+
+        def advance(t: pa.Table, cols=tuple(walk_cols), schema=walk_schema) -> pa.Table:
+            if t.num_columns == 0:
+                return schema.empty_table()
+            data = {c: t.column(c) for c in cols[:-1]}
+            data[cols[-1]] = t.column("nxt")
+            data["cur"] = t.column("nxt")
+            return pa.table(data)
+
+        walks = picked.map_batches(advance, batch_format="pyarrow").materialize()
+
+    final_schema = pa.schema([(c, pa.string()) for c in walk_cols])
+    return pin_schema(walks, final_schema)

@@ -76,6 +76,7 @@ SQL_CHECKED = [
     "kg_top_neighbors",
     "kg_edge_delta",
     "kg_edge_pmi",
+    "kg_walks",
     "alias_groups",
 ]
 

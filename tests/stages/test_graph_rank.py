@@ -106,3 +106,31 @@ def test_contrib_fast_path_matches_bigint():
     got = _pagerank_contrib(r, w, ow, 850, 1000)
     want = [(850 * int(ri) * int(wi)) // (1000 * int(oi)) for ri, wi, oi in zip(r, w, ow)]
     assert got.tolist() == want
+
+
+def test_hash_walks_matches_bruteforce():
+    import hashlib
+
+    from bioner_ray.stages.graph import hash_walks
+
+    rows = EDGES
+    ds = rd.from_arrow(_edges_table(rows)).repartition(3)
+    got = {r["start"]: (r["n1"], r["n2"], r["n3"]) for r in hash_walks(ds, length=3).take_all()}
+
+    adj = {}
+    for s, o, _w in rows:
+        adj.setdefault(s, set()).add(o)
+    want = {}
+    for start in sorted(adj):
+        cur, path, ok = start, [], True
+        for i in (1, 2, 3):
+            nbrs = sorted(adj.get(cur, ()))
+            if not nbrs:
+                ok = False
+                break
+            cur = min(nbrs, key=lambda n: (hashlib.md5(f"{cur}|{i}|{n}".encode()).hexdigest(), n))
+            path.append(cur)
+        if ok:
+            want[start] = tuple(path)
+    assert got == want
+    assert len(got) > 0
