@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- reference operator pipelines ---
         "word_count": an.word_count,          # G1-G3 vocab shuffle + rank
         "alias_groups": an.alias_groups,      # surface-form merge (canonicalization)
+        "doc_logprob": an.doc_logprob,        # unigram-surprise (perplexity-filter stand-in)
         "doc_split": an.doc_split,            # J1/S7 broadcast semi-join
         # --- relational / aggregate coverage (G4-G8, J, O patterns) ---
         "pricing_summary": an.pricing_summary,
@@ -527,6 +528,22 @@ WITH {_TOK_CTE},
 c AS (SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY w
       HAVING count(*) >= 10)
 SELECT word, cnt, CAST(row_number() OVER (ORDER BY cnt DESC, word) AS BIGINT) AS rank FROM c
+""",
+        # Integer micro-nat quantization makes the per-doc sums
+        # order-independent (ints), so distributed vs SQL summation
+        # can never drift; the one ln per VOCAB entry is libm on both
+        # sides and the arithmetic composition is identical.
+        "doc_logprob": f"""
+WITH {_TOK_CTE},
+c AS (SELECT w, count(*) AS cnt FROM tok GROUP BY w),
+tots AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v FROM c),
+lp AS (SELECT w,
+              CAST(floor(ln((CAST(cnt AS DOUBLE) + 1) / (tots.n + tots.v))
+                         * 1000000) AS BIGINT) AS lp
+       FROM c CROSS JOIN tots)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(lp.lp) AS BIGINT) AS logprob_micro
+FROM tok JOIN lp USING (w) GROUP BY doc_id
 """,
         "alias_groups": """
 WITH raw AS (

@@ -616,6 +616,92 @@ def alias_groups(sf_dir: str, min_variants: int = 2):
     return merged
 
 
+def doc_logprob(sf_dir: str):
+    """Unigram-surprise document scoring — the perplexity-filter
+    stand-in (CCNet-style: rank documents by how improbable their
+    tokens are under a corpus LM; here an add-one-smoothed unigram
+    model built from the corpus itself). Two passes:
+
+    1. global token counts (ONE ``bucketed_aggregate``); the vocabulary
+       table collects driver-side to build the log-prob lookup — the
+       model-broadcast step. At web scale the model would be a capped
+       top-K vocab + OOV bucket (the standard KenLM/CCNet shape); the
+       oracle-checked configuration uses the full vocab, which is
+       bounded at test scale.
+    2. per-document score: tokens are flattened vectorized (same
+       split/offset kernel as ``alias_groups``), mapped through the
+       broadcast lookup, and segment-summed — no shuffle at all.
+
+    Exactness: each token's log-prob is quantized ONCE to integer
+    micro-nats (``floor(ln(p)·1e6)``, libm log — numpy's differs by
+    1 ulp from DuckDB's), so the per-document sums are integer and
+    order-independent: bit-equal under any distribution. Documents
+    with zero tokens emit no row (matching the SQL inner join).
+    Columns: doc_id, n_tokens, logprob_micro."""
+    import math
+
+    import ray
+
+    from bioner_ray.stages.shuffle import bucketed_aggregate
+    from bioner_ray.stages.textstats import _split_lower
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for toks in _split_lower(batch, "text"):
+            for t in toks:
+                counts[t] = counts.get(t, 0) + 1
+        return pa.table(
+            {
+                "word": pa.array(list(counts.keys()), type=pa.string()),
+                "cnt": pa.array(list(counts.values()), type=pa.int64()),
+            }
+        )
+
+    vocab = bucketed_aggregate(
+        _read(sf_dir, "documents", columns=["text"]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        ["word"],
+        [("cnt", "sum")],
+    ).to_pandas()
+    n_total = float(vocab["cnt"].sum())
+    v_size = float(len(vocab))
+    lp = {
+        w: math.floor(math.log((float(c) + 1.0) / (n_total + v_size)) * 1000000.0)
+        for w, c in zip(vocab["word"], vocab["cnt"])
+    }
+    lp_ref = ray.put(lp)
+
+    def score(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        table = ray.get(lp_ref)
+        text = pc.fill_null(batch.column("text"), "")
+        split = pc.split_pattern_regex(pc.utf8_lower(text), r"\s+").combine_chunks()
+        off = split.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = split.values.slice(off[0], off[-1] - off[0])
+        starts, ends = off[:-1] - off[0], off[1:] - off[0]
+        toks = pd.Series(vals.to_pylist())
+        keep = (toks != "").to_numpy()
+        tok_lp = toks.map(table).fillna(0).to_numpy(dtype=np.int64) * keep
+        cs_lp = np.concatenate([[0], np.cumsum(tok_lp)])
+        cs_n = np.concatenate([[0], np.cumsum(keep.astype(np.int64))])
+        n_tok = cs_n[ends] - cs_n[starts]
+        lp_sum = cs_lp[ends] - cs_lp[starts]
+        out = pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pa.array(n_tok),
+                "logprob_micro": pa.array(lp_sum),
+            }
+        )
+        return out.filter(pc.greater(out.column("n_tokens"), 0))
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow"
+    )
+
+
 def word_count(sf_dir: str, min_count: int = 10):
     """G1→G3 vocabulary pipeline on real text: per-block partial counts
     (combiner) → groupby sum → min-frequency filter → pinned-total-order

@@ -78,6 +78,7 @@ SQL_CHECKED = [
     "kg_edge_pmi",
     "kg_walks",
     "alias_groups",
+    "doc_logprob",
 ]
 
 ROWS_ONLY = [
