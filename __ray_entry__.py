@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_edge_delta": an.kg_edge_delta,    # snapshot-diff incremental KG update set
         "kg_edge_pmi": an.kg_edge_pmi,        # PMI/NPMI edge association scoring
         "kg_walks": an.kg_walks,              # hash-greedy walk corpus (RNG-free)
+        "kg_node_profiles": an.kg_node_profiles,  # per-entity relation typing signal
         "mention_counts": an.mention_counts,
         # --- eval harness (G4-G7, J4/J5: two-annotator in-row metrics) ---
         "ner_eval": an.ner_eval,
@@ -399,6 +400,18 @@ r AS (SELECT subj, obj, w,
              row_number() OVER (PARTITION BY subj ORDER BY w DESC, obj) AS rk
       FROM e0)
 SELECT subj, obj, w, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 3
+""",
+        "kg_node_profiles": f"""
+WITH {_KG_TRIP_CTES},
+sp AS (SELECT subj, pred, CAST(count(*) AS BIGINT) AS w FROM trip GROUP BY subj, pred),
+a AS (SELECT subj, CAST(count(*) AS BIGINT) AS n_preds,
+             CAST(sum(w) AS BIGINT) AS out_w
+      FROM sp GROUP BY subj),
+d AS (SELECT subj, pred AS dom_pred, w AS dom_w,
+             row_number() OVER (PARTITION BY subj ORDER BY w DESC, pred) AS rn
+      FROM sp)
+SELECT a.subj AS node, a.n_preds, a.out_w, d.dom_pred, d.dom_w
+FROM a JOIN d ON a.subj = d.subj AND d.rn = 1
 """,
         "kg_walks": f"""
 WITH {_KG_TRIP_CTES},

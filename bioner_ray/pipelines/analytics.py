@@ -387,6 +387,97 @@ def kg_walks(sf_dir: str, length: int = 3):
     return hash_walks(kg_edges(sf_dir), length=length)
 
 
+def kg_node_profiles(sf_dir: str):
+    """Per-entity relation profile: dominant outgoing predicate (by
+    weight, ties by pred), predicate diversity and total out-strength —
+    the "what kind of node is this" typing signal a KG curation pass
+    reads before schema induction. Shape: one (subj, pred) bucketed
+    aggregate; the profile merge is a bucketed aggregate + a
+    combiner-pruned per-group top-1 joined back on subj (all bounded
+    by the node/pred table, never the corpus). Columns: node,
+    dom_pred, dom_w, n_preds, out_w."""
+    from bioner_ray.stages.rank import top_k_per_group
+    from bioner_ray.stages.shuffle import (
+        bucketed_aggregate,
+        bucketed_inner_join,
+        pin_schema,
+        with_ones,
+    )
+
+    sp_schema = pa.schema(
+        [("subj", pa.string()), ("pred", pa.string()), ("w", pa.int64())]
+    )
+    sp = pin_schema(
+        bucketed_aggregate(
+            kg_edges(sf_dir).map_batches(
+                lambda t: pa.table(
+                    {
+                        "subj": t.column("subj"),
+                        "pred": t.column("pred"),
+                        "w": pc.cast(t.column("weight"), pa.int64()),
+                    }
+                ),
+                batch_format="pyarrow",
+            ),
+            ["subj", "pred"],
+            [("w", "sum")],
+        ),
+        sp_schema,
+    ).materialize()
+
+    agg = pin_schema(
+        bucketed_aggregate(
+            with_ones(sp), ["subj"], [("one", "sum"), ("w", "sum")]
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "subj": t.column("subj"),
+                    "n_preds": t.column("one"),
+                    "out_w": t.column("w"),
+                }
+            )
+            if t.num_columns
+            else t,
+            batch_format="pyarrow",
+        ),
+        pa.schema([("subj", pa.string()), ("n_preds", pa.int64()), ("out_w", pa.int64())]),
+    )
+
+    dom = pin_schema(
+        top_k_per_group(
+            sp, key_col="subj", order_by=[("w", "descending"), ("pred", "ascending")], k=1
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "subj": t.column("subj"),
+                    "dom_pred": t.column("pred"),
+                    "dom_w": t.column("w"),
+                }
+            )
+            if t.num_columns
+            else t,
+            batch_format="pyarrow",
+        ),
+        pa.schema([("subj", pa.string()), ("dom_pred", pa.string()), ("dom_w", pa.int64())]),
+    )
+
+    joined = bucketed_inner_join(
+        agg,
+        dom,
+        ["subj"],
+        pa.schema([("subj", pa.string()), ("n_preds", pa.int64()), ("out_w", pa.int64())]),
+        pa.schema([("subj", pa.string()), ("dom_pred", pa.string()), ("dom_w", pa.int64())]),
+    )
+    return joined.map_batches(
+        lambda t: t.rename_columns(
+            ["node" if c == "subj" else c for c in t.column_names]
+        )
+        if t.num_columns
+        else t,
+        batch_format="pyarrow",
+    )
+
+
 def kg_edge_pmi(sf_dir: str):
     """Association-strength edge scoring: PMI / normalized PMI per
     (subj, obj) over the collapsed co-occurrence counts — the edge

@@ -79,6 +79,7 @@ SQL_CHECKED = [
     "kg_walks",
     "alias_groups",
     "doc_logprob",
+    "kg_node_profiles",
 ]
 
 ROWS_ONLY = [
