@@ -86,12 +86,6 @@ def connected_components(
     (micro-seconds vs seconds of per-round join overhead); above it,
     the distributed label-propagation + pointer-jumping path runs.
     Both produce identical labels."""
-    import ray
-
-    if num_partitions is None:
-        cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-        num_partitions = max(4, cpus // 4)
-
     pairs_ds = pairs_ds.materialize()  # bounded; single execution, both paths
     if driver_max_pairs and pairs_ds.count() <= driver_max_pairs:
         return _driver_components(pairs_ds.take_all(), a_col, b_col)
@@ -117,18 +111,26 @@ def connected_components(
         edges.map_batches(init_labels, batch_format="pyarrow"), ["node"], [("label", "min")]
     ).materialize()
 
+    edge_schema = pa.schema([("node", pa.int64()), ("nbr", pa.int64())])
+    label_schema = pa.schema([("node", pa.int64()), ("label", pa.int64())])
+    # bucketed_inner_join, not Ray's native Dataset.join: the native
+    # join crashes whenever a hash partition receives zero rows on a
+    # side (zero-column table reaches pyarrow's join) — possible here
+    # under label-skew once most labels collapse to few component ids.
     prev_sum = None
     converged = False
     for rnd in range(max_iters):
         nbr_labels = labels.rename_columns({"node": "nbr", "label": "nbr_label"})
-        msgs = edges.join(
+        msgs = bucketed_inner_join(
+            edges,
             nbr_labels,
-            join_type="inner",
-            num_partitions=num_partitions,
-            on=("nbr",),
-            aggregator_ray_remote_args={"num_cpus": 0.25},
+            ["nbr"],
+            edge_schema,
+            pa.schema([("nbr", pa.int64()), ("nbr_label", pa.int64())]),
         ).map_batches(
-            lambda t: pa.table({"node": t.column("node"), "label": t.column("nbr_label")}),
+            lambda t: pa.table({"node": t.column("node"), "label": t.column("nbr_label")})
+            if t.num_columns
+            else label_schema.empty_table(),
             batch_format="pyarrow",
         )
         labels = bucketed_aggregate(
@@ -141,17 +143,19 @@ def connected_components(
             # the jump squares the propagation radius per round.
             ptr = labels.rename_columns({"node": "label", "label": "jump"})
             labels = (
-                labels.join(
+                bucketed_inner_join(
+                    labels,
                     ptr,
-                    join_type="inner",
-                    num_partitions=num_partitions,
-                    on=("label",),
-                    aggregator_ray_remote_args={"num_cpus": 0.25},
+                    ["label"],
+                    label_schema,
+                    pa.schema([("label", pa.int64()), ("jump", pa.int64())]),
                 )
                 .map_batches(
                     lambda t: pa.table(
                         {"node": t.column("node"), "label": t.column("jump")}
-                    ),
+                    )
+                    if t.num_columns
+                    else label_schema.empty_table(),
                     batch_format="pyarrow",
                 )
                 .materialize()
