@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_edge_pmi": an.kg_edge_pmi,        # PMI/NPMI edge association scoring
         "kg_walks": an.kg_walks,              # hash-greedy walk corpus (RNG-free)
         "kg_node_profiles": an.kg_node_profiles,  # per-entity relation typing signal
+        "kg_triangles": an.kg_triangles,      # degree-oriented triangle counting
         "mention_counts": an.mention_counts,
         # --- eval harness (G4-G7, J4/J5: two-annotator in-row metrics) ---
         "ner_eval": an.ner_eval,
@@ -400,6 +401,22 @@ r AS (SELECT subj, obj, w,
              row_number() OVER (PARTITION BY subj ORDER BY w DESC, obj) AS rk
       FROM e0)
 SELECT subj, obj, w, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 3
+""",
+        "kg_triangles": f"""
+WITH {_KG_TRIP_CTES},
+p AS (SELECT DISTINCT subj, obj FROM trip WHERE subj <> obj),
+e0 AS (SELECT DISTINCT least(subj, obj) AS lo, greatest(subj, obj) AS hi FROM p),
+d AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+      FROM (SELECT lo AS node FROM e0 UNION ALL SELECT hi FROM e0) GROUP BY node),
+o AS (SELECT CASE WHEN dl.deg < dh.deg OR (dl.deg = dh.deg AND e0.lo < e0.hi)
+                  THEN e0.lo ELSE e0.hi END AS u,
+             CASE WHEN dl.deg < dh.deg OR (dl.deg = dh.deg AND e0.lo < e0.hi)
+                  THEN e0.hi ELSE e0.lo END AS v
+      FROM e0 JOIN d dl ON dl.node = e0.lo JOIN d dh ON dh.node = e0.hi),
+w AS (SELECT a.u, a.v AS v1, b.v AS v2 FROM o a JOIN o b ON a.u = b.u AND a.v < b.v),
+t AS (SELECT w.u, w.v1, w.v2 FROM w JOIN e0 ON e0.lo = w.v1 AND e0.hi = w.v2),
+n AS (SELECT u AS node FROM t UNION ALL SELECT v1 FROM t UNION ALL SELECT v2 FROM t)
+SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM n GROUP BY node
 """,
         "kg_node_profiles": f"""
 WITH {_KG_TRIP_CTES},

@@ -387,6 +387,16 @@ def kg_walks(sf_dir: str, length: int = 3):
     return hash_walks(kg_edges(sf_dir), length=length)
 
 
+def kg_triangles(sf_dir: str):
+    """Per-node triangle participation over the KG's undirected simple
+    graph (stages/graph.py triangle_counts — degree-ordered orientation
+    bounds wedge generation to O(E^1.5) regardless of hubs). Columns:
+    node, n_triangles."""
+    from bioner_ray.stages.graph import triangle_counts
+
+    return triangle_counts(kg_edges(sf_dir))
+
+
 def kg_node_profiles(sf_dir: str):
     """Per-entity relation profile: dominant outgoing predicate (by
     weight, ties by pred), predicate diversity and total out-strength —

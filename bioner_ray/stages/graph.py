@@ -544,3 +544,186 @@ def hash_walks(
 
     final_schema = pa.schema([(c, pa.string()) for c in walk_cols])
     return pin_schema(walks, final_schema)
+
+
+def triangle_counts(
+    edges_ds,
+    subj_col: str = "subj",
+    obj_col: str = "obj",
+    num_buckets: int = 256,
+):
+    """Per-node triangle participation over the undirected simple graph
+    of an edge table: (node, n_triangles). The KG-quality signal for
+    community density / redundant-path detection.
+
+    Degree-ordered orientation (the node-iterator++ algorithm): every
+    undirected edge is directed from its (degree, id)-smaller endpoint,
+    so each node's oriented out-degree is O(√E) on any graph and the
+    wedge self-join — the step that explodes on hubs in the naive plan
+    — generates O(E^1.5) candidates TOTAL instead of Σ deg² (a
+    10^6-degree hub contributes nothing beyond its oriented out-edges).
+    Each triangle is found exactly once (at its orientation-minimum
+    vertex), then emits its three endpoint rows into one
+    ``bucketed_aggregate``. All joins are ``bucketed_inner_join``.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def to_und(batch: pa.Table) -> pa.Table:
+        s = pc.cast(batch.column(subj_col), pa.string())
+        o = pc.cast(batch.column(obj_col), pa.string())
+        keep = pc.not_equal(s, o)  # drop self-loops
+        s, o = s.filter(keep), o.filter(keep)
+        lo = pc.min_element_wise(s, o)
+        hi = pc.max_element_wise(s, o)
+        n = len(lo)
+        return pa.table(
+            {"lo": lo, "hi": hi, "one": pa.array(np.ones(n, dtype=np.int64))}
+        )
+
+    und_schema = pa.schema([("lo", pa.string()), ("hi", pa.string())])
+    und = pin_schema(
+        bucketed_aggregate(
+            edges_ds.map_batches(to_und, batch_format="pyarrow"),
+            ["lo", "hi"],
+            [("one", "min")],
+            num_buckets=num_buckets,
+        ),
+        und_schema,
+    ).materialize()
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "node": pa.chunked_array(
+                    [t.column("lo").combine_chunks(), t.column("hi").combine_chunks()]
+                ).combine_chunks(),
+                "deg": pa.array(np.ones(2 * n, dtype=np.int64)),
+            }
+        )
+
+    deg_schema = pa.schema([("node", pa.string()), ("deg", pa.int64())])
+    deg = pin_schema(
+        bucketed_aggregate(
+            und.map_batches(endpoints, batch_format="pyarrow"),
+            ["node"],
+            [("deg", "sum")],
+            num_buckets=num_buckets,
+        ),
+        deg_schema,
+    )
+
+    # attach both endpoint degrees, then orient by (degree, id)
+    j1 = bucketed_inner_join(
+        und,
+        deg.map_batches(
+            lambda t: t.rename_columns(["lo", "deg_lo"]) if t.num_columns else t,
+            batch_format="pyarrow",
+        ),
+        ["lo"],
+        und_schema,
+        pa.schema([("lo", pa.string()), ("deg_lo", pa.int64())]),
+        num_buckets=num_buckets,
+    )
+    j2 = bucketed_inner_join(
+        j1,
+        deg.map_batches(
+            lambda t: t.rename_columns(["hi", "deg_hi"]) if t.num_columns else t,
+            batch_format="pyarrow",
+        ),
+        ["hi"],
+        und_schema.append(pa.field("deg_lo", pa.int64())),
+        pa.schema([("hi", pa.string()), ("deg_hi", pa.int64())]),
+        num_buckets=num_buckets,
+    )
+
+    orient_schema = pa.schema([("u", pa.string()), ("v", pa.string())])
+
+    def orient(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return orient_schema.empty_table()
+        lo_first = pc.or_(
+            pc.less(t.column("deg_lo"), t.column("deg_hi")),
+            pc.and_(
+                pc.equal(t.column("deg_lo"), t.column("deg_hi")),
+                pc.less(t.column("lo"), t.column("hi")),
+            ),
+        )
+        u = pc.if_else(lo_first, t.column("lo"), t.column("hi"))
+        v = pc.if_else(lo_first, t.column("hi"), t.column("lo"))
+        return pa.table({"u": u, "v": v})
+
+    oriented = pin_schema(
+        j2.map_batches(orient, batch_format="pyarrow"), orient_schema
+    ).materialize()
+
+    # wedge self-join at the shared source, canonical (v1 < v2)
+    wedges = bucketed_inner_join(
+        oriented.rename_columns({"v": "v1"}),
+        oriented.rename_columns({"v": "v2"}),
+        ["u"],
+        pa.schema([("u", pa.string()), ("v1", pa.string())]),
+        pa.schema([("u", pa.string()), ("v2", pa.string())]),
+        num_buckets=num_buckets,
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "u": t.column("u"),
+                "lo": t.column("v1"),
+                "hi": t.column("v2"),
+            }
+        ).filter(pc.less(t.column("v1"), t.column("v2")))
+        if t.num_columns
+        else pa.schema(
+            [("u", pa.string()), ("lo", pa.string()), ("hi", pa.string())]
+        ).empty_table(),
+        batch_format="pyarrow",
+    )
+    # NOTE: (v1, v2) from a degree-oriented wedge need canonicalizing
+    # only by id — both orders appear in the self-join, so keeping
+    # v1 < v2 both dedups the wedge and matches und's (lo, hi) layout.
+
+    closed = bucketed_inner_join(
+        wedges,
+        und.map_batches(
+            lambda t: t.append_column(
+                "is_edge", pa.array(np.ones(t.num_rows, dtype=np.int64))
+            )
+            if t.num_columns
+            else pa.schema(
+                [("lo", pa.string()), ("hi", pa.string()), ("is_edge", pa.int64())]
+            ).empty_table(),
+            batch_format="pyarrow",
+        ),
+        ["lo", "hi"],
+        pa.schema([("u", pa.string()), ("lo", pa.string()), ("hi", pa.string())]),
+        pa.schema([("lo", pa.string()), ("hi", pa.string()), ("is_edge", pa.int64())]),
+        num_buckets=num_buckets,
+    )
+
+    def tri_rows(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return pa.schema(
+                [("node", pa.string()), ("n_triangles", pa.int64())]
+            ).empty_table()
+        n = t.num_rows
+        return pa.table(
+            {
+                "node": pa.chunked_array(
+                    [
+                        t.column("u").combine_chunks(),
+                        t.column("lo").combine_chunks(),
+                        t.column("hi").combine_chunks(),
+                    ]
+                ).combine_chunks(),
+                "n_triangles": pa.array(np.ones(3 * n, dtype=np.int64)),
+            }
+        )
+
+    return bucketed_aggregate(
+        closed.map_batches(tri_rows, batch_format="pyarrow"),
+        ["node"],
+        [("n_triangles", "sum")],
+        num_buckets=num_buckets,
+    )

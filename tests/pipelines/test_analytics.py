@@ -80,6 +80,7 @@ SQL_CHECKED = [
     "alias_groups",
     "doc_logprob",
     "kg_node_profiles",
+    "kg_triangles",
 ]
 
 ROWS_ONLY = [

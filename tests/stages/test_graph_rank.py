@@ -134,3 +134,36 @@ def test_hash_walks_matches_bruteforce():
             want[start] = tuple(path)
     assert got == want
     assert len(got) > 0
+
+
+def test_triangle_counts_matches_bruteforce():
+    from itertools import combinations
+
+    from bioner_ray.stages.graph import triangle_counts
+
+    rng = np.random.default_rng(11)
+    nodes = [f"n{i:02d}" for i in range(20)]
+    rows = []
+    for a, b in combinations(nodes, 2):
+        if rng.random() < 0.25:
+            # random direction, sometimes both + a self loop sprinkled in
+            rows.append((a, b, 1) if rng.random() < 0.5 else (b, a, 1))
+            if rng.random() < 0.2:
+                rows.append((b, a, 2))
+    rows.append(("n00", "n00", 5))  # self loop must be ignored
+    ds = rd.from_arrow(_edges_table(rows)).repartition(3)
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(ds).take_all()}
+
+    und = {frozenset((a, b)) for a, b, _ in rows if a != b}
+    want = {}
+    for tri in combinations(nodes, 3):
+        a, b, c = tri
+        if (
+            frozenset((a, b)) in und
+            and frozenset((b, c)) in und
+            and frozenset((a, c)) in und
+        ):
+            for n in tri:
+                want[n] = want.get(n, 0) + 1
+    assert got == want
+    assert sum(want.values()) % 3 == 0 and len(want) > 0
