@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_node_profiles": an.kg_node_profiles,  # per-entity relation typing signal
         "kg_triangles": an.kg_triangles,      # degree-oriented triangle counting
         "mention_counts": an.mention_counts,
+        "entity_burstiness": an.entity_burstiness,  # doc-frequency vs burst dispersion
         # --- eval harness (G4-G7, J4/J5: two-annotator in-row metrics) ---
         "ner_eval": an.ner_eval,
         "error_length_stats": an.error_length_stats,
@@ -523,6 +524,15 @@ FROM tok WHERE w IN {ENTITY_LIST_SQL} GROUP BY w
 WITH {_TOK_CTE}
 SELECT w AS surface, CAST(count(*) AS BIGINT) AS n_mentions
 FROM tok WHERE w IN {ENTITY_LIST_SQL} GROUP BY w
+""",
+        "entity_burstiness": f"""
+WITH {_TOK_CTE},
+m AS (SELECT doc_id, w AS surface, count(*) AS cnt
+      FROM tok WHERE w IN {ENTITY_LIST_SQL} GROUP BY doc_id, w)
+SELECT surface, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(cnt) AS BIGINT) AS n_mentions,
+       CAST(max(cnt) AS BIGINT) AS max_in_doc
+FROM m GROUP BY surface
 """,
         "ner_eval": f"""
 WITH {_TOK_CTE},

@@ -153,6 +153,63 @@ def mention_counts(sf_dir: str):
     )
 
 
+def entity_burstiness(sf_dir: str):
+    """Entity dispersion report: per surface, the document frequency,
+    total mention count and the largest single-document burst — the
+    signal separating corpus-wide entities from page-local artifacts
+    (a surface with n_mentions ≫ n_docs and a high max_in_doc is a
+    template/boilerplate suspect). Two bucketed aggregates: (surface,
+    url) partial counts, then per-surface sums/max — the shuffle moves
+    per-doc-combined rows, never mention rows. Columns: surface,
+    n_docs, n_mentions, max_in_doc."""
+    from bioner_ray.stages.mentions import mentions_stage
+    from bioner_ray.stages.shuffle import bucketed_aggregate, with_ones
+
+    per_doc = bucketed_aggregate(
+        with_ones(
+            mentions_stage(_tagged_documents(sf_dir)).select_columns(
+                ["surface", "url"]
+            ),
+            "cnt",
+        ),
+        ["surface", "url"],
+        [("cnt", "sum")],
+    )
+
+    def widen(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return pa.schema(
+                [
+                    ("surface", pa.string()),
+                    ("one", pa.int64()),
+                    ("n_mentions", pa.int64()),
+                    ("max_in_doc", pa.int64()),
+                ]
+            ).empty_table()
+        return pa.table(
+            {
+                "surface": t.column("surface"),
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                "n_mentions": t.column("cnt"),
+                "max_in_doc": t.column("cnt"),
+            }
+        )
+
+    merged = bucketed_aggregate(
+        per_doc.map_batches(widen, batch_format="pyarrow"),
+        ["surface"],
+        [("one", "sum"), ("n_mentions", "sum"), ("max_in_doc", "max")],
+    )
+    return merged.map_batches(
+        lambda t: t.rename_columns(
+            ["n_docs" if c == "one" else c for c in t.column_names]
+        )
+        if t.num_columns
+        else t,
+        batch_format="pyarrow",
+    )
+
+
 def _inject_tags(key: str):
     """Move the scorer's top-level ``tags`` column into each sentence
     struct under ``key`` (so a second scorer pass can add its own tags

@@ -81,6 +81,7 @@ SQL_CHECKED = [
     "doc_logprob",
     "kg_node_profiles",
     "kg_triangles",
+    "entity_burstiness",
 ]
 
 ROWS_ONLY = [
