@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triangles": an.kg_triangles,      # degree-oriented triangle counting
         "mention_counts": an.mention_counts,
         "entity_burstiness": an.entity_burstiness,  # doc-frequency vs burst dispersion
+        "source_report": an.source_report,    # per-source corpus card (docs/tokens/quality/dups)
         # --- eval harness (G4-G7, J4/J5: two-annotator in-row metrics) ---
         "ner_eval": an.ner_eval,
         "error_length_stats": an.error_length_stats,
@@ -524,6 +525,25 @@ FROM tok WHERE w IN {ENTITY_LIST_SQL} GROUP BY w
 WITH {_TOK_CTE}
 SELECT w AS surface, CAST(count(*) AS BIGINT) AS n_mentions
 FROM tok WHERE w IN {ENTITY_LIST_SQL} GROUP BY w
+""",
+        "source_report": """
+WITH t AS (SELECT doc_id, source, md5(text) AS k,
+                  list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                              x -> x <> '') AS toks
+           FROM documents),
+d AS (SELECT doc_id, source, len(toks) AS n_tokens,
+             CASE WHEN len(toks) BETWEEN 20 AND 1000000
+                   AND CAST(len(list_distinct(toks)) AS DOUBLE)
+                       / greatest(len(toks), 1) >= 0.3
+                  THEN 1 ELSE 0 END AS q,
+             CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY k)
+                  THEN 0 ELSE 1 END AS is_dup
+      FROM t)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(sum(q) AS BIGINT) AS n_quality,
+       CAST(sum(is_dup) AS BIGINT) AS n_exact_dup
+FROM d GROUP BY source
 """,
         "entity_burstiness": f"""
 WITH {_TOK_CTE},

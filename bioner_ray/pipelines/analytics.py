@@ -210,6 +210,123 @@ def entity_burstiness(sf_dir: str):
     )
 
 
+def source_report(sf_dir: str):
+    """The per-source corpus card a 100-TB preprocessing run publishes:
+    document / token totals, quality-rule passes (same 20 ≤ tokens ≤
+    10^6, TTR ≥ 0.3 rule as ``quality_docs``) and exact-duplicate
+    copies (same global md5 grouping as ``dedup_exact`` — the
+    representative is the min doc_id ACROSS sources, so a source
+    that re-hosts another's pages shows the dups). One stateless pass
+    computes per-doc facts; the dup flag needs per-key min doc_id =
+    one bucketed aggregate on the md5 key + one bucketed join back;
+    the rollup is one aggregate on source. Columns: source, n_docs,
+    n_tokens, n_quality, n_exact_dup."""
+    import hashlib
+
+    from bioner_ray.stages.shuffle import (
+        bucketed_aggregate,
+        bucketed_inner_join,
+        pin_schema,
+    )
+    from bioner_ray.stages.textstats import _split_lower
+
+    row_schema = pa.schema(
+        [
+            ("k", pa.string()),
+            ("doc_id", pa.int64()),
+            ("source", pa.string()),
+            ("n_tokens", pa.int64()),
+            ("q", pa.int64()),
+        ]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        toks = _split_lower(batch, "text")
+        return pa.table(
+            {
+                "k": pa.array(
+                    [hashlib.md5((t or "").encode("utf-8")).hexdigest() for t in texts],
+                    type=pa.string(),
+                ),
+                "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+                "source": batch.column("source"),
+                "n_tokens": pa.array([len(ts) for ts in toks], type=pa.int64()),
+                "q": pa.array(
+                    [
+                        1
+                        if (
+                            20 <= len(ts) <= 1_000_000
+                            and len(set(ts)) / max(len(ts), 1) >= 0.3
+                        )
+                        else 0
+                        for ts in toks
+                    ],
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    rows = pin_schema(
+        _read(sf_dir, "documents", columns=["doc_id", "source", "text"]).map_batches(
+            prep, batch_format="pyarrow"
+        ),
+        row_schema,
+    ).materialize()
+
+    keymin = pin_schema(
+        bucketed_aggregate(
+            rows.map_batches(
+                lambda t: pa.table({"k": t.column("k"), "keep_id": t.column("doc_id")}),
+                batch_format="pyarrow",
+            ),
+            ["k"],
+            [("keep_id", "min")],
+        ),
+        pa.schema([("k", pa.string()), ("keep_id", pa.int64())]),
+    )
+    joined = bucketed_inner_join(
+        rows, keymin, ["k"], row_schema, pa.schema([("k", pa.string()), ("keep_id", pa.int64())])
+    )
+
+    def tag(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return pa.schema(
+                [
+                    ("source", pa.string()),
+                    ("one", pa.int64()),
+                    ("n_tokens", pa.int64()),
+                    ("q", pa.int64()),
+                    ("is_dup", pa.int64()),
+                ]
+            ).empty_table()
+        return pa.table(
+            {
+                "source": t.column("source"),
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                "n_tokens": t.column("n_tokens"),
+                "q": t.column("q"),
+                "is_dup": pc.cast(
+                    pc.not_equal(t.column("doc_id"), t.column("keep_id")), pa.int64()
+                ),
+            }
+        )
+
+    merged = bucketed_aggregate(
+        joined.map_batches(tag, batch_format="pyarrow"),
+        ["source"],
+        [("one", "sum"), ("n_tokens", "sum"), ("q", "sum"), ("is_dup", "sum")],
+    )
+    return merged.map_batches(
+        lambda t: t.rename_columns(
+            ["source", "n_docs", "n_tokens", "n_quality", "n_exact_dup"]
+        )
+        if t.num_columns
+        else t,
+        batch_format="pyarrow",
+    )
+
+
 def _inject_tags(key: str):
     """Move the scorer's top-level ``tags`` column into each sentence
     struct under ``key`` (so a second scorer pass can add its own tags

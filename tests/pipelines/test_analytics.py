@@ -82,6 +82,7 @@ SQL_CHECKED = [
     "kg_node_profiles",
     "kg_triangles",
     "entity_burstiness",
+    "source_report",
 ]
 
 ROWS_ONLY = [
