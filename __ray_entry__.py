@@ -87,6 +87,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mention_counts": an.mention_counts,
         "entity_burstiness": an.entity_burstiness,  # doc-frequency vs burst dispersion
         "source_report": an.source_report,    # per-source corpus card (docs/tokens/quality/dups)
+        "doc_entity_density": an.doc_entity_density,  # shuffle-free page-value audit
+        "kg_edges_pruned": an.kg_edges_pruned,  # NPMI-thresholded publishable graph
         # --- eval harness (G4-G7, J4/J5: two-annotator in-row metrics) ---
         "ner_eval": an.ner_eval,
         "error_length_stats": an.error_length_stats,
@@ -312,7 +314,7 @@ WHERE bit_count(xor(x.s, y.s)) <= 8
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    d = {
         "langid": _langid_sql(),
         "winnow_fingerprints": _WINNOW_SQL,
         "dedup_minhash_pairs": _minhash_sql(),
@@ -1065,3 +1067,20 @@ SELECT doc_id, n_tok,
 FROM n
 """,
     }
+    d["doc_entity_density"] = f"""
+WITH {_TOK_CTE},
+g AS (SELECT doc_id, count(*) AS n_tokens,
+             count(*) FILTER (WHERE w IN {ENTITY_LIST_SQL}) AS n_entities
+      FROM tok GROUP BY doc_id)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_entities AS BIGINT) AS n_entities,
+       CAST(n_entities AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS density
+FROM g
+"""
+    # composition twin: prune the PMI-scored edges (same text, one filter)
+    d["kg_edges_pruned"] = (
+        "SELECT subj, obj, w, npmi FROM ("
+        + d["kg_edge_pmi"]
+        + ") WHERE npmi >= 0 AND w >= 2"
+    )
+    return d

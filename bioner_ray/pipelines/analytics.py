@@ -210,6 +210,78 @@ def entity_burstiness(sf_dir: str):
     )
 
 
+def doc_entity_density(sf_dir: str):
+    """Per-document extraction audit: token count, entity-token count
+    and density — the page-level signal for "this page yields no KG
+    value" routing (skip-scoring pages below a density floor is the
+    cheapest 100-TB optimization there is). Entirely shuffle-free: one
+    stateless vectorized pass (flatten tokens from list offsets, one
+    Arrow ``is_in`` probe against the broadcast entity set, segment
+    sums) — the audit deliberately reads the same single-token
+    entity contract the gazetteer resolves to on this lexicon, so it
+    costs none of the scorer pool. Documents with zero tokens emit no
+    row. Columns: doc_id, n_tokens, n_entities, density."""
+
+    entity_set = pa.array(sorted(ENTITY_SURFACES), type=pa.string())
+
+    def stats(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch.column("text"), "")
+        split = pc.split_pattern_regex(pc.utf8_lower(text), r"\s+").combine_chunks()
+        off = split.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = split.values.slice(off[0], off[-1] - off[0])
+        starts, ends = off[:-1] - off[0], off[1:] - off[0]
+        nonempty = pc.not_equal(vals, "").to_numpy(zero_copy_only=False).astype(np.int64)
+        is_ent = pc.is_in(vals, value_set=entity_set).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        cs_n = np.concatenate([[0], np.cumsum(nonempty)])
+        cs_e = np.concatenate([[0], np.cumsum(is_ent)])
+        n_tok = cs_n[ends] - cs_n[starts]
+        n_ent = cs_e[ends] - cs_e[starts]
+        out = pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pa.array(n_tok),
+                "n_entities": pa.array(n_ent),
+            }
+        ).filter(pa.array(n_tok > 0))
+        density = pc.divide(
+            pc.cast(out.column("n_entities"), pa.float64()),
+            pc.cast(out.column("n_tokens"), pa.float64()),
+        )
+        return out.append_column("density", density)
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        stats, batch_format="pyarrow"
+    )
+
+
+def kg_edges_pruned(sf_dir: str, min_npmi: float = 0.0, min_weight: int = 2):
+    """The publishable graph: canonical edges filtered to
+    npmi ≥ ``min_npmi`` AND weight ≥ ``min_weight`` — the composition
+    (extract → canonicalize → PMI-score → prune) a production KG
+    build materializes. Pure distributed filter over ``kg_edge_pmi``.
+    Columns: subj, obj, w, npmi."""
+
+    def prune(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return pa.schema(
+                [
+                    ("subj", pa.string()),
+                    ("obj", pa.string()),
+                    ("w", pa.int64()),
+                    ("npmi", pa.float64()),
+                ]
+            ).empty_table()
+        keep = pc.and_(
+            pc.greater_equal(t.column("npmi"), min_npmi),
+            pc.greater_equal(t.column("w"), min_weight),
+        )
+        return t.select(["subj", "obj", "w", "npmi"]).filter(keep)
+
+    return kg_edge_pmi(sf_dir).map_batches(prune, batch_format="pyarrow")
+
+
 def source_report(sf_dir: str):
     """The per-source corpus card a 100-TB preprocessing run publishes:
     document / token totals, quality-rule passes (same 20 ≤ tokens ≤

@@ -83,6 +83,8 @@ SQL_CHECKED = [
     "kg_triangles",
     "entity_burstiness",
     "source_report",
+    "doc_entity_density",
+    "kg_edges_pruned",
 ]
 
 ROWS_ONLY = [
