@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_walks": an.kg_walks,              # hash-greedy walk corpus (RNG-free)
         "kg_node_profiles": an.kg_node_profiles,  # per-entity relation typing signal
         "kg_triangles": an.kg_triangles,      # degree-oriented triangle counting
+        "kg_edge_support": an.kg_edge_support,  # per-edge truss support + structural jaccard
         "mention_counts": an.mention_counts,
         "entity_burstiness": an.entity_burstiness,  # doc-frequency vs burst dispersion
         "source_report": an.source_report,    # per-source corpus card (docs/tokens/quality/dups)
@@ -421,6 +422,31 @@ w AS (SELECT a.u, a.v AS v1, b.v AS v2 FROM o a JOIN o b ON a.u = b.u AND a.v < 
 t AS (SELECT w.u, w.v1, w.v2 FROM w JOIN e0 ON e0.lo = w.v1 AND e0.hi = w.v2),
 n AS (SELECT u AS node FROM t UNION ALL SELECT v1 FROM t UNION ALL SELECT v2 FROM t)
 SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM n GROUP BY node
+""",
+        "kg_edge_support": f"""
+WITH {_KG_TRIP_CTES},
+p AS (SELECT DISTINCT subj, obj FROM trip WHERE subj <> obj),
+e0 AS (SELECT DISTINCT least(subj, obj) AS lo, greatest(subj, obj) AS hi FROM p),
+d AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+      FROM (SELECT lo AS node FROM e0 UNION ALL SELECT hi FROM e0) GROUP BY node),
+o AS (SELECT CASE WHEN dl.deg < dh.deg OR (dl.deg = dh.deg AND e0.lo < e0.hi)
+                  THEN e0.lo ELSE e0.hi END AS u,
+             CASE WHEN dl.deg < dh.deg OR (dl.deg = dh.deg AND e0.lo < e0.hi)
+                  THEN e0.hi ELSE e0.lo END AS v
+      FROM e0 JOIN d dl ON dl.node = e0.lo JOIN d dh ON dh.node = e0.hi),
+w AS (SELECT a.u, a.v AS v1, b.v AS v2 FROM o a JOIN o b ON a.u = b.u AND a.v < b.v),
+t AS (SELECT w.u, w.v1, w.v2 FROM w JOIN e0 ON e0.lo = w.v1 AND e0.hi = w.v2),
+te AS (SELECT least(u, v1) AS lo, greatest(u, v1) AS hi FROM t
+       UNION ALL SELECT least(u, v2), greatest(u, v2) FROM t
+       UNION ALL SELECT least(v1, v2), greatest(v1, v2) FROM t),
+sup AS (SELECT e0.lo, e0.hi, CAST(count(te.lo) AS BIGINT) AS support
+        FROM e0 LEFT JOIN te ON te.lo = e0.lo AND te.hi = e0.hi
+        GROUP BY e0.lo, e0.hi)
+SELECT sup.lo, sup.hi, sup.support, dl.deg AS deg_lo, dh.deg AS deg_hi,
+       CASE WHEN dl.deg - 1 + dh.deg - 1 - sup.support = 0 THEN 0.0
+            ELSE CAST(sup.support AS DOUBLE)
+                 / CAST(dl.deg - 1 + dh.deg - 1 - sup.support AS DOUBLE) END AS jaccard
+FROM sup JOIN d dl ON dl.node = sup.lo JOIN d dh ON dh.node = sup.hi
 """,
         "kg_node_profiles": f"""
 WITH {_KG_TRIP_CTES},

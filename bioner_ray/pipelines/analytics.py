@@ -643,6 +643,16 @@ def kg_triangles(sf_dir: str):
     return triangle_counts(kg_edges(sf_dir))
 
 
+def kg_edge_support(sf_dir: str):
+    """Per-edge triangle support + structural endpoint Jaccard over the
+    KG's undirected simple graph (stages/graph.py edge_support — the
+    k-truss building block and the structural entity-merge signal).
+    Columns: lo, hi, support, deg_lo, deg_hi, jaccard."""
+    from bioner_ray.stages.graph import edge_support
+
+    return edge_support(kg_edges(sf_dir))
+
+
 def kg_node_profiles(sf_dir: str):
     """Per-entity relation profile: dominant outgoing predicate (by
     weight, ties by pred), predicate diversity and total out-strength —

@@ -546,25 +546,15 @@ def hash_walks(
     return pin_schema(walks, final_schema)
 
 
-def triangle_counts(
-    edges_ds,
-    subj_col: str = "subj",
-    obj_col: str = "obj",
-    num_buckets: int = 256,
-):
-    """Per-node triangle participation over the undirected simple graph
-    of an edge table: (node, n_triangles). The KG-quality signal for
-    community density / redundant-path detection.
-
-    Degree-ordered orientation (the node-iterator++ algorithm): every
-    undirected edge is directed from its (degree, id)-smaller endpoint,
-    so each node's oriented out-degree is O(√E) on any graph and the
-    wedge self-join — the step that explodes on hubs in the naive plan
-    — generates O(E^1.5) candidates TOTAL instead of Σ deg² (a
-    10^6-degree hub contributes nothing beyond its oriented out-edges).
-    Each triangle is found exactly once (at its orientation-minimum
-    vertex), then emits its three endpoint rows into one
-    ``bucketed_aggregate``. All joins are ``bucketed_inner_join``.
+def _triangle_plan(edges_ds, subj_col: str, obj_col: str, num_buckets: int):
+    """Shared plan for triangle-based ops: undirected simple graph →
+    degree-ordered orientation → wedge self-join → edge-closure check.
+    Returns (closed, und, deg): ``closed`` = one (u, lo, hi) row per
+    triangle (found exactly once at its orientation-minimum vertex),
+    ``und`` = distinct (lo, hi) undirected edges, ``deg`` = undirected
+    degree per node. The orientation bounds wedge generation to
+    O(E^1.5) total — a hub contributes only its oriented out-edges —
+    which is what makes triangle ops runnable at web scale.
     """
     import numpy as np
     import pyarrow.compute as pc
@@ -701,6 +691,25 @@ def triangle_counts(
         pa.schema([("lo", pa.string()), ("hi", pa.string()), ("is_edge", pa.int64())]),
         num_buckets=num_buckets,
     )
+    return closed, und, deg
+
+
+def triangle_counts(
+    edges_ds,
+    subj_col: str = "subj",
+    obj_col: str = "obj",
+    num_buckets: int = 256,
+):
+    """Per-node triangle participation over the undirected simple graph
+    of an edge table: (node, n_triangles). The KG-quality signal for
+    community density / redundant-path detection. See
+    ``_triangle_plan`` for the degree-ordered-orientation shape; each
+    triangle emits its three endpoint rows into one
+    ``bucketed_aggregate``.
+    """
+    import numpy as np
+
+    closed, _und, _deg = _triangle_plan(edges_ds, subj_col, obj_col, num_buckets)
 
     def tri_rows(t: pa.Table) -> pa.Table:
         if t.num_columns == 0:
@@ -727,3 +736,126 @@ def triangle_counts(
         [("n_triangles", "sum")],
         num_buckets=num_buckets,
     )
+
+
+def edge_support(
+    edges_ds,
+    subj_col: str = "subj",
+    obj_col: str = "obj",
+    num_buckets: int = 256,
+):
+    """Per-edge triangle support + structural Jaccard of the endpoints:
+    (lo, hi, support, deg_lo, deg_hi, jaccard) with
+    support = |N(lo) ∩ N(hi)| (each triangle supports its 3 edges) and
+    jaccard = support / (deg_lo − 1 + deg_hi − 1 − support) — common
+    over union of the neighbor sets excluding the endpoints themselves.
+    The k-truss building block AND the structural entity-merge signal
+    (two surfaces for one real-world entity share most neighbors even
+    when their strings don't match — the complement of alias_groups).
+
+    Cost is the triangle plan (O(E^1.5) wedges, see _triangle_plan)
+    plus one union + bucketed aggregate; zero-support edges are kept
+    via a zero-row union, not a left join. Union size is bounded by
+    E + 3·triangles."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    closed, und, deg = _triangle_plan(edges_ds, subj_col, obj_col, num_buckets)
+
+    sup_schema = pa.schema(
+        [("lo", pa.string()), ("hi", pa.string()), ("support", pa.int64())]
+    )
+
+    def tri_edges(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return sup_schema.empty_table()
+        u = t.column("u").combine_chunks()
+        lo = t.column("lo").combine_chunks()
+        hi = t.column("hi").combine_chunks()
+        # the three edges of triangle (u, lo, hi): (u,lo), (u,hi), (lo,hi)
+        # — u is orientation-min, not id-min, so re-canonicalize by id
+        a = pa.chunked_array([u, u, lo]).combine_chunks()
+        b = pa.chunked_array([lo, hi, hi]).combine_chunks()
+        return pa.table(
+            {
+                "lo": pc.min_element_wise(a, b),
+                "hi": pc.max_element_wise(a, b),
+                "support": pa.array(np.ones(3 * t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    def zero_rows(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return sup_schema.empty_table()
+        return pa.table(
+            {
+                "lo": t.column("lo"),
+                "hi": t.column("hi"),
+                "support": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    sup = pin_schema(
+        bucketed_aggregate(
+            closed.map_batches(tri_edges, batch_format="pyarrow").union(
+                und.map_batches(zero_rows, batch_format="pyarrow")
+            ),
+            ["lo", "hi"],
+            [("support", "sum")],
+            num_buckets=num_buckets,
+        ),
+        sup_schema,
+    )
+
+    j1 = bucketed_inner_join(
+        sup,
+        deg.map_batches(
+            lambda t: t.rename_columns(["lo", "deg_lo"]) if t.num_columns else t,
+            batch_format="pyarrow",
+        ),
+        ["lo"],
+        sup_schema,
+        pa.schema([("lo", pa.string()), ("deg_lo", pa.int64())]),
+        num_buckets=num_buckets,
+    )
+    j2 = bucketed_inner_join(
+        j1,
+        deg.map_batches(
+            lambda t: t.rename_columns(["hi", "deg_hi"]) if t.num_columns else t,
+            batch_format="pyarrow",
+        ),
+        ["hi"],
+        sup_schema.append(pa.field("deg_lo", pa.int64())),
+        pa.schema([("hi", pa.string()), ("deg_hi", pa.int64())]),
+        num_buckets=num_buckets,
+    )
+
+    out_schema = (
+        sup_schema.append(pa.field("deg_lo", pa.int64()))
+        .append(pa.field("deg_hi", pa.int64()))
+        .append(pa.field("jaccard", pa.float64()))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return out_schema.empty_table()
+        denom_i = pc.subtract(
+            pc.add(
+                pc.subtract(t.column("deg_lo"), 1),
+                pc.subtract(t.column("deg_hi"), 1),
+            ),
+            t.column("support"),
+        )
+        # isolated edge (both endpoints degree 1): defined as 0.0, the
+        # same pin the SQL twin carries (float div-by-zero semantics
+        # differ between engines)
+        zero = pc.equal(denom_i, 0)
+        denom = pc.cast(pc.if_else(zero, 1, denom_i), pa.float64())
+        jac = pc.if_else(
+            zero,
+            pa.scalar(0.0),
+            pc.divide(pc.cast(t.column("support"), pa.float64()), denom),
+        )
+        return t.append_column("jaccard", jac)
+
+    return j2.map_batches(finish, batch_format="pyarrow")

@@ -81,6 +81,7 @@ SQL_CHECKED = [
     "doc_logprob",
     "kg_node_profiles",
     "kg_triangles",
+    "kg_edge_support",
     "entity_burstiness",
     "source_report",
     "doc_entity_density",

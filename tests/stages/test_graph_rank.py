@@ -167,3 +167,33 @@ def test_triangle_counts_matches_bruteforce():
                 want[n] = want.get(n, 0) + 1
     assert got == want
     assert sum(want.values()) % 3 == 0 and len(want) > 0
+
+
+def test_edge_support_matches_bruteforce():
+    from itertools import combinations
+
+    from bioner_ray.stages.graph import edge_support
+
+    rng = np.random.default_rng(23)
+    nodes = [f"m{i:02d}" for i in range(16)]
+    rows = []
+    for a, b in combinations(nodes, 2):
+        if rng.random() < 0.3:
+            rows.append((a, b, 1))
+    rows.append(("z0", "z1", 1))  # isolated edge: support 0, jaccard 0.0
+    ds = rd.from_arrow(_edges_table(rows)).repartition(3)
+    got = {(r["lo"], r["hi"]): r for r in edge_support(ds).take_all()}
+
+    und = {tuple(sorted((a, b))) for a, b, _ in rows if a != b}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    assert set(got) == und
+    for (a, b), r in got.items():
+        common = len(adj[a] & adj[b])
+        assert r["support"] == common
+        assert r["deg_lo"] == len(adj[a]) and r["deg_hi"] == len(adj[b])
+        denom = len(adj[a]) - 1 + len(adj[b]) - 1 - common
+        want = 0.0 if denom == 0 else common / denom
+        assert r["jaccard"] == want, (a, b)
