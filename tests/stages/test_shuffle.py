@@ -128,3 +128,55 @@ class TestSkew:
         buckets = _bucket_column(t, ["k"], 16).to_pylist()
         hot_bucket = buckets[0]
         assert sum(1 for b in buckets if b == hot_bucket) > 1
+
+
+class TestBucketedInnerJoin:
+    def _join(self, left_rows, right_rows, keys, lschema, rschema, **kw):
+        import ray.data as rd
+
+        from bioner_ray.stages.shuffle import bucketed_inner_join
+
+        l = rd.from_arrow(pa.Table.from_pylist(left_rows, schema=lschema)).repartition(3)
+        r = rd.from_arrow(pa.Table.from_pylist(right_rows, schema=rschema)).repartition(2)
+        return bucketed_inner_join(l, r, keys, lschema, rschema, **kw).take_all()
+
+    def test_matches_plain_join_with_duplicates_and_misses(self):
+        lschema = pa.schema([("k", pa.string()), ("a", pa.int64())])
+        rschema = pa.schema([("k", pa.string()), ("b", pa.int64())])
+        left = [{"k": "x", "a": 1}, {"k": "x", "a": 2}, {"k": "y", "a": 3}, {"k": "z", "a": 4}]
+        right = [{"k": "x", "b": 10}, {"k": "x", "b": 20}, {"k": "y", "b": 30}, {"k": "w", "b": 40}]
+        got = sorted(
+            (r["k"], r["a"], r["b"]) for r in self._join(left, right, ["k"], lschema, rschema)
+        )
+        want = sorted(
+            (lk["k"], lk["a"], rk["b"]) for lk in left for rk in right if lk["k"] == rk["k"]
+        )
+        assert got == want  # 2x2 fanout on x, 1 on y, z/w dropped
+
+    def test_empty_right_side_yields_empty_not_crash(self):
+        # the exact case that crashes Ray's native join (zero-row side →
+        # zero-column partition table)
+        lschema = pa.schema([("k", pa.int64()), ("a", pa.int64())])
+        rschema = pa.schema([("k", pa.int64()), ("b", pa.int64())])
+        out = self._join([{"k": 1, "a": 1}], [], ["k"], lschema, rschema)
+        assert out == []
+
+    def test_multi_key_and_few_keys_many_buckets(self):
+        # fewer keys than buckets → most buckets empty; must stay exact
+        lschema = pa.schema([("k1", pa.string()), ("k2", pa.int64()), ("a", pa.int64())])
+        rschema = pa.schema([("k1", pa.string()), ("k2", pa.int64()), ("b", pa.int64())])
+        left = [{"k1": "p", "k2": i % 2, "a": i} for i in range(10)]
+        right = [{"k1": "p", "k2": 0, "b": 100}, {"k1": "q", "k2": 0, "b": 200}]
+        got = self._join(left, right, ["k1", "k2"], lschema, rschema, num_buckets=64)
+        assert len(got) == 5 and all(r["b"] == 100 and r["k2"] == 0 for r in got)
+
+    def test_overlapping_value_columns_rejected(self):
+        import pytest
+        import ray.data as rd
+
+        from bioner_ray.stages.shuffle import bucketed_inner_join
+
+        schema = pa.schema([("k", pa.int64()), ("v", pa.int64())])
+        ds = rd.from_arrow(pa.Table.from_pylist([{"k": 1, "v": 1}], schema=schema))
+        with pytest.raises(ValueError, match="disjoint"):
+            bucketed_inner_join(ds, ds, ["k"], schema, schema)
