@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_node_profiles": an.kg_node_profiles,  # per-entity relation typing signal
         "kg_triangles": an.kg_triangles,      # degree-oriented triangle counting
         "kg_edge_support": an.kg_edge_support,  # per-edge truss support + structural jaccard
+        "kg_merge_groups": an.kg_merge_groups,  # structural entity-resolution groups
         "mention_counts": an.mention_counts,
         "entity_burstiness": an.entity_burstiness,  # doc-frequency vs burst dispersion
         "source_report": an.source_report,    # per-source corpus card (docs/tokens/quality/dups)
@@ -1103,6 +1104,22 @@ SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
        CAST(n_entities AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS density
 FROM g
 """
+    # structural entity-resolution twin: threshold the support edges,
+    # then a recursive min-label walk over the candidate pairs (the
+    # same walk as dedup_components, on VARCHAR labels)
+    d["kg_merge_groups"] = (
+        "WITH RECURSIVE base AS ("
+        + d["kg_edge_support"]
+        + """),
+p2 AS (SELECT lo, hi FROM base WHERE jaccard >= 0.8),
+ed AS (SELECT lo AS x, hi AS y FROM p2 UNION SELECT hi, lo FROM p2),
+walk(x, label) AS (
+  SELECT x, x FROM (SELECT DISTINCT x FROM ed)
+  UNION
+  SELECT e.x, ww.label FROM ed e JOIN walk ww ON ww.x = e.y
+)
+SELECT x AS node, min(label) AS rep FROM walk GROUP BY x"""
+    )
     # composition twin: prune the PMI-scored edges (same text, one filter)
     d["kg_edges_pruned"] = (
         "SELECT subj, obj, w, npmi FROM ("

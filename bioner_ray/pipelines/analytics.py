@@ -653,6 +653,59 @@ def kg_edge_support(sf_dir: str):
     return edge_support(kg_edges(sf_dir))
 
 
+def kg_merge_groups(sf_dir: str, min_jaccard: float = 0.8):
+    """Structural entity resolution: nodes whose neighbor sets overlap
+    at jaccard ≥ ``min_jaccard`` (per ``kg_edge_support``) are merge
+    candidates; connected components over that candidate graph are the
+    merge groups, represented by the lexicographic-min member — the
+    step that folds "PD-1"/"PD1"-style structural twins the surface
+    normalizer can't see. The candidate PAIR set is bounded by the
+    thresholded edge table (tiny vs the corpus — the same bounded
+    argument as dedup_filter), so the union-find runs driver-side on
+    the collected pairs; only nodes in some group are emitted.
+    Columns: node, rep."""
+    import ray.data as rd
+
+    pairs = (
+        kg_edge_support(sf_dir)
+        .map_batches(
+            lambda t: t.select(["lo", "hi"]).filter(
+                pc.greater_equal(t.column("jaccard"), min_jaccard)
+            )
+            if t.num_columns
+            else pa.schema([("lo", pa.string()), ("hi", pa.string())]).empty_table(),
+            batch_format="pyarrow",
+        )
+        .take_all()
+    )
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in pairs:
+        a, b = r["lo"], r["hi"]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = sorted(parent)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(nodes, type=pa.string()),
+                "rep": pa.array([find(n) for n in nodes], type=pa.string()),
+            }
+        )
+    )
+
+
 def kg_node_profiles(sf_dir: str):
     """Per-entity relation profile: dominant outgoing predicate (by
     weight, ties by pred), predicate diversity and total out-strength —

@@ -82,6 +82,7 @@ SQL_CHECKED = [
     "kg_node_profiles",
     "kg_triangles",
     "kg_edge_support",
+    "kg_merge_groups",
     "entity_burstiness",
     "source_report",
     "doc_entity_density",
