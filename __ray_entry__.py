@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triangles": an.kg_triangles,      # degree-oriented triangle counting
         "kg_edge_support": an.kg_edge_support,  # per-edge truss support + structural jaccard
         "kg_merge_groups": an.kg_merge_groups,  # structural entity-resolution groups
+        "kg_publish": an.kg_publish,          # full DAG: prune + merge-rewrite + re-canonicalize
         "mention_counts": an.mention_counts,
         "entity_burstiness": an.entity_burstiness,  # doc-frequency vs burst dispersion
         "source_report": an.source_report,    # per-source corpus card (docs/tokens/quality/dups)
@@ -1125,5 +1126,21 @@ SELECT x AS node, min(label) AS rep FROM walk GROUP BY x"""
         "SELECT subj, obj, w, npmi FROM ("
         + d["kg_edge_pmi"]
         + ") WHERE npmi >= 0 AND w >= 2"
+    )
+    # full-DAG twin: pruned edges rewritten through merge-group reps,
+    # then re-canonicalized (self-loops drop, weights re-sum)
+    d["kg_publish"] = (
+        "WITH pruned AS (SELECT subj, obj, w FROM ("
+        + d["kg_edge_pmi"]
+        + ") WHERE npmi >= 0 AND w >= 2), groups AS ("
+        + d["kg_merge_groups"]
+        + """)
+SELECT coalesce(gs.rep, p.subj) AS subj, coalesce(go.rep, p.obj) AS obj,
+       CAST(sum(p.w) AS BIGINT) AS w
+FROM pruned p
+LEFT JOIN groups gs ON gs.node = p.subj
+LEFT JOIN groups go ON go.node = p.obj
+WHERE coalesce(gs.rep, p.subj) <> coalesce(go.rep, p.obj)
+GROUP BY 1, 2"""
     )
     return d

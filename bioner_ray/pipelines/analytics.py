@@ -706,6 +706,69 @@ def kg_merge_groups(sf_dir: str, min_jaccard: float = 0.8):
     )
 
 
+def kg_publish(sf_dir: str, min_npmi: float = 0.0, min_weight: int = 2):
+    """The end-to-end publishable graph — the full production DAG in
+    one query: extract → canonical edges → PMI score → prune
+    (npmi ≥ 0, weight ≥ 2) → entity-merge rewrite (every endpoint
+    folded to its structural merge-group representative,
+    ``kg_merge_groups``) → re-canonicalize (weights of now-identical
+    edges re-sum; rewritten self-loops drop). The rep map is bounded
+    by the merge-candidate population, so it ships once via ``ray.put``
+    and the rewrite is a stateless vectorized map; the re-merge is one
+    ``bucketed_aggregate``. Columns: subj, obj, w."""
+    import ray
+
+    from bioner_ray.stages.shuffle import bucketed_aggregate
+
+    rep_df = kg_merge_groups(sf_dir).to_pandas()
+    rep_ref = ray.put(dict(zip(rep_df["node"], rep_df["rep"])))
+
+    def rewrite(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return pa.schema(
+                [("subj", pa.string()), ("obj", pa.string()), ("w", pa.int64())]
+            ).empty_table()
+        rep = ray.get(rep_ref)
+        import pandas as pd
+
+        subj = pd.Series(t.column("subj").to_pylist())
+        obj = pd.Series(t.column("obj").to_pylist())
+        subj = subj.map(rep).fillna(subj)
+        obj = obj.map(rep).fillna(obj)
+        out = pa.table(
+            {
+                "subj": pa.array(subj, type=pa.string()),
+                "obj": pa.array(obj, type=pa.string()),
+                "w": t.column("w"),
+            }
+        )
+        return out.filter(pc.not_equal(out.column("subj"), out.column("obj")))
+
+    import ray.data as rd
+
+    pub_schema = pa.schema(
+        [("subj", pa.string()), ("obj", pa.string()), ("w", pa.int64())]
+    )
+    merged = bucketed_aggregate(
+        kg_edges_pruned(sf_dir, min_npmi=min_npmi, min_weight=min_weight).map_batches(
+            rewrite, batch_format="pyarrow"
+        ),
+        ["subj", "obj"],
+        [("w", "sum")],
+    )
+    # a fully-merged graph legitimately publishes ZERO edges — and
+    # Ray's to_pandas drops the schema of any 0-row dataset, so hand
+    # the degenerate case back as a typed empty Arrow table. The edge
+    # table is the bounded output artifact, so materializing it (in
+    # the object store, not the driver) costs one pass.
+    from bioner_ray.stages.shuffle import pin_schema
+
+    merged = pin_schema(merged, pub_schema).materialize()
+    if merged.count() == 0:
+        return pub_schema.empty_table()
+    return merged
+
+
 def kg_node_profiles(sf_dir: str):
     """Per-entity relation profile: dominant outgoing predicate (by
     weight, ties by pred), predicate diversity and total out-strength —

@@ -83,6 +83,7 @@ SQL_CHECKED = [
     "kg_triangles",
     "kg_edge_support",
     "kg_merge_groups",
+    "kg_publish",
     "entity_burstiness",
     "source_report",
     "doc_entity_density",
