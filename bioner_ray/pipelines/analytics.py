@@ -256,7 +256,7 @@ def doc_entity_density(sf_dir: str):
     )
 
 
-def kg_edges_pruned(sf_dir: str, min_npmi: float = 0.0, min_weight: int = 2):
+def kg_edges_pruned(sf_dir: str, min_npmi: float = 0.0, min_weight: int = 2, edges=None):
     """The publishable graph: canonical edges filtered to
     npmi ≥ ``min_npmi`` AND weight ≥ ``min_weight`` — the composition
     (extract → canonicalize → PMI-score → prune) a production KG
@@ -279,7 +279,7 @@ def kg_edges_pruned(sf_dir: str, min_npmi: float = 0.0, min_weight: int = 2):
         )
         return t.select(["subj", "obj", "w", "npmi"]).filter(keep)
 
-    return kg_edge_pmi(sf_dir).map_batches(prune, batch_format="pyarrow")
+    return kg_edge_pmi(sf_dir, edges=edges).map_batches(prune, batch_format="pyarrow")
 
 
 def source_report(sf_dir: str):
@@ -643,17 +643,19 @@ def kg_triangles(sf_dir: str):
     return triangle_counts(kg_edges(sf_dir))
 
 
-def kg_edge_support(sf_dir: str):
+def kg_edge_support(sf_dir: str, edges=None):
     """Per-edge triangle support + structural endpoint Jaccard over the
     KG's undirected simple graph (stages/graph.py edge_support — the
     k-truss building block and the structural entity-merge signal).
-    Columns: lo, hi, support, deg_lo, deg_hi, jaccard."""
+    ``edges`` lets a caller reuse an already-materialized edge table
+    (the checkpoint shape — kg_publish computes edges once). Columns:
+    lo, hi, support, deg_lo, deg_hi, jaccard."""
     from bioner_ray.stages.graph import edge_support
 
-    return edge_support(kg_edges(sf_dir))
+    return edge_support(kg_edges(sf_dir) if edges is None else edges)
 
 
-def kg_merge_groups(sf_dir: str, min_jaccard: float = 0.8):
+def kg_merge_groups(sf_dir: str, min_jaccard: float = 0.8, edges=None):
     """Structural entity resolution: nodes whose neighbor sets overlap
     at jaccard ≥ ``min_jaccard`` (per ``kg_edge_support``) are merge
     candidates; connected components over that candidate graph are the
@@ -667,7 +669,7 @@ def kg_merge_groups(sf_dir: str, min_jaccard: float = 0.8):
     import ray.data as rd
 
     pairs = (
-        kg_edge_support(sf_dir)
+        kg_edge_support(sf_dir, edges=edges)
         .map_batches(
             lambda t: t.select(["lo", "hi"]).filter(
                 pc.greater_equal(t.column("jaccard"), min_jaccard)
@@ -720,7 +722,10 @@ def kg_publish(sf_dir: str, min_npmi: float = 0.0, min_weight: int = 2):
 
     from bioner_ray.stages.shuffle import bucketed_aggregate
 
-    rep_df = kg_merge_groups(sf_dir).to_pandas()
+    # ONE gazetteer/extraction pass: the canonical edge table is the
+    # checkpoint every downstream stage (PMI, support, merge) reads
+    edges = kg_edges(sf_dir).materialize()
+    rep_df = kg_merge_groups(sf_dir, edges=edges).to_pandas()
     rep_ref = ray.put(dict(zip(rep_df["node"], rep_df["rep"])))
 
     def rewrite(t: pa.Table) -> pa.Table:
@@ -750,9 +755,9 @@ def kg_publish(sf_dir: str, min_npmi: float = 0.0, min_weight: int = 2):
         [("subj", pa.string()), ("obj", pa.string()), ("w", pa.int64())]
     )
     merged = bucketed_aggregate(
-        kg_edges_pruned(sf_dir, min_npmi=min_npmi, min_weight=min_weight).map_batches(
-            rewrite, batch_format="pyarrow"
-        ),
+        kg_edges_pruned(
+            sf_dir, min_npmi=min_npmi, min_weight=min_weight, edges=edges
+        ).map_batches(rewrite, batch_format="pyarrow"),
         ["subj", "obj"],
         [("w", "sum")],
     )
@@ -860,7 +865,7 @@ def kg_node_profiles(sf_dir: str):
     )
 
 
-def kg_edge_pmi(sf_dir: str):
+def kg_edge_pmi(sf_dir: str, edges=None):
     """Association-strength edge scoring: PMI / normalized PMI per
     (subj, obj) over the collapsed co-occurrence counts — the edge
     re-weighting step that separates informative KG links from
@@ -895,7 +900,9 @@ def kg_edge_pmi(sf_dir: str):
 
     pairs = pin_schema(
         bucketed_aggregate(
-            kg_edges(sf_dir).map_batches(to_pair, batch_format="pyarrow"),
+            (kg_edges(sf_dir) if edges is None else edges).map_batches(
+                to_pair, batch_format="pyarrow"
+            ),
             ["subj", "obj"],
             [("w", "sum")],
         ),
