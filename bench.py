@@ -139,6 +139,12 @@ OPERATOR_QUERIES = [
     "pricing_summary",
     "revenue_by_segment",
     "events_per_day",
+    # round-2 close: KG graph analytics (each runs the extraction path
+    # plus its graph stage; kg_publish is the full prune+merge DAG)
+    "kg_pagerank",
+    "kg_triangles",
+    "kg_publish",
+    "doc_logprob",
 ]
 
 
