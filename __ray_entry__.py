@@ -1095,6 +1095,13 @@ SELECT doc_id, n_tok,
 FROM n
 """,
     }
+    # doc_shuffle: the PERMUTATION itself is seeded Ray internals, but
+    # the driver compare is order-insensitive, so the twin verifies the
+    # set property that matters: the shuffle is lossless and
+    # duplication-free (exact multiset of (doc_id, n_chars) rows).
+    d["doc_shuffle"] = """
+SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars FROM documents
+"""
     d["doc_entity_density"] = f"""
 WITH {_TOK_CTE},
 g AS (SELECT doc_id, count(*) AS n_tokens,

@@ -1552,8 +1552,11 @@ def surface_stats(sf_dir: str):
 
 
 def doc_shuffle(sf_dir: str, seed: int = 1632737901):
-    """O2 document shuffle (rows-only: the permutation is seeded Ray
-    internals, not SQL-replayable). Columns: doc_id, n_chars."""
+    """O2 document shuffle. The PERMUTATION is seeded Ray internals
+    (not SQL-replayable), but the driver compare is order-insensitive,
+    so the SQL twin pins the property that matters: the shuffle is a
+    lossless, duplication-free permutation of the input multiset.
+    Columns: doc_id, n_chars."""
     from bioner_ray.stages.metrics import shuffle_documents
 
     def width(batch: pa.Table) -> pa.Table:

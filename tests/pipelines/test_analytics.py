@@ -84,6 +84,7 @@ SQL_CHECKED = [
     "kg_edge_support",
     "kg_merge_groups",
     "kg_publish",
+    "doc_shuffle",
     "entity_burstiness",
     "source_report",
     "doc_entity_density",
@@ -91,7 +92,6 @@ SQL_CHECKED = [
 ]
 
 ROWS_ONLY = [
-    "doc_shuffle",
     "error_samples",
     "knn_ivf_topk",
     "encoding_stats",
