@@ -1102,6 +1102,28 @@ FROM n
     d["doc_shuffle"] = """
 SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars FROM documents
 """
+    # error_samples: the draw is a deterministic md5(url|seed) rank, so
+    # the twin replays the exact sample; error docs = any token tagged
+    # by exactly one of the two annotators (single-token span sets
+    # differ iff token membership differs)
+    d["error_samples"] = f"""
+WITH {_TOK_CTE},
+err AS (SELECT DISTINCT doc_id FROM tok
+        WHERE (w IN {ENTITY_LIST_SQL}) <> (w IN {PRED_LIST_SQL})),
+r AS (SELECT doc_id FROM err
+      ORDER BY md5(printf('doc://%08d', doc_id) || '|42'),
+               printf('doc://%08d', doc_id)
+      LIMIT 10),
+s AS (SELECT doc_id,
+             list_filter(
+               regexp_split_to_array(
+                 regexp_replace(text, '([.!?])(\\s+)', '\\1' || chr(1), 'g'), chr(1)),
+               x -> len(regexp_extract_all(x, '\\S+')) > 0) AS sents
+      FROM documents)
+SELECT printf('doc://%08d', r.doc_id) AS url,
+       CAST(len(s.sents) AS INTEGER) AS n_sentences
+FROM r JOIN s ON s.doc_id = r.doc_id
+"""
     d["doc_entity_density"] = f"""
 WITH {_TOK_CTE},
 g AS (SELECT doc_id, count(*) AS n_tokens,

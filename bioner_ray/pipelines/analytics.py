@@ -1574,8 +1574,10 @@ def doc_shuffle(sf_dir: str, seed: int = 1632737901):
 
 
 def error_samples(sf_dir: str, n: int = 10):
-    """O3 seeded error sampling over the dual-tagged corpus (rows-only:
-    sample membership is seeded-shuffle-dependent). Columns: url, n_sentences."""
+    """O3 seeded error sampling over the dual-tagged corpus. The draw
+    is a deterministic md5(url|seed) rank (combiner-pruned global
+    top-n), so the exact sample is machine-independent and the SQL
+    twin replays it. Columns: url, n_sentences."""
     from bioner_ray.stages.metrics import sample_error_documents
 
     sampled = sample_error_documents(_dual_tagged_documents(sf_dir), n=n)

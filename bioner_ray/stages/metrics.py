@@ -174,10 +174,39 @@ def sample_error_documents(docs_ds, n: int = 10, seed: int = 42,
             keep.append(err)
         return batch.filter(pa.array(keep))
 
-    return (
-        docs_ds.map_batches(has_error, batch_format="pyarrow")
-        .random_shuffle(seed=seed)
-        .limit(n)
+    # Deterministic hash-rank draw (md5(url|seed) ascending) instead of
+    # Ray's random_shuffle: same contract — n error-carrying documents,
+    # fixed per seed — but machine/partitioning-independent and
+    # SQL-replayable, and the global smallest-n runs combiner-pruned
+    # (≤ n candidate rows leave each block; per-group top-k with a
+    # constant key IS a distributed global top-n).
+    import hashlib
+
+    from bioner_ray.stages.rank import top_k_per_group
+
+    def add_rank_key(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return t
+        hk = [
+            hashlib.md5(f"{u}|{seed}".encode()).hexdigest()
+            for u in t.column("url").to_pylist()
+        ]
+        t = t.append_column("_hk", pa.array(hk, type=pa.string()))
+        import numpy as np
+
+        return t.append_column("_g", pa.array(np.zeros(t.num_rows, dtype=np.int64)))
+
+    picked = top_k_per_group(
+        docs_ds.map_batches(has_error, batch_format="pyarrow").map_batches(
+            add_rank_key, batch_format="pyarrow"
+        ),
+        key_col="_g",
+        order_by=[("_hk", "ascending"), ("url", "ascending")],
+        k=n,
+    )
+    return picked.map_batches(
+        lambda t: t.drop_columns(["_g", "_hk", "rk"]) if t.num_columns else t,
+        batch_format="pyarrow",
     )
 
 

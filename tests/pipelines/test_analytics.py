@@ -85,6 +85,7 @@ SQL_CHECKED = [
     "kg_merge_groups",
     "kg_publish",
     "doc_shuffle",
+    "error_samples",
     "entity_burstiness",
     "source_report",
     "doc_entity_density",
@@ -92,7 +93,6 @@ SQL_CHECKED = [
 ]
 
 ROWS_ONLY = [
-    "error_samples",
     "knn_ivf_topk",
     "encoding_stats",
     "datexis_mentions",
