@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triangles": an.kg_triangles,      # degree-oriented triangle counting
         "kg_edge_support": an.kg_edge_support,  # per-edge truss support + structural jaccard
         "kg_merge_groups": an.kg_merge_groups,  # structural entity-resolution groups
+        "kg_reach2": an.kg_reach2,            # 2-hop reach via mergeable KMV sketches
         "kg_publish": an.kg_publish,          # full DAG: prune + merge-rewrite + re-canonicalize
         "mention_counts": an.mention_counts,
         "entity_burstiness": an.entity_burstiness,  # doc-frequency vs burst dispersion
@@ -449,6 +450,28 @@ SELECT sup.lo, sup.hi, sup.support, dl.deg AS deg_lo, dh.deg AS deg_hi,
             ELSE CAST(sup.support AS DOUBLE)
                  / CAST(dl.deg - 1 + dh.deg - 1 - sup.support AS DOUBLE) END AS jaccard
 FROM sup JOIN d dl ON dl.node = sup.lo JOIN d dh ON dh.node = sup.hi
+""",
+        # KMV twin of the 2-hop sketch: the exact join is affordable in
+        # SQL at test scale; the bottom-64 synopsis + estimator replay
+        # the distributed sketch bit-for-bit (mergeability is exact).
+        "kg_reach2": f"""
+WITH {_KG_TRIP_CTES},
+p AS (SELECT DISTINCT subj, obj FROM trip),
+r2 AS (SELECT DISTINCT e1.subj AS node, e2.obj AS w
+       FROM p e1 JOIN p e2 ON e2.subj = e1.obj),
+h AS (SELECT DISTINCT node,
+             CAST(concat('0x', substr(md5(w), 1, 16)) AS UBIGINT)
+               % 2305843009213693952 AS hv
+      FROM r2),
+r AS (SELECT node, hv,
+             row_number() OVER (PARTITION BY node ORDER BY hv) AS rk,
+             count(*) OVER (PARTITION BY node) AS nd
+      FROM h)
+SELECT node, CAST(least(nd, 64) AS BIGINT) AS n_synopsis,
+       CAST(hv AS BIGINT) AS kth_hash,
+       CASE WHEN nd < 64 THEN CAST(nd AS DOUBLE)
+            ELSE 63 * 2305843009213693952.0 / hv END AS est_reach2
+FROM r WHERE rk = least(nd, 64)
 """,
         "kg_node_profiles": f"""
 WITH {_KG_TRIP_CTES},

@@ -774,6 +774,17 @@ def kg_publish(sf_dir: str, min_npmi: float = 0.0, min_weight: int = 2):
     return merged
 
 
+def kg_reach2(sf_dir: str):
+    """2-hop out-reach per entity via exactly-mergeable KMV bottom-k
+    sketches (stages/graph.py reach2_kmv — O(E·k) exchange instead of
+    the quadratic edges⋈edges join; exact below k=64, deterministic
+    md5-hash estimate above). Columns: node, n_synopsis, kth_hash,
+    est_reach2."""
+    from bioner_ray.stages.graph import reach2_kmv
+
+    return reach2_kmv(kg_edges(sf_dir))
+
+
 def kg_node_profiles(sf_dir: str):
     """Per-entity relation profile: dominant outgoing predicate (by
     weight, ties by pred), predicate diversity and total out-strength —

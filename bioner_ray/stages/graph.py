@@ -859,3 +859,153 @@ def edge_support(
         return t.append_column("jaccard", jac)
 
     return j2.map_batches(finish, batch_format="pyarrow")
+
+
+def reach2_kmv(
+    edges_ds,
+    k: int = 64,
+    subj_col: str = "subj",
+    obj_col: str = "obj",
+    num_buckets: int = 256,
+):
+    """2-hop out-neighborhood cardinality per node via KMV bottom-k
+    sketches: (node, n_synopsis, kth_hash, est_reach2) — exact when the
+    2-hop set is under ``k``, the (k−1)·2^61/h_k estimate above.
+
+    The naive |N(N(v))| needs the edges⋈edges self-join — Σ deg_in·
+    deg_out candidate rows, genuinely quadratic on hubs. Bottom-k
+    sketches are EXACTLY mergeable (bottom-k(A∪B) = bottom-k(bottom-k(A)
+    ∪ bottom-k(B))), so instead: build each node's 1-hop synopsis (≤ k
+    hashes), ship synopsis — not neighbors — across each edge (one
+    bucketed join, ≤ k rows per edge), re-unique, re-cut. Total
+    exchange is O(E·k) regardless of hub degree, and the result is
+    bit-identical to sketching the exact 2-hop set — the DuckDB twin
+    replays it from the exact join at test scale. Hash construction is
+    shared with stages/sketch.py (md5-derived 61-bit, deterministic).
+    """
+    import hashlib
+
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from bioner_ray.stages.rank import top_k_per_group
+    from bioner_ray.stages.sketch import _M61
+
+    pair_schema = pa.schema([("subj", pa.string()), ("obj", pa.string())])
+
+    def to_pair(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "subj": pc.cast(batch.column(subj_col), pa.string()),
+                "obj": pc.cast(batch.column(obj_col), pa.string()),
+            }
+        )
+        return t.append_column("one", pa.array(np.ones(t.num_rows, dtype=np.int64)))
+
+    pairs = pin_schema(
+        bucketed_aggregate(
+            edges_ds.map_batches(to_pair, batch_format="pyarrow"),
+            ["subj", "obj"],
+            [("one", "min")],
+            num_buckets=num_buckets,
+        ),
+        pair_schema,
+    ).materialize()
+
+    hv_schema = pa.schema([("node", pa.string()), ("hv", pa.int64())])
+
+    def hop1_hashes(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return hv_schema.empty_table().append_column(
+                "one", pa.array([], type=pa.int64())
+            )
+        objs = t.column("obj").to_pylist()
+        hs = [
+            int.from_bytes(hashlib.md5(o.encode()).digest()[:8], "big") % _M61
+            for o in objs
+        ]
+        out = pa.table(
+            {"node": t.column("subj"), "hv": pa.array(hs, type=pa.int64())}
+        )
+        return out.append_column("one", pa.array(np.ones(out.num_rows, dtype=np.int64)))
+
+    def bottom_k(ds):
+        distinct = pin_schema(
+            bucketed_aggregate(
+                ds, ["node", "hv"], [("one", "min")], num_buckets=num_buckets
+            ),
+            hv_schema,
+        )
+        kept = top_k_per_group(
+            distinct, key_col="node", order_by=[("hv", "ascending")], k=k
+        )
+        return kept.map_batches(
+            lambda t: t.drop_columns(["rk"]) if t.num_columns else t,
+            batch_format="pyarrow",
+        )
+
+    s1 = bottom_k(pairs.map_batches(hop1_hashes, batch_format="pyarrow")).materialize()
+
+    # ship each target node's 1-hop synopsis back across its in-edges
+    shipped = bucketed_inner_join(
+        pairs,
+        s1.map_batches(
+            lambda t: t.rename_columns(["obj", "hv"]) if t.num_columns else t,
+            batch_format="pyarrow",
+        ),
+        ["obj"],
+        pair_schema,
+        pa.schema([("obj", pa.string()), ("hv", pa.int64())]),
+        num_buckets=num_buckets,
+    ).map_batches(
+        lambda t: pa.table({"node": t.column("subj"), "hv": t.column("hv")}).append_column(
+            "one",
+            pa.array(np.ones(t.num_rows, dtype=np.int64)),
+        )
+        if t.num_columns
+        else hv_schema.empty_table().append_column("one", pa.array([], type=pa.int64())),
+        batch_format="pyarrow",
+    )
+    s2 = bottom_k(shipped)
+
+    def widen(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return pa.schema(
+                [("node", pa.string()), ("one", pa.int64()), ("hv", pa.int64())]
+            ).empty_table()
+        return t.append_column("one", pa.array(np.ones(t.num_rows, dtype=np.int64)))
+
+    agg = bucketed_aggregate(
+        s2.map_batches(widen, batch_format="pyarrow"),
+        ["node"],
+        [("one", "sum"), ("hv", "max")],
+        num_buckets=num_buckets,
+    )
+
+    out_schema = pa.schema(
+        [
+            ("node", pa.string()),
+            ("n_synopsis", pa.int64()),
+            ("kth_hash", pa.int64()),
+            ("est_reach2", pa.float64()),
+        ]
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return out_schema.empty_table()
+        n = t.column("one").to_numpy(zero_copy_only=False)
+        kth = t.column("hv").to_numpy(zero_copy_only=False)
+        est = np.where(
+            n < k, n.astype(np.float64), (k - 1) * 2305843009213693952.0 / kth
+        )
+        return pa.table(
+            {
+                "node": t.column("node"),
+                "n_synopsis": pa.array(n),
+                "kth_hash": pa.array(kth),
+                "est_reach2": pa.array(est),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

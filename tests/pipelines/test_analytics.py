@@ -83,6 +83,7 @@ SQL_CHECKED = [
     "kg_triangles",
     "kg_edge_support",
     "kg_merge_groups",
+    "kg_reach2",
     "kg_publish",
     "doc_shuffle",
     "error_samples",

@@ -197,3 +197,41 @@ def test_edge_support_matches_bruteforce():
         denom = len(adj[a]) - 1 + len(adj[b]) - 1 - common
         want = 0.0 if denom == 0 else common / denom
         assert r["jaccard"] == want, (a, b)
+
+
+def test_reach2_kmv_matches_bruteforce():
+    import hashlib
+
+    from bioner_ray.stages.graph import reach2_kmv
+    from bioner_ray.stages.sketch import _M61
+
+    rng = np.random.default_rng(31)
+    # 40 nodes, enough fanout that some nodes exceed k=8 two-hop reach
+    nodes = [f"r{i:02d}" for i in range(40)]
+    rows = []
+    for a in nodes:
+        for b in rng.choice(nodes, size=6, replace=False):
+            if a != b:
+                rows.append((a, b, 1))
+    ds = rd.from_arrow(_edges_table(rows)).repartition(4)
+    got = {r["node"]: r for r in reach2_kmv(ds, k=8).take_all()}
+
+    adj = {}
+    for a, b, _ in rows:
+        adj.setdefault(a, set()).add(b)
+    for a in sorted(adj):
+        two_hop = set()
+        for u in adj[a]:
+            two_hop |= adj.get(u, set())
+        hs = sorted(
+            int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big") % _M61
+            for w in two_hop
+        )
+        kept = hs[:8]
+        r = got[a]
+        assert r["n_synopsis"] == len(kept) and r["kth_hash"] == kept[-1]
+        want = float(len(kept)) if len(kept) < 8 else 7 * 2305843009213693952.0 / kept[-1]
+        assert r["est_reach2"] == want
+        if len(two_hop) >= 8:
+            # estimator sanity: within 3x of truth for k=8 (loose bound)
+            assert 0.2 < r["est_reach2"] / len(two_hop) < 5.0
