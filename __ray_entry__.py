@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mention_counts": an.mention_counts,
         "entity_burstiness": an.entity_burstiness,  # doc-frequency vs burst dispersion
         "source_report": an.source_report,    # per-source corpus card (docs/tokens/quality/dups)
+        "entity_centroids": an.entity_centroids,  # per-entity embedding centroid sums (int-exact)
         "doc_entity_density": an.doc_entity_density,  # shuffle-free page-value audit
         "kg_edges_pruned": an.kg_edges_pruned,  # NPMI-thresholded publishable graph
         # --- eval harness (G4-G7, J4/J5: two-annotator in-row metrics) ---
@@ -597,6 +598,17 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(q) AS BIGINT) AS n_quality,
        CAST(sum(is_dup) AS BIGINT) AS n_exact_dup
 FROM d GROUP BY source
+""",
+        "entity_centroids": f"""
+WITH {_TOK_CTE},
+ed AS (SELECT DISTINCT w AS surface, doc_id FROM tok WHERE w IN {ENTITY_LIST_SQL}),
+ex AS (SELECT ed.surface, i AS dim,
+              CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS q
+       FROM ed JOIN embeddings e ON e.vec_id = ed.doc_id,
+            UNNEST(generate_series(1, len(e.embedding))) AS t(i))
+SELECT surface, CAST(dim AS BIGINT) AS dim, CAST(sum(q) AS BIGINT) AS sum_q,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM ex GROUP BY surface, dim
 """,
         "entity_burstiness": f"""
 WITH {_TOK_CTE},

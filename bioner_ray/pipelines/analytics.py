@@ -282,6 +282,117 @@ def kg_edges_pruned(sf_dir: str, min_npmi: float = 0.0, min_weight: int = 2, edg
     return kg_edge_pmi(sf_dir, edges=edges).map_batches(prune, batch_format="pyarrow")
 
 
+def entity_centroids(sf_dir: str):
+    """Per-entity embedding centroid (long form): for every entity
+    surface, the per-dimension SUM of the embeddings of documents that
+    mention it, plus the doc count — the entity-representation build
+    step (centroid = sum_q / n_docs / 1e6 downstream). Embedding floats
+    are quantized ONCE to integer micromarks (floor(x·1e6), identical
+    in DuckDB), so the distributed per-dim sums are order-independent
+    and exact. Shape: vectorized token scan → distinct (surface,
+    doc_id) pairs → ONE bucketed join against the embeddings table →
+    vectorized dim explode → ONE bucketed aggregate; output is bounded
+    by entities × dims. Columns: surface, dim, sum_q, n_docs."""
+    from bioner_ray.stages.shuffle import (
+        bucketed_aggregate,
+        bucketed_inner_join,
+        pin_schema,
+    )
+
+    entity_set = pa.array(sorted(ENTITY_SURFACES), type=pa.string())
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch.column("text"), "")
+        split = pc.split_pattern_regex(pc.utf8_lower(text), r"\s+").combine_chunks()
+        off = split.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = split.values.slice(off[0], off[-1] - off[0])
+        lengths = np.diff(off)
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        tok_doc = np.repeat(doc_ids, lengths)
+        is_ent = pc.is_in(vals, value_set=entity_set).to_numpy(zero_copy_only=False)
+        out = pa.table(
+            {
+                "surface": vals.filter(pa.array(is_ent)),
+                "doc_id": pa.array(tok_doc[is_ent]),
+            }
+        )
+        return out.append_column("one", pa.array(np.ones(out.num_rows, dtype=np.int64)))
+
+    pair_schema = pa.schema([("surface", pa.string()), ("doc_id", pa.int64())])
+    ent_docs = pin_schema(
+        bucketed_aggregate(
+            _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+                pairs, batch_format="pyarrow"
+            ),
+            ["surface", "doc_id"],
+            [("one", "min")],
+        ),
+        pair_schema,
+    )
+
+    # pyarrow's join rejects list-typed payload columns — explode the
+    # embedding to scalar (doc_id, dim, q) rows BEFORE the join
+    def explode_emb(t: pa.Table) -> pa.Table:
+        emb_col = t.column("embedding").combine_chunks()
+        off = emb_col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = emb_col.values.slice(off[0], off[-1] - off[0]).to_numpy(
+            zero_copy_only=False
+        )
+        lengths = np.diff(off)
+        dims = (
+            np.arange(len(vals), dtype=np.int64)
+            - np.repeat(off[:-1] - off[0], lengths)
+            + 1
+        )
+        q = np.floor(vals.astype(np.float64) * 1_000_000.0).astype(np.int64)
+        doc_ids = np.repeat(
+            t.column("vec_id").to_numpy(zero_copy_only=False), lengths
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids),
+                "dim": pa.array(dims),
+                "q": pa.array(q),
+            }
+        )
+
+    emb_q = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]).map_batches(
+        explode_emb, batch_format="pyarrow"
+    )
+    joined = bucketed_inner_join(
+        ent_docs,
+        emb_q,
+        ["doc_id"],
+        pair_schema,
+        pa.schema([("doc_id", pa.int64()), ("dim", pa.int64()), ("q", pa.int64())]),
+    )
+
+    def widen(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return pa.schema(
+                [
+                    ("surface", pa.string()),
+                    ("dim", pa.int64()),
+                    ("sum_q", pa.int64()),
+                    ("n_docs", pa.int64()),
+                ]
+            ).empty_table()
+        return pa.table(
+            {
+                "surface": t.column("surface"),
+                "dim": t.column("dim"),
+                "sum_q": t.column("q"),
+                "n_docs": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    return bucketed_aggregate(
+        joined.map_batches(widen, batch_format="pyarrow"),
+        ["surface", "dim"],
+        [("sum_q", "sum"), ("n_docs", "sum")],
+    )
+
+
 def source_report(sf_dir: str):
     """The per-source corpus card a 100-TB preprocessing run publishes:
     document / token totals, quality-rule passes (same 20 ≤ tokens ≤

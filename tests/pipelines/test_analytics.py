@@ -89,6 +89,7 @@ SQL_CHECKED = [
     "error_samples",
     "entity_burstiness",
     "source_report",
+    "entity_centroids",
     "doc_entity_density",
     "kg_edges_pruned",
 ]
