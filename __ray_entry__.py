@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entity_burstiness": an.entity_burstiness,  # doc-frequency vs burst dispersion
         "source_report": an.source_report,    # per-source corpus card (docs/tokens/quality/dups)
         "entity_centroids": an.entity_centroids,  # per-entity embedding centroid sums (int-exact)
+        "entity_similarity": an.entity_similarity,  # centroid cosine (semantic merge signal)
         "doc_entity_density": an.doc_entity_density,  # shuffle-free page-value audit
         "kg_edges_pruned": an.kg_edges_pruned,  # NPMI-thresholded publishable graph
         # --- eval harness (G4-G7, J4/J5: two-annotator in-row metrics) ---
@@ -1169,6 +1170,23 @@ SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
        CAST(n_entities AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS density
 FROM g
 """
+    # centroid-cosine twin: integer dot products (HUGEINT), float
+    # composition pinned to dot/(sqrt(na)*sqrt(nb)) — IEEE sqrt is
+    # exactly rounded, so the doubles match bit-for-bit
+    d["entity_similarity"] = (
+        "WITH c AS ("
+        + d["entity_centroids"]
+        + """),
+p AS (SELECT ca.surface AS a, cb.surface AS b,
+             sum(CAST(ca.sum_q AS HUGEINT) * CAST(cb.sum_q AS HUGEINT)) AS dot
+      FROM c ca JOIN c cb ON ca.dim = cb.dim AND ca.surface < cb.surface
+      GROUP BY ca.surface, cb.surface),
+n AS (SELECT surface, sum(CAST(sum_q AS HUGEINT) * CAST(sum_q AS HUGEINT)) AS nn
+      FROM c GROUP BY surface)
+SELECT p.a, p.b,
+       CAST(p.dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS cosine
+FROM p JOIN n na ON na.surface = p.a JOIN n nb ON nb.surface = p.b"""
+    )
     # structural entity-resolution twin: threshold the support edges,
     # then a recursive min-label walk over the candidate pairs (the
     # same walk as dedup_components, on VARCHAR labels)

@@ -393,6 +393,44 @@ def entity_centroids(sf_dir: str):
     )
 
 
+def entity_similarity(sf_dir: str):
+    """Pairwise cosine between entity centroid vectors (the semantic
+    merge-candidate signal, complementing alias_groups and
+    kg_merge_groups): dot products run in exact Python/HUGEINT integer
+    arithmetic over the quantized centroid sums of
+    ``entity_centroids``, and the float composition is pinned to
+    ``dot / (sqrt(na) · sqrt(nb))`` — IEEE sqrt is exactly rounded, so
+    DuckDB reproduces the doubles bit-for-bit. The centroid matrix is
+    bounded (entities × dims), so the pair computation is a driver
+    finish over a collected table, like the vocab rank. Columns: a, b,
+    cosine."""
+    import math
+
+    cents = entity_centroids(sf_dir).to_pandas()
+    vecs: dict[str, dict[int, int]] = {}
+    for surface, dim, sq in zip(cents["surface"], cents["dim"], cents["sum_q"]):
+        vecs.setdefault(surface, {})[int(dim)] = int(sq)
+    names = sorted(vecs)
+    norms = {nm: sum(v * v for v in vecs[nm].values()) for nm in names}
+    rows_a, rows_b, cos = [], [], []
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            va, vb = vecs[a], vecs[b]
+            dot = sum(va[d] * vb.get(d, 0) for d in va)
+            rows_a.append(a)
+            rows_b.append(b)
+            cos.append(
+                float(dot) / (math.sqrt(float(norms[a])) * math.sqrt(float(norms[b])))
+            )
+    return pa.table(
+        {
+            "a": pa.array(rows_a, type=pa.string()),
+            "b": pa.array(rows_b, type=pa.string()),
+            "cosine": pa.array(cos, type=pa.float64()),
+        }
+    )
+
+
 def source_report(sf_dir: str):
     """The per-source corpus card a 100-TB preprocessing run publishes:
     document / token totals, quality-rule passes (same 20 ≤ tokens ≤

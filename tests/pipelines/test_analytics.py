@@ -90,6 +90,7 @@ SQL_CHECKED = [
     "entity_burstiness",
     "source_report",
     "entity_centroids",
+    "entity_similarity",
     "doc_entity_density",
     "kg_edges_pruned",
 ]
