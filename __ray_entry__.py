@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_edge_support": an.kg_edge_support,  # per-edge truss support + structural jaccard
         "kg_merge_groups": an.kg_merge_groups,  # structural entity-resolution groups
         "kg_reach2": an.kg_reach2,            # 2-hop reach via mergeable KMV sketches
+        "kg_truss_edges": an.kg_truss_edges,  # cohesion-pruned graph (support >= k-2)
         "kg_publish": an.kg_publish,          # full DAG: prune + merge-rewrite + re-canonicalize
         "mention_counts": an.mention_counts,
         "entity_burstiness": an.entity_burstiness,  # doc-frequency vs burst dispersion
@@ -1186,6 +1187,13 @@ n AS (SELECT surface, sum(CAST(sum_q AS HUGEINT) * CAST(sum_q AS HUGEINT)) AS nn
 SELECT p.a, p.b,
        CAST(p.dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS cosine
 FROM p JOIN n na ON na.surface = p.a JOIN n nb ON nb.surface = p.b"""
+    )
+    # single-peel k-truss candidate twin (support filter over the
+    # shared edge-support text)
+    d["kg_truss_edges"] = (
+        "SELECT lo, hi, support FROM ("
+        + d["kg_edge_support"]
+        + ") WHERE support >= 2"
     )
     # structural entity-resolution twin: threshold the support edges,
     # then a recursive min-label walk over the candidate pairs (the

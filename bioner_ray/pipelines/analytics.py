@@ -804,6 +804,25 @@ def kg_edge_support(sf_dir: str, edges=None):
     return edge_support(kg_edges(sf_dir) if edges is None else edges)
 
 
+def kg_truss_edges(sf_dir: str, k: int = 4):
+    """Cohesion-pruned graph: edges with triangle support ≥ k−2 (the
+    single-peel k-truss candidate set — the full truss iterates this
+    filter; one pass already removes every bridge/whisker and is the
+    standard community-core pre-filter). Pure distributed filter over
+    ``kg_edge_support``. Columns: lo, hi, support."""
+
+    def keep(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return pa.schema(
+                [("lo", pa.string()), ("hi", pa.string()), ("support", pa.int64())]
+            ).empty_table()
+        return t.select(["lo", "hi", "support"]).filter(
+            pc.greater_equal(t.column("support"), k - 2)
+        )
+
+    return kg_edge_support(sf_dir).map_batches(keep, batch_format="pyarrow")
+
+
 def kg_merge_groups(sf_dir: str, min_jaccard: float = 0.8, edges=None):
     """Structural entity resolution: nodes whose neighbor sets overlap
     at jaccard ≥ ``min_jaccard`` (per ``kg_edge_support``) are merge

@@ -84,6 +84,7 @@ SQL_CHECKED = [
     "kg_edge_support",
     "kg_merge_groups",
     "kg_reach2",
+    "kg_truss_edges",
     "kg_publish",
     "doc_shuffle",
     "error_samples",
