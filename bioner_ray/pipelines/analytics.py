@@ -1275,7 +1275,7 @@ def alias_groups(sf_dir: str, min_variants: int = 2):
     return merged
 
 
-def doc_logprob(sf_dir: str):
+def doc_logprob(sf_dir: str, max_vocab: int | None = None):
     """Unigram-surprise document scoring — the perplexity-filter
     stand-in (CCNet-style: rank documents by how improbable their
     tokens are under a corpus LM; here an add-one-smoothed unigram
@@ -1283,10 +1283,13 @@ def doc_logprob(sf_dir: str):
 
     1. global token counts (ONE ``bucketed_aggregate``); the vocabulary
        table collects driver-side to build the log-prob lookup — the
-       model-broadcast step. At web scale the model would be a capped
-       top-K vocab + OOV bucket (the standard KenLM/CCNet shape); the
-       oracle-checked configuration uses the full vocab, which is
-       bounded at test scale.
+       model-broadcast step. ``max_vocab`` is the web-scale mode (the
+       standard KenLM/CCNet shape): the top-K words by (count desc,
+       word) are kept — filtered DISTRIBUTED before the collect, so the
+       driver only ever sees ≤ K rows — and every other token scores as
+       one shared OOV bucket carrying the REMAINING total count. The
+       oracle-checked configuration uses the full vocab (bounded at
+       test scale); capped mode is pinned by its own pytest.
     2. per-document score: tokens are flattened vectorized (same
        split/offset kernel as ``alias_groups``), mapped through the
        broadcast lookup, and segment-summed — no shuffle at all.
@@ -1316,19 +1319,54 @@ def doc_logprob(sf_dir: str):
             }
         )
 
-    vocab = bucketed_aggregate(
+    counts = bucketed_aggregate(
         _read(sf_dir, "documents", columns=["text"]).map_batches(
             partial, batch_format="pyarrow"
         ),
         ["word"],
         [("cnt", "sum")],
-    ).to_pandas()
-    n_total = float(vocab["cnt"].sum())
-    v_size = float(len(vocab))
-    lp = {
-        w: math.floor(math.log((float(c) + 1.0) / (n_total + v_size)) * 1000000.0)
-        for w, c in zip(vocab["word"], vocab["cnt"])
-    }
+    )
+    if max_vocab is None:
+        vocab = counts.to_pandas()
+        n_total = float(vocab["cnt"].sum())
+        denom = n_total + float(len(vocab))
+        lp = {
+            w: math.floor(math.log((float(c) + 1.0) / denom) * 1000000.0)
+            for w, c in zip(vocab["word"], vocab["cnt"])
+        }
+        oov_lp = 0  # unreachable: the model covers its own corpus
+    else:
+        from bioner_ray.stages.rank import top_k_per_group
+        from bioner_ray.stages.shuffle import pin_schema
+
+        counts = pin_schema(
+            counts, pa.schema([("word", pa.string()), ("cnt", pa.int64())])
+        ).materialize()
+        n_total = float(counts.sum("cnt"))
+
+        def grp(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "_g", pa.array(np.zeros(t.num_rows, dtype=np.int64))
+            )
+
+        # combiner-pruned GLOBAL top-K: ≤ K rows leave each block, the
+        # driver sees ≤ K rows total — never the full vocabulary
+        vocab = top_k_per_group(
+            counts.map_batches(grp, batch_format="pyarrow"),
+            key_col="_g",
+            order_by=[("cnt", "descending"), ("word", "ascending")],
+            k=max_vocab,
+        ).to_pandas()
+        kept_total = float(vocab["cnt"].sum())
+        # classes = kept words + ONE shared OOV bucket (add-one over all)
+        denom = n_total + float(len(vocab)) + 1.0
+        lp = {
+            w: math.floor(math.log((float(c) + 1.0) / denom) * 1000000.0)
+            for w, c in zip(vocab["word"], vocab["cnt"])
+        }
+        oov_lp = math.floor(
+            math.log((n_total - kept_total + 1.0) / denom) * 1000000.0
+        )
     lp_ref = ray.put(lp)
 
     def score(batch: pa.Table) -> pa.Table:
@@ -1342,7 +1380,7 @@ def doc_logprob(sf_dir: str):
         starts, ends = off[:-1] - off[0], off[1:] - off[0]
         toks = pd.Series(vals.to_pylist())
         keep = (toks != "").to_numpy()
-        tok_lp = toks.map(table).fillna(0).to_numpy(dtype=np.int64) * keep
+        tok_lp = toks.map(table).fillna(oov_lp).to_numpy(dtype=np.int64) * keep
         cs_lp = np.concatenate([[0], np.cumsum(tok_lp)])
         cs_n = np.concatenate([[0], np.cumsum(keep.astype(np.int64))])
         n_tok = cs_n[ends] - cs_n[starts]
