@@ -823,56 +823,155 @@ def kg_truss_edges(sf_dir: str, k: int = 4):
     return kg_edge_support(sf_dir).map_batches(keep, batch_format="pyarrow")
 
 
-def kg_merge_groups(sf_dir: str, min_jaccard: float = 0.8, edges=None):
+def kg_merge_groups(
+    sf_dir: str,
+    min_jaccard: float = 0.8,
+    edges=None,
+    driver_max_pairs: int = 2_000_000,
+):
     """Structural entity resolution: nodes whose neighbor sets overlap
     at jaccard ≥ ``min_jaccard`` (per ``kg_edge_support``) are merge
     candidates; connected components over that candidate graph are the
     merge groups, represented by the lexicographic-min member — the
     step that folds "PD-1"/"PD1"-style structural twins the surface
-    normalizer can't see. The candidate PAIR set is bounded by the
-    thresholded edge table (tiny vs the corpus — the same bounded
-    argument as dedup_filter), so the union-find runs driver-side on
-    the collected pairs; only nodes in some group are emitted.
-    Columns: node, rep."""
+    normalizer can't see. Under ``driver_max_pairs`` the candidate
+    pairs (bounded by the thresholded edge table) union-find
+    driver-side; above it the DISTRIBUTED path runs: nodes hash to
+    63-bit ids, label propagation finds components
+    (stages/graph.connected_components), and one bucketed aggregate
+    takes the min STRING per component — identical output, no driver
+    materialization. Columns: node, rep."""
     import ray.data as rd
 
-    pairs = (
+    from bioner_ray.stages.shuffle import (
+        bucketed_aggregate,
+        bucketed_inner_join,
+        pin_schema,
+    )
+
+    pair_schema = pa.schema([("lo", pa.string()), ("hi", pa.string())])
+    pairs_ds = (
         kg_edge_support(sf_dir, edges=edges)
         .map_batches(
             lambda t: t.select(["lo", "hi"]).filter(
                 pc.greater_equal(t.column("jaccard"), min_jaccard)
             )
             if t.num_columns
-            else pa.schema([("lo", pa.string()), ("hi", pa.string())]).empty_table(),
+            else pair_schema.empty_table(),
             batch_format="pyarrow",
         )
-        .take_all()
+        .materialize()
     )
-    parent: dict[str, str] = {}
 
-    def find(x: str) -> str:
-        root = x
-        while parent[root] != root:
-            root = parent[root]
-        while parent[x] != root:
-            parent[x], x = root, parent[x]
-        return root
+    if pairs_ds.count() <= driver_max_pairs:
+        pairs = pairs_ds.take_all()
+        parent: dict[str, str] = {}
 
-    for r in pairs:
-        a, b = r["lo"], r["hi"]
-        parent.setdefault(a, a)
-        parent.setdefault(b, b)
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    nodes = sorted(parent)
-    return rd.from_arrow(
-        pa.table(
-            {
-                "node": pa.array(nodes, type=pa.string()),
-                "rep": pa.array([find(n) for n in nodes], type=pa.string()),
-            }
+        def find(x: str) -> str:
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in pairs:
+            a, b = r["lo"], r["hi"]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        nodes = sorted(parent)
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array(nodes, type=pa.string()),
+                    "rep": pa.array([find(n) for n in nodes], type=pa.string()),
+                }
+            )
         )
+
+    # distributed path: md5-63-bit node ids (collision odds ~n²/2^64,
+    # negligible for any real vocabulary) → int components → min string
+    # per component label
+    import hashlib
+
+    from bioner_ray.stages.graph import connected_components
+
+    def _hid(arr) -> pa.Array:
+        return pa.array(
+            [
+                int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big") >> 1
+                for s in arr.to_pylist()
+            ],
+            type=pa.int64(),
+        )
+
+    int_pairs = pairs_ds.map_batches(
+        lambda t: pa.table({"a": _hid(t.column("lo")), "b": _hid(t.column("hi"))})
+        if t.num_columns
+        else pa.schema([("a", pa.int64()), ("b", pa.int64())]).empty_table(),
+        batch_format="pyarrow",
+    )
+    comp = connected_components(int_pairs, driver_max_pairs=0)  # (node, component)
+
+    def node_rows(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return pa.schema([("hid", pa.int64()), ("node", pa.string())]).empty_table()
+        lo, hi = t.column("lo").combine_chunks(), t.column("hi").combine_chunks()
+        names = pa.chunked_array([lo, hi]).combine_chunks()
+        return pa.table({"hid": _hid(names), "node": names})
+
+    name_map = pin_schema(
+        bucketed_aggregate(
+            pairs_ds.map_batches(node_rows, batch_format="pyarrow"),
+            ["hid"],
+            [("node", "min")],
+        ),
+        pa.schema([("hid", pa.int64()), ("node", pa.string())]),
+    ).materialize()
+
+    labeled = bucketed_inner_join(
+        comp.map_batches(
+            lambda t: t.rename_columns(["hid", "component"]) if t.num_columns else t,
+            batch_format="pyarrow",
+        ),
+        name_map,
+        ["hid"],
+        pa.schema([("hid", pa.int64()), ("component", pa.int64())]),
+        pa.schema([("hid", pa.int64()), ("node", pa.string())]),
+    )
+    # min string per component = the representative
+    reps = pin_schema(
+        bucketed_aggregate(
+            labeled.map_batches(
+                lambda t: pa.table(
+                    {"component": t.column("component"), "rep": t.column("node")}
+                )
+                if t.num_columns
+                else pa.schema(
+                    [("component", pa.int64()), ("rep", pa.string())]
+                ).empty_table(),
+                batch_format="pyarrow",
+            ),
+            ["component"],
+            [("rep", "min")],
+        ),
+        pa.schema([("component", pa.int64()), ("rep", pa.string())]),
+    )
+    out = bucketed_inner_join(
+        labeled,
+        reps,
+        ["component"],
+        pa.schema([("hid", pa.int64()), ("component", pa.int64()), ("node", pa.string())]),
+        pa.schema([("component", pa.int64()), ("rep", pa.string())]),
+    )
+    return out.map_batches(
+        lambda t: t.select(["node", "rep"]) if t.num_columns else pa.schema(
+            [("node", pa.string()), ("rep", pa.string())]
+        ).empty_table(),
+        batch_format="pyarrow",
     )
 
 

@@ -59,3 +59,16 @@ def test_kg_publish_nondegenerate_matches_oracle(sfdir):
     assert folded, "crafted corpus must actually merge something"
     endpoints = set(a["subj"]) | set(a["obj"])
     assert not (endpoints & folded), "published endpoints must be reps only"
+
+
+def test_kg_merge_groups_distributed_path_matches_driver(sfdir):
+    from bioner_ray.pipelines.analytics import kg_merge_groups
+
+    drv = kg_merge_groups(sfdir).to_pandas().sort_values("node", ignore_index=True)
+    dist = (
+        kg_merge_groups(sfdir, driver_max_pairs=0)
+        .to_pandas()
+        .sort_values("node", ignore_index=True)
+    )
+    assert drv.equals(dist)
+    assert len(drv) > 0
