@@ -400,10 +400,12 @@ def entity_similarity(sf_dir: str):
     arithmetic over the quantized centroid sums of
     ``entity_centroids``, and the float composition is pinned to
     ``dot / (sqrt(na) · sqrt(nb))`` — IEEE sqrt is exactly rounded, so
-    DuckDB reproduces the doubles bit-for-bit. The centroid matrix is
-    bounded (entities × dims), so the pair computation is a driver
-    finish over a collected table, like the vocab rank. Columns: a, b,
-    cosine."""
+    DuckDB reproduces the doubles bit-for-bit. The all-pairs form is
+    for curated entity sets (the collected centroid matrix and the
+    O(n²) pair loop are driver finishes, like the vocab rank); at
+    10^6+ entities the same centroid vectors feed the existing scale
+    paths instead — ``knn_topk``'s blocked matmul or
+    ``cosine_dup_pairs``'s hyperplane LSH. Columns: a, b, cosine."""
     import math
 
     cents = entity_centroids(sf_dir).to_pandas()
