@@ -262,3 +262,53 @@ class TestDecontaminationProperties:
             r["doc_id"] for r in decontaminate_stage(rd.from_arrow(train), ref, n=n).take_all()
         )
         assert kept == [2]
+
+
+class TestBucketedJoinProperty:
+    """bucketed_inner_join ≡ pyarrow's reference Table.join on random
+    inputs — including empty sides, skewed keys and sparse buckets."""
+
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 6), st.integers(-100, 100)), max_size=40
+        ),
+        st.lists(
+            st.tuples(st.integers(0, 6), st.integers(-100, 100)), max_size=40
+        ),
+        st.sampled_from([2, 16, 64]),
+    )
+    @settings(max_examples=25, deadline=None)
+    def test_matches_pyarrow_join(self, left_rows, right_rows, buckets):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from bioner_ray.stages.shuffle import bucketed_inner_join
+
+        lschema = pa.schema([("k", pa.int64()), ("a", pa.int64())])
+        rschema = pa.schema([("k", pa.int64()), ("b", pa.int64())])
+        lt = pa.table(
+            {"k": [k for k, _ in left_rows], "a": [v for _, v in left_rows]},
+            schema=lschema,
+        )
+        rt = pa.table(
+            {"k": [k for k, _ in right_rows], "b": [v for _, v in right_rows]},
+            schema=rschema,
+        )
+        got = bucketed_inner_join(
+            rd.from_arrow(lt).repartition(3),
+            rd.from_arrow(rt).repartition(2),
+            ["k"],
+            lschema,
+            rschema,
+            num_buckets=buckets,
+        ).take_all()
+        want = lt.join(rt, keys=["k"], join_type="inner")
+        got_set = sorted((r["k"], r["a"], r["b"]) for r in got)
+        want_set = sorted(
+            zip(
+                want.column("k").to_pylist(),
+                want.column("a").to_pylist(),
+                want.column("b").to_pylist(),
+            )
+        )
+        assert got_set == want_set
