@@ -330,45 +330,42 @@ def entity_centroids(sf_dir: str):
         pair_schema,
     )
 
-    # pyarrow's join rejects list-typed payload columns — explode the
-    # embedding to scalar (doc_id, dim, q) rows BEFORE the join
-    def explode_emb(t: pa.Table) -> pa.Table:
+    # pyarrow's join rejects LIST payload columns but accepts BINARY —
+    # so the quantized vector travels the join as one int64-LE blob per
+    # doc (1 row/doc through the shuffle, not dims rows/doc), and the
+    # per-dimension explode happens after, on the joined (surface, doc)
+    # pairs only
+    def quantize_emb(t: pa.Table) -> pa.Table:
         emb_col = t.column("embedding").combine_chunks()
         off = emb_col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
         vals = emb_col.values.slice(off[0], off[-1] - off[0]).to_numpy(
             zero_copy_only=False
         )
-        lengths = np.diff(off)
-        dims = (
-            np.arange(len(vals), dtype=np.int64)
-            - np.repeat(off[:-1] - off[0], lengths)
-            + 1
-        )
-        q = np.floor(vals.astype(np.float64) * 1_000_000.0).astype(np.int64)
-        doc_ids = np.repeat(
-            t.column("vec_id").to_numpy(zero_copy_only=False), lengths
-        )
+        q = np.floor(vals.astype(np.float64) * 1_000_000.0).astype("<i8")
+        blobs = [
+            q[s - off[0] : e - off[0]].tobytes()
+            for s, e in zip(off[:-1], off[1:])
+        ]
         return pa.table(
             {
-                "doc_id": pa.array(doc_ids),
-                "dim": pa.array(dims),
-                "q": pa.array(q),
+                "doc_id": t.column("vec_id"),
+                "qblob": pa.array(blobs, type=pa.binary()),
             }
         )
 
     emb_q = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]).map_batches(
-        explode_emb, batch_format="pyarrow"
+        quantize_emb, batch_format="pyarrow"
     )
     joined = bucketed_inner_join(
         ent_docs,
         emb_q,
         ["doc_id"],
         pair_schema,
-        pa.schema([("doc_id", pa.int64()), ("dim", pa.int64()), ("q", pa.int64())]),
+        pa.schema([("doc_id", pa.int64()), ("qblob", pa.binary())]),
     )
 
-    def widen(t: pa.Table) -> pa.Table:
-        if t.num_columns == 0:
+    def explode(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
             return pa.schema(
                 [
                     ("surface", pa.string()),
@@ -377,17 +374,28 @@ def entity_centroids(sf_dir: str):
                     ("n_docs", pa.int64()),
                 ]
             ).empty_table()
+        blobs = t.column("qblob").to_pylist()
+        q = np.frombuffer(b"".join(blobs), dtype="<i8")
+        lengths = np.array([len(b) // 8 for b in blobs], dtype=np.int64)
+        ends = np.cumsum(lengths)
+        dims = np.arange(len(q), dtype=np.int64) - np.repeat(
+            ends - lengths, lengths
+        ) + 1
+        surf = pc.take(
+            t.column("surface"),
+            pa.array(np.repeat(np.arange(t.num_rows, dtype=np.int64), lengths)),
+        )
         return pa.table(
             {
-                "surface": t.column("surface"),
-                "dim": t.column("dim"),
-                "sum_q": t.column("q"),
-                "n_docs": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                "surface": surf,
+                "dim": pa.array(dims),
+                "sum_q": pa.array(q),
+                "n_docs": pa.array(np.ones(len(q), dtype=np.int64)),
             }
         )
 
     return bucketed_aggregate(
-        joined.map_batches(widen, batch_format="pyarrow"),
+        joined.map_batches(explode, batch_format="pyarrow"),
         ["surface", "dim"],
         [("sum_q", "sum"), ("n_docs", "sum")],
     )
