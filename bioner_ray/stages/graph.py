@@ -946,26 +946,51 @@ def reach2_kmv(
 
     s1 = bottom_k(pairs.map_batches(hop1_hashes, batch_format="pyarrow")).materialize()
 
-    # ship each target node's 1-hop synopsis back across its in-edges
+    # pack each node's synopsis into ONE int64-LE blob so the join
+    # ships one row per edge, not k — pyarrow joins accept binary
+    # payloads (same trick as entity_centroids); the per-node pack
+    # reuses the groupby machinery top_k itself runs on
+    def pack(g: pa.Table) -> pa.Table:
+        hv = np.sort(g.column("hv").to_numpy(zero_copy_only=False).astype("<i8"))
+        return pa.table(
+            {
+                "obj": g.column("node").slice(0, 1),
+                "blob": pa.array([hv.tobytes()], type=pa.binary()),
+            }
+        )
+
+    s1_packed = s1.groupby("node").map_groups(pack, batch_format="pyarrow")
+
+    # ship each target node's packed synopsis back across its in-edges,
+    # then explode vectorized on the narrow post-join map stage
+    def explode(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return hv_schema.empty_table().append_column(
+                "one", pa.array([], type=pa.int64())
+            )
+        blobs = t.column("blob").to_pylist()
+        hv = np.frombuffer(b"".join(blobs), dtype="<i8")
+        lengths = np.array([len(b) // 8 for b in blobs], dtype=np.int64)
+        nodes_rep = pc.take(
+            t.column("subj"),
+            pa.array(np.repeat(np.arange(t.num_rows, dtype=np.int64), lengths)),
+        )
+        return pa.table(
+            {
+                "node": nodes_rep,
+                "hv": pa.array(hv),
+                "one": pa.array(np.ones(len(hv), dtype=np.int64)),
+            }
+        )
+
     shipped = bucketed_inner_join(
         pairs,
-        s1.map_batches(
-            lambda t: t.rename_columns(["obj", "hv"]) if t.num_columns else t,
-            batch_format="pyarrow",
-        ),
+        s1_packed,
         ["obj"],
         pair_schema,
-        pa.schema([("obj", pa.string()), ("hv", pa.int64())]),
+        pa.schema([("obj", pa.string()), ("blob", pa.binary())]),
         num_buckets=num_buckets,
-    ).map_batches(
-        lambda t: pa.table({"node": t.column("subj"), "hv": t.column("hv")}).append_column(
-            "one",
-            pa.array(np.ones(t.num_rows, dtype=np.int64)),
-        )
-        if t.num_columns
-        else hv_schema.empty_table().append_column("one", pa.array([], type=pa.int64())),
-        batch_format="pyarrow",
-    )
+    ).map_batches(explode, batch_format="pyarrow")
     s2 = bottom_k(shipped)
 
     def widen(t: pa.Table) -> pa.Table:
