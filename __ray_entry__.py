@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_segment": an.revenue_by_segment,
         "events_by_type": an.events_by_type,
         "events_per_day": an.events_per_day,
+        "event_anomaly": an.event_anomaly,           # daily z-score (int-algebra exact)
         "events_rolling_7d": an.events_rolling_7d,   # windowed aggregate
         "events_last_order": an.events_last_order,   # as-of join
         "sessions": an.sessions,                     # gap-based sessionization
@@ -1132,6 +1133,25 @@ SELECT doc_id, n_tok,
 FROM n
 """,
     }
+    # event-anomaly twin: z = (n*x - S)/sqrt(n*Q - S^2), all integer
+    # up to the single sqrt+division (HUGEINT avoids overflow)
+    d["event_anomaly"] = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+  FROM events GROUP BY 1, 2),
+st AS (
+  SELECT event_type,
+         CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(CAST(total_cents AS HUGEINT)) AS HUGEINT) AS s,
+         CAST(sum(CAST(total_cents AS HUGEINT) * CAST(total_cents AS HUGEINT)) AS HUGEINT) AS q
+  FROM daily GROUP BY event_type)
+SELECT d.event_type, d.day, d.total_cents,
+       CASE WHEN st.n * st.q - st.s * st.s <= 0 THEN 0.0
+            ELSE CAST(st.n * CAST(d.total_cents AS HUGEINT) - st.s AS DOUBLE)
+                 / sqrt(CAST(st.n * st.q - st.s * st.s AS DOUBLE)) END AS z
+FROM daily d JOIN st ON st.event_type = d.event_type
+"""
     # doc_shuffle: the PERMUTATION itself is seeded Ray internals, but
     # the driver compare is order-insensitive, so the twin verifies the
     # set property that matters: the shuffle is lossless and

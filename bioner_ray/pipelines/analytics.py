@@ -1757,6 +1757,53 @@ def events_by_type(sf_dir: str):
     return out.rename_columns({"value_cents": "sum_value_cents"})
 
 
+def event_anomaly(sf_dir: str):
+    """Daily anomaly score per event type — the monitoring report a
+    streaming ingest publishes: z-score of each day's cent-quantized
+    value total against the type's own daily distribution. The float
+    algebra is reduced to ONE integer numerator and ONE integer
+    radicand per row, z = (n·x − S) / sqrt(n·Q − S²) with S = Σ daily,
+    Q = Σ daily² in exact big-int arithmetic — so the doubles replay
+    bit-for-bit in SQL (sqrt is exactly rounded). The wide step is the
+    (type, day) bucketed aggregate; the per-type finish walks a table
+    bounded by types × calendar days (same driver-finish argument as
+    value_percentiles). Columns: event_type, day, total_cents, z."""
+    import math
+
+    from bioner_ray.stages.shuffle import bucketed_aggregate
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "day": pc.floor_temporal(batch.column("ts"), unit="day"),
+                "total_cents": _cents(batch.column("value")),
+            }
+        )
+
+    daily = bucketed_aggregate(
+        _read(sf_dir, "events", columns=["event_type", "ts", "value"]).map_batches(
+            prep, batch_format="pyarrow"
+        ),
+        ["event_type", "day"],
+        [("total_cents", "sum")],
+    ).to_pandas()  # bounded: types × calendar days
+
+    stats: dict[str, tuple[int, int, int]] = {}
+    for et, g in daily.groupby("event_type"):
+        xs = [int(v) for v in g["total_cents"]]
+        stats[et] = (len(xs), sum(xs), sum(x * x for x in xs))
+    z = []
+    for et, x in zip(daily["event_type"], daily["total_cents"]):
+        n, s, q = stats[et]
+        rad = n * q - s * s
+        z.append(
+            0.0 if rad <= 0 else float(n * int(x) - s) / math.sqrt(float(rad))
+        )
+    tbl = pa.Table.from_pandas(daily, preserve_index=False)
+    return tbl.append_column("z", pa.array(z, type=pa.float64()))
+
+
 def events_per_day(sf_dir: str):
     """Tumbling daily window as a calendar groupby (the streaming-window
     analog in a batch engine; the reference has no windows, SURVEY §2.9).

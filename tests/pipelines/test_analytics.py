@@ -28,6 +28,7 @@ SQL_CHECKED = [
     "revenue_by_segment",
     "events_by_type",
     "events_per_day",
+    "event_anomaly",
     "events_rolling_7d",
     "events_last_order",
     "dedup_exact",
