@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_by_type": an.events_by_type,
         "events_per_day": an.events_per_day,
         "event_anomaly": an.event_anomaly,           # daily z-score (int-algebra exact)
+        "user_retention": an.user_retention,         # cohort retention matrix
         "events_rolling_7d": an.events_rolling_7d,   # windowed aggregate
         "events_last_order": an.events_last_order,   # as-of join
         "sessions": an.sessions,                     # gap-based sessionization
@@ -1151,6 +1152,15 @@ SELECT d.event_type, d.day, d.total_cents,
             ELSE CAST(st.n * CAST(d.total_cents AS HUGEINT) - st.s AS DOUBLE)
                  / sqrt(CAST(st.n * st.q - st.s * st.s AS DOUBLE)) END AS z
 FROM daily d JOIN st ON st.event_type = d.event_type
+"""
+    d["user_retention"] = """
+WITH ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+c AS (SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY user_id)
+SELECT c.cohort_day, ud.day,
+       CAST(date_diff('day', c.cohort_day, ud.day) AS BIGINT) AS offset_days,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM ud JOIN c ON c.user_id = ud.user_id
+GROUP BY 1, 2, 3
 """
     # doc_shuffle: the PERMUTATION itself is seeded Ray internals, but
     # the driver compare is order-insensitive, so the twin verifies the

@@ -1804,6 +1804,93 @@ def event_anomaly(sf_dir: str):
     return tbl.append_column("z", pa.array(z, type=pa.float64()))
 
 
+def user_retention(sf_dir: str):
+    """Cohort retention matrix: users are cohorted by their FIRST
+    active day; each (cohort_day, active_day) cell counts the distinct
+    cohort members active that day — the standard product-analytics
+    rollup, in the engine's bounded-shuffle shape: distinct (user, day)
+    activity via one bucketed aggregate (the combiner collapses event
+    multiplicity per block), per-user min-day via another, ONE bucketed
+    join back, and a final (cohort, day) count over rows that are
+    distinct by construction — no count-distinct shuffle needed.
+    Columns: cohort_day, day, offset_days, n_users."""
+    from bioner_ray.stages.shuffle import (
+        bucketed_aggregate,
+        bucketed_inner_join,
+        pin_schema,
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": pc.cast(batch.column("user_id"), pa.int64()),
+                "day": pc.floor_temporal(batch.column("ts"), unit="day"),
+            }
+        ).append_column("one", pa.array(np.ones(batch.num_rows, dtype=np.int64)))
+
+    ud_schema = pa.schema([("user_id", pa.int64()), ("day", pa.timestamp("us"))])
+    ud = pin_schema(
+        bucketed_aggregate(
+            _read(sf_dir, "events", columns=["user_id", "ts"]).map_batches(
+                prep, batch_format="pyarrow"
+            ),
+            ["user_id", "day"],
+            [("one", "min")],
+        ),
+        ud_schema,
+    ).materialize()
+
+    cohort = pin_schema(
+        bucketed_aggregate(
+            ud.map_batches(
+                lambda t: pa.table(
+                    {"user_id": t.column("user_id"), "cohort_day": t.column("day")}
+                ),
+                batch_format="pyarrow",
+            ),
+            ["user_id"],
+            [("cohort_day", "min")],
+        ),
+        pa.schema([("user_id", pa.int64()), ("cohort_day", pa.timestamp("us"))]),
+    )
+
+    joined = bucketed_inner_join(
+        ud,
+        cohort,
+        ["user_id"],
+        ud_schema,
+        pa.schema([("user_id", pa.int64()), ("cohort_day", pa.timestamp("us"))]),
+    )
+
+    def cells(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return pa.schema(
+                [
+                    ("cohort_day", pa.timestamp("us")),
+                    ("day", pa.timestamp("us")),
+                    ("offset_days", pa.int64()),
+                    ("n_users", pa.int64()),
+                ]
+            ).empty_table()
+        offset = pc.cast(
+            pc.days_between(t.column("cohort_day"), t.column("day")), pa.int64()
+        )
+        return pa.table(
+            {
+                "cohort_day": t.column("cohort_day"),
+                "day": t.column("day"),
+                "offset_days": offset,
+                "n_users": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    return bucketed_aggregate(
+        joined.map_batches(cells, batch_format="pyarrow"),
+        ["cohort_day", "day", "offset_days"],
+        [("n_users", "sum")],
+    )
+
+
 def events_per_day(sf_dir: str):
     """Tumbling daily window as a calendar groupby (the streaming-window
     analog in a batch engine; the reference has no windows, SURVEY §2.9).

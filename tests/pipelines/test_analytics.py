@@ -29,6 +29,7 @@ SQL_CHECKED = [
     "events_by_type",
     "events_per_day",
     "event_anomaly",
+    "user_retention",
     "events_rolling_7d",
     "events_last_order",
     "dedup_exact",
