@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_per_day": an.events_per_day,
         "event_anomaly": an.event_anomaly,           # daily z-score (int-algebra exact)
         "user_retention": an.user_retention,         # cohort retention matrix
+        "funnel": an.funnel,                         # ordered multi-step funnel
         "events_rolling_7d": an.events_rolling_7d,   # windowed aggregate
         "events_last_order": an.events_last_order,   # as-of join
         "sessions": an.sessions,                     # gap-based sessionization
@@ -1161,6 +1162,22 @@ SELECT c.cohort_day, ud.day,
        CAST(count(*) AS BIGINT) AS n_users
 FROM ud JOIN c ON c.user_id = ud.user_id
 GROUP BY 1, 2, 3
+"""
+    d["funnel"] = """
+WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+       JOIN s1 ON s1.user_id = e.user_id
+       WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+       JOIN s2 ON s2.user_id = e.user_id
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY e.user_id)
+SELECT 'view' AS stage, CAST(1 AS BIGINT) AS step_idx,
+       CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+UNION ALL
+SELECT 'click', CAST(2 AS BIGINT), CAST((SELECT count(*) FROM s2) AS BIGINT)
+UNION ALL
+SELECT 'purchase', CAST(3 AS BIGINT), CAST((SELECT count(*) FROM s3) AS BIGINT)
 """
     # doc_shuffle: the PERMUTATION itself is seeded Ray internals, but
     # the driver compare is order-insensitive, so the twin verifies the

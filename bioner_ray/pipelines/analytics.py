@@ -1891,6 +1891,76 @@ def user_retention(sf_dir: str):
     )
 
 
+def funnel(sf_dir: str, steps: tuple = ("view", "click", "purchase")):
+    """Ordered multi-step funnel: users whose first 'view' strictly
+    precedes a 'click' that strictly precedes a 'purchase' (first-match
+    semantics at each stage). Per stage: one filtered per-user min-ts
+    aggregate, then one bucketed join against the previous stage's
+    frontier + a strictly-after filter — K stages cost K bounded
+    (user-keyed) joins, never a per-user sort or session rebuild.
+    Columns: stage, step_idx, n_users."""
+    from bioner_ray.stages.shuffle import (
+        bucketed_aggregate,
+        bucketed_inner_join,
+        pin_schema,
+    )
+
+    ev = (
+        _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+        .map_batches(
+            lambda t: t.filter(pc.is_in(t.column("event_type"), value_set=pa.array(list(steps)))),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    frontier_schema = pa.schema([("user_id", pa.int64()), ("t", pa.timestamp("us"))])
+    cur = None
+    out_stage, out_idx, out_n = [], [], []
+    for i, step in enumerate(steps):
+
+        def step_rows(t: pa.Table, step=step) -> pa.Table:
+            t = t.filter(pc.equal(t.column("event_type"), step))
+            return pa.table(
+                {
+                    "user_id": pc.cast(t.column("user_id"), pa.int64()),
+                    "t": t.column("ts"),
+                }
+            )
+
+        step_ev = ev.map_batches(step_rows, batch_format="pyarrow")
+        if i == 0:
+            cand = step_ev
+        else:
+            joined = bucketed_inner_join(
+                step_ev,
+                cur.rename_columns({"t": "prev_t"}),
+                ["user_id"],
+                frontier_schema,
+                pa.schema([("user_id", pa.int64()), ("prev_t", pa.timestamp("us"))]),
+            )
+            cand = joined.map_batches(
+                lambda t: pa.table(
+                    {"user_id": t.column("user_id"), "t": t.column("t")}
+                ).filter(pc.greater(t.column("t"), t.column("prev_t")))
+                if t.num_columns
+                else frontier_schema.empty_table(),
+                batch_format="pyarrow",
+            )
+        cur = pin_schema(
+            bucketed_aggregate(cand, ["user_id"], [("t", "min")]), frontier_schema
+        ).materialize()
+        out_stage.append(step)
+        out_idx.append(i + 1)
+        out_n.append(cur.count())
+    return pa.table(
+        {
+            "stage": pa.array(out_stage, type=pa.string()),
+            "step_idx": pa.array(out_idx, type=pa.int64()),
+            "n_users": pa.array(out_n, type=pa.int64()),
+        }
+    )
+
+
 def events_per_day(sf_dir: str):
     """Tumbling daily window as a calendar groupby (the streaming-window
     analog in a batch engine; the reference has no windows, SURVEY §2.9).

@@ -30,6 +30,7 @@ SQL_CHECKED = [
     "events_per_day",
     "event_anomaly",
     "user_retention",
+    "funnel",
     "events_rolling_7d",
     "events_last_order",
     "dedup_exact",
