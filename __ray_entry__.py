@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_clean": co.corpus_clean,                  # lang→quality→dedup flagship
         "token_stats": co.token_stats,
         "conll_roundtrip": co.conll_roundtrip,            # S1/S2 format↔parse parity
+        "jsonl_roundtrip": co.jsonl_roundtrip,            # JSONL sink→source byte parity
         "pubmed_extract": co.pubmed_extract,              # S4/S5/G8 XML extract round-trip
         "pubtator_conll": co.pubtator_conll,              # S6 PubTator→CoNLL (native)
         "conlleval_export": co.conlleval_export,          # S3/S8/M12/J3 export round-trip
@@ -1178,6 +1179,9 @@ UNION ALL
 SELECT 'click', CAST(2 AS BIGINT), CAST((SELECT count(*) FROM s2) AS BIGINT)
 UNION ALL
 SELECT 'purchase', CAST(3 AS BIGINT), CAST((SELECT count(*) FROM s3) AS BIGINT)
+"""
+    d["jsonl_roundtrip"] = """
+SELECT doc_id, text, lang, source FROM documents
 """
     # doc_shuffle: the PERMUTATION itself is seeded Ray internals, but
     # the driver compare is order-insensitive, so the twin verifies the

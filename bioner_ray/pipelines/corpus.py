@@ -815,3 +815,27 @@ def upsample_mix(sf_dir: str):
         weights_permille={"src0": 2500, "src1": 2500, "src2": 1500},
         default_permille=400,
     )
+
+
+def jsonl_roundtrip(sf_dir: str):
+    """JSONL sink→source parity as a distributed query: the documents
+    table is written as JSON-lines (one file per block — the resumable
+    layout) and read back with the pyarrow JSON parser; the value-hash
+    match against the parquet source pins byte fidelity of text through
+    JSON encode/decode (quotes, backslashes, control chars, non-ASCII).
+    Columns: doc_id, text, lang, source."""
+    import os
+    import shutil
+    import uuid
+
+    import ray.data as rd
+
+    from bioner_ray.sources.jsonl import read_jsonl, write_jsonl
+
+    path = os.path.join("/tmp/bioner_jsonl", uuid.uuid4().hex)
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    cols = ["doc_id", "text", "lang", "source"]
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=cols)
+    write_jsonl(docs, path)
+    return read_jsonl(path, columns=cols)

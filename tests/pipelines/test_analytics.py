@@ -42,6 +42,7 @@ SQL_CHECKED = [
     "embedding_dup_pairs",
     "ner_eval",
     "conll_roundtrip",
+    "jsonl_roundtrip",
     "error_length_stats",
     "ensemble_mention_counts",
     "quality_docs",
