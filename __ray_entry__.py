@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": co.token_stats,
         "conll_roundtrip": co.conll_roundtrip,            # S1/S2 format↔parse parity
         "jsonl_roundtrip": co.jsonl_roundtrip,            # JSONL sink→source byte parity
+        "csv_roundtrip": co.csv_roundtrip,                # CSV sink→source typed parity
         "pubmed_extract": co.pubmed_extract,              # S4/S5/G8 XML extract round-trip
         "pubtator_conll": co.pubtator_conll,              # S6 PubTator→CoNLL (native)
         "conlleval_export": co.conlleval_export,          # S3/S8/M12/J3 export round-trip
@@ -1182,6 +1183,9 @@ SELECT 'purchase', CAST(3 AS BIGINT), CAST((SELECT count(*) FROM s3) AS BIGINT)
 """
     d["jsonl_roundtrip"] = """
 SELECT doc_id, text, lang, source FROM documents
+"""
+    d["csv_roundtrip"] = """
+SELECT event_id, user_id, event_type, value FROM events
 """
     # doc_shuffle: the PERMUTATION itself is seeded Ray internals, but
     # the driver compare is order-insensitive, so the twin verifies the

@@ -839,3 +839,26 @@ def jsonl_roundtrip(sf_dir: str):
     docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=cols)
     write_jsonl(docs, path)
     return read_jsonl(path, columns=cols)
+
+
+def csv_roundtrip(sf_dir: str):
+    """CSV sink→source parity over the events table (numeric/timestamp
+    typed columns — the round trip pins quoting, timestamp formatting
+    and numeric re-inference; text columns with embedded newlines are
+    JSONL's job, jsonl_roundtrip). Columns: event_id, user_id,
+    event_type, value."""
+    import os
+    import shutil
+    import uuid
+
+    import ray.data as rd
+
+    from bioner_ray.sources.jsonl import read_csv, write_csv
+
+    path = os.path.join("/tmp/bioner_csv", uuid.uuid4().hex)
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    cols = ["event_id", "user_id", "event_type", "value"]
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=cols)
+    write_csv(ev, path)
+    return read_csv(path, columns=cols)

@@ -27,3 +27,18 @@ def read_jsonl(path: str, columns: list[str] | None = None):
     if columns is not None:
         ds = ds.select_columns(columns)
     return ds
+
+
+def write_csv(ds, path: str) -> None:
+    """Distributed CSV write: one file per block under ``path``."""
+    ds.write_csv(path)
+
+
+def read_csv(path: str, columns: list[str] | None = None):
+    """Distributed CSV read; optional column projection."""
+    import ray.data as rd
+
+    ds = rd.read_csv(path)
+    if columns is not None:
+        ds = ds.select_columns(columns)
+    return ds

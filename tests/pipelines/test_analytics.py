@@ -43,6 +43,7 @@ SQL_CHECKED = [
     "ner_eval",
     "conll_roundtrip",
     "jsonl_roundtrip",
+    "csv_roundtrip",
     "error_length_stats",
     "ensemble_mention_counts",
     "quality_docs",
