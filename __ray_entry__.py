@@ -527,9 +527,10 @@ tot AS (SELECT CAST(sum(w) AS DOUBLE) AS n FROM e0)
 SELECT e0.subj, e0.obj, e0.w, ma.n_subj, mb.n_obj,
        ln((CAST(e0.w AS DOUBLE) * tot.n)
           / (CAST(ma.n_subj AS DOUBLE) * CAST(mb.n_obj AS DOUBLE))) AS pmi,
-       ln((CAST(e0.w AS DOUBLE) * tot.n)
-          / (CAST(ma.n_subj AS DOUBLE) * CAST(mb.n_obj AS DOUBLE)))
-         / (-ln(CAST(e0.w AS DOUBLE) / tot.n)) AS npmi
+       CASE WHEN CAST(e0.w AS DOUBLE) = tot.n THEN 1.0
+            ELSE ln((CAST(e0.w AS DOUBLE) * tot.n)
+                    / (CAST(ma.n_subj AS DOUBLE) * CAST(mb.n_obj AS DOUBLE)))
+                 / (-ln(CAST(e0.w AS DOUBLE) / tot.n)) END AS npmi
 FROM e0 JOIN ma USING (subj) JOIN mb USING (obj) CROSS JOIN tot
 """,
         "kg_edge_delta": f"""

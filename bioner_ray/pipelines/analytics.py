@@ -757,7 +757,7 @@ def kg_top_neighbors(sf_dir: str, k: int = 3):
     (stages/rank.py): the shuffle moves ≤ k rows per (block, subj).
     Columns: subj, obj, w, rk."""
     from bioner_ray.stages.rank import top_k_per_group
-    from bioner_ray.stages.shuffle import bucketed_aggregate
+    from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema
 
     def to_pair(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -768,10 +768,13 @@ def kg_top_neighbors(sf_dir: str, k: int = 3):
             }
         )
 
-    collapsed = bucketed_aggregate(
-        kg_edges(sf_dir).map_batches(to_pair, batch_format="pyarrow"),
-        ["subj", "obj"],
-        [("w", "sum")],
+    collapsed = pin_schema(
+        bucketed_aggregate(
+            kg_edges(sf_dir).map_batches(to_pair, batch_format="pyarrow"),
+            ["subj", "obj"],
+            [("w", "sum")],
+        ),
+        pa.schema([("subj", pa.string()), ("obj", pa.string()), ("w", pa.int64())]),
     )
     return top_k_per_group(
         collapsed,
@@ -1244,7 +1247,10 @@ def kg_edge_pmi(sf_dir: str, edges=None):
         for wi, ai, bi in zip(w, na, nb):
             p = math.log((float(wi) * N) / (float(ai) * float(bi)))
             pmi.append(p)
-            npmi.append(p / (-math.log(float(wi) / N)))
+            # w == N ⇒ -ln(w/N) = 0 (one edge carries all the weight,
+            # e.g. a single-edge graph): pin NPMI to 1.0, mirrored in
+            # the DuckDB twin, instead of ZeroDivisionError.
+            npmi.append(1.0 if float(wi) == N else p / (-math.log(float(wi) / N)))
         return t.append_column("pmi", pa.array(pmi, type=pa.float64())).append_column(
             "npmi", pa.array(npmi, type=pa.float64())
         )

@@ -757,7 +757,7 @@ def doc_top_terms(sf_dir: str, k: int = 3):
     df, rk."""
     from bioner_ray.stages.dedup import _join
     from bioner_ray.stages.rank import top_k_per_group
-    from bioner_ray.stages.shuffle import bucketed_aggregate, with_ones
+    from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema, with_ones
     from bioner_ray.stages.textstats import _split_lower
 
     def tok_rows(batch: pa.Table) -> pa.Table:
@@ -774,9 +774,20 @@ def doc_top_terms(sf_dir: str, k: int = 3):
         )
 
     tok = _documents(sf_dir).map_batches(tok_rows, batch_format="pyarrow")
-    tf = bucketed_aggregate(with_ones(tok, "tf"), ["doc_id", "term"], [("tf", "sum")])
-    df = bucketed_aggregate(
-        with_ones(tf.select_columns(["term"]), "df"), ["term"], [("df", "sum")]
+    # Aggregate outputs can contain schema-less empty reduce blocks
+    # (pin_schema contract); pin before select_columns and the join.
+    tf_schema = pa.schema(
+        [("doc_id", pa.int64()), ("term", pa.string()), ("tf", pa.int64())]
+    )
+    tf = pin_schema(
+        bucketed_aggregate(with_ones(tok, "tf"), ["doc_id", "term"], [("tf", "sum")]),
+        tf_schema,
+    )
+    df = pin_schema(
+        bucketed_aggregate(
+            with_ones(tf.select_columns(["term"]), "df"), ["term"], [("df", "sum")]
+        ),
+        pa.schema([("term", pa.string()), ("df", pa.int64())]),
     )
     top = top_k_per_group(
         _join(tf, df, on=("term",)),
@@ -784,7 +795,8 @@ def doc_top_terms(sf_dir: str, k: int = 3):
         order_by=[("tf", "descending"), ("df", "ascending"), ("term", "ascending")],
         k=k,
     )
-    return top.select_columns(["doc_id", "term", "tf", "df", "rk"])
+    out_schema = pa.schema(list(tf_schema) + [("df", pa.int64()), ("rk", pa.int64())])
+    return pin_schema(top, out_schema)
 
 
 def source_quota(sf_dir: str, cap: int = 10):
@@ -795,10 +807,14 @@ def source_quota(sf_dir: str, cap: int = 10):
     source with a billion pages costs the shuffle cap × blocks rows,
     never its full count. Columns: doc_id, source, rk."""
     from bioner_ray.stages.rank import top_k_per_group
+    from bioner_ray.stages.shuffle import pin_schema
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "source"])
     top = top_k_per_group(docs, "source", [("doc_id", "ascending")], cap)
-    return top.select_columns(["doc_id", "source", "rk"])
+    return pin_schema(
+        top,
+        pa.schema([("doc_id", pa.int64()), ("source", pa.string()), ("rk", pa.int64())]),
+    )
 
 
 def upsample_mix(sf_dir: str):

@@ -123,7 +123,24 @@ def ingest_shard(
         num_partitions = max(4, cpus // 4)
 
     new_bands = _band_rows(new_docs_ds, params, id_col, text_col).materialize()
-    old_bands = rd.read_parquet(_bands_dir(store_root))
+    # Idempotent-retry correctness: when this shard is ALREADY in the
+    # store (a prior ingest crashed after the append), reading its own
+    # band rows back as "old" would re-emit every new-new pair through
+    # the cross join too, double-counting n_bands. Read only OTHER
+    # shards' directories — and only committed ones (manifest present;
+    # a torn write from a crashed ingest must not leak partial rows).
+    bands_root = _bands_dir(store_root)
+    old_files = sorted(
+        os.path.join(bands_root, d, f)
+        for d in os.listdir(bands_root)
+        if d != shard_name and os.path.exists(os.path.join(bands_root, d, MANIFEST))
+        for f in os.listdir(os.path.join(bands_root, d))
+        if f.endswith(".parquet")
+    )
+    if old_files:
+        old_bands = rd.read_parquet(old_files)
+    else:
+        old_bands = rd.from_arrow(new_bands.schema().base_schema.empty_table())
 
     # stop-band cap on the OLD side (the side that grows with the
     # corpus): hot-key set is bounded by boilerplate, broadcast once

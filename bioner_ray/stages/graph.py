@@ -256,7 +256,10 @@ def _pagerank_contrib(r, w, ow, damp_num: int, damp_den: int):
     if r.size == 0:
         return np.zeros(0, dtype=np.int64)
     max_prod = int(r.max()) * int(w.max()) * damp_num
-    if max_prod < 2**63:
+    # Both the numerator AND the vectorized denominator must stay in
+    # int64: ow is a per-node out-weight sum, unbounded relative to
+    # w.max — damp_den * ow can overflow on its own.
+    if max_prod < 2**63 and damp_den * int(ow.max()) < 2**63:
         return (damp_num * r * w) // (damp_den * ow)
     return np.array(
         [

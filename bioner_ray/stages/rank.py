@@ -20,6 +20,12 @@ import pyarrow as pa
 
 
 def _local_topk(batch: pa.Table, key_col: str, order_by, k: int, with_rank: bool) -> pa.Table:
+    if batch.num_columns == 0:
+        # Sort-shuffle reduce stages can hand map_groups a schema-less
+        # EMPTY partition (see stages/shuffle.pin_schema); sort_by/select
+        # on a zero-column table raises. Pass the empty block through —
+        # callers that select/join downstream pin_schema the output.
+        return batch
     sort_keys = [(key_col, "ascending")] + list(order_by)
     batch = batch.sort_by(sort_keys)
     keys = batch.column(key_col).to_numpy(zero_copy_only=False)

@@ -176,3 +176,28 @@ def test_write_doc_splits_partitioned(entrymod, tmp_path):
     import os
 
     assert sorted(os.listdir(tmp_path / "splits")) == ["split=test", "split=train", "split=val"]
+
+
+def test_kg_edge_pmi_single_edge_pins_npmi():
+    # w == N (one edge carries the whole graph's weight): -ln(w/N) = 0,
+    # so NPMI is pinned to 1.0 instead of ZeroDivisionError; the DuckDB
+    # twin carries the same CASE pin.
+    import pyarrow as pa
+    import ray.data as rd
+
+    from bioner_ray.pipelines.analytics import kg_edge_pmi
+
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "subj": ["a"],
+                "pred": ["rel"],
+                "obj": ["b"],
+                "weight": pa.array([3], type=pa.int64()),
+            }
+        )
+    )
+    out = kg_edge_pmi(SF_DIR, edges=edges).to_pandas()
+    assert len(out) == 1
+    assert out["pmi"].iloc[0] == 0.0
+    assert out["npmi"].iloc[0] == 1.0

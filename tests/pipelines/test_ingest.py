@@ -75,3 +75,16 @@ class TestIngest:
         # exact clones agree on every band
         for orig, clone in ((0, 100001), (1, 100002), (2, 100003)):
             assert p3[(orig, clone)][0] == 16  # all bands
+
+    def test_reingest_does_not_double_count_in_shard_pairs(self, tmp_path):
+        # Idempotent-retry correctness: re-ingesting a shard that is
+        # ALREADY in the store must return the same pair set with the
+        # same n_bands — the shard's own store rows are excluded from
+        # the old side, so new-new pairs are not emitted twice.
+        docs = rd.read_parquet(SF_DOCS, columns=["doc_id", "text"])
+        store = str(tmp_path / "store")
+        init_store(docs.map_batches(_half(True), batch_format="pyarrow"), store)
+        new = docs.map_batches(_half(False), batch_format="pyarrow")
+        first = _pairs(ingest_shard(new, store, "delta"))
+        again = _pairs(ingest_shard(new, store, "delta"))
+        assert again == first and len(first) > 0

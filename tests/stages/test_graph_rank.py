@@ -235,3 +235,25 @@ def test_reach2_kmv_matches_bruteforce():
         if len(two_hop) >= 8:
             # estimator sanity: within 3x of truth for k=8 (loose bound)
             assert 0.2 < r["est_reach2"] / len(two_hop) < 5.0
+
+
+def test_contrib_denominator_overflow_falls_back():
+    # numerator product fits int64 but damp_den * ow does not: the
+    # vectorized path would silently wrap the denominator — the guard
+    # must route this batch to the big-int fallback
+    r = np.array([1000, 1000], dtype=np.int64)
+    w = np.array([2, 5], dtype=np.int64)
+    ow = np.array([2**61, 2**61 + 7], dtype=np.int64)
+    got = _pagerank_contrib(r, w, ow, 850, 1000)
+    want = [(850 * int(ri) * int(wi)) // (1000 * int(oi)) for ri, wi, oi in zip(r, w, ow)]
+    assert got.tolist() == want
+
+
+def test_local_topk_zero_column_guard():
+    import pyarrow as pa
+
+    from bioner_ray.stages.rank import _local_topk
+
+    empty = pa.table({})
+    out = _local_topk(empty, "k", [("v", "descending")], 2, with_rank=True)
+    assert out.num_rows == 0 and out.num_columns == 0
