@@ -17,7 +17,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
-ENTITY_LIST_SQL = "('customer','table','row','column','vector','key','window','line','part','batch')"
+ENTITY_LIST_SQL = "('customer','table','row','column','vector','key','window','line','part','batch','dup')"
 RELATION_LIST_SQL = "('join','merge','filter','sort','scan','group','hash')"
 #: the degraded-annotator surface set (analytics.PRED_SURFACES) and its
 #: intersection with the gold entity set — the eval-harness oracles.
@@ -59,6 +59,48 @@ trip AS (
 )"""
 
 
+def _walks_sql(length: int = 3, seed: int = 42) -> str:
+    """DuckDB twin of stages/graph.py:hash_walks — the per-step affine
+    mix ``(A_i·h(cur) + B_i·h(nxt) + C_i) mod 2^64`` with the SAME
+    seeded 61-bit constants inlined (HUGEINT products ≤ 2^122 replay
+    numpy's uint64 wrap exactly, the minhash-twin pattern); h(node) =
+    md5-prefix mod 2^61. Chained inner joins drop walks whose current
+    node has no out-edges, exactly as the engine's inner join does."""
+    from bioner_ray.stages.graph import _walk_params
+
+    a, b, c = _walk_params(length, seed=seed)
+    m64 = 18446744073709551616  # 2^64
+    ctes = [
+        f"WITH {_KG_TRIP_CTES}",
+        "e0 AS (SELECT DISTINCT subj, obj FROM trip)",
+        "hn AS (SELECT node, CAST(concat('0x', substr(md5(node), 1, 16)) AS UBIGINT)"
+        " % 2305843009213693952 AS h"
+        " FROM (SELECT subj AS node FROM e0 UNION SELECT obj FROM e0))",
+        "w0 AS (SELECT DISTINCT subj AS start, subj AS cur FROM e0)",
+    ]
+    cols = ["start"]
+    for i in range(1, length + 1):
+        prev = f"w{i - 1}"
+        carried = ", ".join(f"{prev}.{col}" for col in cols)
+        ctes.append(
+            f"c{i} AS (SELECT {carried}, e0.obj AS n{i}, "
+            f"row_number() OVER (PARTITION BY {prev}.start ORDER BY "
+            f"(CAST({int(a[i - 1])} AS HUGEINT) * hc.h"
+            f" + CAST({int(b[i - 1])} AS HUGEINT) * ho.h"
+            f" + {int(c[i - 1])}) % {m64}, e0.obj) AS rn "
+            f"FROM {prev} JOIN e0 ON e0.subj = {prev}.cur "
+            f"JOIN hn hc ON hc.node = {prev}.cur JOIN hn ho ON ho.node = e0.obj)"
+        )
+        cols = cols + [f"n{i}"]
+        ctes.append(
+            f"w{i} AS (SELECT {', '.join(cols)}, n{i} AS cur FROM c{i} WHERE rn = 1)"
+        )
+    return (
+        ",\n".join([ctes[0]] + ctes[1:])
+        + f"\nSELECT {', '.join(cols)} FROM w{length}"
+    )
+
+
 def entry() -> Any:
     """Flagship KG pipeline at sf0.001: read documents parquet → adapt
     to the page shape → segment → gazetteer score (actor pool) → link →
@@ -85,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_node_profiles": an.kg_node_profiles,  # per-entity relation typing signal
         "kg_triangles": an.kg_triangles,      # degree-oriented triangle counting
         "kg_edge_support": an.kg_edge_support,  # per-edge truss support + structural jaccard
+        "kg_edge_wjaccard": an.kg_edge_wjaccard,  # weighted structural jaccard (merge signal)
         "kg_merge_groups": an.kg_merge_groups,  # structural entity-resolution groups
         "kg_reach2": an.kg_reach2,            # 2-hop reach via mergeable KMV sketches
         "kg_truss_edges": an.kg_truss_edges,  # cohesion-pruned graph (support >= k-2)
@@ -104,7 +147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "position_stats": an.position_stats,               # M4 position encoder
         "unknown_words": an.unknown_words,                 # M8 + G1/G2 vocab
         "bioul_map": an.bioul_map,                         # M9 BIOUL→BIO2
-        "datexis_mentions": an.datexis_mentions,           # M7/A2/A4 (rows-only, seeded net)
+        "datexis_mentions": an.datexis_mentions,           # M7/A2/A4 (golden-parquet oracle)
         "doc_shuffle": an.doc_shuffle,                     # O2 (rows-only, seeded)
         "error_samples": an.error_samples,                 # O3 (rows-only, seeded)
         # --- reference operator pipelines ---
@@ -459,6 +502,25 @@ SELECT sup.lo, sup.hi, sup.support, dl.deg AS deg_lo, dh.deg AS deg_hi,
                  / CAST(dl.deg - 1 + dh.deg - 1 - sup.support AS DOUBLE) END AS jaccard
 FROM sup JOIN d dl ON dl.node = sup.lo JOIN d dh ON dh.node = sup.hi
 """,
+        # weighted structural jaccard: integer min/strength sums, ONE
+        # float division (both engines IEEE-exact) — the merge signal
+        # that does not saturate when the graph densifies
+        "kg_edge_wjaccard": f"""
+WITH {_KG_TRIP_CTES},
+spo AS (SELECT subj, pred, obj, CAST(count(*) AS BIGINT) AS c FROM trip GROUP BY subj, pred, obj),
+und AS (SELECT least(subj, obj) AS lo, greatest(subj, obj) AS hi, CAST(sum(c) AS BIGINT) AS w
+        FROM spo WHERE subj <> obj GROUP BY 1, 2),
+adj AS (SELECT lo AS u, hi AS v, w FROM und UNION ALL SELECT hi, lo, w FROM und),
+st AS (SELECT u AS node, CAST(sum(w) AS BIGINT) AS s FROM adj GROUP BY u),
+wd AS (SELECT a.v AS lo, b.v AS hi, CAST(sum(least(a.w, b.w)) AS BIGINT) AS min_sum
+       FROM adj a JOIN adj b ON a.u = b.u AND a.v < b.v GROUP BY 1, 2)
+SELECT und.lo, und.hi, und.w, coalesce(wd.min_sum, 0) AS min_sum, sl.s AS s_lo, sh.s AS s_hi,
+       CASE WHEN sl.s + sh.s - coalesce(wd.min_sum, 0) <= 0 THEN 0.0
+            ELSE CAST(coalesce(wd.min_sum, 0) AS DOUBLE)
+                 / CAST(sl.s + sh.s - coalesce(wd.min_sum, 0) AS DOUBLE) END AS wjaccard
+FROM und LEFT JOIN wd ON wd.lo = und.lo AND wd.hi = und.hi
+JOIN st sl ON sl.node = und.lo JOIN st sh ON sh.node = und.hi
+""",
         # KMV twin of the 2-hop sketch: the exact join is affordable in
         # SQL at test scale; the bottom-64 synopsis + estimator replay
         # the distributed sketch bit-for-bit (mergeability is exact).
@@ -493,26 +555,7 @@ d AS (SELECT subj, pred AS dom_pred, w AS dom_w,
 SELECT a.subj AS node, a.n_preds, a.out_w, d.dom_pred, d.dom_w
 FROM a JOIN d ON a.subj = d.subj AND d.rn = 1
 """,
-        "kg_walks": f"""
-WITH {_KG_TRIP_CTES},
-e0 AS (SELECT DISTINCT subj, obj FROM trip),
-s0 AS (SELECT DISTINCT subj AS start FROM e0),
-c1 AS (SELECT s0.start, e0.obj AS n1,
-              row_number() OVER (PARTITION BY s0.start
-                                 ORDER BY md5(s0.start || '|1|' || e0.obj), e0.obj) AS rn
-       FROM s0 JOIN e0 ON e0.subj = s0.start),
-w1 AS (SELECT start, n1 FROM c1 WHERE rn = 1),
-c2 AS (SELECT w1.start, w1.n1, e0.obj AS n2,
-              row_number() OVER (PARTITION BY w1.start
-                                 ORDER BY md5(w1.n1 || '|2|' || e0.obj), e0.obj) AS rn
-       FROM w1 JOIN e0 ON e0.subj = w1.n1),
-w2 AS (SELECT start, n1, n2 FROM c2 WHERE rn = 1),
-c3 AS (SELECT w2.start, w2.n1, w2.n2, e0.obj AS n3,
-              row_number() OVER (PARTITION BY w2.start
-                                 ORDER BY md5(w2.n2 || '|3|' || e0.obj), e0.obj) AS rn
-       FROM w2 JOIN e0 ON e0.subj = w2.n2)
-SELECT start, n1, n2, n3 FROM c3 WHERE rn = 1
-""",
+        "kg_walks": _walks_sql(),
         # PMI twin: the engine pins its log to libm math.log because
         # numpy's SIMD log differs from DuckDB's ln by 1 ulp; the
         # arithmetic composition (mul, mul, div, ln, div) is identical
@@ -1185,6 +1228,17 @@ SELECT 'purchase', CAST(3 AS BIGINT), CAST((SELECT count(*) FROM s3) AS BIGINT)
     d["jsonl_roundtrip"] = """
 SELECT doc_id, text, lang, source FROM documents
 """
+    # datexis_mentions: the seeded-numpy net is deterministic across
+    # runs and worker counts (verified 2-vs-8-CPU identical by
+    # tools/make_datexis_golden.py, which wrote this parquet) but not
+    # SQL-re-derivable, so the oracle is a GOLDEN expected-output table;
+    # corpus_key (Σ length(text)) picks the current sf's rows — sf0.001
+    # and sf0.01 both have 500 docs, so row count alone can't.
+    d["datexis_mentions"] = """
+SELECT surface, n_mentions
+FROM read_parquet('/root/repo/tests/golden/datexis_mentions.parquet')
+WHERE corpus_key = (SELECT CAST(sum(length(text)) AS BIGINT) FROM documents)
+"""
     d["csv_roundtrip"] = """
 SELECT event_id, user_id, event_type, value FROM events
 """
@@ -1251,14 +1305,14 @@ FROM p JOIN n na ON na.surface = p.a JOIN n nb ON nb.surface = p.b"""
         + d["kg_edge_support"]
         + ") WHERE support >= 2"
     )
-    # structural entity-resolution twin: threshold the support edges,
-    # then a recursive min-label walk over the candidate pairs (the
-    # same walk as dedup_components, on VARCHAR labels)
+    # structural entity-resolution twin: threshold the WEIGHTED-jaccard
+    # edges, then a recursive min-label walk over the candidate pairs
+    # (the same walk as dedup_components, on VARCHAR labels)
     d["kg_merge_groups"] = (
         "WITH RECURSIVE base AS ("
-        + d["kg_edge_support"]
+        + d["kg_edge_wjaccard"]
         + """),
-p2 AS (SELECT lo, hi FROM base WHERE jaccard >= 0.8),
+p2 AS (SELECT lo, hi FROM base WHERE wjaccard >= 0.5),
 ed AS (SELECT lo AS x, hi AS y FROM p2 UNION SELECT hi, lo FROM p2),
 walk(x, label) AS (
   SELECT x, x FROM (SELECT DISTINCT x FROM ed)

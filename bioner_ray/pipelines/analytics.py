@@ -33,8 +33,13 @@ from bioner_ray.schemas import CONCEPTS_SCHEMA, EMBEDDING_DIM
 
 #: gazetteer surface set (entities) and relation lexicon for the
 #: oracle-checkable KG run — disjoint subsets of the testdata vocabulary.
+#: "dup" is the testdata's one RARE word (~5% of docs): it gives the KG
+#: a weakly-linked 11th node, so the structural-merge/publish path has a
+#: non-degenerate case at every scale (the 10 uniform surfaces alone
+#: form a complete K10 that folds into one merge group).
 ENTITY_SURFACES = [
     "customer", "table", "row", "column", "vector", "key", "window", "line", "part", "batch",
+    "dup",
 ]
 RELATION_WORDS = ["join", "merge", "filter", "sort", "scan", "group", "hash"]
 
@@ -401,43 +406,122 @@ def entity_centroids(sf_dir: str):
     )
 
 
-def entity_similarity(sf_dir: str):
+def entity_similarity(
+    sf_dir: str,
+    max_exact_rows: int = 6_400_000,
+    threshold: float = 0.9,
+):
     """Pairwise cosine between entity centroid vectors (the semantic
     merge-candidate signal, complementing alias_groups and
-    kg_merge_groups): dot products run in exact Python/HUGEINT integer
-    arithmetic over the quantized centroid sums of
-    ``entity_centroids``, and the float composition is pinned to
-    ``dot / (sqrt(na) · sqrt(nb))`` — IEEE sqrt is exactly rounded, so
-    DuckDB reproduces the doubles bit-for-bit. The all-pairs form is
-    for curated entity sets (the collected centroid matrix and the
-    O(n²) pair loop are driver finishes, like the vocab rank); at
-    10^6+ entities the same centroid vectors feed the existing scale
-    paths instead — ``knn_topk``'s blocked matmul or
-    ``cosine_dup_pairs``'s hyperplane LSH. Columns: a, b, cosine."""
-    import math
+    kg_merge_groups), SIZE-GATED on the entity axis — the axis that
+    actually grows on a real KG:
 
-    cents = entity_centroids(sf_dir).to_pandas()
-    vecs: dict[str, dict[int, int]] = {}
-    for surface, dim, sq in zip(cents["surface"], cents["dim"], cents["sum_q"]):
-        vecs.setdefault(surface, {})[int(dim)] = int(sq)
-    names = sorted(vecs)
-    norms = {nm: sum(v * v for v in vecs[nm].values()) for nm in names}
-    rows_a, rows_b, cos = [], [], []
-    for i, a in enumerate(names):
-        for b in names[i + 1 :]:
-            va, vb = vecs[a], vecs[b]
-            dot = sum(va[d] * vb.get(d, 0) for d in va)
-            rows_a.append(a)
-            rows_b.append(b)
-            cos.append(
-                float(dot) / (math.sqrt(float(norms[a])) * math.sqrt(float(norms[b])))
-            )
+    * ≤ ``max_exact_rows`` long-form centroid rows (entities × dims —
+      the quantity that actually bounds driver heap) → exact all-pairs:
+      the long-form
+      quantized centroids collect driver-side (bounded by the gate ×
+      dims), the Gram matrix is ONE numpy int64 matmul when the products
+      provably fit int64 (the pagerank big-int guard pattern), else an
+      object-dtype matmul on exact Python ints. Either way the dot is
+      exact integer arithmetic and the float composition is pinned to
+      ``float(dot) / (sqrt(float(na)) · sqrt(float(nb)))`` — int→double
+      is round-to-nearest and IEEE sqrt exactly rounded in numpy and
+      DuckDB alike, so the HUGEINT twin reproduces the doubles
+      bit-for-bit.
+    * above the gate → the scale path: centroids assemble into dense
+      unit vectors per entity (one map_groups, never driver-side) and
+      feed ``cosine_dup_pairs``'s multi-table hyperplane LSH with
+      in-bucket exact verification, returning pairs with cosine ≥
+      ``threshold`` (an all-pairs listing is itself O(n²) output — at
+      scale only the near-duplicate candidates are the useful product).
+      Approximate recall near the threshold; honestly non-replayable,
+      like ``knn_ivf_topk``.
+
+    Columns: a, b, cosine."""
+    cents_ds = entity_centroids(sf_dir)
+    if cents_ds.count() > max_exact_rows:
+        return _entity_similarity_lsh(cents_ds, threshold)
+
+    cents = cents_ds.to_pandas()
+    names = sorted(cents["surface"].unique())
+    idx = {nm: i for i, nm in enumerate(names)}
+    n = len(names)
+    dims = cents["dim"].to_numpy(dtype=np.int64) - 1
+    n_dims = int(dims.max(initial=-1)) + 1
+    m = np.zeros((n, n_dims), dtype=np.int64)
+    rows = cents["surface"].map(idx).to_numpy()
+    m[rows, dims] = cents["sum_q"].to_numpy(dtype=np.int64)
+
+    peak = int(np.abs(m).max(initial=0))
+    if peak and peak * peak * max(n_dims, 1) < 2**63:
+        gram = m @ m.T  # exact: |Σ q_i·q_j| < 2^63 by the guard
+    else:
+        mo = m.astype(object)  # exact Python-int matmul (rare: huge sums)
+        gram = mo @ mo.T
+    norms = np.sqrt(np.diag(gram).astype(np.float64))
+    ii, jj = np.triu_indices(n, k=1)
+    cos = gram[ii, jj].astype(np.float64) / (norms[ii] * norms[jj])
+    names_arr = pa.array(names, type=pa.string())
     return pa.table(
         {
-            "a": pa.array(rows_a, type=pa.string()),
-            "b": pa.array(rows_b, type=pa.string()),
+            "a": names_arr.take(pa.array(ii)),
+            "b": names_arr.take(pa.array(jj)),
             "cosine": pa.array(cos, type=pa.float64()),
         }
+    )
+
+
+def _entity_similarity_lsh(cents_ds, threshold: float):
+    """Scale path for ``entity_similarity``: long-form centroids →
+    dense per-entity vectors (one groupby-assemble, distributed) →
+    ``cosine_dup_pairs`` hyperplane LSH with exact in-bucket cosine."""
+    from bioner_ray.stages.similarity import cosine_dup_pairs
+
+    vec_schema = pa.schema(
+        [("vec_id", pa.string()), ("embedding", pa.list_(pa.float64()))]
+    )
+
+    def assemble(group: pa.Table) -> pa.Table:
+        if group.num_columns == 0 or group.num_rows == 0:
+            return vec_schema.empty_table()
+        surf = group.column("surface").to_pylist()
+        dims = group.column("dim").to_numpy(zero_copy_only=False).astype(np.int64)
+        sums = group.column("sum_q").to_numpy(zero_copy_only=False).astype(np.float64)
+        # every mentioned entity carries ALL dims (the explode emits the
+        # full blob), so the per-group max dim IS the global vector size
+        n_dims = int(dims.max())
+        order = np.lexsort((dims, np.array(surf, dtype=object)))
+        surf_s = np.array(surf, dtype=object)[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], surf_s[1:] != surf_s[:-1]))
+        )
+        vecs, ids = [], []
+        for s, e in zip(starts, np.append(starts[1:], len(surf_s))):
+            v = np.zeros(n_dims, dtype=np.float64)
+            v[dims[order[s:e]] - 1] = sums[order[s:e]]
+            vecs.append(v)
+            ids.append(surf_s[s])
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, type=pa.string()),
+                "embedding": pa.array(vecs, type=pa.list_(pa.float64())),
+            }
+        )
+
+    from bioner_ray.stages.shuffle import pin_schema
+
+    out_schema = pa.schema(
+        [("a", pa.string()), ("b", pa.string()), ("cosine", pa.float64())]
+    )
+    vecs = cents_ds.groupby("surface").map_groups(assemble, batch_format="pyarrow")
+    pairs = cosine_dup_pairs(vecs, threshold=threshold, n_planes=12)
+    return pin_schema(
+        pairs.map_batches(
+            lambda t: t.rename_columns(["a", "b", "cosine"]) if t.num_columns else t,
+            batch_format="pyarrow",
+        ),
+        out_schema,
+        ensure_block=True,  # zero candidate pairs must still carry columns
     )
 
 
@@ -836,21 +920,40 @@ def kg_truss_edges(sf_dir: str, k: int = 4):
     return kg_edge_support(sf_dir).map_batches(keep, batch_format="pyarrow")
 
 
+def kg_edge_wjaccard(sf_dir: str, edges=None):
+    """Per-edge WEIGHTED structural Jaccard of the endpoints' neighbor
+    weight vectors (stages/graph.py edge_weighted_jaccard) — the
+    merge-candidate score that, unlike set Jaccard, does not saturate
+    when the graph densifies at crawl scale: a weakly-linked entity
+    keeps a near-zero score even once every node pair is connected
+    somewhere. Columns: lo, hi, w, min_sum, s_lo, s_hi, wjaccard."""
+    from bioner_ray.stages.graph import edge_weighted_jaccard
+
+    return edge_weighted_jaccard(kg_edges(sf_dir) if edges is None else edges)
+
+
 def kg_merge_groups(
     sf_dir: str,
-    min_jaccard: float = 0.8,
+    min_wjaccard: float = 0.5,
     edges=None,
     driver_max_pairs: int = 2_000_000,
 ):
-    """Structural entity resolution: nodes whose neighbor sets overlap
-    at jaccard ≥ ``min_jaccard`` (per ``kg_edge_support``) are merge
-    candidates; connected components over that candidate graph are the
-    merge groups, represented by the lexicographic-min member — the
-    step that folds "PD-1"/"PD1"-style structural twins the surface
-    normalizer can't see. Under ``driver_max_pairs`` the candidate
-    pairs (bounded by the thresholded edge table) union-find
-    driver-side; above it the DISTRIBUTED path runs: nodes hash to
-    63-bit ids, label propagation finds components
+    """Structural entity resolution: nodes whose neighbor WEIGHT
+    vectors overlap at weighted jaccard ≥ ``min_wjaccard`` (per
+    ``kg_edge_wjaccard``) are merge candidates; connected components
+    over that candidate graph are the merge groups, represented by the
+    lexicographic-min member — the step that folds "PD-1"/"PD1"-style
+    structural twins the surface normalizer can't see. The weighted
+    score is used (not ``kg_edge_support``'s set jaccard) because set
+    overlap saturates to 1.0 for every frequent pair once the graph
+    densifies, folding the whole core into one group; the weighted form
+    keeps weakly-linked entities out at any density. Candidates are
+    ADJACENT pairs (bounded by the edge table — the partitioning
+    assumption this op relies on; non-co-occurring twins need the
+    embedding-side ``entity_similarity`` signal instead). Under
+    ``driver_max_pairs`` the candidate pairs union-find driver-side;
+    above it the DISTRIBUTED path runs: nodes hash to 63-bit ids,
+    label propagation finds components
     (stages/graph.connected_components), and one bucketed aggregate
     takes the min STRING per component — identical output, no driver
     materialization. Columns: node, rep."""
@@ -864,10 +967,10 @@ def kg_merge_groups(
 
     pair_schema = pa.schema([("lo", pa.string()), ("hi", pa.string())])
     pairs_ds = (
-        kg_edge_support(sf_dir, edges=edges)
+        kg_edge_wjaccard(sf_dir, edges=edges)
         .map_batches(
             lambda t: t.select(["lo", "hi"]).filter(
-                pc.greater_equal(t.column("jaccard"), min_jaccard)
+                pc.greater_equal(t.column("wjaccard"), min_wjaccard)
             )
             if t.num_columns
             else pair_schema.empty_table(),
@@ -2403,31 +2506,30 @@ def distinct_users_kmv(sf_dir: str, k: int = 64):
     return kmv_distinct(ev, key_col="event_type", value_col="user_id", k=k)
 
 
-def customers_without_orders(sf_dir: str, num_partitions: int | None = None):
-    """Distributed anti-join — Ray's native ``left_anti`` shuffle join:
-    customers with NO high-value order (o_totalprice > 400000) — the
-    NOT IN / NOT EXISTS shape (docs never linked, urls never fetched).
-    Both sides stream through the hash exchange; no driver-side key
-    set, no broadcast of an unbounded side; the right side is
-    filter-pruned before the shuffle. Columns: c_custkey,
-    c_nationkey."""
+def customers_without_orders(sf_dir: str):
+    """Distributed anti-join: customers with NO high-value order
+    (o_totalprice > 400000) — the NOT IN / NOT EXISTS shape (docs never
+    linked, urls never fetched). Rides the engine's
+    ``bucketed_inner_join(join_type="left anti")``, not Ray's native
+    join — the native hash exchange crashes on empty hash partitions
+    (the hazard ``stages/shuffle.py`` documents), which skew can
+    produce at any scale. Both sides stream through the bucket
+    exchange; no driver-side key set, no broadcast of an unbounded
+    side; the right side is filter-pruned (and column-pruned to the
+    key) before the shuffle. Columns: c_custkey, c_nationkey."""
     import pyarrow.compute as pc
-    import ray
 
-    if num_partitions is None:
-        cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-        num_partitions = max(4, cpus // 4)
+    from bioner_ray.stages.shuffle import bucketed_inner_join
 
+    cust_schema = pa.schema([("c_custkey", pa.int64()), ("c_nationkey", pa.int32())])
+    key_schema = pa.schema([("c_custkey", pa.int64())])
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]).map_batches(
-        lambda t: t.filter(pc.greater(t["o_totalprice"], 400000.0)).select(["o_custkey"]),
+        lambda t: pa.table(
+            {"c_custkey": t.filter(pc.greater(t["o_totalprice"], 400000.0)).column("o_custkey")}
+        ),
         batch_format="pyarrow",
     )
-    return cust.join(
-        orders,
-        join_type="left_anti",
-        num_partitions=num_partitions,
-        on=("c_custkey",),
-        right_on=("o_custkey",),
-        aggregator_ray_remote_args={"num_cpus": 0.25},
+    return bucketed_inner_join(
+        cust, orders, ["c_custkey"], cust_schema, key_schema, join_type="left anti"
     )

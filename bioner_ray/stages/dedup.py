@@ -269,8 +269,9 @@ def _bucketed_pairs(ds, key_col: str, id_col: str, max_group: int = 1024, num_bu
             with np.errstate(over="ignore"):
                 buckets = ((h * np.uint64(2654435761)) % np.uint64(num_buckets)).astype(np.int32)
             return batch.append_column("bucket", pa.array(buckets, type=pa.int32()))
-        keys = col.to_pylist()
-        buckets = [zlib.crc32(str(s).encode()) % num_buckets for s in keys]
+        from bioner_ray.stages.shuffle import hash_strings_u64
+
+        buckets = (hash_strings_u64(col) % np.uint64(num_buckets)).astype(np.int32)
         return batch.append_column("bucket", pa.array(buckets, type=pa.int32()))
 
     def emit(group: pa.Table) -> pa.Table:
@@ -331,7 +332,9 @@ def jaccard_pairs(
             with np.errstate(over="ignore"):
                 buckets = ((h * np.uint64(2654435761)) % np.uint64(num_buckets)).astype(np.int32)
             return batch.append_column("bucket", pa.array(buckets, type=pa.int32()))
-        buckets = [zlib.crc32(str(s).encode()) % num_buckets for s in col.to_pylist()]
+        from bioner_ray.stages.shuffle import hash_strings_u64
+
+        buckets = (hash_strings_u64(col) % np.uint64(num_buckets)).astype(np.int32)
         return batch.append_column("bucket", pa.array(buckets, type=pa.int32()))
 
     def emit(group: pa.Table) -> pa.Table:

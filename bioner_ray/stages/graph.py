@@ -438,34 +438,77 @@ def pagerank(
     return ranks.rename_columns({"r": "rank"})
 
 
+def _walk_params(length: int, seed: int = 42):
+    """Per-step affine-mix constants (A_i, B_i, C_i) in [0, 2^61) —
+    61-bit so the SQL twin's HUGEINT products (≤ 2^122) never overflow
+    int128; inlined verbatim into the twin by ``__ray_entry__``."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    bound = 1 << 61
+    a = rng.integers(1, bound, size=length, dtype=np.uint64)
+    b = rng.integers(1, bound, size=length, dtype=np.uint64)
+    c = rng.integers(0, bound, size=length, dtype=np.uint64)
+    return a, b, c
+
+
+def _node_hash_column(col, memo: dict) -> "np.ndarray":
+    """61-bit md5-derived node hash (first 8 bytes, masked), memoized
+    per distinct string — SQL replay:
+    ``CAST(concat('0x', substr(md5(node), 1, 16)) AS UBIGINT) % 2^61``."""
+    import hashlib
+
+    import numpy as np
+
+    mask = (1 << 61) - 1
+    vals = col.to_pylist()
+    out = np.empty(len(vals), dtype=np.uint64)
+    for i, s in enumerate(vals):
+        h = memo.get(s)
+        if h is None:
+            h = int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big") & mask
+            memo[s] = h
+        out[i] = h
+    return out
+
+
 def hash_walks(
     edges_ds,
     length: int = 3,
     subj_col: str = "subj",
     obj_col: str = "obj",
     num_buckets: int = 256,
+    seed: int = 42,
 ):
     """Deterministic hash-greedy walks over a directed edge table: from
     every node with out-edges, a ``length``-step walk where step i
-    moves to the out-neighbor minimizing ``md5(cur|i|nbr)`` (ties by
-    neighbor id — md5 makes the choice pseudo-random but replayable,
-    in SQL as well as here). The walk-sequence corpus for KG-embedding
-    training, without any RNG state to distribute.
+    moves to the out-neighbor minimizing the 64-bit affine mix
+    ``(A_i·h(cur) + B_i·h(nxt) + C_i) mod 2^64`` (ties by neighbor id)
+    — pseudo-random but RNG-free and SQL-replayable (HUGEINT replays
+    the uint64 wrap, the same family the minhash twin pins). h(node)
+    is a 61-bit md5-derived hash computed ONCE per edge endpoint at
+    edge-table build; the per-step cost is a numpy multiply-add over
+    the candidate batch, not a Python md5 per candidate — the walk
+    corpus generator KG-embedding training reads.
 
-    Per step: ONE ``bucketed_inner_join`` (walk frontier ⋈ edges on the
-    current node) and ONE combiner-pruned per-group top-1
-    (``stages/rank.top_k_per_group`` — ≤ 1 candidate per (block, walk)
-    is shuffled). Walks whose current node has no out-edges are dropped
-    (inner-join semantics: the output is walks that complete all
-    ``length`` steps — chained inner joins in the SQL twin). Columns:
-    start, n1 … n``length``.
+    The walk is MEMORYLESS — step i's choice from node u depends only
+    on (u, i) — so no walk-frontier ⋈ edges join is ever needed: per
+    step, ONE combiner-pruned per-group top-1 over the edge table
+    (``stages/rank.top_k_per_group``, ≤ 1 candidate per (block, node)
+    shuffled) yields a NODE-sized best-next-hop map, and the walks are
+    assembled by chaining ``length − 1`` node-sized bucketed joins.
+    Exchange per step is bounded by nodes × blocks, never edges — the
+    earlier form joined the full edge table once per step. Walks whose
+    current node has no out-edges are dropped (inner-join semantics:
+    the output is walks that complete all ``length`` steps — chained
+    inner joins in the SQL twin). Columns: start, n1 … n``length``.
     """
-    import hashlib
-
     import numpy as np
     import pyarrow.compute as pc
 
     from bioner_ray.stages.rank import top_k_per_group
+
+    pa_a, pa_b, pa_c = _walk_params(length, seed=seed)
 
     def to_pair(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -476,74 +519,92 @@ def hash_walks(
             }
         )
 
-    edge_schema = pa.schema([("cur", pa.string()), ("nxt", pa.string())])
-    edges = pin_schema(
-        bucketed_aggregate(
-            edges_ds.map_batches(to_pair, batch_format="pyarrow"),
-            ["cur", "nxt"],
-            [("one", "min")],
-            num_buckets=num_buckets,
-        ),
-        edge_schema,  # select() drops the ones column
-    ).materialize()
+    dedup_schema = pa.schema([("cur", pa.string()), ("nxt", pa.string())])
 
-    start_schema = pa.schema([("start", pa.string()), ("cur", pa.string())])
-    walks = pin_schema(
-        bucketed_aggregate(
-            edges.map_batches(
-                lambda t: pa.table({"start": t.column("cur"), "cur": t.column("cur")}),
-                batch_format="pyarrow",
+    def add_node_hashes(t: pa.Table) -> pa.Table:
+        memo: dict = {}
+        t = t.append_column("hcur", pa.array(_node_hash_column(t.column("cur"), memo)))
+        return t.append_column(
+            "hnxt", pa.array(_node_hash_column(t.column("nxt"), memo))
+        )
+
+    edges = (
+        pin_schema(
+            bucketed_aggregate(
+                edges_ds.map_batches(to_pair, batch_format="pyarrow"),
+                ["cur", "nxt"],
+                [("one", "min")],
+                num_buckets=num_buckets,
             ),
-            ["start"],
-            [("cur", "min")],
-            num_buckets=num_buckets,
-        ),
-        start_schema,
-    ).materialize()
+            dedup_schema,  # select() drops the ones column
+        )
+        .map_batches(add_node_hashes, batch_format="pyarrow")
+        .materialize()
+    )
 
-    walk_cols = ["start"]
-    walk_schema = start_schema
+    # per step: node-sized argmin map best_i(u) = (u, nxt)
+    best: list = []
     for i in range(1, length + 1):
+        ai, bi, ci = pa_a[i - 1], pa_b[i - 1], pa_c[i - 1]
 
-        def add_hash(t: pa.Table, step=i, cols=tuple(walk_cols)) -> pa.Table:
+        def add_hash(t: pa.Table, ai=ai, bi=bi, ci=ci) -> pa.Table:
             if t.num_columns == 0:
                 return pa.table(
                     {
-                        **{c: pa.array([], type=pa.string()) for c in cols},
                         "cur": pa.array([], type=pa.string()),
                         "nxt": pa.array([], type=pa.string()),
-                        "h": pa.array([], type=pa.string()),
+                        "h": pa.array([], type=pa.uint64()),
                     }
                 )
-            h = [
-                hashlib.md5(f"{c}|{step}|{n}".encode()).hexdigest()
-                for c, n in zip(t.column("cur").to_pylist(), t.column("nxt").to_pylist())
-            ]
-            return t.append_column("h", pa.array(h, type=pa.string()))
+            hc = t.column("hcur").to_numpy(zero_copy_only=False).astype(np.uint64)
+            hn = t.column("hnxt").to_numpy(zero_copy_only=False).astype(np.uint64)
+            with np.errstate(over="ignore"):
+                h = ai * hc + bi * hn + ci  # uint64 wrap == mod 2^64
+            return pa.table(
+                {"cur": t.column("cur"), "nxt": t.column("nxt"), "h": pa.array(h)}
+            )
 
-        cand = bucketed_inner_join(
-            walks, edges, ["cur"], walk_schema, edge_schema, num_buckets=num_buckets
-        ).map_batches(add_hash, batch_format="pyarrow")
         picked = top_k_per_group(
-            cand,
-            key_col="start",
+            edges.map_batches(add_hash, batch_format="pyarrow"),
+            key_col="cur",
             order_by=[("h", "ascending"), ("nxt", "ascending")],
             k=1,
         )
-        walk_cols = walk_cols + [f"n{i}"]
-        walk_schema = pa.schema(
-            [(c, pa.string()) for c in walk_cols] + [("cur", pa.string())]
+        best.append(
+            pin_schema(
+                picked.map_batches(
+                    lambda t: t.select(["cur", "nxt"]) if t.num_columns else t,
+                    batch_format="pyarrow",
+                ),
+                dedup_schema,
+            ).materialize()
         )
 
-        def advance(t: pa.Table, cols=tuple(walk_cols), schema=walk_schema) -> pa.Table:
-            if t.num_columns == 0:
-                return schema.empty_table()
-            data = {c: t.column(c) for c in cols[:-1]}
-            data[cols[-1]] = t.column("nxt")
-            data["cur"] = t.column("nxt")
-            return pa.table(data)
-
-        walks = picked.map_batches(advance, batch_format="pyarrow").materialize()
+    # chain the node-sized maps: walks after step i have columns
+    # start, n1 … n_i; join i+1 attaches best_{i+1} on n_i
+    walks = best[0].map_batches(
+        lambda t: t.rename_columns(["start", "n1"]) if t.num_columns else t,
+        batch_format="pyarrow",
+    )
+    walk_cols = ["start", "n1"]
+    for i in range(2, length + 1):
+        prev = f"n{i - 1}"
+        walk_schema = pa.schema([(c, pa.string()) for c in walk_cols])
+        step_map = best[i - 1].map_batches(
+            lambda t, prev=prev, col=f"n{i}": t.rename_columns([prev, col])
+            if t.num_columns
+            else t,
+            batch_format="pyarrow",
+        )
+        walks = bucketed_inner_join(
+            walks,
+            step_map,
+            [prev],
+            walk_schema,
+            pa.schema([(prev, pa.string()), (f"n{i}", pa.string())]),
+            num_buckets=num_buckets,
+        )
+        walk_cols = walk_cols + [f"n{i}"]
 
     final_schema = pa.schema([(c, pa.string()) for c in walk_cols])
     return pin_schema(walks, final_schema)
@@ -860,6 +921,233 @@ def edge_support(
             pc.divide(pc.cast(t.column("support"), pa.float64()), denom),
         )
         return t.append_column("jaccard", jac)
+
+    return j2.map_batches(finish, batch_format="pyarrow")
+
+
+def edge_weighted_jaccard(
+    edges_ds,
+    subj_col: str = "subj",
+    obj_col: str = "obj",
+    weight_col: str = "weight",
+    num_buckets: int = 256,
+    max_center_degree: int = 8192,
+):
+    """Per-edge WEIGHTED structural Jaccard of the endpoints' neighbor
+    weight vectors over the undirected collapsed graph:
+    (lo, hi, w, min_sum, s_lo, s_hi, wjaccard) with
+
+      min_sum  = Σ_x min(w(lo,x), w(hi,x))       (common neighbors x)
+      wjaccard = min_sum / (s_lo + s_hi − min_sum)
+
+    via the identity Σ_x max(a,b) = S(lo) + S(hi) − Σ_x min(a,b), so
+    only the min-sums and the two strengths are ever exchanged. Unlike
+    set Jaccard (``edge_support``), the weighted form does not saturate
+    when the graph densifies: at crawl scale every frequent entity pair
+    is eventually connected SOMEWHERE, so |N∩|/|N∪| → 1 for everything,
+    while an entity whose links are weak relative to the core keeps a
+    near-zero weighted score — the discriminating structural-merge
+    signal ``kg_merge_groups`` thresholds.
+
+    Shape: undirected collapse + strengths (two bucketed aggregates);
+    min-sum wedges via a coarse-bucket shuffle on the wedge CENTER with
+    in-bucket sorted-run pair emission (numpy triu per run — no per-key
+    Python, the dedup inverted-index pattern); edge restriction +
+    zero-fill by tagging edge rows into the SAME aggregate (no join);
+    two bucketed joins attach the strengths. Wedge count is Σ_x deg(x)²
+    — centers above ``max_center_degree`` are stop-centers, skipped
+    with a logged count (the hub cap, same bounded-blowup contract as
+    the stop-shingle cap; oracle corpora stay far below it).
+    """
+    import logging
+
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from bioner_ray.stages.dedup import _run_pair_indices, _sorted_runs
+
+    log = logging.getLogger(__name__)
+    del log  # _run_pair_indices logs its own cap warnings
+
+    def to_und(batch: pa.Table) -> pa.Table:
+        s = pc.cast(batch.column(subj_col), pa.string())
+        o = pc.cast(batch.column(obj_col), pa.string())
+        w = pc.cast(batch.column(weight_col), pa.int64())
+        keep = pc.not_equal(s, o)
+        s, o, w = s.filter(keep), o.filter(keep), w.filter(keep)
+        return pa.table(
+            {
+                "lo": pc.min_element_wise(s, o),
+                "hi": pc.max_element_wise(s, o),
+                "w": w,
+            }
+        )
+
+    und_schema = pa.schema([("lo", pa.string()), ("hi", pa.string()), ("w", pa.int64())])
+    und = pin_schema(
+        bucketed_aggregate(
+            edges_ds.map_batches(to_und, batch_format="pyarrow"),
+            ["lo", "hi"],
+            [("w", "sum")],
+            num_buckets=num_buckets,
+        ),
+        und_schema,
+    ).materialize()
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        lo = t.column("lo").combine_chunks()
+        hi = t.column("hi").combine_chunks()
+        w = t.column("w").combine_chunks()
+        return pa.table(
+            {
+                "u": pa.chunked_array([lo, hi]).combine_chunks(),
+                "v": pa.chunked_array([hi, lo]).combine_chunks(),
+                "w": pa.chunked_array([w, w]).combine_chunks(),
+            }
+        )
+
+    adj = und.map_batches(both_dirs, batch_format="pyarrow")
+
+    strength_schema = pa.schema([("node", pa.string()), ("s", pa.int64())])
+    strengths = pin_schema(
+        bucketed_aggregate(
+            adj.map_batches(
+                lambda t: pa.table({"node": t.column("u"), "s": t.column("w")}),
+                batch_format="pyarrow",
+            ),
+            ["node"],
+            [("s", "sum")],
+            num_buckets=num_buckets,
+        ),
+        strength_schema,
+    )
+
+    # min-sum wedges: colocate each center's adjacency rows by coarse
+    # bucket, emit per-run neighbor pairs carrying min(w_i, w_j)
+    from bioner_ray.stages.shuffle import hash_strings_u64
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        buckets = (hash_strings_u64(t.column("u")) % np.uint64(num_buckets)).astype(
+            np.int32
+        )
+        return t.append_column("bucket", pa.array(buckets, type=pa.int32()))
+
+    wedge_schema = pa.schema(
+        [
+            ("lo", pa.string()),
+            ("hi", pa.string()),
+            ("w", pa.int64()),
+            ("min_sum", pa.int64()),
+            ("is_edge", pa.int64()),
+        ]
+    )
+
+    def emit(group: pa.Table) -> pa.Table:
+        if group.num_columns == 0:
+            return wedge_schema.empty_table()
+        t, bounds = _sorted_runs(group, "u", "v")
+        ii, jj = _run_pair_indices(bounds, max_center_degree, what="center")
+        if t.num_rows:
+            v = t.column("v").to_numpy(zero_copy_only=False)
+            w = t.column("w").to_numpy(zero_copy_only=False).astype(np.int64)
+        else:
+            v = np.zeros(0, dtype=object)
+            w = np.zeros(0, dtype=np.int64)
+        n = len(ii)
+        return pa.table(
+            {
+                # v sorted ascending within each run ⇒ v[ii] < v[jj]
+                "lo": pa.array(v[ii], type=pa.string()),
+                "hi": pa.array(v[jj], type=pa.string()),
+                "w": pa.array(np.zeros(n, dtype=np.int64)),
+                "min_sum": pa.array(np.minimum(w[ii], w[jj])),
+                "is_edge": pa.array(np.zeros(n, dtype=np.int64)),
+            }
+        )
+
+    wedges = (
+        adj.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(emit, batch_format="pyarrow")
+    )
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "lo": t.column("lo"),
+                "hi": t.column("hi"),
+                "w": t.column("w"),
+                "min_sum": pa.array(np.zeros(n, dtype=np.int64)),
+                "is_edge": pa.array(np.ones(n, dtype=np.int64)),
+            }
+        )
+
+    # one aggregate does edge-restriction (is_edge ≥ 1 filter), zero-fill
+    # (edges with no common neighbor keep min_sum 0) and the min-sum
+    merged = pin_schema(
+        bucketed_aggregate(
+            wedges.union(und.map_batches(edge_rows, batch_format="pyarrow")),
+            ["lo", "hi"],
+            [("w", "sum"), ("min_sum", "sum"), ("is_edge", "sum")],
+            num_buckets=num_buckets,
+        ),
+        wedge_schema,
+    ).map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("is_edge"), 1)).drop_columns(
+            ["is_edge"]
+        ),
+        batch_format="pyarrow",
+    )
+
+    base_schema = pa.schema(
+        [("lo", pa.string()), ("hi", pa.string()), ("w", pa.int64()), ("min_sum", pa.int64())]
+    )
+    j1 = bucketed_inner_join(
+        merged,
+        strengths.map_batches(
+            lambda t: t.rename_columns(["lo", "s_lo"]) if t.num_columns else t,
+            batch_format="pyarrow",
+        ),
+        ["lo"],
+        base_schema,
+        pa.schema([("lo", pa.string()), ("s_lo", pa.int64())]),
+        num_buckets=num_buckets,
+    )
+    j2 = bucketed_inner_join(
+        j1,
+        strengths.map_batches(
+            lambda t: t.rename_columns(["hi", "s_hi"]) if t.num_columns else t,
+            batch_format="pyarrow",
+        ),
+        ["hi"],
+        base_schema.append(pa.field("s_lo", pa.int64())),
+        pa.schema([("hi", pa.string()), ("s_hi", pa.int64())]),
+        num_buckets=num_buckets,
+    )
+
+    out_schema = (
+        base_schema.append(pa.field("s_lo", pa.int64()))
+        .append(pa.field("s_hi", pa.int64()))
+        .append(pa.field("wjaccard", pa.float64()))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return out_schema.empty_table()
+        denom_i = pc.subtract(
+            pc.add(t.column("s_lo"), t.column("s_hi")), t.column("min_sum")
+        )
+        # denominator ≥ s_hi + w > 0 for any edge; guard anyway with the
+        # same 0.0 pin as edge_support so both engines agree on junk
+        zero = pc.less_equal(denom_i, 0)
+        denom = pc.cast(pc.if_else(zero, 1, denom_i), pa.float64())
+        wj = pc.if_else(
+            zero,
+            pa.scalar(0.0),
+            pc.divide(pc.cast(t.column("min_sum"), pa.float64()), denom),
+        )
+        return t.append_column("wjaccard", wj)
 
     return j2.map_batches(finish, batch_format="pyarrow")
 

@@ -35,9 +35,36 @@ _FNV = np.uint64(1099511628211)
 _OPS = {"sum", "min", "max"}
 
 
+def hash_strings_u64(col) -> np.ndarray:
+    """Vectorized 64-bit hash of a string column/array — ONE C call
+    (polars/xxhash, ~4× the crc32 Python generator this replaces).
+
+    Bucket ids are partitioning-only: every caller drops them before
+    any result column, so the only contract is determinism across
+    processes WITHIN a run — polars' fixed-seed hash is stable for a
+    given polars version, and every worker in a cluster runs the same
+    image. Falls back to the original crc32 loop when polars is absent
+    or the column isn't a plain string type."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    try:
+        import polars as pl
+    except ImportError:
+        pl = None
+    if pl is not None and (
+        pa.types.is_string(col.type) or pa.types.is_large_string(col.type)
+    ):
+        return pl.from_arrow(col).hash(seed=0).to_numpy().astype(np.uint64)
+    return np.fromiter(
+        (zlib.crc32(str(x).encode()) for x in col.to_pylist()),
+        dtype=np.uint64,
+        count=len(col),
+    )
+
+
 def _bucket_column(batch: pa.Table, keys: list[str], num_buckets: int) -> pa.Array:
     """Deterministic, process-independent bucket id per row (numpy mix
-    for integer keys, crc32 for strings)."""
+    for integer keys, vectorized xxhash for strings)."""
     acc = np.zeros(batch.num_rows, dtype=np.uint64)
     with np.errstate(over="ignore"):
         for k in keys:
@@ -45,11 +72,7 @@ def _bucket_column(batch: pa.Table, keys: list[str], num_buckets: int) -> pa.Arr
             if pa.types.is_integer(col.type):
                 v = col.to_numpy(zero_copy_only=False).astype(np.uint64)
             else:
-                v = np.fromiter(
-                    (zlib.crc32(str(x).encode()) for x in col.to_pylist()),
-                    dtype=np.uint64,
-                    count=batch.num_rows,
-                )
+                v = hash_strings_u64(col)
             acc = acc * _FNV + v
     return pa.array((acc % np.uint64(num_buckets)).astype(np.int32))
 
@@ -101,8 +124,10 @@ def bucketed_inner_join(
     right_schema: pa.Schema,
     num_buckets: int = 256,
     batch_size: int = 65536,
+    join_type: str = "inner",
 ):
-    """Empty-partition-proof distributed inner hash join.
+    """Empty-partition-proof distributed hash join (``inner`` or
+    ``left anti``).
 
     Ray's native ``Dataset.join`` (2.49) crashes whenever a hash
     partition receives zero rows on either side: the aggregator builds
@@ -114,7 +139,14 @@ def bucketed_inner_join(
     key columns (fixed cardinality — a hot key shares its bucket), and
     each bucket runs pyarrow's C-speed ``Table.join`` locally. Typed
     zero-ROW sides inside a bucket are fine; zero-column tables never
-    reach the join. Non-key column names must be disjoint."""
+    reach the join. Non-key column names must be disjoint.
+
+    ``join_type="left anti"`` emits the left rows with NO key match on
+    the right (left columns only) — the same bucketing makes this
+    correct: a key's rows from both sides always land in the same
+    bucket, so a local anti join per bucket is globally exact."""
+    if join_type not in ("inner", "left anti"):
+        raise ValueError(f"unsupported join_type: {join_type}")
     lcols = [f.name for f in left_schema]
     rcols = [f.name for f in right_schema]
     rval = [c for c in rcols if c not in keys]
@@ -152,13 +184,16 @@ def bucketed_inner_join(
         import pyarrow.compute as pc
 
         lt = g.filter(pc.equal(side, 0)).select(lcols)
+        if join_type == "left anti":
+            rt = g.filter(pc.equal(side, 1)).select(keys)
+            return lt.join(rt, keys=keys, join_type="left anti")
         rt = g.filter(pc.equal(side, 1)).select(keys + rval)
         return lt.join(rt, keys=keys, join_type="inner")
 
     return u.groupby("_bucket").map_groups(final, batch_format="pyarrow")
 
 
-def pin_schema(ds, schema: pa.Schema):
+def pin_schema(ds, schema: pa.Schema, ensure_block: bool = False):
     """Cast every block to ``schema``, turning the sort-shuffle's
     schema-less EMPTY reduce partitions into typed empty tables.
 
@@ -167,14 +202,25 @@ def pin_schema(ds, schema: pa.Schema):
     if any left-side block is a zero-column empty table, which is
     exactly what an empty reduce partition looks like at toy scale
     (at production density every partition holds data and this is a
-    zero-cost cast)."""
+    zero-cost cast).
+
+    ``ensure_block=True`` additionally unions one typed EMPTY block in,
+    for pipelines whose upstream can legitimately produce ZERO blocks
+    (e.g. a groupby over an empty candidate set): map_batches over zero
+    blocks never runs, so a cast alone can't give the empty result a
+    schema."""
 
     def fn(t: pa.Table) -> pa.Table:
         if t.num_columns == 0:
             return schema.empty_table()
         return t.select(schema.names).cast(schema)
 
-    return ds.map_batches(fn, batch_format="pyarrow")
+    out = ds.map_batches(fn, batch_format="pyarrow")
+    if ensure_block:
+        import ray.data as rd
+
+        out = out.union(rd.from_arrow(schema.empty_table()))
+    return out
 
 
 def quiet_empty_bundle_warnings() -> None:

@@ -32,6 +32,17 @@ def _normalize_rows(m: np.ndarray) -> np.ndarray:
     return m / norms
 
 
+def _ids_np(col) -> tuple[np.ndarray, pa.DataType]:
+    """Id column → numpy array + the Arrow type to emit pairs with:
+    int64 for integer ids, object (python str) for string ids — so the
+    pair emitters work for doc ids and entity surfaces alike."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+        return np.asarray(col.to_pylist(), dtype=object), pa.string()
+    return np.asarray(col.to_pylist(), dtype=np.int64), pa.int64()
+
+
 def _batch_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
     col = batch.column(vec_col)
     if isinstance(col, pa.ChunkedArray):
@@ -338,20 +349,20 @@ def cosine_dup_pairs(
         # results positionally would mis-attribute vectors to ids.
         df = ds.select_columns([id_col, vec_col]).to_pandas()
         full = _normalize_rows(np.asarray(df[vec_col].tolist(), dtype=np.float64))
-        all_ids = np.asarray(df[id_col].tolist(), dtype=np.int64)
+        all_ids, id_type = _ids_np(pa.array(df[id_col]))
         ref = ray.put((full, all_ids))
 
         def block_pairs(batch: pa.Table) -> pa.Table:
             fm, fids = ray.get(ref)
             m = _normalize_rows(_batch_matrix(batch, vec_col))
-            ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+            ids, _ = _ids_np(batch.column(id_col))
             sims = m @ fm.T  # (B, N)
             rows, cols = np.nonzero(sims >= threshold)
             keep = ids[rows] < fids[cols]  # a < b, also drops self-pairs
             return pa.table(
                 {
-                    "a": pa.array(ids[rows][keep], type=pa.int64()),
-                    "b": pa.array(fids[cols][keep], type=pa.int64()),
+                    "a": pa.array(ids[rows][keep], type=id_type),
+                    "b": pa.array(fids[cols][keep], type=id_type),
                     "cosine": pa.array(sims[rows, cols][keep], type=pa.float64()),
                 }
             )
@@ -393,15 +404,15 @@ def cosine_dup_pairs(
         m = _normalize_rows(
             np.asarray(group.column(vec_col).to_pylist(), dtype=np.float64)
         )
-        ids = np.asarray(group.column(id_col).to_pylist(), dtype=np.int64)
+        ids, id_type = _ids_np(group.column(id_col))
         order = np.argsort(ids)
         m, ids = m[order], ids[order]
         sims = m @ m.T
         rows, cols = np.nonzero(np.triu(sims >= threshold, k=1))
         return pa.table(
             {
-                "a": pa.array(ids[rows], type=pa.int64()),
-                "b": pa.array(ids[cols], type=pa.int64()),
+                "a": pa.array(ids[rows], type=id_type),
+                "b": pa.array(ids[cols], type=id_type),
                 "cosine": pa.array(sims[rows, cols], type=pa.float64()),
             }
         )

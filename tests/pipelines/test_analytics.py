@@ -87,6 +87,7 @@ SQL_CHECKED = [
     "kg_node_profiles",
     "kg_triangles",
     "kg_edge_support",
+    "kg_edge_wjaccard",
     "kg_merge_groups",
     "kg_reach2",
     "kg_truss_edges",
@@ -99,12 +100,12 @@ SQL_CHECKED = [
     "entity_similarity",
     "doc_entity_density",
     "kg_edges_pruned",
+    "datexis_mentions",
 ]
 
 ROWS_ONLY = [
     "knn_ivf_topk",
     "encoding_stats",
-    "datexis_mentions",
     "media_features",
 ]
 
@@ -176,6 +177,67 @@ def test_write_doc_splits_partitioned(entrymod, tmp_path):
     import os
 
     assert sorted(os.listdir(tmp_path / "splits")) == ["split=test", "split=train", "split=val"]
+
+
+def test_entity_similarity_lsh_path_matches_exact_above_threshold(entrymod):
+    # Force the scale path (max_exact_rows=0 → hyperplane LSH over
+    # string-keyed entity vectors). On the sfX corpus no cosine reaches
+    # 0.9 (max ≈ 0.84), so the honest assertions are: schema survives
+    # the empty result, and any emitted pair carries the exact cosine.
+    from bioner_ray.pipelines.analytics import entity_similarity
+
+    exact = _to_pandas(entity_similarity(SF_DIR)).set_index(["a", "b"])["cosine"]
+    lsh_ds = entity_similarity(SF_DIR, max_exact_rows=0, threshold=0.9)
+    # Ray's to_pandas drops columns from a fully-empty dataset, so the
+    # schema contract is asserted on the Dataset itself.
+    assert set(lsh_ds.schema().names) == {"a", "b", "cosine"}
+    lsh = _to_pandas(lsh_ds)
+    for a, b, c in zip(lsh.get("a", []), lsh.get("b", []), lsh.get("cosine", [])):
+        assert isinstance(a, str) and a < b and c >= 0.9
+        np.testing.assert_allclose(c, exact.loc[(a, b)], rtol=1e-12)
+
+
+def test_entity_similarity_lsh_recalls_twin_pair(tmp_path):
+    # Crafted corpus: "table" and "row" co-occur in the SAME docs →
+    # identical centroids → cosine exactly 1.0, which 8 LSH tables
+    # recall with probability 1 (all sign patterns agree); "key" lives
+    # in unrelated docs and must not pair with them at 0.99.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bioner_ray.pipelines.analytics import entity_similarity
+
+    rng = np.random.default_rng(7)
+    texts = ["table join row"] * 20 + ["key scan"] * 20
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(40), type=pa.int64()),
+                "text": pa.array(texts, type=pa.string()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(40), type=pa.int64()),
+                "embedding": pa.array(
+                    [list(rng.normal(size=16)) for _ in range(40)],
+                    type=pa.list_(pa.float32()),
+                ),
+            }
+        ),
+        tmp_path / "embeddings.parquet",
+    )
+    lsh = _to_pandas(
+        entity_similarity(str(tmp_path), max_exact_rows=0, threshold=0.99)
+    )
+    pairs = set(zip(lsh["a"], lsh["b"]))
+    assert ("row", "table") in pairs
+    got = lsh.set_index(["a", "b"])["cosine"].loc[("row", "table")]
+    np.testing.assert_allclose(got, 1.0, rtol=1e-12)
+    assert all({a, b} <= {"row", "table"} for a, b in pairs)
 
 
 def test_kg_edge_pmi_single_edge_pins_npmi():

