@@ -445,23 +445,33 @@ def repetition_stats(sf_dir: str):
 
 
 def media_features(sf_dir: str, side: int = 16):
-    """Multimodal plumbing driven end-to-end from the driver tables:
-    each document's utf-8 bytes become an opaque binary payload with
-    typed (width, height) metadata, decoded + pooled to a feature
-    vector on the image actor pool (deterministic fake codec; real
-    PIL/torchvision is the import-gated seam). Rows-only check — the
-    fake codec is not SQL-expressible. Columns: media_id, feat_norm,
-    decoded_width, decoded_height."""
-    import pyarrow.compute as pc
+    """Multimodal pipeline driven end-to-end from the driver tables
+    through a REAL image codec: each document's utf-8 bytes are encoded
+    as a binary PGM payload (pad/truncate to side×side — a genuine
+    netpbm file, not a reshape), then decoded + pooled to a feature
+    vector on the image actor pool with ``decoder="auto"`` (the pure-
+    numpy PGM/PPM/BMP parser in ``functions/codecs.py``; compressed
+    formats remain the import-gated PIL seam). Rows-only check — the
+    pooled random projection is not SQL-expressible. Columns:
+    media_id, feat_norm, decoded_width, decoded_height."""
+    import numpy as np
 
+    from bioner_ray.functions.codecs import encode_pgm
     from bioner_ray.stages.multimodal import image_feature_stage
 
     def to_media(t: pa.Table) -> pa.Table:
         n = t.num_rows
+        need = side * side
+        payloads = []
+        for s in t.column("text").to_pylist():
+            raw = np.frombuffer((s or "").encode()[:need], dtype=np.uint8)
+            if raw.size < need:
+                raw = np.pad(raw, (0, need - raw.size))
+            payloads.append(encode_pgm(raw.reshape(side, side)))
         return pa.table(
             {
                 "media_id": t.column("doc_id"),
-                "payload": t.column("text").cast(pa.binary()),
+                "payload": pa.array(payloads, type=pa.binary()),
                 "width": pa.array([side] * n, type=pa.int32()),
                 "height": pa.array([side] * n, type=pa.int32()),
             }
@@ -484,7 +494,9 @@ def media_features(sf_dir: str, side: int = 16):
             }
         )
 
-    return image_feature_stage(media).map_batches(norm, batch_format="pyarrow")
+    return image_feature_stage(media, decoder="auto").map_batches(
+        norm, batch_format="pyarrow"
+    )
 
 
 def quality_docs(sf_dir: str, min_tokens: int = 20, min_ttr: float = 0.3):

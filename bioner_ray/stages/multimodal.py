@@ -7,11 +7,19 @@ Decode / feature-extract / resize / frame-sample are actor-pool
 ``map_batches`` stages: codec state (in a real deployment: PIL/ffmpeg
 handles, a feature model) is built ONCE per actor in ``__init__``.
 
-The container has no image/audio libraries, so the *codec* step is
-stubbed: ``decoder="real"`` raises NotImplementedError at actor
-construction; the default ``decoder="fake"`` is a deterministic
-byte-derived decoder so every piece of Ray-side plumbing — schema,
-batch sizing, actor signature, output layout — is real and tested.
+Three decoder tiers per stage:
+
+- ``"auto"`` — REAL uncompressed formats parsed in pure numpy
+  (``functions/codecs.py``): binary PGM/PPM + BMP images, RIFF/WAVE
+  PCM audio, YUV4MPEG2 video. Genuine byte-format codecs, no
+  external libraries, bit-exact round-trips under test.
+- ``"real"``/``"pil"`` — the import-gated seam for COMPRESSED formats
+  (JPEG/PNG via PIL, MP4 via ffmpeg, FLAC via soundfile): those wheels
+  are absent from this container, so construction raises the STUB
+  error; drop the lib in and the seam activates.
+- ``"fake"`` (default) — deterministic byte-reshape stand-in for
+  plumbing tests and payloads in no particular format.
+
 Batch sizes default small: payload rows are MBs, and a batch ×
 concurrency must fit a worker heap (SURVEY.md §4 memory row).
 """
@@ -44,15 +52,39 @@ IMAGE_FEATURES_SCHEMA = pa.schema(
 )
 
 
-def make_media_fixture(n: int = 32, kind: str = "image", seed: int = 42) -> pa.Table:
-    """Deterministic synthetic media table (payload = seeded bytes)."""
+def make_media_fixture(
+    n: int = 32, kind: str = "image", seed: int = 42, codec: str = "raw"
+) -> pa.Table:
+    """Deterministic synthetic media table. ``codec="raw"`` payloads
+    are seeded bytes (for the fake decoder); ``"pgm"``/``"ppm"``/
+    ``"bmp"`` (images), ``"wav"`` (audio) and ``"y4m"`` (video) encode
+    REAL byte formats via ``functions/codecs.py`` for the auto
+    decoders."""
+    from bioner_ray.functions import codecs
+
     rng = np.random.default_rng(seed)
     ids, kinds, payloads, ws, hs, fs = [], [], [], [], [], []
     for i in range(n):
         w = int(rng.integers(8, 33))
         h = int(rng.integers(8, 33))
         frames = 1 if kind == "image" else int(rng.integers(2, 9))
-        payloads.append(rng.integers(0, 256, size=w * h * frames, dtype=np.uint8).tobytes())
+        if codec == "raw":
+            payload = rng.integers(0, 256, size=w * h * frames, dtype=np.uint8).tobytes()
+        elif codec == "pgm":
+            payload = codecs.encode_pgm(rng.integers(0, 256, (h, w), dtype=np.uint8))
+        elif codec == "ppm":
+            payload = codecs.encode_ppm(rng.integers(0, 256, (h, w, 3), dtype=np.uint8))
+        elif codec == "bmp":
+            payload = codecs.encode_bmp(rng.integers(0, 256, (h, w, 3), dtype=np.uint8))
+        elif codec == "wav":
+            payload = codecs.encode_wav(
+                rng.integers(-(2**15), 2**15, size=w * h * frames, dtype=np.int64).astype(np.int16)
+            )
+        elif codec == "y4m":
+            payload = codecs.encode_y4m(rng.integers(0, 256, (frames, h, w), dtype=np.uint8))
+        else:
+            raise ValueError(f"unknown fixture codec: {codec}")
+        payloads.append(payload)
         ids.append(i)
         kinds.append(kind)
         ws.append(w)
@@ -85,22 +117,47 @@ class ImageFeatureExtractor:
 
     ``__init__`` builds the codec + "model" once per actor (the A1
     pattern, fasttext_encoder.py:14-15); ``__call__`` handles one Arrow
-    batch. ``decoder="real"`` is the seam where PIL/torchvision would
-    load — NotImplementedError here because the libs aren't in this
-    container.
+    batch. Decoders:
+
+    - ``"auto"`` — REAL byte-format codecs (binary PGM/PPM, 24/32-bit
+      BMP) parsed in pure numpy (``functions/codecs.py``); decoded dims
+      come from the payload itself, RGB collapses to BT.601 luma.
+    - ``"pil"`` (alias ``"real"``) — the import-gated seam for
+      compressed formats (JPEG/PNG); PIL is absent from this container
+      so construction raises the STUB error.
+    - ``"fake"`` (default) — deterministic byte-reshape stand-in, kept
+      for plumbing tests and payloads that aren't in any real format.
     """
 
     def __init__(self, decoder: str = "fake", target: int = 8, feature_dim: int = 16, seed: int = 7):
-        if decoder == "real":
-            raise NotImplementedError(
-                "real image codecs (PIL/torchvision) are not available in this "
-                "container; use decoder='fake' (deterministic byte decoder)"
-            )
-        if decoder != "fake":
+        if decoder in ("real", "pil"):
+            try:
+                import PIL.Image  # noqa: F401
+            except ImportError as e:
+                raise NotImplementedError(
+                    "STUB: PIL is not installed in this container; compressed "
+                    "image formats need it. Use decoder='auto' (real PGM/PPM/"
+                    "BMP numpy codecs) or 'fake' (byte reshape)."
+                ) from e
+        elif decoder not in ("fake", "auto"):
             raise ValueError(f"unknown decoder: {decoder}")
+        self.decoder = decoder
         self.target = target
         rng = np.random.default_rng(seed)
         self.proj = rng.normal(size=(target * target, feature_dim)).astype(np.float32)
+
+    def _decode(self, payload: bytes, width: int, height: int) -> np.ndarray:
+        if self.decoder == "auto":
+            from bioner_ray.functions.codecs import decode_image
+
+            return decode_image(payload)
+        if self.decoder in ("real", "pil"):
+            import PIL.Image
+            from io import BytesIO
+
+            img = np.asarray(PIL.Image.open(BytesIO(payload)).convert("L"))
+            return img
+        return _fake_decode(payload or b"", width, height)
 
     def _resize(self, img: np.ndarray) -> np.ndarray:
         """Mean-pool resize to (target, target) — vectorized bincount."""
@@ -121,11 +178,11 @@ class ImageFeatureExtractor:
         hs = batch.column("height").to_pylist()
         feats, dws, dhs = [], [], []
         for p, w, h in zip(payloads, ws, hs):
-            img = _fake_decode(p or b"", w, h)
+            img = self._decode(p or b"", w, h)
             pooled = self._resize(img)
             feats.append((pooled @ self.proj).tolist())
-            dws.append(w)
-            dhs.append(h)
+            dhs.append(img.shape[0])
+            dws.append(img.shape[1])
         return pa.table(
             {
                 "media_id": ids,
@@ -150,16 +207,29 @@ def image_feature_stage(ds, concurrency: int | tuple[int, int] = 2, batch_size: 
 
 class FrameSampler:
     """Actor-pool callable: video payload → every ``stride``-th frame as
-    its own media row (flat_map-shaped expansion inside map_batches)."""
+    its own media row (flat_map-shaped expansion inside map_batches).
+
+    ``decoder="auto"`` parses REAL YUV4MPEG2 streams (Cmono/C420 luma,
+    ``functions/codecs.py``) and emits each sampled frame as a binary
+    PGM payload — a real format the image stage's auto decoder reads
+    directly. ``decoder="real"`` stays the import-gated ffmpeg/pyav
+    seam for compressed video; ``"fake"`` slices raw bytes by the
+    metadata dims."""
 
     def __init__(self, decoder: str = "fake", stride: int = 2):
         if decoder == "real":
             raise NotImplementedError(
-                "real video codecs (ffmpeg/pyav) are not available in this container"
+                "STUB: real video codecs (ffmpeg/pyav) are not available in "
+                "this container; use decoder='auto' (Y4M numpy codec) or 'fake'"
             )
+        if decoder not in ("fake", "auto"):
+            raise ValueError(f"unknown decoder: {decoder}")
+        self.decoder = decoder
         self.stride = stride
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from bioner_ray.functions.codecs import decode_y4m, encode_pgm
+
         ids_out, frame_ids, payloads_out, ws_out, hs_out = [], [], [], [], []
         for mid, payload, w, h, nf in zip(
             batch.column("media_id").to_pylist(),
@@ -168,6 +238,15 @@ class FrameSampler:
             batch.column("height").to_pylist(),
             batch.column("n_frames").to_pylist(),
         ):
+            if self.decoder == "auto":
+                frames = decode_y4m(payload or b"")
+                for fi in range(0, len(frames), self.stride):
+                    ids_out.append(mid)
+                    frame_ids.append(fi)
+                    payloads_out.append(encode_pgm(frames[fi]))
+                    hs_out.append(frames.shape[1])
+                    ws_out.append(frames.shape[2])
+                continue
             frame_bytes = w * h
             for fi in range(0, nf, self.stride):
                 chunk = (payload or b"")[fi * frame_bytes : (fi + 1) * frame_bytes]
@@ -188,10 +267,10 @@ class FrameSampler:
 
 
 def frame_sample_stage(ds, stride: int = 2, concurrency: int | tuple[int, int] = 2,
-                       batch_size: int = 8):
+                       batch_size: int = 8, **sampler_kwargs):
     return ds.map_batches(
         FrameSampler,
-        fn_constructor_kwargs={"stride": stride},
+        fn_constructor_kwargs={"stride": stride, **sampler_kwargs},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
@@ -212,21 +291,33 @@ class AudioFeatureExtractor:
     """Actor-pool callable: audio payload → windowed RMS + zero-crossing
     features (the MFCC-shaped plumbing with the codec stubbed).
 
-    ``decoder="real"`` (soundfile/librosa) raises NotImplementedError —
-    those wheels are absent here; ``decoder="fake"`` interprets the
-    payload bytes as int8 PCM samples, deterministically. Feature
-    extraction itself (windowed reduce over the waveform) is real numpy
-    and identical for both decoders.
+    ``decoder="auto"`` parses REAL RIFF/WAVE PCM (8/16-bit, any channel
+    count — channels average to mono) via ``functions/codecs.py``;
+    ``decoder="real"`` (soundfile/librosa, compressed formats) raises
+    NotImplementedError — those wheels are absent here;
+    ``decoder="fake"`` interprets the payload bytes as int8 PCM
+    samples, deterministically. Feature extraction itself (windowed
+    reduce over the waveform) is real numpy and identical for all
+    decoders.
     """
 
     def __init__(self, decoder: str = "fake", window: int = 256):
         if decoder == "real":
             raise NotImplementedError(
-                "real audio codecs (soundfile/librosa) are not available in this container"
+                "STUB: real audio codecs (soundfile/librosa) are not available "
+                "in this container; use decoder='auto' (WAV numpy codec) or 'fake'"
             )
+        if decoder not in ("fake", "auto"):
+            raise ValueError(f"unknown decoder: {decoder}")
+        self.decoder = decoder
         self.window = window
 
     def _decode(self, payload: bytes) -> np.ndarray:
+        if self.decoder == "auto":
+            from bioner_ray.functions.codecs import decode_wav
+
+            samples, _rate = decode_wav(payload or b"")
+            return (samples.astype(np.float32) / 32768.0).mean(axis=1)
         return np.frombuffer(payload or b"", dtype=np.int8).astype(np.float32) / 128.0
 
     def __call__(self, batch: pa.Table) -> pa.Table:

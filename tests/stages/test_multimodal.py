@@ -58,6 +58,82 @@ class TestFrameSampler:
             assert all(len(p) == w * h for p in grp.payload)
 
 
+class TestAutoDecoders:
+    """The REAL codec tier: auto decoders parse genuine byte formats
+    (PGM/PPM/BMP, WAV, Y4M) through the same actor-pool stages."""
+
+    @pytest.mark.parametrize("codec", ["pgm", "ppm", "bmp"])
+    def test_image_auto_decodes_real_formats(self, codec):
+        from bioner_ray.functions.codecs import decode_image
+
+        tbl = make_media_fixture(8, codec=codec)
+        ds = rd.from_arrow(tbl)
+        out = image_feature_stage(ds, decoder="auto", concurrency=(1, 2)).to_pandas()
+        assert len(out) == 8
+        # decoded dims come from the payload, and must equal the fixture metadata
+        src = tbl.to_pandas().set_index("media_id")
+        for _, r in out.iterrows():
+            assert r.decoded_width == src.loc[r.media_id].width
+            assert r.decoded_height == src.loc[r.media_id].height
+        # the auto feature differs from fake on the same table UNLESS the
+        # decoded gray equals the raw byte reshape (only true for pgm,
+        # whose raster IS the pixels)
+        direct = ImageFeatureExtractor(decoder="auto")(tbl.slice(0, 1))
+        gray = decode_image(tbl.column("payload")[0].as_py())
+        assert gray.shape == (
+            src.iloc[0].height,
+            src.iloc[0].width,
+        )
+        assert len(direct.column("feature")[0]) == 16
+
+    def test_image_auto_rejects_junk(self):
+        with pytest.raises(Exception, match="unsupported image payload"):
+            ImageFeatureExtractor(decoder="auto")(make_media_fixture(1, codec="raw"))
+
+    def test_audio_auto_decodes_wav(self):
+        from bioner_ray.stages.multimodal import AudioFeatureExtractor, audio_feature_stage
+
+        tbl = make_media_fixture(6, kind="audio", codec="wav", seed=5)
+        out = audio_feature_stage(
+            rd.from_arrow(tbl), decoder="auto", window=64, concurrency=(1, 2)
+        ).to_pandas()
+        assert len(out) == 6
+        assert (out.n_windows > 0).all()
+        # mono averaging + /32768 scaling: recompute row 0 by hand
+        from bioner_ray.functions.codecs import decode_wav
+
+        samples, _ = decode_wav(tbl.column("payload")[0].as_py())
+        wave = (samples.astype(np.float32) / 32768.0).mean(axis=1)
+        n = len(wave) // 64
+        want_rms = np.sqrt((wave[: n * 64].reshape(n, 64) ** 2).mean(axis=1))
+        got = out.set_index("media_id").loc[0]
+        np.testing.assert_allclose(np.array(got.rms), want_rms, rtol=1e-6)
+
+    def test_frame_sampler_auto_chains_into_image_stage(self):
+        # Y4M video → sampled PGM frames → auto image features: the
+        # composed real-codec path
+        from bioner_ray.functions.codecs import decode_y4m
+
+        tbl = make_media_fixture(4, kind="video", codec="y4m", seed=9)
+        frames_ds = frame_sample_stage(
+            rd.from_arrow(tbl), decoder="auto", stride=2, concurrency=(1, 2)
+        )
+        frames = frames_ds.to_pandas()
+        src = tbl.to_pandas().set_index("media_id")
+        for mid, grp in frames.groupby("media_id"):
+            vid = decode_y4m(src.loc[mid].payload)
+            assert list(grp.frame_id) == list(range(0, len(vid), 2))
+            assert all(p.startswith(b"P5") for p in grp.payload)
+        feats = image_feature_stage(
+            frames_ds, decoder="auto", concurrency=(1, 2)
+        ).to_pandas()
+        assert len(feats) == len(frames)
+
+    def test_pil_seam_still_gated(self):
+        with pytest.raises(NotImplementedError, match="STUB"):
+            ImageFeatureExtractor(decoder="pil")
+
+
 class TestChecksum:
     def test_opaque_bytes(self):
         tbl = make_media_fixture(4)
