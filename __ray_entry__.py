@@ -148,6 +148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unknown_words": an.unknown_words,                 # M8 + G1/G2 vocab
         "bioul_map": an.bioul_map,                         # M9 BIOUL→BIO2
         "datexis_mentions": an.datexis_mentions,           # M7/A2/A4 (golden-parquet oracle)
+        "encoding_fasttext": co.encoding_fasttext,         # M6/A1 real .bin path (golden-parquet oracle)
         "doc_shuffle": an.doc_shuffle,                     # O2 (rows-only, seeded)
         "error_samples": an.error_samples,                 # O3 (rows-only, seeded)
         # --- reference operator pipelines ---
@@ -1237,6 +1238,14 @@ SELECT doc_id, text, lang, source FROM documents
     d["datexis_mentions"] = """
 SELECT surface, n_mentions
 FROM read_parquet('/root/repo/tests/golden/datexis_mentions.parquet')
+WHERE corpus_key = (SELECT CAST(sum(length(text)) AS BIGINT) FROM documents)
+"""
+    # encoding_fasttext: same golden-parquet scheme — the .bin vectors
+    # depend only on the token string (verified 2-vs-8-CPU identical by
+    # tools/make_encoding_golden.py, which wrote this parquet)
+    d["encoding_fasttext"] = """
+SELECT url, n_vectors, checksum_q
+FROM read_parquet('/root/repo/tests/golden/encoding_fasttext.parquet')
 WHERE corpus_key = (SELECT CAST(sum(length(text)) AS BIGINT) FROM documents)
 """
     d["csv_roundtrip"] = """

@@ -1798,20 +1798,14 @@ def customers_per_nation(sf_dir: str):
     return out.rename_columns({"acctbal_cents": "sum_acctbal_cents"})
 
 
-def revenue_by_segment(sf_dir: str, num_partitions: int | None = None):
+def revenue_by_segment(sf_dir: str):
     """Shuffle hash join orders⋈customer (both sides large at scale) +
     final aggregate — the deliberate shuffle-join counterpart to
-    customers_per_nation's broadcast join. Partition count sized to the
-    cluster (cpus/4, floor 4) with quarter-core aggregator actors so
-    the exchange never starves the map stages. Columns: c_mktsegment,
-    n_orders, revenue_cents."""
-    import ray
-
+    customers_per_nation's broadcast join, on the engine's bucketed
+    join (task-based, no aggregator actor pool to reserve cores or
+    crash on empty hash partitions). Columns: c_mktsegment, n_orders,
+    revenue_cents."""
     from bioner_ray.stages.shuffle import bucketed_aggregate, with_ones
-
-    if num_partitions is None:
-        cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-        num_partitions = max(4, cpus // 4)
 
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
 
@@ -1823,15 +1817,18 @@ def revenue_by_segment(sf_dir: str, num_partitions: int | None = None):
             }
         )
 
+    from bioner_ray.stages.shuffle import bucketed_inner_join
+
     orders = orders.map_batches(prep, batch_format="pyarrow")
-    customer = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
-    joined = orders.join(
+    customer = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).map_batches(
+        lambda t: t.rename_columns(["o_custkey", "c_mktsegment"]), batch_format="pyarrow"
+    )
+    joined = bucketed_inner_join(
+        orders,
         customer,
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("o_custkey",),
-        right_on=("c_custkey",),
-        aggregator_ray_remote_args={"num_cpus": 0.25},
+        ["o_custkey"],
+        pa.schema([("o_custkey", pa.int64()), ("revenue_cents_row", pa.int64())]),
+        pa.schema([("o_custkey", pa.int64()), ("c_mktsegment", pa.string())]),
     )
     keyed = joined.map_batches(
         lambda t: t.select(["c_mktsegment", "revenue_cents_row"]), batch_format="pyarrow"

@@ -654,6 +654,55 @@ def encoding_stats(sf_dir: str, dim: int = 32):
     return encoded.map_batches(stats, batch_format="pyarrow")
 
 
+TINY_FASTTEXT_BIN = "/root/repo/tests/golden/tiny_fasttext.bin"
+
+
+def encoding_fasttext(sf_dir: str, model_path: str = TINY_FASTTEXT_BIN):
+    """M6/A1 with the REAL fastText encode path: the checked-in tiny
+    ``.bin`` (tools/make_fasttext_fixture.py) loads ONCE per actor via
+    the pure-numpy reader (functions/fasttext_io.py — the published
+    file layout, vocab + subword-bucket lookups, parity-pinned against
+    the wheel), and every token becomes its model vector
+    (fasttext_encoder.py:17-28 semantics). Vectors depend only on the
+    token string, so the per-doc stats are deterministic across runs
+    AND worker counts; the oracle is a golden expected-output parquet
+    (tools/make_encoding_golden.py), keyed like datexis_mentions.
+    ``checksum_q`` is the per-doc component sum quantized to integer
+    micro-units — exact, no float display rounding. Columns: url,
+    n_vectors, checksum_q."""
+    from bioner_ray.pipelines.analytics import _nrows, documents_as_pages
+    from bioner_ray.stages.encode import encode_stage
+    from bioner_ray.stages.pool import sized_pool
+    from bioner_ray.stages.segment import segment_stage
+
+    docs = segment_stage(documents_as_pages(sf_dir), with_offsets=False)
+    encoded = encode_stage(
+        docs, backend="fasttext-bin", model_path=model_path,
+        concurrency=sized_pool(_nrows(sf_dir, "documents"), batch_size=64, max_actors=8),
+    )
+
+    def stats(batch: pa.Table) -> pa.Table:
+        n_vec, checksum_q = [], []
+        for doc in batch.column("encodings").to_pylist():
+            total = 0
+            acc = 0.0
+            for sent in doc:
+                total += len(sent)
+                if sent:
+                    acc += float(np.sum(np.asarray(sent, dtype=np.float64)))
+            n_vec.append(total)
+            checksum_q.append(int(round(acc * 1_000_000.0)))
+        return pa.table(
+            {
+                "url": batch.column("url"),
+                "n_vectors": pa.array(n_vec, type=pa.int64()),
+                "checksum_q": pa.array(checksum_q, type=pa.int64()),
+            }
+        )
+
+    return encoded.map_batches(stats, batch_format="pyarrow")
+
+
 def pubtator_conll(sf_dir: str):
     """S6 PubTator→CoNLL, natively (no bconv): build a deterministic
     PubTator block per document (title ``doc <8-digit id>``, abstract =
@@ -767,7 +816,6 @@ def doc_top_terms(sf_dir: str, k: int = 3):
     vocab), and the per-doc rank is stages/rank.py's pruned top-k
     (shuffle ≤ k rows per (block, doc)). Columns: doc_id, term, tf,
     df, rk."""
-    from bioner_ray.stages.dedup import _join
     from bioner_ray.stages.rank import top_k_per_group
     from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema, with_ones
     from bioner_ray.stages.textstats import _split_lower
@@ -801,8 +849,13 @@ def doc_top_terms(sf_dir: str, k: int = 3):
         ),
         pa.schema([("term", pa.string()), ("df", pa.int64())]),
     )
+    from bioner_ray.stages.shuffle import bucketed_inner_join
+
     top = top_k_per_group(
-        _join(tf, df, on=("term",)),
+        bucketed_inner_join(
+            tf, df, ["term"], tf_schema,
+            pa.schema([("term", pa.string()), ("df", pa.int64())]),
+        ),
         key_col="doc_id",
         order_by=[("tf", "descending"), ("df", "ascending"), ("term", "ascending")],
         k=k,

@@ -39,7 +39,11 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from bioner_ray.stages.dedup import band_hash_stage, minhash_stage
-from bioner_ray.stages.shuffle import bucketed_aggregate, with_ones
+from bioner_ray.stages.shuffle import (
+    bucketed_aggregate,
+    bucketed_inner_join,
+    with_ones,
+)
 
 _LOG = logging.getLogger(__name__)
 
@@ -168,26 +172,41 @@ def ingest_shard(
     old_cold = old_bands.map_batches(drop_hot, batch_format="pyarrow")
     new_cold = new_bands.map_batches(drop_hot, batch_format="pyarrow")
 
-    cross = old_cold.join(
-        new_cold,
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("bandkey",),
-        left_suffix="_old",
-        right_suffix="_new",
-        aggregator_ray_remote_args={"num_cpus": 0.25},
+    # old ⋈ new on bandkey rides the engine's bucketed join, not Ray's
+    # native hash exchange (which crashes on empty hash partitions —
+    # guaranteed here whenever a small shard leaves buckets empty);
+    # non-key columns must be disjoint, so the sides carry renamed ids
+    old_key = pa.schema([("bandkey", pa.uint64()), ("id_old", pa.int64())])
+    new_key = pa.schema([("bandkey", pa.uint64()), ("id_new", pa.int64())])
+
+    def tag(name):
+        def fn(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0:
+                return (old_key if name == "id_old" else new_key).empty_table()
+            return pa.table({"bandkey": t.column("bandkey"), name: t.column(id_col)})
+
+        return fn
+
+    cross = bucketed_inner_join(
+        old_cold.map_batches(tag("id_old"), batch_format="pyarrow"),
+        new_cold.map_batches(tag("id_new"), batch_format="pyarrow"),
+        ["bandkey"],
+        old_key,
+        new_key,
     ).map_batches(
         lambda t: pa.table(
             {
                 # normalized a < b, matching minhash_dedup_pairs' contract
-                "a": pc.min_element_wise(t[f"{id_col}_old"], t[f"{id_col}_new"]),
-                "b": pc.max_element_wise(t[f"{id_col}_old"], t[f"{id_col}_new"]),
+                "a": pc.min_element_wise(t["id_old"], t["id_new"]),
+                "b": pc.max_element_wise(t["id_old"], t["id_new"]),
             }
         ).filter(
             # a == b only when a shard is re-ingested against a store
             # that already holds it; self-pairs are meaningless
-            pc.not_equal(t[f"{id_col}_old"], t[f"{id_col}_new"])
-        ),
+            pc.not_equal(t["id_old"], t["id_new"])
+        )
+        if t.num_columns
+        else pa.schema([("a", pa.int64()), ("b", pa.int64())]).empty_table(),
         batch_format="pyarrow",
     )
     within = _bucketed_pairs(new_cold, "bandkey", id_col, max_group=max_bucket)

@@ -101,11 +101,22 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id", batch_size: 
 
 def exact_dedup_filter(ds, text_col: str = "text", id_col: str = "doc_id"):
     """Streaming filter form: keep only rows whose id is the group
-    representative. Implemented as a self-join of the keep set back onto
-    the corpus on the id (hash join, no broadcast of the corpus)."""
-    keep = exact_dedup(ds, text_col=text_col, id_col=id_col).select_columns(["keep_id"])
-    keep = keep.rename_columns({"keep_id": id_col})
-    return _join(ds, keep, on=(id_col,))
+    representative. A LEFT-SEMI bucketed join of the corpus against the
+    keep set (no broadcast of the corpus, no fanout, and — unlike Ray's
+    native join — no crash on empty hash partitions)."""
+    from bioner_ray.stages.shuffle import bucketed_inner_join, pin_schema
+
+    left_schema = ds.schema().base_schema
+    keep_schema = pa.schema([(id_col, left_schema.field(id_col).type)])
+    keep = pin_schema(
+        exact_dedup(ds, text_col=text_col, id_col=id_col)
+        .select_columns(["keep_id"])
+        .rename_columns({"keep_id": id_col}),
+        keep_schema,
+    )
+    return bucketed_inner_join(
+        ds, keep, [id_col], left_schema, keep_schema, join_type="left semi"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -9,16 +9,20 @@ mutates every token into an EncodedToken carrying a 300-d vector
 (list<list<fixed_size_list<float32, dim>>> aligned with the nested
 sentence tokens).
 
-Two backends:
+Three backends:
 
 * ``hash`` (default) — the deterministic stand-in (functions/embed
   .hash_embedding): stable across runs and worker counts, used by all
   tests and benches. This is the container-safe path.
-* ``fasttext`` — the real thing, import-gated: this container has no
-  fasttext wheel, so constructing it raises ``NotImplementedError``
-  with a clear STUB marker. The Ray-side plumbing (actor signature,
-  batch schema, output layout) is identical to the hash backend and is
-  what the tests pin.
+* ``fasttext-bin`` — REAL ``.bin`` models parsed by the pure-numpy
+  reader (functions/fasttext_io.py, the published fastText file
+  layout): vocab + subword-ngram bucket lookups, the same vectors the
+  wheel's ``model[token]`` returns for dense models. Runs in this
+  container today; the reference's encode semantics
+  (fasttext_encoder.py:17-28) without the wheel.
+* ``fasttext`` — the wheel itself, import-gated (needed for quantized
+  ``.ftz`` models): absent here, so constructing it raises
+  ``NotImplementedError`` with a clear STUB marker.
 
 Encodings at rest are wide (tokens × dim × 4 bytes); prefer computing
 them inside the scorer actor (SURVEY.md §1.3) and use this stage only
@@ -43,6 +47,13 @@ class EmbeddingEncoder:
         self.backend = backend
         if backend == "hash":
             self._model = None
+        elif backend == "fasttext-bin":
+            if not model_path:
+                raise ValueError("backend='fasttext-bin' requires model_path")
+            from bioner_ray.functions.fasttext_io import FastTextBin
+
+            self._model = FastTextBin(model_path)
+            self.dim = self._model.get_dimension()
         elif backend == "fasttext":
             try:
                 import fasttext  # noqa: F401

@@ -142,10 +142,12 @@ def bucketed_inner_join(
     reach the join. Non-key column names must be disjoint.
 
     ``join_type="left anti"`` emits the left rows with NO key match on
-    the right (left columns only) — the same bucketing makes this
-    correct: a key's rows from both sides always land in the same
-    bucket, so a local anti join per bucket is globally exact."""
-    if join_type not in ("inner", "left anti"):
+    the right; ``"left semi"`` the left rows WITH a match (both: left
+    columns only, no fanout); ``"left outer"`` keeps unmatched left
+    rows with null right columns. All are globally exact under the same
+    bucketing argument: a key's rows from both sides always land in the
+    same bucket, so the local pyarrow join per bucket composes."""
+    if join_type not in ("inner", "left anti", "left semi", "left outer"):
         raise ValueError(f"unsupported join_type: {join_type}")
     lcols = [f.name for f in left_schema]
     rcols = [f.name for f in right_schema]
@@ -184,11 +186,15 @@ def bucketed_inner_join(
         import pyarrow.compute as pc
 
         lt = g.filter(pc.equal(side, 0)).select(lcols)
-        if join_type == "left anti":
+        if join_type in ("left anti", "left semi"):
             rt = g.filter(pc.equal(side, 1)).select(keys)
-            return lt.join(rt, keys=keys, join_type="left anti")
+            if join_type == "left semi":
+                # pyarrow's left-semi fans out on duplicate right keys in
+                # some versions; dedup the right key set first
+                rt = rt.group_by(keys).aggregate([])
+            return lt.join(rt, keys=keys, join_type=join_type)
         rt = g.filter(pc.equal(side, 1)).select(keys + rval)
-        return lt.join(rt, keys=keys, join_type="inner")
+        return lt.join(rt, keys=keys, join_type=join_type)
 
     return u.groupby("_bucket").map_groups(final, batch_format="pyarrow")
 

@@ -38,7 +38,6 @@ def dup_span_stats(
     w: int = 5,
     id_col: str = "doc_id",
     text_col: str = "text",
-    num_partitions: int | None = None,
 ):
     """Per-doc duplicated-window stats over DISTINCT w-token windows.
 
@@ -47,12 +46,6 @@ def dup_span_stats(
     docs), ``dup_frac`` (single exact-int division). A document made
     of corpus boilerplate scores dup_frac → 1.0.
     """
-    import ray
-
-    if num_partitions is None:
-        cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-        num_partitions = max(4, cpus // 4)
-
     def pairs_batch(batch: pa.Table) -> pa.Table:
         toks = _split_lower(batch, text_col)
         ids = batch.column(id_col).to_pylist()
@@ -114,12 +107,12 @@ def dup_span_stats(
 
         return totals.map_batches(finish_zero, batch_format="pyarrow")
 
-    hits = pairs.join(
-        dup_spans,
-        join_type="left_semi",
-        num_partitions=num_partitions,
-        on=("span",),
-        aggregator_ray_remote_args={"num_cpus": 0.25},
+    from bioner_ray.stages.shuffle import bucketed_inner_join
+
+    pair_schema = pa.schema([(id_col, pa.int64()), ("span", pa.string())])
+    span_schema = pa.schema([("span", pa.string())])
+    hits = bucketed_inner_join(
+        pairs, dup_spans, ["span"], pair_schema, span_schema, join_type="left semi"
     )
     def per_doc_cast(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or id_col not in t.schema.names:  # no dup spans anywhere
@@ -132,12 +125,13 @@ def dup_span_stats(
         per_doc_cast, batch_format="pyarrow"
     )
 
-    joined = totals.join(
+    joined = bucketed_inner_join(
+        totals,
         dup_per_doc,
-        join_type="left_outer",
-        num_partitions=num_partitions,
-        on=(id_col,),
-        aggregator_ray_remote_args={"num_cpus": 0.25},
+        [id_col],
+        pa.schema([(id_col, pa.int64()), ("n_windows", pa.int64())]),
+        pa.schema([(id_col, pa.int64()), ("n_dup", pa.int64())]),
+        join_type="left outer",
     )
 
     def finish(t: pa.Table) -> pa.Table:

@@ -88,6 +88,7 @@ SQL_CHECKED = [
     "kg_triangles",
     "kg_edge_support",
     "kg_edge_wjaccard",
+    "encoding_fasttext",
     "kg_merge_groups",
     "kg_reach2",
     "kg_truss_edges",

@@ -190,6 +190,29 @@ class TestBucketedInnerJoin:
         got3 = self._join(left, [], ["k"], lschema, rschema, join_type="left anti")
         assert sorted((r["k"], r["a"]) for r in got3) == sorted((r["k"], r["a"]) for r in left)
 
+    def test_left_semi_no_fanout_on_duplicate_right_keys(self):
+        lschema = pa.schema([("k", pa.string()), ("a", pa.int64())])
+        rschema = pa.schema([("k", pa.string()), ("b", pa.int64())])
+        left = [{"k": "x", "a": 1}, {"k": "x", "a": 2}, {"k": "y", "a": 3}, {"k": "z", "a": 4}]
+        right = [{"k": "x", "b": 1}, {"k": "x", "b": 2}, {"k": "x", "b": 3}, {"k": "y", "b": 4}]
+        got = sorted(
+            (r["k"], r["a"])
+            for r in self._join(left, right, ["k"], lschema, rschema, join_type="left semi")
+        )
+        # both x-rows and the y-row survive EXACTLY once despite 3 right x-rows
+        assert got == [("x", 1), ("x", 2), ("y", 3)]
+
+    def test_left_outer_nulls_unmatched(self):
+        lschema = pa.schema([("k", pa.int64()), ("a", pa.int64())])
+        rschema = pa.schema([("k", pa.int64()), ("b", pa.int64())])
+        left = [{"k": 1, "a": 10}, {"k": 2, "a": 20}]
+        right = [{"k": 1, "b": 100}]
+        got = sorted(
+            (r["k"], r["a"], r["b"])
+            for r in self._join(left, right, ["k"], lschema, rschema, join_type="left outer")
+        )
+        assert got == [(1, 10, 100), (2, 20, None)]
+
     def test_unsupported_join_type_rejected(self):
         import pytest
         import ray.data as rd
