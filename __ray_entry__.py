@@ -193,9 +193,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_fingerprints": co.winnow_fingerprints,    # SQL twin (Karp-Rabin replay)
         "fingerprints": co.fingerprints,
         "langid": co.langid,                              # SQL twin generated from LANG_PROFILES
-        "encoding_stats": co.encoding_stats,              # M6/A1 (rows-only, CRC32 hashing)
+        "encoding_stats": co.encoding_stats,              # M6/A1 hash backend (golden-parquet oracle)
         "knn_topk": co.knn_topk,
-        "knn_ivf_topk": co.knn_ivf_topk,                  # rows-only (approximate)
+        "knn_ivf_topk": co.knn_ivf_topk,                  # approximate, deterministic (golden-parquet oracle)
         "embedding_dup_pairs": co.embedding_dup_pairs,
         "token_shards": co.token_shards,                  # distributed prefix-sum packing
         "stratified_sample": co.stratified_sample,        # deterministic hash sampling
@@ -207,7 +207,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_quota": co.source_quota,                  # per-source doc cap (source balancing)
         "upsample_mix": co.upsample_mix,                  # fractional-epoch replication mix
         "incremental_dedup": co.incremental_dedup,        # LSH store ingest (SQL: filtered minhash twin)
-        "media_features": co.media_features,              # rows-only (multimodal actor pool)
+        "media_features": co.media_features,              # multimodal actor pool, real PGM codec (golden-parquet oracle)
     }
 
 
@@ -1246,6 +1246,25 @@ WHERE corpus_key = (SELECT CAST(sum(length(text)) AS BIGINT) FROM documents)
     d["encoding_fasttext"] = """
 SELECT url, n_vectors, checksum_q
 FROM read_parquet('/root/repo/tests/golden/encoding_fasttext.parquet')
+WHERE corpus_key = (SELECT CAST(sum(length(text)) AS BIGINT) FROM documents)
+"""
+    # the remaining formerly-rows-only queries, same golden scheme
+    # (tools/make_query_golden.py pins 2-vs-8-CPU determinism): the
+    # seeded hash/projection math is not SQL-re-derivable, but the
+    # expected output is exact and parallelism-independent
+    d["encoding_stats"] = """
+SELECT url, n_vectors, dim, checksum
+FROM read_parquet('/root/repo/tests/golden/encoding_stats.parquet')
+WHERE corpus_key = (SELECT CAST(sum(length(text)) AS BIGINT) FROM documents)
+"""
+    d["media_features"] = """
+SELECT media_id, feat_norm, decoded_width, decoded_height
+FROM read_parquet('/root/repo/tests/golden/media_features.parquet')
+WHERE corpus_key = (SELECT CAST(sum(length(text)) AS BIGINT) FROM documents)
+"""
+    d["knn_ivf_topk"] = """
+SELECT query_id, vec_id, score, rank
+FROM read_parquet('/root/repo/tests/golden/knn_ivf_topk.parquet')
 WHERE corpus_key = (SELECT CAST(sum(length(text)) AS BIGINT) FROM documents)
 """
     d["csv_roundtrip"] = """

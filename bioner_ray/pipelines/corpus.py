@@ -477,7 +477,11 @@ def media_features(sf_dir: str, side: int = 16):
             }
         )
 
+    from bioner_ray.pipelines.analytics import _nrows
+    from bioner_ray.stages.pool import sized_pool
+
     media = _documents(sf_dir).map_batches(to_media, batch_format="pyarrow")
+    pool = sized_pool(_nrows(sf_dir, "documents"), batch_size=64, max_actors=8)
 
     def norm(t: pa.Table) -> pa.Table:
         feats = t.column("feature").to_pylist()
@@ -494,9 +498,9 @@ def media_features(sf_dir: str, side: int = 16):
             }
         )
 
-    return image_feature_stage(media, decoder="auto").map_batches(
-        norm, batch_format="pyarrow"
-    )
+    return image_feature_stage(
+        media, decoder="auto", concurrency=pool, batch_size=64
+    ).map_batches(norm, batch_format="pyarrow")
 
 
 def quality_docs(sf_dir: str, min_tokens: int = 20, min_ttr: float = 0.3):

@@ -157,7 +157,12 @@ def _ivf_scan(ds, q: np.ndarray, cent: np.ndarray, probes: np.ndarray, k: int,
             mask = np.isin(assign, pr[qi])
             if not mask.any():
                 continue
-            sims = m[mask] @ qm[qi]
+            # matmul summation order varies with the slice shape, which
+            # varies with block boundaries (worker count) — a 1-ulp
+            # jitter that would make the result parallelism-dependent.
+            # 9-dp rounding absorbs it (scores are cosines in [-1, 1]);
+            # remaining exact ties break by id in the global merge.
+            sims = np.round(m[mask] @ qm[qi], 9)
             sub_ids = ids[mask]
             kk = min(k, sims.shape[0])
             part = np.argpartition(-sims, kk - 1)[:kk]

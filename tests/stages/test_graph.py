@@ -82,3 +82,62 @@ class TestConnectedComponents:
         )
         nodes = sorted({x for p in pairs for x in p})
         assert _run(pairs) == _union_find(pairs, nodes)
+
+
+class TestEdgeWeightedJaccard:
+    def _run(self, rows, **kw):
+        from bioner_ray.stages.graph import edge_weighted_jaccard
+
+        t = pa.table(
+            {
+                "subj": pa.array([r[0] for r in rows], type=pa.string()),
+                "obj": pa.array([r[1] for r in rows], type=pa.string()),
+                "weight": pa.array([r[2] for r in rows], type=pa.int64()),
+            }
+        )
+        ds = rd.from_arrow(t).repartition(3)
+        out = edge_weighted_jaccard(ds, **kw).to_pandas()
+        return {(r.lo, r.hi): r for r in out.itertuples()}
+
+    def test_hand_computed_triangle(self):
+        # undirected collapse: ab=3, ac=1, bc=1
+        got = self._run([("a", "b", 2), ("b", "a", 1), ("a", "c", 1), ("b", "c", 1)])
+        # strengths: s(a)=4, s(b)=4, s(c)=2
+        # (a,b): common nbr c -> min(1,1)=1; wj = 1/(4+4-1)
+        r = got[("a", "b")]
+        assert r.w == 3 and r.min_sum == 1 and r.s_lo == 4 and r.s_hi == 4
+        np.testing.assert_allclose(r.wjaccard, 1.0 / 7.0)
+        # (a,c): common nbr b -> min(ab=3, bc=1)=1; wj = 1/(4+2-1)
+        np.testing.assert_allclose(got[("a", "c")].wjaccard, 1.0 / 5.0)
+        assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
+
+    def test_no_common_neighbors_zero_fill(self):
+        got = self._run([("a", "b", 5)])
+        r = got[("a", "b")]
+        assert r.min_sum == 0 and r.wjaccard == 0.0
+
+    def test_self_loops_dropped(self):
+        got = self._run([("a", "a", 9), ("a", "b", 1)])
+        assert set(got) == {("a", "b")}
+
+    def test_twin_shape_scores_high_with_weak_direct_edge(self):
+        # the alias shape kg_merge_groups thresholds: x/y share 3 strong
+        # neighbors, weak direct edge -> wjaccard near 1
+        rows = []
+        for n in ("p", "q", "r"):
+            rows += [("x", n, 30), ("y", n, 30)]
+        rows += [("x", "y", 1)]
+        got = self._run(rows)
+        r = got[("x", "y")]
+        # min_sum = 90; s(x)=s(y)=91; wj = 90/(91+91-90)
+        np.testing.assert_allclose(r.wjaccard, 90.0 / 92.0)
+        # and a strong direct edge between unrelated hubs scores low
+        assert got[("p", "x")].wjaccard < 0.2
+
+    def test_hub_cap_drops_wedges_not_edges(self):
+        # center 'h' exceeds the cap -> its wedges are skipped (min_sum
+        # contributions lost) but every edge still emits a row
+        rows = [("h", f"n{i}", 1) for i in range(6)]
+        got = self._run(rows, max_center_degree=4)
+        assert len(got) == 6
+        assert all(r.min_sum == 0 for r in got.values())
