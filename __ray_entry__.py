@@ -101,6 +101,84 @@ def _walks_sql(length: int = 3, seed: int = 42) -> str:
     )
 
 
+def _kcore_sql(k: int = 3, rounds: int = 10) -> str:
+    """DuckDB twin of pipelines/analytics.kg_kcore — the fixed-round
+    peel chained as ``rounds`` CTE pairs (degree → survivors → edge
+    restriction); the engine's early exit is fixpoint-safe so the
+    full-round replay matches whether or not it converged early."""
+    # AS MATERIALIZED is load-bearing: each e{r} is referenced three
+    # times by round r+1, so an inlining planner would expand the chain
+    # ~4^rounds ways (and open the documents parquet once per expansion
+    # — "Too many open files" long before it finishes)
+    ctes = [
+        f"WITH {_KG_TRIP_CTES}",
+        "e0 AS MATERIALIZED (SELECT DISTINCT least(subj, obj) AS lo,"
+        " greatest(subj, obj) AS hi FROM trip WHERE subj <> obj)",
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"e{r - 1}"
+        ctes.append(
+            f"d{r} AS MATERIALIZED (SELECT node, count(*) AS deg FROM"
+            f" (SELECT lo AS node FROM {prev} UNION ALL SELECT hi FROM {prev})"
+            f" GROUP BY node)"
+        )
+        ctes.append(f"s{r} AS (SELECT node FROM d{r} WHERE deg >= {k})")
+        ctes.append(
+            f"e{r} AS MATERIALIZED (SELECT {prev}.lo, {prev}.hi FROM {prev}"
+            f" JOIN s{r} a ON a.node = {prev}.lo"
+            f" JOIN s{r} b ON b.node = {prev}.hi)"
+        )
+    last = f"e{rounds}"
+    return (
+        ",\n".join(ctes)
+        + f"\nSELECT node, CAST(count(*) AS BIGINT) AS deg FROM"
+        + f" (SELECT lo AS node FROM {last} UNION ALL SELECT hi FROM {last})"
+        + " GROUP BY node"
+    )
+
+
+def _bloom_sql(n: int = 5, m_bits: int = 1 << 20, k: int = 4, seed: int = 42) -> str:
+    """DuckDB twin of pipelines/corpus.bloom_decontaminate — replays the
+    Bloom filter's exact bit behavior, false positives included: gram
+    hash = md5-prefix mod 2^61, positions ((A_i·h + B_i) mod 2^64) mod
+    m (HUGEINT products ≤ 2^122, same seeded constants), the filter =
+    the distinct eval position set, and a train gram hits iff ALL k of
+    its positions are present."""
+    from bioner_ray.stages.bloom import bloom_params
+
+    a, b = bloom_params(k, seed=seed)
+    m64 = 18446744073709551616  # 2^64
+    gm = " || ' ' || ".join(f"ws[i+{j}]" if j else "ws[i]" for j in range(n))
+    pos = [
+        f"CAST((CAST({int(a[i])} AS HUGEINT) * h + {int(b[i])}) % {m64} AS UBIGINT)"
+        f" % {m_bits}"
+        for i in range(k)
+    ]
+    epos = " UNION SELECT ".join(f"{p} AS pos FROM eh" for p in pos)
+    hit_cond = " AND ".join(f"({p}) IN (SELECT pos FROM epos)" for p in pos)
+    return f"""
+WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ws
+           FROM documents),
+g AS (SELECT doc_id, {gm} AS gm
+      FROM w, UNNEST(generate_series(1, len(ws) - {n - 1})) AS t(i)),
+eh AS (SELECT DISTINCT CAST(concat('0x', substr(md5(gm), 1, 16)) AS UBIGINT)
+              % 2305843009213693952 AS h
+       FROM g WHERE doc_id % 97 = 0),
+epos AS (SELECT {epos}),
+tv AS (SELECT gm, CAST(concat('0x', substr(md5(gm), 1, 16)) AS UBIGINT)
+              % 2305843009213693952 AS h
+       FROM (SELECT DISTINCT gm FROM g WHERE doc_id % 97 <> 0)),
+hitv AS (SELECT gm FROM tv WHERE {hit_cond}),
+counts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                  CAST(count(*) FILTER (WHERE gm IN (SELECT gm FROM hitv)) AS BIGINT) AS n_hits
+           FROM g WHERE doc_id % 97 <> 0 GROUP BY doc_id)
+SELECT d.doc_id, coalesce(c.n_grams, 0) AS n_grams, coalesce(c.n_hits, 0) AS n_hits,
+       coalesce(c.n_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN counts c USING (doc_id)
+WHERE d.doc_id % 97 <> 0
+"""
+
+
 def entry() -> Any:
     """Flagship KG pipeline at sf0.001: read documents parquet → adapt
     to the page shape → segment → gazetteer score (actor pool) → link →
@@ -130,7 +208,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_edge_wjaccard": an.kg_edge_wjaccard,  # weighted structural jaccard (merge signal)
         "kg_merge_groups": an.kg_merge_groups,  # structural entity-resolution groups
         "kg_reach2": an.kg_reach2,            # 2-hop reach via mergeable KMV sketches
-        "kg_truss_edges": an.kg_truss_edges,  # cohesion-pruned graph (support >= k-2)
+        "kg_truss_edges": an.kg_truss_edges,
+        "kg_kcore": an.kg_kcore,              # iterative-peel entity core (fixed-round SQL twin)  # cohesion-pruned graph (support >= k-2)
         "kg_publish": an.kg_publish,          # full DAG: prune + merge-rewrite + re-canonicalize
         "mention_counts": an.mention_counts,
         "entity_burstiness": an.entity_burstiness,  # doc-frequency vs burst dispersion
@@ -200,6 +279,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_shards": co.token_shards,                  # distributed prefix-sum packing
         "stratified_sample": co.stratified_sample,        # deterministic hash sampling
         "decontaminate": co.decontaminate,                # benchmark n-gram decontamination
+        "bloom_decontaminate": co.bloom_decontaminate,     # Bloom-filter membership scale path (exact FP replay)
         "repetition_stats": co.repetition_stats,          # Gopher-style repetition signals
         "training_shards": co.training_shards,            # clean corpus → token-budget shards
         "dup_span_stats": co.dup_span_stats,              # Lee-et-al duplicated-window fraction
@@ -557,6 +637,7 @@ SELECT a.subj AS node, a.n_preds, a.out_w, d.dom_pred, d.dom_w
 FROM a JOIN d ON a.subj = d.subj AND d.rn = 1
 """,
         "kg_walks": _walks_sql(),
+        "kg_kcore": _kcore_sql(),
         # PMI twin: the engine pins its log to libm math.log because
         # numpy's SIMD log differs from DuckDB's ln by 1 ulp; the
         # arithmetic composition (mul, mul, div, ln, div) is identical
@@ -1120,6 +1201,7 @@ SELECT doc_id, lang FROM documents
 WHERE (CAST(doc_id AS HUGEINT) * 2654435761 % 4294967296) % 1000
       < CASE WHEN lang = 'en' THEN 500 ELSE 100 END
 """,
+        "bloom_decontaminate": _bloom_sql(),
         "decontaminate": """
 WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ws
            FROM documents),

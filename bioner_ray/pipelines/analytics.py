@@ -920,6 +920,17 @@ def kg_truss_edges(sf_dir: str, k: int = 4):
     return kg_edge_support(sf_dir).map_batches(keep, batch_format="pyarrow")
 
 
+def kg_kcore(sf_dir: str, k: int = 3, max_rounds: int = 10):
+    """k-core of the canonical KG (stages/graph.py kcore_nodes):
+    iteratively peel nodes with undirected simple-graph degree < k —
+    the entity-core extraction that separates the densely-attested
+    vocabulary from crawl-noise whiskers before community/truss
+    analysis. Columns: node, deg."""
+    from bioner_ray.stages.graph import kcore_nodes
+
+    return kcore_nodes(kg_edges(sf_dir), k=k, max_rounds=max_rounds)
+
+
 def kg_edge_wjaccard(sf_dir: str, edges=None):
     """Per-edge WEIGHTED structural Jaccard of the endpoints' neighbor
     weight vectors (stages/graph.py edge_weighted_jaccard) — the

@@ -436,6 +436,31 @@ def decontaminate(sf_dir: str, n: int = 5):
     return decontaminate_stage(train, ev_ref, n=n).select_columns(["doc_id"])
 
 
+def bloom_decontaminate(sf_dir: str, n: int = 5, m_bits: int = 1 << 20, k: int = 4):
+    """Bloom-filter membership decontamination (stages/bloom.py) — the
+    scale path when the eval gram STRING set is itself too big to
+    broadcast: the filter ships m_bits/8 bytes regardless of gram
+    count, at a known false-positive rate the SQL twin replays EXACTLY
+    (the filter is the distinct eval bit-position set; a train gram
+    hits iff all k of its seeded affine positions are present). Same
+    eval split as ``decontaminate`` (doc_id % 97 == 0). Columns:
+    doc_id, n_grams, n_hits, contaminated."""
+    from bioner_ray.stages.bloom import bloom_contamination_stats, build_bloom
+
+    docs = _documents(sf_dir)
+
+    def _is_eval(batch: pa.Table, want: bool) -> pa.Table:
+        mask = batch.column("doc_id").to_numpy(zero_copy_only=False) % 97 == 0
+        return batch.filter(pa.array(mask if want else ~mask))
+
+    bloom_ref = build_bloom(
+        docs.map_batches(lambda t: _is_eval(t, True), batch_format="pyarrow"),
+        n=n, m_bits=m_bits, k=k,
+    )
+    train = docs.map_batches(lambda t: _is_eval(t, False), batch_format="pyarrow")
+    return bloom_contamination_stats(train, bloom_ref, n=n, m_bits=m_bits, k=k)
+
+
 def repetition_stats(sf_dir: str):
     """Gopher-style repetition signals. Columns: doc_id, n_tokens,
     top_token_frac, dup_bigram_frac."""
@@ -546,7 +571,8 @@ def fingerprints(sf_dir: str):
 
 
 def langid(sf_dir: str):
-    """Stopword-profile language ID (rows-only check). Columns: doc_id,
+    """Stopword-profile language ID (SQL twin generated from the same
+    LANG_PROFILES). Columns: doc_id,
     pred_lang, lang_score."""
     from bioner_ray.stages.textstats import langid_stage
 
@@ -584,8 +610,10 @@ def knn_topk(sf_dir: str, k: int = 10, n_queries: int = 8):
 
 
 def knn_ivf_topk(sf_dir: str, k: int = 10, n_queries: int = 8):
-    """IVF approximate top-k (rows-only check; recall vs brute force is
-    asserted in tests). Columns: query_id, vec_id, rank, score."""
+    """IVF approximate top-k (golden-parquet oracle — deterministic across
+    worker counts via the 9-dp score rounding in the block scan; recall
+    vs brute force asserted in tests). Columns: query_id, vec_id, rank,
+    score."""
     from bioner_ray.stages.similarity import knn_ivf
 
     q = _query_matrix(sf_dir, n_queries)
@@ -615,7 +643,7 @@ def embedding_dup_pairs(sf_dir: str, threshold: float = 0.45):
 
 def encoding_stats(sf_dir: str, dim: int = 32):
     """M6/A1 token-embedding encoder (hash backend) through the real
-    actor pool (rows-only check: the CRC32 feature hashing is not
+    actor pool (golden-parquet oracle: the CRC32 feature hashing is not
     SQL-replayable). One row per document: url, n_vectors (== tokens),
     dim, checksum (sum of all vector components, rounded — stable
     because per-doc summation order is fixed)."""

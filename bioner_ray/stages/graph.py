@@ -1152,6 +1152,122 @@ def edge_weighted_jaccard(
     return j2.map_batches(finish, batch_format="pyarrow")
 
 
+def kcore_nodes(
+    edges_ds,
+    k: int = 3,
+    max_rounds: int = 10,
+    subj_col: str = "subj",
+    obj_col: str = "obj",
+    num_buckets: int = 256,
+):
+    """k-core decomposition by iterative peel over the undirected
+    simple graph (self-loops dropped, multi-edges collapsed): each
+    round drops nodes with degree < ``k`` and the edges touching them,
+    until stable or ``max_rounds`` — the standard cohesion extraction
+    (Seidman 1983) a KG build runs to separate the entity core from
+    crawl-noise whiskers; the full truss/community stack prunes from
+    this core.
+
+    Per round: ONE bucketed degree aggregate + TWO left-semi bucketed
+    joins (edges against surviving nodes on each endpoint) — exchange
+    bounded by nodes + surviving edges, never all-pairs. Early exit
+    when a round removes no edge is fixpoint-safe (further rounds are
+    identity), so the fixed-round SQL twin replays the result exactly
+    whether or not it converged early. Columns: node, deg (degree
+    inside the core)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from bioner_ray.stages.shuffle import (
+        bucketed_aggregate,
+        bucketed_inner_join,
+        pin_schema,
+        with_ones,
+    )
+
+    def to_und(batch: pa.Table) -> pa.Table:
+        s = pc.cast(batch.column(subj_col), pa.string())
+        o = pc.cast(batch.column(obj_col), pa.string())
+        keep = pc.not_equal(s, o)
+        s, o = s.filter(keep), o.filter(keep)
+        return pa.table(
+            {"lo": pc.min_element_wise(s, o), "hi": pc.max_element_wise(s, o)}
+        )
+
+    und_schema = pa.schema([("lo", pa.string()), ("hi", pa.string())])
+    edges = pin_schema(
+        bucketed_aggregate(
+            with_ones(edges_ds.map_batches(to_und, batch_format="pyarrow")),
+            ["lo", "hi"],
+            [("one", "min")],
+            num_buckets=num_buckets,
+        ),
+        und_schema,
+    ).materialize()
+
+    deg_schema = pa.schema([("node", pa.string()), ("deg", pa.int64())])
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        lo = t.column("lo").combine_chunks()
+        hi = t.column("hi").combine_chunks()
+        node = pa.chunked_array([lo, hi]).combine_chunks()
+        return pa.table({"node": node}).append_column(
+            "deg", pa.array(np.ones(2 * t.num_rows, dtype=np.int64))
+        )
+
+    def degrees(e):
+        return pin_schema(
+            bucketed_aggregate(
+                e.map_batches(endpoints, batch_format="pyarrow"),
+                ["node"],
+                [("deg", "sum")],
+                num_buckets=num_buckets,
+            ),
+            deg_schema,
+        )
+
+    n_edges = edges.count()
+    for _ in range(max_rounds):
+        if n_edges == 0:
+            break
+        surv = degrees(edges).map_batches(
+            lambda t: t.select(["node"]).filter(pc.greater_equal(t.column("deg"), k)),
+            batch_format="pyarrow",
+        )
+        surv_schema = pa.schema([("node", pa.string())])
+        e1 = bucketed_inner_join(
+            edges,
+            surv.map_batches(
+                lambda t: t.rename_columns(["lo"]) if t.num_columns else t,
+                batch_format="pyarrow",
+            ),
+            ["lo"],
+            und_schema,
+            pa.schema([("lo", pa.string())]),
+            num_buckets=num_buckets,
+            join_type="left semi",
+        )
+        edges = bucketed_inner_join(
+            e1,
+            surv.map_batches(
+                lambda t: t.rename_columns(["hi"]) if t.num_columns else t,
+                batch_format="pyarrow",
+            ),
+            ["hi"],
+            und_schema,
+            pa.schema([("hi", pa.string())]),
+            num_buckets=num_buckets,
+            join_type="left semi",
+        ).materialize()
+        del surv_schema
+        n_now = edges.count()
+        if n_now == n_edges:
+            break  # fixpoint: every further round is identity
+        n_edges = n_now
+
+    return degrees(edges)
+
+
 def reach2_kmv(
     edges_ds,
     k: int = 64,

@@ -59,6 +59,7 @@ SQL_CHECKED = [
     "token_shards",
     "stratified_sample",
     "decontaminate",
+    "bloom_decontaminate",
     "repetition_stats",
     "training_shards",
     "sessions",
@@ -92,6 +93,7 @@ SQL_CHECKED = [
     "kg_merge_groups",
     "kg_reach2",
     "kg_truss_edges",
+    "kg_kcore",
     "kg_publish",
     "doc_shuffle",
     "error_samples",

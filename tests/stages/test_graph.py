@@ -141,3 +141,46 @@ class TestEdgeWeightedJaccard:
         got = self._run(rows, max_center_degree=4)
         assert len(got) == 6
         assert all(r.min_sum == 0 for r in got.values())
+
+
+class TestKCore:
+    def _run(self, pairs, k=3, **kw):
+        from bioner_ray.stages.graph import kcore_nodes
+
+        t = pa.table(
+            {
+                "subj": pa.array([a for a, b in pairs], type=pa.string()),
+                "obj": pa.array([b for a, b in pairs], type=pa.string()),
+            }
+        )
+        out = kcore_nodes(rd.from_arrow(t).repartition(2), k=k, **kw).to_pandas()
+        if out.empty:  # Ray drops columns from fully-empty datasets
+            return {}
+        return dict(zip(out["node"], out["deg"]))
+
+    def test_clique_survives_whiskers_peel(self):
+        # K4 core with a 3-node whisker chain hanging off it
+        clique = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+        whisker = [("d", "w1"), ("w1", "w2"), ("w2", "w3")]
+        got = self._run(clique + whisker, k=3)
+        assert got == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+    def test_path_graph_has_no_2core(self):
+        path = [(f"n{i}", f"n{i+1}") for i in range(6)]
+        assert self._run(path, k=2) == {}
+        # but a cycle IS its own 2-core
+        cycle = path + [("n6", "n0")]
+        got = self._run(cycle, k=2)
+        assert set(got) == {f"n{i}" for i in range(7)} and all(v == 2 for v in got.values())
+
+    def test_multi_edges_and_self_loops_collapse(self):
+        tri = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "a"), ("a", "a")]
+        got = self._run(tri, k=2)
+        assert got == {"a": 2, "b": 2, "c": 2}
+
+    def test_deep_peel_needs_multiple_rounds(self):
+        # chain of triangles: peeling the tail triangle exposes the next
+        tri = [("a", "b"), ("b", "c"), ("c", "a")]
+        chain = [("c", "x1"), ("x1", "x2"), ("x2", "x3"), ("x3", "x4")]
+        got = self._run(tri + chain, k=2, max_rounds=10)
+        assert set(got) == {"a", "b", "c"}
