@@ -145,6 +145,10 @@ OPERATOR_QUERIES = [
     "kg_triangles",
     "kg_publish",
     "doc_logprob",
+    # round 3: vectorized walk corpus, k-core peel, Bloom membership
+    "kg_walks",
+    "kg_kcore",
+    "bloom_decontaminate",
 ]
 
 
