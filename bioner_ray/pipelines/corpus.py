@@ -51,6 +51,15 @@ def dedup_minhash_pairs(sf_dir: str):
     return minhash_dedup_pairs(_documents(sf_dir))
 
 
+def paragraph_dedup(sf_dir: str):
+    """C4-style segment-level dedup stats: each 10-token segment is
+    kept only at its first corpus occurrence. Columns: doc_id, n_segs,
+    n_kept."""
+    from bioner_ray.stages.dedup import segment_dedup
+
+    return segment_dedup(_documents(sf_dir), window=10)
+
+
 def dedup_simhash_pairs(sf_dir: str, max_hamming: int = 8):
     """SimHash near-dup pairs. Columns: a, b, hamming. SQL-oracled:
     the DuckDB twin recomputes the fingerprints and takes every pair

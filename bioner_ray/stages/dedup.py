@@ -35,6 +35,7 @@ import zlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from bioner_ray.stages.shuffle import bucketed_aggregate, with_ones
 from bioner_ray.stages.textstats import tokenize_ws
@@ -777,3 +778,105 @@ def simhash_pairs(
 
     banded = hashed.map_batches(band_rows, batch_format="pyarrow")
     return banded.groupby("bucket").map_groups(emit, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# segment-level dedup (C4 / RefinedWeb line-dedup analog)
+# ---------------------------------------------------------------------------
+
+
+def segment_rows_batch(
+    batch: pa.Table,
+    window: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """Explode docs into (key, doc_id, packed) segment rows.
+
+    Segments are consecutive non-overlapping ``window``-token slices of
+    the contract tokenization (trailing partial slice included); key is
+    the md5 hex of the space-joined slice (oracle: ``md5()``), packed =
+    ``doc_id * 2^20 + seg_idx`` — the lexicographic (doc_id, seg_idx)
+    order as one int64 min (requires seg_idx < 2^20, i.e. docs under
+    ~10M tokens; split giant docs upstream per SURVEY §7.4-6).
+    """
+    keys: list[str] = []
+    ids: list[int] = []
+    packed: list[int] = []
+    for did, text in zip(
+        batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()
+    ):
+        toks = tokenize_ws(text or "")
+        base = did << 20
+        for seg_idx in range(0, (len(toks) + window - 1) // window):
+            seg = " ".join(toks[seg_idx * window : (seg_idx + 1) * window])
+            keys.append(hashlib.md5(seg.encode("utf-8")).hexdigest())
+            ids.append(did)
+            packed.append(base + seg_idx)
+    return pa.table(
+        {
+            "key": pa.array(keys, type=pa.string()),
+            id_col: pa.array(ids, type=pa.int64()),
+            "packed": pa.array(packed, type=pa.int64()),
+        }
+    )
+
+
+def segment_dedup(
+    ds,
+    window: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    batch_size: int = 4096,
+):
+    """Corpus-wide segment-level exact dedup: the line-dedup pass of C4
+    (Raffel et al., "three-sentence span" dedup) adapted to newline-free
+    text — every ``window``-token segment is kept only at its FIRST
+    corpus occurrence (min (doc_id, seg_idx)).
+
+    Scale shape: only (key, id, packed) triples ever shuffle — one
+    bucketed aggregate (min packed per key: the winner table), one
+    bucketed join of segment rows against winners on the same key (so
+    both exchanges share the md5-key partitioning), one bucketed
+    per-doc count aggregate. No document text moves past the explode;
+    no driver-side state. Output columns: doc_id, n_segs, n_kept.
+    """
+    from bioner_ray.stages.shuffle import bucketed_inner_join
+
+    rows = ds.map_batches(
+        segment_rows_batch,
+        fn_kwargs={"window": window, "text_col": text_col, "id_col": id_col},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+    winners = bucketed_aggregate(
+        rows.map_batches(
+            lambda t: t.select(["key", "packed"]).rename_columns(["key", "win_packed"]),
+            batch_format="pyarrow",
+        ),
+        ["key"],
+        [("win_packed", "min")],
+    )
+    joined = bucketed_inner_join(
+        rows,
+        winners,
+        ["key"],
+        pa.schema([("key", pa.string()), (id_col, pa.int64()), ("packed", pa.int64())]),
+        pa.schema([("key", pa.string()), ("win_packed", pa.int64())]),
+    )
+
+    def tally(t: pa.Table) -> pa.Table:
+        kept = pc.equal(t.column("packed"), t.column("win_packed"))
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "n_segs": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                "n_kept": pc.cast(kept, pa.int64()),
+            }
+        )
+
+    return bucketed_aggregate(
+        joined.map_batches(tally, batch_format="pyarrow"),
+        [id_col],
+        [("n_segs", "sum"), ("n_kept", "sum")],
+    )

@@ -136,3 +136,45 @@ class TestShingles:
 
     def test_short_doc_empty(self):
         assert shingle_set(["a", "b"], 3) == []
+
+
+class TestSegmentDedup:
+    def test_first_occurrence_wins(self):
+        from bioner_ray.stages.dedup import segment_dedup
+
+        # doc 0: segments A B (25 tokens -> segs of 10/10/5)
+        a = " ".join(f"w{i}" for i in range(10))
+        b = " ".join(f"x{i}" for i in range(10))
+        tail = "t0 t1 t2 t3 t4"
+        # doc 1 repeats segment A at its head, then fresh tokens
+        c = " ".join(f"y{i}" for i in range(10))
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([0, 1], type=pa.int64()),
+                    "text": [f"{a} {b} {tail}", f"{a} {c}"],
+                }
+            )
+        )
+        out = segment_dedup(ds, window=10).to_pandas().set_index("doc_id").sort_index()
+        assert out.loc[0, "n_segs"] == 3 and out.loc[0, "n_kept"] == 3
+        assert out.loc[1, "n_segs"] == 2 and out.loc[1, "n_kept"] == 1
+
+    def test_within_doc_repeat_kept_once(self):
+        from bioner_ray.stages.dedup import segment_dedup
+
+        seg = " ".join(f"z{i}" for i in range(10))
+        ds = rd.from_arrow(
+            pa.table({"doc_id": pa.array([7], type=pa.int64()), "text": [f"{seg} {seg}"]})
+        )
+        out = segment_dedup(ds, window=10).to_pandas()
+        assert out.iloc[0]["n_segs"] == 2 and out.iloc[0]["n_kept"] == 1
+
+    def test_empty_doc_emits_no_rows(self):
+        from bioner_ray.stages.dedup import segment_dedup
+
+        ds = rd.from_arrow(
+            pa.table({"doc_id": pa.array([1, 2], type=pa.int64()), "text": ["", "only five words here now"]})
+        )
+        out = segment_dedup(ds, window=10).to_pandas()
+        assert sorted(out["doc_id"]) == [2]
