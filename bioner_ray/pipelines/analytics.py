@@ -1852,6 +1852,126 @@ def revenue_by_segment(sf_dir: str):
     return out.rename_columns({"revenue_cents_row": "revenue_cents"})
 
 
+def order_priority(sf_dir: str):
+    """TPC-H Q4 shape: priority counts over orders having at least one
+    returned lineitem — the EXISTS semi-join expressed as the engine's
+    bucketed ``left semi`` join (right side deduped inside each bucket,
+    so duplicate lineitems never fan out). Columns: o_orderpriority,
+    n_orders."""
+    from bioner_ray.stages.shuffle import bucketed_aggregate, bucketed_inner_join, with_ones
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    returned = (
+        _read(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag"])
+        .map_batches(
+            lambda t: t.filter(pc.equal(t.column("l_returnflag"), "R")).select(
+                ["l_orderkey"]
+            ).rename_columns(["o_orderkey"]),
+            batch_format="pyarrow",
+        )
+    )
+    matched = bucketed_inner_join(
+        orders,
+        returned,
+        ["o_orderkey"],
+        pa.schema([("o_orderkey", pa.int64()), ("o_orderpriority", pa.string())]),
+        pa.schema([("o_orderkey", pa.int64())]),
+        join_type="left semi",
+    )
+    keyed = matched.map_batches(
+        lambda t: t.select(["o_orderpriority"]), batch_format="pyarrow"
+    )
+    return bucketed_aggregate(
+        with_ones(keyed, "n_orders"), ["o_orderpriority"], [("n_orders", "sum")]
+    )
+
+
+def shipping_priority(sf_dir: str, segment: str = "BUILDING", cutoff: str = "1998-06-01", k: int = 10):
+    """TPC-H Q3 shape: customer(segment) ⋉ orders(before cutoff) ⋈
+    lineitem(shipped after cutoff) → per-order discounted revenue →
+    global top-k. Two bucketed exchanges (semi-join on o_custkey, then
+    join + aggregate both keyed on o_orderkey — the join's partitioning
+    is reused by the aggregate) and a sort/limit on the already-reduced
+    per-order table. Revenue in integer cents, per-element rounding
+    (module contract). Columns: o_orderkey, revenue_cents, o_orderdate."""
+    from bioner_ray.stages.shuffle import bucketed_aggregate, bucketed_inner_join
+
+    cut = pa.scalar(np.datetime64(cutoff, "us"), type=pa.timestamp("us"))
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).map_batches(
+        lambda t: t.filter(pc.equal(t.column("c_mktsegment"), segment))
+        .select(["c_custkey"])
+        .rename_columns(["o_custkey"]),
+        batch_format="pyarrow",
+    )
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda t: t.filter(pc.less(t.column("o_orderdate"), cut)),
+        batch_format="pyarrow",
+    )
+    orders = bucketed_inner_join(
+        orders,
+        cust,
+        ["o_custkey"],
+        pa.schema(
+            [
+                ("o_custkey", pa.int64()),
+                ("o_orderkey", pa.int64()),
+                ("o_orderdate", pa.timestamp("us")),
+            ]
+        ),
+        pa.schema([("o_custkey", pa.int64())]),
+        join_type="left semi",
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "date_us": pc.cast(t.column("o_orderdate"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t.column("l_shipdate"), cut))
+        disc = pc.multiply(
+            pc.cast(t.column("l_extendedprice"), pa.float64()),
+            pc.subtract(pa.scalar(1.0), pc.cast(t.column("l_discount"), pa.float64())),
+        )
+        cents = pc.cast(
+            pc.round(pc.multiply(disc, 100.0), round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        return pa.table({"o_orderkey": t.column("l_orderkey"), "disc_cents": cents})
+
+    li = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    ).map_batches(li_prep, batch_format="pyarrow")
+
+    joined = bucketed_inner_join(
+        li,
+        orders,
+        ["o_orderkey"],
+        pa.schema([("o_orderkey", pa.int64()), ("disc_cents", pa.int64())]),
+        pa.schema([("o_orderkey", pa.int64()), ("date_us", pa.int64())]),
+    )
+    per_order = bucketed_aggregate(
+        joined, ["o_orderkey"], [("disc_cents", "sum"), ("date_us", "min")]
+    )
+    top = per_order.sort(["disc_cents", "o_orderkey"], descending=[True, False]).limit(k)
+    return top.map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "revenue_cents": t.column("disc_cents"),
+                "o_orderdate": pc.cast(t.column("date_us"), pa.timestamp("us")),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def events_by_type(sf_dir: str):
     """Streaming aggregate over the events table. Columns: event_type,
     n_events, sum_value_cents."""

@@ -107,6 +107,9 @@ SQL_CHECKED = [
     "knn_ivf_topk",
     "encoding_stats",
     "media_features",
+    "paragraph_dedup",
+    "order_priority",
+    "shipping_priority",
 ]
 
 #: queries with neither a SQL twin nor a golden parquet — none left;
