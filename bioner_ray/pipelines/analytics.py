@@ -931,6 +931,17 @@ def kg_kcore(sf_dir: str, k: int = 3, max_rounds: int = 10):
     return kcore_nodes(kg_edges(sf_dir), k=k, max_rounds=max_rounds)
 
 
+def kg_bfs(sf_dir: str, n_seeds: int = 3, max_hops: int = 3):
+    """Multi-source BFS hop distances over the canonical KG
+    (stages/graph.py bfs_distances): seeds = the n_seeds
+    lexicographically-smallest entities, frontier expansion for
+    max_hops rounds — the k-hop entity-neighborhood query. Columns:
+    node, dist."""
+    from bioner_ray.stages.graph import bfs_distances
+
+    return bfs_distances(kg_edges(sf_dir), n_seeds=n_seeds, max_hops=max_hops)
+
+
 def kg_edge_wjaccard(sf_dir: str, edges=None):
     """Per-edge WEIGHTED structural Jaccard of the endpoints' neighbor
     weight vectors (stages/graph.py edge_weighted_jaccard) — the

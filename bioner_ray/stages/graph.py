@@ -31,7 +31,12 @@ from __future__ import annotations
 
 import pyarrow as pa
 
-from bioner_ray.stages.shuffle import bucketed_aggregate, bucketed_inner_join, pin_schema
+from bioner_ray.stages.shuffle import (
+    bucketed_aggregate,
+    bucketed_inner_join,
+    pin_schema,
+    with_ones,
+)
 
 
 def _driver_components(rows, a_col: str, b_col: str):
@@ -1441,3 +1446,139 @@ def reach2_kmv(
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def bfs_distances(
+    edges_ds,
+    n_seeds: int = 3,
+    max_hops: int = 3,
+    subj_col: str = "subj",
+    obj_col: str = "obj",
+    num_buckets: int = 256,
+):
+    """Multi-source BFS hop distances over the undirected simple graph
+    (Pregel frontier expansion): seeds are the ``n_seeds``
+    lexicographically-smallest node names (deterministic and
+    SQL-replayable — no RNG); each round expands the frontier one hop
+    and assigns unvisited neighbors dist = round. The k-hop
+    neighborhood query a KG serves for entity-context windows.
+
+    Scale shape: per round ONE left-semi bucketed join of the adjacency
+    against the node-sized frontier (keyed on src), one bucketed
+    distinct, one left-anti bucketed join against the node-sized
+    visited set — never an all-pairs product, never driver-side state.
+    The visited/frontier tables are materialized per round to cut
+    lineage (the kg_pagerank argument). Early exit on an empty frontier
+    is fixpoint-safe: an empty frontier stays empty, so the fixed-round
+    SQL twin replays the result exactly. Columns: node, dist (hops from
+    the nearest seed; nodes beyond ``max_hops`` are absent).
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def to_adj(batch: pa.Table) -> pa.Table:
+        s = pc.cast(batch.column(subj_col), pa.string()).combine_chunks()
+        o = pc.cast(batch.column(obj_col), pa.string()).combine_chunks()
+        keep = pc.not_equal(s, o)
+        s, o = s.filter(keep), o.filter(keep)
+        return pa.table(
+            {
+                "src": pa.chunked_array([s, o]).combine_chunks(),
+                "dst": pa.chunked_array([o, s]).combine_chunks(),
+            }
+        )
+
+    adj_schema = pa.schema([("src", pa.string()), ("dst", pa.string())])
+    adj = pin_schema(
+        bucketed_aggregate(
+            with_ones(edges_ds.map_batches(to_adj, batch_format="pyarrow")),
+            ["src", "dst"],
+            [("one", "min")],
+            num_buckets=num_buckets,
+        ).map_batches(lambda t: t.select(["src", "dst"]), batch_format="pyarrow"),
+        adj_schema,
+    ).materialize()
+
+    node_schema = pa.schema([("node", pa.string())])
+    vis_schema = pa.schema([("node", pa.string()), ("dist", pa.int64())])
+
+    seeds = (
+        pin_schema(
+            bucketed_aggregate(
+                with_ones(
+                    adj.map_batches(
+                        lambda t: t.select(["src"]).rename_columns(["node"]),
+                        batch_format="pyarrow",
+                    )
+                ),
+                ["node"],
+                [("one", "min")],
+                num_buckets=num_buckets,
+            ).map_batches(lambda t: t.select(["node"]), batch_format="pyarrow"),
+            node_schema,
+        )
+        .sort("node")
+        .limit(n_seeds)
+    )
+
+    def with_dist(r: int):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "node": t.column("node"),
+                    "dist": pa.array(np.full(t.num_rows, r, dtype=np.int64)),
+                }
+            )
+
+        return fn
+
+    visited = pin_schema(
+        seeds.map_batches(with_dist(0), batch_format="pyarrow"), vis_schema
+    ).materialize()
+    frontier = pin_schema(
+        visited.map_batches(lambda t: t.select(["node"]), batch_format="pyarrow"),
+        node_schema,
+    ).materialize()
+
+    for r in range(1, max_hops + 1):
+        if frontier.count() == 0:
+            break
+        cand = bucketed_inner_join(
+            adj,
+            frontier.map_batches(
+                lambda t: t.rename_columns(["src"]), batch_format="pyarrow"
+            ),
+            ["src"],
+            adj_schema,
+            pa.schema([("src", pa.string())]),
+            num_buckets=num_buckets,
+            join_type="left semi",
+        ).map_batches(
+            lambda t: t.select(["dst"]).rename_columns(["node"]), batch_format="pyarrow"
+        )
+        cand = pin_schema(
+            bucketed_aggregate(
+                with_ones(cand), ["node"], [("one", "min")], num_buckets=num_buckets
+            ).map_batches(lambda t: t.select(["node"]), batch_format="pyarrow"),
+            node_schema,
+        )
+        new = pin_schema(
+            bucketed_inner_join(
+                cand,
+                visited.map_batches(
+                    lambda t: t.select(["node"]), batch_format="pyarrow"
+                ),
+                ["node"],
+                node_schema,
+                node_schema,
+                num_buckets=num_buckets,
+                join_type="left anti",
+            ),
+            node_schema,
+        ).materialize()
+        visited = visited.union(
+            new.map_batches(with_dist(r), batch_format="pyarrow")
+        ).materialize()
+        frontier = new
+
+    return visited

@@ -110,6 +110,7 @@ SQL_CHECKED = [
     "paragraph_dedup",
     "order_priority",
     "shipping_priority",
+    "kg_bfs",
 ]
 
 #: queries with neither a SQL twin nor a golden parquet — none left;

@@ -184,3 +184,53 @@ class TestKCore:
         chain = [("c", "x1"), ("x1", "x2"), ("x2", "x3"), ("x3", "x4")]
         got = self._run(tri + chain, k=2, max_rounds=10)
         assert set(got) == {"a", "b", "c"}
+
+
+class TestBfsDistances:
+    def test_chain_distances_and_hop_cap(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from bioner_ray.stages.graph import bfs_distances
+
+        # chain a-b-c-d-e-f plus an isolated self-loop (dropped)
+        edges = pa.table(
+            {
+                "subj": ["a", "b", "c", "d", "e", "x"],
+                "obj": ["b", "c", "d", "e", "f", "x"],
+            }
+        )
+        out = (
+            bfs_distances(rd.from_arrow(edges), n_seeds=1, max_hops=3)
+            .to_pandas()
+            .set_index("node")["dist"]
+            .to_dict()
+        )
+        # seed = lexicographically smallest node "a"
+        assert out == {"a": 0, "b": 1, "c": 2, "d": 3}
+
+    def test_multi_seed_min_distance(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from bioner_ray.stages.graph import bfs_distances
+
+        # chain a-b-c-d; seeds {a, b} -> c is 1 hop from b
+        edges = pa.table({"subj": ["a", "b", "c"], "obj": ["b", "c", "d"]})
+        out = (
+            bfs_distances(rd.from_arrow(edges), n_seeds=2, max_hops=2)
+            .to_pandas()
+            .set_index("node")["dist"]
+            .to_dict()
+        )
+        assert out == {"a": 0, "b": 0, "c": 1, "d": 2}
+
+    def test_early_exit_on_exhausted_frontier(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from bioner_ray.stages.graph import bfs_distances
+
+        edges = pa.table({"subj": ["a"], "obj": ["b"]})
+        out = bfs_distances(rd.from_arrow(edges), n_seeds=1, max_hops=5).to_pandas()
+        assert sorted(zip(out["node"], out["dist"])) == [("a", 0), ("b", 1)]
