@@ -412,6 +412,17 @@ def token_shards(sf_dir: str, budget: int = 2048, bucket_width: int = 64):
     return shards(_documents(sf_dir), budget=budget, bucket_width=bucket_width)
 
 
+def weighted_sample(sf_dir: str, k: int = 50):
+    """Deterministic weighted bottom-k sample over documents, weight =
+    n_chars (priority sampling; stages/sampling.py). Columns: doc_id,
+    weight, prio."""
+    from bioner_ray.stages.sampling import weighted_sample_stage
+
+    return weighted_sample_stage(
+        _read(sf_dir, "documents", columns=["doc_id", "n_chars"]), k=k
+    )
+
+
 def stratified_sample(sf_dir: str):
     """Deterministic per-language hash sampling: 50% of English docs,
     10% of everything else — the up/down-sampling mix step of a

@@ -190,3 +190,59 @@ def upsample_mix_stage(
         return out.append_column("copy", pa.array(copy, type=pa.int64()))
 
     return ds.map_batches(reps, batch_format="pyarrow")
+
+
+#: LCG constants (Knuth MMIX) for the priority-sample hash; the affine
+#: mix mod 2^64 then mod 2^61 replays in SQL as HUGEINT arithmetic
+#: (products ≤ 2^126), the minhash-twin pattern.
+_PRIO_A = np.uint64(6364136223846793005)
+_PRIO_B = np.uint64(1442695040888963407)
+_MOD61 = np.uint64(2305843009213693952)
+
+
+def weighted_sample_stage(
+    ds,
+    k: int = 50,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+):
+    """Deterministic weighted bottom-k sample (priority sampling,
+    Duffield–Lund–Thorup): each row gets priority = h(id) / weight with
+    h a seeded 61-bit affine mix, and the global k smallest priorities
+    are the sample — inclusion probability ∝ weight in the tail, with
+    NO RNG state: the same row always draws the same priority, so a
+    resumed or repartitioned run samples identically (the
+    stratified_sample argument), and the float is one exactly-rounded
+    division (uint→double cast + IEEE divide), bit-replayable in SQL
+    without the libm-log pinning a -ln(u)/w Efraimidis–Spirakis key
+    would need.
+
+    Scale shape: priorities are vectorized numpy per batch; each block
+    prunes to its local bottom-k before the global sort, so the
+    sort/limit moves at most k rows per block. Zero/negative weights
+    are excluded (they carry no sampling mass). Columns: id, weight,
+    prio."""
+
+    def prio(batch: pa.Table) -> pa.Table:
+        ids64 = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        w = batch.column(weight_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = w > 0
+        with np.errstate(over="ignore"):
+            h = (ids64.astype(np.uint64) * _PRIO_A + _PRIO_B) % _MOD61
+        p = h.astype(np.float64) / w.astype(np.float64)
+        t = pa.table(
+            {
+                id_col: pa.array(ids64, type=pa.int64()),
+                "weight": pa.array(w, type=pa.int64()),
+                "prio": pa.array(p, type=pa.float64()),
+            }
+        ).filter(pa.array(keep))
+        if t.num_rows > k:
+            t = t.sort_by([("prio", "ascending"), (id_col, "ascending")]).slice(0, k)
+        return t
+
+    return (
+        ds.map_batches(prio, batch_format="pyarrow")
+        .sort(["prio", id_col])
+        .limit(k)
+    )

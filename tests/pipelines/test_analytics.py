@@ -111,6 +111,7 @@ SQL_CHECKED = [
     "order_priority",
     "shipping_priority",
     "kg_bfs",
+    "weighted_sample",
 ]
 
 #: queries with neither a SQL twin nor a golden parquet — none left;

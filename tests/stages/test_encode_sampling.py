@@ -104,3 +104,44 @@ class TestShuffleAndSampling:
         specs = [("bad0", [([B], [O])]), ("good0", [([B], [B])])]
         got = [r["url"] for r in sample_error_documents(_eval_docs(specs), n=5, seed=1).take_all()]
         assert got == ["bad0"]
+
+
+class TestWeightedSample:
+    def test_matches_bruteforce_priorities(self):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from bioner_ray.stages.sampling import (
+            _MOD61,
+            _PRIO_A,
+            _PRIO_B,
+            weighted_sample_stage,
+        )
+
+        ids = np.arange(200, dtype=np.int64)
+        w = (ids % 7 + 1) * 10
+        w[5] = 0  # zero weight must be excluded
+        ds = rd.from_arrow(pa.table({"doc_id": ids, "n_chars": w}))
+        out = weighted_sample_stage(ds, k=20).to_pandas()
+
+        with np.errstate(over="ignore"):
+            h = (ids.astype(np.uint64) * _PRIO_A + _PRIO_B) % _MOD61
+        keep = w > 0
+        prio = h[keep].astype(np.float64) / w[keep].astype(np.float64)
+        order = np.lexsort((ids[keep], prio))[:20]
+        assert list(out["doc_id"]) == list(ids[keep][order])
+        np.testing.assert_array_equal(out["prio"].to_numpy(), prio[order])
+        assert 5 not in set(out["doc_id"])
+
+    def test_k_larger_than_corpus(self):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from bioner_ray.stages.sampling import weighted_sample_stage
+
+        ds = rd.from_arrow(
+            pa.table({"doc_id": np.arange(5, dtype=np.int64), "n_chars": np.full(5, 3, dtype=np.int64)})
+        )
+        assert weighted_sample_stage(ds, k=50).count() == 5
