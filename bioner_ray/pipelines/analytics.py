@@ -1983,6 +1983,37 @@ def shipping_priority(sf_dir: str, segment: str = "BUILDING", cutoff: str = "199
     )
 
 
+def purchase_context(sf_dir: str, window_hours: int = 1):
+    """Range (band) join: per purchase event, the same user's activity
+    count within ±window_hours (stages/window.py range_join_count —
+    hour-cell replication + one bucketed composite join; the
+    purchase-context feature a behavioral pipeline extracts). The
+    purchase itself is inside its own band, so n_context ≥ 1. Columns:
+    event_id, n_context."""
+    from bioner_ray.stages.window import range_join_count
+
+    purchases = _read(
+        sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"]
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t.column("event_type"), "purchase")).select(
+            ["event_id", "user_id", "ts"]
+        ),
+        batch_format="pyarrow",
+    )
+    events = _read(sf_dir, "events", columns=["user_id", "ts"])
+    out = range_join_count(
+        purchases,
+        events,
+        left_key="user_id",
+        left_ts="ts",
+        left_id="event_id",
+        right_key="user_id",
+        right_ts="ts",
+        window_us=window_hours * 3_600_000_000,
+    )
+    return out.rename_columns({"lid": "event_id", "n_matches": "n_context"})
+
+
 def events_by_type(sf_dir: str):
     """Streaming aggregate over the events table. Columns: event_type,
     n_events, sum_value_cents."""

@@ -212,3 +212,79 @@ def asof_join_latest(
         .groupby("bucket")
         .map_groups(merge, batch_format="pyarrow")
     )
+
+
+def range_join_count(
+    left_ds,
+    right_ds,
+    left_key: str,
+    left_ts: str,
+    left_id: str,
+    right_key: str,
+    right_ts: str,
+    window_us: int,
+    num_buckets: int = 256,
+):
+    """Distributed band (range) join: for every left row, count right
+    rows with the same key and |right_ts − left_ts| ≤ ``window_us`` —
+    the "events near an order" interval-overlap query Ray Data has no
+    operator for.
+
+    Plan: both sides key on (key, coarse) with coarse = floor(ts /
+    window) — one coarse cell per right row, ≤3 replicas per left row
+    ({c−1, c, c+1} covers every cell a |Δ| ≤ window match can live in,
+    since floor((t±W)/W) is within floor(t/W)±1). One bucketed hash
+    join on the composite key, an exact vectorized |Δ| filter, one
+    bucketed count — exchange is 3·|left| + |right| slim rows, never a
+    per-key cross product beyond the genuine band matches. Skew: a hot
+    (key, cell) shares its bucket, the usual coarse-bucket argument.
+    Left rows with no match are absent (inner semantics). Columns:
+    <left_id>, n_matches."""
+    from bioner_ray.stages.shuffle import bucketed_aggregate, bucketed_inner_join, with_ones
+
+    w = np.int64(window_us)
+
+    def left_rows(b: pa.Table) -> pa.Table:
+        k = b.column(left_key).to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pc.cast(b.column(left_ts), pa.int64()).to_numpy(zero_copy_only=False)
+        lid = b.column(left_id).to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t // w
+        return pa.table(
+            {
+                "k": pa.array(np.tile(k, 3)),
+                "c": pa.array(np.concatenate([c - 1, c, c + 1])),
+                "lid": pa.array(np.tile(lid, 3)),
+                "lt": pa.array(np.tile(t, 3)),
+            }
+        )
+
+    def right_rows(b: pa.Table) -> pa.Table:
+        k = b.column(right_key).to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pc.cast(b.column(right_ts), pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"k": pa.array(k), "c": pa.array(t // w), "rt": pa.array(t)}
+        )
+
+    joined = bucketed_inner_join(
+        left_ds.map_batches(left_rows, batch_format="pyarrow"),
+        right_ds.map_batches(right_rows, batch_format="pyarrow"),
+        ["k", "c"],
+        pa.schema(
+            [("k", pa.int64()), ("c", pa.int64()), ("lid", pa.int64()), ("lt", pa.int64())]
+        ),
+        pa.schema([("k", pa.int64()), ("c", pa.int64()), ("rt", pa.int64())]),
+        num_buckets=num_buckets,
+    )
+
+    def in_band(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return pa.schema([("lid", pa.int64())]).empty_table()
+        dt = pc.abs(pc.subtract(t.column("rt"), t.column("lt")))
+        return t.filter(pc.less_equal(dt, int(w))).select(["lid"])
+
+    return bucketed_aggregate(
+        with_ones(joined.map_batches(in_band, batch_format="pyarrow"), "n_matches"),
+        ["lid"],
+        [("n_matches", "sum")],
+        num_buckets=num_buckets,
+    )

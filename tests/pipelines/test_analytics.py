@@ -112,6 +112,7 @@ SQL_CHECKED = [
     "shipping_priority",
     "kg_bfs",
     "weighted_sample",
+    "purchase_context",
 ]
 
 #: queries with neither a SQL twin nor a golden parquet — none left;

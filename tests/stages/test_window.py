@@ -88,3 +88,62 @@ class TestAsofJoin:
         events = [(0, _ts(9), 7)]
         orders = [(41, 7, _ts(8)), (44, 7, _ts(8)), (42, 7, _ts(8))]
         assert self._run(events, orders)[0] == 44
+
+
+class TestRangeJoinCount:
+    def test_band_membership_exact_at_boundaries(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from bioner_ray.stages.window import range_join_count
+
+        # left at t=1000; right at Δ = -101, -100, 0, +100, +101 (window 100)
+        left = rd.from_arrow(
+            pa.table(
+                {
+                    "k": pa.array([1], type=pa.int64()),
+                    "t": pa.array([1000], type=pa.timestamp("us")),
+                    "lid": pa.array([42], type=pa.int64()),
+                }
+            )
+        )
+        right = rd.from_arrow(
+            pa.table(
+                {
+                    "k": pa.array([1, 1, 1, 1, 1, 2], type=pa.int64()),
+                    "t": pa.array([899, 900, 1000, 1100, 1101, 1000], type=pa.timestamp("us")),
+                }
+            )
+        )
+        out = range_join_count(
+            left, right, "k", "t", "lid", "k", "t", window_us=100
+        ).to_pandas()
+        assert list(out["lid"]) == [42] and list(out["n_matches"]) == [3]
+
+    def test_no_match_left_absent(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from bioner_ray.stages.window import range_join_count
+
+        left = rd.from_arrow(
+            pa.table(
+                {
+                    "k": pa.array([1], type=pa.int64()),
+                    "t": pa.array([1000], type=pa.timestamp("us")),
+                    "lid": pa.array([7], type=pa.int64()),
+                }
+            )
+        )
+        right = rd.from_arrow(
+            pa.table(
+                {
+                    "k": pa.array([1], type=pa.int64()),
+                    "t": pa.array([5000], type=pa.timestamp("us")),
+                }
+            )
+        )
+        out = range_join_count(
+            left, right, "k", "t", "lid", "k", "t", window_us=100
+        ).to_pandas()
+        assert len(out) == 0
