@@ -2661,6 +2661,23 @@ def distinct_users_per_type(sf_dir: str):
     return out.select_columns(["event_type", "n_users"])
 
 
+def distinct_users_hll(sf_dir: str, p: int = 8):
+    """Distinct users per event type via HyperLogLog (stages/sketch.py
+    hll_distinct) — the FIXED-size mergeable synopsis (≤ 2^p register
+    rows per block per type, whatever the cardinality). At the
+    testdata's 15/150 users the small-range linear-counting branch
+    fires; the raw-estimate branch is pinned by the pytest brute-force
+    twin. Columns: event_type, v_zero, s_int, est_distinct."""
+    from bioner_ray.stages.sketch import hll_distinct
+
+    return hll_distinct(
+        _read(sf_dir, "events", columns=["event_type", "user_id"]),
+        "event_type",
+        "user_id",
+        p=p,
+    )
+
+
 def distinct_users_kmv(sf_dir: str, k: int = 64):
     """Distinct users per event type via the KMV bottom-k sketch
     (stages/sketch.py) — the bounded-shuffle scale path next to the

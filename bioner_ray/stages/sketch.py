@@ -97,3 +97,127 @@ def kmv_distinct(ds, key_col: str, value_col: str, k: int = 64):
         .groupby(key_col)
         .map_groups(final, batch_format="pyarrow")
     )
+
+
+def _bitlen_u64(w: np.ndarray) -> np.ndarray:
+    """Vectorized integer bit length (0 for 0) — exact, no float log."""
+    bl = np.zeros(w.shape, dtype=np.int64)
+    v = w.astype(np.uint64).copy()
+    for sh in (32, 16, 8, 4, 2, 1):
+        m = v >= np.uint64(1 << sh)
+        bl[m] += sh
+        v[m] >>= np.uint64(sh)
+    bl[w > 0] += 1
+    return bl
+
+
+def hll_distinct(ds, key_col: str, value_col: str, p: int = 8):
+    """Per-key distinct count via HyperLogLog (Flajolet et al. 2007) —
+    the FIXED-size mergeable synopsis next to KMV's bottom-k: every
+    block ships at most m = 2^p (bucket, max-rank) pairs per key
+    regardless of cardinality, and merge is a plain per-bucket max
+    (associative, order-free ⇒ deterministic on any cluster shape).
+
+    Same md5-derived 61-bit hash as KMV; bucket = top ``p`` bits, rank
+    = 54 − bitlen of the remaining (61−p=53)-bit tail (so rank ∈ [1,
+    54]; the bit length is computed in exact integer arithmetic, NOT
+    float log2, and replays in SQL as ``length(bin(w))``). The
+    registers are harmonically combined through ONE exact int64 sum
+    S = Σ 2^(54 − rank) (each term ≤ 2^53, m ≤ 256 terms — no float
+    association order to drift), so the raw estimate is a single
+    exactly-rounded double expression α·m²·2^54 / S; the small-range
+    linear-counting branch (E ≤ 2.5m with empty buckets) uses libm
+    ``math.log``, the kg_edge_pmi pinning. The per-key finish walks a
+    table bounded by keys × m — the value_percentiles driver-finish
+    argument. Columns: key_col, v_zero, s_int, est_distinct."""
+    import math
+
+    from bioner_ray.stages.shuffle import bucketed_aggregate
+
+    m = 1 << p
+    tail_bits = 61 - p
+    rank_cap = tail_bits + 1  # 54 at p=8
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_pylist()
+        vals = batch.column(value_col).to_pylist()
+        per_key: dict = {}
+        for kk, v in zip(keys, vals):
+            per_key.setdefault(kk, set()).add(v)
+        out_k: list = []
+        out_b: list = []
+        out_r: list = []
+        for kk, vs in per_key.items():
+            hs = _value_hashes(list(vs))
+            bucket = (hs >> np.uint64(tail_bits)).astype(np.int64)
+            tail = hs & np.uint64((1 << tail_bits) - 1)
+            rank = rank_cap - _bitlen_u64(tail)
+            # block-local register: max rank per bucket
+            reg: dict = {}
+            for bb, rr in zip(bucket.tolist(), rank.tolist()):
+                if rr > reg.get(bb, 0):
+                    reg[bb] = rr
+            out_k.extend([kk] * len(reg))
+            out_b.extend(reg.keys())
+            out_r.extend(reg.values())
+        return pa.table(
+            {
+                key_col: pa.array(out_k),
+                "bucket": pa.array(out_b, type=pa.int64()),
+                "rank": pa.array(out_r, type=pa.int64()),
+            }
+        )
+
+    regs = bucketed_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        [key_col, "bucket"],
+        [("rank", "max")],
+    )
+
+    alpha = 0.7213 / (1.0 + 1.079 / float(m))
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return pa.schema(
+                [
+                    (key_col, pa.string()),
+                    ("v_zero", pa.int64()),
+                    ("s_int", pa.int64()),
+                    ("est_distinct", pa.float64()),
+                ]
+            ).empty_table()
+        import pandas as pd
+
+        df = t.to_pandas()
+        rows = []
+        for kk, g in df.groupby(key_col, sort=True):
+            nb = len(g)
+            v_zero = m - nb
+            s_int = int(
+                np.sum(np.int64(1) << (rank_cap - g["rank"].to_numpy(np.int64)))
+            ) + (v_zero << rank_cap)
+            est = alpha * float(m) * float(m) * float(1 << rank_cap) / float(s_int)
+            if est <= 2.5 * m and v_zero > 0:
+                est = float(m) * math.log(float(m) / float(v_zero))
+            rows.append((kk, v_zero, s_int, est))
+        return pa.table(
+            {
+                key_col: pa.array([r[0] for r in rows]),
+                "v_zero": pa.array([r[1] for r in rows], type=pa.int64()),
+                "s_int": pa.array([r[2] for r in rows], type=pa.int64()),
+                "est_distinct": pa.array([r[3] for r in rows], type=pa.float64()),
+            }
+        )
+
+    # the register table is bounded by keys × m — per-key finish groups
+    # whole keys via the same coarse-bucket shuffle as every aggregate
+    from bioner_ray.stages.shuffle import pin_schema
+
+    reg_schema = pa.schema(
+        [(key_col, pa.string()), ("bucket", pa.int64()), ("rank", pa.int64())]
+    )
+    return (
+        pin_schema(regs, reg_schema)
+        .groupby(key_col)
+        .map_groups(finish, batch_format="pyarrow")
+    )

@@ -113,6 +113,7 @@ SQL_CHECKED = [
     "kg_bfs",
     "weighted_sample",
     "purchase_context",
+    "distinct_users_hll",
 ]
 
 #: queries with neither a SQL twin nor a golden parquet — none left;

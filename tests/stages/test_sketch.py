@@ -47,3 +47,62 @@ class TestKMV:
             b["kth_hash"],
             b["est_distinct"],
         )
+
+
+class TestHllDistinct:
+    def _brute(self, values, p=8):
+        import hashlib
+
+        import numpy as np
+
+        m = 1 << p
+        tail_bits = 61 - p
+        regs = {}
+        for v in set(values):
+            h = int.from_bytes(hashlib.md5(str(v).encode()).digest()[:8], "big") % (1 << 61)
+            b = h >> tail_bits
+            w = h & ((1 << tail_bits) - 1)
+            rank = (tail_bits + 1) - w.bit_length()
+            regs[b] = max(regs.get(b, 0), rank)
+        v_zero = m - len(regs)
+        s_int = sum(1 << (tail_bits + 1 - r) for r in regs.values()) + (v_zero << (tail_bits + 1))
+        alpha = 0.7213 / (1.0 + 1.079 / float(m))
+        est = alpha * float(m) * float(m) * float(1 << (tail_bits + 1)) / float(s_int)
+        if est <= 2.5 * m and v_zero > 0:
+            import math
+
+            est = float(m) * math.log(float(m) / float(v_zero))
+        return v_zero, s_int, est
+
+    def test_raw_branch_matches_bruteforce_and_is_accurate(self):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from bioner_ray.stages.sketch import hll_distinct
+
+        n = 5000  # >> 2.5 * 256 -> raw harmonic estimator branch
+        vals = np.arange(n, dtype=np.int64)
+        t = pa.table({"k": pa.array(["a"] * n), "v": pa.array(vals)})
+        out = hll_distinct(rd.from_arrow(t), "k", "v").to_pandas()
+        v_zero, s_int, est = self._brute(vals.tolist())
+        assert out.iloc[0]["v_zero"] == v_zero
+        assert out.iloc[0]["s_int"] == s_int
+        assert out.iloc[0]["est_distinct"] == est
+        assert abs(est - n) / n < 0.15  # within HLL's ~1.04/sqrt(256) band
+
+    def test_merge_is_block_shape_independent(self):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from bioner_ray.stages.sketch import hll_distinct
+
+        vals = np.arange(1000, dtype=np.int64)
+        t = pa.table({"k": pa.array(["a"] * 1000), "v": pa.array(vals)})
+        one = hll_distinct(rd.from_arrow(t), "k", "v").to_pandas()
+        many = hll_distinct(
+            rd.from_arrow(t).repartition(7), "k", "v"
+        ).to_pandas()
+        assert one.iloc[0]["s_int"] == many.iloc[0]["s_int"]
+        assert one.iloc[0]["est_distinct"] == many.iloc[0]["est_distinct"]
