@@ -149,6 +149,13 @@ OPERATOR_QUERIES = [
     "kg_walks",
     "kg_kcore",
     "bloom_decontaminate",
+    # round-3 close: segment dedup, band join, frontier BFS, sketches
+    "paragraph_dedup",
+    "purchase_context",
+    "kg_bfs",
+    "weighted_sample",
+    "distinct_users_hll",
+    "shipping_priority",
 ]
 
 

@@ -193,3 +193,17 @@ def _limit(ds, n: int = 1000):
 @register_stage("repartition", "repartition into n blocks (shuffle optional)")
 def _repartition(ds, num_blocks: int = 64, shuffle: bool = False):
     return ds.repartition(num_blocks, shuffle=shuffle)
+
+
+@register_stage("segment_dedup", "C4-style segment-level first-occurrence dedup stats")
+def _segment_dedup(ds, window: int = 10, text_col: str = "text", id_col: str = "doc_id"):
+    from bioner_ray.stages.dedup import segment_dedup
+
+    return segment_dedup(ds, window=window, text_col=text_col, id_col=id_col)
+
+
+@register_stage("weighted_sample", "deterministic bottom-k priority sample (weight-proportional)")
+def _weighted_sample(ds, k: int = 50, weight_col: str = "n_chars", id_col: str = "doc_id"):
+    from bioner_ray.stages.sampling import weighted_sample_stage
+
+    return weighted_sample_stage(ds, k=k, weight_col=weight_col, id_col=id_col)
