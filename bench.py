@@ -153,6 +153,7 @@ OPERATOR_QUERIES = [
     "paragraph_dedup",
     "purchase_context",
     "kg_bfs",
+    "kg_communities",
     "weighted_sample",
     "distinct_users_hll",
     "shipping_priority",

@@ -942,6 +942,19 @@ def kg_bfs(sf_dir: str, n_seeds: int = 3, max_hops: int = 3):
     return bfs_distances(kg_edges(sf_dir), n_seeds=n_seeds, max_hops=max_hops)
 
 
+def kg_communities(sf_dir: str, rounds: int = 4):
+    """Topic communities over the canonical KG: deterministic
+    synchronous weighted label propagation (stages/graph.py
+    label_propagation — argmax-neighbor-label by summed edge weight,
+    ties to the lexicographically smallest label, fixed ``rounds``).
+    The grouping pass between entity resolution (kg_merge_groups folds
+    identical entities) and serving (communities cluster related ones).
+    Columns: node, label."""
+    from bioner_ray.stages.graph import label_propagation
+
+    return label_propagation(kg_edges(sf_dir), rounds=rounds)
+
+
 def kg_edge_wjaccard(sf_dir: str, edges=None):
     """Per-edge WEIGHTED structural Jaccard of the endpoints' neighbor
     weight vectors (stages/graph.py edge_weighted_jaccard) — the

@@ -1582,3 +1582,139 @@ def bfs_distances(
         frontier = new
 
     return visited
+
+
+def label_propagation(
+    edges_ds,
+    rounds: int = 4,
+    subj_col: str = "subj",
+    obj_col: str = "obj",
+    weight_col: str = "weight",
+    num_buckets: int = 256,
+):
+    """Deterministic synchronous weighted label propagation — the
+    community-detection pass a KG build runs between entity resolution
+    (``kg_merge_groups``: folds *identical* entities) and serving
+    (communities group *related* entities into topics).
+
+    Standard LPA is RNG-driven (random node order, random tie-breaks);
+    this is the synchronous determinized form: every node starts as its
+    own label, and round r assigns ``label(v) = argmax over neighbor
+    labels of the summed adjacent edge weight``, ties broken by the
+    lexicographically SMALLEST label. No RNG, no node ordering, fixed
+    rounds — bit-replayable in SQL round by round (the kg_bfs / kg_kcore
+    twin pattern). Synchronous LPA can 2-cycle on bipartite-ish regions
+    instead of converging; a fixed even round count is the standard
+    determinization and both sides replay whatever state round R has.
+
+    Scale shape: the adjacency build is ONE bucketed aggregate over the
+    edge stream; each round is ONE bucketed join of the edge-sized
+    adjacency against the node-sized label table (keyed on src — the
+    same single partitioning key every round), ONE bucketed (node,
+    label) weight aggregate, and ONE combiner-pruned per-node argmax
+    (stages/rank.top_k_per_group, k=1 — the shuffle moves ≤ one row per
+    (block, node)). Labels materialize per round to cut lineage (the
+    kg_pagerank argument). Never all-pairs, no driver-side state.
+
+    Self-loops are dropped; multi-edges/preds collapse by weight sum
+    (``weight_col`` absent → every row counts 1). Columns: node, label.
+
+    No reference analog (the reference's graph ends at canonical
+    triples, entity_level_precision_recall.py evaluates spans);
+    extension per SURVEY.md §2.11.
+    """
+    import pyarrow.compute as pc
+
+    def to_adj(batch: pa.Table) -> pa.Table:
+        s = pc.cast(batch.column(subj_col), pa.string()).combine_chunks()
+        o = pc.cast(batch.column(obj_col), pa.string()).combine_chunks()
+        if weight_col in batch.column_names:
+            w = pc.cast(batch.column(weight_col), pa.int64()).combine_chunks()
+        else:
+            w = pa.array([1] * batch.num_rows, type=pa.int64())
+        keep = pc.not_equal(s, o)
+        s, o, w = s.filter(keep), o.filter(keep), w.filter(keep)
+        return pa.table(
+            {
+                "src": pa.chunked_array([s, o]).combine_chunks(),
+                "dst": pa.chunked_array([o, s]).combine_chunks(),
+                "w": pa.chunked_array([w, w]).combine_chunks(),
+            }
+        )
+
+    adj_schema = pa.schema(
+        [("src", pa.string()), ("dst", pa.string()), ("w", pa.int64())]
+    )
+    adj = pin_schema(
+        bucketed_aggregate(
+            edges_ds.map_batches(to_adj, batch_format="pyarrow"),
+            ["src", "dst"],
+            [("w", "sum")],
+            num_buckets=num_buckets,
+        ),
+        adj_schema,
+    ).materialize()
+
+    lab_schema = pa.schema([("node", pa.string()), ("label", pa.string())])
+
+    def self_label(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t.column("node"), "label": t.column("node")})
+
+    # every node in adj appears as a src (adjacency is symmetric), so
+    # distinct src IS the node set
+    labels = pin_schema(
+        bucketed_aggregate(
+            with_ones(
+                pin_schema(adj, adj_schema).map_batches(
+                    lambda t: t.select(["src"]).rename_columns(["node"]),
+                    batch_format="pyarrow",
+                )
+            ),
+            ["node"],
+            [("one", "min")],
+            num_buckets=num_buckets,
+        ),
+        pa.schema([("node", pa.string())]),
+    ).map_batches(self_label, batch_format="pyarrow").materialize()
+
+    from bioner_ray.stages.rank import top_k_per_group
+
+    score_schema = pa.schema(
+        [("dst", pa.string()), ("label", pa.string()), ("w", pa.int64())]
+    )
+    for _ in range(rounds):
+        # pin_schema does select+cast in one pass, absorbing any
+        # schema-less empty reduce partitions before the bare lambdas
+        joined = pin_schema(
+            bucketed_inner_join(
+                adj,
+                labels.map_batches(
+                    lambda t: t.rename_columns(["src", "label"]),
+                    batch_format="pyarrow",
+                ),
+                ["src"],
+                adj_schema,
+                pa.schema([("src", pa.string()), ("label", pa.string())]),
+                num_buckets=num_buckets,
+            ),
+            score_schema,
+        )
+        scores = pin_schema(
+            bucketed_aggregate(
+                joined, ["dst", "label"], [("w", "sum")], num_buckets=num_buckets
+            ),
+            score_schema,
+        )
+        labels = pin_schema(
+            top_k_per_group(
+                scores,
+                key_col="dst",
+                order_by=[("w", "descending"), ("label", "ascending")],
+                k=1,
+            ),
+            pa.schema([("dst", pa.string()), ("label", pa.string())]),
+        ).map_batches(
+            lambda t: t.rename_columns(["node", "label"]), batch_format="pyarrow"
+        ).materialize()
+
+    return labels
