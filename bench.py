@@ -151,6 +151,7 @@ OPERATOR_QUERIES = [
     "bloom_decontaminate",
     # round-3 close: segment dedup, band join, frontier BFS, sketches
     "paragraph_dedup",
+    "pii_scrub",
     "purchase_context",
     "kg_bfs",
     "kg_communities",

@@ -995,3 +995,61 @@ def csv_roundtrip(sf_dir: str):
     ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=cols)
     write_csv(ev, path)
     return read_csv(path, columns=cols)
+
+
+def pii_scrub(sf_dir: str):
+    """PII redaction audit over the documents table (stages/scrub.py —
+    vectorized RE2 count+replace for emails, phones, IPv4s, applied
+    sequentially). The synthetic corpus is PII-free by construction, so
+    the query first lays down a DETERMINISTIC doc_id-derived PII layer
+    (every 3rd doc an email, 4th a phone, 5th an IP — pure Arrow
+    int→string concat, mirrored byte-for-byte by the SQL twin's CASE
+    chain); the operator under test is the scrub itself, which both
+    sides then replay on identical bytes. Columns: doc_id, n_email,
+    n_phone, n_ip, clean_len, clean_text."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from bioner_ray.stages.scrub import pii_scrub_stage
+
+    def augment(t: pa.Table) -> pa.Table:
+        d = pc.cast(t.column("doc_id"), pa.int64()).to_numpy(zero_copy_only=False)
+
+        def snum(x: np.ndarray) -> np.ndarray:
+            return x.astype(np.int64).astype("U20")
+
+        def cat(*parts):
+            out = parts[0]
+            for p in parts[1:]:
+                out = np.char.add(out, p)
+            return out
+
+        empty = np.full(len(d), "", dtype="U1")
+        email = np.where(
+            d % 3 == 0,
+            cat(" reach user", snum(d), "@mail", snum(d % 7), ".example.com"),
+            empty,
+        )
+        phone = np.where(
+            d % 4 == 0,
+            cat(" call ", snum(100 + d % 900), "-555-", snum(1000 + d % 9000)),
+            empty,
+        )
+        ip = np.where(
+            d % 5 == 0,
+            cat(" from 10.", snum(d % 256), ".", snum((d // 7) % 256), ".", snum(d % 100)),
+            empty,
+        )
+        text = pc.binary_join_element_wise(
+            pc.cast(t.column("text"), pa.string()),
+            pa.array(email),
+            pa.array(phone),
+            pa.array(ip),
+            "",
+        )
+        return pa.table({"doc_id": t.column("doc_id"), "text": text})
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        augment, batch_format="pyarrow"
+    )
+    return pii_scrub_stage(ds)
