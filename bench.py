@@ -157,6 +157,7 @@ OPERATOR_QUERIES = [
     "kg_communities",
     "weighted_sample",
     "distinct_users_hll",
+    "heavy_hitters",
     "shipping_priority",
 ]
 

@@ -1053,3 +1053,18 @@ def pii_scrub(sf_dir: str):
         augment, batch_format="pyarrow"
     )
     return pii_scrub_stage(ds)
+
+
+def heavy_hitters(sf_dir: str, depth: int = 4, width: int = 64, seed: int = 7):
+    """Count-min-sketch word-frequency estimates over the documents
+    table (stages/sketch.py cms_word_counts/cms_estimates): the
+    mergeable heavy-hitters synopsis whose exchange is depth×width
+    registers per block regardless of vocabulary size. ``width=64``
+    keeps collisions REAL at fixture vocabulary (the estimate path is
+    exercised, not a pass-through); production sizing in the stage
+    docstring. Columns: word, est."""
+    from bioner_ray.stages.sketch import cms_estimates, cms_word_counts
+
+    docs = _read(sf_dir, "documents", columns=["text"])
+    regs, words = cms_word_counts(docs, depth=depth, width=width, seed=seed)
+    return cms_estimates(regs, words, depth=depth, width=width, seed=seed)

@@ -221,3 +221,159 @@ def hll_distinct(ds, key_col: str, value_col: str, p: int = 8):
         .groupby(key_col)
         .map_groups(finish, batch_format="pyarrow")
     )
+
+
+def cms_params(depth: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    """Seeded 61-bit affine constants (one (a, b) row pair per sketch
+    row), inlined verbatim into the SQL twin by ``__ray_entry__`` — the
+    bloom_params construction."""
+    rng = np.random.default_rng(seed)
+    bound = 1 << 61
+    a = rng.integers(1, bound, size=depth, dtype=np.uint64)
+    b = rng.integers(0, bound, size=depth, dtype=np.uint64)
+    return a, b
+
+
+def _word_hashes(words: list[str]) -> np.ndarray:
+    """61-bit md5-prefix hash per word — the engine's replayable hash
+    contract (`CAST(concat('0x', substr(md5(w), 1, 16)) AS UBIGINT) %
+    2^61`). Called on per-batch DISTINCT words only, so the Python md5
+    loop is vocabulary-bounded, never token-volume-bounded."""
+    out = np.empty(len(words), dtype=np.uint64)
+    for i, w in enumerate(words):
+        out[i] = int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big") % _M61
+    return out
+
+
+def _cms_cols(h: np.ndarray, a: np.ndarray, b: np.ndarray, r: int, width: int) -> np.ndarray:
+    """Sketch column per word for row ``r``: ((a_r·h + b_r) mod 2^64)
+    mod width — numpy uint64 wrap replays as HUGEINT in the twin."""
+    with np.errstate(over="ignore"):
+        return ((a[r] * h + b[r]) % np.uint64(width)).astype(np.int64)
+
+
+def _batch_word_counts(batch: pa.Table, text_col: str):
+    """Vectorized per-batch word counts under the engine's tokenizer
+    contract (lower + split \\s+ + drop empties — textstats.tokenize_ws
+    / the shared `tok` SQL CTE). Returns (words, counts)."""
+    import pyarrow.compute as pc
+
+    lowered = pc.utf8_lower(pc.cast(batch.column(text_col), pa.string()))
+    flat = pc.list_flatten(pc.split_pattern_regex(lowered, r"\s+"))
+    flat = flat.filter(pc.not_equal(flat, ""))
+    vc = flat.value_counts()
+    return vc.field("values").to_pylist(), vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64)
+
+
+def cms_word_counts(
+    ds,
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 64,
+    seed: int = 7,
+    num_buckets: int = 16,
+):
+    """Count-min sketch word-frequency estimates — the mergeable
+    heavy-hitters synopsis next to the exact G1 word_count.
+
+    The exact count shuffles one row per distinct word per block; at
+    crawl scale the long vocabulary tail makes that exchange the job.
+    The CMS caps the exchange at ``depth × width`` int64 registers per
+    block REGARDLESS of vocabulary: each block pre-counts its words
+    (one Arrow value_counts), adds each word's count into
+    ``depth`` seeded-affine-hashed register cells, and ships only the
+    non-zero cells; the reduce is a (row, col) SUM — sketches merge by
+    addition. The estimate for any word is the MIN over its ``depth``
+    cells: an upper bound on the true count, exact when no collision
+    lands in all of a word's cells. Deterministic end-to-end (md5 word
+    hash, seeded affine rows — no RNG at query time), so the DuckDB
+    twin replays registers AND estimates bit-for-bit, collisions
+    included. ``width`` here defaults small (64) to make collisions
+    REAL at fixture vocabulary; production sizing is width ≈ e/ε
+    (2^20 cells for ε ≈ 2.6e-6 of total token mass), still ≤ 32 MiB
+    per block at depth 4.
+
+    Returns (registers_ds, words_ds): the reduced (r, c, cnt) register
+    table and the distinct-word table — ``cms_estimates`` composes
+    them. No reference analog (the reference's vocabulary count is
+    exact, ngram_encoder.py:139-150); extension per SURVEY.md §2.11.
+    """
+    from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema, with_ones
+
+    a, b = cms_params(depth, seed=seed)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        words, counts = _batch_word_counts(batch, text_col)
+        h = _word_hashes(words)
+        regs = np.zeros((depth, width), dtype=np.int64)
+        for r in range(depth):
+            np.add.at(regs[r], _cms_cols(h, a, b, r, width), counts)
+        rr, cc = regs.nonzero()
+        return pa.table(
+            {
+                "r": pa.array(rr.astype(np.int64)),
+                "c": pa.array(cc.astype(np.int64)),
+                "cnt": pa.array(regs[rr, cc]),
+            }
+        )
+
+    reg_schema = pa.schema([("r", pa.int64()), ("c", pa.int64()), ("cnt", pa.int64())])
+    registers = pin_schema(
+        bucketed_aggregate(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            ["r", "c"],
+            [("cnt", "sum")],
+            num_buckets=num_buckets,
+        ),
+        reg_schema,
+    )
+
+    def distinct_words(batch: pa.Table) -> pa.Table:
+        words, _ = _batch_word_counts(batch, text_col)
+        return pa.table({"word": pa.array(words, type=pa.string())})
+
+    words = pin_schema(
+        bucketed_aggregate(
+            with_ones(ds.map_batches(distinct_words, batch_format="pyarrow")),
+            ["word"],
+            [("one", "min")],
+            num_buckets=num_buckets,
+        ),
+        pa.schema([("word", pa.string()), ("one", pa.int64())]),
+    )
+    return registers, words
+
+
+def cms_estimates(
+    registers,
+    words,
+    depth: int = 4,
+    width: int = 64,
+    seed: int = 7,
+):
+    """Per-word CMS estimates: est = min over rows of the word's
+    register cell. The register table is depth×width BOUNDED (never
+    data-sized), so collecting it driver-side and closing over the
+    dense array is the broadcast-small-side pattern, not a
+    materialization hazard. Columns: word, est."""
+    a, b = cms_params(depth, seed=seed)
+    regs = np.zeros((depth, width), dtype=np.int64)
+    for row in registers.take_all():
+        regs[int(row["r"]), int(row["c"])] = int(row["cnt"])
+
+    def est(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0:
+            return pa.schema([("word", pa.string()), ("est", pa.int64())]).empty_table()
+        ws = batch.column("word").to_pylist()
+        h = _word_hashes(ws)
+        cells = np.stack(
+            [regs[r][_cms_cols(h, a, b, r, width)] for r in range(depth)]
+        )
+        return pa.table(
+            {
+                "word": pa.array(ws, type=pa.string()),
+                "est": pa.array(cells.min(axis=0).astype(np.int64)),
+            }
+        )
+
+    return words.map_batches(est, batch_format="pyarrow")

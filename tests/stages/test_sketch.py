@@ -106,3 +106,54 @@ class TestHllDistinct:
         ).to_pandas()
         assert one.iloc[0]["s_int"] == many.iloc[0]["s_int"]
         assert one.iloc[0]["est_distinct"] == many.iloc[0]["est_distinct"]
+
+
+class TestCountMin:
+    @staticmethod
+    def _ds(texts, parts=3):
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({"text": texts})).repartition(parts)
+
+    @staticmethod
+    def _exact(texts):
+        from collections import Counter
+
+        c = Counter()
+        for t in texts:
+            c.update(w for w in t.lower().split() if w)
+        return c
+
+    def test_upper_bound_and_exact_when_wide(self, ray_session):
+        from bioner_ray.stages.sketch import cms_estimates, cms_word_counts
+
+        texts = ["a b b c c c", "c d d a", "e e e e a b"]
+        exact = self._exact(texts)
+        # wide sketch: 26 words into 4x4096 cells -> no collisions, est == exact
+        regs, words = cms_word_counts(self._ds(texts), width=4096)
+        got = dict(
+            zip(*cms_estimates(regs, words, width=4096).to_pandas().T.values.tolist())
+        )
+        assert got == dict(exact)
+
+    def test_narrow_sketch_overcounts_never_undercounts(self, ray_session):
+        from bioner_ray.stages.sketch import cms_estimates, cms_word_counts
+
+        texts = [" ".join(f"w{i%17}" for i in range(200)), "x y z w0 w1 w2"]
+        exact = self._exact(texts)
+        regs, words = cms_word_counts(self._ds(texts), width=4)
+        out = cms_estimates(regs, words, width=4).to_pandas()
+        assert len(out) == len(exact)
+        for word, est in zip(out["word"], out["est"]):
+            assert est >= exact[word]
+
+    def test_merge_is_partitioning_invariant(self, ray_session):
+        from bioner_ray.stages.sketch import cms_estimates, cms_word_counts
+
+        texts = [f"t{i % 7} shared tail" for i in range(40)]
+        outs = []
+        for parts in (1, 8):
+            regs, words = cms_word_counts(self._ds(texts, parts=parts), width=8)
+            df = cms_estimates(regs, words, width=8).to_pandas()
+            outs.append(sorted(zip(df["word"], df["est"])))
+        assert outs[0] == outs[1]
