@@ -158,6 +158,7 @@ OPERATOR_QUERIES = [
     "weighted_sample",
     "distinct_users_hll",
     "heavy_hitters",
+    "embedding_kmeans",
     "shipping_priority",
 ]
 

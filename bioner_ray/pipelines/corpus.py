@@ -1068,3 +1068,18 @@ def heavy_hitters(sf_dir: str, depth: int = 4, width: int = 64, seed: int = 7):
     docs = _read(sf_dir, "documents", columns=["text"])
     regs, words = cms_word_counts(docs, depth=depth, width=width, seed=seed)
     return cms_estimates(regs, words, depth=depth, width=width, seed=seed)
+
+
+def embedding_kmeans(sf_dir: str, k: int = 4, iters: int = 2):
+    """Deterministic integer k-means over the embeddings table
+    (stages/cluster.py kmeans_assign — micromark quantization, smallest-
+    ids init, exact floor-div centroid updates, fixed rounds): the
+    corpus topic-sharding / IVF-coarse-quantizer build. Columns:
+    vec_id, cluster, dist2."""
+    from bioner_ray.stages.cluster import kmeans_assign
+
+    return kmeans_assign(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        k=k,
+        iters=iters,
+    )

@@ -1,0 +1,165 @@
+"""Deterministic k-means (Lloyd) over an embedding column.
+
+The corpus-organization step of an embedding pipeline: cluster document
+vectors into k groups (topic sharding, IVF coarse quantizers, dedup
+blocking). Classic k-means is RNG-seeded and float-ordered; this is the
+determinized, SQL-replayable form the engine uses everywhere:
+
+* embeddings quantize ONCE to integer micromarks (floor(x·1e6) — the
+  entity_centroids contract), so every distance and centroid update is
+  exact integer arithmetic with no accumulation-order drift;
+* init = the k lexicographically-smallest ids' vectors (no RNG);
+* assignment = integer argmin of ||x−c||² (expanded as x·x + c·c −
+  2x·c, int64 throughout; max |q| ≤ 1e6, so x·c ≤ 1e12·dims ≪ 2^63),
+  ties to the smallest cluster id;
+* update = per-dimension FLOOR(sum/n) via the exact-divisibility
+  identity ``(s − ((s % n) + n) % n) / n`` that means the same thing
+  in numpy and DuckDB regardless of their integer-division sign
+  conventions; empty clusters keep their previous centroid;
+* a fixed iteration count, so the DuckDB twin replays the whole
+  trajectory bit-for-bit.
+
+Scale shape: centroids are k×dims BOUNDED driver/broadcast state
+(never data-sized); each iteration is ONE streaming map pass over the
+column-pruned parquet read emitting k×dims partial sums per block,
+reduced by ONE tiny bucketed aggregate — the input is never
+materialized, shuffled, or collected. Assumes fixed embedding
+dimensionality (asserted per batch) — the partitioning assumption this
+op relies on.
+
+No reference analog (the reference has no embedding-space clustering);
+extension per SURVEY.md §2.11.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+QSCALE = 1_000_000.0
+
+
+def _qmatrix(t: pa.Table, emb_col: str) -> np.ndarray:
+    """(n, dims) int64 micromark matrix from a list<float> column."""
+    emb = t.column(emb_col).combine_chunks()
+    off = emb.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    n = len(off) - 1
+    if n == 0:
+        return np.zeros((0, 0), dtype=np.int64)
+    widths = np.diff(off)
+    assert (widths == widths[0]).all(), "ragged embedding column"
+    vals = emb.values.slice(off[0], off[-1] - off[0]).to_numpy(zero_copy_only=False)
+    q = np.floor(vals.astype(np.float64) * QSCALE).astype(np.int64)
+    return q.reshape(n, int(widths[0]))
+
+
+def _floor_div_exact(s: np.ndarray, n: np.ndarray) -> np.ndarray:
+    """floor(s/n) via the exact-divisibility identity shared verbatim
+    with the SQL twin (sign-convention-proof)."""
+    return (s - ((s % n) + n) % n) // n
+
+
+def _assign(X: np.ndarray, C: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(cluster, dist2) per row — integer argmin, ties to smallest id."""
+    xx = np.einsum("ij,ij->i", X, X)
+    cc = np.einsum("ij,ij->i", C, C)
+    xc = X @ C.T
+    dist2 = xx[:, None] + cc[None, :] - 2 * xc
+    a = dist2.argmin(axis=1)  # first minimum = smallest cluster id
+    return a, dist2[np.arange(len(a)), a]
+
+
+def kmeans_assign(
+    ds,
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    num_buckets: int = 16,
+):
+    """Dataset(id, list<float>) → Dataset(id, cluster, dist2) after
+    ``iters`` deterministic Lloyd rounds. ``ds`` is consumed in
+    ``iters + 2`` streaming passes (init prune, one per round, final
+    assignment) — re-reading a pruned parquet column beats pinning the
+    whole table in the object store."""
+    from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema
+
+    # init: the k lexicographically-smallest ids' vectors. Per-batch
+    # prune to the local k smallest first, so the global sort+limit
+    # moves at most k rows per block.
+    def local_k(t: pa.Table) -> pa.Table:
+        return t.sort_by(id_col).slice(0, k)
+
+    seed_rows = (
+        ds.map_batches(local_k, batch_format="pyarrow").sort(id_col).limit(k).take_all()
+    )
+    seed_t = pa.table(
+        {
+            id_col: pa.array([r[id_col] for r in seed_rows]),
+            emb_col: pa.array([list(r[emb_col]) for r in seed_rows], type=pa.list_(pa.float32())),
+        }
+    )
+    C = _qmatrix(seed_t, emb_col)
+    dims = C.shape[1]
+
+    part_schema = pa.schema(
+        [("cid", pa.int64()), ("dim", pa.int64()), ("s", pa.int64()), ("n", pa.int64())]
+    )
+
+    def make_partial(cent: np.ndarray):
+        def fn(t: pa.Table) -> pa.Table:
+            X = _qmatrix(t, emb_col)
+            if X.shape[0] == 0:
+                return part_schema.empty_table()
+            a, _ = _assign(X, cent)
+            sums = np.zeros((k, dims), dtype=np.int64)
+            np.add.at(sums, a, X)
+            counts = np.bincount(a, minlength=k).astype(np.int64)
+            keep = np.repeat(counts, dims) > 0
+            return pa.table(
+                {
+                    "cid": pa.array(np.repeat(np.arange(k, dtype=np.int64), dims)[keep]),
+                    "dim": pa.array(np.tile(np.arange(dims, dtype=np.int64), k)[keep]),
+                    "s": pa.array(sums.ravel()[keep]),
+                    "n": pa.array(np.repeat(counts, dims)[keep]),
+                }
+            )
+
+        return fn
+
+    for _ in range(iters):
+        reduced = pin_schema(
+            bucketed_aggregate(
+                ds.map_batches(make_partial(C), batch_format="pyarrow"),
+                ["cid", "dim"],
+                [("s", "sum"), ("n", "sum")],
+                num_buckets=num_buckets,
+            ),
+            part_schema,
+        ).take_all()  # ≤ k×dims rows — bounded, the broadcast-small pattern
+        newC = C.copy()  # empty clusters keep their previous centroid
+        for row in reduced:
+            cid, dim = int(row["cid"]), int(row["dim"])
+            newC[cid, dim] = _floor_div_exact(
+                np.int64(row["s"]), np.int64(row["n"])
+            )
+        C = newC
+
+    cent = C
+
+    def final(t: pa.Table) -> pa.Table:
+        X = _qmatrix(t, emb_col)
+        if X.shape[0] == 0:
+            return pa.schema(
+                [(id_col, pa.int64()), ("cluster", pa.int64()), ("dist2", pa.int64())]
+            ).empty_table()
+        a, d2 = _assign(X, cent)
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "cluster": pa.array(a.astype(np.int64)),
+                "dist2": pa.array(d2.astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(final, batch_format="pyarrow")

@@ -1,0 +1,79 @@
+"""stages/cluster.py — deterministic integer k-means."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _ds(vecs, parts=3):
+    import ray.data as rd
+
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), type=pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in vecs], type=pa.list_(pa.float32())
+            ),
+        }
+    )
+    return rd.from_arrow(t).repartition(parts)
+
+
+class TestFloorDivExact:
+    def test_matches_python_floor_division(self):
+        from bioner_ray.stages.cluster import _floor_div_exact
+
+        s = np.array([7, -7, 6, -6, 0, -1], dtype=np.int64)
+        n = np.array([2, 2, 3, 3, 5, 4], dtype=np.int64)
+        want = np.array([a // b for a, b in zip(s.tolist(), n.tolist())])
+        assert (_floor_div_exact(s, n) == want).all()
+
+
+class TestKmeansAssign:
+    def test_two_blobs_separate(self, ray_session):
+        from bioner_ray.stages.cluster import kmeans_assign
+
+        # ids 0,1 seed the two clusters; 4 points near (0,0), 4 near (10,10)
+        vecs = [
+            (0.0, 0.1), (10.0, 10.1), (0.2, 0.0), (0.1, 0.2),
+            (9.9, 10.0), (10.2, 9.8), (0.05, 0.05), (10.0, 10.0),
+        ]
+        out = kmeans_assign(_ds(vecs), k=2, iters=2).to_pandas()
+        got = dict(zip(out["vec_id"], out["cluster"]))
+        low = {0, 2, 3, 6}
+        assert {got[i] for i in low} == {0}
+        assert {got[i] for i in sorted(set(range(8)) - low)} == {1}
+
+    def test_partitioning_invariant(self, ray_session):
+        from bioner_ray.stages.cluster import kmeans_assign
+
+        rng = np.random.default_rng(3)
+        vecs = rng.normal(size=(40, 8)).tolist()
+        outs = []
+        for parts in (1, 9):
+            df = kmeans_assign(_ds(vecs, parts=parts), k=3, iters=2).to_pandas()
+            outs.append(sorted(zip(df["vec_id"], df["cluster"], df["dist2"])))
+        assert outs[0] == outs[1]
+
+    def test_empty_cluster_keeps_previous_centroid(self, ray_session):
+        from bioner_ray.stages.cluster import kmeans_assign
+
+        # seed 1 (vec 1) is an outlier that instantly loses all members:
+        # every point sits nearer seed 0 after round 1, so cluster 1
+        # keeps its init centroid and the run still terminates cleanly
+        vecs = [(0.0,), (100.0,), (0.1,), (0.2,), (0.3,)]
+        out = kmeans_assign(_ds(vecs), k=2, iters=3).to_pandas()
+        got = dict(zip(out["vec_id"], out["cluster"]))
+        assert got[1] == 1  # the outlier still claims its own centroid
+        assert {got[i] for i in (0, 2, 3, 4)} == {0}
+
+    def test_negative_coordinates_exact(self, ray_session):
+        from bioner_ray.stages.cluster import kmeans_assign
+
+        # negative sums exercise the floor-div identity
+        vecs = [(-1.0, -2.0), (1.0, 2.0), (-1.1, -1.9), (0.9, 2.1), (-0.95, -2.05)]
+        out = kmeans_assign(_ds(vecs), k=2, iters=2).to_pandas()
+        got = dict(zip(out["vec_id"], out["cluster"]))
+        assert got[0] == got[2] == got[4] == 0
+        assert got[1] == got[3] == 1
