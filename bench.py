@@ -159,6 +159,7 @@ OPERATOR_QUERIES = [
     "distinct_users_hll",
     "heavy_hitters",
     "embedding_kmeans",
+    "bm25_topk",
     "shipping_priority",
 ]
 

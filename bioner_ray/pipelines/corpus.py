@@ -1083,3 +1083,18 @@ def embedding_kmeans(sf_dir: str, k: int = 4, iters: int = 2):
         k=k,
         iters=iters,
     )
+
+
+#: BM25 query bag — mid-frequency vocabulary terms, pinned so the SQL
+#: twin inlines the identical strings
+BM25_TERMS = ["customer", "join", "window"]
+
+
+def bm25_topk(sf_dir: str, k: int = 10):
+    """Okapi BM25 top-k retrieval over the documents table for the
+    pinned query bag (stages/retrieval.py — exact integer counts,
+    libm-pinned idf, literal-constant float composition; scores replay
+    bit-for-bit in SQL). Columns: doc_id, dl, score."""
+    from bioner_ray.stages.retrieval import bm25_topk as _bm25
+
+    return _bm25(_documents(sf_dir), terms=BM25_TERMS, k=k)
