@@ -1098,3 +1098,94 @@ def bm25_topk(sf_dir: str, k: int = 10):
     from bioner_ray.stages.retrieval import bm25_topk as _bm25
 
     return _bm25(_documents(sf_dir), terms=BM25_TERMS, k=k)
+
+
+def source_lang_rollup(sf_dir: str):
+    """Hierarchical corpus report (GROUP BY ROLLUP(source, lang)): doc
+    counts and char mass at (source, lang), per-source subtotal, and
+    grand total — the OLAP-cube slice every corpus audit publishes.
+    Engine shape: ONE bucketed aggregate at the finest grain, then the
+    coarser levels re-aggregate THAT (bounded by distinct combos, never
+    the corpus) — the two extra levels are combos-sized, so the rollup
+    costs one data pass regardless of depth. Subtotal keys use the
+    'ALL' sentinel (no NULL-vs-NULL compare ambiguity). Columns:
+    source, lang, n_docs, sum_chars."""
+    from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema, with_ones
+
+    fine_schema = pa.schema(
+        [
+            ("source", pa.string()),
+            ("lang", pa.string()),
+            ("n_docs", pa.int64()),
+            ("sum_chars", pa.int64()),
+        ]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "source": pc.cast(t.column("source"), pa.string()),
+                "lang": pc.cast(t.column("lang"), pa.string()),
+                "sum_chars": pc.cast(t.column("n_chars"), pa.int64()),
+            }
+        )
+
+    docs = _read(sf_dir, "documents", columns=["source", "lang", "n_chars"])
+    fine = pin_schema(
+        bucketed_aggregate(
+            with_ones(docs.map_batches(prep, batch_format="pyarrow"), "n_docs"),
+            ["source", "lang"],
+            [("n_docs", "sum"), ("sum_chars", "sum")],
+        ),
+        fine_schema,
+    )
+
+    def all_lang(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": t.column("source"),
+                "lang": pa.array(["ALL"] * t.num_rows, type=pa.string()),
+                "n_docs": t.column("n_docs"),
+                "sum_chars": t.column("sum_chars"),
+            }
+        )
+
+    def all_both(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": pa.array(["ALL"] * t.num_rows, type=pa.string()),
+                "lang": pa.array(["ALL"] * t.num_rows, type=pa.string()),
+                "n_docs": t.column("n_docs"),
+                "sum_chars": t.column("sum_chars"),
+            }
+        )
+
+    by_source = pin_schema(
+        bucketed_aggregate(
+            fine, ["source"], [("n_docs", "sum"), ("sum_chars", "sum")], num_buckets=16
+        ),
+        pa.schema([("source", pa.string()), ("n_docs", pa.int64()), ("sum_chars", pa.int64())]),
+    ).map_batches(all_lang, batch_format="pyarrow")
+
+    def to_const(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "g": pa.array([0] * t.num_rows, type=pa.int64()),
+                "n_docs": t.column("n_docs"),
+                "sum_chars": t.column("sum_chars"),
+            }
+        )
+
+    total = pin_schema(
+        bucketed_aggregate(
+            fine.map_batches(to_const, batch_format="pyarrow"),
+            ["g"],
+            [("n_docs", "sum"), ("sum_chars", "sum")],
+            num_buckets=1,
+        ),
+        pa.schema([("g", pa.int64()), ("n_docs", pa.int64()), ("sum_chars", pa.int64())]),
+    ).map_batches(all_both, batch_format="pyarrow")
+
+    return fine.union(by_source).union(total)

@@ -114,6 +114,12 @@ SQL_CHECKED = [
     "weighted_sample",
     "purchase_context",
     "distinct_users_hll",
+    "kg_communities",
+    "pii_scrub",
+    "heavy_hitters",
+    "embedding_kmeans",
+    "bm25_topk",
+    "source_lang_rollup",
 ]
 
 #: queries with neither a SQL twin nor a golden parquet — none left;
