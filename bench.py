@@ -161,6 +161,8 @@ OPERATOR_QUERIES = [
     "embedding_kmeans",
     "bm25_topk",
     "shipping_priority",
+    "bpe_merges",
+    "source_lang_rollup",
 ]
 
 

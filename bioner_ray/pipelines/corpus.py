@@ -1100,6 +1100,16 @@ def bm25_topk(sf_dir: str, k: int = 10):
     return _bm25(_documents(sf_dir), terms=BM25_TERMS, k=k)
 
 
+def bpe_merges(sf_dir: str, n_merges: int = 8):
+    """Learn the first ``n_merges`` BPE merges over the document corpus
+    (Sennrich subword tokenizer training). One corpus pass builds the
+    word vocab; each round is one vectorized vocab pass + a tiny
+    aggregate. Columns: round, lhs, rhs, pair_count."""
+    from bioner_ray.stages.bpe import bpe_merges as _bpe
+
+    return _bpe(_read(sf_dir, "documents", columns=["text"]), n_merges=n_merges)
+
+
 def source_lang_rollup(sf_dir: str):
     """Hierarchical corpus report (GROUP BY ROLLUP(source, lang)): doc
     counts and char mass at (source, lang), per-source subtotal, and

@@ -120,6 +120,7 @@ SQL_CHECKED = [
     "embedding_kmeans",
     "bm25_topk",
     "source_lang_rollup",
+    "bpe_merges",
 ]
 
 #: queries with neither a SQL twin nor a golden parquet — none left;
