@@ -162,6 +162,7 @@ OPERATOR_QUERIES = [
     "bm25_topk",
     "shipping_priority",
     "bpe_merges",
+    "bpe_token_counts",
     "source_lang_rollup",
 ]
 

@@ -1110,6 +1110,17 @@ def bpe_merges(sf_dir: str, n_merges: int = 8):
     return _bpe(_read(sf_dir, "documents", columns=["text"]), n_merges=n_merges)
 
 
+def bpe_token_counts(sf_dir: str, n_merges: int = 8, k: int = 20):
+    """Apply the learned BPE merges corpus-wide (via the segmented
+    vocab — application never re-reads documents) and report the top-k
+    subword tokens. Columns: token, token_count."""
+    from bioner_ray.stages.bpe import bpe_token_counts as _bpe_counts
+
+    return _bpe_counts(
+        _read(sf_dir, "documents", columns=["text"]), n_merges=n_merges, k=k
+    )
+
+
 def source_lang_rollup(sf_dir: str):
     """Hierarchical corpus report (GROUP BY ROLLUP(source, lang)): doc
     counts and char mass at (source, lang), per-source subtotal, and

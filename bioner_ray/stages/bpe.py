@@ -123,15 +123,17 @@ def _local_top1(t: pa.Table) -> pa.Table:
     return t.take(order[:1])
 
 
-def bpe_merges(
+def _train(
     ds,
-    n_merges: int = 8,
-    text_col: str = "text",
-    num_buckets: int = 64,
+    n_merges: int,
+    text_col: str,
+    num_buckets: int,
 ):
-    """Dataset(text) → pa.Table(round, lhs, rhs, pair_count): the
-    learned merge list, one row per round (fewer if pairs run dry —
-    the SQL twin's empty-LIMIT-1 cross join goes dry identically)."""
+    """Shared trainer: returns (merge list, final segmented-vocab
+    Dataset). The seq dataset after the last merge IS the BPE-applied
+    corpus in vocab-compressed form (symbol counts × word counts ==
+    corpus symbol counts), so downstream application never re-reads
+    the documents."""
     from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema
 
     vocab = bucketed_aggregate(
@@ -195,6 +197,19 @@ def bpe_merges(
             seq.map_batches(apply, batch_format="pyarrow"), seq_schema
         ).materialize()
 
+    return merges, seq
+
+
+def bpe_merges(
+    ds,
+    n_merges: int = 8,
+    text_col: str = "text",
+    num_buckets: int = 64,
+):
+    """Dataset(text) → pa.Table(round, lhs, rhs, pair_count): the
+    learned merge list, one row per round (fewer if pairs run dry —
+    the SQL twin's empty-LIMIT-1 cross join goes dry identically)."""
+    merges, _ = _train(ds, n_merges, text_col, num_buckets)
     if not merges:
         return _MERGE_SCHEMA.empty_table()
     rr, ll, rh, cc = zip(*merges)
@@ -204,5 +219,73 @@ def bpe_merges(
             "lhs": pa.array(ll, type=pa.string()),
             "rhs": pa.array(rh, type=pa.string()),
             "pair_count": pa.array(cc, type=pa.int64()),
+        }
+    )
+
+
+def bpe_token_counts(
+    ds,
+    n_merges: int = 8,
+    k: int = 20,
+    text_col: str = "text",
+    num_buckets: int = 64,
+):
+    """Apply the learned merges corpus-wide and report the top-k
+    subword tokens: pa.Table(token, token_count), ordered
+    (count desc, token asc). One extra vocab pass after training —
+    symbols exploded vectorized, weighted by word count, ONE bucketed
+    aggregate, then a combiner-pruned global top-k (per-block top-k →
+    driver merge of ≤ k·blocks candidate rows)."""
+    from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema
+
+    _, seq = _train(ds, n_merges, text_col, num_buckets)
+
+    def explode(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"token": pa.array([], type=pa.string()),
+                 "token_count": pa.array([], type=pa.int64())}
+            )
+        syms = pc.split_pattern(pc.utf8_trim(t.column("s"), M), M + M)
+        if isinstance(syms, pa.ChunkedArray):
+            syms = syms.combine_chunks()
+        off = syms.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        n = np.diff(off)
+        cnt = t.column("cnt").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "token": syms.values,
+                "token_count": pa.array(np.repeat(cnt, n).astype(np.int64)),
+            }
+        )
+
+    counts_schema = pa.schema([("token", pa.string()), ("token_count", pa.int64())])
+    counts = pin_schema(
+        bucketed_aggregate(
+            seq.map_batches(explode, batch_format="pyarrow"),
+            ["token"],
+            [("token_count", "sum")],
+            num_buckets=num_buckets,
+        ),
+        counts_schema,
+    )
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return counts_schema.empty_table()
+        order = pc.sort_indices(
+            t, sort_keys=[("token_count", "descending"), ("token", "ascending")]
+        )
+        return t.take(order[:k])
+
+    cand = counts.map_batches(local_topk, batch_format="pyarrow").take_all()
+    cand.sort(key=lambda r: (-r["token_count"], r["token"]))
+    cand = cand[:k]
+    return pa.table(
+        {
+            "token": pa.array([r["token"] for r in cand], type=pa.string()),
+            "token_count": pa.array(
+                [r["token_count"] for r in cand], type=pa.int64()
+            ),
         }
     )

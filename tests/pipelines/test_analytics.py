@@ -121,6 +121,7 @@ SQL_CHECKED = [
     "bm25_topk",
     "source_lang_rollup",
     "bpe_merges",
+    "bpe_token_counts",
 ]
 
 #: queries with neither a SQL twin nor a golden parquet — none left;

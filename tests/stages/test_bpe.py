@@ -86,6 +86,42 @@ def test_greedy_overlap_and_dry_out():
     assert got[1] == {"round": 2, "lhs": "aa", "rhs": "aa", "pair_count": 1}
 
 
+def test_token_counts_match_reference_application():
+    from bioner_ray.stages.bpe import bpe_token_counts
+
+    texts = [
+        "low low low lower lower newest newest newest newest widest",
+        "aaab aaab aaab cc cc",
+    ]
+    # reference: train, apply, count symbols weighted by word freq
+    import re
+    from collections import Counter
+
+    vocab = Counter(
+        w for t in texts for w in t.lower().split() if re.fullmatch(r"[a-z0-9]+", w)
+    )
+    seg = {w: tuple(w) for w in vocab}
+    for l, r, _ in [(m[1], m[2], m[3]) for m in _ref_bpe(texts, 6)]:
+        for w, syms in seg.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            seg[w] = tuple(out)
+    counts = Counter()
+    for w, c in vocab.items():
+        for s in seg[w]:
+            counts[s] += c
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+
+    got = bpe_token_counts(_ds(texts), n_merges=6, k=5).to_pylist()
+    assert [(r["token"], r["token_count"]) for r in got] == want
+
+
 def test_empty_and_single_char_corpus():
     from bioner_ray.stages.bpe import bpe_merges
 
