@@ -164,6 +164,7 @@ OPERATOR_QUERIES = [
     "bpe_merges",
     "bpe_token_counts",
     "source_lang_rollup",
+    "setsim_prefix_pairs",
 ]
 
 

@@ -51,6 +51,17 @@ def dedup_minhash_pairs(sf_dir: str):
     return minhash_dedup_pairs(_documents(sf_dir))
 
 
+def setsim_prefix_pairs(sf_dir: str, threshold: float = 0.5):
+    """Prefix-filtered set-similarity self-join (AllPairs/PPJoin) —
+    same exact 3-shingle Jaccard ≥ 0.5 pair contract as
+    ``dedup_jaccard_pairs`` (and the same DuckDB oracle), produced via
+    prefix-filtered candidate generation instead of the full inverted
+    index. Columns: a, b, n_common, jaccard."""
+    from bioner_ray.stages.setsim import setsim_prefix_pairs as _setsim
+
+    return _setsim(_documents(sf_dir), k=3, threshold=threshold)
+
+
 def paragraph_dedup(sf_dir: str):
     """C4-style segment-level dedup stats: each 10-token segment is
     kept only at its first corpus occurrence. Columns: doc_id, n_segs,

@@ -122,6 +122,7 @@ SQL_CHECKED = [
     "source_lang_rollup",
     "bpe_merges",
     "bpe_token_counts",
+    "setsim_prefix_pairs",
 ]
 
 #: queries with neither a SQL twin nor a golden parquet — none left;
