@@ -165,6 +165,7 @@ OPERATOR_QUERIES = [
     "bpe_token_counts",
     "source_lang_rollup",
     "setsim_prefix_pairs",
+    "fuzzy_word_pairs",
 ]
 
 

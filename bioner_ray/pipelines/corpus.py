@@ -51,6 +51,16 @@ def dedup_minhash_pairs(sf_dir: str):
     return minhash_dedup_pairs(_documents(sf_dir))
 
 
+def fuzzy_word_pairs(sf_dir: str):
+    """Deletion-neighborhood fuzzy join (FastSS): vocabulary word pairs
+    at Levenshtein distance exactly 1 with corpus counts — the
+    typo/variant signal entity canonicalization runs before alias
+    grouping. Columns: a, b, ca, cb."""
+    from bioner_ray.stages.fuzzy import fuzzy_word_pairs as _fuzzy
+
+    return _fuzzy(_read(sf_dir, "documents", columns=["text"]))
+
+
 def setsim_prefix_pairs(sf_dir: str, threshold: float = 0.5):
     """Prefix-filtered set-similarity self-join (AllPairs/PPJoin) —
     same exact 3-shingle Jaccard ≥ 0.5 pair contract as

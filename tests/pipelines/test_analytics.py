@@ -123,6 +123,7 @@ SQL_CHECKED = [
     "bpe_merges",
     "bpe_token_counts",
     "setsim_prefix_pairs",
+    "fuzzy_word_pairs",
 ]
 
 #: queries with neither a SQL twin nor a golden parquet — none left;
