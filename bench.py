@@ -166,6 +166,7 @@ OPERATOR_QUERIES = [
     "source_lang_rollup",
     "setsim_prefix_pairs",
     "fuzzy_word_pairs",
+    "embedding_gram",
 ]
 
 

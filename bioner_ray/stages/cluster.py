@@ -69,6 +69,54 @@ def _assign(X: np.ndarray, C: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return a, dist2[np.arange(len(a)), a]
 
 
+def gram_matrix(ds, emb_col: str = "embedding", num_buckets: int = 16):
+    """Exact integer Gram (uncentered second-moment) matrix of the
+    embedding column — the reduction under PCA/whitening/linear-probe
+    fits. One streaming pass: each batch contributes X.T@X on the
+    micromark-quantized matrix (dims² int64 partials, data never
+    shuffled), reduced by ONE tiny bucketed aggregate over the ≤
+    dims·(dims+1)/2 upper-triangle keys.
+
+    Exactness: the _qmatrix micromark contract (floor(x·1e6), float64
+    math identical in numpy and DuckDB); products ≤ q_max² ≈ 10¹²·|x|²
+    summed in int64 — overflow-safe while n·q_max² < 2⁶³ (≈1.6·10⁸
+    unit-norm rows; the SQL twin sums in HUGEINT and its BIGINT cast
+    raises past that, same failure surface). Per-batch partials are
+    guarded explicitly. Columns: i, j (0-based, i ≤ j), gram_sum."""
+    from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema
+
+    schema = pa.schema(
+        [("i", pa.int64()), ("j", pa.int64()), ("gram_sum", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        X = _qmatrix(t, emb_col)
+        if X.shape[0] == 0:
+            return schema.empty_table()
+        qmax = int(np.abs(X).max()) or 1
+        assert X.shape[0] * qmax * qmax < 2**62, "int64 partial overflow"
+        G = X.T @ X
+        d = X.shape[1]
+        iu, ju = np.triu_indices(d)
+        return pa.table(
+            {
+                "i": pa.array(iu.astype(np.int64)),
+                "j": pa.array(ju.astype(np.int64)),
+                "gram_sum": pa.array(G[iu, ju].astype(np.int64)),
+            }
+        )
+
+    return pin_schema(
+        bucketed_aggregate(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            ["i", "j"],
+            [("gram_sum", "sum")],
+            num_buckets=num_buckets,
+        ),
+        schema,
+    )
+
+
 def kmeans_assign(
     ds,
     k: int = 4,

@@ -124,6 +124,7 @@ SQL_CHECKED = [
     "bpe_token_counts",
     "setsim_prefix_pairs",
     "fuzzy_word_pairs",
+    "embedding_gram",
 ]
 
 #: queries with neither a SQL twin nor a golden parquet — none left;

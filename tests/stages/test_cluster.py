@@ -77,3 +77,27 @@ class TestKmeansAssign:
         got = dict(zip(out["vec_id"], out["cluster"]))
         assert got[0] == got[2] == got[4] == 0
         assert got[1] == got[3] == 1
+
+
+class TestGramMatrix:
+    def test_matches_numpy_reference(self):
+        from bioner_ray.stages.cluster import gram_matrix
+
+        rng = [[0.5, -0.25, 0.125], [1.0, 0.0, -1.0], [0.3, 0.3, 0.3], [-0.7, 0.2, 0.9]]
+        got = gram_matrix(_ds(rng)).to_pandas().sort_values(["i", "j"], ignore_index=True)
+        X = np.floor(np.array(rng, dtype=np.float32).astype(np.float64) * 1e6).astype(
+            np.int64
+        )
+        G = X.T @ X
+        iu, ju = np.triu_indices(3)
+        assert got["i"].tolist() == iu.tolist()
+        assert got["j"].tolist() == ju.tolist()
+        assert got["gram_sum"].tolist() == G[iu, ju].tolist()
+
+    def test_partition_invariant(self):
+        from bioner_ray.stages.cluster import gram_matrix
+
+        vecs = [[(i * 7 % 13) / 10.0 - 0.5, (i * 3 % 11) / 10.0] for i in range(50)]
+        a = gram_matrix(_ds(vecs, parts=1)).to_pandas().sort_values(["i", "j"], ignore_index=True)
+        b = gram_matrix(_ds(vecs, parts=7)).to_pandas().sort_values(["i", "j"], ignore_index=True)
+        assert a.equals(b)
