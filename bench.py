@@ -167,6 +167,7 @@ OPERATOR_QUERIES = [
     "setsim_prefix_pairs",
     "fuzzy_word_pairs",
     "embedding_gram",
+    "collocations",
 ]
 
 

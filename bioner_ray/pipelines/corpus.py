@@ -1094,6 +1094,15 @@ def heavy_hitters(sf_dir: str, depth: int = 4, width: int = 64, seed: int = 7):
     return cms_estimates(regs, words, depth=depth, width=width, seed=seed)
 
 
+def collocations(sf_dir: str, k: int = 20, min_count: int = 10):
+    """PMI collocation mining (stages/colloc.py): top-k adjacent-token
+    bigrams by pointwise mutual information, support ≥ min_count.
+    Columns: a, b, n_ab, pmi_micro."""
+    from bioner_ray.stages.colloc import collocations as _colloc
+
+    return _colloc(_read(sf_dir, "documents", columns=["text"]), k=k, min_count=min_count)
+
+
 def embedding_gram(sf_dir: str):
     """Exact integer Gram matrix of the embeddings table
     (stages/cluster.gram_matrix): the one-pass second-moment reduction

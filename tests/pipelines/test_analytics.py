@@ -125,6 +125,7 @@ SQL_CHECKED = [
     "setsim_prefix_pairs",
     "fuzzy_word_pairs",
     "embedding_gram",
+    "collocations",
 ]
 
 #: queries with neither a SQL twin nor a golden parquet — none left;
