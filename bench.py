@@ -168,6 +168,7 @@ OPERATOR_QUERIES = [
     "fuzzy_word_pairs",
     "embedding_gram",
     "collocations",
+    "doc_length_deciles",
 ]
 
 

@@ -1094,6 +1094,91 @@ def heavy_hitters(sf_dir: str, depth: int = 4, width: int = 64, seed: int = 7):
     return cms_estimates(regs, words, depth=depth, width=width, seed=seed)
 
 
+def doc_length_deciles(sf_dir: str):
+    """Equi-depth binning of document length (n_chars): exact decile
+    cutoffs computed DISTRIBUTED (one bucketed aggregate over distinct
+    lengths — bounded by the length domain, never doc count), then
+    broadcast (9 ints) into a second streaming pass that assigns and
+    counts per bin. Cutoff rule = quantile_disc's "first value with
+    cumulative count ≥ ceil(p·n)" (the value_percentiles verified
+    contract); assignment d = 1 + #{cutoffs < x} so ties land in the
+    lower bin on both sides. Duplicate cutoffs leave their bins empty
+    (no row) identically in Ray and SQL. Columns: decile, n_docs,
+    lo_chars, hi_chars."""
+    import pyarrow.compute as pc  # noqa: F401  (vectorized kernels below)
+
+    from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema, with_ones
+
+    hist_schema = pa.schema([("n_chars", pa.int64()), ("one", pa.int64())])
+    docs = _read(sf_dir, "documents", columns=["n_chars"])
+    hist = pin_schema(
+        bucketed_aggregate(
+            with_ones(
+                docs.map_batches(
+                    lambda t: pa.table(
+                        {"n_chars": t.column("n_chars").cast(pa.int64())}
+                    ),
+                    batch_format="pyarrow",
+                )
+            ),
+            ["n_chars"],
+            [("one", "sum")],
+            num_buckets=16,
+        ),
+        hist_schema,
+    ).take_all()  # bounded: distinct length values
+    if not hist:
+        return pa.table(
+            {
+                "decile": pa.array([], type=pa.int64()),
+                "n_docs": pa.array([], type=pa.int64()),
+                "lo_chars": pa.array([], type=pa.int64()),
+                "hi_chars": pa.array([], type=pa.int64()),
+            }
+        )
+    vals = sorted((int(r["n_chars"]), int(r["one"])) for r in hist)
+    n = sum(c for _, c in vals)
+    cuts = []
+    for p in range(1, 10):
+        target = (p * n + 9) // 10  # ceil(p/10 * n), exact ints
+        cum = 0
+        for v, c in vals:
+            cum += c
+            if cum >= target:
+                cuts.append(v)
+                break
+    cuts_arr = np.array(cuts, dtype=np.int64)
+
+    def assign(t: pa.Table) -> pa.Table:
+        x = t.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+        d = 1 + (x[:, None] > cuts_arr[None, :]).sum(axis=1).astype(np.int64)
+        return pa.table(
+            {
+                "decile": pa.array(d),
+                "n_docs": pa.array(np.ones(len(x), dtype=np.int64)),
+                "lo_chars": pa.array(x),
+                "hi_chars": pa.array(x),
+            }
+        )
+
+    return pin_schema(
+        bucketed_aggregate(
+            docs.map_batches(assign, batch_format="pyarrow"),
+            ["decile"],
+            [("n_docs", "sum"), ("lo_chars", "min"), ("hi_chars", "max")],
+            num_buckets=16,
+        ),
+        pa.schema(
+            [
+                ("decile", pa.int64()),
+                ("n_docs", pa.int64()),
+                ("lo_chars", pa.int64()),
+                ("hi_chars", pa.int64()),
+            ]
+        ),
+    )
+
+
 def collocations(sf_dir: str, k: int = 20, min_count: int = 10):
     """PMI collocation mining (stages/colloc.py): top-k adjacent-token
     bigrams by pointwise mutual information, support ≥ min_count.

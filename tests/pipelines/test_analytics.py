@@ -126,6 +126,7 @@ SQL_CHECKED = [
     "fuzzy_word_pairs",
     "embedding_gram",
     "collocations",
+    "doc_length_deciles",
 ]
 
 #: queries with neither a SQL twin nor a golden parquet — none left;
