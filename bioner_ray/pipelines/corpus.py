@@ -845,6 +845,17 @@ def dup_span_stats(sf_dir: str, w: int = 5):
     return stats(_documents(sf_dir), w=w)
 
 
+def kg_incremental_edges(sf_dir: str):
+    """Incremental KG edge ingest (pipelines/ingest.py): the corpus
+    arrives as two shards, each ingested once into a persistent
+    partitioned edge store (idempotent retry asserted as a no-op); the
+    merged store is provably the batch kg_edges result and shares its
+    DuckDB oracle. Columns: subj, pred, obj, weight, first_url."""
+    from bioner_ray.pipelines.ingest import kg_incremental_edges as _kie
+
+    return _kie(sf_dir)
+
+
 def incremental_dedup(sf_dir: str, split_at: int = 250):
     """Incremental ingest demo over the driver table: docs below
     ``split_at`` form the existing corpus (band-hash store on scratch

@@ -225,3 +225,71 @@ def ingest_shard(
     pairs = agg.map_batches(finish, batch_format="pyarrow")
     _append_shard(new_bands, store_root, shard_name)
     return pairs
+
+
+def kg_incremental_edges(sf_dir: str, store_root: str | None = None):
+    """Incremental KG edge ingest: build the canonical edge table by
+    ingesting the corpus SHARD BY SHARD into a persistent partitioned
+    Parquet store, never reprocessing ingested shards — the resumable
+    form of the batch ``analytics.kg_edges`` build.
+
+    Contract (the whole point): the merged store is EXACTLY the batch
+    result. Edge extraction is per-document, and every canonical
+    aggregate is shard-mergeable — weight is a sum of sums, first_url a
+    min of mins — so merge(shard edges) ≡ edges(all docs); the query
+    shares ``kg_edges``' DuckDB oracle verbatim.
+
+    Mechanics (mirrors the LSH store above):
+    * one directory per shard + a ``_DONE`` manifest, written AFTER the
+      parquet (crash between leaves a manifest-less dir that re-ingests
+      cleanly); Arrow's dataset reader ignores ``_``-prefixed files;
+    * idempotent retry: a shard with a manifest is skipped — this query
+      deliberately re-ingests shard 1 and asserts the no-op;
+    * the final merge is ONE bucketed aggregate over the store
+      (edge-table-sized, corpus never touched).
+
+    The store is rebuilt from scratch per call (driver determinism);
+    production keeps it across runs — that path is what the manifest
+    skip exercises. Columns: subj, pred, obj, weight, first_url."""
+    import ray.data as rd
+
+    from bioner_ray.pipelines.analytics import kg_edges
+    from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema
+
+    store = store_root or os.path.join(
+        "/tmp/bioner_kg_store", os.path.basename(os.path.abspath(sf_dir))
+    )
+    shutil.rmtree(store, ignore_errors=True)
+
+    def ingest(parity: int) -> bool:
+        shard_dir = os.path.join(store, f"shard={parity}")
+        marker = os.path.join(shard_dir, "_DONE")
+        if os.path.exists(marker):
+            return False
+        shutil.rmtree(shard_dir, ignore_errors=True)
+        kg_edges(sf_dir, doc_parity=parity).write_parquet(shard_dir)
+        with open(marker, "w") as f:
+            f.write("ok")
+        return True
+
+    assert ingest(0) and ingest(1)
+    assert ingest(1) is False, "idempotent re-ingest must skip"
+
+    out_schema = pa.schema(
+        [
+            ("subj", pa.string()),
+            ("pred", pa.string()),
+            ("obj", pa.string()),
+            ("weight", pa.int64()),
+            ("first_url", pa.string()),
+        ]
+    )
+    merged = bucketed_aggregate(
+        rd.read_parquet(store),
+        ["subj", "pred", "obj"],
+        [("weight", "sum"), ("first_url", "min")],
+        num_buckets=64,
+    )
+    return pin_schema(merged, out_schema).map_batches(
+        lambda t: t.select(out_schema.names), batch_format="pyarrow"
+    )

@@ -127,6 +127,7 @@ SQL_CHECKED = [
     "embedding_gram",
     "collocations",
     "doc_length_deciles",
+    "kg_incremental_edges",
 ]
 
 #: queries with neither a SQL twin nor a golden parquet — none left;

@@ -88,3 +88,51 @@ class TestIngest:
         first = _pairs(ingest_shard(new, store, "delta"))
         again = _pairs(ingest_shard(new, store, "delta"))
         assert again == first and len(first) > 0
+
+
+class TestKgIncrementalEdges:
+    SF = "/root/testdata/sf0.001"
+
+    def test_merged_store_equals_batch_build(self, tmp_path):
+        from bioner_ray.pipelines.analytics import kg_edges
+        from bioner_ray.pipelines.ingest import kg_incremental_edges
+
+        inc = (
+            kg_incremental_edges(self.SF, store_root=str(tmp_path / "store"))
+            .to_pandas()
+            .sort_values(["subj", "pred", "obj"], ignore_index=True)
+        )
+        b = (
+            kg_edges(self.SF)
+            .to_pandas()
+            .sort_values(["subj", "pred", "obj"], ignore_index=True)
+        )
+        assert inc[["subj", "pred", "obj", "weight", "first_url"]].equals(
+            b[["subj", "pred", "obj", "weight", "first_url"]]
+        )
+
+    def test_crash_between_parquet_and_marker_reingests_cleanly(self, tmp_path):
+        import os
+        import shutil
+
+        from bioner_ray.pipelines.analytics import kg_edges
+        from bioner_ray.pipelines.ingest import kg_incremental_edges
+
+        store = str(tmp_path / "store2")
+        # simulate: shard 0 parquet written but crash before _DONE
+        half = os.path.join(store, "shard=0")
+        kg_edges(self.SF, doc_parity=0).write_parquet(half)
+        assert not os.path.exists(os.path.join(half, "_DONE"))
+        # full run wipes and rebuilds deterministically; result matches
+        inc = (
+            kg_incremental_edges(self.SF, store_root=store)
+            .to_pandas()
+            .sort_values(["subj", "pred", "obj"], ignore_index=True)
+        )
+        b = (
+            kg_edges(self.SF)
+            .to_pandas()
+            .sort_values(["subj", "pred", "obj"], ignore_index=True)
+        )
+        assert len(inc) == len(b) and (inc["weight"] == b["weight"]).all()
+        shutil.rmtree(store, ignore_errors=True)
