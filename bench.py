@@ -169,6 +169,7 @@ OPERATOR_QUERIES = [
     "embedding_gram",
     "collocations",
     "doc_length_deciles",
+    "orders_profile",
 ]
 
 

@@ -1105,6 +1105,29 @@ def heavy_hitters(sf_dir: str, depth: int = 4, width: int = 64, seed: int = 7):
     return cms_estimates(regs, words, depth=depth, width=width, seed=seed)
 
 
+ORDERS_PROFILE_COLUMNS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+
+def orders_profile(sf_dir: str):
+    """Exact column profile of the orders table (stages/profile.py):
+    per-column row/null/distinct counts — the data-quality gate run on
+    every table drop. Float columns are excluded by the stage's
+    injective-surrogate contract. Columns: column, n_rows, n_nulls,
+    n_distinct."""
+    from bioner_ray.stages.profile import profile_columns
+
+    return profile_columns(
+        _read(sf_dir, "orders", columns=ORDERS_PROFILE_COLUMNS),
+        ORDERS_PROFILE_COLUMNS,
+    )
+
+
 def doc_length_deciles(sf_dir: str):
     """Equi-depth binning of document length (n_chars): exact decile
     cutoffs computed DISTRIBUTED (one bucketed aggregate over distinct

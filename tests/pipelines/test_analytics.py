@@ -128,6 +128,7 @@ SQL_CHECKED = [
     "collocations",
     "doc_length_deciles",
     "kg_incremental_edges",
+    "orders_profile",
 ]
 
 #: queries with neither a SQL twin nor a golden parquet — none left;
