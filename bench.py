@@ -170,6 +170,7 @@ OPERATOR_QUERIES = [
     "collocations",
     "doc_length_deciles",
     "orders_profile",
+    "doc_bigram_logprob",
 ]
 
 

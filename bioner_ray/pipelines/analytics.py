@@ -1652,6 +1652,134 @@ def doc_logprob(sf_dir: str, max_vocab: int | None = None):
     )
 
 
+def doc_bigram_logprob(sf_dir: str):
+    """Bigram-LM document scoring — the doc_logprob upgrade from
+    unigram surprise to conditional add-one bigram probability
+    ``P(w2|w1) = (C12 + 1) / (C1 + V)`` (V = unigram vocab size): the
+    standard KenLM-shaped perplexity-filter signal, here with the
+    exact-replay contract.
+
+    Two passes: (1) bigram + unigram count tables (two bucketed
+    aggregates over ONE corpus read each); both are engineered-vocab
+    bounded here and broadcast as micro-nat lookup dicts — at web
+    scale the bigram table gets the same top-K + OOV-bucket cap
+    doc_logprob's ``max_vocab`` mode documents. (2) a streaming score
+    pass: the within-doc bigram stream is built vectorized from the
+    split offsets (consecutive FILTERED tokens, no cross-doc pairs),
+    mapped through the broadcast dicts (absent bigram → the same
+    ``ln(1/(C1+V))`` add-one fallback the SQL coalesce path computes),
+    and segment-summed in integer micro-nats (``floor(ln(p)·1e6)``,
+    libm log) — order-independent, bit-equal under any partitioning.
+    Docs with < 2 tokens emit no row (matching the SQL GROUP BY).
+    Columns: doc_id, n_bigrams, logprob_micro."""
+    import math
+
+    import ray
+
+    from bioner_ray.stages.shuffle import bucketed_aggregate
+    from bioner_ray.stages.textstats import _split_lower
+
+    SEP = "\x1f"
+
+    def bg_partial(batch: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for toks in _split_lower(batch, "text"):
+            for x, y in zip(toks, toks[1:]):
+                k = x + SEP + y
+                counts[k] = counts.get(k, 0) + 1
+        return pa.table(
+            {
+                "bg": pa.array(list(counts.keys()), type=pa.string()),
+                "cnt": pa.array(list(counts.values()), type=pa.int64()),
+            }
+        )
+
+    def uni_partial(batch: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for toks in _split_lower(batch, "text"):
+            for t in toks:
+                counts[t] = counts.get(t, 0) + 1
+        return pa.table(
+            {
+                "word": pa.array(list(counts.keys()), type=pa.string()),
+                "cnt": pa.array(list(counts.values()), type=pa.int64()),
+            }
+        )
+
+    docs = _read(sf_dir, "documents", columns=["text"])
+    bg = bucketed_aggregate(
+        docs.map_batches(bg_partial, batch_format="pyarrow"), ["bg"], [("cnt", "sum")]
+    ).to_pandas()
+    uni = bucketed_aggregate(
+        docs.map_batches(uni_partial, batch_format="pyarrow"),
+        ["word"],
+        [("cnt", "sum")],
+    ).to_pandas()
+    v = float(len(uni))
+    c1 = dict(zip(uni["word"], (float(c) for c in uni["cnt"])))
+    lp = {}
+    for key, c12 in zip(bg["bg"], bg["cnt"]):
+        w1 = key.split(SEP, 1)[0]
+        lp[key] = math.floor(
+            math.log((float(c12) + 1.0) / (c1[w1] + v)) * 1000000.0
+        )
+    fb = {
+        w: math.floor(math.log(1.0 / (c + v)) * 1000000.0) for w, c in c1.items()
+    }
+    lp_ref = ray.put(lp)
+    fb_ref = ray.put(fb)
+
+    def score(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        table, fallback = ray.get(lp_ref), ray.get(fb_ref)
+        text = pc.fill_null(batch.column("text"), "")
+        split = pc.split_pattern_regex(pc.utf8_lower(text), r"\s+").combine_chunks()
+        off = split.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_docs = len(off) - 1
+        doc_out = batch.column("doc_id")
+        # filtered token stream with doc ids
+        vals = pd.Series(split.values.slice(off[0], off[-1] - off[0]).to_pylist())
+        doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), np.diff(off))
+        keep = (vals != "").to_numpy()
+        toks = vals[keep].reset_index(drop=True)
+        d = doc_idx[keep]
+        if len(toks) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=doc_out.type),
+                    "n_bigrams": pa.array([], type=pa.int64()),
+                    "logprob_micro": pa.array([], type=pa.int64()),
+                }
+            )
+        # consecutive pairs within the same doc
+        same = np.r_[d[1:] == d[:-1], False]
+        keys = toks + SEP + toks.shift(-1).fillna("")
+        kl = pd.Series(keys.to_numpy()[same])
+        w1 = pd.Series(toks.to_numpy()[same])
+        micro = kl.map(table)
+        micro = micro.fillna(w1.map(fallback)).to_numpy(dtype=np.int64)
+        dd = d[same]
+        sums = np.zeros(n_docs, dtype=np.int64)
+        cnts = np.zeros(n_docs, dtype=np.int64)
+        np.add.at(sums, dd, micro)
+        np.add.at(cnts, dd, 1)
+        nz = cnts > 0
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    doc_out.to_numpy(zero_copy_only=False)[nz]
+                ).cast(doc_out.type),
+                "n_bigrams": pa.array(cnts[nz]),
+                "logprob_micro": pa.array(sums[nz]),
+            }
+        )
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow"
+    )
+
+
 def word_count(sf_dir: str, min_count: int = 10):
     """G1→G3 vocabulary pipeline on real text: per-block partial counts
     (combiner) → groupby sum → min-frequency filter → pinned-total-order

@@ -129,6 +129,7 @@ SQL_CHECKED = [
     "doc_length_deciles",
     "kg_incremental_edges",
     "orders_profile",
+    "doc_bigram_logprob",
 ]
 
 #: queries with neither a SQL twin nor a golden parquet — none left;

@@ -43,3 +43,33 @@ def test_doc_logprob_capped_matches_bruteforce():
     assert checked == len(got)
     # OOV fallback must actually fire with K=5 on this corpus
     assert any(w not in lp for toks in toks_by_doc.values() for w in toks)
+
+
+def test_bigram_logprob_excludes_cross_doc_pairs_and_short_docs(tmp_path):
+    """Crafted corpus: two docs whose boundary would create a spurious
+    bigram if the stream were not doc-segmented; a 1-token doc and an
+    empty doc emit no row."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bioner_ray.pipelines.analytics import doc_bigram_logprob
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+                "text": ["a b", "b a", "solo", ""],
+            }
+        ),
+        sf / "documents.parquet",
+    )
+    got = doc_bigram_logprob(str(sf)).to_pandas().set_index("doc_id")
+    assert sorted(got.index) == [1, 2]  # no row for "solo" or ""
+    # uni: a=2, b=2, solo=1 → V=3; bigrams: (a,b)=1, (b,a)=1
+    lp_ab = math.floor(math.log((1 + 1.0) / (2.0 + 3.0)) * 1e6)
+    assert got.loc[1, "n_bigrams"] == 1 and got.loc[1, "logprob_micro"] == lp_ab
+    assert got.loc[2, "logprob_micro"] == lp_ab  # symmetric counts
