@@ -171,6 +171,7 @@ OPERATOR_QUERIES = [
     "doc_length_deciles",
     "orders_profile",
     "doc_bigram_logprob",
+    "kg_ppr",
 ]
 
 

@@ -833,6 +833,21 @@ def kg_pagerank(sf_dir: str, iters: int = 3):
     return pagerank(kg_edges(sf_dir), iters=iters)
 
 
+PPR_SEEDS = ["batch", "column"]  # 2 lexicographically-smallest lexicon entities
+
+
+def kg_ppr(sf_dir: str, iters: int = 3):
+    """Personalized PageRank (random walk with restart) around the
+    ``PPR_SEEDS`` entity set: same scaled-integer fixed-round machinery
+    as kg_pagerank, but initial mass and per-round teleport go only to
+    the seeds — the query-relevance score a KG serves for 'entities
+    related to X'. Columns: node, rank (ppr × 10^12 as int64; non-seed
+    unreachable nodes score 0)."""
+    from bioner_ray.stages.graph import pagerank
+
+    return pagerank(kg_edges(sf_dir), iters=iters, seed_nodes=PPR_SEEDS)
+
+
 def kg_top_neighbors(sf_dir: str, k: int = 3):
     """Per-node neighborhood summary: each node's top-k out-neighbors
     by total edge weight (preds collapsed), ties by obj — the entity

@@ -285,6 +285,7 @@ def pagerank(
     obj_col: str = "obj",
     weight_col: str = "weight",
     num_buckets: int = 256,
+    seed_nodes: list[str] | None = None,
 ):
     """Fixed-iteration weighted PageRank over a directed edge table,
     in deterministic scaled-integer arithmetic: (node, rank) with
@@ -385,17 +386,25 @@ def pagerank(
     ).materialize()
 
     base = ((damp_den - damp_num) * scale) // damp_den
+    # personalized variant: init mass and per-round teleport go ONLY to
+    # the seed set (rank₀/base are 0 elsewhere) — the random-walk-with-
+    # restart relevance score around a query node set. Seeds are a
+    # bounded broadcast list; absent seeds contribute nothing (same as
+    # the SQL twin's CASE ... IN).
+    seed_arr = (
+        None
+        if seed_nodes is None
+        else np.array(sorted(set(seed_nodes)), dtype=object)
+    )
 
     def with_const(value: int):
         def fn(t: pa.Table) -> pa.Table:
-            return pa.table(
-                {
-                    "node": t.column("node"),
-                    "r": pa.array(
-                        np.full(t.num_rows, value, dtype=np.int64)
-                    ),
-                }
-            )
+            if seed_arr is None:
+                vals = np.full(t.num_rows, value, dtype=np.int64)
+            else:
+                nd = t.column("node").to_numpy(zero_copy_only=False)
+                vals = np.where(np.isin(nd, seed_arr), value, 0).astype(np.int64)
+            return pa.table({"node": t.column("node"), "r": pa.array(vals)})
 
         return fn
 

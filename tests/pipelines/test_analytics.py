@@ -130,6 +130,7 @@ SQL_CHECKED = [
     "kg_incremental_edges",
     "orders_profile",
     "doc_bigram_logprob",
+    "kg_ppr",
 ]
 
 #: queries with neither a SQL twin nor a golden parquet — none left;

@@ -266,3 +266,41 @@ def test_local_topk_zero_column_guard():
     empty = pa.table({})
     out = _local_topk(empty, "k", [("v", "descending")], 2, with_rank=True)
     assert out.num_rows == 0 and out.num_columns == 0
+
+
+def _brute_ppr(rows, seeds, iters=3, scale=10**12, dn=850, dd=1000):
+    from collections import defaultdict
+
+    ew = defaultdict(int)
+    for s, o, w in rows:
+        ew[(s, o)] += w
+    outw = defaultdict(int)
+    for (s, _o), w in ew.items():
+        outw[s] += w
+    nodes = sorted({s for s, _ in ew} | {o for _, o in ew})
+    base = ((dd - dn) * scale) // dd
+    r = {n: (scale if n in seeds else 0) for n in nodes}
+    for _ in range(iters):
+        nxt = {n: (base if n in seeds else 0) for n in nodes}
+        for (s, o), w in ew.items():
+            nxt[o] += (dn * r[s] * w) // (dd * outw[s])
+        r = nxt
+    return r
+
+
+def test_personalized_pagerank_matches_replay_and_localizes():
+    ds = rd.from_arrow(_edges_table(EDGES)).repartition(3)
+    seeds = ["a"]
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(ds, iters=3, seed_nodes=seeds).take_all()
+    }
+    assert got == _brute_ppr(EDGES, set(seeds), iters=3)
+    # pure-source e is unreachable from a and not a seed → exactly 0
+    assert got["e"] == 0
+    # absent seed contributes nothing, present rows unchanged
+    got2 = {
+        r["node"]: r["rank"]
+        for r in pagerank(ds, iters=3, seed_nodes=["a", "zzz-absent"]).take_all()
+    }
+    assert got2 == got
