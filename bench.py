@@ -172,6 +172,7 @@ OPERATOR_QUERIES = [
     "orders_profile",
     "doc_bigram_logprob",
     "kg_ppr",
+    "weekly_active_users",
 ]
 
 

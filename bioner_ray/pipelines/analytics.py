@@ -1667,6 +1667,105 @@ def doc_logprob(sf_dir: str, max_vocab: int | None = None):
     )
 
 
+def weekly_active_users(sf_dir: str):
+    """Rolling 7-day distinct users per event day (WAU) — the
+    engagement metric that needs DISTINCT over a sliding window, which
+    no windowed aggregate gives directly. Exact distributed plan:
+
+    1. (day, user) dedup — ONE bucketed aggregate (the
+       distinct_users_per_type two-level-dedup shape);
+    2. calendar replication: each (day, user) row fans out to the ≤ 7
+       window days it can serve, filtered to days that actually occur
+       (the bounded day list is broadcast — calendar-sized, never
+       data-sized); replication factor ≤ 7 is the price of exactness;
+    3. (window, user) dedup + per-window count — two more bucketed
+       aggregates. Nothing user×day-shaped is ever collected.
+
+    Columns: day (DATE), wau."""
+    from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema, with_ones
+
+    def prep(t: pa.Table) -> pa.Table:
+        day = pc.cast(pc.cast(t.column("ts"), pa.date32()), pa.int32()).cast(
+            pa.int64()
+        )
+        return pa.table({"day": day, "user_id": t.column("user_id")})
+
+    ev = _read(sf_dir, "events", columns=["ts", "user_id"]).map_batches(
+        prep, batch_format="pyarrow"
+    )
+    du_schema = pa.schema([("day", pa.int64()), ("user_id", pa.int64())])
+    du = pin_schema(
+        bucketed_aggregate(
+            with_ones(ev), ["day", "user_id"], [("one", "min")], num_buckets=64
+        ),
+        pa.schema(list(du_schema) + [pa.field("one", pa.int64())]),
+    ).materialize()
+
+    day_rows = pin_schema(
+        bucketed_aggregate(
+            du.map_batches(
+                lambda t: pa.table({"day": t.column("day"), "one": t.column("one")}),
+                batch_format="pyarrow",
+            ),
+            ["day"],
+            [("one", "min")],
+            num_buckets=8,
+        ),
+        pa.schema([("day", pa.int64()), ("one", pa.int64())]),
+    ).take_all()
+    days = np.array(sorted(int(r["day"]) for r in day_rows), dtype=np.int64)
+
+    def explode(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return du_schema.empty_table().rename_columns(["win", "user_id"])
+        d = t.column("day").to_numpy(zero_copy_only=False).astype(np.int64)
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        win = np.repeat(d, 7) + np.tile(np.arange(7, dtype=np.int64), len(d))
+        uu = np.repeat(u, 7)
+        keep = np.isin(win, days)
+        return pa.table(
+            {
+                "win": pa.array(win[keep]),
+                "user_id": pa.array(uu[keep]),
+            }
+        )
+
+    win_users = pin_schema(
+        bucketed_aggregate(
+            with_ones(du.map_batches(explode, batch_format="pyarrow")),
+            ["win", "user_id"],
+            [("one", "min")],
+            num_buckets=64,
+        ),
+        pa.schema(
+            [("win", pa.int64()), ("user_id", pa.int64()), ("one", pa.int64())]
+        ),
+    )
+    counts = pin_schema(
+        bucketed_aggregate(
+            win_users.map_batches(
+                lambda t: pa.table({"win": t.column("win"), "wau": t.column("one")}),
+                batch_format="pyarrow",
+            ),
+            ["win"],
+            [("wau", "sum")],
+            num_buckets=8,
+        ),
+        pa.schema([("win", pa.int64()), ("wau", pa.int64())]),
+    )
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "day": pc.cast(
+                    t.column("win").cast(pa.int32()), pa.date32()
+                ),
+                "wau": t.column("wau"),
+            }
+        )
+
+    return counts.map_batches(finish, batch_format="pyarrow")
+
+
 def doc_bigram_logprob(sf_dir: str):
     """Bigram-LM document scoring — the doc_logprob upgrade from
     unigram surprise to conditional add-one bigram probability

@@ -131,6 +131,7 @@ SQL_CHECKED = [
     "orders_profile",
     "doc_bigram_logprob",
     "kg_ppr",
+    "weekly_active_users",
 ]
 
 #: queries with neither a SQL twin nor a golden parquet — none left;
