@@ -833,6 +833,124 @@ def kg_pagerank(sf_dir: str, iters: int = 3):
     return pagerank(kg_edges(sf_dir), iters=iters)
 
 
+def kg_negative_samples(sf_dir: str, k: int = 2):
+    """Deterministic negative sampling for KG-embedding training
+    (TransE-style corrupted triples): for each canonical edge and
+    variant j ∈ 1..k, replace the object with the node at index
+    ``md5_61bit(subj‖pred‖obj‖j) mod n_nodes`` of the sorted node
+    list, then drop corruptions that happen to be REAL edges via the
+    engine's ``left anti`` bucketed join (the filtered-negative
+    contract). No RNG: the md5 draw replays exactly in SQL (the
+    error_samples/cms 61-bit-prefix idiom), and it runs over the
+    EDGE table only (edge-bounded, never corpus-bounded — the node
+    list is a broadcast array). Columns: subj, pred, neg_obj, variant."""
+    import hashlib
+
+    from bioner_ray.stages.shuffle import (
+        bucketed_aggregate,
+        bucketed_inner_join,
+        pin_schema,
+        with_ones,
+    )
+
+    edges = kg_edges(sf_dir).map_batches(
+        lambda t: t.select(["subj", "pred", "obj"]), batch_format="pyarrow"
+    ).materialize()
+
+    node_rows = pin_schema(
+        bucketed_aggregate(
+            with_ones(
+                edges.map_batches(
+                    lambda t: pa.table(
+                        {
+                            "node": pa.chunked_array(
+                                [
+                                    t.column("subj").combine_chunks(),
+                                    t.column("obj").combine_chunks(),
+                                ]
+                            ).combine_chunks()
+                        }
+                    ),
+                    batch_format="pyarrow",
+                )
+            ),
+            ["node"],
+            [("one", "min")],
+            num_buckets=16,
+        ),
+        pa.schema([("node", pa.string()), ("one", pa.int64())]),
+    ).take_all()
+    nodes = sorted(r["node"] for r in node_rows)  # bounded broadcast list
+    n = len(nodes)
+    if n == 0:
+        return pa.schema(
+            [
+                ("subj", pa.string()),
+                ("pred", pa.string()),
+                ("neg_obj", pa.string()),
+                ("variant", pa.int64()),
+            ]
+        ).empty_table()
+
+    SEP = "\x1f"
+
+    def corrupt(t: pa.Table) -> pa.Table:
+        subs = t.column("subj").to_pylist()
+        preds = t.column("pred").to_pylist()
+        objs = t.column("obj").to_pylist()
+        out_s, out_p, out_o, out_j = [], [], [], []
+        for s, p, o in zip(subs, preds, objs):
+            for j in range(1, k + 1):
+                key = (s + SEP + p + SEP + o + SEP + str(j)).encode()
+                h = int.from_bytes(hashlib.md5(key).digest()[:8], "big") % (2**61)
+                out_s.append(s)
+                out_p.append(p)
+                out_o.append(nodes[h % n])
+                out_j.append(j)
+        return pa.table(
+            {
+                "subj": pa.array(out_s, type=pa.string()),
+                "pred": pa.array(out_p, type=pa.string()),
+                "neg_obj": pa.array(out_o, type=pa.string()),
+                "variant": pa.array(out_j, type=pa.int64()),
+            }
+        )
+
+    cand = edges.map_batches(corrupt, batch_format="pyarrow")
+    real = edges.map_batches(
+        lambda t: pa.table(
+            {
+                "subj": t.column("subj"),
+                "pred": t.column("pred"),
+                "neg_obj": t.column("obj"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return bucketed_inner_join(
+        cand,
+        real,
+        keys=["subj", "pred", "neg_obj"],
+        left_schema=pa.schema(
+            [
+                ("subj", pa.string()),
+                ("pred", pa.string()),
+                ("neg_obj", pa.string()),
+                ("variant", pa.int64()),
+            ]
+        ),
+        right_schema=pa.schema(
+            [
+                ("subj", pa.string()),
+                ("pred", pa.string()),
+                ("neg_obj", pa.string()),
+            ]
+        ),
+        num_buckets=64,
+        join_type="left anti",
+    )
+
+
 PPR_SEEDS = ["batch", "column"]  # 2 lexicographically-smallest lexicon entities
 
 

@@ -132,6 +132,7 @@ SQL_CHECKED = [
     "doc_bigram_logprob",
     "kg_ppr",
     "weekly_active_users",
+    "kg_negative_samples",
 ]
 
 #: queries with neither a SQL twin nor a golden parquet — none left;
