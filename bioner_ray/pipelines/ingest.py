@@ -34,7 +34,6 @@ import logging
 import os
 import shutil
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -256,8 +255,12 @@ def kg_incremental_edges(sf_dir: str, store_root: str | None = None):
     from bioner_ray.pipelines.analytics import kg_edges
     from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema
 
+    # process-unique scratch store: two concurrent runs (e.g. pytest +
+    # oracle checker) sharing one dir would interleave their parquet
+    # files inside a shard and double-count on the merged read
     store = store_root or os.path.join(
-        "/tmp/bioner_kg_store", os.path.basename(os.path.abspath(sf_dir))
+        "/tmp/bioner_kg_store",
+        f"{os.path.basename(os.path.abspath(sf_dir))}-{os.getpid()}",
     )
     shutil.rmtree(store, ignore_errors=True)
 
