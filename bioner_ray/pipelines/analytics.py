@@ -2270,6 +2270,87 @@ def order_priority(sf_dir: str):
     )
 
 
+def basket_pairs(sf_dir: str, min_support: int = 2, k: int = 100):
+    """Market-basket co-occurrence mining (the Apriori pass-2 /
+    frequent-pair step): each order is a basket of distinct parts; emit
+    every unordered part pair per basket, count global support, keep
+    pairs with support ≥ ``min_support`` and return the top-``k`` by
+    (support desc, p1, p2).
+
+    Distributed plan: pair emission needs each basket's full item set
+    co-located, so the one orderkey-keyed exchange does double duty —
+    the partial step dedups (orderkey, partkey) inside each block (the
+    shuffle ships distinct items only), then each bucket generates its
+    baskets' pairs fully vectorized (groups are sorted once; for every
+    distinct basket size ``s`` a single ``np.triu_indices`` template is
+    broadcast over all size-``s`` baskets — no per-basket Python). The
+    pair counts then ride the standard (p1, p2) ``bucketed_aggregate``;
+    the min-support filter runs distributed before the bounded
+    sort/limit. Scale: basket sizes are bounded (≤7 lineitems per order
+    in the TPC-H shape), so pair fanout is ≤ C(B,2) per basket, linear
+    in data; hot parts cannot skew the first exchange (keyed by
+    orderkey) and the second is keyed by the pair. No reference analog;
+    §2.11 scale extension. Columns: p1, p2, support."""
+    from bioner_ray.stages.shuffle import (
+        _bucket_column,
+        bucketed_aggregate,
+        pin_schema,
+        with_ones,
+    )
+
+    items = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.group_by(["l_orderkey", "l_partkey"]).aggregate([])
+        return t.append_column("_bucket", _bucket_column(t, ["l_orderkey"], 256))
+
+    def emit_pairs(g: pa.Table) -> pa.Table:
+        out_schema = pa.schema([("p1", pa.int64()), ("p2", pa.int64())])
+        if g.num_columns == 0 or g.num_rows == 0:
+            return out_schema.empty_table()
+        g = g.sort_by([("l_orderkey", "ascending"), ("l_partkey", "ascending")])
+        orders = g.column("l_orderkey").to_numpy(zero_copy_only=False)
+        parts = g.column("l_partkey").to_numpy(zero_copy_only=False)
+        # the per-block partial dedup is only local — an order whose
+        # lineitems span blocks still carries (orderkey, partkey)
+        # duplicates into the bucket; drop consecutive dups post-sort
+        keep = np.r_[True, (orders[1:] != orders[:-1]) | (parts[1:] != parts[:-1])]
+        orders, parts = orders[keep], parts[keep]
+        starts = np.flatnonzero(np.r_[True, orders[1:] != orders[:-1]])
+        sizes = np.diff(np.r_[starts, len(orders)])
+        p1s, p2s = [], []
+        for s in np.unique(sizes):
+            if s < 2:
+                continue
+            ti, tj = np.triu_indices(int(s), k=1)
+            base = starts[sizes == s]
+            p1s.append(parts[(base[:, None] + ti[None, :]).ravel()])
+            p2s.append(parts[(base[:, None] + tj[None, :]).ravel()])
+        if not p1s:
+            return out_schema.empty_table()
+        return pa.table(
+            {"p1": np.concatenate(p1s), "p2": np.concatenate(p2s)},
+            schema=out_schema,
+        )
+
+    pairs = (
+        items.map_batches(partial, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(lambda g: emit_pairs(g), batch_format="pyarrow")
+    )
+    counts = pin_schema(
+        bucketed_aggregate(
+            with_ones(pairs, "support"), ["p1", "p2"], [("support", "sum")]
+        ),
+        pa.schema([("p1", pa.int64()), ("p2", pa.int64()), ("support", pa.int64())]),
+    )
+    frequent = counts.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("support"), min_support)),
+        batch_format="pyarrow",
+    )
+    return frequent.sort(["support", "p1", "p2"], descending=[True, False, False]).limit(k)
+
+
 def shipping_priority(sf_dir: str, segment: str = "BUILDING", cutoff: str = "1998-06-01", k: int = 10):
     """TPC-H Q3 shape: customer(segment) ⋉ orders(before cutoff) ⋈
     lineitem(shipped after cutoff) → per-order discounted revenue →

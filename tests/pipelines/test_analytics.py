@@ -133,6 +133,7 @@ SQL_CHECKED = [
     "kg_ppr",
     "weekly_active_users",
     "kg_negative_samples",
+    "basket_pairs",
 ]
 
 #: queries with neither a SQL twin nor a golden parquet — none left;
