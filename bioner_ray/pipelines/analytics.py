@@ -2270,6 +2270,48 @@ def order_priority(sf_dir: str):
     )
 
 
+def customer_distribution(sf_dir: str):
+    """TPC-H Q13 shape: how many customers placed exactly N orders,
+    including the N = 0 bucket. Join-free under the orders→customer FK
+    (every o_custkey is a real customer, verified in the testdata): the
+    classic LEFT OUTER JOIN + double GROUP BY collapses to two bucketed
+    aggregates over ORDERS ONLY — per-custkey order counts, then the
+    histogram of those counts — and the zero bucket is recovered as
+    ``count(customer) − customers-with-orders`` (one metadata-only
+    ``Dataset.count`` plus a sum over the histogram, whose size is
+    bounded by the max orders per customer, not by data volume). The
+    customer table is never shuffled at all. Columns: c_count,
+    custdist."""
+    from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema, with_ones
+
+    per_cust = bucketed_aggregate(
+        with_ones(_read(sf_dir, "orders", columns=["o_custkey"]), "c_count"),
+        ["o_custkey"],
+        [("c_count", "sum")],
+    )
+    hist = pin_schema(
+        bucketed_aggregate(
+            with_ones(
+                per_cust.map_batches(
+                    lambda t: t.select(["c_count"]), batch_format="pyarrow"
+                ),
+                "custdist",
+            ),
+            ["c_count"],
+            [("custdist", "sum")],
+        ),
+        pa.schema([("c_count", pa.int64()), ("custdist", pa.int64())]),
+    ).to_pandas()  # bounded: one row per distinct order count
+    n_customers = _read(sf_dir, "customer", columns=["c_custkey"]).count()
+    zero = n_customers - int(hist["custdist"].sum())
+    cc, cd = hist["c_count"].to_numpy(), hist["custdist"].to_numpy()
+    if zero > 0:  # the 0-orders bucket exists only when some customer has none
+        cc, cd = np.r_[cc, 0], np.r_[cd, zero]
+    return pa.table(
+        {"c_count": cc.astype(np.int64), "custdist": cd.astype(np.int64)}
+    )
+
+
 def basket_pairs(sf_dir: str, min_support: int = 2, k: int = 100):
     """Market-basket co-occurrence mining (the Apriori pass-2 /
     frequent-pair step): each order is a basket of distinct parts; emit

@@ -134,6 +134,7 @@ SQL_CHECKED = [
     "weekly_active_users",
     "kg_negative_samples",
     "basket_pairs",
+    "customer_distribution",
 ]
 
 #: queries with neither a SQL twin nor a golden parquet — none left;
