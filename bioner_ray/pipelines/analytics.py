@@ -1022,6 +1022,20 @@ def kg_triangles(sf_dir: str):
     return triangle_counts(kg_edges(sf_dir))
 
 
+def kg_adamic_adar(sf_dir: str, k: int = 50):
+    """Adamic–Adar affinity of entity pairs over the canonical KG
+    (stages/graph.py adamic_adar): common-neighbor evidence discounted
+    by neighbor promiscuity, in exactly-replayable integer micro-nats —
+    the link-prediction / merge-evidence ranking a KG serves for
+    'entities that SHOULD be related'. ``is_edge`` flags pairs already
+    adjacent (on the toy corpus's dense clique most are; at crawl scale
+    the interesting rows are the is_edge = 0 ones). Columns: u, v,
+    aa_micro, n_common, is_edge."""
+    from bioner_ray.stages.graph import adamic_adar
+
+    return adamic_adar(kg_edges(sf_dir), k=k)
+
+
 def kg_edge_support(sf_dir: str, edges=None):
     """Per-edge triangle support + structural endpoint Jaccard over the
     KG's undirected simple graph (stages/graph.py edge_support — the

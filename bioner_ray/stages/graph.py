@@ -624,16 +624,11 @@ def hash_walks(
     return pin_schema(walks, final_schema)
 
 
-def _triangle_plan(edges_ds, subj_col: str, obj_col: str, num_buckets: int):
-    """Shared plan for triangle-based ops: undirected simple graph →
-    degree-ordered orientation → wedge self-join → edge-closure check.
-    Returns (closed, und, deg): ``closed`` = one (u, lo, hi) row per
-    triangle (found exactly once at its orientation-minimum vertex),
-    ``und`` = distinct (lo, hi) undirected edges, ``deg`` = undirected
-    degree per node. The orientation bounds wedge generation to
-    O(E^1.5) total — a hub contributes only its oriented out-edges —
-    which is what makes triangle ops runnable at web scale.
-    """
+def _und_deg(edges_ds, subj_col: str, obj_col: str, num_buckets: int):
+    """Undirected simple graph + degrees from a directed edge stream:
+    ``und`` = distinct (lo, hi) edges (self-loops dropped, materialized
+    — it is read twice by every consumer), ``deg`` = undirected degree
+    per node. The shared prefix of all structural KG ops."""
     import numpy as np
     import pyarrow.compute as pc
 
@@ -681,6 +676,24 @@ def _triangle_plan(edges_ds, subj_col: str, obj_col: str, num_buckets: int):
         ),
         deg_schema,
     )
+    return und, deg
+
+
+def _triangle_plan(edges_ds, subj_col: str, obj_col: str, num_buckets: int):
+    """Shared plan for triangle-based ops: undirected simple graph →
+    degree-ordered orientation → wedge self-join → edge-closure check.
+    Returns (closed, und, deg): ``closed`` = one (u, lo, hi) row per
+    triangle (found exactly once at its orientation-minimum vertex),
+    ``und`` = distinct (lo, hi) undirected edges, ``deg`` = undirected
+    degree per node. The orientation bounds wedge generation to
+    O(E^1.5) total — a hub contributes only its oriented out-edges —
+    which is what makes triangle ops runnable at web scale.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    und, deg = _und_deg(edges_ds, subj_col, obj_col, num_buckets)
+    und_schema = pa.schema([("lo", pa.string()), ("hi", pa.string())])
 
     # attach both endpoint degrees, then orient by (degree, id)
     j1 = bucketed_inner_join(
@@ -1727,3 +1740,192 @@ def label_propagation(
         ).materialize()
 
     return labels
+
+
+def adamic_adar(
+    edges_ds,
+    subj_col: str = "subj",
+    obj_col: str = "obj",
+    k: int = 50,
+    max_center_degree: int = 100_000,
+    num_buckets: int = 256,
+):
+    """Adamic–Adar pair affinity over the undirected simple graph:
+    AA(u, v) = Σ_{z ∈ N(u) ∩ N(v)} 1 / ln(deg(z)) — the classic
+    link-prediction / entity-merge evidence score that discounts common
+    neighbors by how promiscuous they are (a shared hub proves little;
+    a shared rare neighbor proves a lot).
+
+    Exactness: per-center weight is quantized to integer micro-nats
+    w(z) = floor(10^12 / ln(deg z)) — ln is the one libm call (bit-equal
+    between Python ``math.log`` and DuckDB ``ln``), floor avoids every
+    round-half tie, and the pair score is then an ORDER-FREE integer
+    sum, so the distributed result replays bit-for-bit in SQL.
+
+    Plan: wedge emission needs each center's neighbor list co-located —
+    one bucketed join (deg → neighbor relation, keyed on the center)
+    feeding one center-keyed exchange whose reducer emits every
+    neighbor pair fully vectorized (per-basket-size ``np.triu_indices``
+    templates, as in basket_pairs); scores then ride a (u, v)
+    ``bucketed_aggregate`` and a left-outer flag join against the edge
+    set marks which scored pairs are already adjacent. Unlike
+    triangles, AA needs ALL wedges, so degree orientation cannot bound
+    hubs; centers above ``max_center_degree`` (Σ deg² blow-up) are
+    skipped WITH A LOG — mirror the cap in any twin. Output: top-``k``
+    by (aa_micro desc, u, v): u, v, aa_micro, n_common, is_edge."""
+    import logging
+    import math
+
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from bioner_ray.stages.shuffle import _bucket_column
+
+    und, deg = _und_deg(edges_ds, subj_col, obj_col, num_buckets)
+
+    nbr_schema = pa.schema([("c", pa.string()), ("n", pa.string())])
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return nbr_schema.empty_table()
+        lo = t.column("lo").combine_chunks()
+        hi = t.column("hi").combine_chunks()
+        return pa.table(
+            {
+                "c": pa.chunked_array([lo, hi]).combine_chunks(),
+                "n": pa.chunked_array([hi, lo]).combine_chunks(),
+            },
+            schema=nbr_schema,
+        )
+
+    wz_schema = pa.schema([("c", pa.string()), ("w", pa.int64())])
+
+    def center_weight(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return wz_schema.empty_table()
+        d = t.column("deg").to_numpy(zero_copy_only=False)
+        capped = int((d > max_center_degree).sum())
+        if capped:
+            logging.getLogger(__name__).warning(
+                "adamic_adar: skipping %d hub centers above degree cap %d",
+                capped,
+                max_center_degree,
+            )
+        keep = (d >= 2) & (d <= max_center_degree)  # deg-1 nodes have no wedge
+        dk = d[keep]
+        uniq, inv = np.unique(dk, return_inverse=True)
+        wvals = np.array(
+            [math.floor(1e12 / math.log(float(v))) for v in uniq], dtype=np.int64
+        )
+        return pa.table(
+            {
+                "c": t.column("node").filter(pa.array(keep)),
+                "w": pa.array(wvals[inv] if len(dk) else np.empty(0, np.int64)),
+            },
+            schema=wz_schema,
+        )
+
+    centered = bucketed_inner_join(
+        und.map_batches(both_dirs, batch_format="pyarrow"),
+        pin_schema(deg.map_batches(center_weight, batch_format="pyarrow"), wz_schema),
+        ["c"],
+        nbr_schema,
+        wz_schema,
+        num_buckets=num_buckets,
+    )
+
+    pair_schema = pa.schema(
+        [
+            ("u", pa.string()),
+            ("v", pa.string()),
+            ("aa_micro", pa.int64()),
+            ("n_common", pa.int64()),
+        ]
+    )
+
+    def rebucket(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return nbr_schema.append(pa.field("w", pa.int64())).empty_table().append_column(
+                "_bucket", pa.array([], type=pa.int64())
+            )
+        return t.append_column("_bucket", _bucket_column(t, ["c"], num_buckets))
+
+    def emit_pairs(g: pa.Table) -> pa.Table:
+        if g.num_columns == 0 or g.num_rows == 0:
+            return pair_schema.empty_table()
+        g = g.sort_by([("c", "ascending"), ("n", "ascending")])
+        c = g.column("c").to_numpy(zero_copy_only=False)
+        nb = g.column("n").to_numpy(zero_copy_only=False)
+        w = g.column("w").to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, c[1:] != c[:-1]])
+        sizes = np.diff(np.r_[starts, len(c)])
+        us, vs, ws = [], [], []
+        for s in np.unique(sizes):
+            if s < 2:
+                continue
+            ti, tj = np.triu_indices(int(s), k=1)
+            base = starts[sizes == s]
+            us.append(nb[(base[:, None] + ti[None, :]).ravel()])
+            vs.append(nb[(base[:, None] + tj[None, :]).ravel()])
+            ws.append(np.repeat(w[base], len(ti)))
+        if not us:
+            return pair_schema.empty_table()
+        u = np.concatenate(us)
+        return pa.table(
+            {
+                "u": pa.array(u, type=pa.string()),
+                "v": pa.array(np.concatenate(vs), type=pa.string()),
+                "aa_micro": pa.array(np.concatenate(ws)),
+                "n_common": pa.array(np.ones(len(u), dtype=np.int64)),
+            },
+            schema=pair_schema,
+        )
+
+    scores = pin_schema(
+        bucketed_aggregate(
+            centered.map_batches(rebucket, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(emit_pairs, batch_format="pyarrow"),
+            ["u", "v"],
+            [("aa_micro", "sum"), ("n_common", "sum")],
+            num_buckets=num_buckets,
+        ),
+        pair_schema,
+    )
+
+    flag_schema = pa.schema(
+        [("u", pa.string()), ("v", pa.string()), ("is_edge", pa.int64())]
+    )
+    flagged = bucketed_inner_join(
+        scores,
+        und.map_batches(
+            lambda t: pa.table(
+                {
+                    "u": t.column("lo"),
+                    "v": t.column("hi"),
+                    "is_edge": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                },
+                schema=flag_schema,
+            )
+            if t.num_columns
+            else flag_schema.empty_table(),
+            batch_format="pyarrow",
+        ),
+        ["u", "v"],
+        pair_schema,
+        flag_schema,
+        num_buckets=num_buckets,
+        join_type="left outer",
+    ).map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("is_edge"),
+            "is_edge",
+            pc.coalesce(t.column("is_edge"), pa.scalar(0, pa.int64())),
+        )
+        if t.num_columns
+        else pair_schema.append(pa.field("is_edge", pa.int64())).empty_table(),
+        batch_format="pyarrow",
+    )
+    return flagged.sort(
+        ["aa_micro", "u", "v"], descending=[True, False, False]
+    ).limit(k)

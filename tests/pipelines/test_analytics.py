@@ -135,6 +135,7 @@ SQL_CHECKED = [
     "kg_negative_samples",
     "basket_pairs",
     "customer_distribution",
+    "kg_adamic_adar",
 ]
 
 #: queries with neither a SQL twin nor a golden parquet — none left;
