@@ -2284,6 +2284,52 @@ def order_priority(sf_dir: str):
     )
 
 
+def events_cum_value(sf_dir: str):
+    """Per-user running value total — the lifetime-spend-so-far column
+    attached to every event (stages/window.py grouped_running_sum):
+    ONE user-bucketed exchange, one per-bucket sort, one segmented
+    vectorized prefix sum over integer cents, so every partial total is
+    order-exact and replays bit-for-bit as the SQL running window.
+    Columns: event_id, user_id, cum_cents."""
+    from bioner_ray.stages.shuffle import pin_schema
+    from bioner_ray.stages.window import grouped_running_sum
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "ts": t.column("ts"),
+                "event_id": t.column("event_id"),
+                "value_cents": _cents(t.column("value")),
+            }
+        )
+
+    out = grouped_running_sum(
+        _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"]).map_batches(
+            prep, batch_format="pyarrow"
+        ),
+        key_col="user_id",
+        order_cols=["ts", "event_id"],
+        value_col="value_cents",
+        out_col="cum_cents",
+    )
+    return pin_schema(
+        out.map_batches(
+            lambda t: t.select(["event_id", "user_id", "cum_cents"])
+            if t.num_columns
+            else t,
+            batch_format="pyarrow",
+        ),
+        pa.schema(
+            [
+                ("event_id", pa.int64()),
+                ("user_id", pa.int64()),
+                ("cum_cents", pa.int64()),
+            ]
+        ),
+    )
+
+
 def customer_distribution(sf_dir: str):
     """TPC-H Q13 shape: how many customers placed exactly N orders,
     including the N = 0 bucket. Join-free under the orders→customer FK

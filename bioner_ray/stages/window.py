@@ -288,3 +288,56 @@ def range_join_count(
         [("n_matches", "sum")],
         num_buckets=num_buckets,
     )
+
+
+def grouped_running_sum(
+    ds,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "cum",
+    carry_cols: tuple[str, ...] = (),
+    num_buckets: int = 256,
+):
+    """Per-key running total — ``SUM(value) OVER (PARTITION BY key
+    ORDER BY order_cols ROWS UNBOUNDED PRECEDING)`` — for integer
+    value columns (quantize floats first; integer prefix sums are
+    order-exact and replay bit-for-bit in SQL).
+
+    One key-bucketed exchange moves each key's rows (with the order
+    and carry columns) into a single bucket; the reducer sorts the
+    bucket once by (key, *order_cols) and computes every key's prefix
+    sum in one segmented vectorized pass (cumsum minus per-segment
+    base — no per-key loop). Make the last order column unique per key
+    (an id) so the running order, and hence every prefix, is fully
+    deterministic. A hot key shares its bucket; the per-bucket cost is
+    the sort, O(rows log rows) in bucket size."""
+    from bioner_ray.stages.shuffle import _bucket_column
+
+    cols = [key_col, *order_cols, *(c for c in carry_cols if c not in (key_col, *order_cols)), value_col]
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.select(cols)
+        return t.append_column("_bucket", _bucket_column(t, [key_col], num_buckets))
+
+    def scan(g: pa.Table) -> pa.Table:
+        if g.num_columns == 0 or g.num_rows == 0:
+            # schema-less empty reduce partition: callers pin_schema
+            return g
+        g = g.drop_columns(["_bucket"]).sort_by(
+            [(key_col, "ascending")] + [(c, "ascending") for c in order_cols]
+        )
+        keys = g.column(key_col).to_numpy(zero_copy_only=False)
+        vals = g.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+        sizes = np.diff(np.r_[starts, len(keys)])
+        totals = np.cumsum(vals)
+        seg_base = totals[starts] - vals[starts]
+        cum = totals - np.repeat(seg_base, sizes)
+        return g.drop_columns([value_col]).append_column(out_col, pa.array(cum))
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(scan, batch_format="pyarrow")
+    )

@@ -136,6 +136,7 @@ SQL_CHECKED = [
     "basket_pairs",
     "customer_distribution",
     "kg_adamic_adar",
+    "events_cum_value",
 ]
 
 #: queries with neither a SQL twin nor a golden parquet — none left;
