@@ -2372,33 +2372,18 @@ def customer_distribution(sf_dir: str):
     )
 
 
-def basket_pairs(sf_dir: str, min_support: int = 2, k: int = 100):
-    """Market-basket co-occurrence mining (the Apriori pass-2 /
-    frequent-pair step): each order is a basket of distinct parts; emit
-    every unordered part pair per basket, count global support, keep
-    pairs with support ≥ ``min_support`` and return the top-``k`` by
-    (support desc, p1, p2).
-
-    Distributed plan: pair emission needs each basket's full item set
-    co-located, so the one orderkey-keyed exchange does double duty —
-    the partial step dedups (orderkey, partkey) inside each block (the
-    shuffle ships distinct items only), then each bucket generates its
-    baskets' pairs fully vectorized (groups are sorted once; for every
-    distinct basket size ``s`` a single ``np.triu_indices`` template is
-    broadcast over all size-``s`` baskets — no per-basket Python). The
-    pair counts then ride the standard (p1, p2) ``bucketed_aggregate``;
-    the min-support filter runs distributed before the bounded
-    sort/limit. Scale: basket sizes are bounded (≤7 lineitems per order
-    in the TPC-H shape), so pair fanout is ≤ C(B,2) per basket, linear
-    in data; hot parts cannot skew the first exchange (keyed by
-    orderkey) and the second is keyed by the pair. No reference analog;
-    §2.11 scale extension. Columns: p1, p2, support."""
-    from bioner_ray.stages.shuffle import (
-        _bucket_column,
-        bucketed_aggregate,
-        pin_schema,
-        with_ones,
-    )
+def _basket_pair_stream(sf_dir: str):
+    """Per-basket part-pair stream shared by basket_pairs and
+    copurchase_assortativity: one orderkey-keyed exchange (the partial
+    step dedups (orderkey, partkey) inside each block so the shuffle
+    ships distinct items only), then each bucket generates its baskets'
+    pairs fully vectorized — groups are sorted once and, for every
+    distinct basket size ``s``, a single ``np.triu_indices`` template
+    is broadcast over all size-``s`` baskets (no per-basket Python).
+    Basket sizes are bounded (≤7 lineitems per order in the TPC-H
+    shape), so pair fanout is ≤ C(B,2) per basket, linear in data.
+    Returns a Dataset of (p1, p2) with per-basket multiplicity."""
+    from bioner_ray.stages.shuffle import _bucket_column
 
     items = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
 
@@ -2435,11 +2420,27 @@ def basket_pairs(sf_dir: str, min_support: int = 2, k: int = 100):
             schema=out_schema,
         )
 
-    pairs = (
+    return (
         items.map_batches(partial, batch_format="pyarrow")
         .groupby("_bucket")
         .map_groups(lambda g: emit_pairs(g), batch_format="pyarrow")
     )
+
+
+def basket_pairs(sf_dir: str, min_support: int = 2, k: int = 100):
+    """Market-basket co-occurrence mining (the Apriori pass-2 /
+    frequent-pair step): each order is a basket of distinct parts; emit
+    every unordered part pair per basket (_basket_pair_stream), count
+    global support, keep pairs with support ≥ ``min_support`` and
+    return the top-``k`` by (support desc, p1, p2). The pair counts
+    ride the standard (p1, p2) ``bucketed_aggregate``; the min-support
+    filter runs distributed before the bounded sort/limit; hot parts
+    cannot skew the first exchange (keyed by orderkey) and the second
+    is keyed by the pair. No reference analog; §2.11 scale extension.
+    Columns: p1, p2, support."""
+    from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema, with_ones
+
+    pairs = _basket_pair_stream(sf_dir)
     counts = pin_schema(
         bucketed_aggregate(
             with_ones(pairs, "support"), ["p1", "p2"], [("support", "sum")]
@@ -2451,6 +2452,134 @@ def basket_pairs(sf_dir: str, min_support: int = 2, k: int = 100):
         batch_format="pyarrow",
     )
     return frequent.sort(["support", "p1", "p2"], descending=[True, False, False]).limit(k)
+
+
+def copurchase_assortativity(sf_dir: str):
+    """Degree assortativity (Pearson r of endpoint degrees over every
+    directed edge sample) of the part co-purchase graph — the one-
+    number answer to "do popular parts sell WITH popular parts?", and
+    deliberately computed on this graph rather than the toy KG, whose
+    complete clique has zero degree variance.
+
+    Exactness without a global float sum: with x = deg(src), y =
+    deg(dst) over the n = 2E directed samples, r = (n·Σxy − S²) /
+    (n·Σx² − S²) with S = Σx (symmetry makes the x and y moments
+    equal). Every moment is an integer; per block the row products
+    (< 2^62 while degrees < 2^31) are split into 32-bit hi/lo halves so
+    int64 block sums cannot overflow, and the driver finish sums ONE
+    partial row per block in Python big-ints (exact, unbounded) —
+    bounded by block count, not rows, the engine's standard
+    driver-finish argument. The final doubles replay bit-for-bit:
+    float(num)/float(den) mirrors SQL's CAST(HUGEINT AS DOUBLE)
+    division exactly. Columns: n_samples, assortativity."""
+    from bioner_ray.stages.shuffle import (
+        bucketed_aggregate,
+        bucketed_inner_join,
+        pin_schema,
+        with_ones,
+    )
+
+    pair_schema = pa.schema([("p1", pa.int64()), ("p2", pa.int64())])
+    und = pin_schema(
+        bucketed_aggregate(
+            with_ones(_basket_pair_stream(sf_dir), "one"),
+            ["p1", "p2"],
+            [("one", "min")],
+        ),
+        pair_schema,
+    ).materialize()
+
+    nbr_schema = pa.schema([("c", pa.int64()), ("n", pa.int64())])
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return nbr_schema.empty_table()
+        a = t.column("p1").combine_chunks()
+        b = t.column("p2").combine_chunks()
+        return pa.table(
+            {
+                "c": pa.chunked_array([a, b]).combine_chunks(),
+                "n": pa.chunked_array([b, a]).combine_chunks(),
+            },
+            schema=nbr_schema,
+        )
+
+    nbr = und.map_batches(both_dirs, batch_format="pyarrow")
+    deg = pin_schema(
+        bucketed_aggregate(
+            with_ones(
+                nbr.map_batches(lambda t: t.select(["c"]), batch_format="pyarrow"),
+                "deg",
+            ),
+            ["c"],
+            [("deg", "sum")],
+        ),
+        pa.schema([("c", pa.int64()), ("deg", pa.int64())]),
+    ).materialize()
+
+    j1 = bucketed_inner_join(
+        nbr,
+        deg.map_batches(lambda t: t.rename_columns(["c", "x"]) if t.num_columns else t, batch_format="pyarrow"),
+        ["c"],
+        nbr_schema,
+        pa.schema([("c", pa.int64()), ("x", pa.int64())]),
+    )
+    j2 = bucketed_inner_join(
+        j1,
+        deg.map_batches(lambda t: t.rename_columns(["n", "y"]) if t.num_columns else t, batch_format="pyarrow"),
+        ["n"],
+        nbr_schema.append(pa.field("x", pa.int64())),
+        pa.schema([("n", pa.int64()), ("y", pa.int64())]),
+    )
+
+    part_schema = pa.schema(
+        [
+            ("n", pa.int64()),
+            ("s", pa.int64()),
+            ("q_hi", pa.int64()),
+            ("q_lo", pa.int64()),
+            ("sxy_hi", pa.int64()),
+            ("sxy_lo", pa.int64()),
+        ]
+    )
+
+    def partial_moments(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return part_schema.empty_table()
+        x = t.column("x").to_numpy(zero_copy_only=False)
+        y = t.column("y").to_numpy(zero_copy_only=False)
+        if x.max() >= 1 << 31:
+            raise ValueError("degree exceeds 2^31; hi/lo split would overflow")
+        q = x * x
+        xy = x * y
+        mask = np.int64((1 << 32) - 1)
+        return pa.table(
+            {
+                "n": [int(len(x))],
+                "s": [int(x.sum())],
+                "q_hi": [int((q >> 32).sum())],
+                "q_lo": [int((q & mask).sum())],
+                "sxy_hi": [int((xy >> 32).sum())],
+                "sxy_lo": [int((xy & mask).sum())],
+            },
+            schema=part_schema,
+        )
+
+    parts = pin_schema(
+        j2.map_batches(partial_moments, batch_format="pyarrow"), part_schema
+    ).to_pandas()  # one row per block — bounded by block count
+    n = int(parts["n"].sum())
+    s = int(parts["s"].sum())
+    q = (int(parts["q_hi"].sum()) << 32) + int(parts["q_lo"].sum())
+    sxy = (int(parts["sxy_hi"].sum()) << 32) + int(parts["sxy_lo"].sum())
+    num, den = n * sxy - s * s, n * q - s * s
+    r = 0.0 if den == 0 else float(num) / float(den)
+    return pa.table(
+        {
+            "n_samples": pa.array([n], type=pa.int64()),
+            "assortativity": pa.array([r], type=pa.float64()),
+        }
+    )
 
 
 def shipping_priority(sf_dir: str, segment: str = "BUILDING", cutoff: str = "1998-06-01", k: int = 10):

@@ -137,6 +137,7 @@ SQL_CHECKED = [
     "customer_distribution",
     "kg_adamic_adar",
     "events_cum_value",
+    "copurchase_assortativity",
 ]
 
 #: queries with neither a SQL twin nor a golden parquet — none left;
