@@ -2454,6 +2454,207 @@ def basket_pairs(sf_dir: str, min_support: int = 2, k: int = 100):
     return frequent.sort(["support", "p1", "p2"], descending=[True, False, False]).limit(k)
 
 
+def market_share(
+    sf_dir: str,
+    region: str = "ASIA",
+    nation: str = "NATION_2",
+    p_type: str = "PROMO",
+):
+    """TPC-H Q8 shape: among purchases by customers in ``region`` of
+    parts of ``p_type``, the per-year revenue share supplied by
+    ``nation`` — the engine's most join-heavy query, exercising the
+    full dimensional pattern at once. Tiny dims (nation ⋈ region)
+    resolve driver-side to two key sets; the three data-scale sides
+    each ride ONE bucketed exchange: orders ⋉ region-customers (semi,
+    custkey), lineitem ⋉ promo-parts (semi, partkey) then ⋈ supplier
+    projection (suppkey → target flag), and finally lineitem ⋈ orders
+    (orderkey, reusing the per-order join key for the year). Volume is
+    integer cents with per-element rounding; the share is ONE double
+    division of two exact integer sums per year, so it replays
+    bit-for-bit. Columns: o_year, num_cents, den_cents, mkt_share."""
+    import ray
+
+    from bioner_ray.stages.shuffle import bucketed_aggregate, bucketed_inner_join
+
+    nat = _read(sf_dir, "nation", columns=["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region", columns=["r_regionkey", "r_name"]).to_pandas()
+    region_keys = set(
+        nat.merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+        .query("r_name == @region")["n_nationkey"]
+        .astype(int)
+    )
+    target_nk = set(nat.query("n_name == @nation")["n_nationkey"].astype(int))
+    region_ref = ray.put(np.fromiter(sorted(region_keys), dtype=np.int64))
+    # supplier → target-nation flag rides a broadcast of the supplier
+    # projection (small dim), shipped to the object store ONCE and read
+    # zero-copy by every batch; at a scale where supplier outgrows
+    # broadcast this becomes a third bucketed join, same shape as the
+    # parts semi-join
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    supp_ref = ray.put(
+        np.sort(
+            supp.loc[supp["s_nationkey"].astype(int).isin(target_nk), "s_suppkey"]
+            .to_numpy()
+            .astype(np.int64)
+        )
+    )
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).map_batches(
+        lambda t: pa.table(
+            {
+                "o_custkey": t.column("c_custkey").filter(
+                    pa.array(
+                        np.isin(
+                            t.column("c_nationkey").to_numpy(zero_copy_only=False),
+                            ray.get(region_ref),
+                        )
+                    )
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    orders = bucketed_inner_join(
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]),
+        cust,
+        ["o_custkey"],
+        pa.schema(
+            [
+                ("o_custkey", pa.int64()),
+                ("o_orderkey", pa.int64()),
+                ("o_orderdate", pa.timestamp("us")),
+            ]
+        ),
+        pa.schema([("o_custkey", pa.int64())]),
+        join_type="left semi",
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "o_year": pc.cast(pc.year(t.column("o_orderdate")), pa.int64()),
+            }
+        )
+        if t.num_columns
+        else pa.schema([("o_orderkey", pa.int64()), ("o_year", pa.int64())]).empty_table(),
+        batch_format="pyarrow",
+    )
+
+    promo = _read(sf_dir, "part", columns=["p_partkey", "p_type"]).map_batches(
+        lambda t: t.filter(pc.equal(t.column("p_type"), p_type))
+        .select(["p_partkey"])
+        .rename_columns(["l_partkey"]),
+        batch_format="pyarrow",
+    )
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        vol = pc.cast(
+            pc.round(
+                pc.multiply(
+                    pc.multiply(
+                        pc.cast(t.column("l_extendedprice"), pa.float64()),
+                        pc.subtract(pa.scalar(1.0), pc.cast(t.column("l_discount"), pa.float64())),
+                    ),
+                    100.0,
+                ),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "l_partkey": t.column("l_partkey"),
+                "l_suppkey": t.column("l_suppkey"),
+                "o_orderkey": t.column("l_orderkey"),
+                "vol_cents": vol,
+            }
+        )
+
+    li = bucketed_inner_join(
+        _read(
+            sf_dir,
+            "lineitem",
+            columns=["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+        ).map_batches(li_prep, batch_format="pyarrow"),
+        promo,
+        ["l_partkey"],
+        pa.schema(
+            [
+                ("l_partkey", pa.int64()),
+                ("l_suppkey", pa.int64()),
+                ("o_orderkey", pa.int64()),
+                ("vol_cents", pa.int64()),
+            ]
+        ),
+        pa.schema([("l_partkey", pa.int64())]),
+        join_type="left semi",
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "vol_cents": t.column("vol_cents"),
+                "is_target": pc.cast(
+                    pa.array(
+                        np.isin(
+                            t.column("l_suppkey").to_numpy(zero_copy_only=False),
+                            ray.get(supp_ref),
+                        )
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+        if t.num_columns
+        else pa.schema(
+            [("o_orderkey", pa.int64()), ("vol_cents", pa.int64()), ("is_target", pa.int64())]
+        ).empty_table(),
+        batch_format="pyarrow",
+    )
+
+    joined = bucketed_inner_join(
+        li,
+        orders,
+        ["o_orderkey"],
+        pa.schema(
+            [("o_orderkey", pa.int64()), ("vol_cents", pa.int64()), ("is_target", pa.int64())]
+        ),
+        pa.schema([("o_orderkey", pa.int64()), ("o_year", pa.int64())]),
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_year": t.column("o_year"),
+                "num_cents": pc.multiply(t.column("vol_cents"), t.column("is_target")),
+                "den_cents": t.column("vol_cents"),
+            }
+        )
+        if t.num_columns
+        else pa.schema(
+            [("o_year", pa.int64()), ("num_cents", pa.int64()), ("den_cents", pa.int64())]
+        ).empty_table(),
+        batch_format="pyarrow",
+    )
+    agg = bucketed_aggregate(
+        joined, ["o_year"], [("num_cents", "sum"), ("den_cents", "sum")]
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return pa.schema(
+                [
+                    ("o_year", pa.int64()),
+                    ("num_cents", pa.int64()),
+                    ("den_cents", pa.int64()),
+                    ("mkt_share", pa.float64()),
+                ]
+            ).empty_table()
+        share = pc.divide(
+            pc.cast(t.column("num_cents"), pa.float64()),
+            pc.cast(t.column("den_cents"), pa.float64()),
+        )
+        return t.append_column("mkt_share", share)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def copurchase_assortativity(sf_dir: str):
     """Degree assortativity (Pearson r of endpoint degrees over every
     directed edge sample) of the part co-purchase graph — the one-

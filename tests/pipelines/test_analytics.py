@@ -138,6 +138,7 @@ SQL_CHECKED = [
     "kg_adamic_adar",
     "events_cum_value",
     "copurchase_assortativity",
+    "market_share",
 ]
 
 #: queries with neither a SQL twin nor a golden parquet — none left;
