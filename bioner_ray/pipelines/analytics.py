@@ -2330,6 +2330,58 @@ def events_cum_value(sf_dir: str):
     )
 
 
+def event_transitions(sf_dir: str):
+    """Markov transition counts over per-user event streams — the
+    clickstream LEAD() pattern: order each user's events by (ts,
+    event_id), pair every event with its successor, count (from_type,
+    to_type) globally. ONE user-bucketed exchange (a user's stream must
+    be co-located; the bucket reducer sorts once and builds every
+    user's consecutive pairs in one vectorized same-user-mask pass — no
+    per-user loop), then the pair counts ride a (from, to)
+    ``bucketed_aggregate`` whose key space is event-type², tiny.
+    Columns: from_type, to_type, n."""
+    from bioner_ray.stages.shuffle import (
+        _bucket_column,
+        bucketed_aggregate,
+        pin_schema,
+        with_ones,
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.select(["user_id", "ts", "event_id", "event_type"])
+        return t.append_column("_bucket", _bucket_column(t, ["user_id"], 256))
+
+    pair_schema = pa.schema([("from_type", pa.string()), ("to_type", pa.string())])
+
+    def pairs(g: pa.Table) -> pa.Table:
+        if g.num_columns == 0 or g.num_rows == 0:
+            return pair_schema.empty_table()
+        g = g.sort_by(
+            [("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")]
+        )
+        users = g.column("user_id").to_numpy(zero_copy_only=False)
+        types = g.column("event_type").to_numpy(zero_copy_only=False)
+        same = users[1:] == users[:-1]
+        return pa.table(
+            {
+                "from_type": pa.array(types[:-1][same], type=pa.string()),
+                "to_type": pa.array(types[1:][same], type=pa.string()),
+            },
+            schema=pair_schema,
+        )
+
+    stream = (
+        _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(pairs, batch_format="pyarrow")
+    )
+    return pin_schema(
+        bucketed_aggregate(with_ones(stream, "n"), ["from_type", "to_type"], [("n", "sum")]),
+        pair_schema.append(pa.field("n", pa.int64())),
+    )
+
+
 def customer_distribution(sf_dir: str):
     """TPC-H Q13 shape: how many customers placed exactly N orders,
     including the N = 0 bucket. Join-free under the orders→customer FK

@@ -139,6 +139,7 @@ SQL_CHECKED = [
     "events_cum_value",
     "copurchase_assortativity",
     "market_share",
+    "event_transitions",
 ]
 
 #: queries with neither a SQL twin nor a golden parquet — none left;
