@@ -2506,6 +2506,91 @@ def basket_pairs(sf_dir: str, min_support: int = 2, k: int = 100):
     return frequent.sort(["support", "p1", "p2"], descending=[True, False, False]).limit(k)
 
 
+def parts_supplier_counts(sf_dir: str, min_acctbal: float = 1000.0):
+    """TPC-H Q16 shape: how many distinct (non-excluded) suppliers ship
+    each (p_brand, p_size) part family — supplier-diversity per
+    catalogue segment. The exclusion list (suppliers with account
+    balance below ``min_acctbal``, the complaints-filter analog) is a
+    small dim broadcast once via ``ray.put``; the data-scale work is
+    ONE partkey-bucketed join (lineitem ⋈ part projection) and the
+    engine's two-level exact distinct: a (brand, size, suppkey)
+    ``bucketed_aggregate`` collapses duplicates, then a second counts
+    survivors per (brand, size) — no driver-side set, the
+    distinct_users_per_type pattern over a join. Columns: p_brand,
+    p_size, supplier_cnt."""
+    import ray
+
+    from bioner_ray.stages.shuffle import (
+        bucketed_aggregate,
+        bucketed_inner_join,
+        pin_schema,
+        with_ones,
+    )
+
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_acctbal"]).to_pandas()
+    excl_ref = ray.put(
+        np.sort(
+            supp.loc[supp["s_acctbal"] < min_acctbal, "s_suppkey"].to_numpy().astype(np.int64)
+        )
+    )
+
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"]).map_batches(
+        lambda t: t.filter(
+            pa.array(
+                ~np.isin(
+                    t.column("l_suppkey").to_numpy(zero_copy_only=False),
+                    ray.get(excl_ref),
+                )
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    parts = _read(sf_dir, "part", columns=["p_partkey", "p_brand", "p_size"]).map_batches(
+        lambda t: pa.table(
+            {
+                "l_partkey": t.column("p_partkey"),
+                "p_brand": t.column("p_brand"),
+                "p_size": pc.cast(t.column("p_size"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = bucketed_inner_join(
+        li,
+        parts,
+        ["l_partkey"],
+        pa.schema([("l_partkey", pa.int64()), ("l_suppkey", pa.int64())]),
+        pa.schema([("l_partkey", pa.int64()), ("p_brand", pa.string()), ("p_size", pa.int64())]),
+    ).map_batches(
+        lambda t: t.select(["p_brand", "p_size", "l_suppkey"]) if t.num_columns else t,
+        batch_format="pyarrow",
+    )
+    dedup_schema = pa.schema(
+        [("p_brand", pa.string()), ("p_size", pa.int64()), ("l_suppkey", pa.int64())]
+    )
+    distinct = pin_schema(
+        bucketed_aggregate(
+            with_ones(joined, "one"),
+            ["p_brand", "p_size", "l_suppkey"],
+            [("one", "min")],
+        ),
+        dedup_schema,
+    ).map_batches(
+        lambda t: t.select(["p_brand", "p_size"]) if t.num_columns else t,
+        batch_format="pyarrow",
+    )
+    return pin_schema(
+        bucketed_aggregate(
+            with_ones(distinct, "supplier_cnt"),
+            ["p_brand", "p_size"],
+            [("supplier_cnt", "sum")],
+        ),
+        pa.schema(
+            [("p_brand", pa.string()), ("p_size", pa.int64()), ("supplier_cnt", pa.int64())]
+        ),
+    )
+
+
 def market_share(
     sf_dir: str,
     region: str = "ASIA",

@@ -140,6 +140,7 @@ SQL_CHECKED = [
     "copurchase_assortativity",
     "market_share",
     "event_transitions",
+    "parts_supplier_counts",
 ]
 
 #: queries with neither a SQL twin nor a golden parquet — none left;
