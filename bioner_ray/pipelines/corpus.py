@@ -653,6 +653,37 @@ def knn_topk(sf_dir: str, k: int = 10, n_queries: int = 8):
     )
 
 
+def knn_graph_query(sf_dir: str, k: int = 5):
+    """Exact k-NN graph over the embeddings table (stages/similarity.py
+    knn_graph — broadcast-corpus block matmul, per-batch complete
+    answers, size-gated with IVF as the scale path). Columns: vec_id,
+    nbr_id, rank, score_r (6 dp for oracle bit-match, the knn_topk
+    convention)."""
+    from bioner_ray.stages.similarity import knn_graph
+
+    out = knn_graph(_read(sf_dir, "embeddings", columns=["vec_id", "embedding"]), k=k)
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "vec_id": t.column("vec_id"),
+                "nbr_id": t.column("nbr_id"),
+                "rank": t.column("rank"),
+                "score_r": pa.compute.round(t.column("score"), ndigits=6),
+            }
+        )
+        if t.num_columns
+        else pa.schema(
+            [
+                ("vec_id", pa.int64()),
+                ("nbr_id", pa.int64()),
+                ("rank", pa.int64()),
+                ("score_r", pa.float64()),
+            ]
+        ).empty_table(),
+        batch_format="pyarrow",
+    )
+
+
 def knn_ivf_topk(sf_dir: str, k: int = 10, n_queries: int = 8):
     """IVF approximate top-k (golden-parquet oracle — deterministic across
     worker counts via the 9-dp score rounding in the block scan; recall

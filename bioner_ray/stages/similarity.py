@@ -428,3 +428,77 @@ def cosine_dup_pairs(
     from bioner_ray.stages.shuffle import bucketed_aggregate
 
     return bucketed_aggregate(pairs, ["a", "b"], [("cosine", "max")])
+
+
+def knn_graph(
+    ds,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_exact_rows: int = 200_000,
+):
+    """Exact k-NN GRAPH: every vector's top-``k`` cosine neighbors
+    (self excluded) — the adjacency a semantic-dedup or
+    embedding-cluster stage consumes.
+
+    Plan: the normalized corpus matrix is built ONCE driver-side and
+    broadcast via ``ray.put``; each batch answers its own rows
+    COMPLETELY with one (B, D) × (D, N) matmul + per-row k-cut, so the
+    result streams out of ``map_batches`` with no driver merge at all
+    (unlike knn_brute_force's Q×k partials, here every row is a
+    query). SIZE-GATED like cosine_dup_pairs: the N×D broadcast and
+    O(N·B·D) block cost are exact and cheap up to ``max_exact_rows``;
+    above it this raises and the caller routes to the IVF path
+    (build_ivf_index / knn_ivf_index), whose partition-pruned lists
+    are the honest 100-TB ANN-graph plan. Returns a Dataset:
+    (vec_id, nbr_id, rank, score)."""
+    import ray
+
+    mat_tbl = ds.select_columns([id_col, vec_col]).to_pandas()
+    n = len(mat_tbl)
+    if n > max_exact_rows:
+        raise ValueError(
+            f"knn_graph exact path gated at {max_exact_rows} rows (got {n}); "
+            "use build_ivf_index + knn_ivf_index for the scale path"
+        )
+    corpus = _normalize_rows(
+        np.asarray([np.asarray(v, dtype=np.float64) for v in mat_tbl[vec_col]])
+    )
+    ids = mat_tbl[id_col].to_numpy().astype(np.int64)
+    corpus_ref = ray.put((ids, corpus))
+
+    out_schema = pa.schema(
+        [
+            ("vec_id", pa.int64()),
+            ("nbr_id", pa.int64()),
+            ("rank", pa.int64()),
+            ("score", pa.float64()),
+        ]
+    )
+
+    def block_knn(batch: pa.Table) -> pa.Table:
+        all_ids, cm = ray.get(corpus_ref)
+        m = _normalize_rows(_batch_matrix(batch, vec_col))
+        bids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        sims = m @ cm.T  # (B, N)
+        sims[bids[:, None] == all_ids[None, :]] = -np.inf  # mask self
+        b = sims.shape[0]
+        kk = min(k, sims.shape[1] - 1)
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        cand_ids = all_ids[part]  # (B, kk)
+        sc = np.take_along_axis(sims, part, axis=1)
+        # one flat lexsort ranks every row at once: row-major, then
+        # score desc, then neighbor id asc — no per-row Python
+        rows = np.repeat(np.arange(b), kk)
+        order = np.lexsort((cand_ids.ravel(), -sc.ravel(), rows))
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(bids, kk)),
+                "nbr_id": pa.array(cand_ids.ravel()[order]),
+                "rank": pa.array(np.tile(np.arange(1, kk + 1, dtype=np.int64), b)),
+                "score": pa.array(sc.ravel()[order]),
+            },
+            schema=out_schema,
+        )
+
+    return ds.map_batches(block_knn, batch_format="pyarrow")

@@ -141,6 +141,7 @@ SQL_CHECKED = [
     "market_share",
     "event_transitions",
     "parts_supplier_counts",
+    "knn_graph",
 ]
 
 #: queries with neither a SQL twin nor a golden parquet — none left;
