@@ -2330,6 +2330,61 @@ def events_cum_value(sf_dir: str):
     )
 
 
+def doc_entropy(sf_dir: str):
+    """Per-document unigram entropy in integer micro-nats — the
+    information-density quality signal (near-zero entropy = boilerplate
+    / repeated-token spam, a filter axis the ratio-based quality score
+    misses). h_micro = Σ_w c_w · floor(10^6 · ln(n / c_w)) over the
+    document's own token counts, so h_micro / (10^6 · n) ≈ H in nats.
+    Embarrassingly parallel — everything is doc-local inside
+    ``map_batches``, NO shuffle at all; the one ln per distinct
+    (n, c) pair is libm on both sides and the quantized terms make the
+    per-doc sum an exact integer (the doc_logprob convention). Docs
+    with no tokens are absent (the tok-CTE contract). Columns: doc_id,
+    n_tokens, h_micro."""
+    import math
+
+    from bioner_ray.stages.textstats import _split_lower
+
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_tokens", pa.int64()), ("h_micro", pa.int64())]
+    )
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        toks = _split_lower(batch, "text")
+        d_out, n_out, h_out = [], [], []
+        log_lut: dict[tuple[int, int], int] = {}
+        for doc_id, words in zip(ids, toks):
+            n = len(words)
+            if n == 0:
+                continue
+            _, counts = np.unique(np.asarray(words, dtype=object), return_counts=True)
+            h = 0
+            for c in counts.tolist():
+                key = (n, c)
+                t = log_lut.get(key)
+                if t is None:
+                    t = math.floor(math.log(n / c) * 1_000_000)
+                    log_lut[key] = t
+                h += c * t
+            d_out.append(doc_id)
+            n_out.append(n)
+            h_out.append(h)
+        return pa.table(
+            {
+                "doc_id": pa.array(d_out, type=pa.int64()),
+                "n_tokens": pa.array(n_out, type=pa.int64()),
+                "h_micro": pa.array(h_out, type=pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        per_doc, batch_format="pyarrow"
+    )
+
+
 def event_transitions(sf_dir: str):
     """Markov transition counts over per-user event streams — the
     clickstream LEAD() pattern: order each user's events by (ts,

@@ -142,6 +142,7 @@ SQL_CHECKED = [
     "event_transitions",
     "parts_supplier_counts",
     "knn_graph",
+    "doc_entropy",
 ]
 
 #: queries with neither a SQL twin nor a golden parquet — none left;
