@@ -2330,6 +2330,73 @@ def events_cum_value(sf_dir: str):
     )
 
 
+def zipf_alpha(sf_dir: str, top_ranks: int = 1000):
+    """Zipf exponent of the corpus vocabulary: −slope of the OLS fit of
+    ln(freq) against ln(rank) over the top-``top_ranks`` words — the
+    one-number sanity check that a crawl still looks like natural
+    language (α ≈ 1) rather than template spam (α ≫ 1) or ID noise
+    (α ≈ 0). Standard practice fits the head, so the truncation is an
+    EXPLICIT parameter mirrored in the twin, not a silent cap. Plan:
+    the full vocabulary count is the distributed G1 aggregate, the
+    (cnt desc, word) sort/limit keeps ``top_ranks`` rows, and the
+    driver finish over that bounded table quantizes both logs to
+    integer micro-nats (one libm ln per rank and per distinct count)
+    so every OLS moment is an exact Python big-int; the final doubles
+    replay as HUGEINT→DOUBLE casts. Columns: n_ranks, alpha."""
+    import math
+
+    from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema
+    from bioner_ray.stages.textstats import _split_lower
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for toks in _split_lower(batch, "text"):
+            for t in toks:
+                counts[t] = counts.get(t, 0) + 1
+        return pa.table(
+            {
+                "word": pa.array(list(counts.keys()), type=pa.string()),
+                "cnt": pa.array(list(counts.values()), type=pa.int64()),
+            }
+        )
+
+    counts = pin_schema(
+        bucketed_aggregate(
+            _read(sf_dir, "documents", columns=["text"]).map_batches(
+                partial, batch_format="pyarrow"
+            ),
+            ["word"],
+            [("cnt", "sum")],
+        ),
+        pa.schema([("word", pa.string()), ("cnt", pa.int64())]),
+    )
+    head = (
+        counts.sort(["cnt", "word"], descending=[True, False])
+        .limit(top_ranks)
+        .to_pandas()
+    )
+    n = len(head)
+    s = sy = q2 = sxy = 0
+    lut: dict[int, int] = {}
+    for r, cnt in enumerate(head["cnt"].tolist(), start=1):
+        lx = lut.get(r)
+        if lx is None:
+            lx = lut[r] = math.floor(math.log(float(r)) * 1_000_000)
+        ly = math.floor(math.log(float(cnt)) * 1_000_000)
+        s += lx
+        sy += ly
+        q2 += lx * lx
+        sxy += lx * ly
+    den = n * q2 - s * s
+    alpha = 0.0 if den == 0 else -(float(n * sxy - s * sy) / float(den))
+    return pa.table(
+        {
+            "n_ranks": pa.array([n], type=pa.int64()),
+            "alpha": pa.array([alpha], type=pa.float64()),
+        }
+    )
+
+
 def doc_entropy(sf_dir: str):
     """Per-document unigram entropy in integer micro-nats — the
     information-density quality signal (near-zero entropy = boilerplate

@@ -143,6 +143,7 @@ SQL_CHECKED = [
     "parts_supplier_counts",
     "knn_graph",
     "doc_entropy",
+    "zipf_alpha",
 ]
 
 #: queries with neither a SQL twin nor a golden parquet — none left;
