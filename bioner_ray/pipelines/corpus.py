@@ -1277,6 +1277,22 @@ def embedding_kmeans(sf_dir: str, k: int = 4, iters: int = 2):
     )
 
 
+def embedding_pq(sf_dir: str, m: int = 4, k: int = 4, iters: int = 2):
+    """Product-quantization codes over the embeddings table
+    (stages/cluster.py pq_codes — per-subspace deterministic integer
+    Lloyd, all codebooks trained in the same streaming passes): the
+    compressed-ANN storage layout. Long form, one row per (vector,
+    subspace). Columns: vec_id, sub, code, dist2."""
+    from bioner_ray.stages.cluster import pq_codes
+
+    return pq_codes(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        m=m,
+        k=k,
+        iters=iters,
+    )
+
+
 #: BM25 query bag — mid-frequency vocabulary terms, pinned so the SQL
 #: twin inlines the identical strings
 BM25_TERMS = ["customer", "join", "window"]

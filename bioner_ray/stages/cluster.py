@@ -211,3 +211,143 @@ def kmeans_assign(
         )
 
     return ds.map_batches(final, batch_format="pyarrow")
+
+
+def pq_codes(
+    ds,
+    m: int = 4,
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    num_buckets: int = 16,
+):
+    """Product quantization: split each vector into ``m`` contiguous
+    subspaces and Lloyd-quantize every subspace to ``k`` codewords —
+    the compressed-ANN storage layout (m·log2(k) bits per vector
+    instead of dims·32) that IVF-PQ engines serve from at 10^12-vector
+    scale. Everything inherits the kmeans_assign determinism contract:
+    micromark quantization, smallest-ids init (shared seed rows, sliced
+    per subspace), integer argmin with (dist2, cid) ties, the exact
+    floor-div centroid update, empty codewords inheriting their
+    previous centroid, fixed rounds — so the whole trajectory replays
+    bit-for-bit in SQL.
+
+    Scale shape: ALL m codebooks train in the SAME ``iters`` streaming
+    passes (the per-block partial emits (sub, cid, sdim, s, n) rows for
+    every subspace at once — m× the bounded k×dims state, not m× the
+    data passes), reduced by ONE tiny bucketed aggregate per round.
+    Output: LONG form (vec_id, sub, code, dist2), n·m rows."""
+    from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema
+
+    def local_k(t: pa.Table) -> pa.Table:
+        return t.sort_by(id_col).slice(0, k)
+
+    seed_rows = (
+        ds.map_batches(local_k, batch_format="pyarrow").sort(id_col).limit(k).take_all()
+    )
+    seed_t = pa.table(
+        {
+            id_col: pa.array([r[id_col] for r in seed_rows]),
+            emb_col: pa.array(
+                [list(r[emb_col]) for r in seed_rows], type=pa.list_(pa.float32())
+            ),
+        }
+    )
+    C = _qmatrix(seed_t, emb_col)
+    dims = C.shape[1]
+    assert dims % m == 0, f"dims {dims} not divisible by m={m}"
+    w = dims // m
+    subC = [C[:, j * w : (j + 1) * w].copy() for j in range(m)]
+
+    part_schema = pa.schema(
+        [
+            ("sub", pa.int64()),
+            ("cid", pa.int64()),
+            ("sdim", pa.int64()),
+            ("s", pa.int64()),
+            ("n", pa.int64()),
+        ]
+    )
+
+    def make_partial(cents: list[np.ndarray]):
+        def fn(t: pa.Table) -> pa.Table:
+            X = _qmatrix(t, emb_col)
+            if X.shape[0] == 0:
+                return part_schema.empty_table()
+            subs, cids, sdims, ss, ns = [], [], [], [], []
+            for j in range(m):
+                Xj = X[:, j * w : (j + 1) * w]
+                a, _ = _assign(Xj, cents[j])
+                sums = np.zeros((k, w), dtype=np.int64)
+                np.add.at(sums, a, Xj)
+                counts = np.bincount(a, minlength=k).astype(np.int64)
+                keep = np.repeat(counts, w) > 0
+                subs.append(np.full(int(keep.sum()), j, dtype=np.int64))
+                cids.append(np.repeat(np.arange(k, dtype=np.int64), w)[keep])
+                sdims.append(np.tile(np.arange(w, dtype=np.int64), k)[keep])
+                ss.append(sums.ravel()[keep])
+                ns.append(np.repeat(counts, w)[keep])
+            return pa.table(
+                {
+                    "sub": np.concatenate(subs),
+                    "cid": np.concatenate(cids),
+                    "sdim": np.concatenate(sdims),
+                    "s": np.concatenate(ss),
+                    "n": np.concatenate(ns),
+                },
+                schema=part_schema,
+            )
+
+        return fn
+
+    for _ in range(iters):
+        reduced = pin_schema(
+            bucketed_aggregate(
+                ds.map_batches(make_partial(subC), batch_format="pyarrow"),
+                ["sub", "cid", "sdim"],
+                [("s", "sum"), ("n", "sum")],
+                num_buckets=num_buckets,
+            ),
+            part_schema,
+        ).take_all()  # ≤ m×k×w = k×dims rows — bounded codebook state
+        newC = [c.copy() for c in subC]  # empty codewords keep previous
+        for row in reduced:
+            newC[int(row["sub"])][int(row["cid"]), int(row["sdim"])] = _floor_div_exact(
+                np.int64(row["s"]), np.int64(row["n"])
+            )
+        subC = newC
+
+    cents = subC
+    out_schema = pa.schema(
+        [
+            (id_col, pa.int64()),
+            ("sub", pa.int64()),
+            ("code", pa.int64()),
+            ("dist2", pa.int64()),
+        ]
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        X = _qmatrix(t, emb_col)
+        if X.shape[0] == 0:
+            return out_schema.empty_table()
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        vv, jj, cc, dd = [], [], [], []
+        for j in range(m):
+            a, d2 = _assign(X[:, j * w : (j + 1) * w], cents[j])
+            vv.append(ids)
+            jj.append(np.full(len(ids), j, dtype=np.int64))
+            cc.append(a.astype(np.int64))
+            dd.append(d2.astype(np.int64))
+        return pa.table(
+            {
+                id_col: np.concatenate(vv),
+                "sub": np.concatenate(jj),
+                "code": np.concatenate(cc),
+                "dist2": np.concatenate(dd),
+            },
+            schema=out_schema,
+        )
+
+    return ds.map_batches(final, batch_format="pyarrow")

@@ -144,6 +144,7 @@ SQL_CHECKED = [
     "knn_graph",
     "doc_entropy",
     "zipf_alpha",
+    "embedding_pq",
 ]
 
 #: queries with neither a SQL twin nor a golden parquet — none left;
