@@ -2504,6 +2504,119 @@ def event_transitions(sf_dir: str):
     )
 
 
+def orders_cohort_ltv(sf_dir: str):
+    """Cohort lifetime-value matrix: customers grouped by their FIRST
+    order month, revenue tracked by months-since-first-order — the
+    retention×monetization report every subscription/commerce dashboard
+    serves. Two exchanges, both keyed on custkey so the partitioning is
+    reused: a bucketed min finds each customer's cohort month (months
+    encoded as year·12 + month−1, pure int64), ONE bucketed join
+    attaches it back to the order stream, and the (cohort, age)
+    aggregate is calendar-bounded. arpu_cents is the one double — an
+    exact-integer division replayed as BIGINT→DOUBLE casts. Columns:
+    cohort_year, cohort_month, age_months, n_orders, revenue_cents,
+    arpu_cents."""
+    from bioner_ray.stages.shuffle import (
+        bucketed_aggregate,
+        bucketed_inner_join,
+        pin_schema,
+        with_ones,
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        m = pc.add(
+            pc.multiply(pc.cast(pc.year(t.column("o_orderdate")), pa.int64()), 12),
+            pc.subtract(pc.cast(pc.month(t.column("o_orderdate")), pa.int64()), 1),
+        )
+        return pa.table(
+            {
+                "o_custkey": t.column("o_custkey"),
+                "m": m,
+                "rev": _cents(t.column("o_totalprice")),
+            }
+        )
+
+    orders = _read(
+        sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"]
+    ).map_batches(prep, batch_format="pyarrow")
+
+    cohort = pin_schema(
+        bucketed_aggregate(
+            orders.map_batches(
+                lambda t: t.select(["o_custkey", "m"]).rename_columns(["o_custkey", "cm"]),
+                batch_format="pyarrow",
+            ),
+            ["o_custkey"],
+            [("cm", "min")],
+        ),
+        pa.schema([("o_custkey", pa.int64()), ("cm", pa.int64())]),
+    )
+    joined = bucketed_inner_join(
+        orders,
+        cohort,
+        ["o_custkey"],
+        pa.schema([("o_custkey", pa.int64()), ("m", pa.int64()), ("rev", pa.int64())]),
+        pa.schema([("o_custkey", pa.int64()), ("cm", pa.int64())]),
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "cm": t.column("cm"),
+                "age_months": pc.subtract(t.column("m"), t.column("cm")),
+                "n_orders": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                "revenue_cents": t.column("rev"),
+            }
+        )
+        if t.num_columns
+        else pa.schema(
+            [
+                ("cm", pa.int64()),
+                ("age_months", pa.int64()),
+                ("n_orders", pa.int64()),
+                ("revenue_cents", pa.int64()),
+            ]
+        ).empty_table(),
+        batch_format="pyarrow",
+    )
+    agg = bucketed_aggregate(
+        joined, ["cm", "age_months"], [("n_orders", "sum"), ("revenue_cents", "sum")]
+    )
+
+    out_schema = pa.schema(
+        [
+            ("cohort_year", pa.int64()),
+            ("cohort_month", pa.int64()),
+            ("age_months", pa.int64()),
+            ("n_orders", pa.int64()),
+            ("revenue_cents", pa.int64()),
+            ("arpu_cents", pa.float64()),
+        ]
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return out_schema.empty_table()
+        cm = t.column("cm")
+        return pa.table(
+            {
+                "cohort_year": pc.divide(cm, pa.scalar(12, pa.int64())),
+                "cohort_month": pc.add(
+                    pc.subtract(cm, pc.multiply(pc.divide(cm, pa.scalar(12, pa.int64())), 12)),
+                    pa.scalar(1, pa.int64()),
+                ),
+                "age_months": t.column("age_months"),
+                "n_orders": t.column("n_orders"),
+                "revenue_cents": t.column("revenue_cents"),
+                "arpu_cents": pc.divide(
+                    pc.cast(t.column("revenue_cents"), pa.float64()),
+                    pc.cast(t.column("n_orders"), pa.float64()),
+                ),
+            },
+            schema=out_schema,
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def customer_distribution(sf_dir: str):
     """TPC-H Q13 shape: how many customers placed exactly N orders,
     including the N = 0 bucket. Join-free under the orders→customer FK

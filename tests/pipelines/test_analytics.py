@@ -145,6 +145,7 @@ SQL_CHECKED = [
     "doc_entropy",
     "zipf_alpha",
     "embedding_pq",
+    "orders_cohort_ltv",
 ]
 
 #: queries with neither a SQL twin nor a golden parquet — none left;
