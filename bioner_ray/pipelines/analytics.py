@@ -1022,6 +1022,113 @@ def kg_triangles(sf_dir: str):
     return triangle_counts(kg_edges(sf_dir))
 
 
+def kg_relation_cardinality(sf_dir: str):
+    """Per-predicate schema governance: triple mass, distinct subjects
+    / objects, and the functionality ratios (triples per subject /
+    per object) that classify a relation as 1:1, 1:N or M:N — what a
+    KG quality gate reads before trusting a predicate for entity
+    merging. Engine shape: the canonical edge table re-keyed by pred,
+    distinct endpoint counts via the engine's two-level exact dedup
+    (one (pred, node) collapse, then a count — no driver sets), the
+    ratio a replayable integer→double division. Columns: pred,
+    n_triples, n_subj, n_obj, functionality, inv_functionality."""
+    from bioner_ray.stages.shuffle import (
+        bucketed_aggregate,
+        bucketed_inner_join,
+        pin_schema,
+        with_ones,
+    )
+
+    edges = kg_edges(sf_dir).materialize()
+
+    tri = pin_schema(
+        bucketed_aggregate(
+            edges.map_batches(
+                lambda t: pa.table(
+                    {"pred": t.column("pred"), "n_triples": pc.cast(t.column("weight"), pa.int64())}
+                ),
+                batch_format="pyarrow",
+            ),
+            ["pred"],
+            [("n_triples", "sum")],
+        ),
+        pa.schema([("pred", pa.string()), ("n_triples", pa.int64())]),
+    )
+
+    def distinct_count(col: str, out: str):
+        rows = pin_schema(
+            bucketed_aggregate(
+                with_ones(
+                    edges.map_batches(
+                        lambda t, c=col: t.select(["pred", c]).rename_columns(["pred", "node"]),
+                        batch_format="pyarrow",
+                    ),
+                    "one",
+                ),
+                ["pred", "node"],
+                [("one", "min")],
+            ),
+            pa.schema([("pred", pa.string()), ("node", pa.string())]),
+        ).map_batches(lambda t: t.select(["pred"]) if t.num_columns else t, batch_format="pyarrow")
+        return pin_schema(
+            bucketed_aggregate(with_ones(rows, out), ["pred"], [(out, "sum")]),
+            pa.schema([("pred", pa.string()), (out, pa.int64())]),
+        )
+
+    j1 = bucketed_inner_join(
+        tri,
+        distinct_count("subj", "n_subj"),
+        ["pred"],
+        pa.schema([("pred", pa.string()), ("n_triples", pa.int64())]),
+        pa.schema([("pred", pa.string()), ("n_subj", pa.int64())]),
+    )
+    j2 = bucketed_inner_join(
+        j1,
+        distinct_count("obj", "n_obj"),
+        ["pred"],
+        pa.schema(
+            [("pred", pa.string()), ("n_triples", pa.int64()), ("n_subj", pa.int64())]
+        ),
+        pa.schema([("pred", pa.string()), ("n_obj", pa.int64())]),
+    )
+
+    out_schema = pa.schema(
+        [
+            ("pred", pa.string()),
+            ("n_triples", pa.int64()),
+            ("n_subj", pa.int64()),
+            ("n_obj", pa.int64()),
+            ("functionality", pa.float64()),
+            ("inv_functionality", pa.float64()),
+        ]
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return out_schema.empty_table()
+        f = pc.divide(
+            pc.cast(t.column("n_triples"), pa.float64()),
+            pc.cast(t.column("n_subj"), pa.float64()),
+        )
+        inv = pc.divide(
+            pc.cast(t.column("n_triples"), pa.float64()),
+            pc.cast(t.column("n_obj"), pa.float64()),
+        )
+        return pa.table(
+            {
+                "pred": t.column("pred"),
+                "n_triples": t.column("n_triples"),
+                "n_subj": t.column("n_subj"),
+                "n_obj": t.column("n_obj"),
+                "functionality": f,
+                "inv_functionality": inv,
+            },
+            schema=out_schema,
+        )
+
+    return j2.map_batches(finish, batch_format="pyarrow")
+
+
 def kg_adamic_adar(sf_dir: str, k: int = 50):
     """Adamic–Adar affinity of entity pairs over the canonical KG
     (stages/graph.py adamic_adar): common-neighbor evidence discounted
@@ -2501,6 +2608,61 @@ def event_transitions(sf_dir: str):
     return pin_schema(
         bucketed_aggregate(with_ones(stream, "n"), ["from_type", "to_type"], [("n", "sum")]),
         pair_schema.append(pa.field("n", pa.int64())),
+    )
+
+
+def events_props_stats(sf_dir: str):
+    """Semi-structured payload extraction: pull the integer ``k`` field
+    out of the JSON ``props`` column with ONE vectorized Arrow regex
+    kernel (``pc.extract_regex`` — no per-row json.loads, the
+    hot-path contract for sidecar payloads at crawl scale) and
+    aggregate per event type. Rows whose props lack the field are
+    counted separately (n_missing), not silently dropped. Columns:
+    event_type, n_with_k, n_missing, sum_k, min_k, max_k."""
+    from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema
+
+    def extract(t: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(t.column("props"), r'"k":\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(ex, "k"), pa.int64())
+        present = pc.is_valid(k)
+        kf = pc.fill_null(k, 0)
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "n_with_k": pc.cast(present, pa.int64()),
+                "n_missing": pc.cast(pc.invert(present), pa.int64()),
+                "sum_k": kf,
+                # min/max over missing rows must not bias: substitute the
+                # identity elements
+                "min_k": pc.if_else(present, kf, pa.scalar(2**62, pa.int64())),
+                "max_k": pc.if_else(present, kf, pa.scalar(-(2**62), pa.int64())),
+            }
+        )
+
+    return pin_schema(
+        bucketed_aggregate(
+            _read(sf_dir, "events", columns=["event_type", "props"]).map_batches(
+                extract, batch_format="pyarrow"
+            ),
+            ["event_type"],
+            [
+                ("n_with_k", "sum"),
+                ("n_missing", "sum"),
+                ("sum_k", "sum"),
+                ("min_k", "min"),
+                ("max_k", "max"),
+            ],
+        ),
+        pa.schema(
+            [
+                ("event_type", pa.string()),
+                ("n_with_k", pa.int64()),
+                ("n_missing", pa.int64()),
+                ("sum_k", pa.int64()),
+                ("min_k", pa.int64()),
+                ("max_k", pa.int64()),
+            ]
+        ),
     )
 
 

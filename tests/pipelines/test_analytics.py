@@ -146,6 +146,8 @@ SQL_CHECKED = [
     "zipf_alpha",
     "embedding_pq",
     "orders_cohort_ltv",
+    "events_props_stats",
+    "kg_relation_cardinality",
 ]
 
 #: queries with neither a SQL twin nor a golden parquet — none left;
