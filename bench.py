@@ -173,6 +173,26 @@ OPERATOR_QUERIES = [
     "doc_bigram_logprob",
     "kg_ppr",
     "weekly_active_users",
+    "kg_incremental_edges",
+    "kg_negative_samples",
+    "order_priority",
+    # round-3 third session: TPC-H family, graph affinity, windows,
+    # PQ/kNN-graph, text information measures, semi-structured extract
+    "basket_pairs",
+    "customer_distribution",
+    "orders_cohort_ltv",
+    "market_share",
+    "parts_supplier_counts",
+    "copurchase_assortativity",
+    "kg_adamic_adar",
+    "kg_relation_cardinality",
+    "events_cum_value",
+    "event_transitions",
+    "events_props_stats",
+    "knn_graph",
+    "embedding_pq",
+    "doc_entropy",
+    "zipf_alpha",
 ]
 
 
