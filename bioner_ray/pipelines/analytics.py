@@ -2611,6 +2611,84 @@ def event_transitions(sf_dir: str):
     )
 
 
+def transition_entropy(sf_dir: str):
+    """Conditional next-event entropy H(next | prev) per source event
+    type — how predictable each state's outgoing behavior is (a
+    near-zero row is a deterministic funnel step; a high row is a
+    browse hub). Built ON the event_transitions operator: the
+    transition matrix is event-type² bounded, so after the distributed
+    pairing/count the per-row finish walks ≤ |types|² rows driver-side
+    (the value_percentiles boundedness argument). Quantization: each
+    term is c·floor(10^6·ln(n/c)) — exact integers, the doc_entropy
+    convention. Columns: from_type, n_out, h_micro."""
+    import math
+
+    t = transition_entropy_input(sf_dir)
+    by_from: dict[str, list[int]] = {}
+    for ft, n in zip(t["from_type"].to_pylist(), t["n"].to_pylist()):
+        by_from.setdefault(ft, []).append(int(n))
+    f_out, n_out, h_out = [], [], []
+    for ft in sorted(by_from):
+        cs = by_from[ft]
+        n = sum(cs)
+        h = sum(c * math.floor(math.log(n / c) * 1_000_000) for c in cs)
+        f_out.append(ft)
+        n_out.append(n)
+        h_out.append(h)
+    return pa.table(
+        {
+            "from_type": pa.array(f_out, type=pa.string()),
+            "n_out": pa.array(n_out, type=pa.int64()),
+            "h_micro": pa.array(h_out, type=pa.int64()),
+        }
+    )
+
+
+def transition_entropy_input(sf_dir: str) -> pa.Table:
+    """The materialized (bounded) transition matrix transition_entropy
+    finishes on — split out so tests can pin the boundedness contract."""
+    ds = event_transitions(sf_dir)
+    return pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
+
+
+def churned_users(sf_dir: str, horizon_days: int = 0):
+    """Inactivity churn: users whose LAST event is more than
+    ``horizon_days`` before the corpus's final day (default 0 — "not
+    active on the last day"; the sfX event streams are dense, so any
+    longer horizon is empty at test scale) — the at-risk
+    segment a retention campaign targets. One user-bucketed max (last
+    event per user), a metadata-cheap global max over THAT bounded
+    table, and a distributed filter; no joins. Columns: user_id,
+    last_day (epoch days), days_silent."""
+    from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema
+
+    def prep(t: pa.Table) -> pa.Table:
+        day = pc.cast(
+            pc.divide(pc.cast(t.column("ts"), pa.int64()), pa.scalar(86_400_000_000, pa.int64())),
+            pa.int64(),
+        )
+        return pa.table({"user_id": t.column("user_id"), "last_day": day})
+
+    last = pin_schema(
+        bucketed_aggregate(
+            _read(sf_dir, "events", columns=["user_id", "ts"]).map_batches(
+                prep, batch_format="pyarrow"
+            ),
+            ["user_id"],
+            [("last_day", "max")],
+        ),
+        pa.schema([("user_id", pa.int64()), ("last_day", pa.int64())]),
+    ).materialize()
+    end_day = int(last.max("last_day"))
+
+    def flag(t: pa.Table) -> pa.Table:
+        silent = pc.subtract(pa.scalar(end_day, pa.int64()), t.column("last_day"))
+        out = t.append_column("days_silent", silent)
+        return out.filter(pc.greater(silent, horizon_days))
+
+    return last.map_batches(flag, batch_format="pyarrow")
+
+
 def events_props_stats(sf_dir: str):
     """Semi-structured payload extraction: pull the integer ``k`` field
     out of the JSON ``props`` column with ONE vectorized Arrow regex

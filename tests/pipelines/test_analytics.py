@@ -148,6 +148,8 @@ SQL_CHECKED = [
     "orders_cohort_ltv",
     "events_props_stats",
     "kg_relation_cardinality",
+    "transition_entropy",
+    "churned_users",
 ]
 
 #: queries with neither a SQL twin nor a golden parquet — none left;
