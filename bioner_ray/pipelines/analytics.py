@@ -2611,6 +2611,48 @@ def event_transitions(sf_dir: str):
     )
 
 
+def events_pivot(sf_dir: str):
+    """Crosstab / PIVOT: one row per day, one count column per event
+    type — the wide activity matrix a dashboard reads directly. The
+    type vocabulary is discovered from the data but BOUNDED (event
+    taxonomies are schema-scale, not data-scale), so the plan is the
+    engine's standard shape: one (day, type) bucketed aggregate, then
+    the calendar-bounded pivot runs on the aggregate, never the event
+    stream. Column names are sanitized as n_<type>, ordered by type
+    name for determinism. Columns: day (epoch days), n_<type>..."""
+    from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema, with_ones
+
+    def prep(t: pa.Table) -> pa.Table:
+        day = pc.cast(
+            pc.divide(pc.cast(t.column("ts"), pa.int64()), pa.scalar(86_400_000_000, pa.int64())),
+            pa.int64(),
+        )
+        return pa.table({"day": day, "event_type": t.column("event_type")})
+
+    agg = pin_schema(
+        bucketed_aggregate(
+            with_ones(
+                _read(sf_dir, "events", columns=["ts", "event_type"]).map_batches(
+                    prep, batch_format="pyarrow"
+                ),
+                "n",
+            ),
+            ["day", "event_type"],
+            [("n", "sum")],
+        ),
+        pa.schema([("day", pa.int64()), ("event_type", pa.string()), ("n", pa.int64())]),
+    ).to_pandas()  # bounded: days × types
+    types = sorted(agg["event_type"].unique())
+    days = sorted(agg["day"].unique())
+    wide = agg.pivot_table(index="day", columns="event_type", values="n", fill_value=0)
+    cols = {"day": pa.array(days, type=pa.int64())}
+    for t in types:
+        cols[f"n_{t}"] = pa.array(
+            wide[t].reindex(days, fill_value=0).to_numpy().astype(np.int64)
+        )
+    return pa.table(cols)
+
+
 def transition_entropy(sf_dir: str):
     """Conditional next-event entropy H(next | prev) per source event
     type — how predictable each state's outgoing behavior is (a

@@ -150,6 +150,7 @@ SQL_CHECKED = [
     "kg_relation_cardinality",
     "transition_entropy",
     "churned_users",
+    "events_pivot",
 ]
 
 #: queries with neither a SQL twin nor a golden parquet — none left;
