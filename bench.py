@@ -193,6 +193,9 @@ OPERATOR_QUERIES = [
     "embedding_pq",
     "doc_entropy",
     "zipf_alpha",
+    "transition_entropy",
+    "churned_users",
+    "events_pivot",
 ]
 
 
