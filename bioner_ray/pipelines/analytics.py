@@ -4260,3 +4260,233 @@ def customers_without_orders(sf_dir: str):
     return bucketed_inner_join(
         cust, orders, ["c_custkey"], cust_schema, key_schema, join_type="left anti"
     )
+
+
+def promo_revenue(sf_dir: str, year: int = 1996, p_type: str = "PROMO"):
+    """TPC-H Q14 shape: the share of discounted revenue in a shipdate
+    year carried by parts of ``p_type``. The part dim ships ONCE as a
+    broadcast sorted-key array (``ray.put`` + ``np.isin`` per batch —
+    at a scale where part outgrows broadcast this becomes the
+    market_share semi-join); lineitem then needs NO shuffle at all:
+    each batch folds to two integer-cent partials and the driver sums
+    a handful of per-block rows. The share is ONE double division of
+    two exact integer sums, so it replays bit-for-bit. Columns:
+    promo_cents, total_cents, promo_share."""
+    import ray
+
+    promo = _read(sf_dir, "part", columns=["p_partkey", "p_type"]).to_pandas()
+    promo_ref = ray.put(
+        np.sort(
+            promo.loc[promo["p_type"] == p_type, "p_partkey"].to_numpy().astype(np.int64)
+        )
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(pc.year(t.column("l_shipdate")), year))
+        disc = pc.cast(
+            pc.round(
+                pc.multiply(
+                    pc.multiply(
+                        pc.cast(t.column("l_extendedprice"), pa.float64()),
+                        pc.subtract(
+                            pa.scalar(1.0), pc.cast(t.column("l_discount"), pa.float64())
+                        ),
+                    ),
+                    100.0,
+                ),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        is_promo = np.isin(
+            t.column("l_partkey").to_numpy(zero_copy_only=False), ray.get(promo_ref)
+        )
+        return pa.table(
+            {
+                "promo_cents": pa.array([int(disc[is_promo].sum())], type=pa.int64()),
+                "total_cents": pa.array([int(disc.sum())], type=pa.int64()),
+            }
+        )
+
+    parts = (
+        _read(
+            sf_dir,
+            "lineitem",
+            columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    promo_c = int(parts["promo_cents"].sum())
+    total_c = int(parts["total_cents"].sum())
+    share = 0.0 if total_c == 0 else float(promo_c) / float(total_c)
+    return pa.table(
+        {
+            "promo_cents": pa.array([promo_c], type=pa.int64()),
+            "total_cents": pa.array([total_c], type=pa.int64()),
+            "promo_share": pa.array([share], type=pa.float64()),
+        }
+    )
+
+
+def top_supplier(sf_dir: str, start: str = "1996-01-01", months: int = 3):
+    """TPC-H Q15 shape: the supplier(s) with maximum discounted revenue
+    over a ``months``-long shipdate window. Lineitem folds through ONE
+    bucketed exchange keyed on l_suppkey (per-block partial sums
+    first, so the shuffle moves supplier-count rows, not lineitems);
+    the per-supplier table — bounded by the supplier dim — then takes
+    a driver max and an equality filter, exactly Q15's ``revenue =
+    (SELECT max ...)`` including ties. Names attach from a broadcast
+    of the supplier dim. Columns: s_suppkey, s_name, revenue_cents."""
+    import ray
+
+    from bioner_ray.stages.shuffle import bucketed_aggregate
+
+    lo = np.datetime64(start, "us")
+    hi = np.datetime64(start, "M") + np.int64(months)
+    hi = hi.astype("datetime64[us]")
+
+    def prep(t: pa.Table) -> pa.Table:
+        sd = t.column("l_shipdate")
+        mask = pc.and_(
+            pc.greater_equal(sd, pa.scalar(lo.item(), type=pa.timestamp("us"))),
+            pc.less(sd, pa.scalar(hi.item(), type=pa.timestamp("us"))),
+        )
+        t = t.filter(mask)
+        disc = pc.cast(
+            pc.round(
+                pc.multiply(
+                    pc.multiply(
+                        pc.cast(t.column("l_extendedprice"), pa.float64()),
+                        pc.subtract(
+                            pa.scalar(1.0), pc.cast(t.column("l_discount"), pa.float64())
+                        ),
+                    ),
+                    100.0,
+                ),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        return pa.table({"s_suppkey": t.column("l_suppkey"), "revenue_cents": disc})
+
+    per_supp = bucketed_aggregate(
+        _read(
+            sf_dir, "lineitem", columns=["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"]
+        ).map_batches(prep, batch_format="pyarrow"),
+        ["s_suppkey"],
+        [("revenue_cents", "sum")],
+    ).to_pandas()  # bounded by the supplier dim (post-aggregate)
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"]).to_pandas()
+    if len(per_supp) == 0:
+        return pa.table(
+            {
+                "s_suppkey": pa.array([], type=pa.int64()),
+                "s_name": pa.array([], type=pa.string()),
+                "revenue_cents": pa.array([], type=pa.int64()),
+            }
+        )
+    best = int(per_supp["revenue_cents"].max())
+    out = (
+        per_supp.loc[per_supp["revenue_cents"] == best]
+        .merge(supp, on="s_suppkey")
+        .sort_values("s_suppkey", ignore_index=True)
+    )
+    return pa.table(
+        {
+            "s_suppkey": pa.array(out["s_suppkey"].astype(np.int64)),
+            "s_name": pa.array(out["s_name"], type=pa.string()),
+            "revenue_cents": pa.array(out["revenue_cents"].astype(np.int64)),
+        }
+    )
+
+
+def large_orders(sf_dir: str, min_qty: int = 150, k: int = 100):
+    """TPC-H Q18 shape: the top-``k`` orders (by total price) whose
+    lineitem quantity sum exceeds ``min_qty``. Lineitem folds to
+    per-order quantity sums through ONE bucketed exchange (partial
+    per-block combine first); the surviving big orders ride a bucketed
+    inner join to orders (orderkey) and a second to customer
+    (custkey) — both sides large at scale, so no broadcast — and only
+    the k-bounded sort/limit touches the driver. Quantities sum in
+    exact integer centi-units. Columns: c_name, o_custkey, o_orderkey,
+    total_cents, sum_qty_cents."""
+    from bioner_ray.stages.shuffle import bucketed_aggregate, bucketed_inner_join, pin_schema
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t.column("l_orderkey"),
+                "sum_qty_cents": _cents(t.column("l_quantity")),
+            }
+        )
+
+    qty = bucketed_aggregate(
+        _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"]).map_batches(
+            prep, batch_format="pyarrow"
+        ),
+        ["o_orderkey"],
+        [("sum_qty_cents", "sum")],
+    )
+    qty_schema = pa.schema([("o_orderkey", pa.int64()), ("sum_qty_cents", pa.int64())])
+    big = pin_schema(qty, qty_schema).map_batches(
+        lambda t: t.filter(pc.greater(t.column("sum_qty_cents"), min_qty * 100)),
+        batch_format="pyarrow",
+    )
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    joined = bucketed_inner_join(
+        big,
+        orders,
+        ["o_orderkey"],
+        qty_schema,
+        pa.schema(
+            [
+                ("o_orderkey", pa.int64()),
+                ("o_custkey", pa.int64()),
+                ("o_totalprice", pa.float64()),
+            ]
+        ),
+    )
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"]).map_batches(
+        lambda t: t.rename_columns(["o_custkey", "c_name"]), batch_format="pyarrow"
+    )
+    named = bucketed_inner_join(
+        joined,
+        cust,
+        ["o_custkey"],
+        pa.schema(
+            [
+                ("o_custkey", pa.int64()),
+                ("o_orderkey", pa.int64()),
+                ("sum_qty_cents", pa.int64()),
+                ("o_totalprice", pa.float64()),
+            ]
+        ),
+        pa.schema([("o_custkey", pa.int64()), ("c_name", pa.string())]),
+    )
+    named = pin_schema(
+        named,
+        pa.schema(
+            [
+                ("o_custkey", pa.int64()),
+                ("o_orderkey", pa.int64()),
+                ("sum_qty_cents", pa.int64()),
+                ("o_totalprice", pa.float64()),
+                ("c_name", pa.string()),
+            ]
+        ),
+    )
+    top = named.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(k)
+
+    def fmt(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_name": t.column("c_name"),
+                "o_custkey": t.column("o_custkey"),
+                "o_orderkey": t.column("o_orderkey"),
+                "total_cents": _cents(t.column("o_totalprice")),
+                "sum_qty_cents": t.column("sum_qty_cents"),
+            }
+        )
+
+    return top.map_batches(fmt, batch_format="pyarrow")

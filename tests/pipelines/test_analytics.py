@@ -151,6 +151,9 @@ SQL_CHECKED = [
     "transition_entropy",
     "churned_users",
     "events_pivot",
+    "promo_revenue",
+    "top_supplier",
+    "large_orders",
 ]
 
 #: queries with neither a SQL twin nor a golden parquet — none left;
