@@ -4490,3 +4490,15 @@ def large_orders(sf_dir: str, min_qty: int = 150, k: int = 100):
         )
 
     return top.map_batches(fmt, batch_format="pyarrow")
+
+
+def kg_hits(sf_dir: str, iters: int = 2):
+    """Fixed-iteration weighted HITS hubs/authorities over the
+    canonical KG edges (stages/graph.py hits — scaled-integer,
+    floor-divide renormalization, so the DuckDB twin replays it
+    bit-exactly). Authority ranks entity importance; hub ranks
+    aggregator pages in a web KG. Columns: node, hub, auth
+    (score × 10^6 as int64)."""
+    from bioner_ray.stages.graph import hits
+
+    return hits(kg_edges(sf_dir), iters=iters)

@@ -1929,3 +1929,177 @@ def adamic_adar(
     return flagged.sort(
         ["aa_micro", "u", "v"], descending=[True, False, False]
     ).limit(k)
+
+
+def _hits_product(x, w):
+    """Exact per-edge ``x * w`` as int64, with the _pagerank_contrib
+    big-int fallback when the vectorized product could exceed 2^63."""
+    import numpy as np
+
+    x = np.asarray(x, dtype=np.int64)
+    w = np.asarray(w, dtype=np.int64)
+    if x.size == 0:
+        return np.zeros(0, dtype=np.int64)
+    if int(x.max()) * int(w.max()) < 2**63:
+        return x * w
+    return np.array(
+        [int(a) * int(b) for a, b in zip(x.tolist(), w.tolist())], dtype=np.int64
+    )
+
+
+def hits(
+    edges_ds,
+    iters: int = 2,
+    scale: int = 10**6,
+    subj_col: str = "subj",
+    obj_col: str = "obj",
+    weight_col: str = "weight",
+    num_buckets: int = 256,
+):
+    """Fixed-iteration weighted HITS (Kleinberg '99 hubs/authorities)
+    over a directed edge table, in deterministic scaled-integer
+    arithmetic: (node, hub, auth) with scores ≈ value × ``scale``.
+
+    Semantics (exactly replayable in SQL, hence oracle-checkable):
+      * multi-edges collapse to (subj, obj, Σweight) first;
+      * hub₀[u] = scale for every node;
+      * per round: auth_raw[v] = Σ over in-edges (u→v,w) of hub[u]·w,
+        then the FLOOR-DIVIDE renormalization
+        ``auth[v] = auth_raw[v] // max(1, max_v(auth_raw) // scale)``
+        (a monotone transform, so rankings are exactly HITS's, while
+        every value stays ≤ ~2·scale — no L2 sqrt, no overflow, and
+        the global max is an order-independent streamed reduce);
+        hubs update symmetrically from the fresh authorities.
+
+    Shape per half-step: ONE bucketed join (edge stream ⋈ the bounded
+    node-score table) + ONE bucketed aggregate + one streamed max —
+    the same per-round cost as stages/graph.pagerank, with the same
+    materialize-per-round lineage cut. Hot hubs ride the edge stream,
+    never a per-key partition.
+
+    No reference analog; §2.11 KG-analytics extension (companion to
+    pagerank — authority ranking for entity importance, hub ranking
+    for aggregator/survey-page detection in a web KG).
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def to_pair(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "subj": pc.cast(batch.column(subj_col), pa.string()),
+                "obj": pc.cast(batch.column(obj_col), pa.string()),
+                "w": pc.cast(batch.column(weight_col), pa.int64()),
+            }
+        )
+
+    edge_schema = pa.schema(
+        [("subj", pa.string()), ("obj", pa.string()), ("w", pa.int64())]
+    )
+    score_schema = pa.schema([("node", pa.string()), ("s", pa.int64())])
+
+    edges = pin_schema(
+        bucketed_aggregate(
+            edges_ds.map_batches(to_pair, batch_format="pyarrow"),
+            ["subj", "obj"],
+            [("w", "sum")],
+            num_buckets=num_buckets,
+        ),
+        edge_schema,
+    ).materialize()
+
+    def endpoint_nodes(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.chunked_array(
+                    [
+                        batch.column("subj").combine_chunks(),
+                        batch.column("obj").combine_chunks(),
+                    ]
+                ).combine_chunks()
+            }
+        ).append_column("s", pa.array(np.zeros(2 * batch.num_rows, dtype=np.int64)))
+
+    zeros = pin_schema(
+        bucketed_aggregate(
+            edges.map_batches(endpoint_nodes, batch_format="pyarrow"),
+            ["node"],
+            [("s", "min")],
+            num_buckets=num_buckets,
+        ),
+        score_schema,
+    ).materialize()
+
+    def with_const(value: int):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "node": t.column("node"),
+                    "s": pa.array(np.full(t.num_rows, value, dtype=np.int64)),
+                }
+            )
+
+        return fn
+
+    hub = zeros.map_batches(with_const(scale), batch_format="pyarrow").materialize()
+
+    def half_step(scores, key_in: str, key_out: str):
+        """auth-from-hub when (key_in, key_out) = (subj, obj); the
+        hub-from-auth update is the same join with the keys swapped."""
+        joined = bucketed_inner_join(
+            edges,
+            scores.rename_columns({"node": key_in}),
+            [key_in],
+            edge_schema,
+            pa.schema([(key_in, pa.string()), ("s", pa.int64())]),
+            num_buckets=num_buckets,
+        )
+
+        def contrib(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0:
+                return score_schema.empty_table()
+            c = _hits_product(
+                t.column("s").to_numpy(zero_copy_only=False),
+                t.column("w").to_numpy(zero_copy_only=False),
+            )
+            return pa.table({"node": t.column(key_out), "s": pa.array(c)})
+
+        raw = pin_schema(
+            bucketed_aggregate(
+                zeros.union(joined.map_batches(contrib, batch_format="pyarrow")),
+                ["node"],
+                [("s", "sum")],
+                num_buckets=num_buckets,
+            ),
+            score_schema,
+        ).materialize()
+        mx = raw.max("s")
+        div = max(1, int(mx or 0) // scale)
+
+        def norm(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "node": t.column("node"),
+                    "s": pc.divide(t.column("s"), pa.scalar(div, type=pa.int64())),
+                }
+            )
+
+        return raw.map_batches(norm, batch_format="pyarrow").materialize()
+
+    auth = None
+    for _ in range(iters):
+        auth = half_step(hub, "subj", "obj")
+        hub = half_step(auth, "obj", "subj")
+
+    out = bucketed_inner_join(
+        hub.rename_columns({"s": "hub"}),
+        auth.rename_columns({"s": "auth"}),
+        ["node"],
+        pa.schema([("node", pa.string()), ("hub", pa.int64())]),
+        pa.schema([("node", pa.string()), ("auth", pa.int64())]),
+        num_buckets=num_buckets,
+    )
+    return pin_schema(
+        out,
+        pa.schema([("node", pa.string()), ("hub", pa.int64()), ("auth", pa.int64())]),
+    )

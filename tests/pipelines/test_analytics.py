@@ -151,6 +151,7 @@ SQL_CHECKED = [
     "transition_entropy",
     "churned_users",
     "events_pivot",
+    "kg_hits",
     "promo_revenue",
     "top_supplier",
     "large_orders",

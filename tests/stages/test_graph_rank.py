@@ -304,3 +304,49 @@ def test_personalized_pagerank_matches_replay_and_localizes():
         for r in pagerank(ds, iters=3, seed_nodes=["a", "zzz-absent"]).take_all()
     }
     assert got2 == got
+
+
+def _brute_hits(rows, iters=2, scale=10**6):
+    from collections import defaultdict
+
+    ew = defaultdict(int)
+    for s, o, w in rows:
+        ew[(s, o)] += w
+    nodes = sorted({s for s, _ in ew} | {o for _, o in ew})
+    h = {n: scale for n in nodes}
+    a = {n: 0 for n in nodes}
+
+    def half(src, key_in):
+        raw = {n: 0 for n in nodes}
+        for (s, o), w in ew.items():
+            tgt, origin = (o, s) if key_in == "subj" else (s, o)
+            raw[tgt] += src[origin] * w
+        div = max(1, max(raw.values()) // scale)
+        return {n: v // div for n, v in raw.items()}
+
+    for _ in range(iters):
+        a = half(h, "subj")
+        h = half(a, "obj")
+    return {n: (h[n], a[n]) for n in nodes}
+
+
+def test_hits_matches_bigint_replay():
+    from bioner_ray.stages.graph import hits
+
+    ds = rd.from_arrow(_edges_table(EDGES))
+    got = {r["node"]: (r["hub"], r["auth"]) for r in hits(ds, iters=2).take_all()}
+    assert got == _brute_hits(EDGES, iters=2)
+
+
+def test_hits_star_graph_hub_auth_split():
+    # center -> leaves: the center is the only hub, leaves the only
+    # authorities — the defining HITS asymmetry pagerank can't express.
+    from bioner_ray.stages.graph import hits
+
+    rows = [("hub", f"leaf{i}", 1) for i in range(4)]
+    ds = rd.from_arrow(_edges_table(rows))
+    got = {r["node"]: (r["hub"], r["auth"]) for r in hits(ds, iters=2).take_all()}
+    assert got == _brute_hits(rows, iters=2)
+    assert got["hub"][0] > 0 and got["hub"][1] == 0
+    for i in range(4):
+        assert got[f"leaf{i}"][1] > 0 and got[f"leaf{i}"][0] == 0
