@@ -4502,3 +4502,131 @@ def kg_hits(sf_dir: str, iters: int = 2):
     from bioner_ray.stages.graph import hits
 
     return hits(kg_edges(sf_dir), iters=iters)
+
+
+def forecast_revenue(
+    sf_dir: str,
+    year: int = 1996,
+    disc_lo: float = 0.05,
+    disc_hi: float = 0.07,
+    max_qty: float = 24.0,
+):
+    """TPC-H Q6 shape: the pure scan-bound query — one column-pruned
+    pass over lineitem, a three-predicate vectorized filter, and a
+    per-batch integer-cent fold; NO shuffle, NO join. This is the
+    engine's scan-throughput anchor: wall time here is parquet decode
+    + Arrow compute and nothing else. Columns: n_rows, revenue_cents."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = pc.cast(t.column("l_discount"), pa.float64())
+        mask = pc.and_(
+            pc.and_(
+                pc.equal(pc.year(t.column("l_shipdate")), year),
+                pc.and_(pc.greater_equal(d, disc_lo), pc.less_equal(d, disc_hi)),
+            ),
+            pc.less(pc.cast(t.column("l_quantity"), pa.float64()), max_qty),
+        )
+        t = t.filter(mask)
+        rev = pc.cast(
+            pc.round(
+                pc.multiply(
+                    pc.multiply(
+                        pc.cast(t.column("l_extendedprice"), pa.float64()),
+                        pc.cast(t.column("l_discount"), pa.float64()),
+                    ),
+                    100.0,
+                ),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n_rows": pa.array([t.num_rows], type=pa.int64()),
+                "revenue_cents": pa.array([int(rev.sum())], type=pa.int64()),
+            }
+        )
+
+    parts = (
+        _read(
+            sf_dir,
+            "lineitem",
+            columns=["l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return pa.table(
+        {
+            "n_rows": pa.array([int(parts["n_rows"].sum())], type=pa.int64()),
+            "revenue_cents": pa.array([int(parts["revenue_cents"].sum())], type=pa.int64()),
+        }
+    )
+
+
+def kg_pred_cooccurrence(sf_dir: str, min_support: int = 2, k: int = 100):
+    """Predicate co-occurrence for schema induction: for every pair of
+    predicates attested on the SAME subject entity, the number of
+    subjects carrying both — the signal that drives relation-synonym
+    and schema-clustering decisions in KG construction (companion to
+    kg_relation_cardinality). Shape: distinct (subj, pred) via one
+    bucketed exchange, then per-subject vectorized pair emission
+    (bounded: the per-subject pair fan-out is predicate-vocabulary-
+    choose-2, a constant, never corpus-sized), then one pair-keyed
+    aggregate and a k-bounded top-k. Columns: p1, p2, n_subjects."""
+    from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema, with_ones
+
+    edges = kg_edges(sf_dir)
+    sp = pin_schema(
+        bucketed_aggregate(
+            with_ones(
+                edges.map_batches(
+                    lambda t: t.select(["subj", "pred"]), batch_format="pyarrow"
+                )
+            ),
+            ["subj", "pred"],
+            [("one", "min")],
+        ),
+        pa.schema([("subj", pa.string()), ("pred", pa.string()), ("one", pa.int64())]),
+    )
+
+    def pairs(g: pa.Table) -> pa.Table:
+        if g.num_columns == 0:
+            return pa.schema([("p1", pa.string()), ("p2", pa.string())]).empty_table()
+        g = g.sort_by([("subj", "ascending"), ("pred", "ascending")])
+        subj = g.column("subj").to_numpy(zero_copy_only=False)
+        pred = g.column("pred").to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, subj[1:] != subj[:-1]])
+        lens = np.diff(np.r_[starts, len(subj)])
+        out1, out2 = [], []
+        for s, ln in zip(starts.tolist(), lens.tolist()):
+            if ln < 2:
+                continue
+            ps = pred[s : s + ln]
+            ii, jj = np.triu_indices(ln, k=1)
+            out1.append(ps[ii])
+            out2.append(ps[jj])
+        if not out1:
+            return pa.schema([("p1", pa.string()), ("p2", pa.string())]).empty_table()
+        return pa.table(
+            {
+                "p1": pa.array(np.concatenate(out1), type=pa.string()),
+                "p2": pa.array(np.concatenate(out2), type=pa.string()),
+            }
+        )
+
+    # per-subject grouping rides the SAME bucketed machinery: group by
+    # subj inside each bucket's reduce partition
+    emitted = sp.groupby("subj").map_groups(pairs, batch_format="pyarrow")
+    counted = pin_schema(
+        bucketed_aggregate(
+            with_ones(emitted, "n_subjects"), ["p1", "p2"], [("n_subjects", "sum")]
+        ),
+        pa.schema([("p1", pa.string()), ("p2", pa.string()), ("n_subjects", pa.int64())]),
+    ).map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("n_subjects"), min_support)),
+        batch_format="pyarrow",
+    )
+    return counted.sort(
+        ["n_subjects", "p1", "p2"], descending=[True, False, False]
+    ).limit(k)

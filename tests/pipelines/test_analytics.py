@@ -152,6 +152,8 @@ SQL_CHECKED = [
     "churned_users",
     "events_pivot",
     "kg_hits",
+    "kg_pred_cooccurrence",
+    "forecast_revenue",
     "promo_revenue",
     "top_supplier",
     "large_orders",
