@@ -1262,6 +1262,20 @@ def embedding_gram(sf_dir: str):
     return gram_matrix(_read(sf_dir, "embeddings", columns=["embedding"]))
 
 
+def embedding_pca(sf_dir: str, iters: int = 3):
+    """Top principal direction of the embeddings table via fixed-round
+    integer power iteration (stages/cluster.pca_top_component): ONE
+    streaming Gram pass distributes the data work; the d×d iteration
+    is dimension-bounded driver math in exact big-ints, truncating
+    division matching DuckDB's ``//`` so the unrolled twin replays
+    bit-for-bit. Columns: dim, loading."""
+    from bioner_ray.stages.cluster import pca_top_component
+
+    return pca_top_component(
+        _read(sf_dir, "embeddings", columns=["embedding"]), iters=iters
+    )
+
+
 def embedding_kmeans(sf_dir: str, k: int = 4, iters: int = 2):
     """Deterministic integer k-means over the embeddings table
     (stages/cluster.py kmeans_assign — micromark quantization, smallest-

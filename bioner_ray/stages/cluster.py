@@ -351,3 +351,56 @@ def pq_codes(
         )
 
     return ds.map_batches(final, batch_format="pyarrow")
+
+
+def _trunc_div(a: int, b: int) -> int:
+    """Exact integer division truncating toward zero — DuckDB's ``//``
+    convention (NOT Python's floor ``//``), so the SQL twin replays
+    negative loadings bit-for-bit."""
+    q = abs(a) // b
+    return -q if a < 0 else q
+
+
+def pca_top_component(ds, emb_col: str = "embedding", iters: int = 3, scale: int = 10**6):
+    """Top principal direction of the embedding column's uncentered
+    second-moment (Gram) matrix via fixed-round power iteration, fully
+    deterministic: the distributed part is the ONE streaming Gram pass
+    (gram_matrix — dims² int64 partials per batch, one tiny aggregate;
+    the data is never shuffled and never leaves its blocks), and the
+    d×d iteration runs driver-side in exact Python big-ints
+    (dimension-bounded: d² integers, independent of corpus size).
+
+    Per round: u = G·v exactly, then the floor-divide renormalization
+    ``v = trunc(u / max(1, max(|u|) // scale))`` — monotone per-entry,
+    truncation toward zero to match DuckDB's ``//``, so the unrolled
+    SQL twin replays every round bit-for-bit. v₀ = scale·𝟙 (always
+    non-orthogonal to the top eigenvector of a PSD Gram unless the
+    corpus is degenerate, the standard deterministic start).
+
+    Columns: dim, loading (component × scale as int64, unnormalized —
+    rankings and ratios are exact; callers needing a unit vector
+    divide by its norm once)."""
+    g = gram_matrix(ds, emb_col=emb_col).to_pandas()  # ≤ d(d+1)/2 rows
+    if len(g) == 0:
+        return pa.table(
+            {
+                "dim": pa.array([], type=pa.int64()),
+                "loading": pa.array([], type=pa.int64()),
+            }
+        )
+    d = int(g["j"].max()) + 1
+    G = [[0] * d for _ in range(d)]
+    for i, j, s in zip(g["i"].tolist(), g["j"].tolist(), g["gram_sum"].tolist()):
+        G[i][j] = int(s)
+        G[j][i] = int(s)
+    v = [scale] * d
+    for _ in range(iters):
+        u = [sum(G[i][j] * v[j] for j in range(d)) for i in range(d)]
+        div = max(1, max(abs(x) for x in u) // scale)
+        v = [_trunc_div(x, div) for x in u]
+    return pa.table(
+        {
+            "dim": pa.array(list(range(d)), type=pa.int64()),
+            "loading": pa.array(v, type=pa.int64()),
+        }
+    )

@@ -153,6 +153,7 @@ SQL_CHECKED = [
     "events_pivot",
     "kg_hits",
     "kg_pred_cooccurrence",
+    "embedding_pca",
     "forecast_revenue",
     "promo_revenue",
     "top_supplier",

@@ -101,3 +101,39 @@ class TestGramMatrix:
         a = gram_matrix(_ds(vecs, parts=1)).to_pandas().sort_values(["i", "j"], ignore_index=True)
         b = gram_matrix(_ds(vecs, parts=7)).to_pandas().sort_values(["i", "j"], ignore_index=True)
         assert a.equals(b)
+
+
+class TestPCATopComponent:
+    def test_aligns_with_numpy_eigenvector(self):
+        from bioner_ray.stages.cluster import pca_top_component
+
+        # anisotropic cloud: dominant direction ~ (1, 1)/sqrt(2), with
+        # negative-coordinate points so truncating division is exercised
+        vecs = [[0.9, 0.8], [-0.85, -0.9], [0.7, 0.75], [-0.6, -0.65], [0.05, -0.04]]
+        got = pca_top_component(_ds(vecs), iters=6).to_pandas()
+        v = got.sort_values("dim")["loading"].to_numpy().astype(np.float64)
+        X = np.floor(np.array(vecs, dtype=np.float32).astype(np.float64) * 1e6).astype(
+            np.int64
+        )
+        G = (X.T @ X).astype(np.float64)
+        w, V = np.linalg.eigh(G)
+        top = V[:, np.argmax(w)]
+        cos = abs(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top))
+        assert cos > 0.999
+
+    def test_matches_bigint_replay(self):
+        from bioner_ray.stages.cluster import _trunc_div, pca_top_component
+
+        vecs = [[0.3, -0.9, 0.1], [-0.2, 0.8, -0.5], [0.6, 0.1, 0.4]]
+        got = pca_top_component(_ds(vecs, parts=3), iters=3).to_pandas()
+        X = np.floor(np.array(vecs, dtype=np.float32).astype(np.float64) * 1e6).astype(
+            np.int64
+        )
+        G = [[int(x) for x in row] for row in (X.T @ X).tolist()]
+        d, scale = 3, 10**6
+        v = [scale] * d
+        for _ in range(3):
+            u = [sum(G[i][j] * v[j] for j in range(d)) for i in range(d)]
+            div = max(1, max(abs(x) for x in u) // scale)
+            v = [_trunc_div(x, div) for x in u]
+        assert got.sort_values("dim")["loading"].tolist() == v
