@@ -4630,3 +4630,92 @@ def kg_pred_cooccurrence(sf_dir: str, min_support: int = 2, k: int = 100):
     return counted.sort(
         ["n_subjects", "p1", "p2"], descending=[True, False, False]
     ).limit(k)
+
+
+def kg_edge_provenance(sf_dir: str, pools: int = 2):
+    """Per-edge provenance ledger — the audit table a production KG
+    publishes next to the edge list: how many mentions support each
+    (subj, pred, obj), across how many distinct source pages, and the
+    first/last page by id. Exact distinct-url counting via the
+    engine's two-level aggregate (level 1 collapses to (edge, url)
+    mention counts — the only corpus-sized exchange; level 2 folds the
+    edge-bounded residue), so no per-key url set is ever held in
+    memory. Columns: subj, pred, obj, n_mentions, n_urls, first_url,
+    last_url."""
+    import ray
+
+    from bioner_ray.stages.link import ConceptIndex
+    from bioner_ray.stages.pool import sized_pool
+    from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema, with_ones
+    from bioner_ray.stages.triples import triples_stage
+
+    index_ref = ray.put(ConceptIndex(make_identity_concepts()))
+    triples = triples_stage(
+        _tagged_documents(sf_dir, pools=pools),
+        index_ref,
+        concurrency=sized_pool(
+            _nrows(sf_dir, "documents"), batch_size=64, max_actors=16, pools=pools
+        ),
+        relation_lexicon=frozenset(RELATION_WORDS),
+    )
+    lvl1_schema = pa.schema(
+        [
+            ("subj", pa.string()),
+            ("pred", pa.string()),
+            ("obj", pa.string()),
+            ("url", pa.string()),
+            ("n_mentions", pa.int64()),
+        ]
+    )
+    lvl1 = pin_schema(
+        bucketed_aggregate(
+            with_ones(
+                triples.map_batches(
+                    lambda t: t.select(["subj", "pred", "obj", "url"]),
+                    batch_format="pyarrow",
+                ),
+                "n_mentions",
+            ),
+            ["subj", "pred", "obj", "url"],
+            [("n_mentions", "sum")],
+        ),
+        lvl1_schema,
+    )
+
+    def widen(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "subj": t.column("subj"),
+                "pred": t.column("pred"),
+                "obj": t.column("obj"),
+                "n_mentions": t.column("n_mentions"),
+                "n_urls": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                "first_url": t.column("url"),
+                "last_url": t.column("url"),
+            }
+        )
+
+    out = bucketed_aggregate(
+        lvl1.map_batches(widen, batch_format="pyarrow"),
+        ["subj", "pred", "obj"],
+        [
+            ("n_mentions", "sum"),
+            ("n_urls", "sum"),
+            ("first_url", "min"),
+            ("last_url", "max"),
+        ],
+    )
+    return pin_schema(
+        out,
+        pa.schema(
+            [
+                ("subj", pa.string()),
+                ("pred", pa.string()),
+                ("obj", pa.string()),
+                ("n_mentions", pa.int64()),
+                ("n_urls", pa.int64()),
+                ("first_url", pa.string()),
+                ("last_url", pa.string()),
+            ]
+        ),
+    )

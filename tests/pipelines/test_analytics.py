@@ -154,6 +154,7 @@ SQL_CHECKED = [
     "kg_hits",
     "kg_pred_cooccurrence",
     "embedding_pca",
+    "kg_edge_provenance",
     "forecast_revenue",
     "promo_revenue",
     "top_supplier",
