@@ -196,6 +196,16 @@ OPERATOR_QUERIES = [
     "transition_entropy",
     "churned_users",
     "events_pivot",
+    # round-3 fourth session: HITS, provenance, schema induction, PCA,
+    # and the Q6/Q14/Q15/Q18 TPC-H shapes (Q6 = scan-bound anchor)
+    "kg_hits",
+    "kg_edge_provenance",
+    "kg_pred_cooccurrence",
+    "embedding_pca",
+    "forecast_revenue",
+    "promo_revenue",
+    "top_supplier",
+    "large_orders",
 ]
 
 
