@@ -4719,3 +4719,179 @@ def kg_edge_provenance(sf_dir: str, pools: int = 2):
             ]
         ),
     )
+
+
+def local_supplier_volume(sf_dir: str, year: int = 1996):
+    """TPC-H Q5 shape: revenue in ``year`` from lineitems where the
+    ordering customer and the supplier sit in the SAME nation, grouped
+    by that nation — the classic multi-join with a join-key-free
+    equality predicate (c_nationkey = s_nationkey) resolved AFTER the
+    joins. Tiny dims broadcast once (nation names, supplier→nation);
+    the two data-scale sides each ride ONE bucketed exchange: orders
+    (year-filtered) ⋈ customer-nation projection on custkey, then
+    lineitem ⋈ that order table on orderkey; the nation equality is a
+    vectorized in-row filter after the second join. Revenue is integer
+    cents with per-element rounding. Columns: n_name, revenue_cents."""
+    import ray
+
+    from bioner_ray.stages.shuffle import bucketed_aggregate, bucketed_inner_join, pin_schema
+
+    nat = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    name_ref = ray.put(dict(zip(nat["n_nationkey"].astype(int), nat["n_name"])))
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    supp_ref = ray.put(
+        dict(zip(supp["s_suppkey"].astype(int), supp["s_nationkey"].astype(int)))
+    )
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).map_batches(
+        lambda t: pa.table(
+            {
+                "o_custkey": t.column("c_custkey"),
+                "c_nationkey": pc.cast(t.column("c_nationkey"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda t: t.filter(pc.equal(pc.year(t.column("o_orderdate")), year)).select(
+            ["o_orderkey", "o_custkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    ord_nat = bucketed_inner_join(
+        orders,
+        cust,
+        ["o_custkey"],
+        pa.schema([("o_custkey", pa.int64()), ("o_orderkey", pa.int64())]),
+        pa.schema([("o_custkey", pa.int64()), ("c_nationkey", pa.int64())]),
+    ).map_batches(
+        lambda t: t.select(["o_orderkey", "c_nationkey"])
+        if t.num_columns
+        else pa.schema(
+            [("o_orderkey", pa.int64()), ("c_nationkey", pa.int64())]
+        ).empty_table(),
+        batch_format="pyarrow",
+    )
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        smap = ray.get(supp_ref)
+        sn = np.array(
+            [smap[k] for k in t.column("l_suppkey").to_pylist()], dtype=np.int64
+        )
+        rev = pc.cast(
+            pc.round(
+                pc.multiply(
+                    pc.multiply(
+                        pc.cast(t.column("l_extendedprice"), pa.float64()),
+                        pc.subtract(
+                            pa.scalar(1.0), pc.cast(t.column("l_discount"), pa.float64())
+                        ),
+                    ),
+                    100.0,
+                ),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "o_orderkey": t.column("l_orderkey"),
+                "s_nationkey": pa.array(sn),
+                "revenue_cents": rev,
+            }
+        )
+
+    li = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    ).map_batches(li_prep, batch_format="pyarrow")
+    joined = bucketed_inner_join(
+        li,
+        ord_nat,
+        ["o_orderkey"],
+        pa.schema(
+            [
+                ("o_orderkey", pa.int64()),
+                ("s_nationkey", pa.int64()),
+                ("revenue_cents", pa.int64()),
+            ]
+        ),
+        pa.schema([("o_orderkey", pa.int64()), ("c_nationkey", pa.int64())]),
+    )
+
+    def local_only(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return pa.schema(
+                [("n_name", pa.string()), ("revenue_cents", pa.int64())]
+            ).empty_table()
+        t = t.filter(pc.equal(t.column("s_nationkey"), t.column("c_nationkey")))
+        names = ray.get(name_ref)
+        nn = [names[k] for k in t.column("s_nationkey").to_pylist()]
+        return pa.table(
+            {
+                "n_name": pa.array(nn, type=pa.string()),
+                "revenue_cents": t.column("revenue_cents"),
+            }
+        )
+
+    return pin_schema(
+        bucketed_aggregate(
+            joined.map_batches(local_only, batch_format="pyarrow"),
+            ["n_name"],
+            [("revenue_cents", "sum")],
+        ),
+        pa.schema([("n_name", pa.string()), ("revenue_cents", pa.int64())]),
+    )
+
+
+def kg_window_cooccurrence(sf_dir: str, window: int = 5):
+    """Windowed entity co-mention graph — the PMI-graph builder used
+    when KG edges come from proximity rather than adjacency: every
+    UNORDERED pair of entity occurrences at most ``window`` kept-token
+    positions apart in a document counts once. Shuffle-free pair
+    emission: inside each batch the token stream is flattened once and
+    the window unrolls into ``window`` vectorized shift comparisons
+    (entity mask ∧ same-doc mask — no per-token Python, no per-doc
+    loop); the only exchange is the final entity-vocab²-bounded pair
+    aggregate. Columns: a, b, n_cooc."""
+    from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema, with_ones
+    from bioner_ray.stages.textstats import _split_lower
+
+    ent_arr = np.array(sorted(ENTITY_SURFACES), dtype=object)
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        toks = _split_lower(batch, "text")
+        words = np.array([w for row in toks for w in row], dtype=object)
+        if len(words) == 0:
+            return pa.schema([("a", pa.string()), ("b", pa.string())]).empty_table()
+        docs = np.repeat(np.arange(len(toks), dtype=np.int64), [len(r) for r in toks])
+        is_ent = np.isin(words, ent_arr)
+        out_a, out_b = [], []
+        for d in range(1, window + 1):
+            if d >= len(words):
+                break
+            ok = is_ent[:-d] & is_ent[d:] & (docs[:-d] == docs[d:])
+            if not ok.any():
+                continue
+            w1, w2 = words[:-d][ok], words[d:][ok]
+            lo = np.minimum(w1, w2)
+            hi = np.maximum(w1, w2)
+            out_a.append(lo)
+            out_b.append(hi)
+        if not out_a:
+            return pa.schema([("a", pa.string()), ("b", pa.string())]).empty_table()
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate(out_a), type=pa.string()),
+                "b": pa.array(np.concatenate(out_b), type=pa.string()),
+            }
+        )
+
+    ds = _read(sf_dir, "documents", columns=["text"]).map_batches(
+        pairs, batch_format="pyarrow"
+    )
+    return pin_schema(
+        bucketed_aggregate(with_ones(ds, "n_cooc"), ["a", "b"], [("n_cooc", "sum")]),
+        pa.schema([("a", pa.string()), ("b", pa.string()), ("n_cooc", pa.int64())]),
+    )

@@ -155,6 +155,8 @@ SQL_CHECKED = [
     "kg_pred_cooccurrence",
     "embedding_pca",
     "kg_edge_provenance",
+    "kg_window_cooccurrence",
+    "local_supplier_volume",
     "forecast_revenue",
     "promo_revenue",
     "top_supplier",
