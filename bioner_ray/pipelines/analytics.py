@@ -4895,3 +4895,583 @@ def kg_window_cooccurrence(sf_dir: str, window: int = 5):
         bucketed_aggregate(with_ones(ds, "n_cooc"), ["a", "b"], [("n_cooc", "sum")]),
         pa.schema([("a", pa.string()), ("b", pa.string()), ("n_cooc", pa.int64())]),
     )
+
+
+def volume_shipping(sf_dir: str, nation_a: str = "NATION_13", nation_b: str = "NATION_19"):
+    """TPC-H Q7 shape: shipped revenue BETWEEN two nations (either
+    direction) per ship-year — the bidirectional-pair predicate
+    resolved in-row after the joins. Supplier→nation and nation-name
+    maps broadcast once (`ray.put`); the data-scale sides ride the
+    same two bucketed exchanges as local_supplier_volume: orders ⋈
+    customer-nation on custkey, then year-filtered lineitem ⋈ that on
+    orderkey. Columns: supp_nation, cust_nation, l_year, revenue_cents."""
+    import ray
+
+    from bioner_ray.stages.shuffle import bucketed_aggregate, bucketed_inner_join, pin_schema
+
+    nat = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    names = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    name_ref = ray.put(names)
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    supp_ref = ray.put(
+        dict(zip(supp["s_suppkey"].astype(int), supp["s_nationkey"].astype(int)))
+    )
+    pair_keys = {k for k, v in names.items() if v in (nation_a, nation_b)}
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).map_batches(
+        lambda t: pa.table(
+            {
+                "o_custkey": t.column("c_custkey"),
+                "c_nationkey": pc.cast(t.column("c_nationkey"), pa.int64()),
+            }
+        ).filter(pc.is_in(pc.cast(t.column("c_nationkey"), pa.int64()),
+                          value_set=pa.array(sorted(pair_keys), type=pa.int64()))),
+        batch_format="pyarrow",
+    )
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    ord_nat = bucketed_inner_join(
+        orders,
+        cust,
+        ["o_custkey"],
+        pa.schema([("o_custkey", pa.int64()), ("o_orderkey", pa.int64())]),
+        pa.schema([("o_custkey", pa.int64()), ("c_nationkey", pa.int64())]),
+    ).map_batches(
+        lambda t: t.select(["o_orderkey", "c_nationkey"])
+        if t.num_columns
+        else pa.schema(
+            [("o_orderkey", pa.int64()), ("c_nationkey", pa.int64())]
+        ).empty_table(),
+        batch_format="pyarrow",
+    )
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        yr = pc.year(t.column("l_shipdate"))
+        t = t.filter(pc.or_(pc.equal(yr, 1996), pc.equal(yr, 1997)))
+        smap = ray.get(supp_ref)
+        sn = np.array(
+            [smap[k] for k in t.column("l_suppkey").to_pylist()], dtype=np.int64
+        )
+        keep = np.isin(sn, np.array(sorted(pair_keys), dtype=np.int64))
+        rev = pc.cast(
+            pc.round(
+                pc.multiply(
+                    pc.multiply(
+                        pc.cast(t.column("l_extendedprice"), pa.float64()),
+                        pc.subtract(
+                            pa.scalar(1.0), pc.cast(t.column("l_discount"), pa.float64())
+                        ),
+                    ),
+                    100.0,
+                ),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        out = pa.table(
+            {
+                "o_orderkey": t.column("l_orderkey"),
+                "s_nationkey": pa.array(sn),
+                "l_year": pc.cast(pc.year(t.column("l_shipdate")), pa.int64()),
+                "revenue_cents": rev,
+            }
+        )
+        return out.filter(pa.array(keep))
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    ).map_batches(li_prep, batch_format="pyarrow")
+    joined = bucketed_inner_join(
+        li,
+        ord_nat,
+        ["o_orderkey"],
+        pa.schema(
+            [
+                ("o_orderkey", pa.int64()),
+                ("s_nationkey", pa.int64()),
+                ("l_year", pa.int64()),
+                ("revenue_cents", pa.int64()),
+            ]
+        ),
+        pa.schema([("o_orderkey", pa.int64()), ("c_nationkey", pa.int64())]),
+    )
+
+    def pair_only(t: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [
+                ("supp_nation", pa.string()),
+                ("cust_nation", pa.string()),
+                ("l_year", pa.int64()),
+                ("revenue_cents", pa.int64()),
+            ]
+        )
+        if t.num_columns == 0:
+            return out_schema.empty_table()
+        sn = t.column("s_nationkey").to_numpy(zero_copy_only=False)
+        cn = t.column("c_nationkey").to_numpy(zero_copy_only=False)
+        keep = sn != cn  # both endpoints already restricted to the pair set
+        t = t.filter(pa.array(keep))
+        nm = ray.get(name_ref)
+        return pa.table(
+            {
+                "supp_nation": pa.array(
+                    [nm[k] for k in t.column("s_nationkey").to_pylist()], type=pa.string()
+                ),
+                "cust_nation": pa.array(
+                    [nm[k] for k in t.column("c_nationkey").to_pylist()], type=pa.string()
+                ),
+                "l_year": t.column("l_year"),
+                "revenue_cents": t.column("revenue_cents"),
+            }
+        )
+
+    return pin_schema(
+        bucketed_aggregate(
+            joined.map_batches(pair_only, batch_format="pyarrow"),
+            ["supp_nation", "cust_nation", "l_year"],
+            [("revenue_cents", "sum")],
+        ),
+        pa.schema(
+            [
+                ("supp_nation", pa.string()),
+                ("cust_nation", pa.string()),
+                ("l_year", pa.int64()),
+                ("revenue_cents", pa.int64()),
+            ]
+        ),
+        ensure_block=True,
+    )
+
+
+def returned_customers(sf_dir: str, k: int = 20):
+    """TPC-H Q10 shape: top-k customers by revenue lost to returns
+    (l_returnflag = 'R') on 1996-Q1 orders. Returned lineitems fold to
+    (orderkey, revenue) in-block, ride ONE bucketed join against the
+    window-filtered orders, ONE bucketed aggregate to per-customer
+    revenue (bounded by |customer|), then a combiner-pruned global
+    top-k: each block keeps its local top-k before the single sort, so
+    the sort moves k×blocks rows, never the customer table. Customer
+    attributes join AFTER the top-k (k rows broadcast-filtered).
+    Columns: c_custkey, c_name, n_name, acctbal_cents, revenue_cents."""
+    import ray
+
+    from bioner_ray.stages.shuffle import bucketed_aggregate, bucketed_inner_join, pin_schema
+
+    nat = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    name_ref = ray.put(dict(zip(nat["n_nationkey"].astype(int), nat["n_name"])))
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("l_returnflag"), "R"))
+        rev = pc.cast(
+            pc.round(
+                pc.multiply(
+                    pc.multiply(
+                        pc.cast(t.column("l_extendedprice"), pa.float64()),
+                        pc.subtract(
+                            pa.scalar(1.0), pc.cast(t.column("l_discount"), pa.float64())
+                        ),
+                    ),
+                    100.0,
+                ),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        return pa.table({"o_orderkey": t.column("l_orderkey"), "revenue_cents": rev})
+
+    li = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"]
+    ).map_batches(li_prep, batch_format="pyarrow")
+
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.greater_equal(t.column("o_orderdate"), pa.scalar(np.datetime64("1996-01-01", "us"))),
+                pc.less(t.column("o_orderdate"), pa.scalar(np.datetime64("1996-04-01", "us"))),
+            )
+        ).select(["o_orderkey", "o_custkey"]),
+        batch_format="pyarrow",
+    )
+    joined = bucketed_inner_join(
+        li,
+        orders,
+        ["o_orderkey"],
+        pa.schema([("o_orderkey", pa.int64()), ("revenue_cents", pa.int64())]),
+        pa.schema([("o_orderkey", pa.int64()), ("o_custkey", pa.int64())]),
+    ).map_batches(
+        lambda t: t.select(["o_custkey", "revenue_cents"])
+        if t.num_columns
+        else pa.schema(
+            [("o_custkey", pa.int64()), ("revenue_cents", pa.int64())]
+        ).empty_table(),
+        batch_format="pyarrow",
+    )
+    per_cust = pin_schema(
+        bucketed_aggregate(joined, ["o_custkey"], [("revenue_cents", "sum")]),
+        pa.schema([("o_custkey", pa.int64()), ("revenue_cents", pa.int64())]),
+    )
+
+    def prune(t: pa.Table) -> pa.Table:
+        if t.num_rows <= k:
+            return t
+        t = t.sort_by([("revenue_cents", "descending"), ("o_custkey", "ascending")])
+        return t.slice(0, k)
+
+    top = (
+        per_cust.map_batches(prune, batch_format="pyarrow")
+        .sort(["revenue_cents", "o_custkey"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    cust_keys = set(top["o_custkey"].astype(int))
+    cust = (
+        _read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal"])
+        .map_batches(
+            lambda t: t.filter(
+                pc.is_in(t.column("c_custkey"), value_set=pa.array(sorted(cust_keys), type=pa.int64()))
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    nm = ray.get(name_ref)
+    cust["n_name"] = [nm[int(x)] for x in cust["c_nationkey"]]
+    cust["acctbal_cents"] = (
+        np.sign(cust["c_acctbal"]) * np.round(np.abs(cust["c_acctbal"]) * 100.0)
+    ).astype(np.int64)
+    out = top.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    out = out.sort_values(["revenue_cents", "c_custkey"], ascending=[False, True])
+    return pa.table(
+        {
+            "c_custkey": pa.array(out["c_custkey"].astype(np.int64)),
+            "c_name": pa.array(out["c_name"], type=pa.string()),
+            "n_name": pa.array(out["n_name"], type=pa.string()),
+            "acctbal_cents": pa.array(out["acctbal_cents"].astype(np.int64)),
+            "revenue_cents": pa.array(out["revenue_cents"].astype(np.int64)),
+        }
+    )
+
+
+def small_qty_revenue(sf_dir: str, brand: str = "Brand#23"):
+    """TPC-H Q17 shape: revenue locked in small-quantity orders of one
+    brand — lineitems whose quantity is below 20% of their part's mean
+    quantity. The brand's partkey slice (1/|brands| of part) broadcasts
+    once; lineitem is read twice, both passes pruned to that slice at
+    the scan: pass 1 folds to per-part (sum_qty, n) via ONE bucketed
+    aggregate, pass 2 re-joins that |slice|-bounded table on partkey
+    (bucketed) and keeps rows with 5·qty·n < sum_qty — the avg
+    comparison cross-multiplied into exact integers, no float division
+    on either side. Columns: n_rows, revenue_cents."""
+    import ray
+
+    from bioner_ray.stages.shuffle import bucketed_aggregate, bucketed_inner_join, pin_schema
+
+    parts = (
+        _read(sf_dir, "part", columns=["p_partkey", "p_brand"])
+        .map_batches(
+            lambda t: t.filter(pc.equal(t.column("p_brand"), brand)).select(["p_partkey"]),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    pk = np.sort(parts["p_partkey"].to_numpy().astype(np.int64))
+    pk_ref = ray.put(pk)
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        keys = ray.get(pk_ref)
+        lp = t.column("l_partkey").to_numpy(zero_copy_only=False)
+        keep = np.isin(lp, keys)
+        t = t.filter(pa.array(keep))
+        return pa.table(
+            {
+                "l_partkey": t.column("l_partkey"),
+                "qty": pc.cast(t.column("l_quantity"), pa.int64()),
+                "price_cents": _cents(t.column("l_extendedprice")),
+                "n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    cols = ["l_partkey", "l_quantity", "l_extendedprice"]
+    li1 = _read(sf_dir, "lineitem", columns=cols).map_batches(li_prep, batch_format="pyarrow")
+    per_part = pin_schema(
+        bucketed_aggregate(
+            li1.map_batches(
+                lambda t: pa.table(
+                    {
+                        "l_partkey": t.column("l_partkey"),
+                        "sum_qty": t.column("qty"),
+                        "n_li": t.column("n"),
+                    }
+                ),
+                batch_format="pyarrow",
+            ),
+            ["l_partkey"],
+            [("sum_qty", "sum"), ("n_li", "sum")],
+        ),
+        pa.schema([("l_partkey", pa.int64()), ("sum_qty", pa.int64()), ("n_li", pa.int64())]),
+    )
+    li2 = _read(sf_dir, "lineitem", columns=cols).map_batches(li_prep, batch_format="pyarrow")
+    joined = bucketed_inner_join(
+        li2.select_columns(["l_partkey", "qty", "price_cents"]),
+        per_part,
+        ["l_partkey"],
+        pa.schema([("l_partkey", pa.int64()), ("qty", pa.int64()), ("price_cents", pa.int64())]),
+        pa.schema([("l_partkey", pa.int64()), ("sum_qty", pa.int64()), ("n_li", pa.int64())]),
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.table(
+                {
+                    "_one": pa.array([], type=pa.int64()),
+                    "n_rows": pa.array([], type=pa.int64()),
+                    "revenue_cents": pa.array([], type=pa.int64()),
+                }
+            )
+        qty = t.column("qty").to_numpy(zero_copy_only=False)
+        sq = t.column("sum_qty").to_numpy(zero_copy_only=False)
+        n = t.column("n_li").to_numpy(zero_copy_only=False)
+        keep = 5 * qty * n < sq
+        price = t.column("price_cents").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "_one": pa.array([1], type=pa.int64()),
+                "n_rows": pa.array([int(keep.sum())], type=pa.int64()),
+                "revenue_cents": pa.array([int(price[keep].sum())], type=pa.int64()),
+            }
+        )
+
+    out = pin_schema(
+        bucketed_aggregate(
+            joined.map_batches(fold, batch_format="pyarrow"),
+            ["_one"],
+            [("n_rows", "sum"), ("revenue_cents", "sum")],
+            num_buckets=1,
+        ),
+        pa.schema([("_one", pa.int64()), ("n_rows", pa.int64()), ("revenue_cents", pa.int64())]),
+    )
+    return out.map_batches(
+        lambda t: t.select(["n_rows", "revenue_cents"])
+        if t.num_columns
+        else pa.schema([("n_rows", pa.int64()), ("revenue_cents", pa.int64())]).empty_table(),
+        batch_format="pyarrow",
+    )
+
+
+def disjunctive_revenue(sf_dir: str):
+    """TPC-H Q19 shape: discounted revenue under a 3-arm disjunction of
+    (brand, size-range, quantity-range) predicates that mixes columns
+    from BOTH join sides — the case where predicate pushdown can prune
+    neither side alone. ONE bucketed join on partkey, then the whole
+    disjunction evaluates as vectorized boolean algebra in-row; the
+    final fold is a single-group combine. Columns: n_rows, revenue_cents."""
+    from bioner_ray.stages.shuffle import bucketed_aggregate, bucketed_inner_join, pin_schema
+
+    ARMS = [
+        ("Brand#3", 1, 5, 1, 11),
+        ("Brand#14", 1, 10, 10, 20),
+        ("Brand#25", 1, 15, 20, 30),
+    ]
+    brands = sorted({a[0] for a in ARMS})
+
+    def part_prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t.column("p_brand"), value_set=pa.array(brands)))
+        return pa.table(
+            {
+                "p_partkey": t.column("p_partkey"),
+                "p_brand": t.column("p_brand"),
+                "p_size": pc.cast(t.column("p_size"), pa.int64()),
+            }
+        )
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand", "p_size"]).map_batches(
+        part_prep, batch_format="pyarrow"
+    )
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(
+            pc.cast(t.column("l_extendedprice"), pa.float64()),
+            pc.subtract(pa.scalar(1.0), pc.cast(t.column("l_discount"), pa.float64())),
+        )
+        return pa.table(
+            {
+                "p_partkey": t.column("l_partkey"),
+                "qty": pc.cast(t.column("l_quantity"), pa.int64()),
+                "rev_cents": pc.cast(
+                    pc.round(pc.multiply(disc_price, 100.0), round_mode="half_towards_infinity"),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    li = _read(
+        sf_dir, "lineitem", columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"]
+    ).map_batches(li_prep, batch_format="pyarrow")
+    joined = bucketed_inner_join(
+        li,
+        part,
+        ["p_partkey"],
+        pa.schema([("p_partkey", pa.int64()), ("qty", pa.int64()), ("rev_cents", pa.int64())]),
+        pa.schema([("p_partkey", pa.int64()), ("p_brand", pa.string()), ("p_size", pa.int64())]),
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.table(
+                {
+                    "_one": pa.array([], type=pa.int64()),
+                    "n_rows": pa.array([], type=pa.int64()),
+                    "revenue_cents": pa.array([], type=pa.int64()),
+                }
+            )
+        brand = t.column("p_brand").to_numpy(zero_copy_only=False)
+        size = t.column("p_size").to_numpy(zero_copy_only=False)
+        qty = t.column("qty").to_numpy(zero_copy_only=False)
+        keep = np.zeros(t.num_rows, dtype=bool)
+        for b, s_lo, s_hi, q_lo, q_hi in ARMS:
+            keep |= (brand == b) & (size >= s_lo) & (size <= s_hi) & (qty >= q_lo) & (qty <= q_hi)
+        rev = t.column("rev_cents").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "_one": pa.array([1], type=pa.int64()),
+                "n_rows": pa.array([int(keep.sum())], type=pa.int64()),
+                "revenue_cents": pa.array([int(rev[keep].sum())], type=pa.int64()),
+            }
+        )
+
+    out = pin_schema(
+        bucketed_aggregate(
+            joined.map_batches(fold, batch_format="pyarrow"),
+            ["_one"],
+            [("n_rows", "sum"), ("revenue_cents", "sum")],
+            num_buckets=1,
+        ),
+        pa.schema([("_one", pa.int64()), ("n_rows", pa.int64()), ("revenue_cents", pa.int64())]),
+    )
+    return out.map_batches(
+        lambda t: t.select(["n_rows", "revenue_cents"])
+        if t.num_columns
+        else pa.schema([("n_rows", pa.int64()), ("revenue_cents", pa.int64())]).empty_table(),
+        batch_format="pyarrow",
+    )
+
+
+def sales_opportunity(sf_dir: str, cutoff: str = "2000-01-01"):
+    """TPC-H Q22 shape: per-nation count + balance of rich-but-lapsed
+    customers — acctbal above the global positive mean AND no order
+    since ``cutoff`` (the synthetic orders table covers every customer,
+    so the classic no-orders-ever predicate would be vacuously empty at
+    every scale; the recency cutoff keeps the identical anti-join shape
+    with a non-degenerate answer). The global mean stays exact: one
+    combiner pass folds customer to (sum_pos_cents, n_pos) scalars, and
+    the filter cross-multiplies (bal·n > sum) so no float division
+    exists on either side. The anti-join rides the engine's
+    empty-partition-proof bucketed ``left anti`` (orders' custkeys
+    pre-deduped per block before the exchange).
+    Columns: n_name, n_custs, sum_acctbal_cents."""
+    import ray
+
+    from bioner_ray.stages.shuffle import bucketed_aggregate, bucketed_inner_join, pin_schema, with_ones
+
+    nat = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    name_ref = ray.put(dict(zip(nat["n_nationkey"].astype(int), nat["n_name"])))
+
+    def bal_cents(t: pa.Table) -> pa.Table:
+        b = t.column("c_acctbal").to_numpy(zero_copy_only=False)
+        cents = (np.sign(b) * np.round(np.abs(b) * 100.0)).astype(np.int64)
+        return t.append_column("bal_cents", pa.array(cents))
+
+    cust = _read(
+        sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"]
+    ).map_batches(bal_cents, batch_format="pyarrow")
+
+    # pass 1: exact global positive mean as two int64 scalars
+    tot = (
+        cust.map_batches(
+            lambda t: pa.table(
+                {
+                    "_one": pa.array([1], type=pa.int64()),
+                    "sum_pos": pa.array(
+                        [
+                            int(
+                                t.column("bal_cents")
+                                .to_numpy(zero_copy_only=False)[
+                                    t.column("bal_cents").to_numpy(zero_copy_only=False) > 0
+                                ]
+                                .sum()
+                            )
+                        ],
+                        type=pa.int64(),
+                    ),
+                    "n_pos": pa.array(
+                        [int((t.column("bal_cents").to_numpy(zero_copy_only=False) > 0).sum())],
+                        type=pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("_one")
+        .sum(["sum_pos", "n_pos"])
+        .to_pandas()
+    )
+    sum_pos, n_pos = int(tot["sum(sum_pos)"][0]), int(tot["sum(n_pos)"][0])
+
+    rich = cust.map_batches(
+        lambda t: t.filter(
+            pa.array(t.column("bal_cents").to_numpy(zero_copy_only=False) * n_pos > sum_pos)
+        ).select(["c_custkey", "c_nationkey", "bal_cents"]),
+        batch_format="pyarrow",
+    )
+    cut = pa.scalar(np.datetime64(cutoff, "us"))
+    order_keys = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"]).map_batches(
+        lambda t: pa.table(
+            {
+                "c_custkey": pc.unique(
+                    t.filter(pc.greater_equal(t.column("o_orderdate"), cut)).column("o_custkey")
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    inactive = bucketed_inner_join(
+        rich,
+        order_keys,
+        ["c_custkey"],
+        pa.schema(
+            [("c_custkey", pa.int64()), ("c_nationkey", pa.int32()), ("bal_cents", pa.int64())]
+        ),
+        pa.schema([("c_custkey", pa.int64())]),
+        join_type="left anti",
+    )
+
+    def by_nation(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return pa.schema(
+                [("n_name", pa.string()), ("n_custs", pa.int64()), ("sum_acctbal_cents", pa.int64())]
+            ).empty_table()
+        nm = ray.get(name_ref)
+        return pa.table(
+            {
+                "n_name": pa.array(
+                    [nm[int(k)] for k in t.column("c_nationkey").to_pylist()], type=pa.string()
+                ),
+                "n_custs": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                "sum_acctbal_cents": t.column("bal_cents"),
+            }
+        )
+
+    return pin_schema(
+        bucketed_aggregate(
+            inactive.map_batches(by_nation, batch_format="pyarrow"),
+            ["n_name"],
+            [("n_custs", "sum"), ("sum_acctbal_cents", "sum")],
+        ),
+        pa.schema(
+            [("n_name", pa.string()), ("n_custs", pa.int64()), ("sum_acctbal_cents", pa.int64())]
+        ),
+        ensure_block=True,
+    )

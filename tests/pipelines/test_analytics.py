@@ -157,6 +157,11 @@ SQL_CHECKED = [
     "kg_edge_provenance",
     "kg_window_cooccurrence",
     "local_supplier_volume",
+    "volume_shipping",
+    "returned_customers",
+    "small_qty_revenue",
+    "disjunctive_revenue",
+    "sales_opportunity",
     "forecast_revenue",
     "promo_revenue",
     "top_supplier",
