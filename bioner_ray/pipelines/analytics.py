@@ -5475,3 +5475,200 @@ def sales_opportunity(sf_dir: str, cutoff: str = "2000-01-01"):
         ),
         ensure_block=True,
     )
+
+
+def kg_type_inference(sf_dir: str):
+    """Per-node type induction by predicate majority vote — the KG
+    schema-bootstrap step: a node's inferred type is the predicate that
+    carries the most triple mass with the node as SUBJECT (ties broken
+    lexicographically, so the vote is deterministic and replayable).
+    The canonical edge table folds to (node, pred) mass via ONE
+    bucketed aggregate (vocab²-bounded), then the combiner-pruned
+    top-1-per-group keeps each block's local argmax before the single
+    per-node shuffle. Columns: node, type, n."""
+    from bioner_ray.stages.rank import top_k_per_group
+    from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema
+
+    mass = pin_schema(
+        bucketed_aggregate(
+            kg_edges(sf_dir).map_batches(
+                lambda t: pa.table(
+                    {
+                        "node": t.column("subj"),
+                        "type": t.column("pred"),
+                        "n": pc.cast(t.column("weight"), pa.int64()),
+                    }
+                ),
+                batch_format="pyarrow",
+            ),
+            ["node", "type"],
+            [("n", "sum")],
+        ),
+        pa.schema([("node", pa.string()), ("type", pa.string()), ("n", pa.int64())]),
+    )
+    top = top_k_per_group(
+        mass, "node", [("n", "descending"), ("type", "ascending")], k=1
+    )
+    return pin_schema(
+        top,
+        pa.schema(
+            [
+                ("node", pa.string()),
+                ("type", pa.string()),
+                ("n", pa.int64()),
+                ("rk", pa.int64()),
+            ]
+        ),
+    ).drop_columns(["rk"])
+
+
+def ngram_diversity(sf_dir: str, n: int = 3):
+    """Per-source corpus diversity: the type/token ratio of word
+    ``n``-grams — the repetition audit an LLM-data pipeline runs per
+    source before mixing (low distinct/total = template spam). Totals
+    fold in-block; the distinct count is the engine's exact two-level
+    dedup: ONE bucketed aggregate collapses (source, gram) — the only
+    key-cardinality-scale exchange — then per-source counts are
+    source-bounded. No gram string ever reaches the driver. Columns:
+    source, n_total, n_distinct, ttr."""
+    from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema, with_ones
+    from bioner_ray.stages.textstats import _split_lower
+
+    def grams(batch: pa.Table) -> pa.Table:
+        toks = _split_lower(batch, "text")
+        srcs = batch.column("source").to_pylist()
+        out_s, out_g = [], []
+        for src, row in zip(srcs, toks):
+            if len(row) < n:
+                continue
+            arr = np.array(row, dtype=object)
+            g = arr[: len(arr) - n + 1]
+            for j in range(1, n):
+                g = np.char.add(np.char.add(g.astype(str), " "), arr[j : len(arr) - n + 1 + j].astype(str))
+            out_s.append(np.full(len(g), src, dtype=object))
+            out_g.append(g.astype(object))
+        if not out_s:
+            return pa.schema([("source", pa.string()), ("gram", pa.string())]).empty_table()
+        return pa.table(
+            {
+                "source": pa.array(np.concatenate(out_s), type=pa.string()),
+                "gram": pa.array(np.concatenate(out_g), type=pa.string()),
+            }
+        )
+
+    stream = _read(sf_dir, "documents", columns=["text", "source"]).map_batches(
+        grams, batch_format="pyarrow"
+    )
+    # level 1: exact (source, gram) collapse carrying the occurrence count
+    collapsed = pin_schema(
+        bucketed_aggregate(with_ones(stream, "cnt"), ["source", "gram"], [("cnt", "sum")]),
+        pa.schema([("source", pa.string()), ("gram", pa.string()), ("cnt", pa.int64())]),
+    )
+    # level 2: per-source totals (distinct = one row per surviving key)
+    per_source = pin_schema(
+        bucketed_aggregate(
+            collapsed.map_batches(
+                lambda t: pa.table(
+                    {
+                        "source": t.column("source"),
+                        "n_total": t.column("cnt"),
+                        "n_distinct": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                    }
+                ),
+                batch_format="pyarrow",
+            ),
+            ["source"],
+            [("n_total", "sum"), ("n_distinct", "sum")],
+        ),
+        pa.schema([("source", pa.string()), ("n_total", pa.int64()), ("n_distinct", pa.int64())]),
+    )
+    return per_source.map_batches(
+        lambda t: t.append_column(
+            "ttr",
+            pc.divide(
+                pc.cast(t.column("n_distinct"), pa.float64()),
+                pc.cast(t.column("n_total"), pa.float64()),
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def interarrival_stats(sf_dir: str):
+    """Per-event-type inter-arrival statistics: each event's gap to the
+    SAME user's previous event (microseconds, attributed to the later
+    event's type) folded to n_gaps / sum / min / max, with the mean as
+    the replayable int→double division. Same single user-bucketed
+    exchange as event_transitions — the reducer sorts each bucket once
+    and diffs timestamps under one vectorized same-user mask; the final
+    aggregate is event-type-bounded. Columns: event_type, n_gaps,
+    sum_gap_us, min_gap_us, max_gap_us, avg_gap_us."""
+    from bioner_ray.stages.shuffle import _bucket_column, bucketed_aggregate, pin_schema
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.select(["user_id", "ts", "event_id", "event_type"])
+        return t.append_column("_bucket", _bucket_column(t, ["user_id"], 256))
+
+    gap_schema = pa.schema([("event_type", pa.string()), ("gap_us", pa.int64())])
+
+    def gaps(g: pa.Table) -> pa.Table:
+        if g.num_columns == 0 or g.num_rows == 0:
+            return gap_schema.empty_table()
+        g = g.sort_by(
+            [("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")]
+        )
+        users = g.column("user_id").to_numpy(zero_copy_only=False)
+        ts = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        types = g.column("event_type").to_numpy(zero_copy_only=False)
+        same = users[1:] == users[:-1]
+        return pa.table(
+            {
+                "event_type": pa.array(types[1:][same], type=pa.string()),
+                "gap_us": pa.array((ts[1:] - ts[:-1])[same]),
+            },
+            schema=gap_schema,
+        )
+
+    stream = (
+        _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(gaps, batch_format="pyarrow")
+    )
+    folded = pin_schema(
+        bucketed_aggregate(
+            stream.map_batches(
+                lambda t: pa.table(
+                    {
+                        "event_type": t.column("event_type"),
+                        "n_gaps": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                        "sum_gap_us": t.column("gap_us"),
+                        "min_gap_us": t.column("gap_us"),
+                        "max_gap_us": t.column("gap_us"),
+                    }
+                ),
+                batch_format="pyarrow",
+            ),
+            ["event_type"],
+            [("n_gaps", "sum"), ("sum_gap_us", "sum"), ("min_gap_us", "min"), ("max_gap_us", "max")],
+        ),
+        pa.schema(
+            [
+                ("event_type", pa.string()),
+                ("n_gaps", pa.int64()),
+                ("sum_gap_us", pa.int64()),
+                ("min_gap_us", pa.int64()),
+                ("max_gap_us", pa.int64()),
+            ]
+        ),
+    )
+    return folded.map_batches(
+        lambda t: t.append_column(
+            "avg_gap_us",
+            pc.divide(
+                pc.cast(t.column("sum_gap_us"), pa.float64()),
+                pc.cast(t.column("n_gaps"), pa.float64()),
+            ),
+        ),
+        batch_format="pyarrow",
+    )

@@ -156,6 +156,9 @@ SQL_CHECKED = [
     "embedding_pca",
     "kg_edge_provenance",
     "kg_window_cooccurrence",
+    "kg_type_inference",
+    "ngram_diversity",
+    "interarrival_stats",
     "local_supplier_volume",
     "volume_shipping",
     "returned_customers",
