@@ -5672,3 +5672,13 @@ def interarrival_stats(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
+
+
+def kg_cluster_coeff(sf_dir: str):
+    """Per-entity local clustering coefficient over the canonical KG
+    (stages/graph.py clustering_coefficients): one degree-oriented
+    triangle plan + a left-outer degree join, coeff = 2·tri/(deg·(deg−1))
+    pinned 0.0 below deg 2. Columns: node, deg, n_triangles, coeff."""
+    from bioner_ray.stages.graph import clustering_coefficients
+
+    return clustering_coefficients(kg_edges(sf_dir))

@@ -829,6 +829,98 @@ def triangle_counts(
     )
 
 
+def clustering_coefficients(
+    edges_ds,
+    subj_col: str = "subj",
+    obj_col: str = "obj",
+    num_buckets: int = 256,
+):
+    """Per-node LOCAL clustering coefficient over the undirected simple
+    graph: coeff = 2·triangles(v) / (deg(v)·(deg(v)−1)), pinned to 0.0
+    for deg < 2 — the community-density score per entity. ONE
+    ``_triangle_plan`` provides both the O(E^1.5)-bounded triangle
+    stream and the degree table; nodes without triangles survive via a
+    bucketed LEFT OUTER join from the degree side (never an inner join
+    that would silently drop triangle-free nodes). The division is the
+    engine's replayable exact-int → float64 composition.
+    Columns: node, deg, n_triangles, coeff."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from bioner_ray.stages.shuffle import pin_schema
+
+    closed, _und, deg = _triangle_plan(edges_ds, subj_col, obj_col, num_buckets)
+
+    def tri_rows(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return pa.schema(
+                [("node", pa.string()), ("n_triangles", pa.int64())]
+            ).empty_table()
+        n = t.num_rows
+        return pa.table(
+            {
+                "node": pa.chunked_array(
+                    [
+                        t.column("u").combine_chunks(),
+                        t.column("lo").combine_chunks(),
+                        t.column("hi").combine_chunks(),
+                    ]
+                ).combine_chunks(),
+                "n_triangles": pa.array(np.ones(3 * n, dtype=np.int64)),
+            }
+        )
+
+    tri = pin_schema(
+        bucketed_aggregate(
+            closed.map_batches(tri_rows, batch_format="pyarrow"),
+            ["node"],
+            [("n_triangles", "sum")],
+            num_buckets=num_buckets,
+        ),
+        pa.schema([("node", pa.string()), ("n_triangles", pa.int64())]),
+    )
+    joined = bucketed_inner_join(
+        pin_schema(deg, pa.schema([("node", pa.string()), ("deg", pa.int64())])),
+        tri,
+        ["node"],
+        pa.schema([("node", pa.string()), ("deg", pa.int64())]),
+        pa.schema([("node", pa.string()), ("n_triangles", pa.int64())]),
+        num_buckets=num_buckets,
+        join_type="left outer",
+    )
+
+    def coeff(t: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [
+                ("node", pa.string()),
+                ("deg", pa.int64()),
+                ("n_triangles", pa.int64()),
+                ("coeff", pa.float64()),
+            ]
+        )
+        if t.num_columns == 0 or t.num_rows == 0:
+            return out_schema.empty_table()
+        deg_v = t.column("deg").to_numpy(zero_copy_only=False).astype(np.int64)
+        nt = (
+            pc.fill_null(t.column("n_triangles"), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        denom = deg_v * (deg_v - 1)
+        c = np.where(denom > 0, (2.0 * nt) / np.where(denom > 0, denom, 1), 0.0)
+        return pa.table(
+            {
+                "node": t.column("node"),
+                "deg": pa.array(deg_v),
+                "n_triangles": pa.array(nt),
+                "coeff": pa.array(c.astype(np.float64)),
+            },
+            schema=out_schema,
+        )
+
+    return joined.map_batches(coeff, batch_format="pyarrow")
+
+
 def edge_support(
     edges_ds,
     subj_col: str = "subj",

@@ -157,6 +157,7 @@ SQL_CHECKED = [
     "kg_edge_provenance",
     "kg_window_cooccurrence",
     "kg_type_inference",
+    "kg_cluster_coeff",
     "ngram_diversity",
     "interarrival_stats",
     "local_supplier_volume",

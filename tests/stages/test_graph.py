@@ -315,3 +315,57 @@ class TestLabelPropagation:
         a = label_propagation(rd.from_arrow(t).repartition(1), rounds=3).to_pandas()
         b = label_propagation(rd.from_arrow(t).repartition(7), rounds=3).to_pandas()
         assert sorted(zip(a["node"], a["label"])) == sorted(zip(b["node"], b["label"]))
+
+
+class TestClusteringCoefficients:
+    def test_crafted_graph(self):
+        from bioner_ray.stages.graph import clustering_coefficients
+
+        # triangle a-b-c, pendant d off a (deg 1 → coeff 0), isolated
+        # pair e-f (deg 1 each), and a wedge a-b-c plus b-x a-x making
+        # {a,b,x} a second triangle sharing edge a-b
+        edges = pa.table(
+            {
+                "subj": ["a", "b", "a", "a", "e", "b", "a"],
+                "obj": ["b", "c", "c", "d", "f", "x", "x"],
+            }
+        )
+        out = (
+            clustering_coefficients(rd.from_arrow(edges).repartition(3), num_buckets=8)
+            .to_pandas()
+            .set_index("node")
+            .sort_index()
+        )
+        # degrees: a=4 (b,c,d,x), b=3 (a,c,x), c=2, d=1, e=1, f=1, x=2
+        assert out.loc["a", "deg"] == 4 and out.loc["b", "deg"] == 3
+        assert out.loc["d", "deg"] == 1 and out.loc["e", "deg"] == 1
+        # triangles: {a,b,c} and {a,b,x} → a:2, b:2, c:1, x:1, d/e/f:0
+        assert out.loc["a", "n_triangles"] == 2
+        assert out.loc["b", "n_triangles"] == 2
+        assert out.loc["c", "n_triangles"] == 1
+        assert out.loc["x", "n_triangles"] == 1
+        assert out.loc["d", "n_triangles"] == 0
+        # coeffs: a = 2*2/(4*3) = 1/3; b = 2*2/(3*2) = 2/3; c = 1.0;
+        # deg<2 nodes pinned to 0.0
+        assert abs(out.loc["a", "coeff"] - 1 / 3) < 1e-12
+        assert abs(out.loc["b", "coeff"] - 2 / 3) < 1e-12
+        assert out.loc["c", "coeff"] == 1.0
+        assert out.loc["d", "coeff"] == 0.0 and out.loc["f", "coeff"] == 0.0
+
+    def test_duplicate_and_self_edges_ignored(self):
+        from bioner_ray.stages.graph import clustering_coefficients
+
+        edges = pa.table(
+            {
+                "subj": ["a", "b", "a", "a", "b", "c", "a"],
+                "obj": ["b", "a", "b", "c", "c", "b", "a"],
+            }
+        )
+        out = (
+            clustering_coefficients(rd.from_arrow(edges), num_buckets=4)
+            .to_pandas()
+            .set_index("node")
+        )
+        assert set(out.index) == {"a", "b", "c"}
+        assert (out["coeff"] == 1.0).all()
+        assert (out["n_triangles"] == 1).all()
