@@ -1432,3 +1432,67 @@ def source_lang_rollup(sf_dir: str):
     ).map_batches(all_both, batch_format="pyarrow")
 
     return fine.union(by_source).union(total)
+
+
+def near_dedup_clean(sf_dir: str, threshold: float = 0.5):
+    """The near-dup REMOVAL capstone an LLM corpus actually ships:
+    Jaccard pairs → connected components → every cluster keeps only its
+    min-doc_id representative, and the surviving corpus folds to
+    per-source (docs, chars). The drop set is |non-keeper members| — a
+    tiny fraction of the corpus — so the removal is ONE bucketed
+    ``left anti`` join on doc_id against that set, never a shuffle of
+    the corpus by cluster; per-source totals then ride one
+    source-bounded aggregate (n_chars read from the table, no text
+    re-scan). Columns: source, n_docs, n_chars."""
+    import pyarrow.compute as pc
+
+    from bioner_ray.stages.shuffle import (
+        bucketed_aggregate,
+        bucketed_inner_join,
+        pin_schema,
+    )
+
+    comps = dedup_components(sf_dir, threshold=threshold)
+
+    def non_keepers(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return pa.schema([("doc_id", pa.int64())]).empty_table()
+        keep = pc.not_equal(t.column("node"), t.column("component"))
+        return pa.table(
+            {"doc_id": pc.cast(t.column("node").filter(keep), pa.int64())}
+        )
+
+    drop = comps.map_batches(non_keepers, batch_format="pyarrow")
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+    kept = bucketed_inner_join(
+        docs,
+        drop,
+        ["doc_id"],
+        pa.schema([("doc_id", pa.int64()), ("source", pa.string()), ("n_chars", pa.int64())]),
+        pa.schema([("doc_id", pa.int64())]),
+        join_type="left anti",
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return pa.schema(
+                [("source", pa.string()), ("n_docs", pa.int64()), ("n_chars", pa.int64())]
+            ).empty_table()
+        return pa.table(
+            {
+                "source": t.column("source"),
+                "n_docs": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                "n_chars": t.column("n_chars"),
+            }
+        )
+
+    return pin_schema(
+        bucketed_aggregate(
+            kept.map_batches(fold, batch_format="pyarrow"),
+            ["source"],
+            [("n_docs", "sum"), ("n_chars", "sum")],
+        ),
+        pa.schema(
+            [("source", pa.string()), ("n_docs", pa.int64()), ("n_chars", pa.int64())]
+        ),
+    )

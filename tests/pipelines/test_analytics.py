@@ -49,6 +49,7 @@ SQL_CHECKED = [
     "quality_docs",
     "dedup_filter",
     "corpus_clean",
+    "near_dedup_clean",
     "pubmed_extract",
     "conlleval_export",
     "surface_stats",
