@@ -206,6 +206,21 @@ OPERATOR_QUERIES = [
     "promo_revenue",
     "top_supplier",
     "large_orders",
+    # round-3 fifth session: remaining TPC-H join shapes, windowed
+    # co-mention graph, type inference, diversity/gap stats, clustering
+    # coefficient, and near-dup cluster removal
+    "local_supplier_volume",
+    "volume_shipping",
+    "returned_customers",
+    "small_qty_revenue",
+    "disjunctive_revenue",
+    "sales_opportunity",
+    "kg_window_cooccurrence",
+    "kg_type_inference",
+    "kg_cluster_coeff",
+    "ngram_diversity",
+    "interarrival_stats",
+    "near_dedup_clean",
 ]
 
 
