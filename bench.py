@@ -221,6 +221,9 @@ OPERATOR_QUERIES = [
     "ngram_diversity",
     "interarrival_stats",
     "near_dedup_clean",
+    "late_shipments",
+    "min_cost_supplier",
+    "product_profit",
 ]
 
 

@@ -5682,3 +5682,319 @@ def kg_cluster_coeff(sf_dir: str):
     from bioner_ray.stages.graph import clustering_coefficients
 
     return clustering_coefficients(kg_edges(sf_dir))
+
+
+def late_shipments(sf_dir: str, late_days: int = 90):
+    """TPC-H Q12 shape adapted to the testdata's columns (no
+    l_shipmode/l_commitdate): per order priority, how many lineitems
+    shipped, and how many shipped more than ``late_days`` after the
+    order date. ONE bucketed orderkey exchange joins the two
+    data-scale tables; the lag is an exact integer day difference
+    computed in-row after the join (both Arrow ``days_between`` and
+    DuckDB ``date_diff('day', …)`` count calendar-day boundaries, so
+    the twin replays the cutoff bit-for-bit). The per-priority fold is
+    combiner-pruned: blocks ship one row per priority (5 rows), never
+    the lineitem stream. Columns: o_orderpriority, n_items, n_late."""
+    from bioner_ray.stages.shuffle import bucketed_aggregate, bucketed_inner_join, pin_schema
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"]).map_batches(
+        lambda t: pa.table(
+            {"o_orderkey": t.column("l_orderkey"), "l_shipdate": t.column("l_shipdate")}
+        ),
+        batch_format="pyarrow",
+    )
+    joined = bucketed_inner_join(
+        li,
+        orders,
+        ["o_orderkey"],
+        pa.schema([("o_orderkey", pa.int64()), ("l_shipdate", pa.timestamp("us"))]),
+        pa.schema(
+            [
+                ("o_orderkey", pa.int64()),
+                ("o_orderdate", pa.timestamp("us")),
+                ("o_orderpriority", pa.string()),
+            ]
+        ),
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [
+                ("o_orderpriority", pa.string()),
+                ("n_items", pa.int64()),
+                ("n_late", pa.int64()),
+            ]
+        )
+        if t.num_columns == 0 or t.num_rows == 0:
+            return schema.empty_table()
+        lag = pc.days_between(t.column("o_orderdate"), t.column("l_shipdate"))
+        late = pc.cast(pc.greater(lag, late_days), pa.int64())
+        return pa.table(
+            {
+                "o_orderpriority": t.column("o_orderpriority"),
+                "n_items": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                "n_late": late,
+            }
+        )
+
+    return pin_schema(
+        bucketed_aggregate(
+            joined.map_batches(fold, batch_format="pyarrow"),
+            ["o_orderpriority"],
+            [("n_items", "sum"), ("n_late", "sum")],
+        ),
+        pa.schema(
+            [
+                ("o_orderpriority", pa.string()),
+                ("n_items", pa.int64()),
+                ("n_late", pa.int64()),
+            ]
+        ),
+        ensure_block=True,
+    )
+
+
+def min_cost_supplier(sf_dir: str, size: int = 15):
+    """TPC-H Q2 shape adapted (no partsupp table): for every part of
+    one size class, the supplier that shipped it cheapest — the
+    per-group ARGMIN resolved distributed, with a deterministic
+    tie-break. The size-class partkey slice broadcasts once and prunes
+    lineitem at the scan; per-part min price is ONE bucketed
+    aggregate; the join-back on (partkey) re-reads the pruned slice
+    and keeps rows at the minimum, and a second bucketed aggregate
+    takes min(suppkey) among price ties (TPC-H Q2's own tie rule is a
+    sort; min-key is the order-free equivalent). Supplier/part names
+    attach from broadcast dimension dicts — never a shuffle. Columns:
+    p_partkey, p_name, s_suppkey, s_name, price_cents."""
+    import ray
+
+    from bioner_ray.stages.shuffle import bucketed_aggregate, bucketed_inner_join, pin_schema
+
+    part = (
+        _read(sf_dir, "part", columns=["p_partkey", "p_name", "p_size"])
+        .map_batches(
+            lambda t: t.filter(pc.equal(t.column("p_size"), size)).select(
+                ["p_partkey", "p_name"]
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    pk = np.sort(part["p_partkey"].to_numpy().astype(np.int64))
+    pk_ref = ray.put(pk)
+    pname_ref = ray.put(dict(zip(part["p_partkey"].astype(int), part["p_name"])))
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"]).to_pandas()
+    sname_ref = ray.put(dict(zip(supp["s_suppkey"].astype(int), supp["s_name"])))
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        keys = ray.get(pk_ref)
+        keep = np.isin(t.column("l_partkey").to_numpy(zero_copy_only=False), keys)
+        t = t.filter(pa.array(keep))
+        return pa.table(
+            {
+                "l_partkey": t.column("l_partkey"),
+                "l_suppkey": pc.cast(t.column("l_suppkey"), pa.int64()),
+                "price_cents": _cents(t.column("l_extendedprice")),
+            }
+        )
+
+    cols = ["l_partkey", "l_suppkey", "l_extendedprice"]
+    li1 = _read(sf_dir, "lineitem", columns=cols).map_batches(li_prep, batch_format="pyarrow")
+    mins = pin_schema(
+        bucketed_aggregate(
+            li1.map_batches(
+                lambda t: pa.table(
+                    {"l_partkey": t.column("l_partkey"), "min_cents": t.column("price_cents")}
+                ),
+                batch_format="pyarrow",
+            ),
+            ["l_partkey"],
+            [("min_cents", "min")],
+        ),
+        pa.schema([("l_partkey", pa.int64()), ("min_cents", pa.int64())]),
+    )
+    li2 = _read(sf_dir, "lineitem", columns=cols).map_batches(li_prep, batch_format="pyarrow")
+    joined = bucketed_inner_join(
+        li2,
+        mins,
+        ["l_partkey"],
+        pa.schema(
+            [("l_partkey", pa.int64()), ("l_suppkey", pa.int64()), ("price_cents", pa.int64())]
+        ),
+        pa.schema([("l_partkey", pa.int64()), ("min_cents", pa.int64())]),
+    )
+
+    def at_min(t: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [("l_partkey", pa.int64()), ("s_suppkey", pa.int64()), ("price_cents", pa.int64())]
+        )
+        if t.num_columns == 0 or t.num_rows == 0:
+            return schema.empty_table()
+        t = t.filter(pc.equal(t.column("price_cents"), t.column("min_cents")))
+        return pa.table(
+            {
+                "l_partkey": t.column("l_partkey"),
+                "s_suppkey": t.column("l_suppkey"),
+                "price_cents": t.column("price_cents"),
+            }
+        )
+
+    winners = pin_schema(
+        bucketed_aggregate(
+            joined.map_batches(at_min, batch_format="pyarrow"),
+            ["l_partkey", "price_cents"],
+            [("s_suppkey", "min")],
+        ),
+        pa.schema(
+            [("l_partkey", pa.int64()), ("price_cents", pa.int64()), ("s_suppkey", pa.int64())]
+        ),
+        ensure_block=True,
+    )
+
+    def attach_names(t: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [
+                ("p_partkey", pa.int64()),
+                ("p_name", pa.string()),
+                ("s_suppkey", pa.int64()),
+                ("s_name", pa.string()),
+                ("price_cents", pa.int64()),
+            ]
+        )
+        if t.num_columns == 0 or t.num_rows == 0:
+            return schema.empty_table()
+        pnames = ray.get(pname_ref)
+        snames = ray.get(sname_ref)
+        return pa.table(
+            {
+                "p_partkey": t.column("l_partkey"),
+                "p_name": pa.array(
+                    [pnames[k] for k in t.column("l_partkey").to_pylist()], type=pa.string()
+                ),
+                "s_suppkey": t.column("s_suppkey"),
+                "s_name": pa.array(
+                    [snames[k] for k in t.column("s_suppkey").to_pylist()], type=pa.string()
+                ),
+                "price_cents": t.column("price_cents"),
+            }
+        )
+
+    return winners.map_batches(attach_names, batch_format="pyarrow")
+
+
+def product_profit(sf_dir: str, name_word: str = "widget"):
+    """TPC-H Q9 shape adapted (no partsupp: supply cost stands in as
+    the part's retail price): profit per supplier nation per order
+    year over the parts whose name contains ``name_word``. The part
+    slice (partkey → retail cents) and supplier → nation-name maps
+    broadcast once; profit per lineitem is exact integer cents
+    (revenue − retail·qty) computed in-row at the scan, so the only
+    data-scale exchange is ONE bucketed orderkey join against orders
+    for the year, followed by the (nation, year)-keyed combiner-pruned
+    aggregate. Columns: nation, o_year, profit_cents."""
+    import ray
+
+    from bioner_ray.stages.shuffle import bucketed_aggregate, bucketed_inner_join, pin_schema
+
+    part = (
+        _read(sf_dir, "part", columns=["p_partkey", "p_name", "p_retailprice"])
+        .map_batches(
+            lambda t: t.filter(
+                pc.match_substring(t.column("p_name"), name_word)
+            ).select(["p_partkey", "p_retailprice"]),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    retail_cents = {
+        int(k): int(v)
+        for k, v in zip(
+            part["p_partkey"],
+            np.round(np.abs(part["p_retailprice"].to_numpy()) * 100.0)
+            * np.sign(part["p_retailprice"].to_numpy()),
+        )
+    }
+    retail_ref = ray.put(retail_cents)
+    nat = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    names = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    snat_ref = ray.put(
+        {int(k): names[int(v)] for k, v in zip(supp["s_suppkey"], supp["s_nationkey"])}
+    )
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        rc = ray.get(retail_ref)
+        snat = ray.get(snat_ref)
+        lp = t.column("l_partkey").to_numpy(zero_copy_only=False)
+        keep = np.isin(lp, np.fromiter(rc.keys(), dtype=np.int64, count=len(rc)))
+        t = t.filter(pa.array(keep))
+        rev = pc.cast(
+            pc.round(
+                pc.multiply(
+                    pc.multiply(
+                        pc.cast(t.column("l_extendedprice"), pa.float64()),
+                        pc.subtract(
+                            pa.scalar(1.0), pc.cast(t.column("l_discount"), pa.float64())
+                        ),
+                    ),
+                    100.0,
+                ),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        lp = t.column("l_partkey").to_numpy(zero_copy_only=False)
+        qty = t.column("l_quantity").to_numpy(zero_copy_only=False).astype(np.int64)
+        cost = np.array([rc[k] for k in lp], dtype=np.int64) * qty
+        return pa.table(
+            {
+                "o_orderkey": t.column("l_orderkey"),
+                "nation": pa.array(
+                    [snat[k] for k in t.column("l_suppkey").to_pylist()], type=pa.string()
+                ),
+                "profit_cents": pa.array(rev - cost),
+            }
+        )
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice", "l_discount"],
+    ).map_batches(li_prep, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"]).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "o_year": pc.cast(pc.year(t.column("o_orderdate")), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = bucketed_inner_join(
+        li,
+        orders,
+        ["o_orderkey"],
+        pa.schema(
+            [("o_orderkey", pa.int64()), ("nation", pa.string()), ("profit_cents", pa.int64())]
+        ),
+        pa.schema([("o_orderkey", pa.int64()), ("o_year", pa.int64())]),
+    )
+    return pin_schema(
+        bucketed_aggregate(
+            joined.map_batches(
+                lambda t: t.select(["nation", "o_year", "profit_cents"])
+                if t.num_columns
+                else pa.schema(
+                    [("nation", pa.string()), ("o_year", pa.int64()), ("profit_cents", pa.int64())]
+                ).empty_table(),
+                batch_format="pyarrow",
+            ),
+            ["nation", "o_year"],
+            [("profit_cents", "sum")],
+        ),
+        pa.schema(
+            [("nation", pa.string()), ("o_year", pa.int64()), ("profit_cents", pa.int64())]
+        ),
+        ensure_block=True,
+    )

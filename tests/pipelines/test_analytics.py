@@ -331,3 +331,175 @@ def test_kg_edge_pmi_single_edge_pins_npmi():
     assert len(out) == 1
     assert out["pmi"].iloc[0] == 0.0
     assert out["npmi"].iloc[0] == 1.0
+
+
+def _write(tmp_path, name, table):
+    import pyarrow.parquet as pq
+
+    pq.write_table(table, tmp_path / f"{name}.parquet")
+
+
+def test_late_shipments_day_boundary(tmp_path):
+    # lag == late_days is NOT late; late_days + 1 is — both engine
+    # (Arrow days_between) and twin (date_diff 'day') count calendar
+    # boundaries, so the cutoff must sit exactly on the 90/91 edge.
+    import datetime
+
+    import pyarrow as pa
+
+    from bioner_ray.pipelines.analytics import late_shipments
+
+    base = datetime.datetime(1996, 1, 1)
+    _write(
+        tmp_path,
+        "orders",
+        pa.table(
+            {
+                "o_orderkey": pa.array([1, 2], type=pa.int64()),
+                "o_orderdate": pa.array([base, base], type=pa.timestamp("us")),
+                "o_orderpriority": pa.array(["1-URGENT", "5-LOW"], type=pa.string()),
+            }
+        ),
+    )
+    _write(
+        tmp_path,
+        "lineitem",
+        pa.table(
+            {
+                "l_orderkey": pa.array([1, 1, 2], type=pa.int64()),
+                "l_shipdate": pa.array(
+                    [
+                        base + datetime.timedelta(days=90),
+                        base + datetime.timedelta(days=91),
+                        base + datetime.timedelta(days=1),
+                    ],
+                    type=pa.timestamp("us"),
+                ),
+            }
+        ),
+    )
+    out = _to_pandas(late_shipments(str(tmp_path))).set_index("o_orderpriority")
+    assert out.loc["1-URGENT", "n_items"] == 2
+    assert out.loc["1-URGENT", "n_late"] == 1  # 90 days in, 91 days late
+    assert out.loc["5-LOW", "n_late"] == 0
+
+
+def test_min_cost_supplier_tie_breaks_to_min_suppkey(tmp_path):
+    import pyarrow as pa
+
+    from bioner_ray.pipelines.analytics import min_cost_supplier
+
+    _write(
+        tmp_path,
+        "part",
+        pa.table(
+            {
+                "p_partkey": pa.array([1, 2], type=pa.int64()),
+                "p_name": pa.array(["blue rod", "cold widget"], type=pa.string()),
+                "p_size": pa.array([15, 9], type=pa.int32()),
+            }
+        ),
+    )
+    _write(
+        tmp_path,
+        "supplier",
+        pa.table(
+            {
+                "s_suppkey": pa.array([7, 3, 5], type=pa.int64()),
+                "s_name": pa.array(["S7", "S3", "S5"], type=pa.string()),
+            }
+        ),
+    )
+    # part 1: suppliers 7 and 3 tie at the min price 1.00 → winner 3;
+    # part 2 is outside the size slice and must not appear
+    _write(
+        tmp_path,
+        "lineitem",
+        pa.table(
+            {
+                "l_partkey": pa.array([1, 1, 1, 2], type=pa.int64()),
+                "l_suppkey": pa.array([7, 3, 5, 7], type=pa.int64()),
+                "l_extendedprice": pa.array([1.0, 1.0, 2.5, 0.5], type=pa.float64()),
+            }
+        ),
+    )
+    out = _to_pandas(min_cost_supplier(str(tmp_path)))
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert row["p_partkey"] == 1 and row["s_suppkey"] == 3
+    assert row["s_name"] == "S3" and row["price_cents"] == 100
+    assert row["p_name"] == "blue rod"
+
+
+def test_product_profit_exact_negative_profit(tmp_path):
+    # revenue 100·(1-0.1) = 90.00 → 9000c; cost = retail 50.00 × qty 3
+    # = 15000c → profit −6000c, exact integer all the way.
+    import datetime
+
+    import pyarrow as pa
+
+    from bioner_ray.pipelines.analytics import product_profit
+
+    _write(
+        tmp_path,
+        "part",
+        pa.table(
+            {
+                "p_partkey": pa.array([1, 2], type=pa.int64()),
+                "p_name": pa.array(["cold widget", "blue rod"], type=pa.string()),
+                "p_retailprice": pa.array([50.0, 1.0], type=pa.float64()),
+            }
+        ),
+    )
+    _write(
+        tmp_path,
+        "supplier",
+        pa.table(
+            {
+                "s_suppkey": pa.array([1], type=pa.int64()),
+                "s_nationkey": pa.array([4], type=pa.int32()),
+            }
+        ),
+    )
+    _write(
+        tmp_path,
+        "nation",
+        pa.table(
+            {
+                "n_nationkey": pa.array([4], type=pa.int32()),
+                "n_name": pa.array(["NATION_4"], type=pa.string()),
+            }
+        ),
+    )
+    _write(
+        tmp_path,
+        "orders",
+        pa.table(
+            {
+                "o_orderkey": pa.array([10], type=pa.int64()),
+                "o_orderdate": pa.array(
+                    [datetime.datetime(1997, 6, 1)], type=pa.timestamp("us")
+                ),
+            }
+        ),
+    )
+    # second row is a non-widget part and must be pruned at the scan
+    _write(
+        tmp_path,
+        "lineitem",
+        pa.table(
+            {
+                "l_orderkey": pa.array([10, 10], type=pa.int64()),
+                "l_partkey": pa.array([1, 2], type=pa.int64()),
+                "l_suppkey": pa.array([1, 1], type=pa.int64()),
+                "l_quantity": pa.array([3, 1], type=pa.int64()),
+                "l_extendedprice": pa.array([100.0, 9.0], type=pa.float64()),
+                "l_discount": pa.array([0.1, 0.0], type=pa.float64()),
+            }
+        ),
+    )
+    out = _to_pandas(product_profit(str(tmp_path)))
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert row["nation"] == "NATION_4" and row["o_year"] == 1997
+    assert row["profit_cents"] == 9000 - 15000
