@@ -224,6 +224,9 @@ OPERATOR_QUERIES = [
     "late_shipments",
     "min_cost_supplier",
     "product_profit",
+    "important_parts",
+    "waiting_suppliers",
+    "kg_sssp",
 ]
 
 

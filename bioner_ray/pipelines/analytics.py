@@ -5998,3 +5998,241 @@ def product_profit(sf_dir: str, name_word: str = "widget"):
         ),
         ensure_block=True,
     )
+
+
+def kg_sssp(sf_dir: str, n_seeds: int = 3, rounds: int = 4):
+    """Multi-source weighted shortest paths over the canonical KG
+    (stages/graph.py sssp_distances): fixed-round Bellman-Ford with
+    integer edge cost 1_000_000 // weight (strong associations = short
+    hops), seeds = the n_seeds lexicographically-smallest entities.
+    The weighted companion to kg_bfs's unweighted hop counts — "how
+    tightly is this entity coupled to the seed set", the KG-serving
+    proximity query. Columns: node, dist."""
+    from bioner_ray.stages.graph import sssp_distances
+
+    return sssp_distances(kg_edges(sf_dir), n_seeds=n_seeds, rounds=rounds)
+
+
+def important_parts(sf_dir: str, mean_num: int = 3, mean_den: int = 2):
+    """TPC-H Q11 shape adapted (no partsupp: lineitem revenue stands in
+    for stock value): parts whose total revenue exceeds (``mean_num``/``mean_den``)×
+    the MEAN per-part revenue — the per-group-vs-global-scalar filter,
+    with a scale-free cutoff (Q11's literal 0.0001 fraction empties as
+    the part dimension grows; the mean-relative form stays non-vacuous
+    at every sf). Per-part value is ONE combiner-pruned bucketed
+    aggregate; the global total and part count re-aggregate that
+    part-dim-bounded table (never the lineitem stream) and the
+    comparison cross-multiplies into exact integers
+    (value · n_parts · mean_den > mean_num · total), no division on either side.
+    Columns: p_partkey, value_cents."""
+    from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema
+
+    def prep(t: pa.Table) -> pa.Table:
+        rev = pc.cast(
+            pc.round(
+                pc.multiply(
+                    pc.multiply(
+                        pc.cast(t.column("l_extendedprice"), pa.float64()),
+                        pc.subtract(
+                            pa.scalar(1.0), pc.cast(t.column("l_discount"), pa.float64())
+                        ),
+                    ),
+                    100.0,
+                ),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        return pa.table({"p_partkey": t.column("l_partkey"), "value_cents": rev})
+
+    per_part = pin_schema(
+        bucketed_aggregate(
+            _read(sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice", "l_discount"])
+            .map_batches(prep, batch_format="pyarrow"),
+            ["p_partkey"],
+            [("value_cents", "sum")],
+        ),
+        pa.schema([("p_partkey", pa.int64()), ("value_cents", pa.int64())]),
+        ensure_block=True,
+    ).materialize()
+    # global total + part count: fold the part-dim-bounded table
+    total, n_parts = 0, 0
+    for b in per_part.iter_batches(batch_format="pyarrow"):
+        if b.num_columns:
+            total += int(pc.sum(b.column("value_cents")).as_py() or 0)
+            n_parts += b.num_rows
+
+    def keep(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.schema(
+                [("p_partkey", pa.int64()), ("value_cents", pa.int64())]
+            ).empty_table()
+        v = t.column("value_cents").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(v * n_parts * mean_den > mean_num * total))
+
+    return per_part.map_batches(keep, batch_format="pyarrow")
+
+
+def waiting_suppliers(sf_dir: str, k: int = 10):
+    """TPC-H Q21 shape adapted to the testdata's columns (returnflag
+    marks the fault instead of the missing commit/receipt dates): for
+    finalized orders (o_orderstatus = 'F') that involve ≥ 2 suppliers
+    where EXACTLY ONE supplier had lineitems returned, blame that
+    supplier; rank suppliers by orders blamed. The classic
+    multi-EXISTS/NOT-EXISTS correlated pair collapses into ONE
+    orderkey-bucketed aggregate: per (orderkey, suppkey) fold
+    (returned-any), then per orderkey count suppliers / count returned
+    suppliers / max(returned ? suppkey) — blame iff n_ret_supp = 1 AND
+    n_supp ≥ 2. The order-status filter joins the per-order table
+    (orders-sized, not lineitem-sized) against filtered orders; the
+    final per-supplier count is combiner-pruned with a k-bounded
+    global top-k (numwait DESC, suppkey ASC). Columns: s_suppkey,
+    s_name, numwait."""
+    import ray
+
+    from bioner_ray.stages.rank import top_k_per_group
+    from bioner_ray.stages.shuffle import bucketed_aggregate, bucketed_inner_join, pin_schema
+
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"]).to_pandas()
+    sname_ref = ray.put(dict(zip(supp["s_suppkey"].astype(int), supp["s_name"])))
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_returnflag"]).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t.column("l_orderkey"),
+                "l_suppkey": pc.cast(t.column("l_suppkey"), pa.int64()),
+                "ret": pc.cast(pc.equal(t.column("l_returnflag"), "R"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    per_os = pin_schema(
+        bucketed_aggregate(li, ["o_orderkey", "l_suppkey"], [("ret", "max")]),
+        pa.schema([("o_orderkey", pa.int64()), ("l_suppkey", pa.int64()), ("ret", pa.int64())]),
+    )
+
+    def order_fold(t: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [
+                ("o_orderkey", pa.int64()),
+                ("n_supp", pa.int64()),
+                ("n_ret_supp", pa.int64()),
+                ("blamed", pa.int64()),
+            ]
+        )
+        if t.num_columns == 0 or t.num_rows == 0:
+            return schema.empty_table()
+        ret = t.column("ret").to_numpy(zero_copy_only=False)
+        sk = t.column("l_suppkey").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "n_supp": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                "n_ret_supp": pa.array(ret.astype(np.int64)),
+                # max over (ret ? suppkey : -1) identifies the single
+                # returned supplier whenever n_ret_supp == 1
+                "blamed": pa.array(np.where(ret > 0, sk, -1).astype(np.int64)),
+            }
+        )
+
+    per_order = pin_schema(
+        bucketed_aggregate(
+            per_os.map_batches(order_fold, batch_format="pyarrow"),
+            ["o_orderkey"],
+            [("n_supp", "sum"), ("n_ret_supp", "sum"), ("blamed", "max")],
+        ),
+        pa.schema(
+            [
+                ("o_orderkey", pa.int64()),
+                ("n_supp", pa.int64()),
+                ("n_ret_supp", pa.int64()),
+                ("blamed", pa.int64()),
+            ]
+        ),
+    )
+    fin = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"]).map_batches(
+        lambda t: t.filter(pc.equal(t.column("o_orderstatus"), "F")).select(["o_orderkey"]),
+        batch_format="pyarrow",
+    )
+    blamed = bucketed_inner_join(
+        per_order,
+        fin,
+        ["o_orderkey"],
+        pa.schema(
+            [
+                ("o_orderkey", pa.int64()),
+                ("n_supp", pa.int64()),
+                ("n_ret_supp", pa.int64()),
+                ("blamed", pa.int64()),
+            ]
+        ),
+        pa.schema([("o_orderkey", pa.int64())]),
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "s_suppkey": t.filter(
+                    pc.and_(
+                        pc.equal(t.column("n_ret_supp"), 1),
+                        pc.greater_equal(t.column("n_supp"), 2),
+                    )
+                ).column("blamed"),
+            }
+        )
+        if t.num_columns
+        else pa.schema([("s_suppkey", pa.int64())]).empty_table(),
+        batch_format="pyarrow",
+    )
+    counts = pin_schema(
+        bucketed_aggregate(
+            blamed.map_batches(
+                lambda t: t.append_column(
+                    "numwait", pa.array(np.ones(t.num_rows, dtype=np.int64))
+                ),
+                batch_format="pyarrow",
+            ),
+            ["s_suppkey"],
+            [("numwait", "sum")],
+        ),
+        pa.schema([("s_suppkey", pa.int64()), ("numwait", pa.int64())]),
+        ensure_block=True,
+    )
+    top = top_k_per_group(
+        counts.map_batches(
+            lambda t: t.append_column("_one", pa.array(np.ones(t.num_rows, dtype=np.int64)))
+            if t.num_columns
+            else pa.schema(
+                [("s_suppkey", pa.int64()), ("numwait", pa.int64()), ("_one", pa.int64())]
+            ).empty_table(),
+            batch_format="pyarrow",
+        ),
+        "_one",
+        [("numwait", "descending"), ("s_suppkey", "ascending")],
+        k,
+    )
+
+    def attach(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        schema = pa.schema(
+            [
+                ("s_suppkey", pa.int64()),
+                ("s_name", pa.string()),
+                ("numwait", pa.int64()),
+                ("rk", pa.int64()),
+            ]
+        )
+        if t.num_columns == 0 or t.num_rows == 0:
+            return schema.empty_table()
+        names = _ray.get(sname_ref)
+        return pa.table(
+            {
+                "s_suppkey": t.column("s_suppkey"),
+                "s_name": pa.array(
+                    [names[s] for s in t.column("s_suppkey").to_pylist()], type=pa.string()
+                ),
+                "numwait": t.column("numwait"),
+                "rk": t.column("rk"),
+            }
+        )
+
+    return top.map_batches(attach, batch_format="pyarrow")

@@ -2195,3 +2195,158 @@ def hits(
         out,
         pa.schema([("node", pa.string()), ("hub", pa.int64()), ("auth", pa.int64())]),
     )
+
+
+def sssp_distances(
+    edges_ds,
+    n_seeds: int = 3,
+    rounds: int = 4,
+    base_cost: int = 1_000_000,
+    subj_col: str = "subj",
+    obj_col: str = "obj",
+    weight_col: str = "weight",
+    num_buckets: int = 256,
+):
+    """Multi-source WEIGHTED shortest paths (fixed-round Bellman-Ford)
+    over the undirected KG: edge cost = ``base_cost // w`` (integer —
+    strong associations are short hops, exactly replayable as DuckDB
+    ``//``), seeds = the ``n_seeds`` lexicographically-smallest nodes
+    at distance 0. Round r relaxes every edge once: dist'(v) =
+    min(dist(v), min over in-edges (dist(u) + cost(u,v))). After k
+    rounds dist(v) is the exact shortest distance over paths of ≤ k
+    edges — the bounded-horizon form a 10^12-node graph actually
+    serves (full convergence needs diameter rounds; the twin replays
+    the same k).
+
+    Scale shape: the dist table is node-sized; per round ONE bucketed
+    join (dist ⋈ adjacency, keyed src) + ONE bucketed min-aggregate
+    over dist ∪ candidates — the kg_pagerank exchange pattern, with
+    materialize-per-round to cut lineage. Relaxation is monotone
+    non-increasing, so converged rounds are no-ops (fixpoint-safe).
+    Columns: node, dist (absent = unreachable within k edges).
+
+    No reference analog (extension per SURVEY.md §2.11); the graph
+    serving pattern next to bfs_distances' unweighted hops.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def to_adj(batch: pa.Table) -> pa.Table:
+        s = pc.cast(batch.column(subj_col), pa.string()).combine_chunks()
+        o = pc.cast(batch.column(obj_col), pa.string()).combine_chunks()
+        if weight_col in batch.column_names:
+            w = pc.cast(batch.column(weight_col), pa.int64()).combine_chunks()
+        else:
+            w = pa.array([1] * batch.num_rows, type=pa.int64())
+        keep = pc.not_equal(s, o)
+        s, o, w = s.filter(keep), o.filter(keep), w.filter(keep)
+        return pa.table(
+            {
+                "src": pa.chunked_array([s, o]).combine_chunks(),
+                "dst": pa.chunked_array([o, s]).combine_chunks(),
+                "w": pa.chunked_array([w, w]).combine_chunks(),
+            }
+        )
+
+    adj_schema = pa.schema([("src", pa.string()), ("dst", pa.string()), ("w", pa.int64())])
+    cost_schema = pa.schema(
+        [("src", pa.string()), ("dst", pa.string()), ("cost", pa.int64())]
+    )
+    adj = pin_schema(
+        bucketed_aggregate(
+            edges_ds.map_batches(to_adj, batch_format="pyarrow"),
+            ["src", "dst"],
+            [("w", "sum")],
+            num_buckets=num_buckets,
+        ),
+        adj_schema,
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "src": t.column("src"),
+                "dst": t.column("dst"),
+                "cost": pa.array(
+                    base_cost
+                    // t.column("w").to_numpy(zero_copy_only=False).astype(np.int64)
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    adj = pin_schema(adj, cost_schema).materialize()
+
+    node_schema = pa.schema([("node", pa.string())])
+    dist_schema = pa.schema([("node", pa.string()), ("dist", pa.int64())])
+
+    seeds = (
+        pin_schema(
+            bucketed_aggregate(
+                with_ones(
+                    adj.map_batches(
+                        lambda t: t.select(["src"]).rename_columns(["node"]),
+                        batch_format="pyarrow",
+                    )
+                ),
+                ["node"],
+                [("one", "min")],
+                num_buckets=num_buckets,
+            ).map_batches(lambda t: t.select(["node"]), batch_format="pyarrow"),
+            node_schema,
+        )
+        .sort("node")
+        .limit(n_seeds)
+    )
+    dist = pin_schema(
+        seeds.map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t.column("node"),
+                    "dist": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        dist_schema,
+    ).materialize()
+
+    for _ in range(rounds):
+        relaxed = pin_schema(
+            bucketed_inner_join(
+                adj,
+                dist.map_batches(
+                    lambda t: t.rename_columns(["src", "dist"]), batch_format="pyarrow"
+                ),
+                ["src"],
+                cost_schema,
+                pa.schema([("src", pa.string()), ("dist", pa.int64())]),
+                num_buckets=num_buckets,
+            ),
+            pa.schema(
+                [
+                    ("src", pa.string()),
+                    ("dst", pa.string()),
+                    ("cost", pa.int64()),
+                    ("dist", pa.int64()),
+                ]
+            ),
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t.column("dst"),
+                    "dist": pc.add(t.column("dist"), t.column("cost")),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        dist = pin_schema(
+            bucketed_aggregate(
+                dist.union(relaxed),
+                ["node"],
+                [("dist", "min")],
+                num_buckets=num_buckets,
+            ),
+            dist_schema,
+            ensure_block=True,
+        ).materialize()
+
+    return dist

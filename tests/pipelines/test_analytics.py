@@ -503,3 +503,99 @@ def test_product_profit_exact_negative_profit(tmp_path):
     row = out.iloc[0]
     assert row["nation"] == "NATION_4" and row["o_year"] == 1997
     assert row["profit_cents"] == 9000 - 15000
+
+
+def test_important_parts_mean_cutoff(tmp_path):
+    # three parts with values 100, 100, 400 → mean 200, cutoff 1.5× =
+    # 300: only part 3 survives, via exact integer cross-multiply.
+    import pyarrow as pa
+
+    from bioner_ray.pipelines.analytics import important_parts
+
+    _write(
+        tmp_path,
+        "lineitem",
+        pa.table(
+            {
+                "l_partkey": pa.array([1, 2, 3, 3], type=pa.int64()),
+                "l_extendedprice": pa.array([1.0, 1.0, 3.0, 1.0], type=pa.float64()),
+                "l_discount": pa.array([0.0, 0.0, 0.0, 0.0], type=pa.float64()),
+            }
+        ),
+    )
+    out = _to_pandas(important_parts(str(tmp_path)))
+    assert len(out) == 1
+    assert out.iloc[0]["p_partkey"] == 3 and out.iloc[0]["value_cents"] == 400
+
+
+def test_waiting_suppliers_blame_rules(tmp_path):
+    # order 1 (F): suppliers 5 and 9, only 9 returned → 9 blamed.
+    # order 2 (F): single supplier 9 returned → NOT blamed (no coworker).
+    # order 3 (F): suppliers 5, 9 BOTH returned → neither blamed.
+    # order 4 (O): same shape as order 1 but not finalized → excluded.
+    import pyarrow as pa
+
+    from bioner_ray.pipelines.analytics import waiting_suppliers
+
+    _write(
+        tmp_path,
+        "supplier",
+        pa.table(
+            {
+                "s_suppkey": pa.array([5, 9], type=pa.int64()),
+                "s_name": pa.array(["S5", "S9"], type=pa.string()),
+            }
+        ),
+    )
+    _write(
+        tmp_path,
+        "orders",
+        pa.table(
+            {
+                "o_orderkey": pa.array([1, 2, 3, 4], type=pa.int64()),
+                "o_orderstatus": pa.array(["F", "F", "F", "O"], type=pa.string()),
+            }
+        ),
+    )
+    _write(
+        tmp_path,
+        "lineitem",
+        pa.table(
+            {
+                "l_orderkey": pa.array([1, 1, 2, 3, 3, 4, 4], type=pa.int64()),
+                "l_suppkey": pa.array([5, 9, 9, 5, 9, 5, 9], type=pa.int64()),
+                "l_returnflag": pa.array(
+                    ["N", "R", "R", "R", "R", "N", "R"], type=pa.string()
+                ),
+            }
+        ),
+    )
+    out = _to_pandas(waiting_suppliers(str(tmp_path)))
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert row["s_suppkey"] == 9 and row["s_name"] == "S9"
+    assert row["numwait"] == 1 and row["rk"] == 1
+
+
+def test_sssp_distances_relaxes_two_hops():
+    # a-b cost 1e6//1, b-c cost 1e6//2 → c reachable only through b at
+    # 1_500_000; seed = lexicographic min 'a' alone.
+    import pyarrow as pa
+    import ray.data as rd
+
+    from bioner_ray.stages.graph import sssp_distances
+
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "subj": pa.array(["a", "b"], type=pa.string()),
+                "pred": pa.array(["r", "r"], type=pa.string()),
+                "obj": pa.array(["b", "c"], type=pa.string()),
+                "weight": pa.array([1, 2], type=pa.int64()),
+            }
+        )
+    )
+    out = _to_pandas(sssp_distances(edges, n_seeds=1, rounds=4)).set_index("node")["dist"]
+    assert out.loc["a"] == 0
+    assert out.loc["b"] == 1_000_000
+    assert out.loc["c"] == 1_500_000
