@@ -227,6 +227,9 @@ OPERATOR_QUERIES = [
     "important_parts",
     "waiting_suppliers",
     "kg_sssp",
+    "bulk_suppliers",
+    "events_day_over_day",
+    "embedding_drift",
 ]
 
 

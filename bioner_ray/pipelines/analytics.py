@@ -6236,3 +6236,283 @@ def waiting_suppliers(sf_dir: str, k: int = 10):
         )
 
     return top.map_batches(attach, batch_format="pyarrow")
+
+
+def bulk_suppliers(sf_dir: str, name_word: str = "bolt", year: int = 1996):
+    """TPC-H Q20 shape adapted (no partsupp: a supplier "dominates" a
+    part when it shipped MORE THAN HALF of that part's total quantity
+    in the year, standing in for availqty > ½·shipped): suppliers that
+    dominate ≥ 1 part of the name slice, with how many. The correlated
+    scalar subquery (per-part total vs per-(part, supplier) share)
+    collapses into TWO aggregates over the scan-pruned slice — per
+    (part, supplier) then per part over that already-combined table —
+    plus one partkey-bucketed join-back and the exact cross-multiplied
+    comparison 2·supp_qty > part_qty. Supplier names broadcast.
+    Columns: s_suppkey, s_name, n_parts_dominated."""
+    import ray
+
+    from bioner_ray.stages.shuffle import bucketed_aggregate, bucketed_inner_join, pin_schema
+
+    part = (
+        _read(sf_dir, "part", columns=["p_partkey", "p_name"])
+        .map_batches(
+            lambda t: t.filter(pc.match_substring(t.column("p_name"), name_word)).select(
+                ["p_partkey"]
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    pk_ref = ray.put(np.sort(part["p_partkey"].to_numpy().astype(np.int64)))
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"]).to_pandas()
+    sname_ref = ray.put(dict(zip(supp["s_suppkey"].astype(int), supp["s_name"])))
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(pc.year(t.column("l_shipdate")), year))
+        keys = ray.get(pk_ref)
+        keep = np.isin(t.column("l_partkey").to_numpy(zero_copy_only=False), keys)
+        t = t.filter(pa.array(keep))
+        return pa.table(
+            {
+                "l_partkey": t.column("l_partkey"),
+                "l_suppkey": pc.cast(t.column("l_suppkey"), pa.int64()),
+                "qty": pc.cast(t.column("l_quantity"), pa.int64()),
+            }
+        )
+
+    li = _read(
+        sf_dir, "lineitem", columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"]
+    ).map_batches(li_prep, batch_format="pyarrow")
+    ps_schema = pa.schema(
+        [("l_partkey", pa.int64()), ("l_suppkey", pa.int64()), ("qty", pa.int64())]
+    )
+    per_ps = pin_schema(
+        bucketed_aggregate(li, ["l_partkey", "l_suppkey"], [("qty", "sum")]), ps_schema
+    ).materialize()
+    per_part = pin_schema(
+        bucketed_aggregate(
+            per_ps.map_batches(
+                lambda t: pa.table(
+                    {"l_partkey": t.column("l_partkey"), "part_qty": t.column("qty")}
+                ),
+                batch_format="pyarrow",
+            ),
+            ["l_partkey"],
+            [("part_qty", "sum")],
+        ),
+        pa.schema([("l_partkey", pa.int64()), ("part_qty", pa.int64())]),
+    )
+    joined = bucketed_inner_join(
+        per_ps,
+        per_part,
+        ["l_partkey"],
+        ps_schema,
+        pa.schema([("l_partkey", pa.int64()), ("part_qty", pa.int64())]),
+    )
+
+    def dominate(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("s_suppkey", pa.int64()), ("n_parts_dominated", pa.int64())])
+        if t.num_columns == 0 or t.num_rows == 0:
+            return schema.empty_table()
+        q = t.column("qty").to_numpy(zero_copy_only=False)
+        pq_ = t.column("part_qty").to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(2 * q > pq_))
+        return pa.table(
+            {
+                "s_suppkey": t.column("l_suppkey"),
+                "n_parts_dominated": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    counts = pin_schema(
+        bucketed_aggregate(
+            joined.map_batches(dominate, batch_format="pyarrow"),
+            ["s_suppkey"],
+            [("n_parts_dominated", "sum")],
+        ),
+        pa.schema([("s_suppkey", pa.int64()), ("n_parts_dominated", pa.int64())]),
+        ensure_block=True,
+    )
+
+    def attach(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        schema = pa.schema(
+            [
+                ("s_suppkey", pa.int64()),
+                ("s_name", pa.string()),
+                ("n_parts_dominated", pa.int64()),
+            ]
+        )
+        if t.num_columns == 0 or t.num_rows == 0:
+            return schema.empty_table()
+        names = _ray.get(sname_ref)
+        return pa.table(
+            {
+                "s_suppkey": t.column("s_suppkey"),
+                "s_name": pa.array(
+                    [names[s] for s in t.column("s_suppkey").to_pylist()], type=pa.string()
+                ),
+                "n_parts_dominated": t.column("n_parts_dominated"),
+            }
+        )
+
+    return counts.map_batches(attach, batch_format="pyarrow")
+
+
+def events_day_over_day(sf_dir: str):
+    """Day-over-day deltas per event type — LAG() OVER (PARTITION BY
+    type ORDER BY day) applied to the CALENDAR-BOUNDED daily aggregate,
+    never the event stream: one combiner-pruned bucketed aggregate to
+    (type, day) rows, then the lag pairing runs driver-side on the
+    types × days table (the events_pivot / value_percentiles finish
+    pattern). First day per type has no predecessor and is dropped,
+    matching the twin's LAG IS NOT NULL. Columns: event_type, day,
+    value_cents, prev_cents, delta_cents."""
+    from bioner_ray.stages.shuffle import bucketed_aggregate
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "day": pc.floor_temporal(batch.column("ts"), unit="day"),
+                "value_cents": _cents(batch.column("value")),
+            }
+        )
+
+    daily = bucketed_aggregate(
+        _read(sf_dir, "events", columns=["ts", "event_type", "value"]).map_batches(
+            prep, batch_format="pyarrow"
+        ),
+        ["event_type", "day"],
+        [("value_cents", "sum")],
+    )
+    rows = sorted(
+        (
+            (r["event_type"], r["day"], r["value_cents"])
+            for r in daily.take_all()  # bounded: types × calendar days
+        )
+    )
+    out = {"event_type": [], "day": [], "value_cents": [], "prev_cents": [], "delta_cents": []}
+    for i in range(1, len(rows)):
+        (et0, _, v0), (et1, d1, v1) = rows[i - 1], rows[i]
+        if et0 != et1:
+            continue
+        out["event_type"].append(et1)
+        out["day"].append(d1)
+        out["value_cents"].append(v1)
+        out["prev_cents"].append(v0)
+        out["delta_cents"].append(v1 - v0)
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"], type=pa.string()),
+            "day": pa.array(out["day"], type=pa.timestamp("us")),
+            "value_cents": pa.array(out["value_cents"], type=pa.int64()),
+            "prev_cents": pa.array(out["prev_cents"], type=pa.int64()),
+            "delta_cents": pa.array(out["delta_cents"], type=pa.int64()),
+        }
+    )
+
+
+def embedding_drift(sf_dir: str):
+    """Split-half centroid drift per label — the training-data drift
+    monitor: embeddings split into two deterministic halves by vec_id
+    parity, and per label the squared distance between the halves'
+    centroids is computed EXACTLY. Floats quantize once to integer
+    micromarks (floor(x·1e6), identical in DuckDB); per-(label, half,
+    dim) sums and per-(label, half) counts are two combiner-pruned
+    bucketed aggregates; the finish walks the labels × dims bounded
+    table with arbitrary-precision ints — the centroid difference
+    clears denominators as (sa·nb − sb·na) per dim, so drift_num =
+    Σ_dim (sa·nb − sb·na)² and den = (na·nb)² are exact integers and
+    drift = double(num)/double(den) replays DuckDB's HUGEINT→DOUBLE
+    rounding bit-for-bit (the copurchase_assortativity pattern).
+    Columns: label, n_a, n_b, drift."""
+    from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema
+
+    def explode(t: pa.Table) -> pa.Table:
+        emb = t.column("embedding").combine_chunks()
+        off = emb.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = emb.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        vals = vals[off[0] : off[-1]]
+        lengths = np.diff(off)
+        lab = np.repeat(
+            t.column("label").to_numpy(zero_copy_only=False).astype(np.int64), lengths
+        )
+        par = np.repeat(
+            (t.column("vec_id").to_numpy(zero_copy_only=False) % 2).astype(np.int64),
+            lengths,
+        )
+        # 1-based dim matches DuckDB list indexing
+        dim = np.concatenate([np.arange(1, n + 1, dtype=np.int64) for n in lengths])
+        q = np.floor(vals * 1_000_000.0).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(lab),
+                "parity": pa.array(par),
+                "dim": pa.array(dim),
+                "sum_q": pa.array(q),
+            }
+        )
+
+    emb_ds = _read(sf_dir, "embeddings", columns=["vec_id", "label", "embedding"])
+    sums = pin_schema(
+        bucketed_aggregate(
+            emb_ds.map_batches(explode, batch_format="pyarrow"),
+            ["label", "parity", "dim"],
+            [("sum_q", "sum")],
+        ),
+        pa.schema(
+            [
+                ("label", pa.int64()),
+                ("parity", pa.int64()),
+                ("dim", pa.int64()),
+                ("sum_q", pa.int64()),
+            ]
+        ),
+    )
+    counts = bucketed_aggregate(
+        emb_ds.map_batches(
+            lambda t: pa.table(
+                {
+                    "label": pc.cast(t.column("label"), pa.int64()),
+                    "parity": pc.cast(
+                        pc.bit_wise_and(t.column("vec_id"), 1), pa.int64()
+                    ),
+                    "n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        ["label", "parity"],
+        [("n", "sum")],
+    )
+    n_by = {(r["label"], r["parity"]): r["n"] for r in counts.take_all()}
+    s_by: dict[tuple[int, int], dict[int, int]] = {}
+    for r in sums.take_all():  # bounded: labels × 2 × dims
+        s_by.setdefault((r["label"], r["parity"]), {})[r["dim"]] = r["sum_q"]
+
+    labels = sorted({k[0] for k in n_by})
+    out = {"label": [], "n_a": [], "n_b": [], "drift": []}
+    for lab in labels:
+        na, nb = n_by.get((lab, 0), 0), n_by.get((lab, 1), 0)
+        if na == 0 or nb == 0:
+            continue  # a one-sided label has no drift to measure
+        sa, sb = s_by.get((lab, 0), {}), s_by.get((lab, 1), {})
+        num = 0
+        for d in set(sa) | set(sb):
+            diff = sa.get(d, 0) * nb - sb.get(d, 0) * na  # exact python int
+            num += diff * diff
+        den = (na * nb) ** 2
+        out["label"].append(lab)
+        out["n_a"].append(na)
+        out["n_b"].append(nb)
+        out["drift"].append(float(num) / float(den))
+    return pa.table(
+        {
+            "label": pa.array(out["label"], type=pa.int64()),
+            "n_a": pa.array(out["n_a"], type=pa.int64()),
+            "n_b": pa.array(out["n_b"], type=pa.int64()),
+            "drift": pa.array(out["drift"], type=pa.float64()),
+        }
+    )

@@ -599,3 +599,105 @@ def test_sssp_distances_relaxes_two_hops():
     assert out.loc["a"] == 0
     assert out.loc["b"] == 1_000_000
     assert out.loc["c"] == 1_500_000
+
+
+def test_bulk_suppliers_dominance_cutoff(tmp_path):
+    # part 1 total 10: supplier 5 ships 6 (dominates), supplier 9
+    # ships 4 (does not — strict >half); part 2 split 5/5 → nobody.
+    # 1995 rows must be excluded by the year filter.
+    import datetime
+
+    import pyarrow as pa
+
+    from bioner_ray.pipelines.analytics import bulk_suppliers
+
+    y96 = datetime.datetime(1996, 6, 1)
+    y95 = datetime.datetime(1995, 6, 1)
+    _write(
+        tmp_path,
+        "part",
+        pa.table(
+            {
+                "p_partkey": pa.array([1, 2, 3], type=pa.int64()),
+                "p_name": pa.array(["large bolt", "small bolt", "blue rod"], type=pa.string()),
+            }
+        ),
+    )
+    _write(
+        tmp_path,
+        "supplier",
+        pa.table(
+            {
+                "s_suppkey": pa.array([5, 9], type=pa.int64()),
+                "s_name": pa.array(["S5", "S9"], type=pa.string()),
+            }
+        ),
+    )
+    _write(
+        tmp_path,
+        "lineitem",
+        pa.table(
+            {
+                "l_partkey": pa.array([1, 1, 2, 2, 1, 3], type=pa.int64()),
+                "l_suppkey": pa.array([5, 9, 5, 9, 9, 5], type=pa.int64()),
+                "l_quantity": pa.array([6, 4, 5, 5, 100, 50], type=pa.int64()),
+                "l_shipdate": pa.array([y96, y96, y96, y96, y95, y96], type=pa.timestamp("us")),
+            }
+        ),
+    )
+    out = _to_pandas(bulk_suppliers(str(tmp_path)))
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert row["s_suppkey"] == 5 and row["s_name"] == "S5"
+    assert row["n_parts_dominated"] == 1
+
+
+def test_events_day_over_day_lags_present_days():
+    # LAG pairs consecutive PRESENT days per type (gap days are not
+    # zero-filled), first day per type is dropped — validate against a
+    # direct DuckDB window replay on the same input.
+    from bioner_ray.pipelines.analytics import events_day_over_day
+
+    out = _to_pandas(events_day_over_day(SF_DIR))
+    c = duckdb.connect()
+    c.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF_DIR}/events.parquet')")
+    ref = c.sql(
+        """
+WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
+                      CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+               FROM events GROUP BY 1, 2)
+SELECT count(*) AS n FROM (
+  SELECT *, LAG(v) OVER (PARTITION BY event_type ORDER BY day) AS p FROM daily
+) WHERE p IS NOT NULL
+"""
+    ).fetchone()[0]
+    assert len(out) == ref
+    assert (out["delta_cents"] == out["value_cents"] - out["prev_cents"]).all()
+
+
+def test_embedding_drift_zero_for_identical_halves(tmp_path):
+    # two vecs per label with IDENTICAL embeddings on both parities →
+    # drift exactly 0.0; a shifted label must be strictly positive.
+    import pyarrow as pa
+
+    from bioner_ray.pipelines.analytics import embedding_drift
+
+    same = [0.5, -1.25]
+    shifted = [2.0, 0.75]
+    _write(
+        tmp_path,
+        "embeddings",
+        pa.table(
+            {
+                "vec_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+                "embedding": pa.array(
+                    [same, same, same, shifted], type=pa.list_(pa.float32())
+                ),
+                "label": pa.array([7, 7, 8, 8], type=pa.int32()),
+            }
+        ),
+    )
+    out = _to_pandas(embedding_drift(str(tmp_path))).set_index("label")
+    assert out.loc[7, "drift"] == 0.0
+    assert out.loc[8, "drift"] > 0.0
+    assert out.loc[7, "n_a"] == 1 and out.loc[7, "n_b"] == 1
