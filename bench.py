@@ -230,6 +230,9 @@ OPERATOR_QUERIES = [
     "bulk_suppliers",
     "events_day_over_day",
     "embedding_drift",
+    "daily_reconciliation",
+    "kg_degree_histogram",
+    "temperature_mix",
 ]
 
 

@@ -6516,3 +6516,119 @@ def embedding_drift(sf_dir: str):
             "drift": pa.array(out["drift"], type=pa.float64()),
         }
     )
+
+
+def daily_reconciliation(sf_dir: str):
+    """Cross-table audit: daily event value vs daily order value,
+    FULL OUTER joined on the day so days present in only one stream
+    still surface (the data-quality reconciliation every ingest
+    pipeline runs between its activity log and its transaction store).
+    Both sides fold to calendar-bounded daily aggregates BEFORE the
+    join — the exchange moves days, never events — and the join is the
+    engine's empty-partition-proof bucketed join in its ``full outer``
+    mode (pyarrow coalesces the key, so the day is never null; missing
+    sides are 0-filled). Columns: day, events_cents, orders_cents,
+    gap_cents."""
+    from bioner_ray.stages.shuffle import bucketed_aggregate, bucketed_inner_join, pin_schema
+
+    ev = bucketed_aggregate(
+        _read(sf_dir, "events", columns=["ts", "value"]).map_batches(
+            lambda t: pa.table(
+                {
+                    "day": pc.floor_temporal(t.column("ts"), unit="day"),
+                    "events_cents": _cents(t.column("value")),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        ["day"],
+        [("events_cents", "sum")],
+    )
+    orders = bucketed_aggregate(
+        _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"]).map_batches(
+            lambda t: pa.table(
+                {
+                    "day": pc.floor_temporal(t.column("o_orderdate"), unit="day"),
+                    "orders_cents": _cents(t.column("o_totalprice")),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        ["day"],
+        [("orders_cents", "sum")],
+    )
+    joined = bucketed_inner_join(
+        pin_schema(ev, pa.schema([("day", pa.timestamp("us")), ("events_cents", pa.int64())])),
+        pin_schema(
+            orders, pa.schema([("day", pa.timestamp("us")), ("orders_cents", pa.int64())])
+        ),
+        ["day"],
+        pa.schema([("day", pa.timestamp("us")), ("events_cents", pa.int64())]),
+        pa.schema([("day", pa.timestamp("us")), ("orders_cents", pa.int64())]),
+        join_type="full outer",
+    )
+
+    def fill(t: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [
+                ("day", pa.timestamp("us")),
+                ("events_cents", pa.int64()),
+                ("orders_cents", pa.int64()),
+                ("gap_cents", pa.int64()),
+            ]
+        )
+        if t.num_columns == 0 or t.num_rows == 0:
+            return schema.empty_table()
+        e = pc.fill_null(t.column("events_cents"), 0)
+        o = pc.fill_null(t.column("orders_cents"), 0)
+        return pa.table(
+            {
+                "day": t.column("day"),
+                "events_cents": e,
+                "orders_cents": o,
+                "gap_cents": pc.subtract(e, o),
+            }
+        )
+
+    return joined.map_batches(fill, batch_format="pyarrow")
+
+
+def kg_degree_histogram(sf_dir: str):
+    """Power-law audit of the KG: node count per log2 degree bucket
+    (bucket floor = 2^⌊log2 deg⌋, computed by INTEGER bit length on
+    both sides — no libm, exact at bucket boundaries; DuckDB replays
+    it as len(printf('%b', deg)) − 1). Runs on kg_degree's node-sized
+    output, so the histogram fold is one bounded aggregate. Columns:
+    bucket_floor, n_nodes."""
+    from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema
+
+    deg = kg_degree(sf_dir)
+
+    def bucket(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("bucket_floor", pa.int64()), ("n_nodes", pa.int64())])
+        if t.num_columns == 0 or t.num_rows == 0:
+            return schema.empty_table()
+        d = (
+            t.column("out_degree").to_numpy(zero_copy_only=False)
+            + t.column("in_degree").to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        d = d[d > 0]
+        # floor(log2) via frexp's exponent — exact for d < 2^53 (no
+        # libm rounding: frexp only splits the IEEE representation)
+        bl = np.frexp(d.astype(np.float64))[1].astype(np.int64) - 1
+        return pa.table(
+            {
+                "bucket_floor": pa.array(np.left_shift(np.int64(1), bl)),
+                "n_nodes": pa.array(np.ones(len(d), dtype=np.int64)),
+            }
+        )
+
+    return pin_schema(
+        bucketed_aggregate(
+            deg.map_batches(bucket, batch_format="pyarrow"),
+            ["bucket_floor"],
+            [("n_nodes", "sum")],
+        ),
+        pa.schema([("bucket_floor", pa.int64()), ("n_nodes", pa.int64())]),
+        ensure_block=True,
+    )

@@ -1496,3 +1496,18 @@ def near_dedup_clean(sf_dir: str, threshold: float = 0.5):
             [("source", pa.string()), ("n_docs", pa.int64()), ("n_chars", pa.int64())]
         ),
     )
+
+
+def temperature_mix(sf_dir: str, budget: int = 200, alpha: float = 0.7):
+    """Temperature-sampled source mix over documents (p_s ∝ char-mass
+    ^0.7, the multilingual rebalancing rule; stages/sampling.py
+    temperature_mix_stage): flattens the source skew a crawl corpus
+    always has while preserving order among sources. Columns: source,
+    doc_id, rk."""
+    from bioner_ray.stages.sampling import temperature_mix_stage
+
+    return temperature_mix_stage(
+        _read(sf_dir, "documents", columns=["doc_id", "source", "n_chars"]),
+        budget=budget,
+        alpha=alpha,
+    )

@@ -246,3 +246,103 @@ def weighted_sample_stage(
         .sort(["prio", id_col])
         .limit(k)
     )
+
+
+def temperature_mix_stage(
+    ds,
+    budget: int = 200,
+    alpha: float = 0.7,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    mass_col: str = "n_chars",
+):
+    """Temperature-based source mixing (the multilingual/multi-source
+    sampling rule p_s ∝ mass_s^alpha): per-source budgets from ONE
+    bounded aggregate, then a deterministic per-source bottom-k draw.
+
+    The only float op is one libm ``pow`` per source, immediately
+    quantized to integer micro-units (q_s = floor(mass_s^alpha · 1e6));
+    the share normalization and budget split run in exact integers
+    (k_s = budget · q_s // Σq), so the SQL twin replays row counts
+    bit-for-bit with no float-sum order hazard. The draw reuses the
+    61-bit affine priority hash: each source keeps its k_s
+    lexicographically-smallest (hash, id) rows — cluster-size- and
+    resume-independent like every sampler here. Shape: one bounded
+    aggregate + one combiner-pruned per-group top-k (blocks ship at
+    most max(k_s) rows per source). Columns: source, id, rk.
+    """
+    import math
+
+    from bioner_ray.stages.rank import top_k_per_group
+    from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema
+
+    mass = bucketed_aggregate(
+        ds.map_batches(
+            lambda t: pa.table(
+                {
+                    source_col: t.column(source_col),
+                    "mass": pc.cast(t.column(mass_col), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        [source_col],
+        [("mass", "sum")],
+    )
+    q_by = {
+        r[source_col]: int(math.floor(math.pow(float(r["mass"]), alpha) * 1_000_000))
+        for r in mass.take_all()  # bounded: one row per source
+        if r["mass"] > 0
+    }
+    total_q = sum(q_by.values())
+    k_by = {s: (budget * q) // total_q for s, q in q_by.items()} if total_q else {}
+    max_k = max(k_by.values(), default=0)
+
+    prio_schema = pa.schema(
+        [(source_col, pa.string()), (id_col, pa.int64()), ("h", pa.int64())]
+    )
+
+    def prio(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        with np.errstate(over="ignore"):
+            h = (ids.astype(np.uint64) * _PRIO_A + _PRIO_B) % _MOD61
+        return pa.table(
+            {
+                source_col: batch.column(source_col),
+                id_col: pa.array(ids),
+                "h": pa.array(h.astype(np.int64)),  # < 2^61, sign-safe
+            }
+        )
+
+    ranked = top_k_per_group(
+        ds.map_batches(prio, batch_format="pyarrow"),
+        source_col,
+        [("h", "ascending"), (id_col, "ascending")],
+        max(max_k, 1),
+    )
+
+    def keep(t: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [(source_col, pa.string()), (id_col, pa.int64()), ("rk", pa.int64())]
+        )
+        if t.num_columns == 0 or t.num_rows == 0:
+            return schema.empty_table()
+        ks = np.fromiter(
+            (k_by.get(s, 0) for s in t.column(source_col).to_pylist()),
+            dtype=np.int64,
+            count=t.num_rows,
+        )
+        rk = t.column("rk").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                source_col: t.column(source_col),
+                id_col: t.column(id_col),
+                "rk": t.column("rk"),
+            }
+        ).filter(pa.array(rk <= ks))
+
+    return pin_schema(
+        ranked.map_batches(keep, batch_format="pyarrow"),
+        pa.schema([(source_col, pa.string()), (id_col, pa.int64()), ("rk", pa.int64())]),
+        ensure_block=True,
+    )

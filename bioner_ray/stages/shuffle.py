@@ -144,10 +144,14 @@ def bucketed_inner_join(
     ``join_type="left anti"`` emits the left rows with NO key match on
     the right; ``"left semi"`` the left rows WITH a match (both: left
     columns only, no fanout); ``"left outer"`` keeps unmatched left
-    rows with null right columns. All are globally exact under the same
-    bucketing argument: a key's rows from both sides always land in the
-    same bucket, so the local pyarrow join per bucket composes."""
-    if join_type not in ("inner", "left anti", "left semi", "left outer"):
+    rows with null right columns; ``"full outer"`` additionally keeps
+    unmatched RIGHT rows with null left columns (key columns coalesced
+    by pyarrow, so the key is never null). All are globally exact under
+    the same bucketing argument: a key's rows from both sides always
+    land in the same bucket, so the local pyarrow join per bucket
+    composes — including full outer, because an unmatched key is
+    unmatched within exactly the one bucket it hashes to."""
+    if join_type not in ("inner", "left anti", "left semi", "left outer", "full outer"):
         raise ValueError(f"unsupported join_type: {join_type}")
     lcols = [f.name for f in left_schema]
     rcols = [f.name for f in right_schema]

@@ -701,3 +701,86 @@ def test_embedding_drift_zero_for_identical_halves(tmp_path):
     assert out.loc[7, "drift"] == 0.0
     assert out.loc[8, "drift"] > 0.0
     assert out.loc[7, "n_a"] == 1 and out.loc[7, "n_b"] == 1
+
+
+def test_daily_reconciliation_full_outer_fills_missing_sides(tmp_path):
+    # day 1: both sides; day 2: events only; day 3: orders only — the
+    # full-outer join must keep all three with 0-filled gaps.
+    import datetime
+
+    import pyarrow as pa
+
+    from bioner_ray.pipelines.analytics import daily_reconciliation
+
+    d1, d2, d3 = (datetime.datetime(1996, 1, d) for d in (1, 2, 3))
+    _write(
+        tmp_path,
+        "events",
+        pa.table(
+            {
+                "ts": pa.array([d1, d2], type=pa.timestamp("us")),
+                "value": pa.array([1.0, 2.0], type=pa.float64()),
+            }
+        ),
+    )
+    _write(
+        tmp_path,
+        "orders",
+        pa.table(
+            {
+                "o_orderdate": pa.array([d1, d3], type=pa.timestamp("us")),
+                "o_totalprice": pa.array([5.0, 7.0], type=pa.float64()),
+            }
+        ),
+    )
+    out = _to_pandas(daily_reconciliation(str(tmp_path))).set_index("day").sort_index()
+    assert len(out) == 3
+    assert out.loc[d1, "gap_cents"] == 100 - 500
+    assert out.loc[d2, "orders_cents"] == 0 and out.loc[d2, "events_cents"] == 200
+    assert out.loc[d3, "events_cents"] == 0 and out.loc[d3, "orders_cents"] == 700
+
+
+def test_kg_degree_histogram_buckets_are_powers_of_two():
+    from bioner_ray.pipelines.analytics import kg_degree, kg_degree_histogram
+
+    hist = _to_pandas(kg_degree_histogram(SF_DIR))
+    deg = _to_pandas(kg_degree(SF_DIR))
+    total = (deg["out_degree"] + deg["in_degree"] > 0).sum()
+    assert hist["n_nodes"].sum() == total
+    for b in hist["bucket_floor"]:
+        assert b > 0 and (b & (b - 1)) == 0  # power of two
+
+
+def test_temperature_mix_budgets_and_determinism(tmp_path):
+    # two sources with mass 8:1 → alpha=0.7 flattens the ratio to
+    # 8^0.7 ≈ 4.3; budgets must be the exact integer split and the
+    # draw must be reproducible across runs.
+    import pyarrow as pa
+
+    from bioner_ray.pipelines.corpus import temperature_mix
+
+    _write(
+        tmp_path,
+        "documents",
+        pa.table(
+            {
+                "doc_id": pa.array(range(90), type=pa.int64()),
+                "source": pa.array(
+                    ["big"] * 80 + ["small"] * 10, type=pa.string()
+                ),
+                "n_chars": pa.array([100] * 80 + [100] * 10, type=pa.int64()),
+            }
+        ),
+    )
+    import math
+
+    out = _to_pandas(temperature_mix(str(tmp_path), budget=20))
+    q_big = math.floor(math.pow(8000.0, 0.7) * 1e6)
+    q_small = math.floor(math.pow(1000.0, 0.7) * 1e6)
+    tot = q_big + q_small
+    exp_big, exp_small = 20 * q_big // tot, 20 * q_small // tot
+    counts = out.groupby("source").size()
+    assert counts.get("big", 0) == exp_big
+    assert counts.get("small", 0) == exp_small
+    out2 = _to_pandas(temperature_mix(str(tmp_path), budget=20))
+    assert sorted(out["doc_id"]) == sorted(out2["doc_id"])

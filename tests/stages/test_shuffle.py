@@ -213,6 +213,25 @@ class TestBucketedInnerJoin:
         )
         assert got == [(1, 10, 100), (2, 20, None)]
 
+    def test_full_outer_coalesces_keys_and_nulls_both_sides(self):
+        lschema = pa.schema([("k", pa.int64()), ("a", pa.int64())])
+        rschema = pa.schema([("k", pa.int64()), ("b", pa.int64())])
+        left = [{"k": 1, "a": 10}, {"k": 2, "a": 20}]
+        right = [{"k": 2, "b": 200}, {"k": 3, "b": 300}]
+        got = sorted(
+            (r["k"], r["a"], r["b"])
+            for r in self._join(left, right, ["k"], lschema, rschema, join_type="full outer")
+        )
+        # unmatched LEFT key 1 and unmatched RIGHT key 3 both survive,
+        # key column coalesced (never null) even for right-only rows
+        assert got == [(1, 10, None), (2, 20, 200), (3, None, 300)]
+        # empty left side → all right rows with null left columns
+        got2 = self._join([], right, ["k"], lschema, rschema, join_type="full outer")
+        assert sorted((r["k"], r["a"], r["b"]) for r in got2) == [
+            (2, None, 200),
+            (3, None, 300),
+        ]
+
     def test_unsupported_join_type_rejected(self):
         import pytest
         import ray.data as rd
@@ -224,7 +243,7 @@ class TestBucketedInnerJoin:
         ds = rd.from_arrow(pa.Table.from_pylist([{"k": 1, "a": 1}], schema=lschema))
         rs = rd.from_arrow(pa.Table.from_pylist([{"k": 1, "b": 1}], schema=rschema))
         with pytest.raises(ValueError, match="join_type"):
-            bucketed_inner_join(ds, rs, ["k"], lschema, rschema, join_type="full outer")
+            bucketed_inner_join(ds, rs, ["k"], lschema, rschema, join_type="right outer")
 
     def test_overlapping_value_columns_rejected(self):
         import pytest
