@@ -6632,3 +6632,137 @@ def kg_degree_histogram(sf_dir: str):
         pa.schema([("bucket_floor", pa.int64()), ("n_nodes", pa.int64())]),
         ensure_block=True,
     )
+
+
+def lang_confusion(sf_dir: str):
+    """Declared-vs-detected language confusion matrix — the metadata
+    audit a crawl corpus needs before trusting its `lang` column
+    (mislabeled pages poison per-language sampling and stopword
+    quality gates). The langid kernel (stages/textstats.langid_batch,
+    same LANG_PROFILES as its twin) runs in the SAME batch pass that
+    carries the declared label, so there is no join; the fold is one
+    combiner-pruned aggregate bounded by langs². Columns: lang,
+    pred_lang, n_docs."""
+    from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema
+    from bioner_ray.stages.textstats import langid_batch
+
+    def detect(t: pa.Table) -> pa.Table:
+        lid = langid_batch(t)
+        return pa.table(
+            {
+                "lang": t.column("lang"),
+                "pred_lang": lid.column("pred_lang"),
+                "n_docs": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    return pin_schema(
+        bucketed_aggregate(
+            _read(sf_dir, "documents", columns=["doc_id", "text", "lang"]).map_batches(
+                detect, batch_format="pyarrow"
+            ),
+            ["lang", "pred_lang"],
+            [("n_docs", "sum")],
+        ),
+        pa.schema(
+            [("lang", pa.string()), ("pred_lang", pa.string()), ("n_docs", pa.int64())]
+        ),
+        ensure_block=True,
+    )
+
+
+def kg_pred_symmetry(sf_dir: str):
+    """Per-predicate symmetry governance: the fraction of a predicate's
+    edges whose REVERSE edge (obj, pred, subj) also exists — symmetric
+    predicates ("spouse", "interacts-with") need undirected handling
+    downstream, asymmetric ones ("treats") must not be folded. One
+    left-semi bucketed SELF-join of the edge table against its reversed
+    projection on the composite (pred, subj, obj) key, then two
+    predicate-bounded aggregates; ratio = replayable int→double
+    division. Self-loops carry no direction signal and are excluded
+    from both counts. Columns: pred, n_edges, n_sym, symmetry."""
+    from bioner_ray.stages.shuffle import bucketed_aggregate, bucketed_inner_join, pin_schema
+
+    edges = kg_edges(sf_dir).map_batches(
+        lambda t: t.select(["subj", "pred", "obj"]).filter(
+            pc.not_equal(t.column("subj"), t.column("obj"))
+        )
+        if t.num_columns
+        else pa.schema(
+            [("subj", pa.string()), ("pred", pa.string()), ("obj", pa.string())]
+        ).empty_table(),
+        batch_format="pyarrow",
+    ).materialize()
+    key_schema = pa.schema([("pred", pa.string()), ("subj", pa.string()), ("obj", pa.string())])
+    reversed_ = edges.map_batches(
+        lambda t: pa.table(
+            {"pred": t.column("pred"), "subj": t.column("obj"), "obj": t.column("subj")}
+        )
+        if t.num_columns
+        else key_schema.empty_table(),
+        batch_format="pyarrow",
+    )
+    sym = bucketed_inner_join(
+        pin_schema(edges, key_schema),
+        reversed_,
+        ["pred", "subj", "obj"],
+        key_schema,
+        key_schema,
+        join_type="left semi",
+    )
+
+    def ones(name):
+        def fn(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0:
+                return pa.schema([("pred", pa.string()), (name, pa.int64())]).empty_table()
+            return pa.table(
+                {
+                    "pred": t.column("pred"),
+                    name: pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                }
+            )
+
+        return fn
+
+    n_edges = bucketed_aggregate(
+        edges.map_batches(ones("n_edges"), batch_format="pyarrow"),
+        ["pred"],
+        [("n_edges", "sum")],
+    )
+    n_sym = bucketed_aggregate(
+        sym.map_batches(ones("n_sym"), batch_format="pyarrow"), ["pred"], [("n_sym", "sum")]
+    )
+    joined = bucketed_inner_join(
+        pin_schema(n_edges, pa.schema([("pred", pa.string()), ("n_edges", pa.int64())])),
+        pin_schema(n_sym, pa.schema([("pred", pa.string()), ("n_sym", pa.int64())])),
+        ["pred"],
+        pa.schema([("pred", pa.string()), ("n_edges", pa.int64())]),
+        pa.schema([("pred", pa.string()), ("n_sym", pa.int64())]),
+        join_type="left outer",
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [
+                ("pred", pa.string()),
+                ("n_edges", pa.int64()),
+                ("n_sym", pa.int64()),
+                ("symmetry", pa.float64()),
+            ]
+        )
+        if t.num_columns == 0 or t.num_rows == 0:
+            return schema.empty_table()
+        ns = pc.fill_null(t.column("n_sym"), 0)
+        ne = t.column("n_edges")
+        return pa.table(
+            {
+                "pred": t.column("pred"),
+                "n_edges": ne,
+                "n_sym": ns,
+                "symmetry": pc.divide(
+                    pc.cast(ns, pa.float64()), pc.cast(ne, pa.float64())
+                ),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")

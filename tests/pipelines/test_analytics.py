@@ -784,3 +784,42 @@ def test_temperature_mix_budgets_and_determinism(tmp_path):
     assert counts.get("small", 0) == exp_small
     out2 = _to_pandas(temperature_mix(str(tmp_path), budget=20))
     assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
+
+
+def test_lang_confusion_totals_match_corpus():
+    from bioner_ray.pipelines.analytics import lang_confusion
+
+    out = _to_pandas(lang_confusion(SF_DIR))
+    c = duckdb.connect()
+    c.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF_DIR}/documents.parquet')")
+    n_docs, n_langs = c.sql("SELECT count(*), count(DISTINCT lang) FROM documents").fetchone()
+    assert out["n_docs"].sum() == n_docs
+    assert set(out["lang"]) <= set(
+        c.sql("SELECT DISTINCT lang FROM documents").df()["lang"]
+    )
+    # the matrix is langs × predicted-langs bounded, never doc-sized
+    assert len(out) <= n_langs * (len(set(out["pred_lang"])) + 1)
+
+
+def test_kg_pred_symmetry_detects_reverse_edges(tmp_path, monkeypatch):
+    # crafted edge table: pred "sym" has both (a,b) and (b,a) → 1.0;
+    # pred "asym" has only (a,b) → 0.0; self-loop must be excluded.
+    import pyarrow as pa
+    import ray.data as rd
+
+    import bioner_ray.pipelines.analytics as an
+
+    edges = pa.table(
+        {
+            "subj": ["a", "b", "a", "c"],
+            "pred": ["sym", "sym", "asym", "asym"],
+            "obj": ["b", "a", "b", "c"],
+            "weight": pa.array([1, 1, 1, 1], type=pa.int64()),
+        }
+    )
+    monkeypatch.setattr(an, "kg_edges", lambda sf_dir, **kw: rd.from_arrow(edges))
+    out = _to_pandas(an.kg_pred_symmetry("unused")).set_index("pred")
+    assert out.loc["sym", "n_edges"] == 2 and out.loc["sym", "n_sym"] == 2
+    assert out.loc["sym", "symmetry"] == 1.0
+    assert out.loc["asym", "n_edges"] == 1 and out.loc["asym", "n_sym"] == 0
+    assert out.loc["asym", "symmetry"] == 0.0
