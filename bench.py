@@ -233,6 +233,8 @@ OPERATOR_QUERIES = [
     "daily_reconciliation",
     "kg_degree_histogram",
     "temperature_mix",
+    "lang_confusion",
+    "kg_pred_symmetry",
 ]
 
 
