@@ -235,6 +235,8 @@ OPERATOR_QUERIES = [
     "temperature_mix",
     "lang_confusion",
     "kg_pred_symmetry",
+    "event_attribution",
+    "entropy_quota",
 ]
 
 

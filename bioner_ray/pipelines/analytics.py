@@ -6766,3 +6766,63 @@ def kg_pred_symmetry(sf_dir: str):
         )
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def event_attribution(sf_dir: str, horizon_days: int = 7):
+    """Conversion attribution — the FORWARD as-of join: every event is
+    matched to the user's NEXT order placed strictly after it and
+    within ``horizon_days`` (stages/window.py asof_join_next; the
+    mirror of events_last_order's backward fill). One key-bucketed
+    exchange, per-bucket sort + vectorized backward fill; ties at the
+    winning date resolve to the smallest orderkey. Columns: event_id,
+    next_o_orderkey (−1 when no conversion), gap_us (−1 likewise)."""
+    from bioner_ray.stages.window import asof_join_next
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    return asof_join_next(
+        ev,
+        orders,
+        left_key="user_id",
+        left_ts="ts",
+        left_id="event_id",
+        right_key="o_custkey",
+        right_ts="o_orderdate",
+        right_payload="o_orderkey",
+        horizon_us=horizon_days * 86_400_000_000,
+    )
+
+
+def entropy_quota(sf_dir: str, k: int = 10):
+    """Per-source information-density quota: each source keeps its k
+    docs with the HIGHEST unigram entropy (doc_entropy's exact integer
+    micro-nats; ties → smaller doc_id) — the quality-ranked sibling of
+    source_quota's flat cap, preferring diverse text over boilerplate
+    within every source. The per-doc signal is shuffle-free; source
+    attaches via ONE doc_id-bucketed join; the rank is the
+    combiner-pruned per-group top-k. Columns: source, doc_id,
+    n_tokens, h_micro, rk."""
+    from bioner_ray.stages.rank import top_k_per_group
+    from bioner_ray.stages.shuffle import bucketed_inner_join, pin_schema
+
+    ent_schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_tokens", pa.int64()), ("h_micro", pa.int64())]
+    )
+    src_schema = pa.schema([("doc_id", pa.int64()), ("source", pa.string())])
+    ent = pin_schema(doc_entropy(sf_dir), ent_schema)
+    src = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    joined = pin_schema(
+        bucketed_inner_join(ent, src, ["doc_id"], ent_schema, src_schema),
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("n_tokens", pa.int64()),
+                ("h_micro", pa.int64()),
+                ("source", pa.string()),
+            ]
+        ),
+        ensure_block=True,
+    )
+    return top_k_per_group(
+        joined, "source", [("h_micro", "descending"), ("doc_id", "ascending")], k
+    )

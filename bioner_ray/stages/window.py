@@ -341,3 +341,116 @@ def grouped_running_sum(
         .groupby("_bucket")
         .map_groups(scan, batch_format="pyarrow")
     )
+
+
+def asof_join_next(
+    left_ds,
+    right_ds,
+    left_key: str,
+    left_ts: str,
+    left_id: str,
+    right_key: str,
+    right_ts: str,
+    right_payload: str,
+    horizon_us: int,
+    num_buckets: int = 64,
+    missing: int = -1,
+):
+    """FORWARD as-of join with a horizon — attribution: for each left
+    row, the payload of the EARLIEST right row with the same key,
+    time STRICTLY after the left time, and gap ≤ ``horizon_us``
+    (``missing`` when none). Ties at the winning timestamp resolve to
+    the smallest payload (deterministic, replayable as
+    ``row_number() OVER (ORDER BY t, payload)``).
+
+    Same plan as asof_join_latest run mirrored: union-tag both sides,
+    ONE key-bucketed exchange, per-bucket sort (k, t, kind, payload)
+    with rights ordered BEFORE lefts at equal timestamps so an
+    equal-time right is never matched (strictly-after rule), then a
+    vectorized BACKWARD fill of next-right positions, key-run and
+    horizon masks. Columns: <left_id>, next_<right_payload>, gap_us
+    (−1 when unmatched)."""
+
+    def left_rows(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": pc.cast(b.column(left_key), pa.int64()),
+                "t": b.column(left_ts),
+                "kind": pa.array(np.ones(b.num_rows, dtype=np.int32)),
+                "okey": pa.array(np.full(b.num_rows, missing, dtype=np.int64)),
+                "row_id": pc.cast(b.column(left_id), pa.int64()),
+            }
+        )
+
+    def right_rows(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": pc.cast(b.column(right_key), pa.int64()),
+                "t": b.column(right_ts),
+                "kind": pa.array(np.zeros(b.num_rows, dtype=np.int32)),
+                "okey": pc.cast(b.column(right_payload), pa.int64()),
+                "row_id": pa.array(np.full(b.num_rows, missing, dtype=np.int64)),
+            }
+        )
+
+    unioned = left_ds.map_batches(left_rows, batch_format="pyarrow").union(
+        right_ds.map_batches(right_rows, batch_format="pyarrow")
+    )
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        k = b.column("k").to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            bucket = ((k * np.uint64(2654435761)) % np.uint64(num_buckets)).astype(np.int32)
+        return b.append_column("bucket", pa.array(bucket, type=pa.int32()))
+
+    def merge(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[
+                ("k", "ascending"),
+                ("t", "ascending"),
+                ("kind", "ascending"),  # right (0) before left (1) at equal t
+                ("okey", "ascending"),  # earliest-ts tie → smallest payload
+            ],
+        )
+        t = group.take(idx).combine_chunks()
+        n = t.num_rows
+        k = t.column("k").to_numpy(zero_copy_only=False)
+        kind = t.column("kind").to_numpy(zero_copy_only=False)
+        okey = t.column("okey").to_numpy(zero_copy_only=False)
+        rid = t.column("row_id").to_numpy(zero_copy_only=False)
+        ts = t.column("t").to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        is_right = kind == 0
+        # backward fill: next right position at index >= i
+        pos = np.where(is_right, np.arange(n), n)
+        bf = np.minimum.accumulate(pos[::-1])[::-1] if n else pos
+        # last index of each key run
+        newkey = np.ones(n, dtype=bool)
+        if n > 1:
+            newkey[1:] = k[1:] != k[:-1]
+        run_id = np.cumsum(newkey) - 1
+        run_end = np.zeros(n, dtype=np.int64)
+        if n:
+            ends = np.flatnonzero(np.r_[newkey[1:], True])
+            run_end = ends[run_id]
+        safe = np.clip(bf, 0, max(n - 1, 0))
+        gap = ts[safe] - ts
+        valid = (bf < n) & (safe <= run_end) & (gap <= horizon_us)
+        # strictly-after is structural: an equal-time right sorts before
+        # the left, so bf can only land on rights with t > left t
+        nxt = np.where(valid, okey[safe], missing)
+        gap_out = np.where(valid, gap, -1)
+        keep = ~is_right
+        return pa.table(
+            {
+                left_id: pa.array(rid[keep], type=pa.int64()),
+                f"next_{right_payload}": pa.array(nxt[keep], type=pa.int64()),
+                "gap_us": pa.array(gap_out[keep], type=pa.int64()),
+            }
+        )
+
+    return (
+        unioned.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(merge, batch_format="pyarrow")
+    )

@@ -823,3 +823,71 @@ def test_kg_pred_symmetry_detects_reverse_edges(tmp_path, monkeypatch):
     assert out.loc["sym", "symmetry"] == 1.0
     assert out.loc["asym", "n_edges"] == 1 and out.loc["asym", "n_sym"] == 0
     assert out.loc["asym", "symmetry"] == 0.0
+
+
+def test_asof_join_next_strict_horizon_and_ties():
+    # same-time order is NOT matched (strictly after); an order past
+    # the horizon is NOT matched; equal winning dates pick the
+    # smallest orderkey.
+    import datetime
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from bioner_ray.stages.window import asof_join_next
+
+    t0 = datetime.datetime(1996, 1, 1)
+
+    def ts(days):
+        return t0 + datetime.timedelta(days=days)
+
+    ev = rd.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array([1, 2, 3], type=pa.int64()),
+                "user_id": pa.array([7, 7, 8], type=pa.int64()),
+                "ts": pa.array([ts(0), ts(5), ts(0)], type=pa.timestamp("us")),
+            }
+        )
+    )
+    orders = rd.from_arrow(
+        pa.table(
+            {
+                "o_orderkey": pa.array([100, 50, 60, 999], type=pa.int64()),
+                "o_custkey": pa.array([7, 7, 7, 8], type=pa.int64()),
+                "o_orderdate": pa.array(
+                    [ts(0), ts(6), ts(6), ts(30)], type=pa.timestamp("us")
+                ),
+            }
+        )
+    )
+    out = (
+        _to_pandas(
+            asof_join_next(
+                ev, orders, "user_id", "ts", "event_id",
+                "o_custkey", "o_orderdate", "o_orderkey",
+                horizon_us=7 * 86_400_000_000,
+            )
+        )
+        .set_index("event_id")
+        .sort_index()
+    )
+    # event 1 (day 0): order at day 0 excluded (strict), next = day 6,
+    # tie 50 vs 60 → 50
+    assert out.loc[1, "next_o_orderkey"] == 50
+    assert out.loc[1, "gap_us"] == 6 * 86_400_000_000
+    # event 2 (day 5): day-6 orders within horizon → 50
+    assert out.loc[2, "next_o_orderkey"] == 50
+    # event 3 (user 8): only order is 30 days out → unmatched
+    assert out.loc[3, "next_o_orderkey"] == -1 and out.loc[3, "gap_us"] == -1
+
+
+def test_entropy_quota_respects_k_and_order():
+    from bioner_ray.pipelines.analytics import entropy_quota
+
+    out = _to_pandas(entropy_quota(SF_DIR, k=3))
+    for src, grp in out.groupby("source"):
+        assert len(grp) <= 3
+        g = grp.sort_values("rk")
+        h = list(g["h_micro"])
+        assert h == sorted(h, reverse=True)
