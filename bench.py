@@ -237,6 +237,7 @@ OPERATOR_QUERIES = [
     "kg_pred_symmetry",
     "event_attribution",
     "entropy_quota",
+    "sorted_export",
 ]
 
 

@@ -6826,3 +6826,40 @@ def entropy_quota(sf_dir: str, k: int = 10):
     return top_k_per_group(
         joined, "source", [("h_micro", "descending"), ("doc_id", "ascending")], k
     )
+
+
+def sorted_export(sf_dir: str, parts: int = 8):
+    """Distributed global sort of orders by price — the terasort shape
+    with EXPLICIT range partitioning (stages/rangesort.py): exact
+    histogram-derived cutoffs (ceil-rule order statistic, the
+    quantile_disc contract), deterministic pid assignment (#cutoffs <
+    value — resumable: a re-run assigns identical pids), one pid
+    shuffle, local sorts. The query returns the per-partition summary
+    (the artifact that proves global order without re-reading data);
+    the sorted dataset itself is the stage's other output. Columns:
+    pid, n_rows, min_cents, max_cents."""
+    from bioner_ray.stages.rangesort import range_partitioned_sort
+
+    cents = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"]).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "cents": _cents(t.column("o_totalprice")),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    _, summary = range_partitioned_sort(cents, "cents", "o_orderkey", parts=parts)
+    return summary.map_batches(
+        lambda t: t.rename_columns(["pid", "n_rows", "min_cents", "max_cents"])
+        if t.num_columns
+        else pa.schema(
+            [
+                ("pid", pa.int64()),
+                ("n_rows", pa.int64()),
+                ("min_cents", pa.int64()),
+                ("max_cents", pa.int64()),
+            ]
+        ).empty_table(),
+        batch_format="pyarrow",
+    )

@@ -891,3 +891,32 @@ def test_entropy_quota_respects_k_and_order():
         g = grp.sort_values("rk")
         h = list(g["h_micro"])
         assert h == sorted(h, reverse=True)
+
+
+def test_range_partitioned_sort_global_order():
+    # pid summaries must tile the value axis: max of pid k <= min of
+    # pid k+1, counts sum to the corpus, and the sorted dataset is
+    # monotone within each pid.
+    import pyarrow as pa
+
+    from bioner_ray.pipelines.analytics import _cents, _read
+    from bioner_ray.stages.rangesort import range_partitioned_sort
+
+    cents = _read(SF_DIR, "orders", columns=["o_orderkey", "o_totalprice"]).map_batches(
+        lambda t: pa.table(
+            {"o_orderkey": t.column("o_orderkey"), "cents": _cents(t.column("o_totalprice"))}
+        ),
+        batch_format="pyarrow",
+    )
+    sorted_ds, summary = range_partitioned_sort(cents, "cents", "o_orderkey", parts=4)
+    s = _to_pandas(summary).sort_values("pid").reset_index(drop=True)
+    assert len(s) == 4
+    total = s["n_rows"].sum()
+    assert total == _read(SF_DIR, "orders").count()
+    for i in range(len(s) - 1):
+        assert s.loc[i, "max_cents"] <= s.loc[i + 1, "min_cents"]
+    # within-pid monotonicity on the materialized sorted output
+    df = _to_pandas(sorted_ds)
+    for _, grp in df.groupby("pid"):
+        v = grp["cents"].to_numpy()
+        assert (np.diff(v) >= 0).all()
