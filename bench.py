@@ -238,6 +238,8 @@ OPERATOR_QUERIES = [
     "event_attribution",
     "entropy_quota",
     "sorted_export",
+    "kg_mention_contexts",
+    "minhash_precision",
 ]
 
 

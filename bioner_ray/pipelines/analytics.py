@@ -6863,3 +6863,66 @@ def sorted_export(sf_dir: str, parts: int = 8):
         ).empty_table(),
         batch_format="pyarrow",
     )
+
+
+def kg_mention_contexts(sf_dir: str, window: int = 2):
+    """Entity context-window export — the KG→LM training-data emitter:
+    for every entity mention, the ±``window``-token text snippet around
+    it (the entity-context sample an alignment/grounding fine-tune
+    consumes). Pure per-document pass fused into one ``map_batches``
+    (documents are never shuffled; output is mention-sized). Positions
+    follow the tok-CTE contract: 1-based indices into the RAW
+    whitespace split (empty pieces keep their position but never match
+    or appear), so the twin's ``t.pos BETWEEN e.pos−w AND e.pos+w``
+    replays the same window even around doubled whitespace. Columns:
+    doc_id, pos, surface, context."""
+    entity_set = pa.array(sorted(ENTITY_SURFACES), type=pa.string())
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("pos", pa.int64()),
+            ("surface", pa.string()),
+            ("context", pa.string()),
+        ]
+    )
+
+    def contexts(batch: pa.Table) -> pa.Table:
+        split = pc.split_pattern_regex(
+            pc.utf8_lower(pc.fill_null(batch.column("text"), "")), r"\s+"
+        ).combine_chunks()
+        off = split.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = split.values
+        flat = vals.to_pylist()
+        nonempty = np.fromiter((bool(t) for t in flat), dtype=bool, count=len(flat))
+        is_ent = pc.is_in(vals, value_set=entity_set).to_numpy(zero_copy_only=False)
+        is_ent = is_ent & nonempty
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        starts = off[:-1] - off[0]
+        ends = off[1:] - off[0]
+        out = {"doc_id": [], "pos": [], "surface": [], "context": []}
+        hit_idx = np.flatnonzero(is_ent)
+        doc_of_hit = np.searchsorted(ends, hit_idx, side="right")
+        for gi, d in zip(hit_idx, doc_of_hit):
+            s, e = starts[d], ends[d]
+            p = gi - s + 1  # 1-based raw position
+            lo, hi = max(s, gi - window), min(e, gi + window + 1)
+            ctx = " ".join(t for t in flat[lo:hi] if t)
+            out["doc_id"].append(int(doc_ids[d]))
+            out["pos"].append(int(p))
+            out["surface"].append(flat[gi])
+            out["context"].append(ctx)
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+                "pos": pa.array(out["pos"], type=pa.int64()),
+                "surface": pa.array(out["surface"], type=pa.string()),
+                "context": pa.array(out["context"], type=pa.string()),
+            }
+        )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        contexts, batch_format="pyarrow"
+    )
+    from bioner_ray.stages.shuffle import pin_schema
+
+    return pin_schema(ds, out_schema, ensure_block=True)

@@ -1511,3 +1511,74 @@ def temperature_mix(sf_dir: str, budget: int = 200, alpha: float = 0.7):
         budget=budget,
         alpha=alpha,
     )
+
+
+def minhash_precision(sf_dir: str):
+    """Sketch-vs-truth audit: every MinHash+LSH candidate pair joined
+    (left outer) against its EXACT shingle Jaccard — the calibration
+    table that justifies the sketch's band/row parameters before a
+    100-TB dedup run trusts them. est_jaccard is the signature
+    agreement fraction, jaccard the exact set overlap (0.0 when the
+    candidate shares bands but no shingle — a band-hash collision, the
+    false-positive class this audit exists to count), abs_err their
+    gap. At web scale the exact side runs the same candidate-verify
+    path as setsim (blob joins on the candidate set only); here the
+    inverted-index pass is corpus-bounded and oracle-checkable.
+    Columns: a, b, n_bands, est_jaccard, jaccard, abs_err."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from bioner_ray.stages.dedup import jaccard_pairs, minhash_dedup_pairs
+    from bioner_ray.stages.shuffle import bucketed_inner_join, pin_schema
+
+    cand_schema = pa.schema(
+        [
+            ("a", pa.int64()),
+            ("b", pa.int64()),
+            ("n_bands", pa.int64()),
+            ("est_jaccard", pa.float64()),
+        ]
+    )
+    exact_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()), ("jaccard", pa.float64())])
+    cand = pin_schema(minhash_dedup_pairs(_documents(sf_dir)), cand_schema)
+    exact = jaccard_pairs(_documents(sf_dir), threshold=0.0).map_batches(
+        lambda t: t.select(["a", "b", "jaccard"])
+        if t.num_columns
+        else exact_schema.empty_table(),
+        batch_format="pyarrow",
+    )
+    joined = bucketed_inner_join(
+        cand,
+        pin_schema(exact, exact_schema),
+        ["a", "b"],
+        cand_schema,
+        exact_schema,
+        join_type="left outer",
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [
+                ("a", pa.int64()),
+                ("b", pa.int64()),
+                ("n_bands", pa.int64()),
+                ("est_jaccard", pa.float64()),
+                ("jaccard", pa.float64()),
+                ("abs_err", pa.float64()),
+            ]
+        )
+        if t.num_columns == 0 or t.num_rows == 0:
+            return schema.empty_table()
+        j = pc.fill_null(t.column("jaccard"), 0.0)
+        return pa.table(
+            {
+                "a": t.column("a"),
+                "b": t.column("b"),
+                "n_bands": t.column("n_bands"),
+                "est_jaccard": t.column("est_jaccard"),
+                "jaccard": j,
+                "abs_err": pc.abs(pc.subtract(t.column("est_jaccard"), j)),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")

@@ -920,3 +920,45 @@ def test_range_partitioned_sort_global_order():
     for _, grp in df.groupby("pid"):
         v = grp["cents"].to_numpy()
         assert (np.diff(v) >= 0).all()
+
+
+def test_kg_mention_contexts_window_and_positions(tmp_path):
+    # LEADING whitespace yields an empty raw piece at pos 1 (the \\s+
+    # split only produces empties at the edges); raw positions must
+    # count it so the twin's pos-window replays identically.
+    import pyarrow as pa
+
+    import bioner_ray.pipelines.analytics as an
+
+    text = "  x table beta table y"
+    # raw split of lower(text): ['', 'x', 'table', 'beta', 'table', 'y']
+    # → raw positions 1..6; the empty at pos 1 never matches or appears
+    _write(
+        tmp_path,
+        "documents",
+        pa.table(
+            {
+                "doc_id": pa.array([1], type=pa.int64()),
+                "text": pa.array([text], type=pa.string()),
+            }
+        ),
+    )
+    assert "table" in an.ENTITY_SURFACES
+    out = _to_pandas(an.kg_mention_contexts(str(tmp_path))).sort_values("pos")
+    assert list(out["pos"]) == [3, 5]
+    first, second = out.iloc[0], out.iloc[1]
+    # pos 3 window covers raw 1..5 → empty skipped → 'x table beta table'
+    assert first["context"] == "x table beta table"
+    # pos 5 window covers raw 3..7 → 'table beta table y'
+    assert second["context"] == "table beta table y"
+
+
+def test_minhash_precision_exact_for_true_pairs():
+    # every candidate with jaccard > 0 must carry the exact value the
+    # jaccard query reports for the same pair, and err = |est - exact|.
+    from bioner_ray.pipelines.corpus import minhash_precision
+
+    out = _to_pandas(minhash_precision(SF_DIR))
+    assert len(out) > 0
+    assert (out["abs_err"] - (out["est_jaccard"] - out["jaccard"]).abs()).abs().max() == 0.0
+    assert ((out["jaccard"] >= 0) & (out["jaccard"] <= 1)).all()
