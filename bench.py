@@ -240,6 +240,8 @@ OPERATOR_QUERIES = [
     "sorted_export",
     "kg_mention_contexts",
     "minhash_precision",
+    "kg_component_sizes",
+    "source_overlap",
 ]
 
 

@@ -6926,3 +6926,55 @@ def kg_mention_contexts(sf_dir: str, window: int = 2):
     from bioner_ray.stages.shuffle import pin_schema
 
     return pin_schema(ds, out_schema, ensure_block=True)
+
+
+def kg_component_sizes(sf_dir: str, min_wjaccard: float = 0.5):
+    """Merge-group size distribution — the governance histogram over
+    kg_merge_groups' entity-resolution output (how aggressive is the
+    fold: many singletons = conservative, one giant component = a
+    threshold bug). One bounded aggregate per (rep), one more over
+    (size); both node-vocabulary-sized. Columns: group_size, n_groups."""
+    from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema
+
+    groups = kg_merge_groups(sf_dir, min_wjaccard=min_wjaccard)
+    per_rep = pin_schema(
+        bucketed_aggregate(
+            groups.map_batches(
+                lambda t: pa.table(
+                    {
+                        "rep": t.column("rep"),
+                        "group_size": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                    }
+                )
+                if t.num_columns
+                else pa.schema(
+                    [("rep", pa.string()), ("group_size", pa.int64())]
+                ).empty_table(),
+                batch_format="pyarrow",
+            ),
+            ["rep"],
+            [("group_size", "sum")],
+        ),
+        pa.schema([("rep", pa.string()), ("group_size", pa.int64())]),
+    )
+    return pin_schema(
+        bucketed_aggregate(
+            per_rep.map_batches(
+                lambda t: pa.table(
+                    {
+                        "group_size": t.column("group_size"),
+                        "n_groups": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                    }
+                )
+                if t.num_columns
+                else pa.schema(
+                    [("group_size", pa.int64()), ("n_groups", pa.int64())]
+                ).empty_table(),
+                batch_format="pyarrow",
+            ),
+            ["group_size"],
+            [("n_groups", "sum")],
+        ),
+        pa.schema([("group_size", pa.int64()), ("n_groups", pa.int64())]),
+        ensure_block=True,
+    )

@@ -1582,3 +1582,99 @@ def minhash_precision(sf_dir: str):
         )
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def source_overlap(sf_dir: str, k: int = 3):
+    """Cross-source boilerplate overlap matrix — the provenance audit
+    behind source dedup ordering (which feeds copy which): for every
+    UNORDERED source pair, how many distinct ``k``-token shingles both
+    sources carry. Two-level: (shingle, source) distinct pairs via one
+    bucketed aggregate (the only data-scale exchange; a hashed-shingle
+    key drops the shuffle to 8 B/row at web scale), then per-shingle
+    source lists — ≤ |sources| each — explode to unordered pairs and
+    fold to the sources² matrix. Columns: src_a, src_b, n_shared."""
+    import numpy as np
+    import pyarrow as pa
+
+    from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema, with_ones
+    from bioner_ray.stages.textstats import _split_lower
+
+    def shingles(t: pa.Table) -> pa.Table:
+        toks = _split_lower(t, "text")
+        srcs = t.column("source").to_pylist()
+        out_s, out_src = [], []
+        for row, src in zip(toks, srcs):
+            seen = set()
+            for i in range(len(row) - k + 1):
+                sh = " ".join(row[i : i + k])
+                if sh not in seen:
+                    seen.add(sh)
+                    out_s.append(sh)
+                    out_src.append(src)
+        return pa.table(
+            {
+                "s": pa.array(out_s, type=pa.string()),
+                "source": pa.array(out_src, type=pa.string()),
+            }
+        )
+
+    pairs_schema = pa.schema([("s", pa.string()), ("source", pa.string())])
+    ms = pin_schema(
+        bucketed_aggregate(
+            with_ones(
+                _read(sf_dir, "documents", columns=["text", "source"]).map_batches(
+                    shingles, batch_format="pyarrow"
+                )
+            ),
+            ["s", "source"],
+            [("one", "min")],
+        ).map_batches(lambda t: t.select(["s", "source"]), batch_format="pyarrow"),
+        pairs_schema,
+    )
+
+    def explode(g: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [("src_a", pa.string()), ("src_b", pa.string()), ("n_shared", pa.int64())]
+        )
+        if g.num_columns == 0 or g.num_rows < 2:
+            return schema.empty_table()
+        g = g.sort_by([("s", "ascending"), ("source", "ascending")])
+        keys = g.column("s").to_pylist()
+        srcs = g.column("source").to_pylist()
+        out_a, out_b = [], []
+        i, n = 0, len(keys)
+        while i < n:
+            j = i
+            while j < n and keys[j] == keys[i]:
+                j += 1
+            row = srcs[i:j]  # distinct + sorted by construction
+            for x in range(len(row)):
+                for y in range(x + 1, len(row)):
+                    out_a.append(row[x])
+                    out_b.append(row[y])
+            i = j
+        return pa.table(
+            {
+                "src_a": pa.array(out_a, type=pa.string()),
+                "src_b": pa.array(out_b, type=pa.string()),
+                "n_shared": pa.array(np.ones(len(out_a), dtype=np.int64)),
+            }
+        )
+
+    pairs = ms.groupby("s").map_groups(explode, batch_format="pyarrow")
+    return pin_schema(
+        bucketed_aggregate(
+            pin_schema(
+                pairs,
+                pa.schema(
+                    [("src_a", pa.string()), ("src_b", pa.string()), ("n_shared", pa.int64())]
+                ),
+            ),
+            ["src_a", "src_b"],
+            [("n_shared", "sum")],
+        ),
+        pa.schema(
+            [("src_a", pa.string()), ("src_b", pa.string()), ("n_shared", pa.int64())]
+        ),
+        ensure_block=True,
+    )

@@ -962,3 +962,35 @@ def test_minhash_precision_exact_for_true_pairs():
     assert len(out) > 0
     assert (out["abs_err"] - (out["est_jaccard"] - out["jaccard"]).abs()).abs().max() == 0.0
     assert ((out["jaccard"] >= 0) & (out["jaccard"] <= 1)).all()
+
+
+def test_source_overlap_counts_shared_shingles(tmp_path):
+    import pyarrow as pa
+
+    from bioner_ray.pipelines.corpus import source_overlap
+
+    # 'a b c' shared by s1/s2; 'x y z' only in s2; pair (s1,s2) → 1
+    _write(
+        tmp_path,
+        "documents",
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                "text": pa.array(["a b c", "a b c q", "x y z"], type=pa.string()),
+                "source": pa.array(["s1", "s2", "s2"], type=pa.string()),
+            }
+        ),
+    )
+    out = _to_pandas(source_overlap(str(tmp_path)))
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert (row["src_a"], row["src_b"]) == ("s1", "s2") and row["n_shared"] == 1
+
+
+def test_kg_component_sizes_totals():
+    from bioner_ray.pipelines.analytics import kg_component_sizes, kg_merge_groups
+
+    sizes = _to_pandas(kg_component_sizes(SF_DIR))
+    groups = _to_pandas(kg_merge_groups(SF_DIR))
+    assert (sizes["group_size"] * sizes["n_groups"]).sum() == len(groups)
+    assert sizes["n_groups"].sum() == groups["rep"].nunique()
