@@ -242,6 +242,7 @@ OPERATOR_QUERIES = [
     "minhash_precision",
     "kg_component_sizes",
     "source_overlap",
+    "tokenizer_fertility",
 ]
 
 

@@ -1678,3 +1678,16 @@ def source_overlap(sf_dir: str, k: int = 3):
         ),
         ensure_block=True,
     )
+
+
+def tokenizer_fertility(sf_dir: str, n_merges: int = 8):
+    """Per-source BPE fertility (subwords per word under the learned
+    merges; stages/bpe.py bpe_fertility_by_source) — high fertility
+    marks sources the tokenizer serves badly (typo-heavy, off-domain,
+    wrong language). Columns: source, n_words, n_subwords,
+    fertility."""
+    from bioner_ray.stages.bpe import bpe_fertility_by_source
+
+    return bpe_fertility_by_source(
+        _read(sf_dir, "documents", columns=["text", "source"]), n_merges=n_merges
+    )

@@ -289,3 +289,125 @@ def bpe_token_counts(
             ),
         }
     )
+
+
+def bpe_fertility_by_source(
+    ds,
+    n_merges: int = 8,
+    text_col: str = "text",
+    source_col: str = "source",
+    num_buckets: int = 64,
+):
+    """Tokenizer fertility per source — subwords emitted per word under
+    the learned merges, the tokenizer-quality metric that decides
+    whether a source is cheap or expensive to train on. Training reuses
+    the corpus-global ``_train`` chain; the per-word subword count
+    falls out of the FINAL segmented vocab (symbols = marker-split
+    pieces, word = markers stripped — no re-tokenization), per-source
+    word counts are ONE bucketed aggregate over the same token pass,
+    and the two meet in a vocabulary-sized bucketed join. fertility =
+    double(Σ n_sub·cnt) / double(Σ cnt), one replayable division.
+    Columns: source, n_words, n_subwords, fertility."""
+    from bioner_ray.stages.shuffle import bucketed_aggregate, bucketed_inner_join, pin_schema
+    from bioner_ray.stages.textstats import _split_lower
+
+    _, seq = _train(ds, n_merges, text_col, num_buckets)
+
+    nsub_schema = pa.schema([("word", pa.string()), ("n_sub", pa.int64())])
+
+    def nsub(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return nsub_schema.empty_table()
+        syms = pc.split_pattern(pc.utf8_trim(t.column("s"), M), M + M)
+        if isinstance(syms, pa.ChunkedArray):
+            syms = syms.combine_chunks()
+        off = syms.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "word": pc.replace_substring(t.column("s"), pattern=M, replacement=""),
+                "n_sub": pa.array(np.diff(off)),
+            }
+        )
+
+    per_word = pin_schema(seq.map_batches(nsub, batch_format="pyarrow"), nsub_schema)
+
+    def word_source(t: pa.Table) -> pa.Table:
+        toks = _split_lower(t, text_col)
+        srcs = t.column(source_col).to_pylist()
+        words, sources = [], []
+        for row, src in zip(toks, srcs):
+            words.extend(row)
+            sources.extend([src] * len(row))
+        return pa.table(
+            {
+                "word": pa.array(words, type=pa.string()),
+                "source": pa.array(sources, type=pa.string()),
+                "cnt": pa.array(np.ones(len(words), dtype=np.int64)),
+            }
+        )
+
+    ws_schema = pa.schema(
+        [("word", pa.string()), ("source", pa.string()), ("cnt", pa.int64())]
+    )
+    wsrc = pin_schema(
+        bucketed_aggregate(
+            ds.map_batches(word_source, batch_format="pyarrow"),
+            ["word", "source"],
+            [("cnt", "sum")],
+            num_buckets=num_buckets,
+        ),
+        ws_schema,
+    )
+    joined = bucketed_inner_join(
+        wsrc, per_word, ["word"], ws_schema, nsub_schema, num_buckets=num_buckets
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [("source", pa.string()), ("n_words", pa.int64()), ("n_subwords", pa.int64())]
+        )
+        if t.num_columns == 0 or t.num_rows == 0:
+            return schema.empty_table()
+        cnt = t.column("cnt").to_numpy(zero_copy_only=False)
+        ns = t.column("n_sub").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "source": t.column("source"),
+                "n_words": pa.array(cnt),
+                "n_subwords": pa.array(ns * cnt),
+            }
+        )
+
+    agg = pin_schema(
+        bucketed_aggregate(
+            joined.map_batches(fold, batch_format="pyarrow"),
+            ["source"],
+            [("n_words", "sum"), ("n_subwords", "sum")],
+            num_buckets=num_buckets,
+        ),
+        pa.schema(
+            [("source", pa.string()), ("n_words", pa.int64()), ("n_subwords", pa.int64())]
+        ),
+        ensure_block=True,
+    )
+
+    def ratio(t: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [
+                ("source", pa.string()),
+                ("n_words", pa.int64()),
+                ("n_subwords", pa.int64()),
+                ("fertility", pa.float64()),
+            ]
+        )
+        if t.num_columns == 0 or t.num_rows == 0:
+            return schema.empty_table()
+        return t.append_column(
+            "fertility",
+            pc.divide(
+                pc.cast(t.column("n_subwords"), pa.float64()),
+                pc.cast(t.column("n_words"), pa.float64()),
+            ),
+        )
+
+    return agg.map_batches(ratio, batch_format="pyarrow")

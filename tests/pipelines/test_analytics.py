@@ -994,3 +994,32 @@ def test_kg_component_sizes_totals():
     groups = _to_pandas(kg_merge_groups(SF_DIR))
     assert (sizes["group_size"] * sizes["n_groups"]).sum() == len(groups)
     assert sizes["n_groups"].sum() == groups["rep"].nunique()
+
+
+def test_tokenizer_fertility_bounds_and_identity(tmp_path):
+    # with zero merges every word splits into its characters →
+    # fertility = chars per word exactly; with many merges over a
+    # one-word corpus fertility collapses toward 1.
+    import pyarrow as pa
+
+    from bioner_ray.pipelines.corpus import tokenizer_fertility
+
+    _write(
+        tmp_path,
+        "documents",
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], type=pa.int64()),
+                "text": pa.array(["ab ab ab cd", "ab ab"], type=pa.string()),
+                "source": pa.array(["s1", "s2"], type=pa.string()),
+            }
+        ),
+    )
+    out0 = _to_pandas(tokenizer_fertility(str(tmp_path), n_merges=0)).set_index("source")
+    assert out0.loc["s1", "fertility"] == 2.0  # all 2-char words
+    assert out0.loc["s2", "n_words"] == 2
+    out8 = _to_pandas(tokenizer_fertility(str(tmp_path), n_merges=8)).set_index("source")
+    # 'ab' merges to one symbol everywhere; 'cd' merges too (both pairs
+    # get picked within 8 rounds) → fertility 1.0
+    assert out8.loc["s1", "fertility"] == 1.0
+    assert out8.loc["s2", "fertility"] == 1.0
