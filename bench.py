@@ -243,6 +243,7 @@ OPERATOR_QUERIES = [
     "kg_component_sizes",
     "source_overlap",
     "tokenizer_fertility",
+    "event_trend",
 ]
 
 

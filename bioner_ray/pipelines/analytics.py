@@ -6978,3 +6978,61 @@ def kg_component_sizes(sf_dir: str, min_wjaccard: float = 0.5):
         pa.schema([("group_size", pa.int64()), ("n_groups", pa.int64())]),
         ensure_block=True,
     )
+
+
+def event_trend(sf_dir: str):
+    """Per-type activity trend: the exact OLS slope of daily value over
+    the day ordinal — the drift detector behind alerting ("is this
+    event type growing?"). One combiner-pruned aggregate to the
+    calendar-bounded (type, day) table; the OLS moments (Σx, Σy, Σxy,
+    Σx², n with x = epoch-day ordinal, y = cents) are exact Python
+    ints on the bounded table, and slope = double(n·Σxy − Σx·Σy) /
+    double(n·Σx² − (Σx)²) is ONE replayable division
+    (HUGEINT→DOUBLE both sides). Types with a single day have no
+    defined slope and are dropped. Columns: event_type, n_days,
+    slope."""
+    from bioner_ray.stages.shuffle import bucketed_aggregate
+
+    def prep(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(batch.column("ts"), unit="day")
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "day": day,
+                "value_cents": _cents(batch.column("value")),
+            }
+        )
+
+    daily = bucketed_aggregate(
+        _read(sf_dir, "events", columns=["ts", "event_type", "value"]).map_batches(
+            prep, batch_format="pyarrow"
+        ),
+        ["event_type", "day"],
+        [("value_cents", "sum")],
+    )
+    by_type: dict[str, list[tuple[int, int]]] = {}
+    for r in daily.take_all():  # bounded: types × calendar days
+        x = int(np.datetime64(r["day"], "D").astype(np.int64))  # epoch days
+        by_type.setdefault(r["event_type"], []).append((x, int(r["value_cents"])))
+    out = {"event_type": [], "n_days": [], "slope": []}
+    for et in sorted(by_type):
+        pts = by_type[et]
+        n = len(pts)
+        if n < 2:
+            continue
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxy = sum(x * y for x, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        num = n * sxy - sx * sy  # exact python ints
+        den = n * sxx - sx * sx
+        out["event_type"].append(et)
+        out["n_days"].append(n)
+        out["slope"].append(float(num) / float(den))
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"], type=pa.string()),
+            "n_days": pa.array(out["n_days"], type=pa.int64()),
+            "slope": pa.array(out["slope"], type=pa.float64()),
+        }
+    )

@@ -1023,3 +1023,29 @@ def test_tokenizer_fertility_bounds_and_identity(tmp_path):
     # get picked within 8 rounds) → fertility 1.0
     assert out8.loc["s1", "fertility"] == 1.0
     assert out8.loc["s2", "fertility"] == 1.0
+
+
+def test_event_trend_exact_slope(tmp_path):
+    # two days, values 100c then 300c, one day apart → slope exactly
+    # 200 cents/day; single-day types are dropped.
+    import datetime
+
+    import pyarrow as pa
+
+    from bioner_ray.pipelines.analytics import event_trend
+
+    d1, d2 = datetime.datetime(1996, 1, 1), datetime.datetime(1996, 1, 2)
+    _write(
+        tmp_path,
+        "events",
+        pa.table(
+            {
+                "ts": pa.array([d1, d2, d1], type=pa.timestamp("us")),
+                "event_type": pa.array(["buy", "buy", "view"], type=pa.string()),
+                "value": pa.array([1.0, 3.0, 9.9], type=pa.float64()),
+            }
+        ),
+    )
+    out = _to_pandas(event_trend(str(tmp_path)))
+    assert list(out["event_type"]) == ["buy"]
+    assert out.iloc[0]["n_days"] == 2 and out.iloc[0]["slope"] == 200.0
