@@ -244,6 +244,7 @@ OPERATOR_QUERIES = [
     "source_overlap",
     "tokenizer_fertility",
     "event_trend",
+    "embedding_leakage",
 ]
 
 

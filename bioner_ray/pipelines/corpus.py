@@ -1691,3 +1691,16 @@ def tokenizer_fertility(sf_dir: str, n_merges: int = 8):
     return bpe_fertility_by_source(
         _read(sf_dir, "documents", columns=["text", "source"]), n_merges=n_merges
     )
+
+
+def embedding_leakage(sf_dir: str, threshold: float = 0.99):
+    """Train/test leakage audit (stages/similarity.py split_leakage):
+    held-out-half vectors matched to their nearest train-half vector;
+    leaky = rounded cosine ≥ threshold. Columns: vec_id, nbr_id,
+    score_r, leaky."""
+    from bioner_ray.stages.similarity import split_leakage
+
+    return split_leakage(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        threshold=threshold,
+    )

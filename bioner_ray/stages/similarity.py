@@ -502,3 +502,82 @@ def knn_graph(
         )
 
     return ds.map_batches(block_knn, batch_format="pyarrow")
+
+
+def split_leakage(
+    ds,
+    threshold: float = 0.99,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_exact_rows: int = 200_000,
+):
+    """Train/test leakage audit in embedding space: every ODD-id vector
+    (the held-out half) matched to its nearest EVEN-id vector (the
+    train half); a near-1 cosine marks an eval row the model has
+    effectively seen. Same plan as knn_graph — the train half
+    normalizes once driver-side and broadcasts, each held-out batch
+    answers itself with one matmul + argmax (ties → smallest train
+    id) — and the same size gate routes bigger corpora to the IVF
+    path. Returns (vec_id, nbr_id, score_r, leaky) with score rounded
+    to 6 dp (the knn_topk oracle convention) and leaky computed FROM
+    the rounded score so the flag replays exactly."""
+    import ray
+
+    tbl = ds.select_columns([id_col, vec_col]).to_pandas()
+    tbl = tbl[tbl[id_col] % 2 == 0]
+    n = len(tbl)
+    if n > max_exact_rows:
+        raise ValueError(
+            f"split_leakage exact path gated at {max_exact_rows} rows (got {n}); "
+            "use build_ivf_index + knn_ivf_index for the scale path"
+        )
+    corpus = _normalize_rows(
+        np.asarray([np.asarray(v, dtype=np.float64) for v in tbl[vec_col]])
+    )
+    ids = tbl[id_col].to_numpy().astype(np.int64)
+    corpus_ref = ray.put((ids, corpus))
+
+    out_schema = pa.schema(
+        [
+            ("vec_id", pa.int64()),
+            ("nbr_id", pa.int64()),
+            ("score_r", pa.float64()),
+            ("leaky", pa.int64()),
+        ]
+    )
+
+    def block_top1(batch: pa.Table) -> pa.Table:
+        bids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = bids % 2 == 1
+        batch = batch.filter(pa.array(keep))
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        all_ids, cm = ray.get(corpus_ref)
+        m = _normalize_rows(_batch_matrix(batch, vec_col))
+        bids = bids[keep]
+        sims = m @ cm.T  # (B, N)
+        # argmax with ties → smallest train id: all_ids ascending by
+        # construction? not guaranteed — lexsort per row is overkill;
+        # order the corpus once by id at build time instead
+        best = np.argmax(sims, axis=1)
+        # resolve exact-score ties deterministically: mask to the max
+        # then take the min id among maxima
+        mx = sims[np.arange(len(bids)), best]
+        tie_min = np.empty(len(bids), dtype=np.int64)
+        sc = np.empty(len(bids), dtype=np.float64)
+        for i in range(len(bids)):  # B-bounded; ties are rare
+            mask = sims[i] == mx[i]
+            tie_min[i] = all_ids[mask].min()
+            sc[i] = mx[i]
+        score_r = np.round(sc, 6)
+        return pa.table(
+            {
+                "vec_id": pa.array(bids),
+                "nbr_id": pa.array(tie_min),
+                "score_r": pa.array(score_r),
+                "leaky": pa.array((score_r >= threshold).astype(np.int64)),
+            },
+            schema=out_schema,
+        )
+
+    return ds.map_batches(block_top1, batch_format="pyarrow")

@@ -1049,3 +1049,29 @@ def test_event_trend_exact_slope(tmp_path):
     out = _to_pandas(event_trend(str(tmp_path)))
     assert list(out["event_type"]) == ["buy"]
     assert out.iloc[0]["n_days"] == 2 and out.iloc[0]["slope"] == 200.0
+
+
+def test_split_leakage_flags_planted_duplicate(tmp_path):
+    # odd vec 1 IS even vec 0 (exact copy) → cosine 1.0, leaky; odd
+    # vec 3 is orthogonal to both train vectors → not leaky.
+    import pyarrow as pa
+
+    from bioner_ray.pipelines.corpus import embedding_leakage
+
+    _write(
+        tmp_path,
+        "embeddings",
+        pa.table(
+            {
+                "vec_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+                "embedding": pa.array(
+                    [[1.0, 0.0, 0.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]],
+                    type=pa.list_(pa.float32()),
+                ),
+            }
+        ),
+    )
+    out = _to_pandas(embedding_leakage(str(tmp_path))).set_index("vec_id")
+    assert out.loc[1, "nbr_id"] == 0 and out.loc[1, "leaky"] == 1
+    assert out.loc[1, "score_r"] == 1.0
+    assert out.loc[3, "leaky"] == 0 and out.loc[3, "score_r"] == 0.0
