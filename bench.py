@@ -245,6 +245,7 @@ OPERATOR_QUERIES = [
     "tokenizer_fertility",
     "event_trend",
     "embedding_leakage",
+    "rag_chunks",
 ]
 
 

@@ -1704,3 +1704,64 @@ def embedding_leakage(sf_dir: str, threshold: float = 0.99):
         _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
         threshold=threshold,
     )
+
+
+def rag_chunks(sf_dir: str, size: int = 64, overlap: int = 16):
+    """Fixed-size overlapping token chunking — the RAG/context-window
+    splitter (token_shards PACKS whole documents into budgets; this
+    SPLITS each document into ``size``-token windows advancing by
+    ``size − overlap``). Embarrassingly parallel: one fused document
+    pass, no shuffle, chunk text rebuilt by single-space join over the
+    compacted non-empty token sequence (the twin's
+    ``string_agg(w, ' ' ORDER BY idx)``), chunk grid = every start
+    index c·stride while it still has tokens — so the trailing partial
+    chunk is kept, matching generate_series(0, (n−1)//stride).
+    Columns: doc_id, chunk_id, n_tokens, chunk_text."""
+    import numpy as np
+    import pyarrow as pa
+
+    from bioner_ray.stages.shuffle import pin_schema
+    from bioner_ray.stages.textstats import _split_lower
+
+    stride = size - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than size")
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("chunk_id", pa.int64()),
+            ("n_tokens", pa.int64()),
+            ("chunk_text", pa.string()),
+        ]
+    )
+
+    def chunks(t: pa.Table) -> pa.Table:
+        toks = _split_lower(t, "text")
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        out = {"doc_id": [], "chunk_id": [], "n_tokens": [], "chunk_text": []}
+        for did, row in zip(ids, toks):
+            n = len(row)
+            if n == 0:
+                continue
+            for c in range((n - 1) // stride + 1):
+                piece = row[c * stride : c * stride + size]
+                out["doc_id"].append(int(did))
+                out["chunk_id"].append(c)
+                out["n_tokens"].append(len(piece))
+                out["chunk_text"].append(" ".join(piece))
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+                "chunk_id": pa.array(out["chunk_id"], type=pa.int64()),
+                "n_tokens": pa.array(out["n_tokens"], type=pa.int64()),
+                "chunk_text": pa.array(out["chunk_text"], type=pa.string()),
+            }
+        )
+
+    return pin_schema(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+            chunks, batch_format="pyarrow"
+        ),
+        out_schema,
+        ensure_block=True,
+    )

@@ -1075,3 +1075,33 @@ def test_split_leakage_flags_planted_duplicate(tmp_path):
     assert out.loc[1, "nbr_id"] == 0 and out.loc[1, "leaky"] == 1
     assert out.loc[1, "score_r"] == 1.0
     assert out.loc[3, "leaky"] == 0 and out.loc[3, "score_r"] == 0.0
+
+
+def test_rag_chunks_overlap_and_tail(tmp_path):
+    # 10 tokens, size 6, overlap 2 (stride 4) → chunks at 0,4,8:
+    # [t0..t5], [t4..t9], [t8..t9] — trailing partial kept.
+    import pyarrow as pa
+
+    from bioner_ray.pipelines.corpus import rag_chunks
+
+    toks = [f"w{i}" for i in range(10)]
+    _write(
+        tmp_path,
+        "documents",
+        pa.table(
+            {
+                "doc_id": pa.array([1], type=pa.int64()),
+                "text": pa.array([" ".join(toks)], type=pa.string()),
+            }
+        ),
+    )
+    out = (
+        _to_pandas(rag_chunks(str(tmp_path), size=6, overlap=2))
+        .sort_values("chunk_id")
+        .reset_index(drop=True)
+    )
+    assert list(out["chunk_id"]) == [0, 1, 2]
+    assert list(out["n_tokens"]) == [6, 6, 2]
+    assert out.loc[0, "chunk_text"] == "w0 w1 w2 w3 w4 w5"
+    assert out.loc[1, "chunk_text"] == "w4 w5 w6 w7 w8 w9"
+    assert out.loc[2, "chunk_text"] == "w8 w9"
