@@ -246,6 +246,7 @@ OPERATOR_QUERIES = [
     "event_trend",
     "embedding_leakage",
     "rag_chunks",
+    "hard_negative_mining",
 ]
 
 

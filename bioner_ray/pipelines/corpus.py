@@ -1765,3 +1765,14 @@ def rag_chunks(sf_dir: str, size: int = 64, overlap: int = 16):
         out_schema,
         ensure_block=True,
     )
+
+
+def hard_negative_mining(sf_dir: str):
+    """Per-vector hardest negative (stages/similarity.py
+    hard_negatives): nearest different-label neighbor by cosine.
+    Columns: vec_id, neg_id, score_r."""
+    from bioner_ray.stages.similarity import hard_negatives
+
+    return hard_negatives(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+    )

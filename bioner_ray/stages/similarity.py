@@ -581,3 +581,62 @@ def split_leakage(
         )
 
     return ds.map_batches(block_top1, batch_format="pyarrow")
+
+
+def hard_negatives(
+    ds,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    max_exact_rows: int = 200_000,
+):
+    """Hard-negative mining for contrastive training: every vector's
+    nearest neighbor with a DIFFERENT label — the most-confusable
+    example the loss should push away. Same broadcast-matmul plan as
+    knn_graph with a label mask instead of a self mask (self is
+    excluded transitively: same label); ties at the max → smallest
+    negative id; same exact-path size gate, IVF beyond it. Returns
+    (vec_id, neg_id, score_r) with the 6-dp rounding convention."""
+    import ray
+
+    tbl = ds.select_columns([id_col, vec_col, label_col]).to_pandas()
+    n = len(tbl)
+    if n > max_exact_rows:
+        raise ValueError(
+            f"hard_negatives exact path gated at {max_exact_rows} rows (got {n}); "
+            "use build_ivf_index + knn_ivf_index for the scale path"
+        )
+    corpus = _normalize_rows(
+        np.asarray([np.asarray(v, dtype=np.float64) for v in tbl[vec_col]])
+    )
+    ids = tbl[id_col].to_numpy().astype(np.int64)
+    labels = tbl[label_col].to_numpy().astype(np.int64)
+    corpus_ref = ray.put((ids, labels, corpus))
+
+    out_schema = pa.schema(
+        [("vec_id", pa.int64()), ("neg_id", pa.int64()), ("score_r", pa.float64())]
+    )
+
+    def block_neg(batch: pa.Table) -> pa.Table:
+        all_ids, all_labels, cm = ray.get(corpus_ref)
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        m = _normalize_rows(_batch_matrix(batch, vec_col))
+        bids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        blab = batch.column(label_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        sims = m @ cm.T
+        sims[blab[:, None] == all_labels[None, :]] = -np.inf  # same label out
+        mx = sims.max(axis=1)
+        neg = np.empty(len(bids), dtype=np.int64)
+        for i in range(len(bids)):  # tie-min, B-bounded
+            neg[i] = all_ids[sims[i] == mx[i]].min()
+        return pa.table(
+            {
+                "vec_id": pa.array(bids),
+                "neg_id": pa.array(neg),
+                "score_r": pa.array(np.round(mx, 6)),
+            },
+            schema=out_schema,
+        )
+
+    return ds.map_batches(block_neg, batch_format="pyarrow")

@@ -1105,3 +1105,29 @@ def test_rag_chunks_overlap_and_tail(tmp_path):
     assert out.loc[0, "chunk_text"] == "w0 w1 w2 w3 w4 w5"
     assert out.loc[1, "chunk_text"] == "w4 w5 w6 w7 w8 w9"
     assert out.loc[2, "chunk_text"] == "w8 w9"
+
+
+def test_hard_negatives_excludes_same_label(tmp_path):
+    # vec 0 (label 1) is closest to vec 1 (label 1, same — excluded);
+    # its hardest negative must be vec 2 (label 2).
+    import pyarrow as pa
+
+    from bioner_ray.pipelines.corpus import hard_negative_mining
+
+    _write(
+        tmp_path,
+        "embeddings",
+        pa.table(
+            {
+                "vec_id": pa.array([0, 1, 2], type=pa.int64()),
+                "embedding": pa.array(
+                    [[1.0, 0.0], [1.0, 0.01], [0.5, 0.5]], type=pa.list_(pa.float32())
+                ),
+                "label": pa.array([1, 1, 2], type=pa.int32()),
+            }
+        ),
+    )
+    out = _to_pandas(hard_negative_mining(str(tmp_path))).set_index("vec_id")
+    assert out.loc[0, "neg_id"] == 2
+    assert out.loc[1, "neg_id"] == 2
+    assert out.loc[2, "neg_id"] in (0, 1)
