@@ -1639,25 +1639,30 @@ def source_overlap(sf_dir: str, k: int = 3):
         if g.num_columns == 0 or g.num_rows < 2:
             return schema.empty_table()
         g = g.sort_by([("s", "ascending"), ("source", "ascending")])
-        keys = g.column("s").to_pylist()
-        srcs = g.column("source").to_pylist()
-        out_a, out_b = [], []
-        i, n = 0, len(keys)
-        while i < n:
-            j = i
-            while j < n and keys[j] == keys[i]:
-                j += 1
-            row = srcs[i:j]  # distinct + sorted by construction
-            for x in range(len(row)):
-                for y in range(x + 1, len(row)):
-                    out_a.append(row[x])
-                    out_b.append(row[y])
-            i = j
+        keys = np.asarray(g.column("s").to_pylist(), dtype=object)
+        srcs = np.asarray(g.column("source").to_pylist(), dtype=object)
+        n = len(keys)
+        starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+        lengths = np.diff(np.r_[starts, n])
+        # per-run pair emission via size-grouped triu templates (the
+        # basket_pairs pattern) — no per-row Python in the hot loop
+        idx_a, idx_b = [], []
+        for m in np.unique(lengths):
+            if m < 2:
+                continue
+            ti, tj = np.triu_indices(int(m), k=1)
+            offs = starts[lengths == m]
+            idx_a.append((offs[:, None] + ti[None, :]).ravel())
+            idx_b.append((offs[:, None] + tj[None, :]).ravel())
+        if not idx_a:
+            return schema.empty_table()
+        ia = np.concatenate(idx_a)
+        ib = np.concatenate(idx_b)
         return pa.table(
             {
-                "src_a": pa.array(out_a, type=pa.string()),
-                "src_b": pa.array(out_b, type=pa.string()),
-                "n_shared": pa.array(np.ones(len(out_a), dtype=np.int64)),
+                "src_a": pa.array(srcs[ia], type=pa.string()),
+                "src_b": pa.array(srcs[ib], type=pa.string()),
+                "n_shared": pa.array(np.ones(len(ia), dtype=np.int64)),
             }
         )
 
