@@ -247,6 +247,8 @@ OPERATOR_QUERIES = [
     "embedding_leakage",
     "rag_chunks",
     "hard_negative_mining",
+    "event_dow_profile",
+    "spend_activity_corr",
 ]
 
 

@@ -7036,3 +7036,123 @@ def event_trend(sf_dir: str):
             "slope": pa.array(out["slope"], type=pa.float64()),
         }
     )
+
+
+def event_dow_profile(sf_dir: str):
+    """Day-of-week seasonality per event type — the weekly rhythm
+    behind capacity planning and anomaly baselines. One combiner-pruned
+    aggregate to the types × 7 table. Day numbering is PINNED to ISO
+    (Monday = 1 … Sunday = 7): Arrow's default day_of_week (Mon = 0)
+    plus one equals DuckDB's isodow — the cross-engine numbering trap
+    this docstring exists to record. Columns: event_type, dow,
+    n_events, value_cents."""
+    from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema, with_ones
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "dow": pc.cast(
+                    pc.add(pc.day_of_week(batch.column("ts")), 1), pa.int64()
+                ),
+                "value_cents": _cents(batch.column("value")),
+            }
+        )
+
+    return pin_schema(
+        bucketed_aggregate(
+            with_ones(
+                _read(sf_dir, "events", columns=["ts", "event_type", "value"]).map_batches(
+                    prep, batch_format="pyarrow"
+                ),
+                "n_events",
+            ),
+            ["event_type", "dow"],
+            [("n_events", "sum"), ("value_cents", "sum")],
+        ),
+        pa.schema(
+            [
+                ("event_type", pa.string()),
+                ("dow", pa.int64()),
+                ("n_events", pa.int64()),
+                ("value_cents", pa.int64()),
+            ]
+        ),
+        ensure_block=True,
+    )
+
+
+def spend_activity_corr(sf_dir: str):
+    """Cross-table signal correlation: exact Pearson r between a
+    user's event count and their total order spend — "does activity
+    predict revenue". Two per-user aggregates (each combiner-pruned),
+    ONE user-bucketed join (users with no orders count as 0 spend via
+    the left-outer mode), then exact big-int moments on the
+    user-bounded table and one HUGEINT→DOUBLE division pair (the
+    copurchase_assortativity pattern). Columns: n_users, r."""
+    from bioner_ray.stages.shuffle import bucketed_aggregate, bucketed_inner_join, pin_schema, with_ones
+
+    ev = pin_schema(
+        bucketed_aggregate(
+            with_ones(
+                _read(sf_dir, "events", columns=["user_id"]).map_batches(
+                    lambda t: pa.table({"user_id": pc.cast(t.column("user_id"), pa.int64())}),
+                    batch_format="pyarrow",
+                ),
+                "n_events",
+            ),
+            ["user_id"],
+            [("n_events", "sum")],
+        ),
+        pa.schema([("user_id", pa.int64()), ("n_events", pa.int64())]),
+    )
+    orders = pin_schema(
+        bucketed_aggregate(
+            _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]).map_batches(
+                lambda t: pa.table(
+                    {
+                        "user_id": pc.cast(t.column("o_custkey"), pa.int64()),
+                        "spend_cents": _cents(t.column("o_totalprice")),
+                    }
+                ),
+                batch_format="pyarrow",
+            ),
+            ["user_id"],
+            [("spend_cents", "sum")],
+        ),
+        pa.schema([("user_id", pa.int64()), ("spend_cents", pa.int64())]),
+    )
+    joined = bucketed_inner_join(
+        ev,
+        orders,
+        ["user_id"],
+        pa.schema([("user_id", pa.int64()), ("n_events", pa.int64())]),
+        pa.schema([("user_id", pa.int64()), ("spend_cents", pa.int64())]),
+        join_type="left outer",
+    )
+    # moments over the user-bounded table: exact python big-ints
+    n = sx = sy = sxy = sxx = syy = 0
+    for b in joined.iter_batches(batch_format="pyarrow"):
+        if b.num_columns == 0 or b.num_rows == 0:
+            continue
+        x = b.column("n_events").to_numpy(zero_copy_only=False).astype(np.int64)
+        y_col = pc.fill_null(b.column("spend_cents"), 0)
+        y = y_col.to_numpy(zero_copy_only=False).astype(np.int64)
+        n += len(x)
+        sx += int(x.sum())
+        sy += int(y.sum())
+        sxy += int((x.astype(object) * y.astype(object)).sum())
+        sxx += int((x.astype(object) * x.astype(object)).sum())
+        syy += int((y.astype(object) * y.astype(object)).sum())
+    num = n * sxy - sx * sy
+    den2x = n * sxx - sx * sx
+    den2y = n * syy - sy * sy
+    import math
+
+    r = float(num) / (math.sqrt(float(den2x)) * math.sqrt(float(den2y))) if den2x and den2y else 0.0
+    return pa.table(
+        {
+            "n_users": pa.array([n], type=pa.int64()),
+            "r": pa.array([r], type=pa.float64()),
+        }
+    )

@@ -1131,3 +1131,64 @@ def test_hard_negatives_excludes_same_label(tmp_path):
     assert out.loc[0, "neg_id"] == 2
     assert out.loc[1, "neg_id"] == 2
     assert out.loc[2, "neg_id"] in (0, 1)
+
+
+def test_event_dow_profile_iso_numbering(tmp_path):
+    # 2026-08-17 is a Monday → dow 1; 2026-08-23 a Sunday → dow 7.
+    import datetime
+
+    import pyarrow as pa
+
+    from bioner_ray.pipelines.analytics import event_dow_profile
+
+    _write(
+        tmp_path,
+        "events",
+        pa.table(
+            {
+                "ts": pa.array(
+                    [datetime.datetime(2026, 8, 17), datetime.datetime(2026, 8, 23)],
+                    type=pa.timestamp("us"),
+                ),
+                "event_type": pa.array(["a", "a"], type=pa.string()),
+                "value": pa.array([1.0, 2.0], type=pa.float64()),
+            }
+        ),
+    )
+    out = _to_pandas(event_dow_profile(str(tmp_path))).set_index("dow")
+    assert set(out.index) == {1, 7}
+    assert out.loc[1, "value_cents"] == 100 and out.loc[7, "value_cents"] == 200
+
+
+def test_spend_activity_corr_perfect_line(tmp_path):
+    # spend exactly 100× activity → r = 1.0 bit-for-bit.
+    import datetime
+
+    import pyarrow as pa
+
+    from bioner_ray.pipelines.analytics import spend_activity_corr
+
+    ts = datetime.datetime(1996, 1, 1)
+    rows = []
+    for u, k in ((1, 1), (2, 2), (3, 3)):
+        rows += [u] * k
+    _write(
+        tmp_path,
+        "events",
+        pa.table(
+            {"user_id": pa.array(rows, type=pa.int64()),
+             "ts": pa.array([ts] * len(rows), type=pa.timestamp("us"))}
+        ),
+    )
+    _write(
+        tmp_path,
+        "orders",
+        pa.table(
+            {
+                "o_custkey": pa.array([1, 2, 3], type=pa.int64()),
+                "o_totalprice": pa.array([1.0, 2.0, 3.0], type=pa.float64()),
+            }
+        ),
+    )
+    out = _to_pandas(spend_activity_corr(str(tmp_path)))
+    assert out.iloc[0]["n_users"] == 3 and out.iloc[0]["r"] == 1.0
