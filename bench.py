@@ -249,6 +249,7 @@ OPERATOR_QUERIES = [
     "hard_negative_mining",
     "event_dow_profile",
     "spend_activity_corr",
+    "doc_novelty",
 ]
 
 

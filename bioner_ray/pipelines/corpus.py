@@ -1781,3 +1781,120 @@ def hard_negative_mining(sf_dir: str):
     return hard_negatives(
         _read(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
     )
+
+
+def doc_novelty(sf_dir: str, k: int = 3):
+    """Per-document n-gram novelty — the freshness/curriculum metric:
+    the fraction of a doc's distinct ``k``-gram shingles whose GLOBAL
+    first occurrence (min doc_id) is this doc. Near-zero novelty marks
+    recombined/templated text even when no single document matches
+    (the signal n-gram dedup misses). Plan: distinct (shingle, doc)
+    rows once; shingle-keyed aggregate gives each shingle's first doc;
+    ONE more shingle-bucketed join flags first-occurrence rows; a
+    doc-keyed fold finishes. novelty = double(n_first)/double(n_grams),
+    one replayable division. Columns: doc_id, n_grams, n_first,
+    novelty."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from bioner_ray.stages.shuffle import bucketed_aggregate, bucketed_inner_join, pin_schema, with_ones
+    from bioner_ray.stages.textstats import _split_lower
+
+    def shingles(t: pa.Table) -> pa.Table:
+        toks = _split_lower(t, "text")
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        out_s, out_d = [], []
+        for did, row in zip(ids, toks):
+            seen = set()
+            for i in range(len(row) - k + 1):
+                sh = " ".join(row[i : i + k])
+                if sh not in seen:
+                    seen.add(sh)
+                    out_s.append(sh)
+                    out_d.append(int(did))
+        return pa.table(
+            {
+                "s": pa.array(out_s, type=pa.string()),
+                "doc_id": pa.array(out_d, type=pa.int64()),
+            }
+        )
+
+    sd_schema = pa.schema([("s", pa.string()), ("doc_id", pa.int64())])
+    sd = pin_schema(
+        bucketed_aggregate(
+            with_ones(
+                _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+                    shingles, batch_format="pyarrow"
+                )
+            ),
+            ["s", "doc_id"],
+            [("one", "min")],
+        ).map_batches(lambda t: t.select(["s", "doc_id"]), batch_format="pyarrow"),
+        sd_schema,
+    ).materialize()
+    first = pin_schema(
+        bucketed_aggregate(
+            sd.map_batches(
+                lambda t: pa.table({"s": t.column("s"), "first_doc": t.column("doc_id")}),
+                batch_format="pyarrow",
+            ),
+            ["s"],
+            [("first_doc", "min")],
+        ),
+        pa.schema([("s", pa.string()), ("first_doc", pa.int64())]),
+    )
+    joined = bucketed_inner_join(
+        sd,
+        first,
+        ["s"],
+        sd_schema,
+        pa.schema([("s", pa.string()), ("first_doc", pa.int64())]),
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [("doc_id", pa.int64()), ("n_grams", pa.int64()), ("n_first", pa.int64())]
+        )
+        if t.num_columns == 0 or t.num_rows == 0:
+            return schema.empty_table()
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_grams": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                "n_first": pc.cast(
+                    pc.equal(t.column("first_doc"), t.column("doc_id")), pa.int64()
+                ),
+            }
+        )
+
+    agg = pin_schema(
+        bucketed_aggregate(
+            joined.map_batches(fold, batch_format="pyarrow"),
+            ["doc_id"],
+            [("n_grams", "sum"), ("n_first", "sum")],
+        ),
+        pa.schema(
+            [("doc_id", pa.int64()), ("n_grams", pa.int64()), ("n_first", pa.int64())]
+        ),
+        ensure_block=True,
+    )
+    return agg.map_batches(
+        lambda t: t.append_column(
+            "novelty",
+            pc.divide(
+                pc.cast(t.column("n_first"), pa.float64()),
+                pc.cast(t.column("n_grams"), pa.float64()),
+            ),
+        )
+        if t.num_columns
+        else pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("n_grams", pa.int64()),
+                ("n_first", pa.int64()),
+                ("novelty", pa.float64()),
+            ]
+        ).empty_table(),
+        batch_format="pyarrow",
+    )

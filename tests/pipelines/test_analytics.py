@@ -1192,3 +1192,28 @@ def test_spend_activity_corr_perfect_line(tmp_path):
     )
     out = _to_pandas(spend_activity_corr(str(tmp_path)))
     assert out.iloc[0]["n_users"] == 3 and out.iloc[0]["r"] == 1.0
+
+
+def test_doc_novelty_first_vs_copy(tmp_path):
+    # doc 1 introduces every gram (novelty 1.0); doc 2 copies doc 1
+    # verbatim (novelty 0.0); doc 3 is half-new.
+    import pyarrow as pa
+
+    from bioner_ray.pipelines.corpus import doc_novelty
+
+    t1 = "a b c d"           # grams: abc, bcd
+    t3 = "a b c x y z"       # grams: abc (old), bcx, cxy, xyz (new)
+    _write(
+        tmp_path,
+        "documents",
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                "text": pa.array([t1, t1, t3], type=pa.string()),
+            }
+        ),
+    )
+    out = _to_pandas(doc_novelty(str(tmp_path))).set_index("doc_id")
+    assert out.loc[1, "novelty"] == 1.0
+    assert out.loc[2, "novelty"] == 0.0
+    assert out.loc[3, "n_grams"] == 4 and out.loc[3, "n_first"] == 3
