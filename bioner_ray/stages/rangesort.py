@@ -125,3 +125,97 @@ def range_partitioned_sort(
         ensure_block=True,
     )
     return sorted_ds, summary
+
+
+def write_sorted_parquet(ds, out_root: str, value_col: str, id_col: str, parts: int = 8):
+    """Resumable globally-sorted Parquet export: one directory per
+    range partition (``pid=K/``), each holding that partition's
+    locally-sorted rows, with a per-partition ``_SUCCESS`` manifest
+    carrying the order proof (n_rows, min, max). Cutoffs are
+    deterministic (range_sort_cutoffs), so a re-run assigns identical
+    pids; finished partitions (manifest present) are filtered out
+    BEFORE the shuffle and never recomputed — the north rule's resume
+    contract applied to the sort sink (a failed 100-TB export redoes
+    only its unfinished ranges). ONE pid exchange; each group sorts
+    and writes ITS OWN directory worker-side (tmp file + atomic
+    rename, so a crashed writer leaves no torn partition). Returns
+    the per-partition manifest list."""
+    import json
+    import os
+
+    import ray
+
+    done: dict[int, dict] = {}
+    for pid in range(parts):
+        mpath = os.path.join(out_root, f"pid={pid}", "_SUCCESS")
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                done[pid] = json.load(f)
+
+    cutoffs = np.array(range_sort_cutoffs(ds, value_col, parts), dtype=np.int64)
+    cut_ref = ray.put((cutoffs, frozenset(done)))
+
+    def assign(t: pa.Table) -> pa.Table:
+        cuts, skip = ray.get(cut_ref)
+        v = t.column(value_col).to_numpy(zero_copy_only=False)
+        pid = np.searchsorted(cuts, v, side="left").astype(np.int64)
+        t = t.append_column("pid", pa.array(pid))
+        if skip:
+            keep = ~np.isin(pid, np.fromiter(skip, dtype=np.int64, count=len(skip)))
+            t = t.filter(pa.array(keep))
+        return t
+
+    def write_group(g: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [("pid", pa.int64()), ("n_rows", pa.int64()), ("min", pa.int64()), ("max", pa.int64())]
+        )
+        if g.num_columns == 0 or g.num_rows == 0:
+            return out_schema.empty_table()
+        import pyarrow.parquet as pq
+
+        pid = int(g.column("pid")[0].as_py())
+        g = g.sort_by([(value_col, "ascending"), (id_col, "ascending")])
+        pdir = os.path.join(out_root, f"pid={pid}")
+        os.makedirs(pdir, exist_ok=True)
+        tmp = os.path.join(pdir, ".part-0.parquet.tmp")
+        pq.write_table(g.drop_columns(["pid"]), tmp)
+        os.replace(tmp, os.path.join(pdir, "part-0.parquet"))
+        v = g.column(value_col).to_numpy(zero_copy_only=False)
+        man = {"pid": pid, "n_rows": int(g.num_rows), "min": int(v[0]), "max": int(v[-1])}
+        mtmp = os.path.join(pdir, "._SUCCESS.tmp")
+        with open(mtmp, "w") as f:
+            json.dump(man, f)
+        os.replace(mtmp, os.path.join(pdir, "_SUCCESS"))
+        return pa.table(
+            {
+                "pid": pa.array([man["pid"]], type=pa.int64()),
+                "n_rows": pa.array([man["n_rows"]], type=pa.int64()),
+                "min": pa.array([man["min"]], type=pa.int64()),
+                "max": pa.array([man["max"]], type=pa.int64()),
+            }
+        )
+
+    written = (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("pid")
+        .map_groups(write_group, batch_format="pyarrow")
+        .take_all()
+    )
+    manifests = dict(done)
+    for r in written:
+        manifests[int(r["pid"])] = {
+            "pid": int(r["pid"]),
+            "n_rows": int(r["n_rows"]),
+            "min": int(r["min"]),
+            "max": int(r["max"]),
+        }
+    # ranges with no rows still need a manifest so resume can skip them
+    for pid in range(parts):
+        if pid not in manifests:
+            pdir = os.path.join(out_root, f"pid={pid}")
+            os.makedirs(pdir, exist_ok=True)
+            man = {"pid": pid, "n_rows": 0, "min": None, "max": None}
+            with open(os.path.join(pdir, "_SUCCESS"), "w") as f:
+                json.dump(man, f)
+            manifests[pid] = man
+    return [manifests[pid] for pid in sorted(manifests)]

@@ -1217,3 +1217,49 @@ def test_doc_novelty_first_vs_copy(tmp_path):
     assert out.loc[1, "novelty"] == 1.0
     assert out.loc[2, "novelty"] == 0.0
     assert out.loc[3, "n_grams"] == 4 and out.loc[3, "n_first"] == 3
+
+
+def test_write_sorted_parquet_resumes(tmp_path):
+    # first run writes every partition; delete one partition's files
+    # and re-run — only the missing range is rewritten, finished ones
+    # are skipped (their manifests answer), and the result is globally
+    # sorted across pid directories.
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bioner_ray.pipelines.analytics import _cents, _read
+    from bioner_ray.stages.rangesort import write_sorted_parquet
+
+    cents = _read(SF_DIR, "orders", columns=["o_orderkey", "o_totalprice"]).map_batches(
+        lambda t: pa.table(
+            {"o_orderkey": t.column("o_orderkey"), "cents": _cents(t.column("o_totalprice"))}
+        ),
+        batch_format="pyarrow",
+    )
+    out = str(tmp_path / "sorted")
+    man1 = write_sorted_parquet(cents, out, "cents", "o_orderkey", parts=4)
+    assert len(man1) == 4
+    total = sum(m["n_rows"] for m in man1)
+    assert total == _read(SF_DIR, "orders").count()
+    for a, b in zip(man1, man1[1:]):
+        if a["max"] is not None and b["min"] is not None:
+            assert a["max"] <= b["min"]
+    # simulate a crashed partition: remove pid=2 entirely
+    import shutil
+
+    shutil.rmtree(os.path.join(out, "pid=2"))
+    mtimes = {
+        p: os.path.getmtime(os.path.join(out, p, "part-0.parquet"))
+        for p in ("pid=0", "pid=1", "pid=3")
+    }
+    man2 = write_sorted_parquet(cents, out, "cents", "o_orderkey", parts=4)
+    assert man2 == man1
+    for p, t0 in mtimes.items():
+        assert os.path.getmtime(os.path.join(out, p, "part-0.parquet")) == t0  # untouched
+    got = pq.read_table(os.path.join(out, "pid=2", "part-0.parquet"))
+    assert got.num_rows == man1[2]["n_rows"]
+    v = got.column("cents").to_numpy()
+    assert (np.diff(v) >= 0).all()
