@@ -250,6 +250,7 @@ OPERATOR_QUERIES = [
     "event_dow_profile",
     "spend_activity_corr",
     "doc_novelty",
+    "user_overlap_kmv",
 ]
 
 

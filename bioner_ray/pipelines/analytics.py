@@ -7156,3 +7156,18 @@ def spend_activity_corr(sf_dir: str):
             "r": pa.array([r], type=pa.float64()),
         }
     )
+
+
+def user_overlap_kmv(sf_dir: str, k: int = 64):
+    """Audience overlap between event-type pairs via mergeable KMV
+    sketches (stages/sketch.py kmv_pair_overlap) — the set-algebra
+    companion to distinct_users_kmv. Columns: ta, tb, n_both,
+    est_union, est_inter."""
+    from bioner_ray.stages.sketch import kmv_pair_overlap
+
+    return kmv_pair_overlap(
+        _read(sf_dir, "events", columns=["event_type", "user_id"]),
+        "event_type",
+        "user_id",
+        k=k,
+    )

@@ -377,3 +377,90 @@ def cms_estimates(
         )
 
     return words.map_batches(est, batch_format="pyarrow")
+
+
+def kmv_pair_overlap(ds, key_col: str, value_col: str, k: int = 64):
+    """Mergeable-sketch SET ALGEBRA (Beyer et al.): estimated distinct
+    overlap |values(A) ∩ values(B)| for every unordered key pair, from
+    the same bottom-k synopses kmv_distinct builds — the cross-segment
+    audience-overlap query that exact two-level dedup would pay a
+    values×keys shuffle for; the sketch pays k hashes per key.
+
+    Per pair: K_∪ = bottom-k of the two synopses' union,
+    ρ = |{h ∈ K_∪ : h ∈ K_A ∧ h ∈ K_B}| / |K_∪|, est_union =
+    (k−1)·M/kth (exact |union| when it fits the synopsis), est_inter =
+    ρ · est_union. Everything is deterministic (the md5-61-bit value
+    hash) and the float composition is pinned to exactly
+    `double(n_both)/double(n_usyn) * est_union`, so the DuckDB twin
+    replays the estimate bit-for-bit — including its error vs truth.
+    The exchange is keys × k hashes; the pair loop runs on the
+    keys-bounded synopsis table driver-side. Columns: ta, tb, n_both,
+    est_union, est_inter."""
+    M = 2305843009213693952.0
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_pylist()
+        vals = batch.column(value_col).to_pylist()
+        per_key: dict = {}
+        for kk, v in zip(keys, vals):
+            per_key.setdefault(kk, set()).add(v)
+        out_k, out_h = [], []
+        for kk, vs in per_key.items():
+            hs = _value_hashes(list(vs))[:k]
+            out_k.extend([kk] * len(hs))
+            out_h.extend(hs.tolist())
+        return pa.table(
+            {
+                key_col: pa.array(out_k),
+                "hv": pa.array(np.array(out_h, dtype=np.uint64)),
+            }
+        )
+
+    def final(group: pa.Table) -> pa.Table:
+        hs = np.unique(group.column("hv").to_numpy(zero_copy_only=False))[:k]
+        return pa.table(
+            {
+                key_col: group.column(key_col).slice(0, 1),
+                "synopsis": pa.array([hs.astype(np.int64).tolist()], type=pa.list_(pa.int64())),
+            }
+        )
+
+    sk = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key_col)
+        .map_groups(final, batch_format="pyarrow")
+    )
+    rows = sk.take_all()  # bounded: one synopsis row per key
+    syn = {r[key_col]: np.array(r["synopsis"], dtype=np.int64) for r in rows}
+    keys = sorted(syn)
+    out = {"ta": [], "tb": [], "n_both": [], "est_union": [], "est_inter": []}
+    for i in range(len(keys)):
+        for j in range(i + 1, len(keys)):
+            a, b = keys[i], keys[j]
+            u = np.union1d(syn[a], syn[b])[:k]
+            n_usyn = int(u.size)
+            if n_usyn == 0:
+                continue
+            kth = int(u[-1])
+            # union fits both synopses completely only if both sides
+            # were exact (size < k) and the merged set is < k
+            exact = len(syn[a]) < k and len(syn[b]) < k and n_usyn < k
+            est_union = float(n_usyn) if exact else (k - 1) * M / float(kth)
+            both = np.intersect1d(u, syn[a], assume_unique=True)
+            both = np.intersect1d(both, syn[b], assume_unique=True)
+            n_both = int(both.size)
+            est_inter = float(n_both) / float(n_usyn) * est_union
+            out["ta"].append(a)
+            out["tb"].append(b)
+            out["n_both"].append(n_both)
+            out["est_union"].append(est_union)
+            out["est_inter"].append(est_inter)
+    return pa.table(
+        {
+            "ta": pa.array(out["ta"], type=pa.string()),
+            "tb": pa.array(out["tb"], type=pa.string()),
+            "n_both": pa.array(out["n_both"], type=pa.int64()),
+            "est_union": pa.array(out["est_union"], type=pa.float64()),
+            "est_inter": pa.array(out["est_inter"], type=pa.float64()),
+        }
+    )

@@ -1263,3 +1263,35 @@ def test_write_sorted_parquet_resumes(tmp_path):
     assert got.num_rows == man1[2]["n_rows"]
     v = got.column("cents").to_numpy()
     assert (np.diff(v) >= 0).all()
+
+
+def test_kmv_pair_overlap_exact_when_small(tmp_path):
+    # tiny sets (< k): the sketch degenerates to exact set algebra —
+    # est_union and est_inter are the true values.
+    import datetime
+
+    import pyarrow as pa
+
+    from bioner_ray.pipelines.analytics import user_overlap_kmv
+
+    ts = datetime.datetime(1996, 1, 1)
+    users_a = [1, 2, 3, 4]
+    users_b = [3, 4, 5]
+    _write(
+        tmp_path,
+        "events",
+        pa.table(
+            {
+                "event_type": pa.array(
+                    ["a"] * len(users_a) + ["b"] * len(users_b), type=pa.string()
+                ),
+                "user_id": pa.array(users_a + users_b, type=pa.int64()),
+                "ts": pa.array([ts] * 7, type=pa.timestamp("us")),
+            }
+        ),
+    )
+    out = _to_pandas(user_overlap_kmv(str(tmp_path)))
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert (row["ta"], row["tb"]) == ("a", "b")
+    assert row["n_both"] == 2 and row["est_union"] == 5.0 and row["est_inter"] == 2.0
