@@ -5800,7 +5800,13 @@ def min_cost_supplier(sf_dir: str, size: int = 15):
         )
 
     cols = ["l_partkey", "l_suppkey", "l_extendedprice"]
-    li1 = _read(sf_dir, "lineitem", columns=cols).map_batches(li_prep, batch_format="pyarrow")
+    # one scan: the pruned slice is small (one size class) and feeds
+    # both the min aggregate and the join-back
+    li1 = (
+        _read(sf_dir, "lineitem", columns=cols)
+        .map_batches(li_prep, batch_format="pyarrow")
+        .materialize()
+    )
     mins = pin_schema(
         bucketed_aggregate(
             li1.map_batches(
@@ -5814,9 +5820,8 @@ def min_cost_supplier(sf_dir: str, size: int = 15):
         ),
         pa.schema([("l_partkey", pa.int64()), ("min_cents", pa.int64())]),
     )
-    li2 = _read(sf_dir, "lineitem", columns=cols).map_batches(li_prep, batch_format="pyarrow")
     joined = bucketed_inner_join(
-        li2,
+        li1,
         mins,
         ["l_partkey"],
         pa.schema(
@@ -6067,8 +6072,11 @@ def important_parts(sf_dir: str, mean_num: int = 3, mean_den: int = 2):
             return pa.schema(
                 [("p_partkey", pa.int64()), ("value_cents", pa.int64())]
             ).empty_table()
-        v = t.column("value_cents").to_numpy(zero_copy_only=False)
-        return t.filter(pa.array(v * n_parts * mean_den > mean_num * total))
+        # python-int (object) arithmetic: the cross-multiply exceeds
+        # int64 once total revenue × part count passes 2^63 at scale
+        v = t.column("value_cents").to_numpy(zero_copy_only=False).astype(object)
+        keep = (v * n_parts * mean_den) > (mean_num * total)
+        return t.filter(pa.array(keep.astype(bool)))
 
     return per_part.map_batches(keep, batch_format="pyarrow")
 
@@ -6431,6 +6439,15 @@ def embedding_drift(sf_dir: str):
     from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema
 
     def explode(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.schema(
+                [
+                    ("label", pa.int64()),
+                    ("parity", pa.int64()),
+                    ("dim", pa.int64()),
+                    ("sum_q", pa.int64()),
+                ]
+            ).empty_table()
         emb = t.column("embedding").combine_chunks()
         off = emb.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
         vals = emb.values.to_numpy(zero_copy_only=False).astype(np.float64)

@@ -526,6 +526,20 @@ def split_leakage(
     tbl = ds.select_columns([id_col, vec_col]).to_pandas()
     tbl = tbl[tbl[id_col] % 2 == 0]
     n = len(tbl)
+    if n == 0:
+        # no train half at all -> nothing can leak (the twin's inner
+        # join over an empty corpus side returns zero rows)
+        empty = pa.schema(
+            [
+                ("vec_id", pa.int64()),
+                ("nbr_id", pa.int64()),
+                ("score_r", pa.float64()),
+                ("leaky", pa.int64()),
+            ]
+        )
+        return ds.map_batches(
+            lambda t: empty.empty_table(), batch_format="pyarrow"
+        )
     if n > max_exact_rows:
         raise ValueError(
             f"split_leakage exact path gated at {max_exact_rows} rows (got {n}); "
@@ -627,14 +641,17 @@ def hard_negatives(
         sims = m @ cm.T
         sims[blab[:, None] == all_labels[None, :]] = -np.inf  # same label out
         mx = sims.max(axis=1)
+        # a row whose label covers the ENTIRE corpus has no negative at
+        # all (mx = -inf): emit nothing, matching the twin's inner join
+        has_neg = np.isfinite(mx)
         neg = np.empty(len(bids), dtype=np.int64)
-        for i in range(len(bids)):  # tie-min, B-bounded
+        for i in np.flatnonzero(has_neg):  # tie-min, B-bounded
             neg[i] = all_ids[sims[i] == mx[i]].min()
         return pa.table(
             {
-                "vec_id": pa.array(bids),
-                "neg_id": pa.array(neg),
-                "score_r": pa.array(np.round(mx, 6)),
+                "vec_id": pa.array(bids[has_neg]),
+                "neg_id": pa.array(neg[has_neg]),
+                "score_r": pa.array(np.round(mx[has_neg], 6)),
             },
             schema=out_schema,
         )

@@ -1295,3 +1295,76 @@ def test_kmv_pair_overlap_exact_when_small(tmp_path):
     row = out.iloc[0]
     assert (row["ta"], row["tb"]) == ("a", "b")
     assert row["n_both"] == 2 and row["est_union"] == 5.0 and row["est_inter"] == 2.0
+
+
+def test_hard_negatives_all_one_label_emits_nothing(tmp_path):
+    import pyarrow as pa
+
+    from bioner_ray.pipelines.corpus import hard_negative_mining
+
+    _write(
+        tmp_path,
+        "embeddings",
+        pa.table(
+            {
+                "vec_id": pa.array([0, 1], type=pa.int64()),
+                "embedding": pa.array([[1.0, 0.0], [0.0, 1.0]], type=pa.list_(pa.float32())),
+                "label": pa.array([5, 5], type=pa.int32()),
+            }
+        ),
+    )
+    out = hard_negative_mining(str(tmp_path))
+    assert out.count() == 0
+    assert set(out.schema().names) == {"vec_id", "neg_id", "score_r"}
+
+
+def test_split_leakage_empty_train_half(tmp_path):
+    import pyarrow as pa
+
+    from bioner_ray.pipelines.corpus import embedding_leakage
+
+    _write(
+        tmp_path,
+        "embeddings",
+        pa.table(
+            {
+                "vec_id": pa.array([1, 3], type=pa.int64()),  # odd only
+                "embedding": pa.array([[1.0], [0.5]], type=pa.list_(pa.float32())),
+            }
+        ),
+    )
+    assert embedding_leakage(str(tmp_path)).count() == 0
+
+
+def test_spend_activity_corr_zero_variance(tmp_path):
+    # every user has identical activity → den2x = 0 → r pinned to 0.0
+    # on BOTH sides (the twin carries the same CASE guard).
+    import datetime
+
+    import pyarrow as pa
+
+    from bioner_ray.pipelines.analytics import spend_activity_corr
+
+    ts = datetime.datetime(1996, 1, 1)
+    _write(
+        tmp_path,
+        "events",
+        pa.table(
+            {
+                "user_id": pa.array([1, 2], type=pa.int64()),
+                "ts": pa.array([ts, ts], type=pa.timestamp("us")),
+            }
+        ),
+    )
+    _write(
+        tmp_path,
+        "orders",
+        pa.table(
+            {
+                "o_custkey": pa.array([1, 2], type=pa.int64()),
+                "o_totalprice": pa.array([1.0, 9.0], type=pa.float64()),
+            }
+        ),
+    )
+    out = _to_pandas(spend_activity_corr(str(tmp_path)))
+    assert out.iloc[0]["r"] == 0.0
