@@ -251,6 +251,8 @@ OPERATOR_QUERIES = [
     "spend_activity_corr",
     "doc_novelty",
     "user_overlap_kmv",
+    "hll_accuracy",
+    "events_gap_percentiles",
 ]
 
 

@@ -7188,3 +7188,104 @@ def user_overlap_kmv(sf_dir: str, k: int = 64):
         "user_id",
         k=k,
     )
+
+
+def hll_accuracy(sf_dir: str):
+    """Sketch-vs-truth audit for HyperLogLog (the distinct-count
+    sibling of minhash_precision): per event type, the HLL estimate
+    next to the exact two-level distinct count and the signed relative
+    error — the calibration row that justifies spending 2^p registers
+    instead of a values-sized shuffle. Both inputs are existing
+    type-bounded results; the join runs driver-side on that bounded
+    table. rel_err = (est − exact)/exact in replayable doubles.
+    Columns: event_type, n_users, est_distinct, rel_err."""
+    est = {r["event_type"]: r["est_distinct"] for r in distinct_users_hll(sf_dir).take_all()}
+    exact = {
+        r["event_type"]: r["n_users"] for r in distinct_users_per_type(sf_dir).take_all()
+    }
+    types = sorted(exact)
+    return pa.table(
+        {
+            "event_type": pa.array(types, type=pa.string()),
+            "n_users": pa.array([exact[t] for t in types], type=pa.int64()),
+            "est_distinct": pa.array([est[t] for t in types], type=pa.float64()),
+            "rel_err": pa.array(
+                [
+                    (est[t] - float(exact[t])) / float(exact[t])
+                    for t in types
+                ],
+                type=pa.float64(),
+            ),
+        }
+    )
+
+
+def events_gap_percentiles(sf_dir: str):
+    """Exact order statistics of same-user inter-arrival gaps per event
+    type (p50/p90/p99 in SECONDS — the floor-quantized domain keeps the
+    histogram bounded and the result exact, the value_percentiles
+    argument): the latency profile behind sessionization thresholds.
+    Same single user-bucketed exchange as interarrival_stats; the gap
+    stream folds to a (type, gap_s) histogram and the ceil-rule walk
+    (DuckDB quantile_disc) finishes on that bounded table. Columns:
+    event_type, p50_s, p90_s, p99_s."""
+    from bioner_ray.stages.shuffle import _bucket_column, bucketed_aggregate, with_ones
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.select(["user_id", "ts", "event_id", "event_type"])
+        return t.append_column("_bucket", _bucket_column(t, ["user_id"], 256))
+
+    gap_schema = pa.schema([("event_type", pa.string()), ("gap_s", pa.int64())])
+
+    def gaps(g: pa.Table) -> pa.Table:
+        if g.num_columns == 0 or g.num_rows == 0:
+            return gap_schema.empty_table()
+        g = g.sort_by(
+            [("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")]
+        )
+        users = g.column("user_id").to_numpy(zero_copy_only=False)
+        ts = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        types = g.column("event_type").to_numpy(zero_copy_only=False)
+        same = users[1:] == users[:-1]
+        return pa.table(
+            {
+                "event_type": pa.array(types[1:][same], type=pa.string()),
+                "gap_s": pa.array((ts[1:] - ts[:-1])[same] // 1_000_000),
+            },
+            schema=gap_schema,
+        )
+
+    hist = bucketed_aggregate(
+        with_ones(
+            _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(gaps, batch_format="pyarrow")
+        ),
+        ["event_type", "gap_s"],
+        [("one", "sum")],
+    )
+    by_type: dict[str, list[tuple[int, int]]] = {}
+    for r in hist.take_all():  # bounded: types × distinct gap seconds
+        by_type.setdefault(r["event_type"], []).append((r["gap_s"], r["one"]))
+    out_type, out = [], {p: [] for p in (50, 90, 99)}
+    for et in sorted(by_type):
+        vals = sorted(by_type[et])
+        n = sum(c for _, c in vals)
+        for p in (50, 90, 99):
+            target = (p * n + 99) // 100  # ceil, exact ints
+            cum = 0
+            for gs, c in vals:
+                cum += c
+                if cum >= target:
+                    out[p].append(gs)
+                    break
+        out_type.append(et)
+    return pa.table(
+        {
+            "event_type": pa.array(out_type, type=pa.string()),
+            "p50_s": pa.array(out[50], type=pa.int64()),
+            "p90_s": pa.array(out[90], type=pa.int64()),
+            "p99_s": pa.array(out[99], type=pa.int64()),
+        }
+    )

@@ -1368,3 +1368,44 @@ def test_spend_activity_corr_zero_variance(tmp_path):
     )
     out = _to_pandas(spend_activity_corr(str(tmp_path)))
     assert out.iloc[0]["r"] == 0.0
+
+
+def test_events_gap_percentiles_ceil_rule(tmp_path):
+    # one user, events at 0s,10s,30s,100s → gaps 10,20,70; ceil-rule:
+    # p50 target ceil(1.5)=2nd → 20; p90/p99 → 70.
+    import datetime
+
+    import pyarrow as pa
+
+    from bioner_ray.pipelines.analytics import events_gap_percentiles
+
+    base = datetime.datetime(1996, 1, 1)
+
+    def at(s):
+        return base + datetime.timedelta(seconds=s)
+
+    _write(
+        tmp_path,
+        "events",
+        pa.table(
+            {
+                "event_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+                "user_id": pa.array([7, 7, 7, 7], type=pa.int64()),
+                "ts": pa.array([at(0), at(10), at(30), at(100)], type=pa.timestamp("us")),
+                "event_type": pa.array(["a"] * 4, type=pa.string()),
+            }
+        ),
+    )
+    out = _to_pandas(events_gap_percentiles(str(tmp_path)))
+    row = out.iloc[0]
+    assert row["p50_s"] == 20 and row["p90_s"] == 70 and row["p99_s"] == 70
+
+
+def test_hll_accuracy_relative_error_consistent():
+    from bioner_ray.pipelines.analytics import hll_accuracy
+
+    out = _to_pandas(hll_accuracy(SF_DIR))
+    assert (out["n_users"] > 0).all()
+    recomputed = (out["est_distinct"] - out["n_users"]) / out["n_users"]
+    assert (out["rel_err"] - recomputed).abs().max() == 0.0
+    assert out["rel_err"].abs().max() < 0.25  # 2^8 registers ≈ ±6.5% typical
