@@ -253,6 +253,7 @@ OPERATOR_QUERIES = [
     "user_overlap_kmv",
     "hll_accuracy",
     "events_gap_percentiles",
+    "doc_compression_ratio",
 ]
 
 

@@ -1898,3 +1898,60 @@ def doc_novelty(sf_dir: str, k: int = 3):
         ).empty_table(),
         batch_format="pyarrow",
     )
+
+
+def doc_compression_ratio(sf_dir: str, level: int = 6):
+    """Per-document zlib compression ratio — the classic cheap quality
+    signal (highly compressible text = repeated/templated boilerplate;
+    near-1 ratios = random noise; natural prose sits between): the
+    filter axis CCNet/Gopher-era corpus pipelines cut on before any
+    model scoring. Embarrassingly parallel, NO shuffle; DEFLATE at a
+    fixed level is deterministic for a given zlib build, which is
+    parallelism-independent but not SQL-re-derivable — hence the
+    golden-parquet oracle (tools/make_query_golden.py pins the
+    2-vs-8-CPU identity). ratio = double(comp)/double(raw). Columns:
+    doc_id, raw_bytes, comp_bytes, ratio."""
+    import zlib
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from bioner_ray.stages.shuffle import pin_schema
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("raw_bytes", pa.int64()),
+            ("comp_bytes", pa.int64()),
+            ("ratio", pa.float64()),
+        ]
+    )
+
+    def comp(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return out_schema.empty_table()
+        texts = t.column("text").to_pylist()
+        raw = np.empty(len(texts), dtype=np.int64)
+        cb = np.empty(len(texts), dtype=np.int64)
+        for i, x in enumerate(texts):
+            b = (x or "").encode("utf-8")
+            raw[i] = len(b)
+            cb[i] = len(zlib.compress(b, level))
+        keep = raw > 0
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id").filter(pa.array(keep)),
+                "raw_bytes": pa.array(raw[keep]),
+                "comp_bytes": pa.array(cb[keep]),
+                "ratio": pa.array(cb[keep].astype(np.float64) / raw[keep].astype(np.float64)),
+            }
+        )
+
+    return pin_schema(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+            comp, batch_format="pyarrow"
+        ),
+        out_schema,
+        ensure_block=True,
+    )

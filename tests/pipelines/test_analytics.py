@@ -1409,3 +1409,30 @@ def test_hll_accuracy_relative_error_consistent():
     recomputed = (out["est_distinct"] - out["n_users"]) / out["n_users"]
     assert (out["rel_err"] - recomputed).abs().max() == 0.0
     assert out["rel_err"].abs().max() < 0.25  # 2^8 registers ≈ ±6.5% typical
+
+
+def test_doc_compression_ratio_orders_signals(tmp_path):
+    # repeated boilerplate compresses far better than high-entropy
+    # text; ratio = comp/raw exactly, empty docs dropped.
+    import zlib
+
+    import pyarrow as pa
+
+    from bioner_ray.pipelines.corpus import doc_compression_ratio
+
+    boiler = "spam ham " * 200
+    noisy = "".join(chr(33 + (i * 37) % 90) for i in range(1600))
+    _write(
+        tmp_path,
+        "documents",
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                "text": pa.array([boiler, noisy, ""], type=pa.string()),
+            }
+        ),
+    )
+    out = _to_pandas(doc_compression_ratio(str(tmp_path))).set_index("doc_id")
+    assert 3 not in out.index  # empty doc dropped
+    assert out.loc[1, "ratio"] < 0.1 < out.loc[2, "ratio"]
+    assert out.loc[1, "comp_bytes"] == len(zlib.compress(boiler.encode(), 6))
