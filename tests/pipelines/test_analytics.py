@@ -1420,8 +1420,15 @@ def test_doc_compression_ratio_orders_signals(tmp_path):
 
     from bioner_ray.pipelines.corpus import doc_compression_ratio
 
+    import hashlib
+
     boiler = "spam ham " * 200
-    noisy = "".join(chr(33 + (i * 37) % 90) for i in range(1600))
+    # md5-chained hex = deterministic high-entropy text zlib can't fold
+    h, parts = b"seed", []
+    for _ in range(50):
+        h = hashlib.md5(h).digest()
+        parts.append(h.hex())
+    noisy = "".join(parts)
     _write(
         tmp_path,
         "documents",
