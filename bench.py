@@ -254,6 +254,7 @@ OPERATOR_QUERIES = [
     "hll_accuracy",
     "events_gap_percentiles",
     "doc_compression_ratio",
+    "kg_mention_drift",
 ]
 
 

@@ -7289,3 +7289,63 @@ def events_gap_percentiles(sf_dir: str):
             "p99_s": pa.array(out[99], type=pa.int64()),
         }
     )
+
+
+def kg_mention_drift(sf_dir: str):
+    """Entity trending between crawl snapshots (doc-parity halves, the
+    kg_edge_delta convention): per surface, mention counts in the old
+    (even) and new (odd) half and their delta — the signal that
+    re-prioritizes linking dictionaries and KG refresh order. The
+    parity CASE folds INSIDE the one surface-keyed aggregate (join-free
+    full-outer: a surface missing from one half just sums zero there).
+    Columns: surface, n_old, n_new, delta."""
+    from bioner_ray.stages.mentions import mentions_stage
+    from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema
+
+    mentions = mentions_stage(_tagged_documents(sf_dir))
+
+    def fold(t: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [("surface", pa.string()), ("n_old", pa.int64()), ("n_new", pa.int64())]
+        )
+        if t.num_columns == 0 or t.num_rows == 0:
+            return schema.empty_table()
+        # url = doc://%08d → parity of the numeric suffix
+        ids = np.fromiter(
+            (int(u[-8:]) for u in t.column("url").to_pylist()),
+            dtype=np.int64,
+            count=t.num_rows,
+        )
+        par = ids & 1
+        return pa.table(
+            {
+                "surface": t.column("surface"),
+                "n_old": pa.array((1 - par).astype(np.int64)),
+                "n_new": pa.array(par.astype(np.int64)),
+            }
+        )
+
+    agg = pin_schema(
+        bucketed_aggregate(
+            mentions.map_batches(fold, batch_format="pyarrow"),
+            ["surface"],
+            [("n_old", "sum"), ("n_new", "sum")],
+        ),
+        pa.schema(
+            [("surface", pa.string()), ("n_old", pa.int64()), ("n_new", pa.int64())]
+        ),
+        ensure_block=True,
+    )
+    return agg.map_batches(
+        lambda t: t.append_column("delta", pc.subtract(t.column("n_new"), t.column("n_old")))
+        if t.num_columns
+        else pa.schema(
+            [
+                ("surface", pa.string()),
+                ("n_old", pa.int64()),
+                ("n_new", pa.int64()),
+                ("delta", pa.int64()),
+            ]
+        ).empty_table(),
+        batch_format="pyarrow",
+    )

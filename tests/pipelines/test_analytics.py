@@ -1443,3 +1443,14 @@ def test_doc_compression_ratio_orders_signals(tmp_path):
     assert 3 not in out.index  # empty doc dropped
     assert out.loc[1, "ratio"] < 0.1 < out.loc[2, "ratio"]
     assert out.loc[1, "comp_bytes"] == len(zlib.compress(boiler.encode(), 6))
+
+
+def test_kg_mention_drift_partitions_by_parity():
+    from bioner_ray.pipelines.analytics import kg_mention_drift, mention_counts
+
+    drift = _to_pandas(kg_mention_drift(SF_DIR))
+    total = _to_pandas(mention_counts(SF_DIR)).set_index("surface")["n_mentions"]
+    # halves partition the full counts exactly
+    for _, row in drift.iterrows():
+        assert row["n_old"] + row["n_new"] == total.loc[row["surface"]]
+        assert row["delta"] == row["n_new"] - row["n_old"]
