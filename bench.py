@@ -255,6 +255,7 @@ OPERATOR_QUERIES = [
     "events_gap_percentiles",
     "doc_compression_ratio",
     "kg_mention_drift",
+    "quality_gate_report",
 ]
 
 

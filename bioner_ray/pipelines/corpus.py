@@ -1955,3 +1955,80 @@ def doc_compression_ratio(sf_dir: str, level: int = 6):
         out_schema,
         ensure_block=True,
     )
+
+
+def quality_gate_report(
+    sf_dir: str,
+    min_tokens: int = 10,
+    min_mean_entropy_micro: int = 2_000_000,
+    min_ratio: float = 0.2,
+    max_ratio: float = 0.9,
+):
+    """The composed filter stack a corpus actually ships — one verdict
+    row per document with every signal it was judged on: token count,
+    exact unigram entropy (micro-nats), zlib compression ratio, and
+    the final keep flag (all gates AND-ed: enough tokens, mean entropy
+    ≥ 2 nats via the exact integer cross-multiply h_micro ≥ n_tokens ·
+    min_mean_entropy_micro, ratio inside the natural-prose band). Two
+    doc_id-bucketed joins stitch the three shuffle-free per-doc
+    signals; the audit table IS the provenance record for every
+    dropped document. Columns: doc_id, n_tokens, h_micro, ratio,
+    keep."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from bioner_ray.pipelines.analytics import doc_entropy
+    from bioner_ray.stages.shuffle import bucketed_inner_join, pin_schema
+
+    ent_schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_tokens", pa.int64()), ("h_micro", pa.int64())]
+    )
+    comp_schema = pa.schema([("doc_id", pa.int64()), ("ratio", pa.float64())])
+    ent = pin_schema(doc_entropy(sf_dir), ent_schema)
+    comp = doc_compression_ratio(sf_dir).map_batches(
+        lambda t: t.select(["doc_id", "ratio"])
+        if t.num_columns
+        else comp_schema.empty_table(),
+        batch_format="pyarrow",
+    )
+    joined = bucketed_inner_join(
+        ent,
+        pin_schema(comp, comp_schema),
+        ["doc_id"],
+        ent_schema,
+        comp_schema,
+    )
+
+    def verdict(t: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("n_tokens", pa.int64()),
+                ("h_micro", pa.int64()),
+                ("ratio", pa.float64()),
+                ("keep", pa.int64()),
+            ]
+        )
+        if t.num_columns == 0 or t.num_rows == 0:
+            return schema.empty_table()
+        n = t.column("n_tokens").to_numpy(zero_copy_only=False)
+        h = t.column("h_micro").to_numpy(zero_copy_only=False)
+        r = t.column("ratio").to_numpy(zero_copy_only=False)
+        keep = (
+            (n >= min_tokens)
+            # exact integer cross-multiply: mean entropy >= 2 nats
+            & (h.astype(object) >= n.astype(object) * min_mean_entropy_micro)
+            & (r >= min_ratio)
+            & (r <= max_ratio)
+        )
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_tokens": t.column("n_tokens"),
+                "h_micro": t.column("h_micro"),
+                "ratio": t.column("ratio"),
+                "keep": pa.array(keep.astype(np.int64)),
+            }
+        )
+
+    return joined.map_batches(verdict, batch_format="pyarrow")

@@ -1454,3 +1454,18 @@ def test_kg_mention_drift_partitions_by_parity():
     for _, row in drift.iterrows():
         assert row["n_old"] + row["n_new"] == total.loc[row["surface"]]
         assert row["delta"] == row["n_new"] - row["n_old"]
+
+
+def test_quality_gate_report_all_gates():
+    from bioner_ray.pipelines.corpus import quality_gate_report
+
+    out = _to_pandas(quality_gate_report(SF_DIR))
+    assert len(out) > 0
+    manual = (
+        (out["n_tokens"] >= 10)
+        & (out["h_micro"] >= out["n_tokens"] * 2_000_000)
+        & (out["ratio"] >= 0.2)
+        & (out["ratio"] <= 0.9)
+    ).astype(int)
+    assert (out["keep"] == manual).all()
+    assert 0 < out["keep"].sum()  # the gate keeps something at sf0.001
