@@ -256,6 +256,7 @@ OPERATOR_QUERIES = [
     "doc_compression_ratio",
     "kg_mention_drift",
     "quality_gate_report",
+    "kg_link_candidates",
 ]
 
 

@@ -7349,3 +7349,35 @@ def kg_mention_drift(sf_dir: str):
         ).empty_table(),
         batch_format="pyarrow",
     )
+
+
+def kg_link_candidates(sf_dir: str, k: int = 50):
+    """KG-completion candidates: the top non-adjacent entity pairs by
+    Adamic–Adar affinity — 2-hop evidence proposes the edge, the
+    left-outer adjacency flag guarantees it does not already exist
+    (stages/graph.py adamic_adar with exclude_edges=True; same hub cap,
+    same exact micro-nat scoring). The candidate facts a curation or
+    re-crawl queue consumes. Columns: u, v, aa_micro, n_common."""
+    from bioner_ray.stages.graph import adamic_adar
+
+    schema = pa.schema(
+        [
+            ("u", pa.string()),
+            ("v", pa.string()),
+            ("aa_micro", pa.int64()),
+            ("n_common", pa.int64()),
+        ]
+    )
+    # k-bounded finish: collect the ≤k winners into a typed Table so a
+    # legitimately EMPTY candidate set (fully-connected graph) still
+    # carries its schema (Dataset.to_pandas drops columns when empty)
+    rows = adamic_adar(kg_edges(sf_dir), k=k, exclude_edges=True).take_all()
+    return pa.table(
+        {
+            "u": pa.array([r["u"] for r in rows], type=pa.string()),
+            "v": pa.array([r["v"] for r in rows], type=pa.string()),
+            "aa_micro": pa.array([r["aa_micro"] for r in rows], type=pa.int64()),
+            "n_common": pa.array([r["n_common"] for r in rows], type=pa.int64()),
+        },
+        schema=schema,
+    )

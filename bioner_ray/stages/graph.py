@@ -1841,6 +1841,7 @@ def adamic_adar(
     k: int = 50,
     max_center_degree: int = 100_000,
     num_buckets: int = 256,
+    exclude_edges: bool = False,
 ):
     """Adamic–Adar pair affinity over the undirected simple graph:
     AA(u, v) = Σ_{z ∈ N(u) ∩ N(v)} 1 / ln(deg(z)) — the classic
@@ -2018,6 +2019,16 @@ def adamic_adar(
         else pair_schema.append(pa.field("is_edge", pa.int64())).empty_table(),
         batch_format="pyarrow",
     )
+    if exclude_edges:
+        # link-PREDICTION mode: keep only scored NON-edges — the 2-hop
+        # candidate facts a KG-completion pass proposes (is_edge is
+        # then constant and dropped)
+        flagged = flagged.map_batches(
+            lambda t: t.filter(pc.equal(t.column("is_edge"), 0)).drop_columns(["is_edge"])
+            if t.num_columns
+            else pair_schema.empty_table(),
+            batch_format="pyarrow",
+        )
     return flagged.sort(
         ["aa_micro", "u", "v"], descending=[True, False, False]
     ).limit(k)

@@ -1469,3 +1469,26 @@ def test_quality_gate_report_all_gates():
     ).astype(int)
     assert (out["keep"] == manual).all()
     assert 0 < out["keep"].sum()  # the gate keeps something at sf0.001
+
+
+def test_kg_link_candidates_are_non_edges(tmp_path, monkeypatch):
+    # path graph a-b-c-d: candidates are the 2-hop non-edges (a,c) and
+    # (b,d), never the existing edges.
+    import pyarrow as pa
+    import ray.data as rd
+
+    import bioner_ray.pipelines.analytics as an
+
+    edges = pa.table(
+        {
+            "subj": ["a", "b", "c"],
+            "pred": ["r", "r", "r"],
+            "obj": ["b", "c", "d"],
+            "weight": pa.array([1, 1, 1], type=pa.int64()),
+        }
+    )
+    monkeypatch.setattr(an, "kg_edges", lambda sf_dir, **kw: rd.from_arrow(edges))
+    out = _to_pandas(an.kg_link_candidates("unused"))
+    pairs = set(zip(out["u"], out["v"]))
+    assert pairs == {("a", "c"), ("b", "d")}
+    assert (out["n_common"] == 1).all()
