@@ -257,6 +257,7 @@ OPERATOR_QUERIES = [
     "kg_mention_drift",
     "quality_gate_report",
     "kg_link_candidates",
+    "orders_rfm",
 ]
 
 

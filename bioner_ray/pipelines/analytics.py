@@ -7381,3 +7381,121 @@ def kg_link_candidates(sf_dir: str, k: int = 50):
         },
         schema=schema,
     )
+
+
+def orders_rfm(sf_dir: str):
+    """RFM segmentation (recency / frequency / monetary quintile codes
+    per customer) — the canonical customer-value table. ONE
+    custkey-bucketed aggregate folds orders to (last_order, n_orders,
+    m_cents); recency = exact day difference to the corpus max date
+    (one tiny max over the per-customer table). Quintile cutoffs come
+    from value-DOMAIN histograms of the three signals (never a
+    customer-count sort), ceil-rule as everywhere
+    (quantile_disc([.2 .4 .6 .8])), assignment q = 1 + #{cutoffs < x}
+    ties-to-lower; the recency code is reversed (recent = 5). Columns:
+    c_custkey, r_days, n_orders, m_cents, r_q, f_q, m_q."""
+    import ray
+
+    from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema, with_ones
+
+    per_cust_schema = pa.schema(
+        [
+            ("c_custkey", pa.int64()),
+            ("last_us", pa.int64()),
+            ("n_orders", pa.int64()),
+            ("m_cents", pa.int64()),
+        ]
+    )
+    per_cust = pin_schema(
+        bucketed_aggregate(
+            _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"])
+            .map_batches(
+                lambda t: pa.table(
+                    {
+                        "c_custkey": pc.cast(t.column("o_custkey"), pa.int64()),
+                        "last_us": pc.cast(t.column("o_orderdate"), pa.int64()),
+                        "n_orders": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                        "m_cents": _cents(t.column("o_totalprice")),
+                    }
+                ),
+                batch_format="pyarrow",
+            ),
+            ["c_custkey"],
+            [("last_us", "max"), ("n_orders", "sum"), ("m_cents", "sum")],
+        ),
+        per_cust_schema,
+    ).materialize()
+
+    def rdays(t: pa.Table, max_us: int) -> pa.Table:
+        last = t.column("last_us").to_numpy(zero_copy_only=False)
+        # whole days elapsed since the customer's last order
+        r = (max_us - last) // 86_400_000_000
+        return pa.table(
+            {
+                "c_custkey": t.column("c_custkey"),
+                "r_days": pa.array(r.astype(np.int64)),
+                "n_orders": t.column("n_orders"),
+                "m_cents": t.column("m_cents"),
+            }
+        )
+
+    max_us = 0
+    for b in per_cust.iter_batches(batch_format="pyarrow"):
+        if b.num_columns and b.num_rows:
+            max_us = max(max_us, int(pc.max(b.column("last_us")).as_py()))
+    rfm = per_cust.map_batches(
+        lambda t, m=max_us: rdays(t, m), batch_format="pyarrow"
+    ).materialize()
+
+    def cutoffs(col: str) -> np.ndarray:
+        hist = bucketed_aggregate(
+            with_ones(rfm.select_columns([col])), [col], [("one", "sum")]
+        )
+        vals = sorted((r[col], r["one"]) for r in hist.take_all())  # domain-bounded
+        n = sum(c for _, c in vals)
+        cuts = []
+        for p in (20, 40, 60, 80):
+            target = (p * n + 99) // 100
+            cum = 0
+            for v, c in vals:
+                cum += c
+                if cum >= target:
+                    cuts.append(v)
+                    break
+        return np.array(cuts, dtype=np.int64)
+
+    cuts_ref = ray.put({c: cutoffs(c) for c in ("r_days", "n_orders", "m_cents")})
+
+    def code(t: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [
+                ("c_custkey", pa.int64()),
+                ("r_days", pa.int64()),
+                ("n_orders", pa.int64()),
+                ("m_cents", pa.int64()),
+                ("r_q", pa.int64()),
+                ("f_q", pa.int64()),
+                ("m_q", pa.int64()),
+            ]
+        )
+        if t.num_columns == 0 or t.num_rows == 0:
+            return schema.empty_table()
+        cuts = ray.get(cuts_ref)
+
+        def q(col):
+            v = t.column(col).to_numpy(zero_copy_only=False)
+            return 1 + np.searchsorted(cuts[col], v, side="left").astype(np.int64)
+
+        return pa.table(
+            {
+                "c_custkey": t.column("c_custkey"),
+                "r_days": t.column("r_days"),
+                "n_orders": t.column("n_orders"),
+                "m_cents": t.column("m_cents"),
+                "r_q": pa.array(6 - q("r_days")),  # recent = high score
+                "f_q": pa.array(q("n_orders")),
+                "m_q": pa.array(q("m_cents")),
+            }
+        )
+
+    return rfm.map_batches(code, batch_format="pyarrow")

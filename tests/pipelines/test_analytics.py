@@ -1492,3 +1492,31 @@ def test_kg_link_candidates_are_non_edges(tmp_path, monkeypatch):
     pairs = set(zip(out["u"], out["v"]))
     assert pairs == {("a", "c"), ("b", "d")}
     assert (out["n_common"] == 1).all()
+
+
+def test_orders_rfm_codes(tmp_path):
+    # 5 customers with strictly increasing spend → m_q = 1..5; the
+    # most recent customer gets r_q = 5.
+    import datetime
+
+    import pyarrow as pa
+
+    from bioner_ray.pipelines.analytics import orders_rfm
+
+    days = [datetime.datetime(1996, 1, d) for d in (1, 2, 3, 4, 5)]
+    _write(
+        tmp_path,
+        "orders",
+        pa.table(
+            {
+                "o_custkey": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+                "o_orderdate": pa.array(days, type=pa.timestamp("us")),
+                "o_totalprice": pa.array([1.0, 2.0, 3.0, 4.0, 5.0], type=pa.float64()),
+            }
+        ),
+    )
+    out = _to_pandas(orders_rfm(str(tmp_path))).set_index("c_custkey").sort_index()
+    assert list(out["m_q"]) == [1, 2, 3, 4, 5]
+    assert out.loc[5, "r_days"] == 0 and out.loc[5, "r_q"] == 5
+    assert out.loc[1, "r_q"] == 1
+    assert (out["f_q"] == out.loc[1, "f_q"]).all()  # equal frequency → equal code
