@@ -4162,16 +4162,9 @@ def value_percentiles(sf_dir: str):
         by_type.setdefault(r["event_type"], []).append((r["cents"], r["one"]))
     out_type, out = [], {p: [] for p in (50, 90, 99)}
     for et in sorted(by_type):
-        vals = sorted(by_type[et])
-        n = sum(c for _, c in vals)
-        for p in (50, 90, 99):
-            target = (p * n + 99) // 100  # ceil(p/100 * n), exact ints
-            cum = 0
-            for cents, c in vals:
-                cum += c
-                if cum >= target:
-                    out[p].append(cents)
-                    break
+        qs = _ceil_quantiles(sorted(by_type[et]), (50, 90, 99))
+        for p, v in zip((50, 90, 99), qs):
+            out[p].append(v)
         out_type.append(et)
     return pa.table(
         {
@@ -5594,16 +5587,33 @@ def ngram_diversity(sf_dir: str, n: int = 3):
     )
 
 
-def interarrival_stats(sf_dir: str):
-    """Per-event-type inter-arrival statistics: each event's gap to the
-    SAME user's previous event (microseconds, attributed to the later
-    event's type) folded to n_gaps / sum / min / max, with the mean as
-    the replayable int→double division. Same single user-bucketed
-    exchange as event_transitions — the reducer sorts each bucket once
-    and diffs timestamps under one vectorized same-user mask; the final
-    aggregate is event-type-bounded. Columns: event_type, n_gaps,
-    sum_gap_us, min_gap_us, max_gap_us, avg_gap_us."""
-    from bioner_ray.stages.shuffle import _bucket_column, bucketed_aggregate, pin_schema
+def _ceil_quantiles(sorted_value_counts, ps):
+    """Exact order statistics over a sorted (value, count) histogram:
+    for each p (percent), the first value whose cumulative count ≥
+    ceil(p·n/100) — the verified DuckDB ``quantile_disc`` rule shared
+    by value_percentiles / events_gap_percentiles / orders_rfm (ONE
+    implementation so the exactness-critical walk can never
+    desynchronize between them)."""
+    n = sum(c for _, c in sorted_value_counts)
+    out = []
+    for p in ps:
+        target = (p * n + 99) // 100  # ceil(p/100 · n), exact ints
+        cum = 0
+        for v, c in sorted_value_counts:
+            cum += c
+            if cum >= target:
+                out.append(v)
+                break
+    return out
+
+
+def _user_gap_stream(sf_dir: str):
+    """Same-user inter-arrival gap stream (event_type, gap_us): ONE
+    user-bucketed exchange, per-bucket sort, vectorized same-user diff
+    — the single implementation behind interarrival_stats and
+    events_gap_percentiles (the gap semantics must stay identical or
+    their twins desynchronize)."""
+    from bioner_ray.stages.shuffle import _bucket_column
 
     def partial(t: pa.Table) -> pa.Table:
         t = t.select(["user_id", "ts", "event_id", "event_type"])
@@ -5629,12 +5639,26 @@ def interarrival_stats(sf_dir: str):
             schema=gap_schema,
         )
 
-    stream = (
+    return (
         _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
         .map_batches(partial, batch_format="pyarrow")
         .groupby("_bucket")
         .map_groups(gaps, batch_format="pyarrow")
     )
+
+
+def interarrival_stats(sf_dir: str):
+    """Per-event-type inter-arrival statistics: each event's gap to the
+    SAME user's previous event (microseconds, attributed to the later
+    event's type) folded to n_gaps / sum / min / max, with the mean as
+    the replayable int→double division. Same single user-bucketed
+    exchange as event_transitions — the reducer sorts each bucket once
+    and diffs timestamps under one vectorized same-user mask; the final
+    aggregate is event-type-bounded. Columns: event_type, n_gaps,
+    sum_gap_us, min_gap_us, max_gap_us, avg_gap_us."""
+    from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema
+
+    stream = _user_gap_stream(sf_dir)
     folded = pin_schema(
         bucketed_aggregate(
             stream.map_batches(
@@ -7229,57 +7253,28 @@ def events_gap_percentiles(sf_dir: str):
     stream folds to a (type, gap_s) histogram and the ceil-rule walk
     (DuckDB quantile_disc) finishes on that bounded table. Columns:
     event_type, p50_s, p90_s, p99_s."""
-    from bioner_ray.stages.shuffle import _bucket_column, bucketed_aggregate, with_ones
+    from bioner_ray.stages.shuffle import bucketed_aggregate, with_ones
 
-    def partial(t: pa.Table) -> pa.Table:
-        t = t.select(["user_id", "ts", "event_id", "event_type"])
-        return t.append_column("_bucket", _bucket_column(t, ["user_id"], 256))
-
-    gap_schema = pa.schema([("event_type", pa.string()), ("gap_s", pa.int64())])
-
-    def gaps(g: pa.Table) -> pa.Table:
-        if g.num_columns == 0 or g.num_rows == 0:
-            return gap_schema.empty_table()
-        g = g.sort_by(
-            [("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")]
-        )
-        users = g.column("user_id").to_numpy(zero_copy_only=False)
-        ts = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        types = g.column("event_type").to_numpy(zero_copy_only=False)
-        same = users[1:] == users[:-1]
-        return pa.table(
+    quant = _user_gap_stream(sf_dir).map_batches(
+        lambda t: pa.table(
             {
-                "event_type": pa.array(types[1:][same], type=pa.string()),
-                "gap_s": pa.array((ts[1:] - ts[:-1])[same] // 1_000_000),
-            },
-            schema=gap_schema,
-        )
-
-    hist = bucketed_aggregate(
-        with_ones(
-            _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
-            .map_batches(partial, batch_format="pyarrow")
-            .groupby("_bucket")
-            .map_groups(gaps, batch_format="pyarrow")
+                "event_type": t.column("event_type"),
+                "gap_s": pc.divide(t.column("gap_us"), 1_000_000),
+            }
         ),
-        ["event_type", "gap_s"],
-        [("one", "sum")],
+        batch_format="pyarrow",
+    )
+    hist = bucketed_aggregate(
+        with_ones(quant), ["event_type", "gap_s"], [("one", "sum")]
     )
     by_type: dict[str, list[tuple[int, int]]] = {}
     for r in hist.take_all():  # bounded: types × distinct gap seconds
         by_type.setdefault(r["event_type"], []).append((r["gap_s"], r["one"]))
     out_type, out = [], {p: [] for p in (50, 90, 99)}
     for et in sorted(by_type):
-        vals = sorted(by_type[et])
-        n = sum(c for _, c in vals)
-        for p in (50, 90, 99):
-            target = (p * n + 99) // 100  # ceil, exact ints
-            cum = 0
-            for gs, c in vals:
-                cum += c
-                if cum >= target:
-                    out[p].append(gs)
-                    break
+        qs = _ceil_quantiles(sorted(by_type[et]), (50, 90, 99))
+        for p, v in zip((50, 90, 99), qs):
+            out[p].append(v)
         out_type.append(et)
     return pa.table(
         {
@@ -7439,10 +7434,22 @@ def orders_rfm(sf_dir: str):
             }
         )
 
-    max_us = 0
-    for b in per_cust.iter_batches(batch_format="pyarrow"):
-        if b.num_columns and b.num_rows:
-            max_us = max(max_us, int(pc.max(b.column("last_us")).as_py()))
+    # one scalar: a single-bucket aggregate, never the table itself
+    mx_rows = bucketed_aggregate(
+        per_cust.map_batches(
+            lambda t: pa.table(
+                {
+                    "_one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                    "last_us": t.column("last_us"),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        ["_one"],
+        [("last_us", "max")],
+        num_buckets=1,
+    ).take_all()
+    max_us = int(mx_rows[0]["last_us"]) if mx_rows else 0
     rfm = per_cust.map_batches(
         lambda t, m=max_us: rdays(t, m), batch_format="pyarrow"
     ).materialize()
@@ -7452,17 +7459,7 @@ def orders_rfm(sf_dir: str):
             with_ones(rfm.select_columns([col])), [col], [("one", "sum")]
         )
         vals = sorted((r[col], r["one"]) for r in hist.take_all())  # domain-bounded
-        n = sum(c for _, c in vals)
-        cuts = []
-        for p in (20, 40, 60, 80):
-            target = (p * n + 99) // 100
-            cum = 0
-            for v, c in vals:
-                cum += c
-                if cum >= target:
-                    cuts.append(v)
-                    break
-        return np.array(cuts, dtype=np.int64)
+        return np.array(_ceil_quantiles(vals, (20, 40, 60, 80)), dtype=np.int64)
 
     cuts_ref = ray.put({c: cutoffs(c) for c in ("r_days", "n_orders", "m_cents")})
 

@@ -1913,10 +1913,6 @@ def doc_compression_ratio(sf_dir: str, level: int = 6):
     doc_id, raw_bytes, comp_bytes, ratio."""
     import zlib
 
-    import numpy as np
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
     from bioner_ray.stages.shuffle import pin_schema
 
     out_schema = pa.schema(
@@ -1974,7 +1970,6 @@ def quality_gate_report(
     signals; the audit table IS the provenance record for every
     dropped document. Columns: doc_id, n_tokens, h_micro, ratio,
     keep."""
-    import pyarrow as pa
     import pyarrow.compute as pc
 
     from bioner_ray.pipelines.analytics import doc_entropy
