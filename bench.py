@@ -258,6 +258,7 @@ OPERATOR_QUERIES = [
     "quality_gate_report",
     "kg_link_candidates",
     "orders_rfm",
+    "configured_pipeline",
 ]
 
 

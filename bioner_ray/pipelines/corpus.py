@@ -2027,3 +2027,28 @@ def quality_gate_report(
         )
 
     return joined.map_batches(verdict, batch_format="pyarrow")
+
+
+def configured_pipeline(sf_dir: str):
+    """The §2.10 user-extension surface exercised THROUGH the oracle
+    gate: a plain JSON-able dict builds a 3-stage pipeline from the
+    STAGES registry (lang_filter → stratified_sample → token_stats) and
+    runs it over documents — proving the declarative composition path
+    produces bit-identical results to hand-written stage chaining (the
+    twin replays the filter, the multiplicative-hash draw, and the
+    token statistics in SQL). Columns: doc_id, n_tokens, n_types,
+    n_chars, max_token_len, ttr, stopword_frac."""
+    from bioner_ray.pipeline_config import build_pipeline
+
+    cfg = {
+        "stages": [
+            {"stage": "lang_filter", "params": {"lang": "en"}},
+            {
+                "stage": "stratified_sample",
+                "params": {"rates_permille": {"en": 700}, "default_permille": 0},
+            },
+            {"stage": "token_stats", "params": {}},
+        ]
+    }
+    run = build_pipeline(cfg)
+    return run(_read(sf_dir, "documents", columns=["doc_id", "text", "lang"]))

@@ -1520,3 +1520,19 @@ def test_orders_rfm_codes(tmp_path):
     assert out.loc[5, "r_days"] == 0 and out.loc[5, "r_q"] == 5
     assert out.loc[1, "r_q"] == 1
     assert (out["f_q"] == out.loc[1, "f_q"]).all()  # equal frequency → equal code
+
+
+def test_configured_pipeline_matches_hand_chaining():
+    from bioner_ray.pipelines.corpus import configured_pipeline
+    from bioner_ray.pipelines.analytics import _read
+    from bioner_ray.stages.sampling import stratified_sample_stage
+    from bioner_ray.stages.textstats import token_stats_stage
+
+    via_config = _to_pandas(configured_pipeline(SF_DIR)).sort_values("doc_id", ignore_index=True)
+    docs = _read(SF_DIR, "documents", columns=["doc_id", "text", "lang"]).filter(
+        expr="lang == 'en'"
+    )
+    by_hand = _to_pandas(
+        token_stats_stage(stratified_sample_stage(docs, {"en": 700}, 0))
+    ).sort_values("doc_id", ignore_index=True)
+    assert via_config.equals(by_hand)
