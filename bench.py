@@ -259,6 +259,8 @@ OPERATOR_QUERIES = [
     "kg_link_candidates",
     "orders_rfm",
     "configured_pipeline",
+    "doc_sentiment",
+    "supplier_hhi",
 ]
 
 

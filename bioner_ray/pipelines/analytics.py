@@ -7496,3 +7496,63 @@ def orders_rfm(sf_dir: str):
         )
 
     return rfm.map_batches(code, batch_format="pyarrow")
+
+
+def supplier_hhi(sf_dir: str):
+    """Supply-concentration governance: the Herfindahl–Hirschman index
+    of supplier quantity shares per part type — HHI → 1 flags part
+    families owned by one supplier (re-sourcing risk), → 1/n means an
+    even market. Broadcast part-type dim; per (type, supplier) ONE
+    combiner-pruned aggregate; per type HHI = double(Σ q_s²)/double(Q)²
+    — exact integer moments, one pinned division (sum-of-squares ships
+    as HUGEINT-safe python ints on the type-bounded finish). Columns:
+    p_type, n_suppliers, total_qty, hhi."""
+    import ray
+
+    from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_type"]).to_pandas()
+    type_ref = ray.put(dict(zip(part["p_partkey"].astype(int), part["p_type"])))
+
+    def prep(t: pa.Table) -> pa.Table:
+        types = ray.get(type_ref)
+        return pa.table(
+            {
+                "p_type": pa.array(
+                    [types[k] for k in t.column("l_partkey").to_pylist()], type=pa.string()
+                ),
+                "l_suppkey": pc.cast(t.column("l_suppkey"), pa.int64()),
+                "qty": pc.cast(t.column("l_quantity"), pa.int64()),
+            }
+        )
+
+    per_ts = pin_schema(
+        bucketed_aggregate(
+            _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey", "l_quantity"])
+            .map_batches(prep, batch_format="pyarrow"),
+            ["p_type", "l_suppkey"],
+            [("qty", "sum")],
+        ),
+        pa.schema([("p_type", pa.string()), ("l_suppkey", pa.int64()), ("qty", pa.int64())]),
+    )
+    # finish on the types × suppliers bounded table with exact ints
+    agg: dict[str, list[int]] = {}
+    for r in per_ts.take_all():
+        agg.setdefault(r["p_type"], []).append(int(r["qty"]))
+    out = {"p_type": [], "n_suppliers": [], "total_qty": [], "hhi": []}
+    for pt in sorted(agg):
+        qs = agg[pt]
+        total = sum(qs)
+        ss = sum(q * q for q in qs)  # exact python ints
+        out["p_type"].append(pt)
+        out["n_suppliers"].append(len(qs))
+        out["total_qty"].append(total)
+        out["hhi"].append(float(ss) / (float(total) * float(total)))
+    return pa.table(
+        {
+            "p_type": pa.array(out["p_type"], type=pa.string()),
+            "n_suppliers": pa.array(out["n_suppliers"], type=pa.int64()),
+            "total_qty": pa.array(out["total_qty"], type=pa.int64()),
+            "hhi": pa.array(out["hhi"], type=pa.float64()),
+        }
+    )

@@ -2052,3 +2052,17 @@ def configured_pipeline(sf_dir: str):
     }
     run = build_pipeline(cfg)
     return run(_read(sf_dir, "documents", columns=["doc_id", "text", "lang"]))
+
+
+def doc_sentiment(sf_dir: str):
+    """Per-document lexicon sentiment (stages/textstats.py
+    sentiment_batch — signed hit counts over fixed pinned word lists,
+    the core of every rule-based sentiment filter): a cheap tone axis
+    for corpus mixing. Shuffle-free; the twin is generated from the
+    SAME lexicons so the two can never drift. Columns: doc_id, n_pos,
+    n_neg, net."""
+    from bioner_ray.stages.textstats import sentiment_batch
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        sentiment_batch, batch_format="pyarrow"
+    )

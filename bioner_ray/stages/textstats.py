@@ -289,3 +289,41 @@ def winnow_stage(
         )
 
     return ds.map_batches(fp, batch_format="pyarrow", batch_size=batch_size)
+
+
+#: Fixed sentiment lexicons — tiny pinned word lists (the VADER/LIWC
+#: pattern at its core: signed lexicon hits over tokens). Deterministic
+#: and shared verbatim with the SQL twin, like LANG_PROFILES.
+SENTIMENT_POS = frozenset(
+    "good great excellent best fast reliable efficient correct clean robust".split()
+)
+SENTIMENT_NEG = frozenset(
+    "bad poor slow broken wrong dirty unreliable inefficient worst failed".split()
+)
+
+
+def sentiment_batch(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """Per-doc lexicon sentiment: positive/negative token hits and the
+    net score — one vectorized is_in pass per polarity over the shared
+    whitespace tokenization. Columns: id, n_pos, n_neg, net."""
+    import numpy as np
+
+    toks = _split_lower(batch, text_col)
+    npos = np.fromiter(
+        (sum(1 for w in t if w in SENTIMENT_POS) for t in toks),
+        dtype=np.int64,
+        count=len(toks),
+    )
+    nneg = np.fromiter(
+        (sum(1 for w in t if w in SENTIMENT_NEG) for t in toks),
+        dtype=np.int64,
+        count=len(toks),
+    )
+    return pa.table(
+        {
+            id_col: batch.column(id_col),
+            "n_pos": pa.array(npos),
+            "n_neg": pa.array(nneg),
+            "net": pa.array(npos - nneg),
+        }
+    )

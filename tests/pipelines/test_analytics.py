@@ -1536,3 +1536,56 @@ def test_configured_pipeline_matches_hand_chaining():
         token_stats_stage(stratified_sample_stage(docs, {"en": 700}, 0))
     ).sort_values("doc_id", ignore_index=True)
     assert via_config.equals(by_hand)
+
+
+def test_doc_sentiment_signed_counts(tmp_path):
+    import pyarrow as pa
+
+    from bioner_ray.pipelines.corpus import doc_sentiment
+
+    _write(
+        tmp_path,
+        "documents",
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], type=pa.int64()),
+                "text": pa.array(
+                    ["good good bad neutral", "worst broken thing"], type=pa.string()
+                ),
+            }
+        ),
+    )
+    out = _to_pandas(doc_sentiment(str(tmp_path))).set_index("doc_id")
+    assert out.loc[1, "n_pos"] == 2 and out.loc[1, "n_neg"] == 1 and out.loc[1, "net"] == 1
+    assert out.loc[2, "net"] == -2
+
+
+def test_supplier_hhi_monopoly_vs_even(tmp_path):
+    import pyarrow as pa
+
+    from bioner_ray.pipelines.analytics import supplier_hhi
+
+    _write(
+        tmp_path,
+        "part",
+        pa.table(
+            {
+                "p_partkey": pa.array([1, 2], type=pa.int64()),
+                "p_type": pa.array(["MONO", "EVEN"], type=pa.string()),
+            }
+        ),
+    )
+    _write(
+        tmp_path,
+        "lineitem",
+        pa.table(
+            {
+                "l_partkey": pa.array([1, 2, 2], type=pa.int64()),
+                "l_suppkey": pa.array([7, 7, 9], type=pa.int64()),
+                "l_quantity": pa.array([10, 5, 5], type=pa.int64()),
+            }
+        ),
+    )
+    out = _to_pandas(supplier_hhi(str(tmp_path))).set_index("p_type")
+    assert out.loc["MONO", "hhi"] == 1.0
+    assert out.loc["EVEN", "hhi"] == 0.5
