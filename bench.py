@@ -261,6 +261,8 @@ OPERATOR_QUERIES = [
     "configured_pipeline",
     "doc_sentiment",
     "supplier_hhi",
+    "source_ascii_profile",
+    "kg_edge_confidence",
 ]
 
 

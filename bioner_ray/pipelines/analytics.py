@@ -7556,3 +7556,72 @@ def supplier_hhi(sf_dir: str):
             "hhi": pa.array(out["hhi"], type=pa.float64()),
         }
     )
+
+
+def kg_edge_confidence(sf_dir: str):
+    """Per-predicate confidence normalization: each edge's
+    percent-rank of weight WITHIN its predicate — the score that makes
+    a weight of 3 mean something different for a rare precise relation
+    than for a promiscuous one (raw weights are incomparable across
+    predicates). ONE (pred, weight)-domain histogram aggregate; the
+    per-pred cumulative table broadcasts (domain-bounded) into a
+    stateless assignment pass over the edge stream: rank = 1 +
+    #{w' < w} (ties share the min rank, DuckDB percent_rank's rule),
+    pct = double(rank−1)/double(n−1), 0.0 for single-edge predicates.
+    Columns: subj, pred, obj, weight, pct_rank."""
+    import ray
+
+    from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema, with_ones
+
+    edges = kg_edges(sf_dir).map_batches(
+        lambda t: t.select(["subj", "pred", "obj", "weight"])
+        if t.num_columns
+        else pa.schema(
+            [
+                ("subj", pa.string()),
+                ("pred", pa.string()),
+                ("obj", pa.string()),
+                ("weight", pa.int64()),
+            ]
+        ).empty_table(),
+        batch_format="pyarrow",
+    ).materialize()
+    hist = bucketed_aggregate(
+        with_ones(edges.select_columns(["pred", "weight"])), ["pred", "weight"], [("one", "sum")]
+    )
+    cum: dict[str, tuple[np.ndarray, np.ndarray, int]] = {}
+    per_pred: dict[str, list[tuple[int, int]]] = {}
+    for r in hist.take_all():  # bounded: preds × weight domain
+        per_pred.setdefault(r["pred"], []).append((r["weight"], r["one"]))
+    for p, vals in per_pred.items():
+        vals.sort()
+        w = np.array([v for v, _ in vals], dtype=np.int64)
+        c = np.array([c_ for _, c_ in vals], dtype=np.int64)
+        below = np.concatenate([[0], np.cumsum(c)[:-1]])
+        cum[p] = (w, below, int(c.sum()))
+    cum_ref = ray.put(cum)
+
+    def assign(t: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [
+                ("subj", pa.string()),
+                ("pred", pa.string()),
+                ("obj", pa.string()),
+                ("weight", pa.int64()),
+                ("pct_rank", pa.float64()),
+            ]
+        )
+        if t.num_columns == 0 or t.num_rows == 0:
+            return schema.empty_table()
+        table = ray.get(cum_ref)
+        preds = t.column("pred").to_pylist()
+        ws = t.column("weight").to_numpy(zero_copy_only=False)
+        pct = np.empty(t.num_rows, dtype=np.float64)
+        for i, (p, w) in enumerate(zip(preds, ws)):
+            wv, below, n = table[p]
+            j = np.searchsorted(wv, w)
+            rank = 1 + int(below[j])
+            pct[i] = 0.0 if n <= 1 else float(rank - 1) / float(n - 1)
+        return t.append_column("pct_rank", pa.array(pct))
+
+    return edges.map_batches(assign, batch_format="pyarrow")

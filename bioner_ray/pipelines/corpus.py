@@ -2066,3 +2066,60 @@ def doc_sentiment(sf_dir: str):
     return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
         sentiment_batch, batch_format="pyarrow"
     )
+
+
+def source_ascii_profile(sf_dir: str):
+    """Per-source ASCII profile — the encoding-health axis of a
+    multilingual crawl (a 'en'-labeled source full of non-ASCII bytes
+    is mislabeled or mojibake): exact character counts via one
+    vectorized regex per batch, ONE source-keyed fold, ascii_frac =
+    double(ascii)/double(total) pinned. Columns: source, n_chars,
+    n_ascii, ascii_frac."""
+    import pyarrow.compute as pc
+
+    from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema
+
+    def prep(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(t.column("text"), "")
+        total = pc.utf8_length(text)
+        ascii_n = pc.count_substring_regex(text, r"[\x00-\x7F]")
+        return pa.table(
+            {
+                "source": t.column("source"),
+                "n_chars": pc.cast(total, pa.int64()),
+                "n_ascii": pc.cast(ascii_n, pa.int64()),
+            }
+        )
+
+    agg = pin_schema(
+        bucketed_aggregate(
+            _read(sf_dir, "documents", columns=["source", "text"]).map_batches(
+                prep, batch_format="pyarrow"
+            ),
+            ["source"],
+            [("n_chars", "sum"), ("n_ascii", "sum")],
+        ),
+        pa.schema(
+            [("source", pa.string()), ("n_chars", pa.int64()), ("n_ascii", pa.int64())]
+        ),
+        ensure_block=True,
+    )
+    return agg.map_batches(
+        lambda t: t.append_column(
+            "ascii_frac",
+            pc.divide(
+                pc.cast(t.column("n_ascii"), pa.float64()),
+                pc.cast(t.column("n_chars"), pa.float64()),
+            ),
+        )
+        if t.num_columns
+        else pa.schema(
+            [
+                ("source", pa.string()),
+                ("n_chars", pa.int64()),
+                ("n_ascii", pa.int64()),
+                ("ascii_frac", pa.float64()),
+            ]
+        ).empty_table(),
+        batch_format="pyarrow",
+    )

@@ -1589,3 +1589,49 @@ def test_supplier_hhi_monopoly_vs_even(tmp_path):
     out = _to_pandas(supplier_hhi(str(tmp_path))).set_index("p_type")
     assert out.loc["MONO", "hhi"] == 1.0
     assert out.loc["EVEN", "hhi"] == 0.5
+
+
+def test_source_ascii_profile_counts(tmp_path):
+    import pyarrow as pa
+
+    from bioner_ray.pipelines.corpus import source_ascii_profile
+
+    _write(
+        tmp_path,
+        "documents",
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], type=pa.int64()),
+                "text": pa.array(["abcd", "héllo"], type=pa.string()),
+                "source": pa.array(["s1", "s1"], type=pa.string()),
+            }
+        ),
+    )
+    out = _to_pandas(source_ascii_profile(str(tmp_path)))
+    row = out.iloc[0]
+    assert row["n_chars"] == 9 and row["n_ascii"] == 8
+    assert row["ascii_frac"] == 8.0 / 9.0
+
+
+def test_kg_edge_confidence_percent_rank(monkeypatch, tmp_path):
+    import pyarrow as pa
+    import ray.data as rd
+
+    import bioner_ray.pipelines.analytics as an
+
+    edges = pa.table(
+        {
+            "subj": ["a", "b", "c", "x"],
+            "pred": ["r", "r", "r", "q"],
+            "obj": ["z", "z", "z", "y"],
+            "weight": pa.array([1, 2, 2, 7], type=pa.int64()),
+        }
+    )
+    monkeypatch.setattr(an, "kg_edges", lambda sf_dir, **kw: rd.from_arrow(edges))
+    out = _to_pandas(an.kg_edge_confidence("unused"))
+    r = out[out["pred"] == "r"].set_index("subj")
+    assert r.loc["a", "pct_rank"] == 0.0          # lowest of 3
+    assert r.loc["b", "pct_rank"] == 0.5          # ties share rank 2 → (2-1)/(3-1)
+    assert r.loc["c", "pct_rank"] == 0.5
+    q = out[out["pred"] == "q"]
+    assert q.iloc[0]["pct_rank"] == 0.0           # single-edge predicate
