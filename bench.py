@@ -263,6 +263,7 @@ OPERATOR_QUERIES = [
     "supplier_hhi",
     "source_ascii_profile",
     "kg_edge_confidence",
+    "zorder_export",
 ]
 
 

@@ -7625,3 +7625,88 @@ def kg_edge_confidence(sf_dir: str):
         return t.append_column("pct_rank", pa.array(pct))
 
     return edges.map_batches(assign, batch_format="pyarrow")
+
+
+def zorder_export(sf_dir: str, parts: int = 8, bits: int = 16):
+    """Z-order (Morton) layout audit — the multi-dimensional
+    data-clustering primitive behind lakehouse file skipping: orders
+    keyed by the bit-interleave of (custkey, order-day) so ONE sort
+    clusters BOTH dimensions, and per range partition the min/max of
+    each dimension shows the locality a reader's zone map would prune
+    on. zval = Σ_i ((cust>>i & 1) << 2i) | ((day>>i & 1) << 2i+1) over
+    the low ``bits`` bits (vectorized shifts; the twin inlines the
+    same 2·bits-term expression, generated from this loop — zero
+    drift). Partitioning reuses the exact ceil-rule cutoff machinery
+    of sorted_export. Columns: pid, n_rows, min_cust, max_cust,
+    min_day, max_day."""
+    import ray
+
+    from bioner_ray.stages.rangesort import range_sort_cutoffs
+    from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema
+
+    def zprep(t: pa.Table) -> pa.Table:
+        cust = t.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        day = (
+            t.column("o_orderdate").cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // 86_400_000_000
+        )
+        z = np.zeros(len(cust), dtype=np.int64)
+        for i in range(bits):
+            z |= ((cust >> i) & 1) << (2 * i)
+            z |= ((day >> i) & 1) << (2 * i + 1)
+        return pa.table(
+            {
+                "zval": pa.array(z),
+                "cust": pa.array(cust),
+                "day": pa.array(day.astype(np.int64)),
+            }
+        )
+
+    zds = (
+        _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+        .map_batches(zprep, batch_format="pyarrow")
+        .materialize()
+    )
+    cutoffs = np.array(range_sort_cutoffs(zds, "zval", parts), dtype=np.int64)
+    cut_ref = ray.put(cutoffs)
+
+    def assign(t: pa.Table) -> pa.Table:
+        cuts = ray.get(cut_ref)
+        v = t.column("zval").to_numpy(zero_copy_only=False)
+        pid = np.searchsorted(cuts, v, side="left").astype(np.int64)
+        return pa.table(
+            {
+                "pid": pa.array(pid),
+                "n_rows": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                "min_cust": t.column("cust"),
+                "max_cust": t.column("cust"),
+                "min_day": t.column("day"),
+                "max_day": t.column("day"),
+            }
+        )
+
+    return pin_schema(
+        bucketed_aggregate(
+            zds.map_batches(assign, batch_format="pyarrow"),
+            ["pid"],
+            [
+                ("n_rows", "sum"),
+                ("min_cust", "min"),
+                ("max_cust", "max"),
+                ("min_day", "min"),
+                ("max_day", "max"),
+            ],
+            num_buckets=max(parts, 8),
+        ),
+        pa.schema(
+            [
+                ("pid", pa.int64()),
+                ("n_rows", pa.int64()),
+                ("min_cust", pa.int64()),
+                ("max_cust", pa.int64()),
+                ("min_day", pa.int64()),
+                ("max_day", pa.int64()),
+            ]
+        ),
+        ensure_block=True,
+    )

@@ -1635,3 +1635,39 @@ def test_kg_edge_confidence_percent_rank(monkeypatch, tmp_path):
     assert r.loc["c", "pct_rank"] == 0.5
     q = out[out["pred"] == "q"]
     assert q.iloc[0]["pct_rank"] == 0.0           # single-edge predicate
+
+
+def test_zorder_interleave_and_locality(tmp_path):
+    # Morton interleave: cust=3 (0b11), day=0 → zval 0b0101 = 5;
+    # cust=0, day=3 → zval 0b1010 = 10. Partition summaries must tile
+    # BOTH dimension ranges more tightly than a random split: with two
+    # clusters far apart in both dims, pids separate them.
+    import datetime
+
+    import pyarrow as pa
+
+    from bioner_ray.pipelines.analytics import zorder_export
+
+    base = datetime.datetime(1970, 1, 1)
+    lo = [(c, base + datetime.timedelta(days=d)) for c in (1, 2, 3) for d in (1, 2, 3)]
+    hi = [
+        (c, base + datetime.timedelta(days=d))
+        for c in (60000, 60001)
+        for d in (60000 % 365 + 1, 2)
+    ]
+    rows = lo + [(c, base + datetime.timedelta(days=900)) for c, _ in hi]
+    _write(
+        tmp_path,
+        "orders",
+        pa.table(
+            {
+                "o_custkey": pa.array([c for c, _ in rows], type=pa.int64()),
+                "o_orderdate": pa.array([d for _, d in rows], type=pa.timestamp("us")),
+            }
+        ),
+    )
+    out = _to_pandas(zorder_export(str(tmp_path), parts=2)).sort_values("pid")
+    assert out["n_rows"].sum() == len(rows)
+    # the low cluster (cust ≤ 3, day ≤ 3) lands strictly below the
+    # high cluster (cust ≥ 60000) in z-order
+    assert out.iloc[0]["max_cust"] <= 3 or out.iloc[0]["min_cust"] >= 60000
