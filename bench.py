@@ -264,6 +264,7 @@ OPERATOR_QUERIES = [
     "source_ascii_profile",
     "kg_edge_confidence",
     "zorder_export",
+    "session_conversion",
 ]
 
 

@@ -7710,3 +7710,126 @@ def zorder_export(sf_dir: str, parts: int = 8, bits: int = 16):
         ),
         ensure_block=True,
     )
+
+
+def session_conversion(sf_dir: str, gap_seconds: int = 1800):
+    """Session-outcome analysis: conversion rate (any 'purchase') by
+    session length — the engagement-vs-intent curve a funnel team reads
+    before changing session timeouts. Composes the sessionizer (ONE
+    sort-based user exchange), an event_id-bucketed join back to the
+    type column, a (user, session) fold, and a session-length-bounded
+    final aggregate; conversion = replayable int→double division.
+    Columns: session_len, n_sessions, n_converted, conversion."""
+    from bioner_ray.stages.shuffle import bucketed_aggregate, bucketed_inner_join, pin_schema
+    from bioner_ray.stages.window import sessionize
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    sess = pin_schema(
+        sessionize(ev, gap_seconds=gap_seconds),
+        pa.schema(
+            [("event_id", pa.int64()), ("user_id", pa.int64()), ("session_id", pa.int64())]
+        ),
+    )
+    types = _read(sf_dir, "events", columns=["event_id", "event_type"]).map_batches(
+        lambda t: pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "conv": pc.cast(pc.equal(t.column("event_type"), "purchase"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = bucketed_inner_join(
+        sess,
+        types,
+        ["event_id"],
+        pa.schema(
+            [("event_id", pa.int64()), ("user_id", pa.int64()), ("session_id", pa.int64())]
+        ),
+        pa.schema([("event_id", pa.int64()), ("conv", pa.int64())]),
+    )
+    per_sess = pin_schema(
+        bucketed_aggregate(
+            joined.map_batches(
+                lambda t: pa.table(
+                    {
+                        "user_id": t.column("user_id"),
+                        "session_id": t.column("session_id"),
+                        "n_events": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                        "conv": t.column("conv"),
+                    }
+                )
+                if t.num_columns
+                else pa.schema(
+                    [
+                        ("user_id", pa.int64()),
+                        ("session_id", pa.int64()),
+                        ("n_events", pa.int64()),
+                        ("conv", pa.int64()),
+                    ]
+                ).empty_table(),
+                batch_format="pyarrow",
+            ),
+            ["user_id", "session_id"],
+            [("n_events", "sum"), ("conv", "max")],
+        ),
+        pa.schema(
+            [
+                ("user_id", pa.int64()),
+                ("session_id", pa.int64()),
+                ("n_events", pa.int64()),
+                ("conv", pa.int64()),
+            ]
+        ),
+    )
+    agg = pin_schema(
+        bucketed_aggregate(
+            per_sess.map_batches(
+                lambda t: pa.table(
+                    {
+                        "session_len": t.column("n_events"),
+                        "n_sessions": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                        "n_converted": t.column("conv"),
+                    }
+                )
+                if t.num_columns
+                else pa.schema(
+                    [
+                        ("session_len", pa.int64()),
+                        ("n_sessions", pa.int64()),
+                        ("n_converted", pa.int64()),
+                    ]
+                ).empty_table(),
+                batch_format="pyarrow",
+            ),
+            ["session_len"],
+            [("n_sessions", "sum"), ("n_converted", "sum")],
+        ),
+        pa.schema(
+            [
+                ("session_len", pa.int64()),
+                ("n_sessions", pa.int64()),
+                ("n_converted", pa.int64()),
+            ]
+        ),
+        ensure_block=True,
+    )
+    return agg.map_batches(
+        lambda t: t.append_column(
+            "conversion",
+            pc.divide(
+                pc.cast(t.column("n_converted"), pa.float64()),
+                pc.cast(t.column("n_sessions"), pa.float64()),
+            ),
+        )
+        if t.num_columns
+        else pa.schema(
+            [
+                ("session_len", pa.int64()),
+                ("n_sessions", pa.int64()),
+                ("n_converted", pa.int64()),
+                ("conversion", pa.float64()),
+            ]
+        ).empty_table(),
+        batch_format="pyarrow",
+    )

@@ -1671,3 +1671,14 @@ def test_zorder_interleave_and_locality(tmp_path):
     # the low cluster (cust ≤ 3, day ≤ 3) lands strictly below the
     # high cluster (cust ≥ 60000) in z-order
     assert out.iloc[0]["max_cust"] <= 3 or out.iloc[0]["min_cust"] >= 60000
+
+
+def test_session_conversion_partitions_sessions():
+    from bioner_ray.pipelines.analytics import session_conversion, sessions
+
+    conv = _to_pandas(session_conversion(SF_DIR))
+    n_sessions_total = conv["n_sessions"].sum()
+    sess = _to_pandas(sessions(SF_DIR))
+    assert n_sessions_total == sess.groupby(["user_id", "session_id"]).ngroups
+    assert ((conv["conversion"] >= 0) & (conv["conversion"] <= 1)).all()
+    assert (conv["n_converted"] <= conv["n_sessions"]).all()
