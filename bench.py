@@ -265,6 +265,7 @@ OPERATOR_QUERIES = [
     "kg_edge_confidence",
     "zorder_export",
     "session_conversion",
+    "doc_readability",
 ]
 
 

@@ -2123,3 +2123,89 @@ def source_ascii_profile(sf_dir: str):
         ).empty_table(),
         batch_format="pyarrow",
     )
+
+
+def doc_readability(sf_dir: str):
+    """Per-source Flesch reading ease — the readability axis of corpus
+    quality scoring (too-hard and too-trivial sources both get
+    down-weighted in a training mix). Deterministic proxies: words =
+    non-space runs, syllables = ``[aeiouy]+`` vowel runs (runs cannot
+    span the whitespace word boundary, so one regex pass over the doc
+    equals the per-word sum), sentences = ``[.!?]`` marks floored at 1.
+    All three are exact integer counts from ONE vectorized regex-count
+    kernel per batch; the fold is a source-keyed sum (sources are
+    bounded), and the score is a single pinned double expression over
+    the integer sums — no per-row Python anywhere. Columns: source,
+    n_docs, n_words, n_sents, n_syllables, flesch."""
+    import pyarrow.compute as pc
+
+    from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema, with_ones
+
+    def prep(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(t.column("text"), "")
+        lower = pc.utf8_lower(text)
+        words = pc.cast(pc.count_substring_regex(lower, r"[^\s]+"), pa.int64())
+        syll = pc.cast(pc.count_substring_regex(lower, r"[aeiouy]+"), pa.int64())
+        sents = pc.max_element_wise(
+            pc.cast(pc.count_substring_regex(text, r"[.!?]"), pa.int64()), 1
+        )
+        return pa.table(
+            {"source": t.column("source"), "w": words, "s": sents, "y": syll}
+        )
+
+    agg = pin_schema(
+        bucketed_aggregate(
+            with_ones(
+                _read(sf_dir, "documents", columns=["source", "text"]).map_batches(
+                    prep, batch_format="pyarrow"
+                )
+            ),
+            ["source"],
+            [("one", "sum"), ("w", "sum"), ("s", "sum"), ("y", "sum")],
+        ),
+        pa.schema(
+            [
+                ("source", pa.string()),
+                ("one", pa.int64()),
+                ("w", pa.int64()),
+                ("s", pa.int64()),
+                ("y", pa.int64()),
+            ]
+        ),
+        ensure_block=True,
+    )
+
+    out_schema = pa.schema(
+        [
+            ("source", pa.string()),
+            ("n_docs", pa.int64()),
+            ("n_words", pa.int64()),
+            ("n_sents", pa.int64()),
+            ("n_syllables", pa.int64()),
+            ("flesch", pa.float64()),
+        ]
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return out_schema.empty_table()
+        w = pc.cast(t.column("w"), pa.float64())
+        s = pc.cast(t.column("s"), pa.float64())
+        y = pc.cast(t.column("y"), pa.float64())
+        # pinned: 206.835 - 1.015*(W/S) - 84.6*(Y/W), left-assoc like SQL
+        flesch = pc.subtract(
+            pc.subtract(206.835, pc.multiply(1.015, pc.divide(w, s))),
+            pc.multiply(84.6, pc.divide(y, w)),
+        )
+        return pa.table(
+            {
+                "source": t.column("source"),
+                "n_docs": t.column("one"),
+                "n_words": t.column("w"),
+                "n_sents": t.column("s"),
+                "n_syllables": t.column("y"),
+                "flesch": flesch,
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

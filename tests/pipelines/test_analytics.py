@@ -171,6 +171,7 @@ SQL_CHECKED = [
     "promo_revenue",
     "top_supplier",
     "large_orders",
+    "doc_readability",
 ]
 
 #: queries with neither a SQL twin nor a golden parquet — none left;
@@ -1558,6 +1559,34 @@ def test_doc_sentiment_signed_counts(tmp_path):
     out = _to_pandas(doc_sentiment(str(tmp_path))).set_index("doc_id")
     assert out.loc[1, "n_pos"] == 2 and out.loc[1, "n_neg"] == 1 and out.loc[1, "net"] == 1
     assert out.loc[2, "net"] == -2
+
+
+def test_doc_readability_counts(tmp_path):
+    import pyarrow as pa
+
+    from bioner_ray.pipelines.corpus import doc_readability
+
+    _write(
+        tmp_path,
+        "documents",
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], type=pa.int64()),
+                # doc 1: 4 words, 2 sentence marks, syllable runs: o|a / i|e / u / o = 6
+                "text": pa.array(
+                    ["total time! run. go", "xxxx zzzz"], type=pa.string()
+                ),
+                "source": pa.array(["a", "b"], type=pa.string()),
+            }
+        ),
+    )
+    out = _to_pandas(doc_readability(str(tmp_path))).set_index("source")
+    assert out.loc["a", "n_words"] == 4 and out.loc["a", "n_sents"] == 2
+    assert out.loc["a", "n_syllables"] == 6
+    # no sentence marks floors to 1; zero vowel runs
+    assert out.loc["b", "n_sents"] == 1 and out.loc["b", "n_syllables"] == 0
+    exp = 206.835 - 1.015 * (4 / 2) - 84.6 * (6 / 4)
+    assert out.loc["a", "flesch"] == exp
 
 
 def test_supplier_hhi_monopoly_vs_even(tmp_path):
