@@ -266,6 +266,7 @@ OPERATOR_QUERIES = [
     "zorder_export",
     "session_conversion",
     "doc_readability",
+    "dedup_cluster_reps",
 ]
 
 

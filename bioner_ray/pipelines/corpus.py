@@ -2209,3 +2209,90 @@ def doc_readability(sf_dir: str):
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def dedup_cluster_reps(sf_dir: str, threshold: float = 0.5):
+    """Quality-aware cluster representative selection — the refinement
+    of ``near_dedup_clean``'s min-doc_id keeper rule that production
+    corpora actually use: within each near-dup cluster keep the member
+    with the RICHEST text (max distinct-token count; ties → min
+    doc_id), so boilerplate-stripped or truncated variants lose to the
+    fullest copy. The cluster membership set is bounded by the pair
+    graph (the same bound kg_merge_groups documents), so node→component
+    ships ONCE as a broadcast dict; the corpus streams through one
+    member-filtered batch pass that folds each member to a single
+    int64 ``enc = q·2³² + (2³²−1 − doc_id)`` — per-cluster argmax with
+    the tiebreak baked into integer max, replayed exactly in SQL.
+    Columns: component, keeper, n_members, best_distinct."""
+    import ray
+
+    from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema
+    from bioner_ray.stages.textstats import _split_lower
+
+    comps = dedup_components(sf_dir, threshold=threshold)
+    member_map = {}
+    for b in comps.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        if b.num_columns:
+            for n, c in zip(b.column("node").to_pylist(), b.column("component").to_pylist()):
+                member_map[int(n)] = int(c)
+    map_ref = ray.put(member_map)
+
+    def enc_members(t: pa.Table) -> pa.Table:
+        m = ray.get(map_ref)
+        ids = t.column("doc_id").to_pylist()
+        rows = [i for i, d in enumerate(ids) if int(d) in m]
+        schema = pa.schema(
+            [("component", pa.int64()), ("enc", pa.int64()), ("one", pa.int64())]
+        )
+        if not rows:
+            return schema.empty_table()
+        sub = t.take(pa.array(rows, type=pa.int64()))
+        toks = _split_lower(sub, "text")
+        comp, enc = [], []
+        for d, row in zip(sub.column("doc_id").to_pylist(), toks):
+            q = len(set(row))
+            comp.append(m[int(d)])
+            enc.append(q * 4294967296 + (4294967295 - int(d)))
+        return pa.table(
+            {
+                "component": pa.array(comp, type=pa.int64()),
+                "enc": pa.array(enc, type=pa.int64()),
+                "one": pa.array(np.ones(len(comp), dtype=np.int64)),
+            }
+        )
+
+    agg = pin_schema(
+        bucketed_aggregate(
+            _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+                enc_members, batch_format="pyarrow"
+            ),
+            ["component"],
+            [("enc", "max"), ("one", "sum")],
+        ),
+        pa.schema([("component", pa.int64()), ("enc", pa.int64()), ("one", pa.int64())]),
+        ensure_block=True,
+    )
+
+    out_schema = pa.schema(
+        [
+            ("component", pa.int64()),
+            ("keeper", pa.int64()),
+            ("n_members", pa.int64()),
+            ("best_distinct", pa.int64()),
+        ]
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return out_schema.empty_table()
+        enc = np.asarray(t.column("enc").to_numpy(zero_copy_only=False), dtype=np.int64)
+        return pa.table(
+            {
+                "component": t.column("component"),
+                "keeper": pa.array(4294967295 - (enc % 4294967296), type=pa.int64()),
+                "n_members": t.column("one"),
+                "best_distinct": pa.array(enc // 4294967296, type=pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -172,6 +172,7 @@ SQL_CHECKED = [
     "top_supplier",
     "large_orders",
     "doc_readability",
+    "dedup_cluster_reps",
 ]
 
 #: queries with neither a SQL twin nor a golden parquet — none left;
@@ -1559,6 +1560,35 @@ def test_doc_sentiment_signed_counts(tmp_path):
     out = _to_pandas(doc_sentiment(str(tmp_path))).set_index("doc_id")
     assert out.loc[1, "n_pos"] == 2 and out.loc[1, "n_neg"] == 1 and out.loc[1, "net"] == 1
     assert out.loc[2, "net"] == -2
+
+
+def test_dedup_cluster_reps_prefers_richest_member(tmp_path):
+    import pyarrow as pa
+
+    from bioner_ray.pipelines.corpus import dedup_cluster_reps
+
+    # docs 1/2 near-identical (Jaccard >= 0.5 on 3-shingles) but doc 2
+    # carries one extra distinct token -> doc 2 must win despite the
+    # min-doc_id convention; doc 9 has no near-dup and emits nothing.
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    _write(
+        tmp_path,
+        "documents",
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 9], type=pa.int64()),
+                "text": pa.array(
+                    [base, base + " iota", "totally different words here now"],
+                    type=pa.string(),
+                ),
+            }
+        ),
+    )
+    out = _to_pandas(dedup_cluster_reps(str(tmp_path))).set_index("component")
+    assert list(out.index) == [1]
+    assert out.loc[1, "keeper"] == 2
+    assert out.loc[1, "n_members"] == 2
+    assert out.loc[1, "best_distinct"] == 9
 
 
 def test_doc_readability_counts(tmp_path):
