@@ -267,6 +267,7 @@ OPERATOR_QUERIES = [
     "session_conversion",
     "doc_readability",
     "dedup_cluster_reps",
+    "kg_star_ids",
 ]
 
 

@@ -7833,3 +7833,53 @@ def session_conversion(sf_dir: str, gap_seconds: int = 1800):
         ).empty_table(),
         batch_format="pyarrow",
     )
+
+
+def kg_star_ids(sf_dir: str, edges=None):
+    """Surrogate-integer-id graph materialization — the serving export
+    every downstream graph store / embedding trainer consumes: node
+    names dictionary-encoded to dense 1-based ids (lexicographic
+    order, so the assignment is content-deterministic, not
+    partition-dependent), edges rewritten to (src_id, dst_id, pred,
+    weight). The node vocabulary is bounded (post-canonicalization
+    entity set), so the id table ships ONCE as a broadcast sorted
+    array and each edge batch resolves ids via one vectorized
+    ``np.searchsorted`` — the corpus-scale extraction stays streaming,
+    the id join never shuffles. Columns: src_id, dst_id, pred,
+    weight."""
+    import ray
+
+    e = (kg_edges(sf_dir) if edges is None else edges).materialize()
+    nodes: set[str] = set()
+    for b in e.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        if b.num_columns:
+            nodes.update(b.column("subj").to_pylist())
+            nodes.update(b.column("obj").to_pylist())
+    vocab = np.array(sorted(nodes), dtype=object)
+    vocab_ref = ray.put(vocab)
+
+    out_schema = pa.schema(
+        [
+            ("src_id", pa.int64()),
+            ("dst_id", pa.int64()),
+            ("pred", pa.string()),
+            ("weight", pa.int64()),
+        ]
+    )
+
+    def to_ids(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return out_schema.empty_table()
+        v = ray.get(vocab_ref)
+        subj = np.asarray(t.column("subj").to_pylist(), dtype=object)
+        obj = np.asarray(t.column("obj").to_pylist(), dtype=object)
+        return pa.table(
+            {
+                "src_id": pa.array(np.searchsorted(v, subj) + 1, type=pa.int64()),
+                "dst_id": pa.array(np.searchsorted(v, obj) + 1, type=pa.int64()),
+                "pred": t.column("pred"),
+                "weight": pc.cast(t.column("weight"), pa.int64()),
+            }
+        )
+
+    return e.map_batches(to_ids, batch_format="pyarrow")

@@ -173,6 +173,7 @@ SQL_CHECKED = [
     "large_orders",
     "doc_readability",
     "dedup_cluster_reps",
+    "kg_star_ids",
 ]
 
 #: queries with neither a SQL twin nor a golden parquet — none left;
@@ -1560,6 +1561,27 @@ def test_doc_sentiment_signed_counts(tmp_path):
     out = _to_pandas(doc_sentiment(str(tmp_path))).set_index("doc_id")
     assert out.loc[1, "n_pos"] == 2 and out.loc[1, "n_neg"] == 1 and out.loc[1, "net"] == 1
     assert out.loc[2, "net"] == -2
+
+
+def test_kg_star_ids_dense_and_content_deterministic():
+    from bioner_ray.pipelines.analytics import kg_edges, kg_star_ids
+
+    out = _to_pandas(kg_star_ids(SF_DIR))
+    edges = _to_pandas(kg_edges(SF_DIR))
+    n_nodes = len(set(edges["subj"]) | set(edges["obj"]))
+    assert len(out) == len(edges)
+    ids = set(out["src_id"]) | set(out["dst_id"])
+    assert ids == set(range(1, n_nodes + 1))  # dense 1-based, no gaps
+    # id order mirrors lexicographic node order
+    sorted_nodes = sorted(set(edges["subj"]) | set(edges["obj"]))
+    lut = {n: i + 1 for i, n in enumerate(sorted_nodes)}
+    merged = out.merge(
+        edges.assign(src_id=edges["subj"].map(lut), dst_id=edges["obj"].map(lut)),
+        on=["src_id", "dst_id", "pred", "weight"],
+        how="outer",
+        indicator=True,
+    )
+    assert (merged["_merge"] == "both").all()
 
 
 def test_dedup_cluster_reps_prefers_richest_member(tmp_path):
