@@ -268,6 +268,7 @@ OPERATOR_QUERIES = [
     "doc_readability",
     "dedup_cluster_reps",
     "kg_star_ids",
+    "kg_shuffle_skew",
 ]
 
 

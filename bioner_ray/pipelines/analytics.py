@@ -7883,3 +7883,91 @@ def kg_star_ids(sf_dir: str, edges=None):
         )
 
     return e.map_batches(to_ids, batch_format="pyarrow")
+
+
+def kg_shuffle_skew(sf_dir: str, num_buckets: int = 64, edges=None):
+    """Shuffle-skew telemetry for the KG edge exchange — the audit
+    behind the engine's salted-groupby design (north rule: skew from
+    hot entities handled explicitly): per hash bucket of the subject
+    key, how many keys, edges and total weight land there, and the
+    hottest single key's weight. A bucket whose ``max_key_w``
+    approaches its ``w_total`` is one hub entity — the case
+    canonicalize_edges' salt_buckets exists for. Bucket assignment is
+    the SQL-replayable md5-61-bit family (stages/sketch._M61), applied
+    ONCE per distinct subject on the vocabulary-bounded per-key table —
+    never per edge. Columns: bucket, n_keys, n_edges, w_total,
+    max_key_w."""
+    import hashlib
+
+    from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema
+    from bioner_ray.stages.sketch import _M61
+
+    e = kg_edges(sf_dir) if edges is None else edges
+
+    def prep(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return pa.schema(
+                [("subj", pa.string()), ("one", pa.int64()), ("w", pa.int64())]
+            ).empty_table()
+        return pa.table(
+            {
+                "subj": t.column("subj"),
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                "w": pc.cast(t.column("weight"), pa.int64()),
+            }
+        )
+
+    per_subj = pin_schema(
+        bucketed_aggregate(
+            e.map_batches(prep, batch_format="pyarrow"),
+            ["subj"],
+            [("one", "sum"), ("w", "sum")],
+        ),
+        pa.schema([("subj", pa.string()), ("one", pa.int64()), ("w", pa.int64())]),
+        ensure_block=True,
+    )
+
+    mid_schema = pa.schema(
+        [
+            ("bucket", pa.int64()),
+            ("n_keys", pa.int64()),
+            ("n_edges", pa.int64()),
+            ("w_total", pa.int64()),
+            ("max_key_w", pa.int64()),
+        ]
+    )
+
+    def to_bucket(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return mid_schema.empty_table()
+        subs = t.column("subj").to_pylist()
+        bk = [
+            (int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big") % _M61)
+            % num_buckets
+            for s in subs
+        ]
+        w = pc.cast(t.column("w"), pa.int64())
+        return pa.table(
+            {
+                "bucket": pa.array(bk, type=pa.int64()),
+                "n_keys": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                "n_edges": t.column("one"),
+                "w_total": w,
+                "max_key_w": w,
+            }
+        )
+
+    return pin_schema(
+        bucketed_aggregate(
+            per_subj.map_batches(to_bucket, batch_format="pyarrow"),
+            ["bucket"],
+            [
+                ("n_keys", "sum"),
+                ("n_edges", "sum"),
+                ("w_total", "sum"),
+                ("max_key_w", "max"),
+            ],
+        ),
+        mid_schema,
+        ensure_block=True,
+    )

@@ -174,6 +174,7 @@ SQL_CHECKED = [
     "doc_readability",
     "dedup_cluster_reps",
     "kg_star_ids",
+    "kg_shuffle_skew",
 ]
 
 #: queries with neither a SQL twin nor a golden parquet — none left;
@@ -1561,6 +1562,18 @@ def test_doc_sentiment_signed_counts(tmp_path):
     out = _to_pandas(doc_sentiment(str(tmp_path))).set_index("doc_id")
     assert out.loc[1, "n_pos"] == 2 and out.loc[1, "n_neg"] == 1 and out.loc[1, "net"] == 1
     assert out.loc[2, "net"] == -2
+
+
+def test_kg_shuffle_skew_conserves_totals():
+    from bioner_ray.pipelines.analytics import kg_edges, kg_shuffle_skew
+
+    edges = _to_pandas(kg_edges(SF_DIR))
+    out = _to_pandas(kg_shuffle_skew(SF_DIR))
+    assert out["n_keys"].sum() == edges["subj"].nunique()
+    assert out["n_edges"].sum() == len(edges)
+    assert out["w_total"].sum() == edges["weight"].sum()
+    # the hottest key in a bucket can't exceed the bucket's total
+    assert (out["max_key_w"] <= out["w_total"]).all()
 
 
 def test_kg_star_ids_dense_and_content_deterministic():
