@@ -269,6 +269,10 @@ OPERATOR_QUERIES = [
     "dedup_cluster_reps",
     "kg_star_ids",
     "kg_shuffle_skew",
+    "web_link_graph",
+    "host_pagerank",
+    "anchor_text_index",
+    "url_canonical_dedup",
 ]
 
 

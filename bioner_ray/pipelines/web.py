@@ -1,0 +1,203 @@
+"""Web-crawl analytics over Common-Crawl-style pages: host→host link
+graph, domain PageRank, anchor-text index, and crawl-frontier URL
+canonicalization — the stages that turn the north-star input table
+(url, warc_ts, html, text, lang) into the link-side artifacts a
+web-scale KG build consumes (domain authority priors, anchor-text
+entity-linking priors, canonical-URL dedup of the frontier).
+
+The synthetic crawl derives deterministically from ``documents.doc_id``
+(contract in stages/weblinks.py's docstring) so every query here has an
+exact DuckDB twin; the engine side does the real work — regex anchor
+extraction over raw HTML bytes, vectorized relative-URL resolution and
+canonicalization — and only the *expected answer* is re-derived
+arithmetically by the twin.
+
+Scale shape shared by all four: pages stream through stateless
+``map_batches`` extraction (zero-copy Arrow in/out), and the only
+exchanges are bounded bucketed aggregates — host-pair counts are
+O(hosts²), canonical-URL groups are O(urls) but combiner-compressed
+per block before the shuffle. Nothing materializes the crawl.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+
+from bioner_ray.stages.weblinks import (
+    _host_idx,
+    canonicalize_urls_batch,
+    extract_links_batch,
+    resolve_links_batch,
+    synthesize_pages_batch,
+)
+
+
+def _nrows(sf_dir: str, name: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(os.path.join(sf_dir, f"{name}.parquet")).metadata.num_rows
+
+
+def _synthetic_pages(sf_dir: str):
+    """(url, html) crawl pages, one per document row (fixture input —
+    on a real crawl this is ``read_parquet(pages, columns=["url",
+    "html"])`` and everything downstream is unchanged)."""
+    import ray.data as rd
+
+    n = _nrows(sf_dir, "documents")
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    return docs.map_batches(
+        lambda t: synthesize_pages_batch(t, n), batch_format="pyarrow"
+    )
+
+
+def _resolved_links(sf_dir: str):
+    return (
+        _synthetic_pages(sf_dir)
+        .map_batches(extract_links_batch, batch_format="pyarrow")
+        .map_batches(resolve_links_batch, batch_format="pyarrow")
+    )
+
+
+def web_link_graph(sf_dir: str):
+    """Host→host link graph from raw HTML: anchor extraction → URL
+    resolution (absolute / protocol-relative / root-relative) → host
+    projection → ONE combiner-compressed aggregate. The output is the
+    domain graph a crawl scheduler and a domain-authority ranker both
+    read; at crawl scale it is O(hosts²) ≪ O(links). Columns:
+    src_host, dst_host, n_links."""
+    from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema, with_ones
+
+    out = pa.schema(
+        [("src_host", pa.string()), ("dst_host", pa.string()), ("n_links", pa.int64())]
+    )
+    return pin_schema(
+        bucketed_aggregate(
+            with_ones(_resolved_links(sf_dir), "n_links"),
+            ["src_host", "dst_host"],
+            [("n_links", "sum")],
+        ),
+        out,
+    )
+
+
+def host_pagerank(sf_dir: str):
+    """Domain authority: the engine's scaled-integer fixed-iteration
+    PageRank (stages/graph.py — ONE bucketed join + ONE bucketed
+    aggregate per round, materialize-per-round lineage cut) over the
+    host link graph. Same arithmetic contract as kg_pagerank (scale
+    10^12, damping 850/1000, 3 iterations, dangling mass evaporates),
+    so the twin is the same unrolled HUGEINT CTE over the link-graph
+    edges. Columns: node, rank."""
+    from bioner_ray.stages.graph import pagerank
+
+    return pagerank(
+        web_link_graph(sf_dir),
+        subj_col="src_host",
+        obj_col="dst_host",
+        weight_col="n_links",
+    )
+
+
+def anchor_text_index(sf_dir: str):
+    """Anchor-text priors: per target host, the top-3 anchor strings by
+    frequency (ties → anchor ascending) — the classic web-corpus signal
+    an entity linker consumes as surface-form priors. Combiner-pruned
+    per-group top-k (stages/rank.py) over ONE bounded aggregate.
+    Columns: dst_host, anchor, n, rk."""
+    from bioner_ray.stages.rank import top_k_per_group
+    from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema, with_ones
+
+    counts = pin_schema(
+        bucketed_aggregate(
+            with_ones(_resolved_links(sf_dir), "n"),
+            ["dst_host", "anchor"],
+            [("n", "sum")],
+        ),
+        pa.schema(
+            [("dst_host", pa.string()), ("anchor", pa.string()), ("n", pa.int64())]
+        ),
+    )
+    return pin_schema(
+        top_k_per_group(counts, "dst_host", [("n", "descending"), ("anchor", "ascending")], 3),
+        pa.schema(
+            [
+                ("dst_host", pa.string()),
+                ("anchor", pa.string()),
+                ("n", pa.int64()),
+                ("rk", pa.int64()),
+            ]
+        ),
+    )
+
+
+def _url_variants_batch(batch: pa.Table) -> pa.Table:
+    """Two crawl sightings per page: the clean URL plus one messy
+    variant cycling through case, default port, utm params, fragment —
+    the four rewrites canonicalize_urls_batch must fold."""
+    import numpy as np
+
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    hosts = _host_idx(ids)
+    urls = []
+    for i, h in zip(ids.tolist(), hosts.tolist()):
+        base = f"https://site{h}.example.com/doc/{i}"
+        urls.append(base)
+        m = i % 4
+        if m == 0:
+            urls.append(f"HTTPS://SITE{h}.EXAMPLE.COM/doc/{i}")
+        elif m == 1:
+            urls.append(f"https://site{h}.example.com:443/doc/{i}")
+        elif m == 2:
+            urls.append(base + "?utm_source=feed&utm_campaign=x")
+        else:
+            urls.append(base + "#section-2")
+    return pa.table({"url": pa.array(urls, type=pa.string())})
+
+
+def url_canonical_dedup(sf_dir: str):
+    """Crawl-frontier dedup: canonicalize every sighted URL (fragment /
+    utm / case / default-port rules, all vectorized RE2 passes) and
+    collapse to one row per canonical with the sighting count and the
+    lexicographically first raw form (the crawl's provenance pick).
+    The aggregate is combiner-compressed per block, so the shuffle
+    carries one row per distinct canonical URL per block — the same
+    (id, hash)-style exchange as exact dedup. Columns: canonical_url,
+    n_dups, first_url."""
+    import ray.data as rd
+
+    from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema, with_ones
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    sighted = docs.map_batches(_url_variants_batch, batch_format="pyarrow").map_batches(
+        canonicalize_urls_batch, batch_format="pyarrow"
+    )
+    agg = bucketed_aggregate(
+        with_ones(sighted, "n_dups"),
+        ["canonical_url"],
+        [("n_dups", "sum"), ("url", "min")],
+    )
+
+    def rename(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return t
+        return t.rename_columns(
+            ["first_url" if c == "url" else c for c in t.schema.names]
+        )
+
+    return pin_schema(
+        agg.map_batches(rename, batch_format="pyarrow"),
+        pa.schema(
+            [
+                ("canonical_url", pa.string()),
+                ("n_dups", pa.int64()),
+                ("first_url", pa.string()),
+            ]
+        ),
+    )

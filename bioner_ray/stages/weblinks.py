@@ -1,0 +1,177 @@
+"""Web-graph construction from raw Common-Crawl-style HTML — the
+link-extraction axis of the north-star input (pages with an
+``html: binary`` column): anchor ``<a href>`` extraction, relative-URL
+resolution, host projection, and crawl-frontier URL canonicalization.
+
+The reference has no web-graph stage (its extractor is
+pubmed_parser.py — XML abstracts, no hyperlinks); this module is the
+§2.11-style scale extension that makes the engine usable on an actual
+web crawl: host→host link graph for domain ranking, anchor-text
+aggregation for entity linking priors, and URL canonicalization for
+crawl dedup.
+
+Scale shape: extraction is an embarrassingly parallel ``map_batches``
+(one compiled RE2-compatible regex per page — no DOM build, no Python
+token loop); resolution/host projection are fully vectorized
+``pyarrow.compute`` kernels; the only shuffles are the final bounded
+host-pair / canonical-url aggregates, which ride
+``bucketed_aggregate``'s combiner so the exchange is O(distinct keys),
+not O(links).
+
+Deterministic page synthesis (test/bench corpus): pages derive from
+``documents.doc_id`` by pure integer arithmetic so the DuckDB twins can
+re-derive the expected graph without parsing HTML. Generator contract
+(replayed verbatim by the SQL twins in ``__ray_entry__``):
+
+  host_idx(i) = i % 4 if i even else i % 16      # hosts 0/2 carry half
+  host(i)     = "site{host_idx}.example.com"     # the crawl (hub skew)
+  url(i)      = "https://{host(i)}/doc/{i}"
+  k(i)        = 1 + i % 4                        # links on page i
+  tgt(i, j)   = (7*i + 13*j + 1) % N             # j in 0..k-1
+  form(i, j)  = (i + j) % 3                      # 0 absolute,
+                                                 # 1 protocol-relative,
+                                                 # 2 root-relative
+  anchor(i,j) = "ref {tgt % 7}"
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+#: anchor tags in the canonical double-quoted form; RE2-compatible so
+#: a DuckDB regexp_extract_all over the same bytes would agree.
+HREF_RE = re.compile(r'<a href="([^"]*)">([^<]*)</a>')
+
+#: scheme://host prefix (host stops at :port, /path, ?query, #frag)
+_PREFIX_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*"
+
+LINKS_SCHEMA = pa.schema(
+    [("src_url", pa.string()), ("href", pa.string()), ("anchor", pa.string())]
+)
+RESOLVED_SCHEMA = pa.schema(
+    [("src_host", pa.string()), ("dst_host", pa.string()), ("anchor", pa.string())]
+)
+
+
+def _host_idx(ids: np.ndarray) -> np.ndarray:
+    return np.where(ids % 2 == 0, ids % 4, ids % 16)
+
+
+def synthesize_pages_batch(batch: pa.Table, n_docs: int) -> pa.Table:
+    """doc_id batch → (url, html) pages per the module-docstring
+    contract. Fixture construction, not an operator under test — on a
+    real crawl this batch IS the input."""
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    hosts = _host_idx(ids)
+    urls, htmls = [], []
+    for i, h in zip(ids.tolist(), hosts.tolist()):
+        parts = [f"<html><body><p>page {i} on site{h}</p>"]
+        for j in range(1 + i % 4):
+            tgt = (7 * i + 13 * j + 1) % n_docs
+            th = tgt % 4 if tgt % 2 == 0 else tgt % 16
+            form = (i + j) % 3
+            if form == 0:
+                href = f"https://site{th}.example.com/doc/{tgt}"
+            elif form == 1:
+                href = f"//site{th}.example.com/doc/{tgt}"
+            else:
+                href = f"/doc/{tgt}"
+            parts.append(f'<a href="{href}">ref {tgt % 7}</a>')
+        parts.append("</body></html>")
+        urls.append(f"https://site{h}.example.com/doc/{i}")
+        htmls.append("".join(parts).encode("utf-8"))
+    return pa.table(
+        {"url": pa.array(urls, type=pa.string()), "html": pa.array(htmls, type=pa.binary())}
+    )
+
+
+def extract_links_batch(batch: pa.Table) -> pa.Table:
+    """(url, html) → one row per anchor tag: (src_url, href, anchor).
+
+    One compiled-regex findall per page — the per-document scan every
+    text stage pays; no DOM, no per-token Python. Output fan-out is the
+    page's link count, so blocks stay proportional to input bytes."""
+    if batch.num_columns == 0:
+        return LINKS_SCHEMA.empty_table()
+    urls = batch.column("url").to_pylist()
+    htmls = batch.column("html").to_pylist()
+    src, href, anchor = [], [], []
+    for u, h in zip(urls, htmls):
+        for m in HREF_RE.finditer((h or b"").decode("utf-8", errors="replace")):
+            src.append(u)
+            href.append(m.group(1))
+            anchor.append(m.group(2))
+    return pa.table(
+        {
+            "src_url": pa.array(src, type=pa.string()),
+            "href": pa.array(href, type=pa.string()),
+            "anchor": pa.array(anchor, type=pa.string()),
+        }
+    )
+
+
+def resolve_links_batch(batch: pa.Table) -> pa.Table:
+    """(src_url, href, anchor) → (src_host, dst_host, anchor), fully
+    vectorized: absolute hrefs pass through, protocol-relative take the
+    source scheme, root-relative take the source scheme://host. Hosts
+    are lowercased; ports/paths/queries/fragments never enter the host
+    (the capture stops at ``:/?#``)."""
+    if batch.num_columns == 0 or batch.num_rows == 0:
+        return RESOLVED_SCHEMA.empty_table()
+    src = batch.column("src_url")
+    href = batch.column("href")
+    scheme = pc.struct_field(
+        pc.extract_regex(src, r"^(?P<s>[A-Za-z][A-Za-z0-9+.\-]*)://"), "s"
+    )
+    src_host = pc.utf8_lower(
+        pc.struct_field(pc.extract_regex(src, r"^[A-Za-z][A-Za-z0-9+.\-]*://(?P<h>[^/:?#]+)"), "h")
+    )
+    is_abs = pc.match_substring_regex(href, r"^[A-Za-z][A-Za-z0-9+.\-]*://")
+    is_proto = pc.starts_with(href, "//")
+    dst_url = pc.case_when(
+        pc.make_struct(is_abs, is_proto),
+        href,
+        pc.binary_join_element_wise(scheme, pc.cast(href, pa.string()), ":"),
+        pc.binary_join_element_wise(scheme, "://", src_host, pc.cast(href, pa.string()), ""),
+    )
+    dst_host = pc.utf8_lower(
+        pc.struct_field(
+            pc.extract_regex(dst_url, r"^[A-Za-z][A-Za-z0-9+.\-]*://(?P<h>[^/:?#]+)"), "h"
+        )
+    )
+    return pa.table(
+        {"src_host": src_host, "dst_host": dst_host, "anchor": batch.column("anchor")}
+    )
+
+
+def canonicalize_urls_batch(batch: pa.Table, url_col: str = "url") -> pa.Table:
+    """Append ``canonical_url``: fragment stripped, ``utm_*`` tracking
+    params dropped, scheme+host lowercased, default port removed
+    (``:443`` for https, ``:80`` for http). Path/query case and
+    non-tracking param order are preserved — canonicalization must
+    never merge genuinely distinct resources.
+
+    Every rule is a vectorized RE2 pass (no per-row Python). The utm
+    strip runs the interior-param rewrite twice, handling runs of up to
+    three consecutive utm params between non-utm neighbors — beyond
+    that, callers chain another pass; the trailing-param rule is
+    position-anchored and needs one."""
+    if batch.num_columns == 0 or batch.num_rows == 0:
+        return batch
+    u = pc.cast(batch.column(url_col), pa.string())
+    u = pc.replace_substring_regex(u, r"#.*$", "")  # fragment
+    for _ in range(2):  # interior utm params (each pass eats one run element)
+        u = pc.replace_substring_regex(u, r"([?&])utm_[^&#]*&", r"\1")
+    u = pc.replace_substring_regex(u, r"[?&]utm_[^&#]*$", "")  # trailing utm
+    pre = pc.utf8_lower(
+        pc.struct_field(pc.extract_regex(u, f"(?P<p>{_PREFIX_RE})"), "p")
+    )
+    pre = pc.replace_substring_regex(pre, r"^(https://[^/:?#]*):443$", r"\1")
+    pre = pc.replace_substring_regex(pre, r"^(http://[^/:?#]*):80$", r"\1")
+    rest = pc.replace_substring_regex(u, _PREFIX_RE, "")
+    canon = pc.binary_join_element_wise(pre, rest, "")
+    return batch.append_column("canonical_url", canon)

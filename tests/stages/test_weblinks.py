@@ -1,0 +1,140 @@
+"""Web-crawl axis: anchor extraction, URL resolution, canonicalization
+(stages/weblinks.py) and the four pipeline queries (pipelines/web.py).
+No reference analog (BioNER has no hyperlink stage); the contract under
+test is the module docstring's generator arithmetic plus standard URL
+semantics (RFC 3986 subset: absolute / protocol-relative /
+root-relative references, default-port and fragment rules)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+
+from bioner_ray.stages.weblinks import (
+    canonicalize_urls_batch,
+    extract_links_batch,
+    resolve_links_batch,
+    synthesize_pages_batch,
+)
+
+
+def _links(url: str, html: bytes) -> pa.Table:
+    return extract_links_batch(
+        pa.table({"url": [url], "html": pa.array([html], type=pa.binary())})
+    )
+
+
+class TestExtract:
+    def test_basic(self):
+        t = _links(
+            "https://a.com/x",
+            b'<p>hi</p><a href="https://b.com/y">one</a><a href="/z">two</a>',
+        )
+        assert t.column("href").to_pylist() == ["https://b.com/y", "/z"]
+        assert t.column("anchor").to_pylist() == ["one", "two"]
+        assert t.column("src_url").to_pylist() == ["https://a.com/x"] * 2
+
+    def test_no_links_and_bad_utf8(self):
+        assert _links("https://a.com", b"<p>none</p>").num_rows == 0
+        # invalid bytes must not crash extraction (errors="replace")
+        assert _links("https://a.com", b'\xff\xfe<a href="/q">r</a>').num_rows == 1
+
+    def test_empty_block_passthrough(self):
+        out = extract_links_batch(pa.table({}))
+        assert out.num_rows == 0 and "href" in out.schema.names
+
+
+class TestResolve:
+    def _resolve(self, src: str, href: str) -> tuple[str, str]:
+        t = resolve_links_batch(
+            pa.table({"src_url": [src], "href": [href], "anchor": ["a"]})
+        )
+        return t.column("src_host")[0].as_py(), t.column("dst_host")[0].as_py()
+
+    def test_absolute(self):
+        assert self._resolve("https://a.com/x", "http://B.com:8080/y") == ("a.com", "b.com")
+
+    def test_protocol_relative(self):
+        assert self._resolve("https://a.com/x", "//c.com/y")[1] == "c.com"
+
+    def test_root_relative(self):
+        assert self._resolve("https://A.com:443/x", "/y") == ("a.com", "a.com")
+
+    def test_port_and_query_never_in_host(self):
+        assert self._resolve("https://a.com/x", "https://d.com?q=1")[1] == "d.com"
+
+
+class TestCanonicalize:
+    def _canon(self, url: str) -> str:
+        t = canonicalize_urls_batch(pa.table({"url": [url]}))
+        return t.column("canonical_url")[0].as_py()
+
+    def test_fragment_and_case_and_port(self):
+        assert self._canon("HTTPS://Site.COM:443/Path?Q=1#frag") == "https://site.com/Path?Q=1"
+        assert self._canon("http://a.com:80/") == "http://a.com/"
+        # non-default port survives
+        assert self._canon("http://a.com:8080/x") == "http://a.com:8080/x"
+
+    def test_utm_rules(self):
+        base = "https://a.com/p"
+        assert self._canon(base + "?utm_source=x") == base
+        assert self._canon(base + "?utm_source=x&utm_medium=y") == base
+        assert self._canon(base + "?utm_source=x&id=2") == base + "?id=2"
+        assert self._canon(base + "?id=2&utm_source=x") == base + "?id=2"
+        assert self._canon(base + "?a=1&utm_x=2&b=3") == base + "?a=1&b=3"
+
+    def test_path_case_preserved(self):
+        assert self._canon("https://a.com/CaseY?U=v") == "https://a.com/CaseY?U=v"
+
+
+class TestSynthesisContract:
+    def test_matches_arithmetic(self):
+        n = 40
+        pages = synthesize_pages_batch(pa.table({"doc_id": list(range(n))}), n)
+        links = resolve_links_batch(extract_links_batch(pages))
+        # total fan-out: sum over i of 1 + i%4
+        assert links.num_rows == sum(1 + i % 4 for i in range(n))
+        # spot-check page 5 (odd → host 5%16=5; k=2 links)
+        t5 = extract_links_batch(pages.filter(pa.array([i == 5 for i in range(n)])))
+        hrefs = t5.column("href").to_pylist()
+        # j=0: tgt=(35+1)%40=36 even → host 0, form (5+0)%3=2 root-relative
+        # j=1: tgt=(35+13+1)%40=9 odd → host 9, form 0 absolute
+        assert hrefs == ["/doc/36", "https://site9.example.com/doc/9"]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestQueries:
+    SF = "/root/testdata/sf0.001"
+
+    def test_web_link_graph_totals(self):
+        from bioner_ray.pipelines.web import web_link_graph
+
+        df = web_link_graph(self.SF).to_pandas()
+        assert df["n_links"].sum() == sum(1 + i % 4 for i in range(500))
+        assert set(df.columns) == {"src_host", "dst_host", "n_links"}
+
+    def test_host_pagerank_mass(self):
+        from bioner_ray.pipelines.web import host_pagerank
+
+        df = host_pagerank(self.SF).to_pandas()
+        # 10 reachable hosts at n=500 (even ids → {0,2}; odd → odd % 16)
+        assert len(df) == 10
+        assert (df["rank"] > 0).all()
+
+    def test_anchor_topk(self):
+        from bioner_ray.pipelines.web import anchor_text_index
+
+        df = anchor_text_index(self.SF).to_pandas()
+        assert df.groupby("dst_host")["rk"].max().le(3).all()
+        # within a host, rank order follows count order
+        for _, g in df.groupby("dst_host"):
+            g = g.sort_values("rk")
+            assert g["n"].is_monotonic_decreasing or g["n"].nunique() < len(g)
+
+    def test_url_dedup_folds_every_variant(self):
+        from bioner_ray.pipelines.web import url_canonical_dedup
+
+        df = url_canonical_dedup(self.SF).to_pandas()
+        assert len(df) == 500
+        assert (df["n_dups"] == 2).all()
+        assert df["canonical_url"].str.contains(r"[#?]|:443|HTTPS").sum() == 0
