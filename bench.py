@@ -273,6 +273,8 @@ OPERATOR_QUERIES = [
     "host_pagerank",
     "anchor_text_index",
     "url_canonical_dedup",
+    "web_mirror_candidates",
+    "kg_closeness",
 ]
 
 

@@ -1196,6 +1196,18 @@ def kg_bfs(sf_dir: str, n_seeds: int = 3, max_hops: int = 3):
     return bfs_distances(kg_edges(sf_dir), n_seeds=n_seeds, max_hops=max_hops)
 
 
+def kg_closeness(sf_dir: str, n_seeds: int = 3, max_hops: int = 3):
+    """Sampled harmonic closeness over the canonical KG
+    (stages/graph.py harmonic_centrality): BFS from the n_seeds
+    lexicographically-smallest entities, score = Σ floor(10^6 / dist)
+    over reaching seeds — the pivot estimator that ranks entities by
+    how close they sit to the graph's core without an all-pairs BFS.
+    Columns: node, hc_micro."""
+    from bioner_ray.stages.graph import harmonic_centrality
+
+    return harmonic_centrality(kg_edges(sf_dir), n_seeds=n_seeds, max_hops=max_hops)
+
+
 def kg_communities(sf_dir: str, rounds: int = 4):
     """Topic communities over the canonical KG: deterministic
     synchronous weighted label propagation (stages/graph.py

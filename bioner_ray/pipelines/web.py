@@ -135,6 +135,70 @@ def anchor_text_index(sf_dir: str):
     )
 
 
+def web_mirror_candidates(sf_dir: str, prefix_tokens: int = 8):
+    """Cross-host mirror detection, candidate-generation stage: host
+    pairs whose pages share a content blocking key (the first
+    ``prefix_tokens`` whitespace tokens, lowercased) — the cheap
+    prefix-fingerprint block that feeds a full near-dup compare on a
+    real crawl. Counts CROSS-host doc pairs per (host_a < host_b).
+
+    Shape: one tokenizing scan (key is O(prefix) per doc), in-key pair
+    emission via the dedup family's bucketed run-scan
+    (stages/dedup._bucketed_pairs — coarse key buckets, local sort +
+    vectorized run pairing, stop-keys over 1024 members skipped), then
+    hosts recovered from doc_id arithmetic vectorized and ONE bounded
+    host-pair aggregate. Never an all-pairs product. Columns: host_a,
+    host_b, n_candidates."""
+    import numpy as np
+    import ray.data as rd
+
+    from bioner_ray.stages.dedup import _bucketed_pairs
+    from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema, with_ones
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def key_rows(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id")
+        texts = t.column("text").to_pylist()
+        keys = [" ".join(s.lower().split()[:prefix_tokens]) for s in texts]
+        return pa.table({"k": pa.array(keys, type=pa.string()), "doc_id": ids})
+
+    pairs = _bucketed_pairs(
+        docs.map_batches(key_rows, batch_format="pyarrow"), "k", "doc_id"
+    )
+
+    def to_hosts(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.schema(
+                [("host_a", pa.string()), ("host_b", pa.string())]
+            ).empty_table()
+        a = t.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+        ha, hb = _host_idx(a), _host_idx(b)
+        keep = ha != hb
+        lo = np.minimum(ha[keep], hb[keep])
+        hi = np.maximum(ha[keep], hb[keep])
+        return pa.table(
+            {
+                "host_a": pa.array([f"site{h}.example.com" for h in lo.tolist()]),
+                "host_b": pa.array([f"site{h}.example.com" for h in hi.tolist()]),
+            }
+        )
+
+    return pin_schema(
+        bucketed_aggregate(
+            with_ones(pairs.map_batches(to_hosts, batch_format="pyarrow"), "n_candidates"),
+            ["host_a", "host_b"],
+            [("n_candidates", "sum")],
+        ),
+        pa.schema(
+            [("host_a", pa.string()), ("host_b", pa.string()), ("n_candidates", pa.int64())]
+        ),
+    )
+
+
 def _url_variants_batch(batch: pa.Table) -> pa.Table:
     """Two crawl sightings per page: the clean URL plus one messy
     variant cycling through case, default port, utm params, fragment —

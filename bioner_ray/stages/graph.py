@@ -1698,6 +1698,189 @@ def bfs_distances(
     return visited
 
 
+def harmonic_centrality(
+    edges_ds,
+    n_seeds: int = 3,
+    max_hops: int = 3,
+    subj_col: str = "subj",
+    obj_col: str = "obj",
+    num_buckets: int = 256,
+):
+    """Sampled harmonic closeness centrality over the undirected simple
+    graph: from ``n_seeds`` deterministic pivot nodes (the
+    lexicographically smallest — no RNG, SQL-replayable), run
+    multi-source BFS keyed on (seed, node) for ``max_hops`` rounds and
+    score every node ``hc_micro = Σ_seeds floor(10^6 / dist)`` over the
+    seeds that reach it (dist > 0; the seed itself contributes
+    nothing). The Boldi–Vigna-style pivot estimator of closeness —
+    exact arithmetic, so the fixed-round unrolled SQL twin replays it
+    bit-for-bit.
+
+    Scale shape: per round ONE bucketed join of the edge-sized
+    adjacency against the (seeds × frontier)-sized frontier (keyed on
+    src), one bucketed (seed, node) distinct, one left-anti bucketed
+    join against the visited set — state is O(n_seeds · nodes), never
+    all-pairs; rounds materialize to cut lineage (the kg_pagerank
+    argument) and exit early on an empty frontier (fixpoint-safe for
+    the fixed-round twin). Columns: node, hc_micro (0 for nodes no
+    seed reaches within ``max_hops``).
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def to_adj(batch: pa.Table) -> pa.Table:
+        s = pc.cast(batch.column(subj_col), pa.string()).combine_chunks()
+        o = pc.cast(batch.column(obj_col), pa.string()).combine_chunks()
+        keep = pc.not_equal(s, o)
+        s, o = s.filter(keep), o.filter(keep)
+        return pa.table(
+            {
+                "src": pa.chunked_array([s, o]).combine_chunks(),
+                "dst": pa.chunked_array([o, s]).combine_chunks(),
+            }
+        )
+
+    adj_schema = pa.schema([("src", pa.string()), ("dst", pa.string())])
+    adj = pin_schema(
+        bucketed_aggregate(
+            with_ones(edges_ds.map_batches(to_adj, batch_format="pyarrow")),
+            ["src", "dst"],
+            [("one", "min")],
+            num_buckets=num_buckets,
+        ).map_batches(lambda t: t.select(["src", "dst"]), batch_format="pyarrow"),
+        adj_schema,
+    ).materialize()
+
+    node_schema = pa.schema([("node", pa.string())])
+    sn_schema = pa.schema([("seed", pa.string()), ("node", pa.string())])
+    vis_schema = pa.schema(
+        [("seed", pa.string()), ("node", pa.string()), ("dist", pa.int64())]
+    )
+
+    nodes = pin_schema(
+        bucketed_aggregate(
+            with_ones(
+                adj.map_batches(
+                    lambda t: t.select(["src"]).rename_columns(["node"]),
+                    batch_format="pyarrow",
+                )
+            ),
+            ["node"],
+            [("one", "min")],
+            num_buckets=num_buckets,
+        ).map_batches(lambda t: t.select(["node"]), batch_format="pyarrow"),
+        node_schema,
+    ).materialize()
+    seeds = nodes.sort("node").limit(n_seeds)
+
+    def with_dist(r: int):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "seed": t.column("seed"),
+                    "node": t.column("node"),
+                    "dist": pa.array(np.full(t.num_rows, r, dtype=np.int64)),
+                }
+            )
+
+        return fn
+
+    visited = pin_schema(
+        seeds.map_batches(
+            lambda t: pa.table(
+                {
+                    "seed": t.column("node"),
+                    "node": t.column("node"),
+                    "dist": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        vis_schema,
+    ).materialize()
+    frontier = pin_schema(
+        visited.map_batches(lambda t: t.select(["seed", "node"]), batch_format="pyarrow"),
+        sn_schema,
+    ).materialize()
+
+    for r in range(1, max_hops + 1):
+        if frontier.count() == 0:
+            break
+        cand = bucketed_inner_join(
+            adj,
+            frontier.map_batches(
+                lambda t: t.rename_columns(["seed", "src"]).select(["src", "seed"]),
+                batch_format="pyarrow",
+            ),
+            ["src"],
+            adj_schema,
+            pa.schema([("src", pa.string()), ("seed", pa.string())]),
+            num_buckets=num_buckets,
+        ).map_batches(
+            lambda t: pa.table({"seed": t.column("seed"), "node": t.column("dst")})
+            if t.num_columns
+            else sn_schema.empty_table(),
+            batch_format="pyarrow",
+        )
+        cand = pin_schema(
+            bucketed_aggregate(
+                with_ones(cand), ["seed", "node"], [("one", "min")], num_buckets=num_buckets
+            ).map_batches(lambda t: t.select(["seed", "node"]), batch_format="pyarrow"),
+            sn_schema,
+        )
+        new = pin_schema(
+            bucketed_inner_join(
+                cand,
+                visited.map_batches(
+                    lambda t: t.select(["seed", "node"]), batch_format="pyarrow"
+                ),
+                ["seed", "node"],
+                sn_schema,
+                sn_schema,
+                num_buckets=num_buckets,
+                join_type="left anti",
+            ),
+            sn_schema,
+        ).materialize()
+        visited = visited.union(
+            new.map_batches(with_dist(r), batch_format="pyarrow")
+        ).materialize()
+        frontier = new
+
+    hc_schema = pa.schema([("node", pa.string()), ("hc_micro", pa.int64())])
+
+    def contrib(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return hc_schema.empty_table()
+        d = t.column("dist").to_numpy(zero_copy_only=False)
+        keep = d > 0
+        return pa.table(
+            {
+                "node": t.column("node").filter(pa.array(keep)),
+                "hc_micro": pa.array(1_000_000 // d[keep], type=pa.int64()),
+            }
+        )
+
+    zeros = nodes.map_batches(
+        lambda t: pa.table(
+            {
+                "node": t.column("node"),
+                "hc_micro": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return pin_schema(
+        bucketed_aggregate(
+            visited.map_batches(contrib, batch_format="pyarrow").union(zeros),
+            ["node"],
+            [("hc_micro", "sum")],
+            num_buckets=num_buckets,
+        ),
+        hc_schema,
+    )
+
+
 def label_propagation(
     edges_ds,
     rounds: int = 4,

@@ -1,0 +1,52 @@
+"""Sampled harmonic closeness (stages/graph.harmonic_centrality):
+hand-checked path graph plus the zero-for-unreachable contract."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+
+
+def _run(edges: list[tuple[str, str]], **kw):
+    import ray.data as rd
+
+    from bioner_ray.stages.graph import harmonic_centrality
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "subj": [a for a, _ in edges],
+                "obj": [b for _, b in edges],
+            }
+        )
+    )
+    df = harmonic_centrality(ds, **kw).to_pandas()
+    return dict(zip(df["node"], df["hc_micro"]))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestHarmonicCentrality:
+    def test_path_graph_exact(self):
+        # path a—b—c—d, seeds = 2 lexicographic smallest = {a, b}
+        hc = _run([("a", "b"), ("b", "c"), ("c", "d")], n_seeds=2, max_hops=3)
+        assert hc == {
+            "a": 1_000_000,  # from b at dist 1
+            "b": 1_000_000,  # from a at dist 1
+            "c": 1_500_000,  # a:2 → 500_000, b:1 → 1_000_000
+            "d": 833_333,    # a:3 → 333_333, b:2 → 500_000
+        }
+
+    def test_unreachable_is_zero(self):
+        # two components; seeds {a, b} never reach the x—y island
+        hc = _run([("a", "b"), ("x", "y")], n_seeds=2, max_hops=3)
+        assert hc["x"] == 0 and hc["y"] == 0
+        assert hc["a"] == 1_000_000 and hc["b"] == 1_000_000
+
+    def test_hop_cap(self):
+        # d is 3 hops from the single seed a; cap at 2 → unreached
+        hc = _run([("a", "b"), ("b", "c"), ("c", "d")], n_seeds=1, max_hops=2)
+        assert hc["d"] == 0 and hc["c"] == 500_000
+
+    def test_self_loops_ignored(self):
+        hc = _run([("a", "a"), ("a", "b")], n_seeds=1, max_hops=2)
+        assert hc == {"a": 0, "b": 1_000_000}
