@@ -275,6 +275,7 @@ OPERATOR_QUERIES = [
     "url_canonical_dedup",
     "web_mirror_candidates",
     "kg_closeness",
+    "kg_hop_histogram",
 ]
 
 

@@ -1208,6 +1208,18 @@ def kg_closeness(sf_dir: str, n_seeds: int = 3, max_hops: int = 3):
     return harmonic_centrality(kg_edges(sf_dir), n_seeds=n_seeds, max_hops=max_hops)
 
 
+def kg_hop_histogram(sf_dir: str, n_seeds: int = 3, max_hops: int = 3):
+    """Neighborhood-function profile over the canonical KG
+    (stages/graph.py hop_histogram): per hop distance, how many
+    (seed, node) pairs the pivot BFS first reaches — the effective-
+    diameter curve that tells a KG build whether its graph is
+    small-world-tight or chain-shaped before it picks walk/BFS depths.
+    Columns: dist, n_pairs."""
+    from bioner_ray.stages.graph import hop_histogram
+
+    return hop_histogram(kg_edges(sf_dir), n_seeds=n_seeds, max_hops=max_hops)
+
+
 def kg_communities(sf_dir: str, rounds: int = 4):
     """Topic communities over the canonical KG: deterministic
     synchronous weighted label propagation (stages/graph.py

@@ -1698,7 +1698,7 @@ def bfs_distances(
     return visited
 
 
-def harmonic_centrality(
+def _pivot_bfs(
     edges_ds,
     n_seeds: int = 3,
     max_hops: int = 3,
@@ -1706,15 +1706,11 @@ def harmonic_centrality(
     obj_col: str = "obj",
     num_buckets: int = 256,
 ):
-    """Sampled harmonic closeness centrality over the undirected simple
-    graph: from ``n_seeds`` deterministic pivot nodes (the
-    lexicographically smallest — no RNG, SQL-replayable), run
-    multi-source BFS keyed on (seed, node) for ``max_hops`` rounds and
-    score every node ``hc_micro = Σ_seeds floor(10^6 / dist)`` over the
-    seeds that reach it (dist > 0; the seed itself contributes
-    nothing). The Boldi–Vigna-style pivot estimator of closeness —
-    exact arithmetic, so the fixed-round unrolled SQL twin replays it
-    bit-for-bit.
+    """Multi-source per-seed BFS over the undirected simple graph,
+    shared by the pivot estimators (``harmonic_centrality``,
+    ``hop_histogram``): seeds are the ``n_seeds`` lexicographically
+    smallest nodes (no RNG, SQL-replayable); the visited table keys on
+    (seed, node) so every seed keeps its own distance field.
 
     Scale shape: per round ONE bucketed join of the edge-sized
     adjacency against the (seeds × frontier)-sized frontier (keyed on
@@ -1722,9 +1718,9 @@ def harmonic_centrality(
     join against the visited set — state is O(n_seeds · nodes), never
     all-pairs; rounds materialize to cut lineage (the kg_pagerank
     argument) and exit early on an empty frontier (fixpoint-safe for
-    the fixed-round twin). Columns: node, hc_micro (0 for nodes no
-    seed reaches within ``max_hops``).
-    """
+    fixed-round twins). Returns ``(visited, nodes)``: visited =
+    (seed, node, dist) within ``max_hops``, nodes = every non-isolated
+    node."""
     import numpy as np
     import pyarrow.compute as pc
 
@@ -1847,6 +1843,35 @@ def harmonic_centrality(
         ).materialize()
         frontier = new
 
+    return visited, nodes
+
+
+def harmonic_centrality(
+    edges_ds,
+    n_seeds: int = 3,
+    max_hops: int = 3,
+    subj_col: str = "subj",
+    obj_col: str = "obj",
+    num_buckets: int = 256,
+):
+    """Sampled harmonic closeness centrality: from the ``_pivot_bfs``
+    per-seed distances, score every node ``hc_micro = Σ_seeds
+    floor(10^6 / dist)`` over the seeds that reach it (dist > 0; the
+    seed itself contributes nothing). The Boldi–Vigna-style pivot
+    estimator of closeness — exact integer arithmetic, so the
+    fixed-round unrolled SQL twin replays it bit-for-bit. Columns:
+    node, hc_micro (0 for nodes no seed reaches within ``max_hops``).
+    """
+    import numpy as np
+
+    visited, nodes = _pivot_bfs(
+        edges_ds,
+        n_seeds=n_seeds,
+        max_hops=max_hops,
+        subj_col=subj_col,
+        obj_col=obj_col,
+        num_buckets=num_buckets,
+    )
     hc_schema = pa.schema([("node", pa.string()), ("hc_micro", pa.int64())])
 
     def contrib(t: pa.Table) -> pa.Table:
@@ -1878,6 +1903,49 @@ def harmonic_centrality(
             num_buckets=num_buckets,
         ),
         hc_schema,
+    )
+
+
+def hop_histogram(
+    edges_ds,
+    n_seeds: int = 3,
+    max_hops: int = 3,
+    subj_col: str = "subj",
+    obj_col: str = "obj",
+    num_buckets: int = 256,
+):
+    """Neighborhood-function profile from the pivot BFS (the
+    HyperANF-style effective-diameter curve, computed exactly on the
+    sampled seeds instead of approximately on all nodes): for each hop
+    distance 1 ≤ d ≤ ``max_hops``, the number of (seed, node) pairs
+    first reached at exactly d. A growth curve that flattens early
+    says the graph core is tight; the largest non-empty d is a
+    diameter lower bound. One bounded aggregate over the
+    ``_pivot_bfs`` state. Columns: dist, n_pairs."""
+    visited, _ = _pivot_bfs(
+        edges_ds,
+        n_seeds=n_seeds,
+        max_hops=max_hops,
+        subj_col=subj_col,
+        obj_col=obj_col,
+        num_buckets=num_buckets,
+    )
+
+    def positive(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return pa.schema([("dist", pa.int64())]).empty_table()
+        import pyarrow.compute as pc
+
+        return t.filter(pc.greater(t.column("dist"), 0)).select(["dist"])
+
+    return pin_schema(
+        bucketed_aggregate(
+            with_ones(visited.map_batches(positive, batch_format="pyarrow"), "n_pairs"),
+            ["dist"],
+            [("n_pairs", "sum")],
+            num_buckets=num_buckets,
+        ),
+        pa.schema([("dist", pa.int64()), ("n_pairs", pa.int64())]),
     )
 
 

@@ -50,3 +50,15 @@ class TestHarmonicCentrality:
     def test_self_loops_ignored(self):
         hc = _run([("a", "a"), ("a", "b")], n_seeds=1, max_hops=2)
         assert hc == {"a": 0, "b": 1_000_000}
+
+    def test_hop_histogram_path(self):
+        import ray.data as rd
+
+        from bioner_ray.stages.graph import hop_histogram
+
+        ds = rd.from_arrow(
+            pa.table({"subj": ["a", "b", "c"], "obj": ["b", "c", "d"]})
+        )
+        # seeds {a, b}: a reaches b/c/d at 1/2/3, b reaches a/c at 1, d at 2
+        df = hop_histogram(ds, n_seeds=2, max_hops=3).to_pandas()
+        assert dict(zip(df["dist"], df["n_pairs"])) == {1: 3, 2: 2, 3: 1}
