@@ -276,6 +276,7 @@ OPERATOR_QUERIES = [
     "web_mirror_candidates",
     "kg_closeness",
     "kg_hop_histogram",
+    "embedding_outliers",
 ]
 
 

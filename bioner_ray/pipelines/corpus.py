@@ -1291,6 +1291,103 @@ def embedding_kmeans(sf_dir: str, k: int = 4, iters: int = 2):
     )
 
 
+def embedding_outliers(sf_dir: str, topk: int = 5):
+    """Per-label centroid-distance audit: for every label, the
+    ``topk`` vectors farthest (squared micromark distance) from their
+    own label's integer centroid — the mislabeled-vector / poisoned-
+    example screen a training-data pipeline runs before contrastive
+    sampling trusts the labels.
+
+    Exactness: the kmeans contract end-to-end — floor(x·1e6)
+    quantization (stages/cluster._qmatrix), per-(label, dim) int64
+    sums via ONE combiner-pruned aggregate, centroid = the
+    sign-convention-proof floor division shared verbatim with the SQL
+    twin, distances as exact int64. The centroid table is bounded
+    (labels × dims) and collected once, broadcast via a single
+    ``ray.put``; scoring is one vectorized streaming pass; the finish
+    is the combiner-pruned per-group top-k (stages/rank.py). Columns:
+    label, vec_id, d2, rk."""
+    import ray
+
+    from bioner_ray.stages.cluster import _floor_div_exact, _qmatrix
+    from bioner_ray.stages.rank import top_k_per_group
+    from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema
+
+    emb_ds = _read(sf_dir, "embeddings", columns=["vec_id", "label", "embedding"])
+
+    part_schema = pa.schema(
+        [("label", pa.int64()), ("dim", pa.int64()), ("s", pa.int64()), ("n", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        X = _qmatrix(t, "embedding")
+        if X.shape[0] == 0:
+            return part_schema.empty_table()
+        lab = t.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        ulab, inv = np.unique(lab, return_inverse=True)
+        dims = X.shape[1]
+        sums = np.zeros((len(ulab), dims), dtype=np.int64)
+        np.add.at(sums, inv, X)
+        counts = np.bincount(inv, minlength=len(ulab)).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(ulab, dims)),
+                "dim": pa.array(np.tile(np.arange(dims, dtype=np.int64), len(ulab))),
+                "s": pa.array(sums.reshape(-1)),
+                "n": pa.array(np.repeat(counts, dims)),
+            }
+        )
+
+    cent_rows = (
+        pin_schema(
+            bucketed_aggregate(
+                emb_ds.map_batches(partial, batch_format="pyarrow"),
+                ["label", "dim"],
+                [("s", "sum"), ("n", "sum")],
+            ),
+            part_schema,
+        )
+        # bounded: labels × dims rows
+        .take_all()
+    )
+    labels_sorted = sorted({r["label"] for r in cent_rows})
+    dims = max(r["dim"] for r in cent_rows) + 1
+    S = np.zeros((len(labels_sorted), dims), dtype=np.int64)
+    N = np.zeros((len(labels_sorted), dims), dtype=np.int64)
+    pos = {lab: i for i, lab in enumerate(labels_sorted)}
+    for r in cent_rows:
+        S[pos[r["label"]], r["dim"]] = r["s"]
+        N[pos[r["label"]], r["dim"]] = r["n"]
+    cent_ref = ray.put((np.array(labels_sorted, dtype=np.int64), _floor_div_exact(S, N)))
+
+    score_schema = pa.schema(
+        [("label", pa.int64()), ("vec_id", pa.int64()), ("d2", pa.int64())]
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        X = _qmatrix(t, "embedding")
+        if X.shape[0] == 0:
+            return score_schema.empty_table()
+        labels, C = ray.get(cent_ref)
+        lab = t.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        diff = X - C[np.searchsorted(labels, lab)]
+        return pa.table(
+            {
+                "label": pa.array(lab),
+                "vec_id": pa.array(
+                    t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+                ),
+                "d2": pa.array(np.einsum("ij,ij->i", diff, diff)),
+            }
+        )
+
+    scored = pin_schema(emb_ds.map_batches(score, batch_format="pyarrow"), score_schema)
+    return pin_schema(
+        top_k_per_group(scored, "label", [("d2", "descending"), ("vec_id", "ascending")], topk),
+        score_schema.append(pa.field("rk", pa.int64())),
+    )
+
+
 def embedding_pq(sf_dir: str, m: int = 4, k: int = 4, iters: int = 2):
     """Product-quantization codes over the embeddings table
     (stages/cluster.py pq_codes — per-subspace deterministic integer
