@@ -277,6 +277,7 @@ OPERATOR_QUERIES = [
     "kg_closeness",
     "kg_hop_histogram",
     "embedding_outliers",
+    "kg_sigma_paths",
 ]
 
 

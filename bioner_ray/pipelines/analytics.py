@@ -1208,6 +1208,17 @@ def kg_closeness(sf_dir: str, n_seeds: int = 3, max_hops: int = 3):
     return harmonic_centrality(kg_edges(sf_dir), n_seeds=n_seeds, max_hops=max_hops)
 
 
+def kg_sigma_paths(sf_dir: str, n_seeds: int = 3, max_hops: int = 3):
+    """Shortest-path counts from the pivot seeds over the canonical KG
+    (stages/graph.py shortest_path_counts — the Brandes forward pass
+    as a first-class audit): σ(seed, node) spikes mark the corridor
+    entities whose removal fragments the graph. Columns: seed, node,
+    dist, sigma."""
+    from bioner_ray.stages.graph import shortest_path_counts
+
+    return shortest_path_counts(kg_edges(sf_dir), n_seeds=n_seeds, max_hops=max_hops)
+
+
 def kg_hop_histogram(sf_dir: str, n_seeds: int = 3, max_hops: int = 3):
     """Neighborhood-function profile over the canonical KG
     (stages/graph.py hop_histogram): per hop distance, how many

@@ -1906,6 +1906,174 @@ def harmonic_centrality(
     )
 
 
+def shortest_path_counts(
+    edges_ds,
+    n_seeds: int = 3,
+    max_hops: int = 3,
+    subj_col: str = "subj",
+    obj_col: str = "obj",
+    num_buckets: int = 256,
+):
+    """Per-(seed, node) shortest-path counts σ over the undirected
+    simple graph — the Brandes primitive (betweenness' forward pass),
+    here a first-class audit: nodes whose σ explodes relative to their
+    distance are the graph's corridor points. Same deterministic
+    lexicographic pivots and round structure as ``_pivot_bfs``, with
+    one change: instead of a (seed, node) distinct, each round SUMS the
+    frontier's σ into newly-reached nodes (σ(v at d) = Σ σ(pred at
+    d−1) over edges pred→v) — an exact integer fold, so the unrolled
+    SQL twin replays it bit-for-bit. σ stays int64-bounded because
+    ``max_hops`` is small by contract (σ ≤ max_degree^hops).
+
+    Scale shape matches ``_pivot_bfs``: per round ONE bucketed join
+    (adjacency × frontier on src), ONE bucketed σ-sum per (seed,
+    node), ONE left-anti join against visited; state is O(n_seeds ·
+    nodes). Columns: seed, node, dist, sigma (dist 0 rows included,
+    σ = 1).
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def to_adj(batch: pa.Table) -> pa.Table:
+        s = pc.cast(batch.column(subj_col), pa.string()).combine_chunks()
+        o = pc.cast(batch.column(obj_col), pa.string()).combine_chunks()
+        keep = pc.not_equal(s, o)
+        s, o = s.filter(keep), o.filter(keep)
+        return pa.table(
+            {
+                "src": pa.chunked_array([s, o]).combine_chunks(),
+                "dst": pa.chunked_array([o, s]).combine_chunks(),
+            }
+        )
+
+    adj_schema = pa.schema([("src", pa.string()), ("dst", pa.string())])
+    adj = pin_schema(
+        bucketed_aggregate(
+            with_ones(edges_ds.map_batches(to_adj, batch_format="pyarrow")),
+            ["src", "dst"],
+            [("one", "min")],
+            num_buckets=num_buckets,
+        ).map_batches(lambda t: t.select(["src", "dst"]), batch_format="pyarrow"),
+        adj_schema,
+    ).materialize()
+
+    sn_schema = pa.schema([("seed", pa.string()), ("node", pa.string())])
+    sig_schema = pa.schema(
+        [("seed", pa.string()), ("node", pa.string()), ("sigma", pa.int64())]
+    )
+    vis_schema = pa.schema(
+        [
+            ("seed", pa.string()),
+            ("node", pa.string()),
+            ("dist", pa.int64()),
+            ("sigma", pa.int64()),
+        ]
+    )
+
+    seeds = (
+        pin_schema(
+            bucketed_aggregate(
+                with_ones(
+                    adj.map_batches(
+                        lambda t: t.select(["src"]).rename_columns(["node"]),
+                        batch_format="pyarrow",
+                    )
+                ),
+                ["node"],
+                [("one", "min")],
+                num_buckets=num_buckets,
+            ).map_batches(lambda t: t.select(["node"]), batch_format="pyarrow"),
+            pa.schema([("node", pa.string())]),
+        )
+        .sort("node")
+        .limit(n_seeds)
+    )
+
+    visited = pin_schema(
+        seeds.map_batches(
+            lambda t: pa.table(
+                {
+                    "seed": t.column("node"),
+                    "node": t.column("node"),
+                    "dist": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+                    "sigma": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        vis_schema,
+    ).materialize()
+    frontier = pin_schema(
+        visited.map_batches(
+            lambda t: t.select(["seed", "node", "sigma"]), batch_format="pyarrow"
+        ),
+        sig_schema,
+    ).materialize()
+
+    for r in range(1, max_hops + 1):
+        if frontier.count() == 0:
+            break
+        cand = bucketed_inner_join(
+            adj,
+            frontier.map_batches(
+                lambda t: pa.table(
+                    {"src": t.column("node"), "seed": t.column("seed"), "sigma": t.column("sigma")}
+                ),
+                batch_format="pyarrow",
+            ),
+            ["src"],
+            adj_schema,
+            pa.schema(
+                [("src", pa.string()), ("seed", pa.string()), ("sigma", pa.int64())]
+            ),
+            num_buckets=num_buckets,
+        ).map_batches(
+            lambda t: pa.table(
+                {"seed": t.column("seed"), "node": t.column("dst"), "sigma": t.column("sigma")}
+            )
+            if t.num_columns
+            else sig_schema.empty_table(),
+            batch_format="pyarrow",
+        )
+        cand = pin_schema(
+            bucketed_aggregate(
+                cand, ["seed", "node"], [("sigma", "sum")], num_buckets=num_buckets
+            ),
+            sig_schema,
+        )
+        new = pin_schema(
+            bucketed_inner_join(
+                cand,
+                visited.map_batches(
+                    lambda t: t.select(["seed", "node"]), batch_format="pyarrow"
+                ),
+                ["seed", "node"],
+                sig_schema,
+                sn_schema,
+                num_buckets=num_buckets,
+                join_type="left anti",
+            ),
+            sig_schema,
+        ).materialize()
+
+        def with_dist_sigma(t: pa.Table, _r=r) -> pa.Table:
+            return pa.table(
+                {
+                    "seed": t.column("seed"),
+                    "node": t.column("node"),
+                    "dist": pa.array(np.full(t.num_rows, _r, dtype=np.int64)),
+                    "sigma": t.column("sigma"),
+                }
+            )
+
+        visited = visited.union(
+            new.map_batches(with_dist_sigma, batch_format="pyarrow")
+        ).materialize()
+        frontier = new
+
+    return visited
+
+
 def hop_histogram(
     edges_ds,
     n_seeds: int = 3,

@@ -51,6 +51,19 @@ class TestHarmonicCentrality:
         hc = _run([("a", "a"), ("a", "b")], n_seeds=1, max_hops=2)
         assert hc == {"a": 0, "b": 1_000_000}
 
+    def test_sigma_diamond(self):
+        import ray.data as rd
+
+        from bioner_ray.stages.graph import shortest_path_counts
+
+        # diamond a—{b,c}—d: two shortest paths a→d
+        ds = rd.from_arrow(
+            pa.table({"subj": ["a", "a", "b", "c"], "obj": ["b", "c", "d", "d"]})
+        )
+        df = shortest_path_counts(ds, n_seeds=1, max_hops=3).to_pandas()
+        got = {(r.node): (r.dist, r.sigma) for r in df.itertuples()}
+        assert got == {"a": (0, 1), "b": (1, 1), "c": (1, 1), "d": (2, 2)}
+
     def test_hop_histogram_path(self):
         import ray.data as rd
 
