@@ -278,6 +278,8 @@ OPERATOR_QUERIES = [
     "kg_hop_histogram",
     "embedding_outliers",
     "kg_sigma_paths",
+    "host_quality_report",
+    "host_reciprocity",
 ]
 
 

@@ -24,6 +24,7 @@ from __future__ import annotations
 import os
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from bioner_ray.stages.weblinks import (
     _host_idx,
@@ -130,6 +131,151 @@ def anchor_text_index(sf_dir: str):
                 ("anchor", pa.string()),
                 ("n", pa.int64()),
                 ("rk", pa.int64()),
+            ]
+        ),
+    )
+
+
+def host_quality_report(sf_dir: str, min_tokens: int = 20, min_ttr: float = 0.3):
+    """Per-host quality keep-rate — the crawl blocklist feed: every
+    page scored by the corpus C4-style gate (token window + lexical
+    diversity, the exact quality_docs predicate), folded per host into
+    (n_docs, n_kept, keep_rate). A host whose keep_rate collapses gets
+    throttled in the next crawl. ONE streaming flag pass + ONE bounded
+    per-host aggregate; keep_rate is a single float division, identical
+    in the twin. Columns: host, n_docs, n_kept, keep_rate."""
+    import numpy as np
+    import ray.data as rd
+
+    from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema
+    from bioner_ray.stages.textstats import _split_lower
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def flag(t: pa.Table) -> pa.Table:
+        toks = _split_lower(t, "text")
+        kept = np.array(
+            [
+                (min_tokens <= len(x) <= 1_000_000)
+                and (len(set(x)) / max(len(x), 1) >= min_ttr)
+                for x in toks
+            ],
+            dtype=np.int64,
+        )
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        hosts = [f"site{h}.example.com" for h in _host_idx(ids).tolist()]
+        return pa.table(
+            {
+                "host": pa.array(hosts, type=pa.string()),
+                "n_docs": pa.array(np.ones(len(kept), dtype=np.int64)),
+                "n_kept": pa.array(kept),
+            }
+        )
+
+    agg = pin_schema(
+        bucketed_aggregate(
+            docs.map_batches(flag, batch_format="pyarrow"),
+            ["host"],
+            [("n_docs", "sum"), ("n_kept", "sum")],
+        ),
+        pa.schema([("host", pa.string()), ("n_docs", pa.int64()), ("n_kept", pa.int64())]),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        nd = t.column("n_docs").to_numpy(zero_copy_only=False)
+        nk = t.column("n_kept").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "keep_rate", pa.array(nk.astype(np.float64) / nd.astype(np.float64))
+        )
+
+    return pin_schema(
+        agg.map_batches(finish, batch_format="pyarrow"),
+        pa.schema(
+            [
+                ("host", pa.string()),
+                ("n_docs", pa.int64()),
+                ("n_kept", pa.int64()),
+                ("keep_rate", pa.float64()),
+            ]
+        ),
+    )
+
+
+def host_reciprocity(sf_dir: str):
+    """Link-graph reciprocity per host: of a host's distinct outbound
+    host edges (self-loops excluded), the fraction whose reverse edge
+    also exists — the mutual-linking signal that separates organic
+    hubs from link farms. One left-semi bucketed join of the host edge
+    table against its own reversal, then ONE bounded per-host fold (the
+    out-degree and reciprocal counts union into a single aggregate).
+    Columns: host, out_deg, n_recip, reciprocity."""
+    import numpy as np
+
+    from bioner_ray.stages.shuffle import bucketed_aggregate, bucketed_inner_join, pin_schema
+
+    es = pa.schema([("src_host", pa.string()), ("dst_host", pa.string())])
+    edges = pin_schema(
+        web_link_graph(sf_dir).map_batches(
+            lambda t: t.select(["src_host", "dst_host"]).filter(
+                pc.not_equal(t.column("src_host"), t.column("dst_host"))
+            )
+            if t.num_columns
+            else es.empty_table(),
+            batch_format="pyarrow",
+        ),
+        es,
+    ).materialize()
+    rev = edges.map_batches(
+        lambda t: pa.table(
+            {"src_host": t.column("dst_host"), "dst_host": t.column("src_host")}
+        ),
+        batch_format="pyarrow",
+    )
+    recip = bucketed_inner_join(
+        edges, rev, ["src_host", "dst_host"], es, es, join_type="left semi"
+    )
+
+    def tag(rec: int):
+        def fn(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0:
+                return pa.schema(
+                    [("host", pa.string()), ("out_deg", pa.int64()), ("n_recip", pa.int64())]
+                ).empty_table()
+            n = t.num_rows
+            return pa.table(
+                {
+                    "host": t.column("src_host"),
+                    "out_deg": pa.array(np.full(n, 1 - rec, dtype=np.int64)),
+                    "n_recip": pa.array(np.full(n, rec, dtype=np.int64)),
+                }
+            )
+
+        return fn
+
+    unioned = edges.map_batches(tag(0), batch_format="pyarrow").union(
+        recip.map_batches(tag(1), batch_format="pyarrow")
+    )
+    agg = bucketed_aggregate(unioned, ["host"], [("out_deg", "sum"), ("n_recip", "sum")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        od = t.column("out_deg").to_numpy(zero_copy_only=False)
+        nr = t.column("n_recip").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "reciprocity", pa.array(nr.astype(np.float64) / od.astype(np.float64))
+        )
+
+    return pin_schema(
+        agg.map_batches(finish, batch_format="pyarrow"),
+        pa.schema(
+            [
+                ("host", pa.string()),
+                ("out_deg", pa.int64()),
+                ("n_recip", pa.int64()),
+                ("reciprocity", pa.float64()),
             ]
         ),
     )

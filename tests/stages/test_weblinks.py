@@ -131,6 +131,21 @@ class TestQueries:
             g = g.sort_values("rk")
             assert g["n"].is_monotonic_decreasing or g["n"].nunique() < len(g)
 
+    def test_host_quality_report_rates(self):
+        from bioner_ray.pipelines.web import host_quality_report
+
+        df = host_quality_report(self.SF).to_pandas()
+        assert df["n_docs"].sum() == 500
+        assert (df["n_kept"] <= df["n_docs"]).all()
+        assert ((df["keep_rate"] >= 0) & (df["keep_rate"] <= 1)).all()
+
+    def test_host_reciprocity_bounds(self):
+        from bioner_ray.pipelines.web import host_reciprocity
+
+        df = host_reciprocity(self.SF).to_pandas()
+        assert (df["n_recip"] <= df["out_deg"]).all()
+        assert ((df["reciprocity"] >= 0) & (df["reciprocity"] <= 1)).all()
+
     def test_url_dedup_folds_every_variant(self):
         from bioner_ray.pipelines.web import url_canonical_dedup
 
