@@ -1350,6 +1350,18 @@ def embedding_outliers(sf_dir: str, topk: int = 5):
         # bounded: labels × dims rows
         .take_all()
     )
+    out_schema = pa.schema(
+        [
+            ("label", pa.int64()),
+            ("vec_id", pa.int64()),
+            ("d2", pa.int64()),
+            ("rk", pa.int64()),
+        ]
+    )
+    if not cent_rows:  # empty embeddings table: typed empty result
+        import ray.data as rd
+
+        return rd.from_arrow(out_schema.empty_table())
     labels_sorted = sorted({r["label"] for r in cent_rows})
     dims = max(r["dim"] for r in cent_rows) + 1
     S = np.zeros((len(labels_sorted), dims), dtype=np.int64)
@@ -1384,7 +1396,7 @@ def embedding_outliers(sf_dir: str, topk: int = 5):
     scored = pin_schema(emb_ds.map_batches(score, batch_format="pyarrow"), score_schema)
     return pin_schema(
         top_k_per_group(scored, "label", [("d2", "descending"), ("vec_id", "ascending")], topk),
-        score_schema.append(pa.field("rk", pa.int64())),
+        out_schema,
     )
 
 

@@ -281,38 +281,47 @@ def host_reciprocity(sf_dir: str):
     )
 
 
-def web_mirror_candidates(sf_dir: str, prefix_tokens: int = 8):
+def web_mirror_candidates(
+    sf_dir: str, prefix_tokens: int = 8, max_block_docs: int = 1024
+):
     """Cross-host mirror detection, candidate-generation stage: host
     pairs whose pages share a content blocking key (the first
     ``prefix_tokens`` whitespace tokens, lowercased) — the cheap
     prefix-fingerprint block that feeds a full near-dup compare on a
     real crawl. Counts CROSS-host doc pairs per (host_a < host_b).
 
-    Shape: one tokenizing scan (key is O(prefix) per doc), in-key pair
-    emission via the dedup family's bucketed run-scan
-    (stages/dedup._bucketed_pairs — coarse key buckets, local sort +
-    vectorized run pairing, stop-keys over 1024 members skipped), then
-    hosts recovered from doc_id arithmetic vectorized and ONE bounded
-    host-pair aggregate. Never an all-pairs product. Columns: host_a,
-    host_b, n_candidates."""
+    Shape: one tokenizing scan (the RE2 ``_split_lower`` contract the
+    twin replays), in-key pair emission via the dedup family's bucketed
+    run-scan (stages/dedup._bucketed_pairs — coarse key buckets, local
+    sort + vectorized run pairing), then hosts recovered from doc_id
+    arithmetic vectorized and ONE bounded host-pair aggregate. Never an
+    all-pairs product: blocks over ``max_block_docs`` members are
+    stop-keys, skipped (boilerplate prefixes on a real crawl) — raise
+    the cap for oracle-checked corpora, exactly the jaccard_pairs
+    ``max_shingle_docs`` convention, since the SQL twin's self-join has
+    no cap. Columns: host_a, host_b, n_candidates."""
     import numpy as np
     import ray.data as rd
 
     from bioner_ray.stages.dedup import _bucketed_pairs
     from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema, with_ones
+    from bioner_ray.stages.textstats import _split_lower
 
     docs = rd.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
 
     def key_rows(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id")
-        texts = t.column("text").to_pylist()
-        keys = [" ".join(s.lower().split()[:prefix_tokens]) for s in texts]
-        return pa.table({"k": pa.array(keys, type=pa.string()), "doc_id": ids})
+        keys = [" ".join(toks[:prefix_tokens]) for toks in _split_lower(t, "text")]
+        return pa.table(
+            {"k": pa.array(keys, type=pa.string()), "doc_id": t.column("doc_id")}
+        )
 
     pairs = _bucketed_pairs(
-        docs.map_batches(key_rows, batch_format="pyarrow"), "k", "doc_id"
+        docs.map_batches(key_rows, batch_format="pyarrow"),
+        "k",
+        "doc_id",
+        max_group=max_block_docs,
     )
 
     def to_hosts(t: pa.Table) -> pa.Table:

@@ -1705,22 +1705,28 @@ def _pivot_bfs(
     subj_col: str = "subj",
     obj_col: str = "obj",
     num_buckets: int = 256,
+    with_sigma: bool = False,
 ):
     """Multi-source per-seed BFS over the undirected simple graph,
     shared by the pivot estimators (``harmonic_centrality``,
-    ``hop_histogram``): seeds are the ``n_seeds`` lexicographically
-    smallest nodes (no RNG, SQL-replayable); the visited table keys on
-    (seed, node) so every seed keeps its own distance field.
+    ``hop_histogram``, ``shortest_path_counts``): seeds are the
+    ``n_seeds`` lexicographically smallest nodes (no RNG,
+    SQL-replayable); the visited table keys on (seed, node) so every
+    seed keeps its own distance field. With ``with_sigma`` the frontier
+    additionally carries shortest-path counts, and the per-round
+    (seed, node) distinct becomes an exact integer σ-sum over frontier
+    predecessors (σ(v at d) = Σ σ(pred at d−1)) — the Brandes forward
+    fold.
 
     Scale shape: per round ONE bucketed join of the edge-sized
     adjacency against the (seeds × frontier)-sized frontier (keyed on
-    src), one bucketed (seed, node) distinct, one left-anti bucketed
-    join against the visited set — state is O(n_seeds · nodes), never
-    all-pairs; rounds materialize to cut lineage (the kg_pagerank
-    argument) and exit early on an empty frontier (fixpoint-safe for
-    fixed-round twins). Returns ``(visited, nodes)``: visited =
-    (seed, node, dist) within ``max_hops``, nodes = every non-isolated
-    node."""
+    src), one bucketed (seed, node) distinct/σ-sum, one left-anti
+    bucketed join against the visited set — state is O(n_seeds ·
+    nodes), never all-pairs; rounds materialize to cut lineage (the
+    kg_pagerank argument) and exit early on an empty frontier
+    (fixpoint-safe for fixed-round twins). Returns ``(visited,
+    nodes)``: visited = (seed, node, dist[, sigma]) within
+    ``max_hops``, nodes = every non-isolated node."""
     import numpy as np
     import pyarrow.compute as pc
 
@@ -1749,8 +1755,13 @@ def _pivot_bfs(
 
     node_schema = pa.schema([("node", pa.string())])
     sn_schema = pa.schema([("seed", pa.string()), ("node", pa.string())])
+    sig_field = [("sigma", pa.int64())] if with_sigma else []
+    fr_schema = pa.schema(
+        [("seed", pa.string()), ("node", pa.string())] + sig_field
+    )
+    fr_cols = list(fr_schema.names)
     vis_schema = pa.schema(
-        [("seed", pa.string()), ("node", pa.string()), ("dist", pa.int64())]
+        [("seed", pa.string()), ("node", pa.string()), ("dist", pa.int64())] + sig_field
     )
 
     nodes = pin_schema(
@@ -1771,59 +1782,81 @@ def _pivot_bfs(
 
     def with_dist(r: int):
         def fn(t: pa.Table) -> pa.Table:
-            return pa.table(
-                {
-                    "seed": t.column("seed"),
-                    "node": t.column("node"),
-                    "dist": pa.array(np.full(t.num_rows, r, dtype=np.int64)),
-                }
-            )
+            cols = {
+                "seed": t.column("seed"),
+                "node": t.column("node"),
+                "dist": pa.array(np.full(t.num_rows, r, dtype=np.int64)),
+            }
+            if with_sigma:
+                cols["sigma"] = t.column("sigma")
+            return pa.table(cols)
 
         return fn
 
+    def init_visited(t: pa.Table) -> pa.Table:
+        cols = {
+            "seed": t.column("node"),
+            "node": t.column("node"),
+            "dist": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+        }
+        if with_sigma:
+            cols["sigma"] = pa.array(np.ones(t.num_rows, dtype=np.int64))
+        return pa.table(cols)
+
     visited = pin_schema(
-        seeds.map_batches(
-            lambda t: pa.table(
-                {
-                    "seed": t.column("node"),
-                    "node": t.column("node"),
-                    "dist": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
-                }
-            ),
-            batch_format="pyarrow",
-        ),
-        vis_schema,
+        seeds.map_batches(init_visited, batch_format="pyarrow"), vis_schema
     ).materialize()
     frontier = pin_schema(
-        visited.map_batches(lambda t: t.select(["seed", "node"]), batch_format="pyarrow"),
-        sn_schema,
+        visited.map_batches(lambda t: t.select(fr_cols), batch_format="pyarrow"),
+        fr_schema,
     ).materialize()
+
+    join_right_schema = pa.schema(
+        [("src", pa.string()), ("seed", pa.string())] + sig_field
+    )
+
+    def to_join_right(t: pa.Table) -> pa.Table:
+        cols = {"src": t.column("node"), "seed": t.column("seed")}
+        if with_sigma:
+            cols["sigma"] = t.column("sigma")
+        return pa.table(cols)
+
+    def from_join(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return fr_schema.empty_table()
+        cols = {"seed": t.column("seed"), "node": t.column("dst")}
+        if with_sigma:
+            cols["sigma"] = t.column("sigma")
+        return pa.table(cols)
 
     for r in range(1, max_hops + 1):
         if frontier.count() == 0:
             break
         cand = bucketed_inner_join(
             adj,
-            frontier.map_batches(
-                lambda t: t.rename_columns(["seed", "src"]).select(["src", "seed"]),
-                batch_format="pyarrow",
-            ),
+            frontier.map_batches(to_join_right, batch_format="pyarrow"),
             ["src"],
             adj_schema,
-            pa.schema([("src", pa.string()), ("seed", pa.string())]),
+            join_right_schema,
             num_buckets=num_buckets,
-        ).map_batches(
-            lambda t: pa.table({"seed": t.column("seed"), "node": t.column("dst")})
-            if t.num_columns
-            else sn_schema.empty_table(),
-            batch_format="pyarrow",
-        )
-        cand = pin_schema(
-            bucketed_aggregate(
-                with_ones(cand), ["seed", "node"], [("one", "min")], num_buckets=num_buckets
-            ).map_batches(lambda t: t.select(["seed", "node"]), batch_format="pyarrow"),
-            sn_schema,
-        )
+        ).map_batches(from_join, batch_format="pyarrow")
+        if with_sigma:
+            cand = pin_schema(
+                bucketed_aggregate(
+                    cand, ["seed", "node"], [("sigma", "sum")], num_buckets=num_buckets
+                ),
+                fr_schema,
+            )
+        else:
+            cand = pin_schema(
+                bucketed_aggregate(
+                    with_ones(cand),
+                    ["seed", "node"],
+                    [("one", "min")],
+                    num_buckets=num_buckets,
+                ).map_batches(lambda t: t.select(["seed", "node"]), batch_format="pyarrow"),
+                fr_schema,
+            )
         new = pin_schema(
             bucketed_inner_join(
                 cand,
@@ -1831,12 +1864,12 @@ def _pivot_bfs(
                     lambda t: t.select(["seed", "node"]), batch_format="pyarrow"
                 ),
                 ["seed", "node"],
-                sn_schema,
+                fr_schema,
                 sn_schema,
                 num_buckets=num_buckets,
                 join_type="left anti",
             ),
-            sn_schema,
+            fr_schema,
         ).materialize()
         visited = visited.union(
             new.map_batches(with_dist(r), batch_format="pyarrow")
@@ -1917,160 +1950,23 @@ def shortest_path_counts(
     """Per-(seed, node) shortest-path counts σ over the undirected
     simple graph — the Brandes primitive (betweenness' forward pass),
     here a first-class audit: nodes whose σ explodes relative to their
-    distance are the graph's corridor points. Same deterministic
-    lexicographic pivots and round structure as ``_pivot_bfs``, with
-    one change: instead of a (seed, node) distinct, each round SUMS the
-    frontier's σ into newly-reached nodes (σ(v at d) = Σ σ(pred at
-    d−1) over edges pred→v) — an exact integer fold, so the unrolled
-    SQL twin replays it bit-for-bit. σ stays int64-bounded because
-    ``max_hops`` is small by contract (σ ≤ max_degree^hops).
-
-    Scale shape matches ``_pivot_bfs``: per round ONE bucketed join
-    (adjacency × frontier on src), ONE bucketed σ-sum per (seed,
-    node), ONE left-anti join against visited; state is O(n_seeds ·
-    nodes). Columns: seed, node, dist, sigma (dist 0 rows included,
-    σ = 1).
+    distance are the graph's corridor points. The ``_pivot_bfs``
+    machinery with ``with_sigma``: each round SUMS the frontier's σ
+    into newly-reached nodes (σ(v at d) = Σ σ(pred at d−1) over edges
+    pred→v) — an exact integer fold, so the unrolled SQL twin replays
+    it bit-for-bit. σ stays int64-bounded because ``max_hops`` is small
+    by contract (σ ≤ max_degree^hops). Columns: seed, node, dist,
+    sigma (dist 0 rows included, σ = 1).
     """
-    import numpy as np
-    import pyarrow.compute as pc
-
-    def to_adj(batch: pa.Table) -> pa.Table:
-        s = pc.cast(batch.column(subj_col), pa.string()).combine_chunks()
-        o = pc.cast(batch.column(obj_col), pa.string()).combine_chunks()
-        keep = pc.not_equal(s, o)
-        s, o = s.filter(keep), o.filter(keep)
-        return pa.table(
-            {
-                "src": pa.chunked_array([s, o]).combine_chunks(),
-                "dst": pa.chunked_array([o, s]).combine_chunks(),
-            }
-        )
-
-    adj_schema = pa.schema([("src", pa.string()), ("dst", pa.string())])
-    adj = pin_schema(
-        bucketed_aggregate(
-            with_ones(edges_ds.map_batches(to_adj, batch_format="pyarrow")),
-            ["src", "dst"],
-            [("one", "min")],
-            num_buckets=num_buckets,
-        ).map_batches(lambda t: t.select(["src", "dst"]), batch_format="pyarrow"),
-        adj_schema,
-    ).materialize()
-
-    sn_schema = pa.schema([("seed", pa.string()), ("node", pa.string())])
-    sig_schema = pa.schema(
-        [("seed", pa.string()), ("node", pa.string()), ("sigma", pa.int64())]
+    visited, _ = _pivot_bfs(
+        edges_ds,
+        n_seeds=n_seeds,
+        max_hops=max_hops,
+        subj_col=subj_col,
+        obj_col=obj_col,
+        num_buckets=num_buckets,
+        with_sigma=True,
     )
-    vis_schema = pa.schema(
-        [
-            ("seed", pa.string()),
-            ("node", pa.string()),
-            ("dist", pa.int64()),
-            ("sigma", pa.int64()),
-        ]
-    )
-
-    seeds = (
-        pin_schema(
-            bucketed_aggregate(
-                with_ones(
-                    adj.map_batches(
-                        lambda t: t.select(["src"]).rename_columns(["node"]),
-                        batch_format="pyarrow",
-                    )
-                ),
-                ["node"],
-                [("one", "min")],
-                num_buckets=num_buckets,
-            ).map_batches(lambda t: t.select(["node"]), batch_format="pyarrow"),
-            pa.schema([("node", pa.string())]),
-        )
-        .sort("node")
-        .limit(n_seeds)
-    )
-
-    visited = pin_schema(
-        seeds.map_batches(
-            lambda t: pa.table(
-                {
-                    "seed": t.column("node"),
-                    "node": t.column("node"),
-                    "dist": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
-                    "sigma": pa.array(np.ones(t.num_rows, dtype=np.int64)),
-                }
-            ),
-            batch_format="pyarrow",
-        ),
-        vis_schema,
-    ).materialize()
-    frontier = pin_schema(
-        visited.map_batches(
-            lambda t: t.select(["seed", "node", "sigma"]), batch_format="pyarrow"
-        ),
-        sig_schema,
-    ).materialize()
-
-    for r in range(1, max_hops + 1):
-        if frontier.count() == 0:
-            break
-        cand = bucketed_inner_join(
-            adj,
-            frontier.map_batches(
-                lambda t: pa.table(
-                    {"src": t.column("node"), "seed": t.column("seed"), "sigma": t.column("sigma")}
-                ),
-                batch_format="pyarrow",
-            ),
-            ["src"],
-            adj_schema,
-            pa.schema(
-                [("src", pa.string()), ("seed", pa.string()), ("sigma", pa.int64())]
-            ),
-            num_buckets=num_buckets,
-        ).map_batches(
-            lambda t: pa.table(
-                {"seed": t.column("seed"), "node": t.column("dst"), "sigma": t.column("sigma")}
-            )
-            if t.num_columns
-            else sig_schema.empty_table(),
-            batch_format="pyarrow",
-        )
-        cand = pin_schema(
-            bucketed_aggregate(
-                cand, ["seed", "node"], [("sigma", "sum")], num_buckets=num_buckets
-            ),
-            sig_schema,
-        )
-        new = pin_schema(
-            bucketed_inner_join(
-                cand,
-                visited.map_batches(
-                    lambda t: t.select(["seed", "node"]), batch_format="pyarrow"
-                ),
-                ["seed", "node"],
-                sig_schema,
-                sn_schema,
-                num_buckets=num_buckets,
-                join_type="left anti",
-            ),
-            sig_schema,
-        ).materialize()
-
-        def with_dist_sigma(t: pa.Table, _r=r) -> pa.Table:
-            return pa.table(
-                {
-                    "seed": t.column("seed"),
-                    "node": t.column("node"),
-                    "dist": pa.array(np.full(t.num_rows, _r, dtype=np.int64)),
-                    "sigma": t.column("sigma"),
-                }
-            )
-
-        visited = visited.union(
-            new.map_batches(with_dist_sigma, batch_format="pyarrow")
-        ).materialize()
-        frontier = new
-
     return visited
 
 

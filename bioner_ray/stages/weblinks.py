@@ -117,7 +117,10 @@ def extract_links_batch(batch: pa.Table) -> pa.Table:
 def resolve_links_batch(batch: pa.Table) -> pa.Table:
     """(src_url, href, anchor) → (src_host, dst_host, anchor), fully
     vectorized: absolute hrefs pass through, protocol-relative take the
-    source scheme, root-relative take the source scheme://host. Hosts
+    source scheme, root-relative take the source scheme://host; every
+    other reference (path-relative, ``mailto:``, ``javascript:``) is
+    DROPPED — no host can be derived under the supported forms and a
+    fabricated one would pollute every downstream host aggregate. Hosts
     are lowercased; ports/paths/queries/fragments never enter the host
     (the capture stops at ``:/?#``)."""
     if batch.num_columns == 0 or batch.num_rows == 0:
@@ -132,20 +135,26 @@ def resolve_links_batch(batch: pa.Table) -> pa.Table:
     )
     is_abs = pc.match_substring_regex(href, r"^[A-Za-z][A-Za-z0-9+.\-]*://")
     is_proto = pc.starts_with(href, "//")
+    is_root = pc.and_(pc.starts_with(href, "/"), pc.invert(is_proto))
     dst_url = pc.case_when(
-        pc.make_struct(is_abs, is_proto),
+        pc.make_struct(is_abs, is_proto, is_root),
         href,
         pc.binary_join_element_wise(scheme, pc.cast(href, pa.string()), ":"),
         pc.binary_join_element_wise(scheme, "://", src_host, pc.cast(href, pa.string()), ""),
+        pa.nulls(len(href), pa.string()),
     )
     dst_host = pc.utf8_lower(
         pc.struct_field(
             pc.extract_regex(dst_url, r"^[A-Za-z][A-Za-z0-9+.\-]*://(?P<h>[^/:?#]+)"), "h"
         )
     )
-    return pa.table(
+    out = pa.table(
         {"src_host": src_host, "dst_host": dst_host, "anchor": batch.column("anchor")}
     )
+    # path-relative / mailto: / javascript: references carry no resolvable
+    # host under the three supported forms — dropped, never fabricated
+    # (a made-up host would pollute every downstream host aggregate)
+    return out.filter(pc.is_valid(out.column("dst_host")))
 
 
 def canonicalize_urls_batch(batch: pa.Table, url_col: str = "url") -> pa.Table:

@@ -63,6 +63,20 @@ class TestResolve:
     def test_port_and_query_never_in_host(self):
         assert self._resolve("https://a.com/x", "https://d.com?q=1")[1] == "d.com"
 
+    def test_unresolvable_refs_dropped_not_fabricated(self):
+        t = resolve_links_batch(
+            pa.table(
+                {
+                    "src_url": ["https://a.com/dir/x"] * 4,
+                    "href": ["page.html", "../up.html", "mailto:bob@x.com", "/ok"],
+                    "anchor": ["p", "u", "m", "o"],
+                }
+            )
+        )
+        # only the root-relative survives; no 'a.compage.html'-style hosts
+        assert t.column("dst_host").to_pylist() == ["a.com"]
+        assert t.column("anchor").to_pylist() == ["o"]
+
 
 class TestCanonicalize:
     def _canon(self, url: str) -> str:
