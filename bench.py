@@ -280,6 +280,7 @@ OPERATOR_QUERIES = [
     "kg_sigma_paths",
     "host_quality_report",
     "host_reciprocity",
+    "web_link_delta",
 ]
 
 

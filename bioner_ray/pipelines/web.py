@@ -41,36 +41,52 @@ def _nrows(sf_dir: str, name: str) -> int:
     return pq.ParquetFile(os.path.join(sf_dir, f"{name}.parquet")).metadata.num_rows
 
 
-def _synthetic_pages(sf_dir: str):
+def _synthetic_pages(sf_dir: str, snapshot_mod: int | None = None):
     """(url, html) crawl pages, one per document row (fixture input —
     on a real crawl this is ``read_parquet(pages, columns=["url",
-    "html"])`` and everything downstream is unchanged)."""
+    "html"])`` and everything downstream is unchanged).
+    ``snapshot_mod`` keeps only doc_id % snapshot_mod == 0 — the
+    crawl-snapshot stand-in (mod 3 cuts across BOTH host classes of the
+    generator, unlike a parity split, so snapshot and full crawl share
+    host pairs); the link-target modulus stays the FULL corpus count so
+    snapshot pages link identically to their full-crawl twins."""
     import ray.data as rd
 
     n = _nrows(sf_dir, "documents")
     docs = rd.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
     )
+    if snapshot_mod is not None:
+        m = snapshot_mod
+
+        def keep_mod(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(ids % m == 0))
+
+        docs = docs.map_batches(keep_mod, batch_format="pyarrow")
     return docs.map_batches(
         lambda t: synthesize_pages_batch(t, n), batch_format="pyarrow"
     )
 
 
-def _resolved_links(sf_dir: str):
+def _resolved_links(sf_dir: str, snapshot_mod: int | None = None):
     return (
-        _synthetic_pages(sf_dir)
+        _synthetic_pages(sf_dir, snapshot_mod=snapshot_mod)
         .map_batches(extract_links_batch, batch_format="pyarrow")
         .map_batches(resolve_links_batch, batch_format="pyarrow")
     )
 
 
-def web_link_graph(sf_dir: str):
+def web_link_graph(sf_dir: str, snapshot_mod: int | None = None):
     """Host→host link graph from raw HTML: anchor extraction → URL
     resolution (absolute / protocol-relative / root-relative) → host
     projection → ONE combiner-compressed aggregate. The output is the
     domain graph a crawl scheduler and a domain-authority ranker both
-    read; at crawl scale it is O(hosts²) ≪ O(links). Columns:
-    src_host, dst_host, n_links."""
+    read; at crawl scale it is O(hosts²) ≪ O(links). ``snapshot_mod``
+    restricts to the crawl snapshot (web_link_delta's A side).
+    Columns: src_host, dst_host, n_links."""
     from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema, with_ones
 
     out = pa.schema(
@@ -78,12 +94,71 @@ def web_link_graph(sf_dir: str):
     )
     return pin_schema(
         bucketed_aggregate(
-            with_ones(_resolved_links(sf_dir), "n_links"),
+            with_ones(_resolved_links(sf_dir, snapshot_mod=snapshot_mod), "n_links"),
             ["src_host", "dst_host"],
             [("n_links", "sum")],
         ),
         out,
     )
+
+
+def web_link_delta(sf_dir: str):
+    """Crawl-to-crawl host-graph diff: snapshot A (every third
+    doc_id) vs the full crawl B, FULL OUTER joined on the host pair via
+    the engine's empty-partition-proof bucketed join — the link-rot /
+    link-velocity monitor between crawls. Both sides fold to bounded
+    host-pair aggregates BEFORE the join (the exchange moves host
+    pairs, never links); status follows kg_edge_delta's convention.
+    Columns: src_host, dst_host, n_a, n_b, status."""
+    from bioner_ray.stages.shuffle import bucketed_inner_join, pin_schema
+
+    key = [("src_host", pa.string()), ("dst_host", pa.string())]
+    a_schema = pa.schema(key + [("n_a", pa.int64())])
+    b_schema = pa.schema(key + [("n_b", pa.int64())])
+
+    def rn(name):
+        def fn(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0:
+                return (a_schema if name == "n_a" else b_schema).empty_table()
+            return t.rename_columns(
+                [name if c == "n_links" else c for c in t.schema.names]
+            )
+
+        return fn
+
+    joined = bucketed_inner_join(
+        web_link_graph(sf_dir, snapshot_mod=3).map_batches(rn("n_a"), batch_format="pyarrow"),
+        web_link_graph(sf_dir).map_batches(rn("n_b"), batch_format="pyarrow"),
+        ["src_host", "dst_host"],
+        a_schema,
+        b_schema,
+        join_type="full outer",
+    )
+
+    out_schema = pa.schema(
+        key + [("n_a", pa.int64()), ("n_b", pa.int64()), ("status", pa.string())]
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return out_schema.empty_table()
+        import numpy as np
+
+        na = pc.fill_null(t.column("n_a"), 0).to_numpy(zero_copy_only=False)
+        nb = pc.fill_null(t.column("n_b"), 0).to_numpy(zero_copy_only=False)
+        status = np.where(na == 0, "added", np.where(nb == 0, "removed", "changed"))
+        keep = na != nb
+        return pa.table(
+            {
+                "src_host": t.column("src_host").filter(pa.array(keep)),
+                "dst_host": t.column("dst_host").filter(pa.array(keep)),
+                "n_a": pa.array(na[keep]),
+                "n_b": pa.array(nb[keep]),
+                "status": pa.array(status[keep].tolist(), type=pa.string()),
+            }
+        )
+
+    return pin_schema(joined.map_batches(finish, batch_format="pyarrow"), out_schema)
 
 
 def host_pagerank(sf_dir: str):

@@ -160,6 +160,20 @@ class TestQueries:
         assert (df["n_recip"] <= df["out_deg"]).all()
         assert ((df["reciprocity"] >= 0) & (df["reciprocity"] <= 1)).all()
 
+    def test_web_link_delta_consistency(self):
+        from bioner_ray.pipelines.web import web_link_delta, web_link_graph
+
+        delta = web_link_delta(self.SF).to_pandas()
+        assert set(delta["status"]) <= {"added", "changed"}  # B ⊇ A: never removed
+        assert (delta["n_a"] != delta["n_b"]).all()
+        # spot-check one 'changed' pair against the two graphs
+        full = web_link_graph(self.SF).to_pandas()
+        snap = web_link_graph(self.SF, snapshot_mod=3).to_pandas()
+        row = delta[delta["status"] == "changed"].iloc[0]
+        k = (row["src_host"], row["dst_host"])
+        assert full.set_index(["src_host", "dst_host"]).loc[k, "n_links"] == row["n_b"]
+        assert snap.set_index(["src_host", "dst_host"]).loc[k, "n_links"] == row["n_a"]
+
     def test_url_dedup_folds_every_variant(self):
         from bioner_ray.pipelines.web import url_canonical_dedup
 
