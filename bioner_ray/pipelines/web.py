@@ -161,6 +161,182 @@ def web_link_delta(sf_dir: str):
     return pin_schema(joined.map_batches(finish, batch_format="pyarrow"), out_schema)
 
 
+def host_outlink_profile(sf_dir: str):
+    """Per-host outlink profile — the crawl spam/SEO screen: total
+    outbound links, distinct destination hosts, internal-link count and
+    the external-link fraction (link farms show huge out_links with
+    tiny n_dst_hosts; boilerplate navs show external_frac ≈ 0). Folds
+    the ALREADY-bounded host-pair graph (O(hosts²) rows) once more, so
+    the only exchange beyond web_link_graph's is host-sized.
+    Columns: host, out_links, n_dst_hosts, n_internal, external_frac."""
+    import numpy as np
+
+    from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema
+
+    mid = pa.schema(
+        [
+            ("host", pa.string()),
+            ("out_links", pa.int64()),
+            ("n_dst_hosts", pa.int64()),
+            ("n_internal", pa.int64()),
+        ]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return mid.empty_table()
+        n = t.column("n_links").to_numpy(zero_copy_only=False)
+        internal = pc.equal(t.column("src_host"), t.column("dst_host")).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "host": t.column("src_host"),
+                "out_links": t.column("n_links"),
+                "n_dst_hosts": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                "n_internal": pa.array(np.where(internal, n, 0).astype(np.int64)),
+            }
+        )
+
+    agg = pin_schema(
+        bucketed_aggregate(
+            web_link_graph(sf_dir).map_batches(prep, batch_format="pyarrow"),
+            ["host"],
+            [("out_links", "sum"), ("n_dst_hosts", "sum"), ("n_internal", "sum")],
+        ),
+        mid,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        ol = t.column("out_links").to_numpy(zero_copy_only=False)
+        ni = t.column("n_internal").to_numpy(zero_copy_only=False)
+        import numpy as np
+
+        return t.append_column(
+            "external_frac",
+            pa.array((ol - ni).astype(np.float64) / ol.astype(np.float64)),
+        )
+
+    return pin_schema(
+        agg.map_batches(finish, batch_format="pyarrow"),
+        pa.schema(list(mid) + [("external_frac", pa.float64())]),
+    )
+
+
+def orphan_pages(sf_dir: str):
+    """Crawl-completeness audit at URL granularity: pages NO anchor on
+    any crawled page resolves to — the orphan set a sitemap audit or a
+    re-crawl scheduler consumes, folded per host into (n_pages,
+    n_orphans, orphan_frac). Root-relative hrefs resolve against the
+    SOURCE host (a cross-host "/doc/k" reference does NOT de-orphan the
+    canonical page on another host), so this exercises resolution
+    fidelity beyond the host projection.
+
+    Shape: extraction streams; inbound URLs distinct via ONE
+    combiner-compressed aggregate (O(distinct urls) exchange); the
+    orphan set is the engine's empty-partition-proof left-anti bucketed
+    join of page urls against inbound urls (never a driver-side set);
+    the final per-host fold is host-sized. Columns: host, n_pages,
+    n_orphans, orphan_frac."""
+    import numpy as np
+
+    from bioner_ray.stages.shuffle import (
+        bucketed_aggregate,
+        bucketed_inner_join,
+        pin_schema,
+        with_ones,
+    )
+    from bioner_ray.stages.weblinks import resolve_dst_urls_batch
+
+    url_schema = pa.schema([("url", pa.string())])
+    pages = _synthetic_pages(sf_dir).materialize()
+    page_urls = pin_schema(
+        pages.map_batches(
+            lambda t: t.select(["url"]) if t.num_columns else url_schema.empty_table(),
+            batch_format="pyarrow",
+        ),
+        url_schema,
+    )
+    inbound = (
+        pages.map_batches(extract_links_batch, batch_format="pyarrow")
+        .map_batches(resolve_dst_urls_batch, batch_format="pyarrow")
+        .map_batches(
+            lambda t: t.select(["dst_url"]).rename_columns(["url"])
+            if t.num_columns
+            else url_schema.empty_table(),
+            batch_format="pyarrow",
+        )
+    )
+    inbound_distinct = pin_schema(
+        bucketed_aggregate(with_ones(inbound), ["url"], [("one", "min")]).map_batches(
+            lambda t: t.select(["url"]), batch_format="pyarrow"
+        ),
+        url_schema,
+    )
+    orphans = pin_schema(
+        bucketed_inner_join(
+            page_urls,
+            inbound_distinct,
+            ["url"],
+            url_schema,
+            url_schema,
+            join_type="left anti",
+        ),
+        url_schema,
+    )
+
+    tagged = pa.schema(
+        [("host", pa.string()), ("n_pages", pa.int64()), ("n_orphans", pa.int64())]
+    )
+
+    def tag(orphan: int):
+        def fn(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or t.num_rows == 0:
+                return tagged.empty_table()
+            host = pc.utf8_lower(
+                pc.struct_field(
+                    pc.extract_regex(
+                        t.column("url"), r"^[A-Za-z][A-Za-z0-9+.\-]*://(?P<h>[^/:?#]+)"
+                    ),
+                    "h",
+                )
+            )
+            n = t.num_rows
+            return pa.table(
+                {
+                    "host": host,
+                    "n_pages": pa.array(np.full(n, 1 - orphan, dtype=np.int64)),
+                    "n_orphans": pa.array(np.full(n, orphan, dtype=np.int64)),
+                }
+            )
+
+        return fn
+
+    # orphans are a subset of pages: page rows carry (1, 0), orphan
+    # rows carry (0, 1), ONE bounded aggregate over the union.
+    unioned = page_urls.map_batches(tag(0), batch_format="pyarrow").union(
+        orphans.map_batches(tag(1), batch_format="pyarrow")
+    )
+    agg = pin_schema(
+        bucketed_aggregate(
+            unioned, ["host"], [("n_pages", "sum"), ("n_orphans", "sum")]
+        ),
+        tagged,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        np_ = t.column("n_pages").to_numpy(zero_copy_only=False)
+        no = t.column("n_orphans").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "orphan_frac", pa.array(no.astype(np.float64) / np_.astype(np.float64))
+        )
+
+    return pin_schema(
+        agg.map_batches(finish, batch_format="pyarrow"),
+        pa.schema(list(tagged) + [("orphan_frac", pa.float64())]),
+    )
+
+
 def host_pagerank(sf_dir: str):
     """Domain authority: the engine's scaled-integer fixed-iteration
     PageRank (stages/graph.py — ONE bucketed join + ONE bucketed

@@ -114,6 +114,54 @@ def extract_links_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+RESOLVED_URL_SCHEMA = pa.schema(
+    [("src_url", pa.string()), ("dst_url", pa.string()), ("anchor", pa.string())]
+)
+
+
+def _resolve_dst(src, href):
+    """Vectorized href → absolute dst_url: absolute hrefs pass through,
+    protocol-relative take the source scheme, root-relative take the
+    source scheme://host; every other reference (path-relative,
+    ``mailto:``, ``javascript:``) resolves to NULL — no URL can be
+    derived under the supported forms and a fabricated one would
+    pollute every downstream aggregate."""
+    scheme = pc.struct_field(
+        pc.extract_regex(src, r"^(?P<s>[A-Za-z][A-Za-z0-9+.\-]*)://"), "s"
+    )
+    src_host = pc.utf8_lower(
+        pc.struct_field(pc.extract_regex(src, r"^[A-Za-z][A-Za-z0-9+.\-]*://(?P<h>[^/:?#]+)"), "h")
+    )
+    is_abs = pc.match_substring_regex(href, r"^[A-Za-z][A-Za-z0-9+.\-]*://")
+    is_proto = pc.starts_with(href, "//")
+    is_root = pc.and_(pc.starts_with(href, "/"), pc.invert(is_proto))
+    return pc.case_when(
+        pc.make_struct(is_abs, is_proto, is_root),
+        href,
+        pc.binary_join_element_wise(scheme, pc.cast(href, pa.string()), ":"),
+        pc.binary_join_element_wise(scheme, "://", src_host, pc.cast(href, pa.string()), ""),
+        pa.nulls(len(href), pa.string()),
+    )
+
+
+def resolve_dst_urls_batch(batch: pa.Table) -> pa.Table:
+    """(src_url, href, anchor) → (src_url, dst_url, anchor) at FULL URL
+    granularity (the page-level graph the orphan detector and a
+    page-level ranker consume); unresolvable references dropped, same
+    contract as ``resolve_links_batch``."""
+    if batch.num_columns == 0 or batch.num_rows == 0:
+        return RESOLVED_URL_SCHEMA.empty_table()
+    dst_url = _resolve_dst(batch.column("src_url"), batch.column("href"))
+    out = pa.table(
+        {
+            "src_url": batch.column("src_url"),
+            "dst_url": dst_url,
+            "anchor": batch.column("anchor"),
+        }
+    )
+    return out.filter(pc.is_valid(out.column("dst_url")))
+
+
 def resolve_links_batch(batch: pa.Table) -> pa.Table:
     """(src_url, href, anchor) → (src_host, dst_host, anchor), fully
     vectorized: absolute hrefs pass through, protocol-relative take the
@@ -126,23 +174,10 @@ def resolve_links_batch(batch: pa.Table) -> pa.Table:
     if batch.num_columns == 0 or batch.num_rows == 0:
         return RESOLVED_SCHEMA.empty_table()
     src = batch.column("src_url")
-    href = batch.column("href")
-    scheme = pc.struct_field(
-        pc.extract_regex(src, r"^(?P<s>[A-Za-z][A-Za-z0-9+.\-]*)://"), "s"
-    )
     src_host = pc.utf8_lower(
         pc.struct_field(pc.extract_regex(src, r"^[A-Za-z][A-Za-z0-9+.\-]*://(?P<h>[^/:?#]+)"), "h")
     )
-    is_abs = pc.match_substring_regex(href, r"^[A-Za-z][A-Za-z0-9+.\-]*://")
-    is_proto = pc.starts_with(href, "//")
-    is_root = pc.and_(pc.starts_with(href, "/"), pc.invert(is_proto))
-    dst_url = pc.case_when(
-        pc.make_struct(is_abs, is_proto, is_root),
-        href,
-        pc.binary_join_element_wise(scheme, pc.cast(href, pa.string()), ":"),
-        pc.binary_join_element_wise(scheme, "://", src_host, pc.cast(href, pa.string()), ""),
-        pa.nulls(len(href), pa.string()),
-    )
+    dst_url = _resolve_dst(src, batch.column("href"))
     dst_host = pc.utf8_lower(
         pc.struct_field(
             pc.extract_regex(dst_url, r"^[A-Za-z][A-Za-z0-9+.\-]*://(?P<h>[^/:?#]+)"), "h"

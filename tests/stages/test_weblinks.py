@@ -63,6 +63,26 @@ class TestResolve:
     def test_port_and_query_never_in_host(self):
         assert self._resolve("https://a.com/x", "https://d.com?q=1")[1] == "d.com"
 
+    def test_dst_url_granularity(self):
+        from bioner_ray.stages.weblinks import resolve_dst_urls_batch
+
+        t = resolve_dst_urls_batch(
+            pa.table(
+                {
+                    "src_url": ["https://a.com/dir/x"] * 4,
+                    "href": ["https://b.com/y", "//c.com/z", "/w", "rel.html"],
+                    "anchor": ["1", "2", "3", "4"],
+                }
+            )
+        )
+        # path-relative dropped; others resolve to full URLs (not hosts)
+        assert t.column("dst_url").to_pylist() == [
+            "https://b.com/y",
+            "https://c.com/z",
+            "https://a.com/w",
+        ]
+        assert t.column("src_url").to_pylist() == ["https://a.com/dir/x"] * 3
+
     def test_unresolvable_refs_dropped_not_fabricated(self):
         t = resolve_links_batch(
             pa.table(
@@ -173,6 +193,46 @@ class TestQueries:
         k = (row["src_host"], row["dst_host"])
         assert full.set_index(["src_host", "dst_host"]).loc[k, "n_links"] == row["n_b"]
         assert snap.set_index(["src_host", "dst_host"]).loc[k, "n_links"] == row["n_a"]
+
+    def test_host_outlink_profile_folds_the_graph(self):
+        from bioner_ray.pipelines.web import host_outlink_profile, web_link_graph
+
+        df = host_outlink_profile(self.SF).to_pandas()
+        g = web_link_graph(self.SF).to_pandas()
+        assert df["out_links"].sum() == g["n_links"].sum()
+        assert (df["n_internal"] <= df["out_links"]).all()
+        assert ((df["external_frac"] >= 0) & (df["external_frac"] <= 1)).all()
+        # n_dst_hosts counts distinct host pairs, so it matches the graph
+        assert df.set_index("host")["n_dst_hosts"].sort_index().equals(
+            g.groupby("src_host").size().sort_index().rename("n_dst_hosts")
+        )
+
+    def test_orphan_pages_matches_generator_arithmetic(self):
+        from bioner_ray.pipelines.web import orphan_pages
+
+        df = orphan_pages(self.SF).to_pandas()
+        n = 500
+
+        def host(i: int) -> int:
+            return i % 4 if i % 2 == 0 else i % 16
+
+        inbound = set()
+        for i in range(n):
+            for j in range(1 + i % 4):
+                tgt = (7 * i + 13 * j + 1) % n
+                # form 2 (root-relative) resolves on the SOURCE host
+                h = host(i) if (i + j) % 3 == 2 else host(tgt)
+                inbound.add((h, tgt))
+        expected = {}
+        for i in range(n):
+            h = host(i)
+            p, o = expected.get(h, (0, 0))
+            expected[h] = (p + 1, o + ((h, i) not in inbound))
+        got = {r.host: (r.n_pages, r.n_orphans) for r in df.itertuples()}
+        assert got == {
+            f"site{h}.example.com": v for h, v in expected.items()
+        }
+        assert df["n_pages"].sum() == n
 
     def test_url_dedup_folds_every_variant(self):
         from bioner_ray.pipelines.web import url_canonical_dedup
