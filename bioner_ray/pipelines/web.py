@@ -249,16 +249,18 @@ def orphan_pages(sf_dir: str):
     from bioner_ray.stages.weblinks import resolve_dst_urls_batch
 
     url_schema = pa.schema([("url", pa.string())])
-    pages = _synthetic_pages(sf_dir).materialize()
+    # two independent streaming passes over the (column-pruned) input —
+    # never materialize the crawl to share it between consumers
     page_urls = pin_schema(
-        pages.map_batches(
+        _synthetic_pages(sf_dir).map_batches(
             lambda t: t.select(["url"]) if t.num_columns else url_schema.empty_table(),
             batch_format="pyarrow",
         ),
         url_schema,
     )
     inbound = (
-        pages.map_batches(extract_links_batch, batch_format="pyarrow")
+        _synthetic_pages(sf_dir)
+        .map_batches(extract_links_batch, batch_format="pyarrow")
         .map_batches(resolve_dst_urls_batch, batch_format="pyarrow")
         .map_batches(
             lambda t: t.select(["dst_url"]).rename_columns(["url"])
@@ -335,6 +337,109 @@ def orphan_pages(sf_dir: str):
         agg.map_batches(finish, batch_format="pyarrow"),
         pa.schema(list(tagged) + [("orphan_frac", pa.float64())]),
     )
+
+
+def crawl_frontier(sf_dir: str, k: int = 50):
+    """Crawl-scheduler feed: the top-k DISCOVERED-BUT-UNCRAWLED URLs
+    ranked by inbound-link count — exactly the queue a breadth-first
+    recrawl pops next (cross-host root-relative references mint URLs on
+    the wrong host, so the synthetic crawl has a real frontier). The
+    dual of ``orphan_pages``: orphans are crawled pages nothing links
+    to; the frontier is linked URLs the crawl never fetched.
+
+    Shape: inbound URLs fold through ONE combiner-compressed aggregate
+    (O(distinct urls) exchange), the uncrawled set is a left-anti
+    bucketed join against page urls, and the top-k rides the rank
+    stage's block-local prune (shuffle moves ≤ k rows per block, never
+    the frontier). Columns: url, host, n_inlinks, rk."""
+    import numpy as np
+
+    from bioner_ray.stages.rank import top_k_per_group
+    from bioner_ray.stages.shuffle import (
+        bucketed_aggregate,
+        bucketed_inner_join,
+        pin_schema,
+        with_ones,
+    )
+    from bioner_ray.stages.weblinks import resolve_dst_urls_batch
+
+    url_schema = pa.schema([("url", pa.string())])
+    cnt_schema = pa.schema([("url", pa.string()), ("n_inlinks", pa.int64())])
+    page_urls = pin_schema(
+        _synthetic_pages(sf_dir).map_batches(
+            lambda t: t.select(["url"]) if t.num_columns else url_schema.empty_table(),
+            batch_format="pyarrow",
+        ),
+        url_schema,
+    )
+    inbound = (
+        _synthetic_pages(sf_dir)
+        .map_batches(extract_links_batch, batch_format="pyarrow")
+        .map_batches(resolve_dst_urls_batch, batch_format="pyarrow")
+        .map_batches(
+            lambda t: t.select(["dst_url"]).rename_columns(["url"])
+            if t.num_columns
+            else url_schema.empty_table(),
+            batch_format="pyarrow",
+        )
+    )
+    counts = pin_schema(
+        bucketed_aggregate(
+            with_ones(inbound, "n_inlinks"), ["url"], [("n_inlinks", "sum")]
+        ),
+        cnt_schema,
+    )
+    frontier = pin_schema(
+        bucketed_inner_join(
+            counts, page_urls, ["url"], cnt_schema, url_schema, join_type="left anti"
+        ),
+        cnt_schema,
+    )
+
+    g_schema = pa.schema(list(cnt_schema) + [("g", pa.int32())])
+
+    def add_g(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return g_schema.empty_table()
+        return t.append_column("g", pa.array(np.zeros(t.num_rows, dtype=np.int32)))
+
+    top = top_k_per_group(
+        frontier.map_batches(add_g, batch_format="pyarrow"),
+        key_col="g",
+        order_by=[("n_inlinks", "descending"), ("url", "ascending")],
+        k=k,
+    )
+
+    out_schema = pa.schema(
+        [
+            ("url", pa.string()),
+            ("host", pa.string()),
+            ("n_inlinks", pa.int64()),
+            ("rk", pa.int64()),
+        ]
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return out_schema.empty_table()
+        host = pc.utf8_lower(
+            pc.struct_field(
+                pc.extract_regex(
+                    t.column("url"), r"^[A-Za-z][A-Za-z0-9+.\-]*://(?P<h>[^/:?#]+)"
+                ),
+                "h",
+            )
+        )
+        return pa.table(
+            {
+                "url": t.column("url"),
+                "host": host,
+                "n_inlinks": t.column("n_inlinks"),
+                "rk": t.column("rk"),
+            }
+        )
+
+    return pin_schema(top.map_batches(finish, batch_format="pyarrow"), out_schema)
 
 
 def host_pagerank(sf_dir: str):

@@ -234,6 +234,28 @@ class TestQueries:
         }
         assert df["n_pages"].sum() == n
 
+    def test_crawl_frontier_is_uncrawled_and_ranked(self):
+        from bioner_ray.pipelines.web import crawl_frontier
+
+        df = crawl_frontier(self.SF).to_pandas()
+        n = 500
+
+        def host(i: int) -> int:
+            return i % 4 if i % 2 == 0 else i % 16
+
+        pages = {f"https://site{host(i)}.example.com/doc/{i}" for i in range(n)}
+        # every frontier URL was discovered but never crawled
+        assert not (set(df["url"]) & pages)
+        assert df["rk"].tolist() == list(range(1, len(df) + 1))
+        # rank order follows (n_inlinks desc, url asc)
+        s = df.sort_values(["n_inlinks", "url"], ascending=[False, True])
+        assert s["url"].tolist() == df.sort_values("rk")["url"].tolist()
+        # frontier URLs only arise from cross-host root-relative refs,
+        # so each sits on a host that differs from its doc's canonical
+        for u in df["url"]:
+            doc = int(u.rsplit("/", 1)[1])
+            assert u != f"https://site{host(doc)}.example.com/doc/{doc}"
+
     def test_url_dedup_folds_every_variant(self):
         from bioner_ray.pipelines.web import url_canonical_dedup
 
