@@ -1219,6 +1219,27 @@ def kg_sigma_paths(sf_dir: str, n_seeds: int = 3, max_hops: int = 3):
     return shortest_path_counts(kg_edges(sf_dir), n_seeds=n_seeds, max_hops=max_hops)
 
 
+def copurchase_betweenness(sf_dir: str, n_seeds: int = 3, max_hops: int = 3):
+    """Sampled bounded-distance betweenness (stages/graph.py
+    betweenness_centrality — Brandes forward σ via the shared pivot
+    BFS, backward dependency fold in exact integer micro-units) over
+    the part co-purchase graph: the broker parts shortest paths route
+    through — the bridges between product clusters a recommender or
+    assortment planner watches. Computed on this graph rather than the
+    toy KG for the same reason as copurchase_assortativity: a complete
+    clique has zero betweenness everywhere, the basket graph has real
+    sparse structure. Columns: node, bc_micro."""
+    from bioner_ray.stages.graph import betweenness_centrality
+
+    return betweenness_centrality(
+        _basket_pair_stream(sf_dir),
+        n_seeds=n_seeds,
+        max_hops=max_hops,
+        subj_col="p1",
+        obj_col="p2",
+    )
+
+
 def kg_hop_histogram(sf_dir: str, n_seeds: int = 3, max_hops: int = 3):
     """Neighborhood-function profile over the canonical KG
     (stages/graph.py hop_histogram): per hop distance, how many

@@ -1706,6 +1706,7 @@ def _pivot_bfs(
     obj_col: str = "obj",
     num_buckets: int = 256,
     with_sigma: bool = False,
+    return_adj: bool = False,
 ):
     """Multi-source per-seed BFS over the undirected simple graph,
     shared by the pivot estimators (``harmonic_centrality``,
@@ -1876,6 +1877,8 @@ def _pivot_bfs(
         ).materialize()
         frontier = new
 
+    if return_adj:
+        return visited, nodes, adj
     return visited, nodes
 
 
@@ -1968,6 +1971,208 @@ def shortest_path_counts(
         with_sigma=True,
     )
     return visited
+
+
+def betweenness_centrality(
+    edges_ds,
+    n_seeds: int = 3,
+    max_hops: int = 3,
+    subj_col: str = "subj",
+    obj_col: str = "obj",
+    num_buckets: int = 256,
+):
+    """Sampled bounded-distance betweenness (Brandes pivots,
+    quantized): the forward pass is the shared σ-carrying pivot BFS;
+    the backward pass folds dependencies level-by-level in exact
+    integer micro-units —
+
+        δq(v) = Σ_{w ∈ succ(v)}  (σ(v) · (10^6 + δq(w))) // σ(w)
+
+    where succ(v) are v's BFS-DAG successors (neighbors at
+    dist(v)+1 under the same seed) and 1.0 ≙ 10^6 with floor at every
+    division — a deterministic quantization of Brandes' accumulation
+    (error vs the float algorithm ≤ hops·10⁻⁶ per pair), so the
+    unrolled SQL twin replays it bit-for-bit. bc_micro(node) =
+    Σ_seeds δq(seed, node); distances are capped at ``max_hops``
+    (k-bounded betweenness), seeds contribute as sources only.
+
+    Scale shape: per backward round ONE adjacency join keyed on the
+    level's nodes, one (seed, node) join against the previous level,
+    one bounded aggregate — state stays O(n_seeds · nodes) like every
+    pivot estimator here; rounds materialize to cut lineage. Columns:
+    node, bc_micro (0 for nodes on no sampled shortest path)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    visited, nodes, adj = _pivot_bfs(
+        edges_ds,
+        n_seeds=n_seeds,
+        max_hops=max_hops,
+        subj_col=subj_col,
+        obj_col=obj_col,
+        num_buckets=num_buckets,
+        with_sigma=True,
+        return_adj=True,
+    )
+    visited = visited.materialize()
+
+    w_schema = pa.schema(
+        [("node", pa.string()), ("seed", pa.string()), ("sigma_w", pa.int64())]
+    )
+    delta_schema = pa.schema(
+        [("node", pa.string()), ("seed", pa.string()), ("delta", pa.int64())]
+    )
+    pred_schema = pa.schema(
+        [("seed", pa.string()), ("node", pa.string()), ("sigma_p", pa.int64())]
+    )
+    cand_schema = pa.schema(
+        [
+            ("seed", pa.string()),
+            ("node", pa.string()),
+            ("sigma_w", pa.int64()),
+            ("val", pa.int64()),
+        ]
+    )
+
+    def at_level(d: int, names: dict):
+        def fn(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or t.num_rows == 0:
+                return pa.schema(
+                    [(v, pa.string() if k != "sigma" else pa.int64()) for k, v in names.items()]
+                ).empty_table()
+            t = t.filter(pc.equal(t.column("dist"), d))
+            return pa.table({v: t.column(k) for k, v in names.items()})
+
+        return fn
+
+    def to_cand(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return cand_schema.empty_table()
+        delta = (
+            pc.fill_null(t.column("delta"), 0)
+            if "delta" in t.column_names
+            else pa.array(np.zeros(t.num_rows, dtype=np.int64))
+        )
+        return pa.table(
+            {
+                "seed": t.column("seed"),
+                "node": t.column("dst"),
+                "sigma_w": t.column("sigma_w"),
+                "val": pc.add_checked(delta, pa.scalar(1_000_000, pa.int64())),
+            }
+        )
+
+    def contribution(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return delta_schema.empty_table()
+        sp = t.column("sigma_p").to_numpy(zero_copy_only=False)
+        sw = t.column("sigma_w").to_numpy(zero_copy_only=False)
+        val = t.column("val").to_numpy(zero_copy_only=False)
+        # σp·val can exceed int64 on dense graphs: guard like
+        # _pagerank_contrib and fall back to Python big ints
+        if int(sp.max()) * int(val.max()) < 2**63:
+            c = (sp * val) // sw
+        else:
+            c = np.fromiter(
+                ((int(p) * int(v)) // int(w) for p, v, w in zip(sp, val, sw)),
+                dtype=np.int64,
+                count=len(sp),
+            )
+        return pa.table(
+            {
+                "node": t.column("node"),
+                "seed": t.column("seed"),
+                "delta": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    deltas_prev = None  # (node, seed, delta) rows of the level just processed
+    all_deltas = []
+    for d in range(max_hops, 1, -1):
+        w = pin_schema(
+            visited.map_batches(
+                at_level(d, {"node": "node", "seed": "seed", "sigma": "sigma_w"}),
+                batch_format="pyarrow",
+            ),
+            w_schema,
+        )
+        if deltas_prev is not None:
+            w = pin_schema(
+                bucketed_inner_join(
+                    w,
+                    deltas_prev,
+                    ["node", "seed"],
+                    w_schema,
+                    delta_schema,
+                    num_buckets=num_buckets,
+                    join_type="left outer",
+                ),
+                pa.schema(list(w_schema) + [("delta", pa.int64())]),
+            )
+        # adjacency fan-out: (src=w.node) → successors' predecessors v=dst
+        joined = bucketed_inner_join(
+            adj,
+            w.map_batches(
+                lambda t: t.rename_columns(
+                    ["src" if c == "node" else c for c in t.schema.names]
+                )
+                if t.num_columns
+                else t,
+                batch_format="pyarrow",
+            ),
+            ["src"],
+            pa.schema([("src", pa.string()), ("dst", pa.string())]),
+            pa.schema([("src" if f.name == "node" else f.name, f.type) for f in (w_schema if deltas_prev is None else pa.schema(list(w_schema) + [("delta", pa.int64())]))]),
+            num_buckets=num_buckets,
+        ).map_batches(to_cand, batch_format="pyarrow")
+        preds = pin_schema(
+            visited.map_batches(
+                at_level(d - 1, {"seed": "seed", "node": "node", "sigma": "sigma_p"}),
+                batch_format="pyarrow",
+            ),
+            pred_schema,
+        )
+        pairs = bucketed_inner_join(
+            pin_schema(joined, cand_schema),
+            preds,
+            ["seed", "node"],
+            cand_schema,
+            pred_schema,
+            num_buckets=num_buckets,
+        ).map_batches(contribution, batch_format="pyarrow")
+        lvl_delta = pin_schema(
+            bucketed_aggregate(
+                pairs, ["node", "seed"], [("delta", "sum")], num_buckets=num_buckets
+            ),
+            delta_schema,
+            ensure_block=True,
+        ).materialize()
+        deltas_prev = lvl_delta
+        all_deltas.append(lvl_delta)
+
+    bc_schema = pa.schema([("node", pa.string()), ("bc_micro", pa.int64())])
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return bc_schema.empty_table()
+        return pa.table({"node": t.column("node"), "bc_micro": t.column("delta")})
+
+    zeros = nodes.map_batches(
+        lambda t: pa.table(
+            {
+                "node": t.column("node"),
+                "bc_micro": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    acc = zeros
+    for lvl_delta in all_deltas:
+        acc = acc.union(lvl_delta.map_batches(fold, batch_format="pyarrow"))
+    return pin_schema(
+        bucketed_aggregate(acc, ["node"], [("bc_micro", "sum")], num_buckets=num_buckets),
+        bc_schema,
+    )
 
 
 def hop_histogram(
