@@ -281,6 +281,12 @@ OPERATOR_QUERIES = [
     "host_quality_report",
     "host_reciprocity",
     "web_link_delta",
+    # round-3 seventh session: crawl-ops audits + sampled Brandes
+    "host_outlink_profile",
+    "orphan_pages",
+    "crawl_frontier",
+    "copurchase_betweenness",
+    "ccnet_buckets",
 ]
 
 

@@ -623,6 +623,100 @@ def langid(sf_dir: str):
     return langid_stage(_documents(sf_dir))
 
 
+def ccnet_buckets(sf_dir: str):
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020,
+    arXiv:1911.00359 §3.3): per LANGUAGE, documents split into
+    head/middle/tail terciles of per-token unigram surprise — the
+    standard web-corpus quality partition a pretraining mix samples
+    from (head = most fluent third under the corpus LM).
+
+    Composition: the langid stage and the doc_logprob scorer each
+    stream their own pass; ONE doc_id-bucketed join lines them up; the
+    per-doc score folds to an integer milli-nat bin (two positive
+    floor divisions — trunc == floor, replayed verbatim in SQL), and
+    the tercile cutoffs walk the (lang, bin) table — bounded by
+    langs × surprise bins (physically ≲ 20k), never the corpus, the
+    same driver-finish argument as value_percentiles. Cut rule: first
+    bin with cumulative count ≥ ceil(n/3) / ceil(2n/3); ties share the
+    lower bucket on both sides. Columns: lang, bucket, n_docs."""
+    from bioner_ray.pipelines.analytics import doc_logprob
+    from bioner_ray.stages.shuffle import (
+        bucketed_aggregate,
+        bucketed_inner_join,
+        pin_schema,
+        with_ones,
+    )
+    from bioner_ray.stages.textstats import langid_stage
+
+    lid_schema = pa.schema([("doc_id", pa.int64()), ("lang", pa.string())])
+    lp_schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_tokens", pa.int64()), ("logprob_micro", pa.int64())]
+    )
+
+    def lid_prep(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return lid_schema.empty_table()
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "lang": t.column("pred_lang")}
+        )
+
+    lid = pin_schema(
+        langid_stage(_documents(sf_dir)).map_batches(lid_prep, batch_format="pyarrow"),
+        lid_schema,
+    )
+    lp = pin_schema(doc_logprob(sf_dir), lp_schema)
+    joined = bucketed_inner_join(lp, lid, ["doc_id"], lp_schema, lid_schema)
+
+    bin_schema = pa.schema([("lang", pa.string()), ("bin", pa.int64())])
+
+    def to_bin(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return bin_schema.empty_table()
+        surprise = -t.column("logprob_micro").to_numpy(zero_copy_only=False)
+        ntok = t.column("n_tokens").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"lang": t.column("lang"), "bin": pa.array((surprise // ntok) // 1000)}
+        )
+
+    counts = bucketed_aggregate(
+        with_ones(joined.map_batches(to_bin, batch_format="pyarrow")),
+        ["lang", "bin"],
+        [("one", "sum")],
+    )
+    rows = counts.take_all()  # bounded: langs x milli-nat surprise bins
+
+    by_lang: dict[str, list[tuple[int, int]]] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append((r["bin"], r["one"]))
+    out_lang, out_bucket, out_n = [], [], []
+    for lang in sorted(by_lang):
+        bins = sorted(by_lang[lang])
+        n = sum(c for _, c in bins)
+        k1, k2 = (n + 2) // 3, (2 * n + 2) // 3
+        cum, c1, c2 = 0, None, None
+        for b, c in bins:
+            cum += c
+            if c1 is None and cum >= k1:
+                c1 = b
+            if c2 is None and cum >= k2:
+                c2 = b
+        agg = {"head": 0, "middle": 0, "tail": 0}
+        for b, c in bins:
+            agg["head" if b <= c1 else "middle" if b <= c2 else "tail"] += c
+        for bucket in ("head", "middle", "tail"):
+            if agg[bucket]:
+                out_lang.append(lang)
+                out_bucket.append(bucket)
+                out_n.append(agg[bucket])
+    return pa.table(
+        {
+            "lang": pa.array(out_lang, type=pa.string()),
+            "bucket": pa.array(out_bucket, type=pa.string()),
+            "n_docs": pa.array(out_n, type=pa.int64()),
+        }
+    )
+
+
 def _query_matrix(sf_dir: str, n_queries: int = 8) -> np.ndarray:
     import pyarrow.parquet as pq
 

@@ -175,6 +175,11 @@ SQL_CHECKED = [
     "dedup_cluster_reps",
     "kg_star_ids",
     "kg_shuffle_skew",
+    "host_outlink_profile",
+    "orphan_pages",
+    "crawl_frontier",
+    "copurchase_betweenness",
+    "ccnet_buckets",
 ]
 
 #: queries with neither a SQL twin nor a golden parquet — none left;
