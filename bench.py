@@ -287,6 +287,7 @@ OPERATOR_QUERIES = [
     "crawl_frontier",
     "copurchase_betweenness",
     "ccnet_buckets",
+    "dsir_weights",
 ]
 
 

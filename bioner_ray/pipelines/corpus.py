@@ -717,6 +717,124 @@ def ccnet_buckets(sf_dir: str):
     )
 
 
+def dsir_weights(sf_dir: str, k: int = 100):
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169):
+    rank raw-pool documents by the log-likelihood ratio of a TARGET
+    unigram model over a RAW unigram model — the data-selection score
+    importance resampling draws against when building a domain mix.
+    Target domain = the lexicographically smallest ``source`` (a real
+    deployment passes its curated seed set); raw pool = every other
+    source; both add-one models share the union vocabulary V.
+
+    Shape: ONE corpus pass emits per-block (word, ct, cr) partials
+    split by side, ONE bucketed aggregate folds them; the model tables
+    collect driver-side under doc_logprob's bounded-vocab argument
+    (web scale uses the same top-K + OOV cap documented there) and
+    broadcast as a single delta dict; the score pass is the
+    vectorized segment-sum kernel, integer micro-nats end to end
+    (floor(ln·1e6) per word ONCE, libm log — both model logs floored
+    separately so the SQL twin replays bit-for-bit); top-k by
+    (weight desc, doc_id). Columns: doc_id, n_tokens, weight_micro."""
+    import math
+
+    import ray
+
+    from bioner_ray.stages.shuffle import bucketed_aggregate
+    from bioner_ray.stages.textstats import _split_lower
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def src_min(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({"s": pa.array([pc.min(t.column("source")).as_py()])})
+
+    target = min(
+        r["s"]
+        for r in _read(sf_dir, "documents", columns=["source"])
+        .map_batches(src_min, batch_format="pyarrow")
+        .take_all()
+    )
+
+    def counts_partial(batch: pa.Table) -> pa.Table:
+        counts: dict[str, list[int]] = {}
+        srcs = batch.column("source").to_pylist()
+        for toks, src in zip(_split_lower(batch, "text"), srcs):
+            i = 0 if src == target else 1
+            for t in toks:
+                e = counts.get(t)
+                if e is None:
+                    counts[t] = e = [0, 0]
+                e[i] += 1
+        return pa.table(
+            {
+                "w": pa.array(list(counts.keys()), type=pa.string()),
+                "ct": pa.array([v[0] for v in counts.values()], type=pa.int64()),
+                "cr": pa.array([v[1] for v in counts.values()], type=pa.int64()),
+            }
+        )
+
+    vocab = bucketed_aggregate(
+        docs.map_batches(counts_partial, batch_format="pyarrow"),
+        ["w"],
+        [("ct", "sum"), ("cr", "sum")],
+    ).to_pandas()
+    v = float(len(vocab))
+    nt = float(vocab["ct"].sum())
+    nr = float(vocab["cr"].sum())
+    delta = {
+        w: math.floor(math.log((float(ct) + 1.0) / (nt + v)) * 1000000.0)
+        - math.floor(math.log((float(cr) + 1.0) / (nr + v)) * 1000000.0)
+        for w, ct, cr in zip(vocab["w"], vocab["ct"], vocab["cr"])
+    }
+    delta_ref = ray.put(delta)
+
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_tokens", pa.int64()), ("weight_micro", pa.int64())]
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        import pyarrow.compute as pc
+
+        lut = ray.get(delta_ref)
+        batch = batch.filter(pc.invert(pc.equal(batch.column("source"), target)))
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        # same vectorized split-offset segment-sum kernel as doc_logprob
+        split = pc.split_pattern_regex(
+            pc.utf8_lower(pc.fill_null(batch.column("text"), "")), r"\s+"
+        ).combine_chunks()
+        off = split.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_docs = len(off) - 1
+        vals = pd.Series(split.values.slice(off[0], off[-1] - off[0]).to_pylist())
+        doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), np.diff(off))
+        keep = (vals != "").to_numpy()
+        toks = vals[keep]
+        d = doc_idx[keep]
+        sums = np.zeros(n_docs, dtype=np.int64)
+        cnts = np.zeros(n_docs, dtype=np.int64)
+        if len(toks):
+            micro = toks.map(lut).to_numpy(dtype=np.int64)
+            np.add.at(sums, d, micro)
+            np.add.at(cnts, d, 1)
+        nz = cnts > 0
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[nz], type=pa.int64()),
+                "n_tokens": pa.array(cnts[nz]),
+                "weight_micro": pa.array(sums[nz]),
+            }
+        )
+
+    return (
+        docs.map_batches(score, batch_format="pyarrow")
+        .sort(["weight_micro", "doc_id"], descending=[True, False])
+        .limit(k)
+    )
+
+
 def _query_matrix(sf_dir: str, n_queries: int = 8) -> np.ndarray:
     import pyarrow.parquet as pq
 

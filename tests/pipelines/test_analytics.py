@@ -180,6 +180,7 @@ SQL_CHECKED = [
     "crawl_frontier",
     "copurchase_betweenness",
     "ccnet_buckets",
+    "dsir_weights",
 ]
 
 #: queries with neither a SQL twin nor a golden parquet — none left;
