@@ -288,6 +288,7 @@ OPERATOR_QUERIES = [
     "copurchase_betweenness",
     "ccnet_buckets",
     "dsir_weights",
+    "host_boilerplate_ratio",
 ]
 
 

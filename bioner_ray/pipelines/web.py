@@ -442,6 +442,73 @@ def crawl_frontier(sf_dir: str, k: int = 50):
     return pin_schema(top.map_batches(finish, batch_format="pyarrow"), out_schema)
 
 
+def host_boilerplate_ratio(sf_dir: str):
+    """Per-host C4-segment duplication rate: the share of each host's
+    10-token segments that are corpus-level repeats (first occurrence
+    keeps, later copies count as boilerplate) — the audit that tells a
+    crawl which domains are template farms before a line-level dedup
+    pass is tuned. Composes the segment dedup stage with the crawl's
+    host projection; beyond segment_dedup's one segment-text exchange
+    the only shuffle is the host-sized fold. Columns: host, n_segs,
+    n_dropped, dup_frac."""
+    import numpy as np
+
+    from bioner_ray.stages.dedup import segment_dedup
+    from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema
+
+    segs = segment_dedup(_documents_for_segments(sf_dir), window=10)
+
+    mid = pa.schema(
+        [("host", pa.string()), ("n_segs", pa.int64()), ("n_dropped", pa.int64())]
+    )
+
+    def to_host(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return mid.empty_table()
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        hosts = _host_idx(ids)
+        n_segs = t.column("n_segs").to_numpy(zero_copy_only=False)
+        n_kept = t.column("n_kept").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "host": pa.array(
+                    [f"site{h}.example.com" for h in hosts.tolist()], type=pa.string()
+                ),
+                "n_segs": pa.array(n_segs),
+                "n_dropped": pa.array(n_segs - n_kept),
+            }
+        )
+
+    agg = pin_schema(
+        bucketed_aggregate(
+            segs.map_batches(to_host, batch_format="pyarrow"),
+            ["host"],
+            [("n_segs", "sum"), ("n_dropped", "sum")],
+        ),
+        mid,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        ns = t.column("n_segs").to_numpy(zero_copy_only=False)
+        nd = t.column("n_dropped").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "dup_frac", pa.array(nd.astype(np.float64) / ns.astype(np.float64))
+        )
+
+    return pin_schema(
+        agg.map_batches(finish, batch_format="pyarrow"),
+        pa.schema(list(mid) + [("dup_frac", pa.float64())]),
+    )
+
+
+def _documents_for_segments(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+
 def host_pagerank(sf_dir: str):
     """Domain authority: the engine's scaled-integer fixed-iteration
     PageRank (stages/graph.py — ONE bucketed join + ONE bucketed

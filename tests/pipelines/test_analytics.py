@@ -181,6 +181,7 @@ SQL_CHECKED = [
     "copurchase_betweenness",
     "ccnet_buckets",
     "dsir_weights",
+    "host_boilerplate_ratio",
 ]
 
 #: queries with neither a SQL twin nor a golden parquet — none left;
