@@ -1436,13 +1436,26 @@ def kg_merge_groups(
     )
 
 
-def kg_publish(sf_dir: str, min_npmi: float = 0.0, min_weight: int = 2):
+def kg_publish(
+    sf_dir: str,
+    min_npmi: float = 0.0,
+    min_weight: int = 2,
+    min_wjaccard: float = 0.75,
+):
     """The end-to-end publishable graph — the full production DAG in
     one query: extract → canonical edges → PMI score → prune
     (npmi ≥ 0, weight ≥ 2) → entity-merge rewrite (every endpoint
     folded to its structural merge-group representative,
-    ``kg_merge_groups``) → re-canonicalize (weights of now-identical
-    edges re-sum; rewritten self-loops drop). The rep map is bounded
+    ``kg_merge_groups`` at ``min_wjaccard``) → re-canonicalize
+    (weights of now-identical edges re-sum; rewritten self-loops
+    drop). The publish merge threshold is HIGHER than
+    ``kg_merge_groups``' default 0.5: at 0.5 a dense co-occurrence
+    core folds into one component and the published graph collapses
+    to nothing (every surviving edge becomes a self-loop) — a
+    correct but vacuous result. 0.75 folds only the tightest
+    structural twins and leaves a non-degenerate publishable graph
+    (measured at sf0.001/0.01/0.1: 4/3/2 merge components,
+    22/24/6 published edges). The rep map is bounded
     by the merge-candidate population, so it ships once via ``ray.put``
     and the rewrite is a stateless vectorized map; the re-merge is one
     ``bucketed_aggregate``. Columns: subj, obj, w."""
@@ -1453,7 +1466,9 @@ def kg_publish(sf_dir: str, min_npmi: float = 0.0, min_weight: int = 2):
     # ONE gazetteer/extraction pass: the canonical edge table is the
     # checkpoint every downstream stage (PMI, support, merge) reads
     edges = kg_edges(sf_dir).materialize()
-    rep_df = kg_merge_groups(sf_dir, edges=edges).to_pandas()
+    rep_df = kg_merge_groups(
+        sf_dir, min_wjaccard=min_wjaccard, edges=edges
+    ).to_pandas()
     rep_ref = ray.put(dict(zip(rep_df["node"], rep_df["rep"])))
 
     def rewrite(t: pa.Table) -> pa.Table:
