@@ -1449,13 +1449,15 @@ def kg_publish(
     ``kg_merge_groups`` at ``min_wjaccard``) → re-canonicalize
     (weights of now-identical edges re-sum; rewritten self-loops
     drop). The publish merge threshold is HIGHER than
-    ``kg_merge_groups``' default 0.5: at 0.5 a dense co-occurrence
-    core folds into one component and the published graph collapses
-    to nothing (every surviving edge becomes a self-loop) — a
-    correct but vacuous result. 0.75 folds only the tightest
-    structural twins and leaves a non-degenerate publishable graph
-    (measured at sf0.001/0.01/0.1: 4/3/2 merge components,
-    22/24/6 published edges). The rep map is bounded
+    ``kg_merge_groups``' default 0.5: at 0.5 the dense
+    co-occurrence core folds into ONE component, so every surviving
+    core-core edge becomes a self-loop and drops — the published
+    graph degenerates to the handful of edges touching nodes
+    outside the core, and the rewrite step is only ever exercised
+    as a total collapse. 0.75 folds only the tightest structural
+    twins, leaving several distinct merge components whose rewritten
+    edges genuinely re-sum (measured at sf0.001/0.01/0.1: 4/3/2
+    merge components among the core; published rows 6/4/6). The rep map is bounded
     by the merge-candidate population, so it ships once via ``ray.put``
     and the rewrite is a stateless vectorized map; the re-merge is one
     ``bucketed_aggregate``. Columns: subj, obj, w."""
