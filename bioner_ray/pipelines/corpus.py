@@ -717,24 +717,49 @@ def ccnet_buckets(sf_dir: str):
     )
 
 
-def dsir_weights(sf_dir: str, k: int = 100):
+def _min_source_from_footer(sf_dir: str) -> str | None:
+    """min(source) straight from the parquet row-group statistics —
+    zero data read. Returns None when any row group lacks min/max
+    (pyarrow omits, never truncates, oversized binary stats at this
+    writer version, so a present min is exact)."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(os.path.join(sf_dir, "documents.parquet"))
+    idx = pf.schema_arrow.get_field_index("source")
+    mins = []
+    for rg in range(pf.metadata.num_row_groups):
+        st = pf.metadata.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            return None
+        mins.append(st.min)
+    return min(mins) if mins else None
+
+
+def dsir_weights(sf_dir: str, k: int = 100, max_vocab: int | None = None):
     """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169):
     rank raw-pool documents by the log-likelihood ratio of a TARGET
     unigram model over a RAW unigram model — the data-selection score
     importance resampling draws against when building a domain mix.
     Target domain = the lexicographically smallest ``source`` (a real
-    deployment passes its curated seed set); raw pool = every other
-    source; both add-one models share the union vocabulary V.
+    deployment passes its curated seed set — read from the parquet
+    footer statistics, zero data scanned; the streaming min pass runs
+    only when a writer omitted them); raw pool = every other source;
+    both add-one models share the union vocabulary V.
 
     Shape: ONE corpus pass emits per-block (word, ct, cr) partials
     split by side, ONE bucketed aggregate folds them; the model tables
-    collect driver-side under doc_logprob's bounded-vocab argument
-    (web scale uses the same top-K + OOV cap documented there) and
-    broadcast as a single delta dict; the score pass is the
-    vectorized segment-sum kernel, integer micro-nats end to end
-    (floor(ln·1e6) per word ONCE, libm log — both model logs floored
-    separately so the SQL twin replays bit-for-bit); top-k by
-    (weight desc, doc_id). Columns: doc_id, n_tokens, weight_micro."""
+    collect driver-side and broadcast as a single delta dict; the
+    score pass is the vectorized segment-sum kernel, integer
+    micro-nats end to end (floor(ln·1e6) per word ONCE, libm log —
+    both model logs floored separately so the SQL twin replays
+    bit-for-bit); top-k by (weight desc, doc_id). ``max_vocab`` is the
+    web-scale mode (same shape as ``doc_logprob``): the top-K words by
+    (ct+cr desc, word) survive a combiner-pruned distributed top-K —
+    the driver only ever sees ≤ K rows — and every other token scores
+    through one shared OOV bucket per side carrying the remaining
+    mass. The oracle-checked configuration is the full union vocab
+    (bounded at test scale); capped mode is pinned by its own pytest.
+    Columns: doc_id, n_tokens, weight_micro."""
     import math
 
     import ray
@@ -744,17 +769,20 @@ def dsir_weights(sf_dir: str, k: int = 100):
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
 
-    def src_min(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+    target = _min_source_from_footer(sf_dir)
+    if target is None:
 
-        return pa.table({"s": pa.array([pc.min(t.column("source")).as_py()])})
+        def src_min(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
 
-    target = min(
-        r["s"]
-        for r in _read(sf_dir, "documents", columns=["source"])
-        .map_batches(src_min, batch_format="pyarrow")
-        .take_all()
-    )
+            return pa.table({"s": pa.array([pc.min(t.column("source")).as_py()])})
+
+        target = min(
+            r["s"]
+            for r in _read(sf_dir, "documents", columns=["source"])
+            .map_batches(src_min, batch_format="pyarrow")
+            .take_all()
+        )
 
     def counts_partial(batch: pa.Table) -> pa.Table:
         counts: dict[str, list[int]] = {}
@@ -774,14 +802,50 @@ def dsir_weights(sf_dir: str, k: int = 100):
             }
         )
 
-    vocab = bucketed_aggregate(
+    counts = bucketed_aggregate(
         docs.map_batches(counts_partial, batch_format="pyarrow"),
         ["w"],
         [("ct", "sum"), ("cr", "sum")],
-    ).to_pandas()
-    v = float(len(vocab))
-    nt = float(vocab["ct"].sum())
-    nr = float(vocab["cr"].sum())
+    )
+    if max_vocab is None:
+        vocab = counts.to_pandas()
+        v = float(len(vocab))
+        nt = float(vocab["ct"].sum())
+        nr = float(vocab["cr"].sum())
+        oov_delta = 0  # unreachable: the union model covers its corpus
+    else:
+        from bioner_ray.stages.rank import top_k_per_group
+        from bioner_ray.stages.shuffle import pin_schema
+
+        counts = pin_schema(
+            counts,
+            pa.schema([("w", pa.string()), ("ct", pa.int64()), ("cr", pa.int64())]),
+        ).materialize()
+        nt = float(counts.sum("ct"))
+        nr = float(counts.sum("cr"))
+
+        def grp(t: pa.Table) -> pa.Table:
+            t = t.append_column(
+                "tot",
+                pa.compute.add(t.column("ct"), t.column("cr")),
+            )
+            return t.append_column("_g", pa.array(np.zeros(t.num_rows, dtype=np.int64)))
+
+        # combiner-pruned GLOBAL top-K: ≤ K rows leave each block, the
+        # driver sees ≤ K rows total — never the full union vocabulary
+        vocab = top_k_per_group(
+            counts.map_batches(grp, batch_format="pyarrow"),
+            key_col="_g",
+            order_by=[("tot", "descending"), ("w", "ascending")],
+            k=max_vocab,
+        ).to_pandas()
+        # classes = kept words + ONE shared OOV bucket (add-one over all)
+        v = float(len(vocab)) + 1.0
+        oov_delta = math.floor(
+            math.log((nt - float(vocab["ct"].sum()) + 1.0) / (nt + v)) * 1000000.0
+        ) - math.floor(
+            math.log((nr - float(vocab["cr"].sum()) + 1.0) / (nr + v)) * 1000000.0
+        )
     delta = {
         w: math.floor(math.log((float(ct) + 1.0) / (nt + v)) * 1000000.0)
         - math.floor(math.log((float(cr) + 1.0) / (nr + v)) * 1000000.0)
@@ -815,7 +879,7 @@ def dsir_weights(sf_dir: str, k: int = 100):
         sums = np.zeros(n_docs, dtype=np.int64)
         cnts = np.zeros(n_docs, dtype=np.int64)
         if len(toks):
-            micro = toks.map(lut).to_numpy(dtype=np.int64)
+            micro = toks.map(lut).fillna(oov_delta).to_numpy(dtype=np.int64)
             np.add.at(sums, d, micro)
             np.add.at(cnts, d, 1)
         nz = cnts > 0

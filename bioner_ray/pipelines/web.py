@@ -79,6 +79,44 @@ def _resolved_links(sf_dir: str, snapshot_mod: int | None = None):
     )
 
 
+_URL_SCHEMA = pa.schema([("url", pa.string())])
+
+
+def _page_urls(sf_dir: str):
+    """One streaming pass projecting the crawl to its fetched URLs —
+    the shared "what did we crawl" side of orphan_pages (crawled but
+    unlinked) and crawl_frontier (linked but uncrawled)."""
+    from bioner_ray.stages.shuffle import pin_schema
+
+    return pin_schema(
+        _synthetic_pages(sf_dir).map_batches(
+            lambda t: t.select(["url"]) if t.num_columns else _URL_SCHEMA.empty_table(),
+            batch_format="pyarrow",
+        ),
+        _URL_SCHEMA,
+    )
+
+
+def _inbound_urls(sf_dir: str):
+    """Every resolved outbound link target as a bare ``url`` column
+    (duplicates preserved — callers aggregate). The single definition
+    of "discovered URL" the crawl audits share; a change to the
+    URL-resolution contract lands in both automatically."""
+    from bioner_ray.stages.weblinks import resolve_dst_urls_batch
+
+    return (
+        _synthetic_pages(sf_dir)
+        .map_batches(extract_links_batch, batch_format="pyarrow")
+        .map_batches(resolve_dst_urls_batch, batch_format="pyarrow")
+        .map_batches(
+            lambda t: t.select(["dst_url"]).rename_columns(["url"])
+            if t.num_columns
+            else _URL_SCHEMA.empty_table(),
+            batch_format="pyarrow",
+        )
+    )
+
+
 def web_link_graph(sf_dir: str, snapshot_mod: int | None = None):
     """Host→host link graph from raw HTML: anchor extraction → URL
     resolution (absolute / protocol-relative / root-relative) → host
@@ -246,29 +284,13 @@ def orphan_pages(sf_dir: str):
         pin_schema,
         with_ones,
     )
-    from bioner_ray.stages.weblinks import resolve_dst_urls_batch
+    from bioner_ray.stages.weblinks import host_of
 
-    url_schema = pa.schema([("url", pa.string())])
+    url_schema = _URL_SCHEMA
     # two independent streaming passes over the (column-pruned) input —
     # never materialize the crawl to share it between consumers
-    page_urls = pin_schema(
-        _synthetic_pages(sf_dir).map_batches(
-            lambda t: t.select(["url"]) if t.num_columns else url_schema.empty_table(),
-            batch_format="pyarrow",
-        ),
-        url_schema,
-    )
-    inbound = (
-        _synthetic_pages(sf_dir)
-        .map_batches(extract_links_batch, batch_format="pyarrow")
-        .map_batches(resolve_dst_urls_batch, batch_format="pyarrow")
-        .map_batches(
-            lambda t: t.select(["dst_url"]).rename_columns(["url"])
-            if t.num_columns
-            else url_schema.empty_table(),
-            batch_format="pyarrow",
-        )
-    )
+    page_urls = _page_urls(sf_dir)
+    inbound = _inbound_urls(sf_dir)
     inbound_distinct = pin_schema(
         bucketed_aggregate(with_ones(inbound), ["url"], [("one", "min")]).map_batches(
             lambda t: t.select(["url"]), batch_format="pyarrow"
@@ -295,14 +317,7 @@ def orphan_pages(sf_dir: str):
         def fn(t: pa.Table) -> pa.Table:
             if t.num_columns == 0 or t.num_rows == 0:
                 return tagged.empty_table()
-            host = pc.utf8_lower(
-                pc.struct_field(
-                    pc.extract_regex(
-                        t.column("url"), r"^[A-Za-z][A-Za-z0-9+.\-]*://(?P<h>[^/:?#]+)"
-                    ),
-                    "h",
-                )
-            )
+            host = host_of(t.column("url"))
             n = t.num_rows
             return pa.table(
                 {
@@ -361,28 +376,12 @@ def crawl_frontier(sf_dir: str, k: int = 50):
         pin_schema,
         with_ones,
     )
-    from bioner_ray.stages.weblinks import resolve_dst_urls_batch
+    from bioner_ray.stages.weblinks import host_of
 
-    url_schema = pa.schema([("url", pa.string())])
+    url_schema = _URL_SCHEMA
     cnt_schema = pa.schema([("url", pa.string()), ("n_inlinks", pa.int64())])
-    page_urls = pin_schema(
-        _synthetic_pages(sf_dir).map_batches(
-            lambda t: t.select(["url"]) if t.num_columns else url_schema.empty_table(),
-            batch_format="pyarrow",
-        ),
-        url_schema,
-    )
-    inbound = (
-        _synthetic_pages(sf_dir)
-        .map_batches(extract_links_batch, batch_format="pyarrow")
-        .map_batches(resolve_dst_urls_batch, batch_format="pyarrow")
-        .map_batches(
-            lambda t: t.select(["dst_url"]).rename_columns(["url"])
-            if t.num_columns
-            else url_schema.empty_table(),
-            batch_format="pyarrow",
-        )
-    )
+    page_urls = _page_urls(sf_dir)
+    inbound = _inbound_urls(sf_dir)
     counts = pin_schema(
         bucketed_aggregate(
             with_ones(inbound, "n_inlinks"), ["url"], [("n_inlinks", "sum")]
@@ -422,14 +421,7 @@ def crawl_frontier(sf_dir: str, k: int = 50):
     def finish(t: pa.Table) -> pa.Table:
         if t.num_columns == 0 or t.num_rows == 0:
             return out_schema.empty_table()
-        host = pc.utf8_lower(
-            pc.struct_field(
-                pc.extract_regex(
-                    t.column("url"), r"^[A-Za-z][A-Za-z0-9+.\-]*://(?P<h>[^/:?#]+)"
-                ),
-                "h",
-            )
-        )
+        host = host_of(t.column("url"))
         return pa.table(
             {
                 "url": t.column("url"),
@@ -453,10 +445,13 @@ def host_boilerplate_ratio(sf_dir: str):
     n_dropped, dup_frac."""
     import numpy as np
 
-    from bioner_ray.stages.dedup import segment_dedup
+    from bioner_ray.pipelines.corpus import paragraph_dedup
     from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema
 
-    segs = segment_dedup(_documents_for_segments(sf_dir), window=10)
+    # the per-doc segment stats ARE paragraph_dedup's output (and the
+    # SQL twin composes on d["paragraph_dedup"]) — reuse it so the
+    # window constant / column contract can never silently diverge
+    segs = paragraph_dedup(sf_dir)
 
     mid = pa.schema(
         [("host", pa.string()), ("n_segs", pa.int64()), ("n_dropped", pa.int64())]
@@ -498,14 +493,6 @@ def host_boilerplate_ratio(sf_dir: str):
     return pin_schema(
         agg.map_batches(finish, batch_format="pyarrow"),
         pa.schema(list(mid) + [("dup_frac", pa.float64())]),
-    )
-
-
-def _documents_for_segments(sf_dir: str):
-    import ray.data as rd
-
-    return rd.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
 
 

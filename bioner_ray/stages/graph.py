@@ -2096,6 +2096,7 @@ def betweenness_centrality(
             ),
             w_schema,
         )
+        wd_schema = pa.schema(list(w_schema) + [("delta", pa.int64())])
         if deltas_prev is not None:
             w = pin_schema(
                 bucketed_inner_join(
@@ -2107,9 +2108,12 @@ def betweenness_centrality(
                     num_buckets=num_buckets,
                     join_type="left outer",
                 ),
-                pa.schema(list(w_schema) + [("delta", pa.int64())]),
+                wd_schema,
             )
-        # adjacency fan-out: (src=w.node) → successors' predecessors v=dst
+        # adjacency fan-out: (src=w.node) → successors' predecessors
+        # v=dst. The join's declared b-side schema must describe w AS
+        # RENAMED, so derive it from whichever schema w actually has.
+        w_actual = w_schema if deltas_prev is None else wd_schema
         joined = bucketed_inner_join(
             adj,
             w.map_batches(
@@ -2122,7 +2126,9 @@ def betweenness_centrality(
             ),
             ["src"],
             pa.schema([("src", pa.string()), ("dst", pa.string())]),
-            pa.schema([("src" if f.name == "node" else f.name, f.type) for f in (w_schema if deltas_prev is None else pa.schema(list(w_schema) + [("delta", pa.int64())]))]),
+            pa.schema(
+                [("src" if f.name == "node" else f.name, f.type) for f in w_actual]
+            ),
             num_buckets=num_buckets,
         ).map_batches(to_cand, batch_format="pyarrow")
         preds = pin_schema(

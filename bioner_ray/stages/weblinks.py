@@ -119,6 +119,21 @@ RESOLVED_URL_SCHEMA = pa.schema(
 )
 
 
+# the ONE host grammar every per-host fold in the engine shares:
+# scheme then authority, capture stopping at :/?# so ports, paths,
+# queries and fragments never enter the host
+_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://(?P<h>[^/:?#]+)"
+_SCHEME_PREFIX_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://"
+
+
+def host_of(urls):
+    """Lowercased host of each URL in an Arrow string array (NULL where
+    no scheme://host prefix parses). Every consumer MUST go through
+    this helper — a host-parsing fix applied to one inlined copy of the
+    regex would silently split the engine's per-host folds."""
+    return pc.utf8_lower(pc.struct_field(pc.extract_regex(urls, _HOST_RE), "h"))
+
+
 def _resolve_dst(src, href):
     """Vectorized href → absolute dst_url: absolute hrefs pass through,
     protocol-relative take the source scheme, root-relative take the
@@ -129,10 +144,8 @@ def _resolve_dst(src, href):
     scheme = pc.struct_field(
         pc.extract_regex(src, r"^(?P<s>[A-Za-z][A-Za-z0-9+.\-]*)://"), "s"
     )
-    src_host = pc.utf8_lower(
-        pc.struct_field(pc.extract_regex(src, r"^[A-Za-z][A-Za-z0-9+.\-]*://(?P<h>[^/:?#]+)"), "h")
-    )
-    is_abs = pc.match_substring_regex(href, r"^[A-Za-z][A-Za-z0-9+.\-]*://")
+    src_host = host_of(src)
+    is_abs = pc.match_substring_regex(href, _SCHEME_PREFIX_RE)
     is_proto = pc.starts_with(href, "//")
     is_root = pc.and_(pc.starts_with(href, "/"), pc.invert(is_proto))
     return pc.case_when(
@@ -174,15 +187,9 @@ def resolve_links_batch(batch: pa.Table) -> pa.Table:
     if batch.num_columns == 0 or batch.num_rows == 0:
         return RESOLVED_SCHEMA.empty_table()
     src = batch.column("src_url")
-    src_host = pc.utf8_lower(
-        pc.struct_field(pc.extract_regex(src, r"^[A-Za-z][A-Za-z0-9+.\-]*://(?P<h>[^/:?#]+)"), "h")
-    )
+    src_host = host_of(src)
     dst_url = _resolve_dst(src, batch.column("href"))
-    dst_host = pc.utf8_lower(
-        pc.struct_field(
-            pc.extract_regex(dst_url, r"^[A-Za-z][A-Za-z0-9+.\-]*://(?P<h>[^/:?#]+)"), "h"
-        )
-    )
+    dst_host = host_of(dst_url)
     out = pa.table(
         {"src_host": src_host, "dst_host": dst_host, "anchor": batch.column("anchor")}
     )

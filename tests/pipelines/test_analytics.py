@@ -176,6 +176,7 @@ SQL_CHECKED = [
     "kg_star_ids",
     "kg_shuffle_skew",
     "host_outlink_profile",
+    "web_link_delta",
     "orphan_pages",
     "crawl_frontier",
     "copurchase_betweenness",
