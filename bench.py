@@ -289,6 +289,10 @@ OPERATOR_QUERIES = [
     "ccnet_buckets",
     "dsir_weights",
     "host_boilerplate_ratio",
+    # round-3 eighth session: schema mining, GNN sampling, split audit
+    "kg_metapaths",
+    "kg_neighbor_sample",
+    "host_split",
 ]
 
 

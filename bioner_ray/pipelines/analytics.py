@@ -4698,6 +4698,179 @@ def kg_pred_cooccurrence(sf_dir: str, min_support: int = 2, k: int = 100):
     ).limit(k)
 
 
+def kg_metapaths(sf_dir: str, edges=None):
+    """2-hop metapath support for schema induction: for every ORDERED
+    predicate pair (p1, p2), the number of path instances
+    ``subj -p1-> m -p2-> obj`` in the canonical edge table — the
+    signal relation-composition mining (e.g. "treats ∘ causes") reads
+    before proposing inferred relations. Complements
+    ``kg_pred_cooccurrence`` (same-SUBJECT predicate pairs): metapaths
+    chain THROUGH a shared mid node.
+
+    Scale shape: paths are never materialized. Per mid node m,
+    #paths(p1, p2 | m) = in_count(m, p1) × out_count(m, p2), so the
+    plan is two (node, pred)-keyed bucketed aggregates, ONE bounded
+    join on m, a vectorized multiply, and a predicate-pair-sized final
+    fold — exchange is O(distinct (node, pred)), never O(paths), and
+    a hub entity costs one multiplication instead of a quadratic
+    fan-out. int64 is safe up to ~3·10^9 in-edges × out-edges per
+    (m, pred) pair. Columns: p1, p2, n_paths."""
+    from bioner_ray.stages.shuffle import (
+        bucketed_aggregate,
+        bucketed_inner_join,
+        pin_schema,
+        with_ones,
+    )
+
+    if edges is None:
+        # materialize BEFORE the two-branch fan-out: inc and outc both
+        # re-execute their upstream, and two concurrent KG scoring
+        # pools would deadlock on the shared 3/4-cluster pool budget
+        # (the kg_mention_drift / kg_edge_pmi convention)
+        edges = kg_edges(sf_dir).materialize()
+    i_schema = pa.schema([("m", pa.string()), ("p1", pa.string()), ("c1", pa.int64())])
+    o_schema = pa.schema([("m", pa.string()), ("p2", pa.string()), ("c2", pa.int64())])
+
+    def to_in(t: pa.Table) -> pa.Table:
+        return pa.table({"m": t.column("obj"), "p1": t.column("pred")})
+
+    def to_out(t: pa.Table) -> pa.Table:
+        return pa.table({"m": t.column("subj"), "p2": t.column("pred")})
+
+    inc = pin_schema(
+        bucketed_aggregate(
+            with_ones(edges.map_batches(to_in, batch_format="pyarrow"), "c1"),
+            ["m", "p1"],
+            [("c1", "sum")],
+        ),
+        i_schema,
+    )
+    outc = pin_schema(
+        bucketed_aggregate(
+            with_ones(edges.map_batches(to_out, batch_format="pyarrow"), "c2"),
+            ["m", "p2"],
+            [("c2", "sum")],
+        ),
+        o_schema,
+    )
+    joined = bucketed_inner_join(inc, outc, ["m"], i_schema, o_schema)
+
+    def multiply(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return pa.schema(
+                [("p1", pa.string()), ("p2", pa.string()), ("n_paths", pa.int64())]
+            ).empty_table()
+        return pa.table(
+            {
+                "p1": t.column("p1"),
+                "p2": t.column("p2"),
+                "n_paths": pc.multiply(t.column("c1"), t.column("c2")),
+            }
+        )
+
+    return pin_schema(
+        bucketed_aggregate(
+            joined.map_batches(multiply, batch_format="pyarrow"),
+            ["p1", "p2"],
+            [("n_paths", "sum")],
+        ),
+        pa.schema([("p1", pa.string()), ("p2", pa.string()), ("n_paths", pa.int64())]),
+    )
+
+
+def _neighbor_sample_params(seed: int = 42):
+    """The (A, B, C) 61-bit affine-mix constants kg_neighbor_sample
+    ranks with — shared with the DuckDB twin, which inlines them
+    verbatim (the _walk_params convention)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    bound = 1 << 61
+    return rng.integers(1, bound, size=3, dtype=np.uint64)
+
+
+def kg_neighbor_sample(sf_dir: str, fanout: int = 4, seed: int = 42, edges=None):
+    """Deterministic fixed-fanout neighbor sampling — the per-node
+    ≤ ``fanout`` out-edge draw a GraphSAGE-style GNN trainer reads as
+    its layer-0 adjacency (Hamilton et al. 2017, arXiv:1706.02216
+    uses uniform sampling; here the draw is RNG-free so the sample is
+    bit-stable across runs, worker counts and resumes). Each edge is
+    ranked by the 64-bit affine mix ``(A·h(node) + B·h(nbr) + C·h(pred))
+    mod 2^64`` over 61-bit md5 node hashes — the same SQL-replayable
+    family as ``hash_walks``/minhash — and each node keeps its
+    ``fanout`` smallest.
+
+    Scale shape: ranking is a numpy multiply-add per edge batch
+    (md5 memoized per DISTINCT string); the top-k rides
+    ``rank.top_k_per_group``'s combiner prune, so the shuffle moves
+    ≤ fanout × nodes-per-block rows, never the edge table. Columns:
+    node, pred, nbr, rk."""
+    import numpy as np
+
+    from bioner_ray.stages.graph import _node_hash_column
+    from bioner_ray.stages.rank import top_k_per_group
+    from bioner_ray.stages.shuffle import pin_schema
+
+    a, b, c = _neighbor_sample_params(seed)
+
+    ranked_schema = pa.schema(
+        [
+            ("node", pa.string()),
+            ("pred", pa.string()),
+            ("nbr", pa.string()),
+            ("rank_hash", pa.uint64()),
+        ]
+    )
+
+    def rank_rows(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return ranked_schema.empty_table()
+        memo: dict = {}
+        hn = _node_hash_column(t.column("subj"), memo)
+        hb = _node_hash_column(t.column("obj"), memo)
+        hp = _node_hash_column(t.column("pred"), memo)
+        # natural uint64 wrap == the twin's HUGEINT sum mod 2^64
+        rank = a * hn + b * hb + c * hp
+        return pa.table(
+            {
+                "node": t.column("subj"),
+                "pred": t.column("pred"),
+                "nbr": t.column("obj"),
+                "rank_hash": pa.array(rank),
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            ("node", pa.string()),
+            ("pred", pa.string()),
+            ("nbr", pa.string()),
+            ("rk", pa.int64()),
+        ]
+    )
+    if edges is None:
+        edges = kg_edges(sf_dir)
+    top = top_k_per_group(
+        edges.map_batches(rank_rows, batch_format="pyarrow"),
+        key_col="node",
+        order_by=[
+            ("rank_hash", "ascending"),
+            ("pred", "ascending"),
+            ("nbr", "ascending"),
+        ],
+        k=fanout,
+    )
+    return pin_schema(
+        top.map_batches(
+            lambda t: t.select(["node", "pred", "nbr", "rk"])
+            if t.num_columns
+            else out_schema.empty_table(),
+            batch_format="pyarrow",
+        ),
+        out_schema,
+    )
+
+
 def kg_edge_provenance(sf_dir: str, pools: int = 2):
     """Per-edge provenance ledger — the audit table a production KG
     publishes next to the edge list: how many mentions support each

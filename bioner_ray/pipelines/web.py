@@ -496,6 +496,114 @@ def host_boilerplate_ratio(sf_dir: str):
     )
 
 
+def host_split(sf_dir: str):
+    """Leakage-safe host-disjoint train/val/test split audit: every
+    document is assigned to the split of its CRAWL HOST (md5-hash of
+    the host mod 4 → <2 train, =2 val, =3 test — mod 4 because the
+    synthetic crawl has 10 distinct hosts and this is the split rule
+    that leaves no split empty), so templated /
+    near-duplicate pages from one domain can never straddle the
+    boundary — the contamination mode a random per-document split
+    invites and ``embedding_leakage``/``decontaminate`` then have to
+    detect after the fact. Host of a document = the host that served
+    it (the synthetic corpus pins host = site{host_idx(doc_id)}
+    .example.com — stages/weblinks.py module contract, same derivation
+    as ``host_boilerplate_ratio``).
+
+    Scale shape: ONE pass computes (host, tokens) per document
+    vectorized; a (split, host)-keyed bucketed aggregate bounds the
+    exchange by the host vocabulary, and the final fold is 3 rows.
+    The md5 split hash replays in SQL exactly (the error_samples /
+    hash_walks md5-prefix convention). Columns: split, n_hosts,
+    n_docs, n_tokens."""
+    import numpy as np
+
+    from bioner_ray.stages.graph import _node_hash_column
+    from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema
+    from bioner_ray.stages.weblinks import _host_idx
+
+    mid = pa.schema(
+        [
+            ("split", pa.string()),
+            ("host", pa.string()),
+            ("n_docs", pa.int64()),
+            ("n_tokens", pa.int64()),
+        ]
+    )
+
+    def per_doc(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return mid.empty_table()
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        hosts = pa.array(
+            [f"site{h}.example.com" for h in _host_idx(ids).tolist()],
+            type=pa.string(),
+        )
+        memo: dict = {}
+        hm = _node_hash_column(hosts, memo) % np.uint64(4)
+        split = np.where(hm < 2, "train", np.where(hm == 2, "val", "test"))
+        # same non-empty \s+ token count as the logprob/dsir kernels
+        sp = pc.split_pattern_regex(
+            pc.fill_null(t.column("text"), ""), r"\s+"
+        ).combine_chunks()
+        off = sp.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = sp.values.slice(off[0], off[-1] - off[0])
+        keep = pc.not_equal(vals, "").to_numpy(zero_copy_only=False)
+        cs = np.concatenate([[0], np.cumsum(keep.astype(np.int64))])
+        starts, ends = off[:-1] - off[0], off[1:] - off[0]
+        return pa.table(
+            {
+                "split": pa.array(split, type=pa.string()),
+                "host": hosts,
+                "n_docs": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                "n_tokens": pa.array(cs[ends] - cs[starts]),
+            }
+        )
+
+    import ray.data as rd
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    per_host = pin_schema(
+        bucketed_aggregate(
+            docs.map_batches(per_doc, batch_format="pyarrow"),
+            ["split", "host"],
+            [("n_docs", "sum"), ("n_tokens", "sum")],
+        ),
+        mid,
+    )
+    out_schema = pa.schema(
+        [
+            ("split", pa.string()),
+            ("n_hosts", pa.int64()),
+            ("n_docs", pa.int64()),
+            ("n_tokens", pa.int64()),
+        ]
+    )
+
+    def host_row(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return out_schema.empty_table()
+        return pa.table(
+            {
+                "split": t.column("split"),
+                "n_hosts": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                "n_docs": t.column("n_docs"),
+                "n_tokens": t.column("n_tokens"),
+            }
+        )
+
+    return pin_schema(
+        bucketed_aggregate(
+            per_host.map_batches(host_row, batch_format="pyarrow"),
+            ["split"],
+            [("n_hosts", "sum"), ("n_docs", "sum"), ("n_tokens", "sum")],
+        ),
+        out_schema,
+    )
+
+
 def host_pagerank(sf_dir: str):
     """Domain authority: the engine's scaled-integer fixed-iteration
     PageRank (stages/graph.py — ONE bucketed join + ONE bucketed

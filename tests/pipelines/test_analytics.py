@@ -183,6 +183,9 @@ SQL_CHECKED = [
     "ccnet_buckets",
     "dsir_weights",
     "host_boilerplate_ratio",
+    "kg_metapaths",
+    "kg_neighbor_sample",
+    "host_split",
 ]
 
 #: queries with neither a SQL twin nor a golden parquet — none left;
