@@ -1299,141 +1299,21 @@ def kg_merge_groups(
     ``driver_max_pairs`` the candidate pairs union-find driver-side;
     above it the DISTRIBUTED path runs: nodes hash to 63-bit ids,
     label propagation finds components
-    (stages/graph.connected_components), and one bucketed aggregate
-    takes the min STRING per component — identical output, no driver
-    materialization. Columns: node, rep."""
-    import ray.data as rd
-
-    from bioner_ray.stages.shuffle import (
-        bucketed_aggregate,
-        bucketed_inner_join,
-        pin_schema,
-    )
+    (stages/graph.string_components → connected_components), and one
+    bucketed aggregate takes the min STRING per component — identical
+    output, no driver materialization. Columns: node, rep."""
+    from bioner_ray.stages.graph import string_components
 
     pair_schema = pa.schema([("lo", pa.string()), ("hi", pa.string())])
-    pairs_ds = (
-        kg_edge_wjaccard(sf_dir, edges=edges)
-        .map_batches(
-            lambda t: t.select(["lo", "hi"]).filter(
-                pc.greater_equal(t.column("wjaccard"), min_wjaccard)
-            )
-            if t.num_columns
-            else pair_schema.empty_table(),
-            batch_format="pyarrow",
+    pairs_ds = kg_edge_wjaccard(sf_dir, edges=edges).map_batches(
+        lambda t: t.select(["lo", "hi"]).filter(
+            pc.greater_equal(t.column("wjaccard"), min_wjaccard)
         )
-        .materialize()
-    )
-
-    if pairs_ds.count() <= driver_max_pairs:
-        pairs = pairs_ds.take_all()
-        parent: dict[str, str] = {}
-
-        def find(x: str) -> str:
-            root = x
-            while parent[root] != root:
-                root = parent[root]
-            while parent[x] != root:
-                parent[x], x = root, parent[x]
-            return root
-
-        for r in pairs:
-            a, b = r["lo"], r["hi"]
-            parent.setdefault(a, a)
-            parent.setdefault(b, b)
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                parent[max(ra, rb)] = min(ra, rb)
-        nodes = sorted(parent)
-        return rd.from_arrow(
-            pa.table(
-                {
-                    "node": pa.array(nodes, type=pa.string()),
-                    "rep": pa.array([find(n) for n in nodes], type=pa.string()),
-                }
-            )
-        )
-
-    # distributed path: md5-63-bit node ids (collision odds ~n²/2^64,
-    # negligible for any real vocabulary) → int components → min string
-    # per component label
-    import hashlib
-
-    from bioner_ray.stages.graph import connected_components
-
-    def _hid(arr) -> pa.Array:
-        return pa.array(
-            [
-                int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big") >> 1
-                for s in arr.to_pylist()
-            ],
-            type=pa.int64(),
-        )
-
-    int_pairs = pairs_ds.map_batches(
-        lambda t: pa.table({"a": _hid(t.column("lo")), "b": _hid(t.column("hi"))})
         if t.num_columns
-        else pa.schema([("a", pa.int64()), ("b", pa.int64())]).empty_table(),
+        else pair_schema.empty_table(),
         batch_format="pyarrow",
     )
-    comp = connected_components(int_pairs, driver_max_pairs=0)  # (node, component)
-
-    def node_rows(t: pa.Table) -> pa.Table:
-        if t.num_columns == 0:
-            return pa.schema([("hid", pa.int64()), ("node", pa.string())]).empty_table()
-        lo, hi = t.column("lo").combine_chunks(), t.column("hi").combine_chunks()
-        names = pa.chunked_array([lo, hi]).combine_chunks()
-        return pa.table({"hid": _hid(names), "node": names})
-
-    name_map = pin_schema(
-        bucketed_aggregate(
-            pairs_ds.map_batches(node_rows, batch_format="pyarrow"),
-            ["hid"],
-            [("node", "min")],
-        ),
-        pa.schema([("hid", pa.int64()), ("node", pa.string())]),
-    ).materialize()
-
-    labeled = bucketed_inner_join(
-        comp.map_batches(
-            lambda t: t.rename_columns(["hid", "component"]) if t.num_columns else t,
-            batch_format="pyarrow",
-        ),
-        name_map,
-        ["hid"],
-        pa.schema([("hid", pa.int64()), ("component", pa.int64())]),
-        pa.schema([("hid", pa.int64()), ("node", pa.string())]),
-    )
-    # min string per component = the representative
-    reps = pin_schema(
-        bucketed_aggregate(
-            labeled.map_batches(
-                lambda t: pa.table(
-                    {"component": t.column("component"), "rep": t.column("node")}
-                )
-                if t.num_columns
-                else pa.schema(
-                    [("component", pa.int64()), ("rep", pa.string())]
-                ).empty_table(),
-                batch_format="pyarrow",
-            ),
-            ["component"],
-            [("rep", "min")],
-        ),
-        pa.schema([("component", pa.int64()), ("rep", pa.string())]),
-    )
-    out = bucketed_inner_join(
-        labeled,
-        reps,
-        ["component"],
-        pa.schema([("hid", pa.int64()), ("component", pa.int64()), ("node", pa.string())]),
-        pa.schema([("component", pa.int64()), ("rep", pa.string())]),
-    )
-    return out.map_batches(
-        lambda t: t.select(["node", "rep"]) if t.num_columns else pa.schema(
-            [("node", pa.string()), ("rep", pa.string())]
-        ).empty_table(),
-        batch_format="pyarrow",
-    )
+    return string_components(pairs_ds, driver_max_pairs=driver_max_pairs)
 
 
 def kg_publish(
@@ -4868,6 +4748,222 @@ def kg_neighbor_sample(sf_dir: str, fanout: int = 4, seed: int = 42, edges=None)
             batch_format="pyarrow",
         ),
         out_schema,
+    )
+
+
+def _pred_body_counts(edges, out_col: str = "n_body"):
+    """Per-predicate head-count table: #(subj, obj) pairs attested for
+    each predicate — the rule-body denominator kg_rule_confidence and
+    kg_inverse_predicates both normalize by. The edge table is already
+    distinct per (subj, pred, obj) (canonicalize_edges groups on the
+    triple), so one predicate-keyed aggregate suffices. Columns:
+    p1, ``out_col``."""
+    from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema, with_ones
+
+    return pin_schema(
+        bucketed_aggregate(
+            with_ones(
+                edges.map_batches(
+                    lambda t: pa.table({"p1": t.column("pred")}),
+                    batch_format="pyarrow",
+                ),
+                out_col,
+            ),
+            ["p1"],
+            [(out_col, "sum")],
+        ),
+        pa.schema([("p1", pa.string()), (out_col, pa.int64())]),
+    )
+
+
+def _attach_confidence(counted, body, n_col: str, min_support: int):
+    """Join per-(p1, p2) pair counts to the p1 body counts and emit
+    ``confidence = n / n_body`` (one IEEE double division — exactly
+    replayed by the twins' CAST(...AS DOUBLE)/CAST(...AS DOUBLE)),
+    filtered to ``n >= min_support``. Columns: p1, p2, n_col, n_body,
+    confidence."""
+    from bioner_ray.stages.shuffle import bucketed_inner_join, pin_schema
+
+    out_schema = pa.schema(
+        [
+            ("p1", pa.string()),
+            ("p2", pa.string()),
+            (n_col, pa.int64()),
+            ("n_body", pa.int64()),
+            ("confidence", pa.float64()),
+        ]
+    )
+    joined = bucketed_inner_join(
+        counted,
+        body,
+        ["p1"],
+        pa.schema([("p1", pa.string()), ("p2", pa.string()), (n_col, pa.int64())]),
+        pa.schema([("p1", pa.string()), ("n_body", pa.int64())]),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return out_schema.empty_table()
+        t = t.filter(pc.greater_equal(t.column(n_col), min_support))
+        conf = pc.divide(
+            pc.cast(t.column(n_col), pa.float64()),
+            pc.cast(t.column("n_body"), pa.float64()),
+        )
+        return pa.table(
+            {
+                "p1": t.column("p1"),
+                "p2": t.column("p2"),
+                n_col: t.column(n_col),
+                "n_body": t.column("n_body"),
+                "confidence": conf,
+            }
+        )
+
+    return pin_schema(joined.map_batches(finish, batch_format="pyarrow"), out_schema)
+
+
+def kg_rule_confidence(sf_dir: str, min_support: int = 2, edges=None):
+    """AMIE-style single-atom rule mining (Galárraga et al., WWW 2013):
+    for every ordered predicate pair, the support and confidence of the
+    rule ``p1(x, y) ⇒ p2(x, y)`` — support = #(x, y) pairs carrying
+    BOTH predicates, confidence = support / #(x, y) pairs carrying p1.
+    High-confidence rows are relation-subsumption / synonym candidates
+    (e.g. "binds ⇒ interacts_with"), the schema-induction signal that
+    complements kg_pred_cooccurrence (same SUBJECT only) by requiring
+    the same subject AND object.
+
+    Scale shape: per-(subj, obj) predicate-set grouping via ONE
+    bucketed exchange, vectorized ordered-pair emission inside each
+    group (fan-out bounded by predicate-vocabulary², a constant, never
+    corpus-sized), then a pair-keyed aggregate and one predicate-keyed
+    bounded join for the denominator — exchange is O(distinct
+    (subj, obj, pred)), never O(pairs²). Columns: p1, p2, n_both,
+    n_body, confidence."""
+    from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema, with_ones
+
+    if edges is None:
+        # materialize BEFORE the two-branch fan-out (pairs + body) —
+        # the kg_metapaths pool-budget convention
+        edges = kg_edges(sf_dir).materialize()
+
+    def so_rows(t: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            t.column("subj"), t.column("obj"), "\x1f"
+        )
+        return pa.table({"so": key, "pred": t.column("pred")})
+
+    sp = pin_schema(
+        edges.map_batches(so_rows, batch_format="pyarrow"),
+        pa.schema([("so", pa.string()), ("pred", pa.string())]),
+    )
+
+    pair_schema = pa.schema([("p1", pa.string()), ("p2", pa.string())])
+
+    def pairs(g: pa.Table) -> pa.Table:
+        if g.num_columns == 0:
+            return pair_schema.empty_table()
+        g = g.sort_by([("so", "ascending"), ("pred", "ascending")])
+        so = g.column("so").to_numpy(zero_copy_only=False)
+        pred = g.column("pred").to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, so[1:] != so[:-1]])
+        lens = np.diff(np.r_[starts, len(so)])
+        out1, out2 = [], []
+        for s, ln in zip(starts.tolist(), lens.tolist()):
+            if ln < 2:
+                continue
+            ps = pred[s : s + ln]
+            ii, jj = np.nonzero(~np.eye(ln, dtype=bool))
+            out1.append(ps[ii])
+            out2.append(ps[jj])
+        if not out1:
+            return pair_schema.empty_table()
+        return pa.table(
+            {
+                "p1": pa.array(np.concatenate(out1), type=pa.string()),
+                "p2": pa.array(np.concatenate(out2), type=pa.string()),
+            }
+        )
+
+    emitted = sp.groupby("so").map_groups(pairs, batch_format="pyarrow")
+    counted = pin_schema(
+        bucketed_aggregate(
+            with_ones(emitted, "n_both"), ["p1", "p2"], [("n_both", "sum")]
+        ),
+        pa.schema([("p1", pa.string()), ("p2", pa.string()), ("n_both", pa.int64())]),
+    )
+    return _attach_confidence(
+        counted, _pred_body_counts(edges), "n_both", min_support
+    )
+
+
+def kg_inverse_predicates(sf_dir: str, min_support: int = 2, edges=None):
+    """owl:inverseOf candidate mining: for every ordered predicate
+    pair, the number of (x, y) with ``p1(x, y) ∧ p2(y, x)`` and the
+    confidence n_inv / #p1 — high-confidence rows are inverse-relation
+    candidates ("treats"/"treated_by"), and the p1 == p2 diagonal is
+    the predicate's SYMMETRY score, both standard KG-refinement
+    signals (companion to kg_rule_confidence's same-direction rules).
+
+    Scale shape: the edge table joins its own reversal on the
+    (subj, obj) key pair via ONE empty-partition-proof bucketed join
+    (per-key fan-out bounded by predicate-vocabulary², a constant),
+    then a pair-keyed aggregate and the shared bounded denominator
+    join. Columns: p1, p2, n_inv, n_body, confidence."""
+    from bioner_ray.stages.shuffle import (
+        bucketed_aggregate,
+        bucketed_inner_join,
+        pin_schema,
+        with_ones,
+    )
+
+    if edges is None:
+        edges = kg_edges(sf_dir).materialize()
+
+    fwd_schema = pa.schema(
+        [("k1", pa.string()), ("k2", pa.string()), ("p1", pa.string())]
+    )
+    rev_schema = pa.schema(
+        [("k1", pa.string()), ("k2", pa.string()), ("p2", pa.string())]
+    )
+    fwd = pin_schema(
+        edges.map_batches(
+            lambda t: pa.table(
+                {"k1": t.column("subj"), "k2": t.column("obj"), "p1": t.column("pred")}
+            ),
+            batch_format="pyarrow",
+        ),
+        fwd_schema,
+    )
+    rev = pin_schema(
+        edges.map_batches(
+            lambda t: pa.table(
+                {"k1": t.column("obj"), "k2": t.column("subj"), "p2": t.column("pred")}
+            ),
+            batch_format="pyarrow",
+        ),
+        rev_schema,
+    )
+    matched = bucketed_inner_join(fwd, rev, ["k1", "k2"], fwd_schema, rev_schema)
+    counted = pin_schema(
+        bucketed_aggregate(
+            with_ones(
+                matched.map_batches(
+                    lambda t: t.select(["p1", "p2"])
+                    if t.num_columns
+                    else pa.schema(
+                        [("p1", pa.string()), ("p2", pa.string())]
+                    ).empty_table(),
+                    batch_format="pyarrow",
+                ),
+                "n_inv",
+            ),
+            ["p1", "p2"],
+            [("n_inv", "sum")],
+        ),
+        pa.schema([("p1", pa.string()), ("p2", pa.string()), ("n_inv", pa.int64())]),
+    )
+    return _attach_confidence(
+        counted, _pred_body_counts(edges), "n_inv", min_support
     )
 
 

@@ -938,3 +938,39 @@ def url_canonical_dedup(sf_dir: str):
             ]
         ),
     )
+
+
+def web_host_components(sf_dir: str, min_candidates: int = 2):
+    """Site-family detection: connected components over the cross-host
+    MIRROR-candidate graph (``web_mirror_candidates``), keeping only
+    host pairs with ≥ ``min_candidates`` shared-prefix page pairs —
+    the crawl-ops step that folds mirror farms / CDN aliases of one
+    logical site into a single family so crawl budgets, dedup scopes
+    and domain-authority scores apply per FAMILY, not per alias (the
+    raw link graph is useless for this: any healthy crawl's host graph
+    is one giant weakly-connected component, so components are only
+    meaningful over the high-precision mirror evidence).
+
+    Scale shape: the pair population is bounded by O(hosts²) mirror
+    candidates — never page-sized — and the components run on the
+    shared ``stages/graph.string_components`` machinery (driver
+    union-find under the cap, md5-id label propagation above it).
+    Columns: host, family (family = lexicographic-min member host)."""
+    from bioner_ray.stages.graph import string_components
+
+    pair_schema = pa.schema([("host_a", pa.string()), ("host_b", pa.string())])
+    pairs = web_mirror_candidates(sf_dir).map_batches(
+        lambda t: t.select(["host_a", "host_b"]).filter(
+            pc.greater_equal(t.column("n_candidates"), min_candidates)
+        )
+        if t.num_columns
+        else pair_schema.empty_table(),
+        batch_format="pyarrow",
+    )
+    out = string_components(pairs, lo_col="host_a", hi_col="host_b")
+    return out.map_batches(
+        lambda t: t.rename_columns(["host", "family"])
+        if t.num_columns
+        else pa.schema([("host", pa.string()), ("family", pa.string())]).empty_table(),
+        batch_format="pyarrow",
+    )

@@ -181,6 +181,137 @@ def connected_components(
     return labels.rename_columns({"label": "component"})
 
 
+def string_components(
+    pairs_ds,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    driver_max_pairs: int = 2_000_000,
+):
+    """(lo, hi) STRING pair Dataset → (node, rep) with rep = the
+    lexicographic-min member of the node's connected component — the
+    string-keyed face of ``connected_components`` shared by entity
+    merge-grouping (pipelines/analytics.kg_merge_groups) and host
+    site-family detection (pipelines/web.web_host_components).
+
+    Under ``driver_max_pairs`` the pair set union-finds driver-side
+    (the pair population is bounded by the candidate graph, not the
+    corpus, and downstream consumers collect the rep map anyway).
+    Above it the DISTRIBUTED path runs: nodes hash to md5-63-bit ids
+    (collision odds ~n²/2^64, negligible for any real vocabulary),
+    ``connected_components`` label-propagates over the int pairs, and
+    one bucketed aggregate takes the min STRING per component —
+    identical output, no driver materialization."""
+    import ray.data as rd
+
+    pairs_ds = pairs_ds.materialize()  # bounded; single execution, both paths
+    if pairs_ds.count() <= driver_max_pairs:
+        pairs = pairs_ds.take_all()
+        parent: dict[str, str] = {}
+
+        def find(x: str) -> str:
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in pairs:
+            a, b = r[lo_col], r[hi_col]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        nodes = sorted(parent)
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array(nodes, type=pa.string()),
+                    "rep": pa.array([find(n) for n in nodes], type=pa.string()),
+                }
+            )
+        )
+
+    import hashlib
+
+    def _hid(arr) -> pa.Array:
+        return pa.array(
+            [
+                int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big") >> 1
+                for s in arr.to_pylist()
+            ],
+            type=pa.int64(),
+        )
+
+    int_pairs = pairs_ds.map_batches(
+        lambda t: pa.table({"a": _hid(t.column(lo_col)), "b": _hid(t.column(hi_col))})
+        if t.num_columns
+        else pa.schema([("a", pa.int64()), ("b", pa.int64())]).empty_table(),
+        batch_format="pyarrow",
+    )
+    comp = connected_components(int_pairs, driver_max_pairs=0)  # (node, component)
+
+    def node_rows(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return pa.schema([("hid", pa.int64()), ("node", pa.string())]).empty_table()
+        lo = t.column(lo_col).combine_chunks()
+        hi = t.column(hi_col).combine_chunks()
+        names = pa.chunked_array([lo, hi]).combine_chunks()
+        return pa.table({"hid": _hid(names), "node": names})
+
+    name_map = pin_schema(
+        bucketed_aggregate(
+            pairs_ds.map_batches(node_rows, batch_format="pyarrow"),
+            ["hid"],
+            [("node", "min")],
+        ),
+        pa.schema([("hid", pa.int64()), ("node", pa.string())]),
+    ).materialize()
+
+    labeled = bucketed_inner_join(
+        comp.map_batches(
+            lambda t: t.rename_columns(["hid", "component"]) if t.num_columns else t,
+            batch_format="pyarrow",
+        ),
+        name_map,
+        ["hid"],
+        pa.schema([("hid", pa.int64()), ("component", pa.int64())]),
+        pa.schema([("hid", pa.int64()), ("node", pa.string())]),
+    )
+    # min string per component = the representative
+    reps = pin_schema(
+        bucketed_aggregate(
+            labeled.map_batches(
+                lambda t: pa.table(
+                    {"component": t.column("component"), "rep": t.column("node")}
+                )
+                if t.num_columns
+                else pa.schema(
+                    [("component", pa.int64()), ("rep", pa.string())]
+                ).empty_table(),
+                batch_format="pyarrow",
+            ),
+            ["component"],
+            [("rep", "min")],
+        ),
+        pa.schema([("component", pa.int64()), ("rep", pa.string())]),
+    )
+    out = bucketed_inner_join(
+        labeled,
+        reps,
+        ["component"],
+        pa.schema([("hid", pa.int64()), ("component", pa.int64()), ("node", pa.string())]),
+        pa.schema([("component", pa.int64()), ("rep", pa.string())]),
+    )
+    return out.map_batches(
+        lambda t: t.select(["node", "rep"]) if t.num_columns else pa.schema(
+            [("node", pa.string()), ("rep", pa.string())]
+        ).empty_table(),
+        batch_format="pyarrow",
+    )
+
+
 def degree_stats(
     edges_ds,
     subj_col: str = "subj",

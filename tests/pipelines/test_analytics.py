@@ -186,6 +186,9 @@ SQL_CHECKED = [
     "kg_metapaths",
     "kg_neighbor_sample",
     "host_split",
+    "kg_rule_confidence",
+    "kg_inverse_predicates",
+    "web_host_components",
 ]
 
 #: queries with neither a SQL twin nor a golden parquet — none left;

@@ -369,3 +369,43 @@ class TestClusteringCoefficients:
         assert set(out.index) == {"a", "b", "c"}
         assert (out["coeff"] == 1.0).all()
         assert (out["n_triangles"] == 1).all()
+
+
+class TestStringComponents:
+    def _run(self, pairs, distributed=False):
+        from bioner_ray.stages.graph import string_components
+
+        tbl = pa.table(
+            {
+                "lo": pa.array([p[0] for p in pairs], type=pa.string()),
+                "hi": pa.array([p[1] for p in pairs], type=pa.string()),
+            }
+        )
+        got = string_components(
+            rd.from_arrow(tbl), driver_max_pairs=0 if distributed else 2_000_000
+        )
+        return {r["node"]: r["rep"] for r in got.take_all()}
+
+    def test_driver_path_min_string_rep(self):
+        pairs = [("pd-1", "pd1"), ("pd1", "pdcd1"), ("il6", "il-6"), ("tnf", "tnfa")]
+        got = self._run(pairs)
+        assert got == {
+            "pd-1": "pd-1",
+            "pd1": "pd-1",
+            "pdcd1": "pd-1",
+            "il6": "il-6",
+            "il-6": "il-6",
+            "tnf": "tnf",
+            "tnfa": "tnf",
+        }
+
+    def test_driver_and_distributed_paths_agree(self):
+        rng = np.random.default_rng(7)
+        pairs = sorted(
+            {
+                (f"n{min(a, b):03d}", f"n{max(a, b):03d}")
+                for a, b in rng.integers(0, 40, size=(60, 2))
+                if a != b
+            }
+        )
+        assert self._run(pairs) == self._run(pairs, distributed=True)
