@@ -4967,6 +4967,76 @@ def kg_inverse_predicates(sf_dir: str, min_support: int = 2, edges=None):
     )
 
 
+def kg_synonym_pairs(sf_dir: str, min_conf: float = 0.9, edges=None):
+    """Relation-synonym candidates: unordered predicate pairs whose
+    AMIE rule confidence (``kg_rule_confidence``) clears ``min_conf``
+    in BOTH directions — p1 ⇒ p2 AND p2 ⇒ p1 — the signal that two
+    predicate surface forms name one relation ("binds"/"binds_to").
+    Both direction scores are kept so the schema curator can see
+    asymmetry before merging; one-directional high confidence is
+    subsumption, not synonymy, and stays in kg_rule_confidence.
+
+    Scale shape: rides kg_rule_confidence's exchange, then ONE
+    predicate-pair-keyed bounded join of the table's two direction
+    halves (predicate-vocabulary² rows, a constant). The threshold
+    compares the same IEEE doubles both engines computed, so the
+    filter is exactly replayable. Columns: lo, hi, conf_fwd
+    (lo ⇒ hi), conf_rev (hi ⇒ lo)."""
+    from bioner_ray.stages.shuffle import bucketed_inner_join, pin_schema
+
+    rules = kg_rule_confidence(sf_dir, edges=edges).materialize()
+
+    fwd_schema = pa.schema(
+        [("lo", pa.string()), ("hi", pa.string()), ("conf_fwd", pa.float64())]
+    )
+    rev_schema = pa.schema(
+        [("lo", pa.string()), ("hi", pa.string()), ("conf_rev", pa.float64())]
+    )
+
+    def fwd_rows(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return fwd_schema.empty_table()
+        t = t.filter(pc.less(t.column("p1"), t.column("p2")))
+        return pa.table(
+            {"lo": t.column("p1"), "hi": t.column("p2"), "conf_fwd": t.column("confidence")}
+        )
+
+    def rev_rows(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return rev_schema.empty_table()
+        t = t.filter(pc.greater(t.column("p1"), t.column("p2")))
+        return pa.table(
+            {"lo": t.column("p2"), "hi": t.column("p1"), "conf_rev": t.column("confidence")}
+        )
+
+    joined = bucketed_inner_join(
+        pin_schema(rules.map_batches(fwd_rows, batch_format="pyarrow"), fwd_schema),
+        pin_schema(rules.map_batches(rev_rows, batch_format="pyarrow"), rev_schema),
+        ["lo", "hi"],
+        fwd_schema,
+        rev_schema,
+    )
+    out_schema = pa.schema(
+        [
+            ("lo", pa.string()),
+            ("hi", pa.string()),
+            ("conf_fwd", pa.float64()),
+            ("conf_rev", pa.float64()),
+        ]
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return out_schema.empty_table()
+        keep = pc.greater_equal(
+            pc.min_element_wise(t.column("conf_fwd"), t.column("conf_rev")), min_conf
+        )
+        t = t.filter(keep)
+        return t.select(["lo", "hi", "conf_fwd", "conf_rev"])
+
+    return pin_schema(joined.map_batches(finish, batch_format="pyarrow"), out_schema)
+
+
 def kg_edge_provenance(sf_dir: str, pools: int = 2):
     """Per-edge provenance ledger — the audit table a production KG
     publishes next to the edge list: how many mentions support each

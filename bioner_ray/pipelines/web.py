@@ -974,3 +974,66 @@ def web_host_components(sf_dir: str, min_candidates: int = 2):
         else pa.schema([("host", pa.string()), ("family", pa.string())]).empty_table(),
         batch_format="pyarrow",
     )
+
+
+def host_family_rollup(sf_dir: str):
+    """Crawl-budget rollup at site-FAMILY granularity: page and host
+    counts per ``web_host_components`` family (singleton hosts — no
+    mirror evidence — are their own family), the table a crawl
+    scheduler reads to cap fetch budget per logical site instead of
+    per alias, so a 50-host mirror farm can't claim 50 budgets.
+
+    Scale shape: the family map is bounded by the host vocabulary
+    (never page-sized), so it ships once via ``ray.put`` and the
+    rewrite is a stateless vectorized map over ONE host-keyed page
+    aggregate; the family fold is a second host-vocabulary-sized
+    aggregate. Columns: family, n_hosts, n_pages."""
+    import os
+
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema, with_ones
+    from bioner_ray.stages.weblinks import _host_idx
+
+    fam_df = web_host_components(sf_dir).to_pandas()  # bounded: O(hosts)
+    fam_ref = ray.put(dict(zip(fam_df["host"], fam_df["family"])))
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+
+    def to_host(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        hosts = [f"site{h}.example.com" for h in _host_idx(ids).tolist()]
+        return pa.table({"host": pa.array(hosts, type=pa.string())})
+
+    per_host = pin_schema(
+        bucketed_aggregate(
+            with_ones(docs.map_batches(to_host, batch_format="pyarrow"), "n_pages"),
+            ["host"],
+            [("n_pages", "sum")],
+        ),
+        pa.schema([("host", pa.string()), ("n_pages", pa.int64())]),
+    )
+
+    def to_family(t: pa.Table) -> pa.Table:
+        fam = ray.get(fam_ref)
+        hosts = t.column("host").to_pylist()
+        return pa.table(
+            {
+                "family": pa.array([fam.get(h, h) for h in hosts], type=pa.string()),
+                "n_hosts": pa.array([1] * len(hosts), type=pa.int64()),
+                "n_pages": t.column("n_pages"),
+            }
+        )
+
+    return pin_schema(
+        bucketed_aggregate(
+            per_host.map_batches(to_family, batch_format="pyarrow"),
+            ["family"],
+            [("n_hosts", "sum"), ("n_pages", "sum")],
+        ),
+        pa.schema(
+            [("family", pa.string()), ("n_hosts", pa.int64()), ("n_pages", pa.int64())]
+        ),
+    )

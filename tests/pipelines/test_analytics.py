@@ -189,6 +189,8 @@ SQL_CHECKED = [
     "kg_rule_confidence",
     "kg_inverse_predicates",
     "web_host_components",
+    "kg_synonym_pairs",
+    "host_family_rollup",
 ]
 
 #: queries with neither a SQL twin nor a golden parquet — none left;
