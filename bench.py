@@ -293,6 +293,12 @@ OPERATOR_QUERIES = [
     "kg_metapaths",
     "kg_neighbor_sample",
     "host_split",
+    # round-3 ninth session: rule/inverse/synonym mining, site families
+    "kg_rule_confidence",
+    "kg_inverse_predicates",
+    "kg_synonym_pairs",
+    "web_host_components",
+    "host_family_rollup",
 ]
 
 
