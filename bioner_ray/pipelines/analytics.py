@@ -513,7 +513,9 @@ def _entity_similarity_lsh(cents_ds, threshold: float):
     out_schema = pa.schema(
         [("a", pa.string()), ("b", pa.string()), ("cosine", pa.float64())]
     )
-    vecs = cents_ds.groupby("surface").map_groups(assemble, batch_format="pyarrow")
+    from bioner_ray.stages.shuffle import bucketed_map_groups
+
+    vecs = bucketed_map_groups(cents_ds, ["surface"], assemble)
     pairs = cosine_dup_pairs(vecs, threshold=threshold, n_planes=12)
     return pin_schema(
         pairs.map_batches(
@@ -4563,7 +4565,9 @@ def kg_pred_cooccurrence(sf_dir: str, min_support: int = 2, k: int = 100):
 
     # per-subject grouping rides the SAME bucketed machinery: group by
     # subj inside each bucket's reduce partition
-    emitted = sp.groupby("subj").map_groups(pairs, batch_format="pyarrow")
+    from bioner_ray.stages.shuffle import bucketed_map_groups
+
+    emitted = bucketed_map_groups(sp, ["subj"], pairs)
     counted = pin_schema(
         bucketed_aggregate(
             with_ones(emitted, "n_subjects"), ["p1", "p2"], [("n_subjects", "sum")]
@@ -4839,7 +4843,12 @@ def kg_rule_confidence(sf_dir: str, min_support: int = 2, edges=None):
     bounded join for the denominator — exchange is O(distinct
     (subj, obj, pred)), never O(pairs²). Columns: p1, p2, n_both,
     n_body, confidence."""
-    from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema, with_ones
+    from bioner_ray.stages.shuffle import (
+        bucketed_aggregate,
+        bucketed_map_groups,
+        pin_schema,
+        with_ones,
+    )
 
     if edges is None:
         # materialize BEFORE the two-branch fan-out (pairs + body) —
@@ -4884,7 +4893,7 @@ def kg_rule_confidence(sf_dir: str, min_support: int = 2, edges=None):
             }
         )
 
-    emitted = sp.groupby("so").map_groups(pairs, batch_format="pyarrow")
+    emitted = bucketed_map_groups(sp, ["so"], pairs)
     counted = pin_schema(
         bucketed_aggregate(
             with_ones(emitted, "n_both"), ["p1", "p2"], [("n_both", "sum")]

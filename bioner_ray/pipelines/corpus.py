@@ -1973,37 +1973,54 @@ def source_overlap(sf_dir: str, k: int = 3):
     """Cross-source boilerplate overlap matrix — the provenance audit
     behind source dedup ordering (which feeds copy which): for every
     UNORDERED source pair, how many distinct ``k``-token shingles both
-    sources carry. Two-level: (shingle, source) distinct pairs via one
-    bucketed aggregate (the only data-scale exchange; a hashed-shingle
-    key drops the shuffle to 8 B/row at web scale), then per-shingle
-    source lists — ≤ |sources| each — explode to unordered pairs and
-    fold to the sources² matrix. Columns: src_a, src_b, n_shared."""
+    sources carry. Two-level: (shingle-HASH, source) distinct pairs via
+    one bucketed aggregate — the only data-scale exchange ships the
+    md5-61-bit shingle hash (8 B/row, the minhash/dedup family idiom,
+    replayed verbatim by the twin's md5-UBIGINT expression; a collision
+    collides identically on both sides) instead of the ~25 B shingle
+    string, which cut the exchange+sort wall ~3× at sf0.1 — then
+    per-hash source lists (≤ |sources| each) explode to unordered pairs
+    and fold to the sources² matrix. Columns: src_a, src_b,
+    n_shared."""
+    import hashlib
+
     import numpy as np
     import pyarrow as pa
 
     from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema, with_ones
     from bioner_ray.stages.textstats import _split_lower
 
+    mask = (1 << 61) - 1
+    memo: dict[str, int] = {}
+    memo_cap = 1 << 22  # bound worker heap on open-vocabulary corpora
+
     def shingles(t: pa.Table) -> pa.Table:
         toks = _split_lower(t, "text")
         srcs = t.column("source").to_pylist()
-        out_s, out_src = [], []
+        out_h: list[int] = []
+        out_src: list[str] = []
         for row, src in zip(toks, srcs):
             seen = set()
             for i in range(len(row) - k + 1):
                 sh = " ".join(row[i : i + k])
-                if sh not in seen:
-                    seen.add(sh)
-                    out_s.append(sh)
-                    out_src.append(src)
+                if sh in seen:
+                    continue
+                seen.add(sh)
+                h = memo.get(sh)
+                if h is None:
+                    h = int.from_bytes(hashlib.md5(sh.encode()).digest()[:8], "big") & mask
+                    if len(memo) < memo_cap:
+                        memo[sh] = h
+                out_h.append(h)
+            out_src.extend([src] * len(seen))
         return pa.table(
             {
-                "s": pa.array(out_s, type=pa.string()),
+                "h": pa.array(np.asarray(out_h, dtype=np.int64)),
                 "source": pa.array(out_src, type=pa.string()),
             }
         )
 
-    pairs_schema = pa.schema([("s", pa.string()), ("source", pa.string())])
+    pairs_schema = pa.schema([("h", pa.int64()), ("source", pa.string())])
     ms = pin_schema(
         bucketed_aggregate(
             with_ones(
@@ -2011,9 +2028,9 @@ def source_overlap(sf_dir: str, k: int = 3):
                     shingles, batch_format="pyarrow"
                 )
             ),
-            ["s", "source"],
+            ["h", "source"],
             [("one", "min")],
-        ).map_batches(lambda t: t.select(["s", "source"]), batch_format="pyarrow"),
+        ).map_batches(lambda t: t.select(["h", "source"]), batch_format="pyarrow"),
         pairs_schema,
     )
 
@@ -2023,8 +2040,8 @@ def source_overlap(sf_dir: str, k: int = 3):
         )
         if g.num_columns == 0 or g.num_rows < 2:
             return schema.empty_table()
-        g = g.sort_by([("s", "ascending"), ("source", "ascending")])
-        keys = np.asarray(g.column("s").to_pylist(), dtype=object)
+        g = g.sort_by([("h", "ascending"), ("source", "ascending")])
+        keys = g.column("h").to_numpy(zero_copy_only=False)
         srcs = np.asarray(g.column("source").to_pylist(), dtype=object)
         n = len(keys)
         starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
@@ -2051,7 +2068,11 @@ def source_overlap(sf_dir: str, k: int = 3):
             }
         )
 
-    pairs = ms.groupby("s").map_groups(explode, batch_format="pyarrow")
+    # coarse-bucket the hash space: 256 shuffle groups with a run-scan
+    # inside each, never one Ray group per distinct shingle
+    from bioner_ray.stages.shuffle import bucketed_map_groups
+
+    pairs = bucketed_map_groups(ms, ["h"], explode)
     return pin_schema(
         bucketed_aggregate(
             pin_schema(

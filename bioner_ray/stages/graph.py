@@ -34,6 +34,7 @@ import pyarrow as pa
 from bioner_ray.stages.shuffle import (
     bucketed_aggregate,
     bucketed_inner_join,
+    bucketed_map_groups,
     pin_schema,
     with_ones,
 )
@@ -1608,15 +1609,28 @@ def reach2_kmv(
     # payloads (same trick as entity_centroids); the per-node pack
     # reuses the groupby machinery top_k itself runs on
     def pack(g: pa.Table) -> pa.Table:
-        hv = np.sort(g.column("hv").to_numpy(zero_copy_only=False).astype("<i8"))
+        if g.num_columns == 0 or g.num_rows == 0:
+            return pa.schema(
+                [("obj", pa.string()), ("blob", pa.binary())]
+            ).empty_table()
+        # multi-NODE run-scan (the bucketed_map_groups contract): the
+        # (node, hv) sort makes each node's run already hv-sorted
+        g = g.sort_by([("node", "ascending"), ("hv", "ascending")])
+        nodes = g.column("node").to_numpy(zero_copy_only=False)
+        hv = g.column("hv").to_numpy(zero_copy_only=False).astype("<i8")
+        starts = np.flatnonzero(np.r_[True, nodes[1:] != nodes[:-1]])
+        ends = np.r_[starts[1:], len(nodes)]
         return pa.table(
             {
-                "obj": g.column("node").slice(0, 1),
-                "blob": pa.array([hv.tobytes()], type=pa.binary()),
+                "obj": pa.array(nodes[starts], type=pa.string()),
+                "blob": pa.array(
+                    [hv[s:e].tobytes() for s, e in zip(starts.tolist(), ends.tolist())],
+                    type=pa.binary(),
+                ),
             }
         )
 
-    s1_packed = s1.groupby("node").map_groups(pack, batch_format="pyarrow")
+    s1_packed = bucketed_map_groups(s1, ["node"], pack)
 
     # ship each target node's packed synopsis back across its in-edges,
     # then explode vectorized on the narrow post-join map stage

@@ -44,14 +44,17 @@ def top_k_per_group(ds, key_col: str, order_by, k: int):
     columns — make the last one unique for determinism). Output: the
     input columns + ``rk`` (1-based rank within the group)."""
 
+    from bioner_ray.stages.shuffle import bucketed_map_groups
+
     def partial(batch: pa.Table) -> pa.Table:
         return _local_topk(batch, key_col, order_by, k, with_rank=False)
 
     def final(group: pa.Table) -> pa.Table:
         return _local_topk(group, key_col, order_by, k, with_rank=True)
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(key_col)
-        .map_groups(final, batch_format="pyarrow")
+    # coarse-bucket reduce (one Ray group per bucket, run-scan inside),
+    # never one Ray group per key — _local_topk is multi-key by
+    # construction
+    return bucketed_map_groups(
+        ds.map_batches(partial, batch_format="pyarrow"), [key_col], final
     )

@@ -116,6 +116,36 @@ def bucketed_aggregate(
     )
 
 
+def bucketed_map_groups(ds, keys: list[str], fn, num_buckets: int = 256):
+    """``groupby(keys).map_groups(fn)`` WITHOUT one Ray group per
+    distinct key: rows shuffle on the coarse bucket of the key columns
+    (``num_buckets`` groups total) and ``fn`` runs once per bucket over
+    ALL of its keys — at web-scale key cardinality (entities, users,
+    shingles) the per-key protocol is the dominant cost, not the UDF
+    (measured 13.9 s → 2.5 s on source_overlap at sf0.1).
+
+    Contract: ``fn`` must handle a multi-key table (sort by the key
+    itself and run-scan — every caller in this engine already does) and
+    a zero-column EMPTY table (the pin_schema hazard). The transient
+    ``_bucket`` column is stripped before ``fn`` sees the rows."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0:
+            return batch
+        return batch.append_column("_bucket", _bucket_column(batch, keys, num_buckets))
+
+    def run(group: pa.Table) -> pa.Table:
+        if "_bucket" in group.schema.names:
+            group = group.drop_columns(["_bucket"])
+        return fn(group)
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(run, batch_format="pyarrow")
+    )
+
+
 def bucketed_inner_join(
     left,
     right,

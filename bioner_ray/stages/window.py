@@ -110,19 +110,39 @@ def sessionize(
     """
 
     def assign(group: pa.Table) -> pa.Table:
-        group = group.sort_by([(ts_col, "ascending"), (id_col, "ascending")])
+        if group.num_columns == 0 or group.num_rows == 0:
+            return pa.schema(
+                [
+                    (id_col, pa.int64()),
+                    (key_col, pa.string()),
+                    ("session_id", pa.int64()),
+                ]
+            ).empty_table()
+        # multi-KEY run-scan (the bucketed_map_groups contract): sort by
+        # (key, ts, id), session breaks on key change OR gap, session_id
+        # rebased to 0 at each key's first row
+        group = group.sort_by(
+            [(key_col, "ascending"), (ts_col, "ascending"), (id_col, "ascending")]
+        )
+        keys = group.column(key_col).to_numpy(zero_copy_only=False)
         ts = group.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)  # µs
-        new = np.ones(len(ts), dtype=bool)
-        new[1:] = (ts[1:] - ts[:-1]) > gap_seconds * 1_000_000
+        newkey = np.r_[True, keys[1:] != keys[:-1]]
+        new = newkey.copy()
+        new[1:] |= (ts[1:] - ts[:-1]) > gap_seconds * 1_000_000
+        sid = np.cumsum(new) - 1
+        starts = np.flatnonzero(newkey)
+        base = np.repeat(sid[starts], np.diff(np.r_[starts, len(keys)]))
         return pa.table(
             {
                 id_col: group.column(id_col),
                 key_col: group.column(key_col),
-                "session_id": pa.array(np.cumsum(new) - 1, type=pa.int64()),
+                "session_id": pa.array(sid - base, type=pa.int64()),
             }
         )
 
-    return events_ds.groupby(key_col).map_groups(assign, batch_format="pyarrow")
+    from bioner_ray.stages.shuffle import bucketed_map_groups
+
+    return bucketed_map_groups(events_ds, [key_col], assign)
 
 
 def asof_join_latest(
