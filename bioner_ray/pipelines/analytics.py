@@ -4852,8 +4852,15 @@ def kg_rule_confidence(sf_dir: str, min_support: int = 2, edges=None):
 
     if edges is None:
         # materialize BEFORE the two-branch fan-out (pairs + body) —
-        # the kg_metapaths pool-budget convention
-        edges = kg_edges(sf_dir).materialize()
+        # the kg_metapaths pool-budget convention; triple columns only
+        # (weight/first_url would double the pinned footprint unused)
+        edges = (
+            kg_edges(sf_dir)
+            .map_batches(
+                lambda t: t.select(["subj", "pred", "obj"]), batch_format="pyarrow"
+            )
+            .materialize()
+        )
 
     def so_rows(t: pa.Table) -> pa.Table:
         key = pc.binary_join_element_wise(
@@ -4926,7 +4933,13 @@ def kg_inverse_predicates(sf_dir: str, min_support: int = 2, edges=None):
     )
 
     if edges is None:
-        edges = kg_edges(sf_dir).materialize()
+        edges = (
+            kg_edges(sf_dir)
+            .map_batches(
+                lambda t: t.select(["subj", "pred", "obj"]), batch_format="pyarrow"
+            )
+            .materialize()
+        )
 
     fwd_schema = pa.schema(
         [("k1", pa.string()), ("k2", pa.string()), ("p1", pa.string())]

@@ -94,30 +94,37 @@ def sessionize(
     key_col: str = "user_id",
     ts_col: str = "ts",
     id_col: str = "event_id",
+    num_buckets: int = 256,
 ):
     """Gap-based sessionization: per key, events ordered by
     ``(ts, id)``; a new session starts when the gap from the previous
     event strictly exceeds ``gap_seconds``. ``session_id`` is 0-based
     per key.
 
-    Shuffle shape: ONE sort-based ``groupby(key)`` — each group is one
-    key's events, bounded by per-key activity, not the corpus; the
-    in-group pass is a vectorized diff + cumsum. The skew assumption
-    is the usual map_groups one: a pathologically hot key's events
-    must fit one group (sessionize cannot split a key without losing
-    gap continuity — the honest lower bound for any engine).
+    Shuffle shape: ONE coarse-bucket shuffle (``bucketed_map_groups``,
+    never one Ray group per user) with a multi-key run-scan inside
+    each bucket — each reduce group holds ~1/``num_buckets`` of the
+    events table, so size ``num_buckets`` so a bucket fits worker
+    heap; a pathologically hot key's events must still share one
+    bucket (sessionize cannot split a key without losing gap
+    continuity — the honest lower bound for any engine).
     Output columns: id_col, key_col, ``session_id`` (int64).
     """
 
     def assign(group: pa.Table) -> pa.Table:
-        if group.num_columns == 0 or group.num_rows == 0:
-            return pa.schema(
-                [
-                    (id_col, pa.int64()),
-                    (key_col, pa.string()),
-                    ("session_id", pa.int64()),
-                ]
-            ).empty_table()
+        if group.num_columns == 0:
+            # schema-less empty reduce partition (the pin_schema
+            # hazard): pass through — inventing column types here
+            # would poison schema unification for int64-keyed callers
+            return group
+        if group.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: group.column(id_col),
+                    key_col: group.column(key_col),
+                    "session_id": pa.array([], type=pa.int64()),
+                }
+            )
         # multi-KEY run-scan (the bucketed_map_groups contract): sort by
         # (key, ts, id), session breaks on key change OR gap, session_id
         # rebased to 0 at each key's first row
@@ -142,7 +149,7 @@ def sessionize(
 
     from bioner_ray.stages.shuffle import bucketed_map_groups
 
-    return bucketed_map_groups(events_ds, [key_col], assign)
+    return bucketed_map_groups(events_ds, [key_col], assign, num_buckets=num_buckets)
 
 
 def asof_join_latest(
