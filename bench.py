@@ -299,6 +299,8 @@ OPERATOR_QUERIES = [
     "kg_synonym_pairs",
     "web_host_components",
     "host_family_rollup",
+    "corpus_filter_funnel",
+    "host_crawl_priority",
 ]
 
 

@@ -2702,3 +2702,143 @@ def dedup_cluster_reps(sf_dir: str, threshold: float = 0.5):
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def corpus_filter_funnel(
+    sf_dir: str,
+    min_tokens: int = 10,
+    min_mean_entropy_micro: int = 2_000_000,
+    min_ratio: float = 0.2,
+    max_ratio: float = 0.9,
+):
+    """The filter-stack waterfall every dataset paper publishes (C4 /
+    RefinedWeb-style): per ORDERED gate — langid(en) → min-tokens →
+    mean-entropy → compression-band → exact-dedup keeper — the number
+    of documents entering, surviving, and the surviving TOKEN mass.
+    Gates compose cumulatively (a document is judged by later gates
+    only if every earlier one passed), so the table answers "which
+    stage costs the corpus how much" at a glance.
+
+    Scale shape: the per-doc verdict signals are the existing
+    shuffle-light stages (``quality_gate_report``'s entropy/zlib
+    signals, ``langid``, ``exact_dedup``'s (id, md5) exchange)
+    stitched by three doc_id-bucketed joins; the funnel fold is one
+    6-value histogram aggregate plus a driver-side cumulation over the
+    FIXED stage count — never a per-doc driver loop. Columns: stage,
+    name, docs_in, docs_out, tokens_out."""
+    import ray.data as rd
+
+    from bioner_ray.stages.dedup import exact_dedup
+    from bioner_ray.stages.shuffle import (
+        bucketed_aggregate,
+        bucketed_inner_join,
+        pin_schema,
+    )
+
+    lang_schema = pa.schema(
+        [("doc_id", pa.int64()), ("pred_lang", pa.string()), ("lang_score", pa.float64())]
+    )
+    gate_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_tokens", pa.int64()),
+            ("h_micro", pa.int64()),
+            ("ratio", pa.float64()),
+            ("keep", pa.int64()),
+        ]
+    )
+    gate = pin_schema(
+        quality_gate_report(
+            sf_dir,
+            min_tokens=min_tokens,
+            min_mean_entropy_micro=min_mean_entropy_micro,
+            min_ratio=min_ratio,
+            max_ratio=max_ratio,
+        ),
+        gate_schema,
+    )
+    lang = pin_schema(langid(sf_dir), lang_schema)
+    joined = bucketed_inner_join(gate, lang, ["doc_id"], gate_schema, lang_schema)
+
+    keep_schema = pa.schema([("doc_id", pa.int64()), ("isk", pa.int64())])
+    keepers = pin_schema(
+        exact_dedup(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "doc_id": t.column("keep_id"),
+                    "isk": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                }
+            )
+            if t.num_columns
+            else keep_schema.empty_table(),
+            batch_format="pyarrow",
+        ),
+        keep_schema,
+    )
+    joined_schema = pa.schema(
+        list(gate_schema) + [f for f in lang_schema if f.name != "doc_id"]
+    )
+    full = bucketed_inner_join(
+        pin_schema(joined, joined_schema),
+        keepers,
+        ["doc_id"],
+        joined_schema,
+        keep_schema,
+        join_type="left outer",
+    )
+
+    sr_schema = pa.schema([("sr", pa.int64()), ("docs", pa.int64()), ("tokens", pa.int64())])
+
+    def stage_reached(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return sr_schema.empty_table()
+        n = t.column("n_tokens").to_numpy(zero_copy_only=False)
+        h = t.column("h_micro").to_numpy(zero_copy_only=False)
+        r = t.column("ratio").to_numpy(zero_copy_only=False)
+        pl = t.column("pred_lang").to_numpy(zero_copy_only=False)
+        isk = t.column("isk").fill_null(0).to_numpy(zero_copy_only=False)
+        p1 = pl == "en"
+        p2 = n >= min_tokens
+        # exact integer cross-multiply (the quality_gate_report gate)
+        p3 = h.astype(object) >= n.astype(object) * min_mean_entropy_micro
+        p3 = p3.astype(bool)
+        p4 = (r >= min_ratio) & (r <= max_ratio)
+        p5 = isk == 1
+        c1 = p1.astype(np.int64)
+        c2 = c1 * p2
+        c3 = c2 * p3
+        c4 = c3 * p4
+        c5 = c4 * p5
+        sr = c1 + c2 + c3 + c4 + c5
+        return pa.table(
+            {
+                "sr": pa.array(sr, type=pa.int64()),
+                "docs": pa.array(np.ones(len(sr), dtype=np.int64)),
+                "tokens": pa.array(n.astype(np.int64)),
+            }
+        )
+
+    hist = pin_schema(
+        bucketed_aggregate(
+            full.map_batches(stage_reached, batch_format="pyarrow"),
+            ["sr"],
+            [("docs", "sum"), ("tokens", "sum")],
+        ),
+        sr_schema,
+    ).to_pandas()  # bounded: at most 6 rows (sr in 0..5)
+
+    names = ["langid_en", "min_tokens", "entropy", "compression", "exact_dedup"]
+    docs_ge = {k: int(hist.loc[hist["sr"] >= k, "docs"].sum()) for k in range(6)}
+    toks_ge = {k: int(hist.loc[hist["sr"] >= k, "tokens"].sum()) for k in range(6)}
+    return rd.from_arrow(
+        pa.table(
+            {
+                "stage": pa.array(range(1, 6), type=pa.int64()),
+                "name": pa.array(names, type=pa.string()),
+                "docs_in": pa.array([docs_ge[k - 1] for k in range(1, 6)], type=pa.int64()),
+                "docs_out": pa.array([docs_ge[k] for k in range(1, 6)], type=pa.int64()),
+                "tokens_out": pa.array([toks_ge[k] for k in range(1, 6)], type=pa.int64()),
+            }
+        )
+    )

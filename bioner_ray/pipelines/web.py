@@ -1037,3 +1037,92 @@ def host_family_rollup(sf_dir: str):
             [("family", pa.string()), ("n_hosts", pa.int64()), ("n_pages", pa.int64())]
         ),
     )
+
+
+def host_crawl_priority(sf_dir: str):
+    """The crawl scheduler's per-host priority feed — the three
+    crawl-ops signals this module already computes, composed the way a
+    scheduler actually consumes them: domain authority
+    (``host_pagerank``'s scaled-integer rank), quality keep-rate
+    (``host_quality_report``), and the mirror family
+    (``web_host_components``; singleton hosts are their own family, and
+    a scheduler splits one budget across a family). ``priority`` is the
+    exact integer ``rank * n_kept // n_docs`` — authority discounted by
+    the fraction of a host's pages that survive the quality gate —
+    computed on Python ints (no int64 overflow at any rank × page
+    count) and replayed by the twin's HUGEINT floor division.
+
+    Scale shape: every table here is host-vocabulary-bounded, so the
+    two bucketed joins and the final map are O(hosts), never
+    page-scale. Columns: host, family, rank, priority."""
+    from bioner_ray.stages.shuffle import bucketed_inner_join, pin_schema
+
+    pr_schema = pa.schema([("host", pa.string()), ("rank", pa.int64())])
+    qr_schema = pa.schema(
+        [
+            ("host", pa.string()),
+            ("n_docs", pa.int64()),
+            ("n_kept", pa.int64()),
+            ("keep_rate", pa.float64()),
+        ]
+    )
+    pr = pin_schema(
+        host_pagerank(sf_dir).map_batches(
+            lambda t: t.rename_columns(["host", "rank"]) if t.num_columns else t,
+            batch_format="pyarrow",
+        ),
+        pr_schema,
+    )
+    qr = pin_schema(host_quality_report(sf_dir), qr_schema)
+    joined_schema = pa.schema(
+        [
+            ("host", pa.string()),
+            ("rank", pa.int64()),
+            ("n_docs", pa.int64()),
+            ("n_kept", pa.int64()),
+            ("keep_rate", pa.float64()),
+        ]
+    )
+    joined = pin_schema(
+        bucketed_inner_join(pr, qr, ["host"], pr_schema, qr_schema), joined_schema
+    )
+    fam_schema = pa.schema([("host", pa.string()), ("family", pa.string())])
+    fam = pin_schema(web_host_components(sf_dir), fam_schema)
+    full = bucketed_inner_join(
+        joined, fam, ["host"], joined_schema, fam_schema, join_type="left outer"
+    )
+
+    out_schema = pa.schema(
+        [
+            ("host", pa.string()),
+            ("family", pa.string()),
+            ("rank", pa.int64()),
+            ("priority", pa.int64()),
+        ]
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return out_schema.empty_table()
+        hosts = t.column("host")
+        fams = pa.array(
+            [
+                f if f is not None else h
+                for h, f in zip(hosts.to_pylist(), t.column("family").to_pylist())
+            ],
+            type=pa.string(),
+        )
+        rank = t.column("rank").to_numpy(zero_copy_only=False)
+        kept = t.column("n_kept").to_numpy(zero_copy_only=False)
+        docs = t.column("n_docs").to_numpy(zero_copy_only=False)
+        prio = [int(r) * int(k) // int(d) for r, k, d in zip(rank, kept, docs)]
+        return pa.table(
+            {
+                "host": hosts,
+                "family": fams,
+                "rank": t.column("rank"),
+                "priority": pa.array(prio, type=pa.int64()),
+            }
+        )
+
+    return pin_schema(full.map_batches(score, batch_format="pyarrow"), out_schema)

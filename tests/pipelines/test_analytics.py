@@ -191,6 +191,8 @@ SQL_CHECKED = [
     "web_host_components",
     "kg_synonym_pairs",
     "host_family_rollup",
+    "corpus_filter_funnel",
+    "host_crawl_priority",
 ]
 
 #: queries with neither a SQL twin nor a golden parquet — none left;
