@@ -301,6 +301,7 @@ OPERATOR_QUERIES = [
     "host_family_rollup",
     "corpus_filter_funnel",
     "host_crawl_priority",
+    "doc_quality_features",
 ]
 
 

@@ -2842,3 +2842,116 @@ def corpus_filter_funnel(
             }
         )
     )
+
+
+def doc_quality_features(sf_dir: str):
+    """Per-document feature table for a learned quality classifier —
+    the feature-extraction step behind fastText/DSIR-style corpus
+    filtering: every cheap quality axis the engine computes, one wide
+    row per document (token count, exact unigram entropy micro-nats,
+    zlib compression ratio, predicted language + score, lexicon
+    sentiment counts, per-doc Flesch reading ease with the same pinned
+    double composition as ``doc_readability``). A trainer reads this
+    table plus labels; the filter stack (``corpus_filter_funnel``)
+    consumes the learned thresholds.
+
+    Scale shape: five single-pass per-doc signals stitched by four
+    doc_id-bucketed joins — no signal is recomputed and nothing is
+    corpus-materialized. Columns: doc_id, n_tokens, h_micro, ratio,
+    pred_lang, lang_score, n_pos, n_neg, flesch."""
+    import pyarrow.compute as pc
+
+    from bioner_ray.pipelines.analytics import doc_entropy
+    from bioner_ray.stages.shuffle import bucketed_inner_join, pin_schema
+
+    ent_schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_tokens", pa.int64()), ("h_micro", pa.int64())]
+    )
+    comp_schema = pa.schema([("doc_id", pa.int64()), ("ratio", pa.float64())])
+    lang_schema = pa.schema(
+        [("doc_id", pa.int64()), ("pred_lang", pa.string()), ("lang_score", pa.float64())]
+    )
+    sent_schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_pos", pa.int64()), ("n_neg", pa.int64())]
+    )
+    fl_schema = pa.schema([("doc_id", pa.int64()), ("flesch", pa.float64())])
+
+    ent = pin_schema(doc_entropy(sf_dir), ent_schema)
+    comp = pin_schema(
+        doc_compression_ratio(sf_dir).map_batches(
+            lambda t: t.select(["doc_id", "ratio"])
+            if t.num_columns
+            else comp_schema.empty_table(),
+            batch_format="pyarrow",
+        ),
+        comp_schema,
+    )
+    lang = pin_schema(langid(sf_dir), lang_schema)
+    sent = pin_schema(
+        doc_sentiment(sf_dir).map_batches(
+            lambda t: t.select(["doc_id", "n_pos", "n_neg"])
+            if t.num_columns
+            else sent_schema.empty_table(),
+            batch_format="pyarrow",
+        ),
+        sent_schema,
+    )
+
+    def flesch_rows(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(t.column("text"), "")
+        lower = pc.utf8_lower(text)
+        w = pc.cast(pc.count_substring_regex(lower, r"[^\s]+"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        ).astype(np.float64)
+        s = np.maximum(
+            pc.cast(pc.count_substring_regex(text, r"[.!?]"), pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64),
+            1.0,
+        )
+        y = pc.cast(pc.count_substring_regex(lower, r"[aeiouy]+"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        ).astype(np.float64)
+        wf = np.maximum(w, 1.0)  # empty doc: w floored for the y/w term
+        # pinned composition, identical op order to the twin:
+        # (206.835 - 1.015*(w/s)) - 84.6*(y/max(w,1))
+        flesch = (206.835 - 1.015 * (w / s)) - 84.6 * (y / wf)
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "flesch": pa.array(flesch, type=pa.float64())}
+        )
+
+    fl = pin_schema(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+            flesch_rows, batch_format="pyarrow"
+        ),
+        fl_schema,
+    )
+
+    j1_schema = pa.schema(list(ent_schema) + [("ratio", pa.float64())])
+    j1 = pin_schema(
+        bucketed_inner_join(ent, comp, ["doc_id"], ent_schema, comp_schema), j1_schema
+    )
+    j2_schema = pa.schema(
+        list(j1_schema) + [f for f in lang_schema if f.name != "doc_id"]
+    )
+    j2 = pin_schema(
+        bucketed_inner_join(j1, lang, ["doc_id"], j1_schema, lang_schema), j2_schema
+    )
+    j3_schema = pa.schema(
+        list(j2_schema) + [f for f in sent_schema if f.name != "doc_id"]
+    )
+    j3 = pin_schema(
+        bucketed_inner_join(j2, sent, ["doc_id"], j2_schema, sent_schema), j3_schema
+    )
+    out_schema = pa.schema(list(j3_schema) + [("flesch", pa.float64())])
+    out = bucketed_inner_join(j3, fl, ["doc_id"], j3_schema, fl_schema)
+    return pin_schema(
+        out.map_batches(
+            lambda t: t.select([f.name for f in out_schema])
+            if t.num_columns
+            else out_schema.empty_table(),
+            batch_format="pyarrow",
+        ),
+        out_schema,
+        ensure_block=True,
+    )

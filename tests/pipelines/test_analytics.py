@@ -193,6 +193,7 @@ SQL_CHECKED = [
     "host_family_rollup",
     "corpus_filter_funnel",
     "host_crawl_priority",
+    "doc_quality_features",
 ]
 
 #: queries with neither a SQL twin nor a golden parquet — none left;
