@@ -302,6 +302,8 @@ OPERATOR_QUERIES = [
     "corpus_filter_funnel",
     "host_crawl_priority",
     "doc_quality_features",
+    # round-3 tenth session
+    "gopher_rules",
 ]
 
 

@@ -2955,3 +2955,35 @@ def doc_quality_features(sf_dir: str):
         out_schema,
         ensure_block=True,
     )
+
+
+def gopher_rules(
+    sf_dir: str, min_words: int = 20, max_words: int = 100_000, min_stop: int = 1
+):
+    """Per-document Gopher/MassiveText quality-rule verdict (Rae et
+    al. 2021 Table A1) — the full heuristic filter stack as a feature
+    table: word-count window, mean word length, symbol-to-word ratio,
+    alphabetic-word fraction, stopword hits, bullet-line and
+    ellipsis-line shares, plus the composed ``keep`` flag. Complements
+    ``quality_docs`` (C4 token/TTR gate) and ``repetition_stats``
+    (Gopher's repetition signals) with the document- and line-level
+    rules neither covers.
+
+    ``min_stop`` defaults to 1 here (Gopher publishes 2): the
+    synthetic corpus's vocabulary carries exactly one word from the
+    8-word list, so the published threshold would zero every verdict —
+    the same vacuous-gate trap kg_publish hit; at 1 the keep column
+    splits the fixture ~370/130. The stage default stays 2.
+
+    Scale shape: one stateless vectorized ``map_batches`` pass, no
+    shuffle — per-doc verdicts stream out at read speed. Columns:
+    doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac, n_stop,
+    bullet_frac, ellipsis_frac, keep."""
+    from bioner_ray.stages.textstats import gopher_rules_stage
+
+    return gopher_rules_stage(
+        _documents(sf_dir),
+        min_words=min_words,
+        max_words=max_words,
+        min_stop=min_stop,
+    )

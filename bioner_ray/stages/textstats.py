@@ -327,3 +327,157 @@ def sentiment_batch(batch: pa.Table, text_col: str = "text", id_col: str = "doc_
             "net": pa.array(npos - nneg),
         }
     )
+
+
+#: Gopher rule 6's stopword list (Rae et al. 2021, arXiv:2112.11446
+#: Table A1): a document must contain at least 2 of these to pass.
+GOPHER_STOPWORDS = ("and", "be", "have", "of", "that", "the", "to", "with")
+
+GOPHER_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("n_words", pa.int64()),
+        ("mean_word_len", pa.float64()),
+        ("symbol_ratio", pa.float64()),
+        ("alpha_frac", pa.float64()),
+        ("n_stop", pa.int64()),
+        ("bullet_frac", pa.float64()),
+        ("ellipsis_frac", pa.float64()),
+        ("keep", pa.int64()),
+    ]
+)
+
+
+def gopher_rules_batch(
+    batch: pa.Table,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 20,
+    max_words: int = 100_000,
+    min_stop: int = 2,
+) -> pa.Table:
+    """Gopher/MassiveText quality-rule verdict per document (Rae et
+    al. 2021, arXiv:2112.11446 Table A1) — the heuristic filter stack
+    web-scale pretraining corpora apply before any learned scorer:
+
+    1. word count in [min_words, max_words]
+    2. mean word length in [3, 10] characters
+    3. symbol-to-word ratio ('#' chars + non-overlapping '...' + '…')
+       <= 0.1
+    4. fraction of words containing an alphabetic char >= 0.8
+    5. >= min_stop distinct hits from the 8-word stopword list
+       (Gopher's published threshold is 2)
+    6. <= 90% of lines start with a bullet ('-', '*', '•')
+    7. <= 30% of lines end with an ellipsis ('...' or '…')
+
+    Fully vectorized: ONE regex split per doc, then flat-token /
+    parent-index numpy folds (bincount) — no per-token Python. Every
+    ratio is a single float64 division of exact int counts, replayed
+    verbatim by the DuckDB twin; `keep` is the BIGINT AND of the 7
+    flags. Lines are '\\n' segments trimmed of spaces/tabs/CRs;
+    blank lines don't count.
+    """
+    if batch.num_columns == 0:
+        return GOPHER_SCHEMA.empty_table()
+    n = batch.num_rows
+    text = pc.fill_null(batch.column(text_col), "")
+
+    # --- word axis: flat tokens + parent indices, nonempty only ---
+    split = pc.split_pattern_regex(pc.utf8_lower(text), r"\s+")
+    flat = pc.list_flatten(split)
+    par = pc.list_parent_indices(split).to_numpy(zero_copy_only=False)
+    ne = pc.not_equal(flat, "")
+    mask = ne.to_numpy(zero_copy_only=False)
+    flat_ne = flat.filter(ne)
+    par = par[mask]
+    n_words = np.bincount(par, minlength=n).astype(np.int64)
+    lens = pc.utf8_length(flat_ne).to_numpy(zero_copy_only=False)
+    sum_len = np.bincount(par, weights=lens, minlength=n).astype(np.int64)
+    alpha = pc.match_substring_regex(flat_ne, "[a-z]").to_numpy(zero_copy_only=False)
+    n_alpha = np.bincount(par[alpha], minlength=n).astype(np.int64)
+    n_stop = np.zeros(n, dtype=np.int64)
+    for w in GOPHER_STOPWORDS:
+        eq = pc.equal(flat_ne, w).to_numpy(zero_copy_only=False)
+        n_stop += np.bincount(par[eq], minlength=n) > 0
+
+    # --- symbol axis: per-doc substring counts (non-overlapping) ---
+    n_sym = (
+        pc.count_substring(text, "#").to_numpy(zero_copy_only=False).astype(np.int64)
+        + pc.count_substring(text, "...").to_numpy(zero_copy_only=False)
+        + pc.count_substring(text, "…").to_numpy(zero_copy_only=False)
+    )
+
+    # --- line axis: '\n' segments, trimmed, nonblank ---
+    lines = pc.split_pattern(text, "\n")
+    lpar = pc.list_parent_indices(lines).to_numpy(zero_copy_only=False)
+    ltrim = pc.utf8_trim(pc.list_flatten(lines), " \t\r")
+    lne = pc.not_equal(ltrim, "").to_numpy(zero_copy_only=False)
+    ltrim_ne = ltrim.filter(pa.array(lne))
+    lpar = lpar[lne]
+    n_lines = np.bincount(lpar, minlength=n).astype(np.int64)
+    bullet = (
+        pc.starts_with(ltrim_ne, "-").to_numpy(zero_copy_only=False)
+        | pc.starts_with(ltrim_ne, "*").to_numpy(zero_copy_only=False)
+        | pc.starts_with(ltrim_ne, "•").to_numpy(zero_copy_only=False)
+    )
+    ell = (
+        pc.ends_with(ltrim_ne, "...").to_numpy(zero_copy_only=False)
+        | pc.ends_with(ltrim_ne, "…").to_numpy(zero_copy_only=False)
+    )
+    n_bullet = np.bincount(lpar[bullet], minlength=n).astype(np.int64)
+    n_ell = np.bincount(lpar[ell], minlength=n).astype(np.int64)
+
+    wden = np.maximum(n_words, 1).astype(np.float64)
+    lden = np.maximum(n_lines, 1).astype(np.float64)
+    mean_word_len = sum_len.astype(np.float64) / wden
+    symbol_ratio = n_sym.astype(np.float64) / wden
+    alpha_frac = n_alpha.astype(np.float64) / wden
+    bullet_frac = n_bullet.astype(np.float64) / lden
+    ellipsis_frac = n_ell.astype(np.float64) / lden
+    keep = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_word_len >= 3.0)
+        & (mean_word_len <= 10.0)
+        & (symbol_ratio <= 0.1)
+        & (alpha_frac >= 0.8)
+        & (n_stop >= min_stop)
+        & (bullet_frac <= 0.9)
+        & (ellipsis_frac <= 0.3)
+    ).astype(np.int64)
+    return pa.table(
+        {
+            "doc_id": batch.column(id_col),
+            "n_words": pa.array(n_words),
+            "mean_word_len": pa.array(mean_word_len),
+            "symbol_ratio": pa.array(symbol_ratio),
+            "alpha_frac": pa.array(alpha_frac),
+            "n_stop": pa.array(n_stop),
+            "bullet_frac": pa.array(bullet_frac),
+            "ellipsis_frac": pa.array(ellipsis_frac),
+            "keep": pa.array(keep),
+        }
+    )
+
+
+def gopher_rules_stage(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 20,
+    max_words: int = 100_000,
+    min_stop: int = 2,
+    batch_size: int = 1024,
+):
+    return ds.map_batches(
+        gopher_rules_batch,
+        fn_kwargs={
+            "text_col": text_col,
+            "id_col": id_col,
+            "min_words": min_words,
+            "max_words": max_words,
+            "min_stop": min_stop,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )

@@ -194,6 +194,7 @@ SQL_CHECKED = [
     "corpus_filter_funnel",
     "host_crawl_priority",
     "doc_quality_features",
+    "gopher_rules",
 ]
 
 #: queries with neither a SQL twin nor a golden parquet — none left;
@@ -1795,3 +1796,32 @@ def test_session_conversion_partitions_sessions():
     assert n_sessions_total == sess.groupby(["user_id", "session_id"]).ngroups
     assert ((conv["conversion"] >= 0) & (conv["conversion"] <= 1)).all()
     assert (conv["n_converted"] <= conv["n_sessions"]).all()
+
+
+def test_gopher_rules_flags(tmp_path):
+    import pyarrow as pa
+
+    from bioner_ray.pipelines.corpus import gopher_rules
+
+    clean = " ".join(["the"] + ["word"] * 24)  # 25 words, mwl 3.96
+    bullets = "- the item\n- word list here\n- more bullets"
+    symbols = "### ### ### ... the word"
+    ellipses = "the end...\nmore text…\nplain line"
+    _write(
+        tmp_path,
+        "documents",
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+                "text": pa.array([clean, bullets, symbols, ellipses]),
+            }
+        ),
+    )
+    out = _to_pandas(gopher_rules(str(tmp_path))).set_index("doc_id")
+    assert out.loc[1, "keep"] == 1
+    assert out.loc[1, "n_words"] == 25 and out.loc[1, "n_stop"] == 1
+    assert out.loc[2, "bullet_frac"] == 1.0 and out.loc[2, "keep"] == 0
+    # 9 '#' chars + one non-overlapping '...' over 6 words
+    assert out.loc[3, "symbol_ratio"] == 10.0 / 6.0
+    assert out.loc[3, "alpha_frac"] == 2.0 / 6.0 and out.loc[3, "keep"] == 0
+    assert out.loc[4, "ellipsis_frac"] == 2.0 / 3.0 and out.loc[4, "keep"] == 0
