@@ -304,6 +304,7 @@ OPERATOR_QUERIES = [
     "doc_quality_features",
     # round-3 tenth session
     "gopher_rules",
+    "doc_lang_mix",
 ]
 
 

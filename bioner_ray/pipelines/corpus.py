@@ -2987,3 +2987,22 @@ def gopher_rules(
         max_words=max_words,
         min_stop=min_stop,
     )
+
+
+def doc_lang_mix(sf_dir: str, seg_tokens: int = 16):
+    """Per-document segment-level language mixing (code-switching
+    audit): the langid profile argmax applied per fixed 16-token
+    window, folded to how many languages the document mixes and how
+    dominant the majority is — the per-segment routing decision
+    CCNet/mC4 make before sending mixed documents to per-language
+    pipelines. (Fixed token windows rather than lines/sentences: the
+    synthetic corpus is single-line punctuation-free text, so any
+    punctuation grain would be vacuously one segment per doc.)
+
+    Scale shape: one stateless vectorized ``map_batches`` pass (token
+    windows + per-profile is_in + bincount folds all inside the
+    batch), no shuffle. Columns: doc_id, n_segments, n_langs,
+    majority_lang, majority_frac."""
+    from bioner_ray.stages.textstats import lang_mix_stage
+
+    return lang_mix_stage(_documents(sf_dir), seg_tokens=seg_tokens)

@@ -481,3 +481,111 @@ def gopher_rules_stage(
         batch_format="pyarrow",
         batch_size=batch_size,
     )
+
+
+LANG_MIX_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("n_segments", pa.int64()),
+        ("n_langs", pa.int64()),
+        ("majority_lang", pa.string()),
+        ("majority_frac", pa.float64()),
+    ]
+)
+
+
+def lang_mix_batch(
+    batch: pa.Table,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_tokens: int = 16,
+) -> pa.Table:
+    """Per-document code-switching audit: the stopword-profile
+    language ID applied per fixed-size token window (consecutive
+    ``seg_tokens``-token chunks of the shared whitespace tokenization,
+    last chunk = remainder — the rag_chunks granularity), folded to
+    how many languages a document mixes and how dominant the majority
+    one is. Per-segment prediction replicates ``langid_batch``'s
+    pinned semantics exactly (profile-hit argmax in sorted-language
+    order; zero hits or a tie on the positive max → 'und'); the
+    majority vote over segments breaks count ties toward the
+    alphabetically smallest language (argmax over the sorted code
+    axis), a deliberate, SQL-replayable pin. Token-less docs report
+    ('und', 0.0).
+
+    Fully vectorized: flat tokens + parent indices, per-profile
+    ``is_in`` masks, bincount folds — no per-token Python. Columns:
+    doc_id, n_segments, n_langs, majority_lang, majority_frac
+    (majority segment count / n_segments, one double division)."""
+    if batch.num_columns == 0:
+        return LANG_MIX_SCHEMA.empty_table()
+    n = batch.num_rows
+    text = pc.fill_null(batch.column(text_col), "")
+    split = pc.split_pattern_regex(pc.utf8_lower(text), r"\s+")
+    flat = pc.list_flatten(split)
+    par = pc.list_parent_indices(split).to_numpy(zero_copy_only=False)
+    ne = pc.not_equal(flat, "")
+    mask = ne.to_numpy(zero_copy_only=False)
+    flat_ne = flat.filter(ne)
+    par = par[mask].astype(np.int64)
+
+    # position within doc → window id → compacted segment index
+    counts = np.bincount(par, minlength=n)
+    doc_first = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    pos = np.arange(par.size, dtype=np.int64) - doc_first[par]
+    win = pos // seg_tokens
+    kwin = int(win.max()) + 1 if win.size else 1
+    pair = par * kwin + win
+    seg_keys, seg_idx = np.unique(pair, return_inverse=True)
+    nseg = seg_keys.size
+    seg_doc = seg_keys // kwin
+
+    langs_sorted = sorted(LANG_PROFILES)
+    hits = np.zeros((nseg, len(langs_sorted)), dtype=np.int64)
+    for j, lang in enumerate(langs_sorted):
+        inset = pc.is_in(
+            flat_ne, value_set=pa.array(sorted(LANG_PROFILES[lang]))
+        ).to_numpy(zero_copy_only=False)
+        hits[:, j] = np.bincount(seg_idx[inset], minlength=nseg)
+
+    codes_order = sorted(langs_sorted + ["und"])
+    und_code = codes_order.index("und")
+    lang_code = np.array([codes_order.index(lang) for lang in langs_sorted])
+    mx = hits.max(axis=1) if nseg else np.zeros(0, dtype=np.int64)
+    ties = (hits == mx[:, None]).sum(axis=1)
+    pred = np.where(
+        (mx == 0) | (ties >= 2), und_code, lang_code[hits.argmax(axis=1)]
+    )
+
+    k = len(codes_order)
+    cnt = np.bincount(seg_doc * k + pred, minlength=n * k).reshape(n, k)
+    n_segments = cnt.sum(axis=1).astype(np.int64)
+    n_langs = (cnt > 0).sum(axis=1).astype(np.int64)
+    maj_idx = cnt.argmax(axis=1)  # first max → alphabetical-min tie-break
+    maj_cnt = cnt[np.arange(n), maj_idx]
+    majority = np.where(n_segments > 0, np.array(codes_order)[maj_idx], "und")
+    frac = maj_cnt.astype(np.float64) / np.maximum(n_segments, 1)
+    return pa.table(
+        {
+            "doc_id": batch.column(id_col),
+            "n_segments": pa.array(n_segments),
+            "n_langs": pa.array(n_langs),
+            "majority_lang": pa.array(majority.tolist(), type=pa.string()),
+            "majority_frac": pa.array(frac),
+        }
+    )
+
+
+def lang_mix_stage(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_tokens: int = 16,
+    batch_size: int = 1024,
+):
+    return ds.map_batches(
+        lang_mix_batch,
+        fn_kwargs={"text_col": text_col, "id_col": id_col, "seg_tokens": seg_tokens},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )

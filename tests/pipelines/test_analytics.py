@@ -195,6 +195,7 @@ SQL_CHECKED = [
     "host_crawl_priority",
     "doc_quality_features",
     "gopher_rules",
+    "doc_lang_mix",
 ]
 
 #: queries with neither a SQL twin nor a golden parquet — none left;
@@ -1825,3 +1826,32 @@ def test_gopher_rules_flags(tmp_path):
     assert out.loc[3, "symbol_ratio"] == 10.0 / 6.0
     assert out.loc[3, "alpha_frac"] == 2.0 / 6.0 and out.loc[3, "keep"] == 0
     assert out.loc[4, "ellipsis_frac"] == 2.0 / 3.0 and out.loc[4, "keep"] == 0
+
+
+def test_doc_lang_mix_windows(tmp_path):
+    import pyarrow as pa
+
+    from bioner_ray.pipelines.corpus import doc_lang_mix
+
+    en = "the cat of and to in is was for on with as by at from that"  # 16 en tokens
+    de = "der die das und ist von zu mit den im für auf des ein eine der"  # 16 de
+    mixed = en + " " + de + " " + en  # 3 windows: en, de, en
+    _write(
+        tmp_path,
+        "documents",
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                "text": pa.array([mixed, "zz qq ww", ""]),
+            }
+        ),
+    )
+    out = _to_pandas(doc_lang_mix(str(tmp_path))).set_index("doc_id")
+    assert out.loc[1, "n_segments"] == 3 and out.loc[1, "n_langs"] == 2
+    assert out.loc[1, "majority_lang"] == "en"
+    assert out.loc[1, "majority_frac"] == 2.0 / 3.0
+    # no profile hits → every window und
+    assert out.loc[2, "majority_lang"] == "und" and out.loc[2, "n_langs"] == 1
+    # token-less doc pins ('und', 0.0) with zero segments
+    assert out.loc[3, "n_segments"] == 0 and out.loc[3, "majority_lang"] == "und"
+    assert out.loc[3, "majority_frac"] == 0.0
