@@ -305,6 +305,7 @@ OPERATOR_QUERIES = [
     # round-3 tenth session
     "gopher_rules",
     "doc_lang_mix",
+    "copurchase_ego",
 ]
 
 

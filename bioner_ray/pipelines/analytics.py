@@ -8405,3 +8405,94 @@ def kg_shuffle_skew(sf_dir: str, num_buckets: int = 64, edges=None):
         mid_schema,
         ensure_block=True,
     )
+
+
+def copurchase_ego(sf_dir: str, hops: int = 1):
+    """Ego-network export: the ``hops``-hop neighborhood subgraph
+    around the part co-purchase graph's lexicographically-smallest
+    node — keep an edge iff BOTH endpoints sit within ``hops`` of the
+    seed, annotated with each endpoint's hop distance and the edge's
+    basket support. The bounded "pull the neighborhood of this entity"
+    extract a KG or recommender serves interactively; computed on the
+    basket graph rather than the toy KG for the same reason as
+    copurchase_assortativity/betweenness — the near-clique KG makes
+    any ego cut vacuous. Default ``hops=1`` (the closed neighborhood):
+    the basket graph's effective diameter is so small that 2 hops
+    already cover every edge at every test scale — 1 hop keeps the
+    membership cut non-vacuous (~2.4k of 8.9k edges at sf0.001).
+
+    Scale shape: the shared orderkey-keyed pair stream folds to a
+    (p1, p2) bucketed aggregate; the seed BFS is stages/graph.py
+    bfs_distances (one semi join + one anti join per round, node-sized
+    tables); membership + distance tagging are two doc_id-style
+    bucketed joins of the edge table against the node-sized distance
+    table. Nothing materializes; no all-pairs step. Columns: p1, p2,
+    n_baskets, d1, d2."""
+    from bioner_ray.stages.graph import bfs_distances
+    from bioner_ray.stages.shuffle import (
+        bucketed_aggregate,
+        bucketed_inner_join,
+        pin_schema,
+        with_ones,
+    )
+
+    e_schema = pa.schema(
+        [("p1", pa.int64()), ("p2", pa.int64()), ("n_baskets", pa.int64())]
+    )
+    edges = pin_schema(
+        bucketed_aggregate(
+            with_ones(_basket_pair_stream(sf_dir), "n_baskets"),
+            ["p1", "p2"],
+            [("n_baskets", "sum")],
+        ),
+        e_schema,
+    )
+    dist = bfs_distances(edges, n_seeds=1, max_hops=hops, subj_col="p1", obj_col="p2")
+
+    ek_schema = pa.schema(list(e_schema) + [("p1s", pa.string()), ("p2s", pa.string())])
+
+    def with_keys(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return ek_schema.empty_table()
+        return t.append_column(
+            "p1s", pc.cast(t.column("p1"), pa.string())
+        ).append_column("p2s", pc.cast(t.column("p2"), pa.string()))
+
+    ek = pin_schema(edges.map_batches(with_keys, batch_format="pyarrow"), ek_schema)
+
+    def dist_as(key: str, out: str):
+        schema = pa.schema([(key, pa.string()), (out, pa.int64())])
+
+        def rn(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0:
+                return schema.empty_table()
+            return pa.table({key: t.column("node"), out: t.column("dist")})
+
+        return pin_schema(dist.map_batches(rn, batch_format="pyarrow"), schema), schema
+
+    d1, d1_schema = dist_as("p1s", "d1")
+    d2, d2_schema = dist_as("p2s", "d2")
+    j1_schema = pa.schema(list(ek_schema) + [("d1", pa.int64())])
+    j1 = pin_schema(
+        bucketed_inner_join(ek, d1, ["p1s"], ek_schema, d1_schema), j1_schema
+    )
+    out = bucketed_inner_join(j1, d2, ["p2s"], j1_schema, d2_schema)
+    out_schema = pa.schema(
+        [
+            ("p1", pa.int64()),
+            ("p2", pa.int64()),
+            ("n_baskets", pa.int64()),
+            ("d1", pa.int64()),
+            ("d2", pa.int64()),
+        ]
+    )
+    return pin_schema(
+        out.map_batches(
+            lambda t: t.select([f.name for f in out_schema])
+            if t.num_columns
+            else out_schema.empty_table(),
+            batch_format="pyarrow",
+        ),
+        out_schema,
+        ensure_block=True,
+    )

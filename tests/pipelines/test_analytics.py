@@ -196,6 +196,7 @@ SQL_CHECKED = [
     "doc_quality_features",
     "gopher_rules",
     "doc_lang_mix",
+    "copurchase_ego",
 ]
 
 #: queries with neither a SQL twin nor a golden parquet — none left;
@@ -1855,3 +1856,17 @@ def test_doc_lang_mix_windows(tmp_path):
     # token-less doc pins ('und', 0.0) with zero segments
     assert out.loc[3, "n_segments"] == 0 and out.loc[3, "majority_lang"] == "und"
     assert out.loc[3, "majority_frac"] == 0.0
+
+
+def test_copurchase_ego_is_proper_neighborhood_cut():
+    from bioner_ray.pipelines.analytics import basket_pairs, copurchase_ego
+
+    ego = _to_pandas(copurchase_ego(SF_DIR))
+    pairs = _to_pandas(basket_pairs(SF_DIR, min_support=1, k=10**9))
+    assert 0 < len(ego) < len(pairs)  # non-vacuous membership cut
+    assert set(ego.columns) == {"p1", "p2", "n_baskets", "d1", "d2"}
+    assert ego[["d1", "d2"]].max().max() <= 1
+    # exactly one seed at distance 0, and every edge touches the
+    # closed neighborhood (both endpoints within one hop)
+    seed_nodes = set(ego.loc[ego.d1 == 0, "p1"]) | set(ego.loc[ego.d2 == 0, "p2"])
+    assert len(seed_nodes) == 1
