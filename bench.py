@@ -306,6 +306,7 @@ OPERATOR_QUERIES = [
     "gopher_rules",
     "doc_lang_mix",
     "copurchase_ego",
+    "kg_entity_salience",
 ]
 
 

@@ -8496,3 +8496,111 @@ def copurchase_ego(sf_dir: str, hops: int = 1):
         out_schema,
         ensure_block=True,
     )
+
+
+def kg_entity_salience(sf_dir: str):
+    """Per-entity salience profile: document frequency, total mention
+    count, and how EARLY the entity first appears in the documents
+    that mention it — `mean_first_micro` = the per-doc normalized
+    first-mention offset (first compacted token position × 10^6 //
+    doc token count, exact ints) averaged over mentioning docs with an
+    integer floor divide. Title/lead entities (low values) are
+    high-salience linking anchors; entities that only ever appear deep
+    in boilerplate tails score near 10^6 — the salience prior an
+    entity linker feeds on. Reads the same single-token entity
+    contract the gazetteer resolves to on this lexicon
+    (doc_entity_density's argument), so it costs none of the scorer
+    pool.
+
+    Scale shape: one stateless vectorized pass (flat tokens + parent
+    indices, per-surface equality masks, minimum.at/bincount folds)
+    emitting ≤ |lexicon| rows per block, then ONE surface-keyed
+    bucketed aggregate over those bounded partials. Columns: surface,
+    n_docs, n_mentions, mean_first_micro."""
+    from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema
+
+    entity_list = sorted(ENTITY_SURFACES)
+    part_schema = pa.schema(
+        [
+            ("surface", pa.string()),
+            ("one", pa.int64()),
+            ("n_mentions", pa.int64()),
+            ("sal_sum", pa.int64()),
+        ]
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0:
+            return part_schema.empty_table()
+        n = batch.num_rows
+        text = pc.fill_null(batch.column("text"), "")
+        split = pc.split_pattern_regex(pc.utf8_lower(text), r"\s+")
+        flat = pc.list_flatten(split)
+        par = pc.list_parent_indices(split).to_numpy(zero_copy_only=False)
+        ne = pc.not_equal(flat, "")
+        mask = ne.to_numpy(zero_copy_only=False)
+        flat_ne = flat.filter(ne)
+        par = par[mask].astype(np.int64)
+        counts = np.bincount(par, minlength=n)
+        doc_first = np.concatenate(([0], np.cumsum(counts)))[:-1]
+        pos = np.arange(par.size, dtype=np.int64) - doc_first[par]
+        surfs, ones, ments, sals = [], [], [], []
+        for s in entity_list:
+            m = pc.equal(flat_ne, s).to_numpy(zero_copy_only=False)
+            if not m.any():
+                continue
+            docs_idx = par[m]
+            cnt = np.bincount(docs_idx, minlength=n)
+            first = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+            np.minimum.at(first, docs_idx, pos[m])
+            hit = cnt > 0
+            sal = first[hit] * 1_000_000 // counts[hit]
+            surfs.extend([s] * int(hit.sum()))
+            ones.extend([1] * int(hit.sum()))
+            ments.extend(cnt[hit].tolist())
+            sals.extend(sal.tolist())
+        return pa.table(
+            {
+                "surface": pa.array(surfs, type=pa.string()),
+                "one": pa.array(ones, type=pa.int64()),
+                "n_mentions": pa.array(ments, type=pa.int64()),
+                "sal_sum": pa.array(sals, type=pa.int64()),
+            }
+        )
+
+    agg = pin_schema(
+        bucketed_aggregate(
+            _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+                partials, batch_format="pyarrow"
+            ),
+            ["surface"],
+            [("one", "sum"), ("n_mentions", "sum"), ("sal_sum", "sum")],
+        ),
+        part_schema,
+    )
+    out_schema = pa.schema(
+        [
+            ("surface", pa.string()),
+            ("n_docs", pa.int64()),
+            ("n_mentions", pa.int64()),
+            ("mean_first_micro", pa.int64()),
+        ]
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return out_schema.empty_table()
+        nd = t.column("one").to_numpy(zero_copy_only=False)
+        ss = t.column("sal_sum").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "surface": t.column("surface"),
+                "n_docs": pa.array(nd),
+                "n_mentions": t.column("n_mentions"),
+                "mean_first_micro": pa.array(ss // nd),
+            }
+        )
+
+    return pin_schema(
+        agg.map_batches(finish, batch_format="pyarrow"), out_schema, ensure_block=True
+    )

@@ -197,6 +197,7 @@ SQL_CHECKED = [
     "gopher_rules",
     "doc_lang_mix",
     "copurchase_ego",
+    "kg_entity_salience",
 ]
 
 #: queries with neither a SQL twin nor a golden parquet — none left;
@@ -1870,3 +1871,28 @@ def test_copurchase_ego_is_proper_neighborhood_cut():
     # closed neighborhood (both endpoints within one hop)
     seed_nodes = set(ego.loc[ego.d1 == 0, "p1"]) | set(ego.loc[ego.d2 == 0, "p2"])
     assert len(seed_nodes) == 1
+
+
+def test_kg_entity_salience_crafted(tmp_path):
+    import pyarrow as pa
+
+    from bioner_ray.pipelines.analytics import kg_entity_salience
+
+    # 'table' first at position 0 of a 4-token doc and position 2 of a
+    # 4-token doc → mean = (0 + 500000) // 2; 'key' appears twice in
+    # one doc (n_mentions 2, df 1, first at 2 of 4 → 500000)
+    _write(
+        tmp_path,
+        "documents",
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], type=pa.int64()),
+                "text": pa.array(["table x key key", "y z table w"]),
+            }
+        ),
+    )
+    out = _to_pandas(kg_entity_salience(str(tmp_path))).set_index("surface")
+    assert out.loc["table", "n_docs"] == 2
+    assert out.loc["table", "mean_first_micro"] == 250000
+    assert out.loc["key", "n_mentions"] == 2
+    assert out.loc["key", "mean_first_micro"] == 500000
