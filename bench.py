@@ -307,6 +307,7 @@ OPERATOR_QUERIES = [
     "doc_lang_mix",
     "copurchase_ego",
     "kg_entity_salience",
+    "crawl_depth",
 ]
 
 

@@ -1126,3 +1126,50 @@ def host_crawl_priority(sf_dir: str):
         )
 
     return pin_schema(full.map_batches(score, batch_format="pyarrow"), out_schema)
+
+
+def crawl_depth(sf_dir: str, n_seeds: int = 3, max_hops: int = 4):
+    """Crawl-depth distribution: a DIRECTED BFS over the resolved
+    URL→URL link graph from the ``n_seeds`` lexicographically-smallest
+    source URLs (the seed list of a fresh crawl), folded to how many
+    URLs first become reachable at each hop — the frontier-growth
+    curve a crawl scheduler provisions against (how deep must the
+    crawler go before the reachable set saturates).
+
+    Scale shape: anchor extraction + resolution stream per page;
+    stages/graph.py bfs_distances in directed mode does one left-semi
+    bucketed join + one anti join per hop against node-sized tables;
+    the final fold is a bounded (≤ max_hops+1 row) aggregate.
+    Columns: dist, n_urls."""
+    from bioner_ray.stages.graph import bfs_distances
+    from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema, with_ones
+    from bioner_ray.stages.weblinks import resolve_dst_urls_batch
+
+    url_links = (
+        _synthetic_pages(sf_dir)
+        .map_batches(extract_links_batch, batch_format="pyarrow")
+        .map_batches(resolve_dst_urls_batch, batch_format="pyarrow")
+    )
+    dist = bfs_distances(
+        url_links,
+        n_seeds=n_seeds,
+        max_hops=max_hops,
+        subj_col="src_url",
+        obj_col="dst_url",
+        directed=True,
+    )
+    out_schema = pa.schema([("dist", pa.int64()), ("n_urls", pa.int64())])
+    agg = bucketed_aggregate(
+        with_ones(
+            dist.map_batches(
+                lambda t: t.select(["dist"])
+                if t.num_columns
+                else pa.schema([("dist", pa.int64())]).empty_table(),
+                batch_format="pyarrow",
+            ),
+            "n_urls",
+        ),
+        ["dist"],
+        [("n_urls", "sum")],
+    )
+    return pin_schema(agg, out_schema, ensure_block=True)

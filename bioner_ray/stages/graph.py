@@ -1714,6 +1714,7 @@ def bfs_distances(
     subj_col: str = "subj",
     obj_col: str = "obj",
     num_buckets: int = 256,
+    directed: bool = False,
 ):
     """Multi-source BFS hop distances over the undirected simple graph
     (Pregel frontier expansion): seeds are the ``n_seeds``
@@ -1729,8 +1730,10 @@ def bfs_distances(
     The visited/frontier tables are materialized per round to cut
     lineage (the kg_pagerank argument). Early exit on an empty frontier
     is fixpoint-safe: an empty frontier stays empty, so the fixed-round
-    SQL twin replays the result exactly. Columns: node, dist (hops from
-    the nearest seed; nodes beyond ``max_hops`` are absent).
+    SQL twin replays the result exactly. With ``directed=True`` edges
+    expand forward only (crawl-depth semantics); seeds are then the
+    lexicographically-smallest SOURCE nodes. Columns: node, dist (hops
+    from the nearest seed; nodes beyond ``max_hops`` are absent).
     """
     import numpy as np
     import pyarrow.compute as pc
@@ -1740,6 +1743,8 @@ def bfs_distances(
         o = pc.cast(batch.column(obj_col), pa.string()).combine_chunks()
         keep = pc.not_equal(s, o)
         s, o = s.filter(keep), o.filter(keep)
+        if directed:
+            return pa.table({"src": s, "dst": o})
         return pa.table(
             {
                 "src": pa.chunked_array([s, o]).combine_chunks(),

@@ -198,6 +198,7 @@ SQL_CHECKED = [
     "doc_lang_mix",
     "copurchase_ego",
     "kg_entity_salience",
+    "crawl_depth",
 ]
 
 #: queries with neither a SQL twin nor a golden parquet — none left;
@@ -1896,3 +1897,15 @@ def test_kg_entity_salience_crafted(tmp_path):
     assert out.loc["table", "mean_first_micro"] == 250000
     assert out.loc["key", "n_mentions"] == 2
     assert out.loc["key", "mean_first_micro"] == 500000
+
+
+def test_crawl_depth_monotone_frontier():
+    from bioner_ray.pipelines.web import crawl_depth
+
+    out = _to_pandas(crawl_depth(SF_DIR)).sort_values("dist", ignore_index=True)
+    assert out.loc[0, "dist"] == 0 and out.loc[0, "n_urls"] == 3  # the seeds
+    assert (out["dist"].diff().dropna() == 1).all()  # contiguous hops
+    assert (out["n_urls"] > 0).all()
+    # directed: depth-1 frontier is bounded by the seeds' total out-degree
+    # (each synthetic page carries 1 + doc_id % 4 <= 4 links)
+    assert out.loc[1, "n_urls"] <= 12
