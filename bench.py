@@ -308,6 +308,7 @@ OPERATOR_QUERIES = [
     "copurchase_ego",
     "kg_entity_salience",
     "crawl_depth",
+    "ivf_recall",
 ]
 
 

@@ -3006,3 +3006,40 @@ def doc_lang_mix(sf_dir: str, seg_tokens: int = 16):
     from bioner_ray.stages.textstats import lang_mix_stage
 
     return lang_mix_stage(_documents(sf_dir), seg_tokens=seg_tokens)
+
+
+def ivf_recall(sf_dir: str, k: int = 10, n_queries: int = 8):
+    """ANN calibration audit: recall@k of the IVF index against exact
+    brute-force cosine, per query — the measurement that decides
+    whether an approximate index's n_probe/n_clusters setting is safe
+    to serve (the minhash_precision pattern, applied to the embedding
+    axis). Both sides are existing oracle-checked queries; this
+    composes them into the governance number.
+
+    Scale shape: the exact side is the blocked-matmul knn_topk, the
+    approximate side the partition-pruned IVF scan; each emits
+    n_queries × k rows, so the overlap join is a bounded driver
+    finish (the value_percentiles argument — physically ≤ a few
+    hundred rows). Columns: query_id, n_hits, recall."""
+    ex = knn_topk(sf_dir, k=k, n_queries=n_queries)
+    ap = knn_ivf_topk(sf_dir, k=k, n_queries=n_queries)
+    exd = ex.to_pandas() if hasattr(ex, "to_pandas") else ex
+    apd = ap.to_pandas() if hasattr(ap, "to_pandas") else ap
+    import pandas as pd
+
+    hits = exd[["query_id", "vec_id"]].merge(
+        apd[["query_id", "vec_id"]], on=["query_id", "vec_id"], how="inner"
+    )
+    per = (
+        hits.groupby("query_id").size().reindex(
+            sorted(exd["query_id"].unique()), fill_value=0
+        )
+    )
+    n_hits = per.to_numpy().astype(np.int64)
+    return pa.table(
+        {
+            "query_id": pa.array(per.index.to_numpy().astype(np.int64)),
+            "n_hits": pa.array(n_hits),
+            "recall": pa.array(n_hits.astype(np.float64) / k),
+        }
+    )

@@ -199,6 +199,7 @@ SQL_CHECKED = [
     "copurchase_ego",
     "kg_entity_salience",
     "crawl_depth",
+    "ivf_recall",
 ]
 
 #: queries with neither a SQL twin nor a golden parquet — none left;
@@ -1909,3 +1910,17 @@ def test_crawl_depth_monotone_frontier():
     # directed: depth-1 frontier is bounded by the seeds' total out-degree
     # (each synthetic page carries 1 + doc_id % 4 <= 4 links)
     assert out.loc[1, "n_urls"] <= 12
+
+
+def test_ivf_recall_bounds_and_exactness():
+    from bioner_ray.pipelines.corpus import ivf_recall, knn_ivf_topk, knn_topk
+
+    out = _to_pandas(ivf_recall(SF_DIR)).set_index("query_id")
+    assert len(out) == 8
+    assert ((out["recall"] >= 0) & (out["recall"] <= 1)).all()
+    # recall of query 0 recomputed by hand from the two source queries
+    ex = _to_pandas(knn_topk(SF_DIR))
+    ap = _to_pandas(knn_ivf_topk(SF_DIR))
+    e0 = set(ex.loc[ex.query_id == 0, "vec_id"])
+    a0 = set(ap.loc[ap.query_id == 0, "vec_id"])
+    assert out.loc[0, "n_hits"] == len(e0 & a0)
