@@ -309,6 +309,7 @@ OPERATOR_QUERIES = [
     "kg_entity_salience",
     "crawl_depth",
     "ivf_recall",
+    "kg_graph_card",
 ]
 
 

@@ -8604,3 +8604,104 @@ def kg_entity_salience(sf_dir: str):
     return pin_schema(
         agg.map_batches(finish, batch_format="pyarrow"), out_schema, ensure_block=True
     )
+
+
+def kg_graph_card(sf_dir: str):
+    """One-row KG governance card — the graph-level corpus card
+    (source_report's analog on the graph axis) a build publishes next
+    to its node/edge tables: canonical-edge and node counts, predicate
+    vocabulary size, total evidence weight, hub ceiling (max total
+    degree), global triangle count and integer-micro undirected
+    density. Every number is derived from the SAME canonical edge
+    table the publishable graph ships, so the card can't drift from
+    the export.
+
+    Scale shape: the edge table materializes once (the standard
+    kg_publish checkpoint shape) and five bounded consumers fold it —
+    degree_stats and triangle_counts are node-grain, the distinct
+    pred/pair folds are bucketed aggregates, and every final number is
+    a Dataset scalar fold (count/sum/max), never a driver-side row
+    scan. Columns: n_nodes, n_edges, n_und_pairs, n_preds,
+    total_weight, max_degree, n_triangles, density_micro
+    (2·pairs·10^6 // (n·(n−1)), 0 when n < 2)."""
+    from bioner_ray.stages.graph import degree_stats, triangle_counts
+    from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema, with_ones
+
+    e = kg_edges(sf_dir).materialize()
+    deg = degree_stats(e)
+    tri = triangle_counts(e)
+
+    n_edges = int(e.count())
+    total_weight = int(e.sum("weight") or 0)
+
+    pred_schema = pa.schema([("pred", pa.string())])
+    preds = pin_schema(
+        bucketed_aggregate(
+            with_ones(
+                e.map_batches(
+                    lambda t: t.select(["pred"])
+                    if t.num_columns
+                    else pred_schema.empty_table(),
+                    batch_format="pyarrow",
+                )
+            ),
+            ["pred"],
+            [("one", "min")],
+        ).map_batches(lambda t: t.select(["pred"]), batch_format="pyarrow"),
+        pred_schema,
+    )
+    n_preds = int(preds.count())
+
+    pair_schema = pa.schema([("lo", pa.string()), ("hi", pa.string())])
+
+    def und(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return pair_schema.empty_table()
+        s, o = t.column("subj"), t.column("obj")
+        keep = pc.not_equal(s, o)
+        s, o = s.filter(keep), o.filter(keep)
+        return pa.table(
+            {"lo": pc.min_element_wise(s, o), "hi": pc.max_element_wise(s, o)}
+        )
+
+    pairs = pin_schema(
+        bucketed_aggregate(
+            with_ones(e.map_batches(und, batch_format="pyarrow")),
+            ["lo", "hi"],
+            [("one", "min")],
+        ).map_batches(lambda t: t.select(["lo", "hi"]), batch_format="pyarrow"),
+        pair_schema,
+    )
+    n_und = int(pairs.count())
+
+    n_nodes = int(deg.count())
+    tot = deg.map_batches(
+        lambda t: pa.table(
+            {
+                "tot": pc.add(
+                    pc.cast(t.column("out_degree"), pa.int64()),
+                    pc.cast(t.column("in_degree"), pa.int64()),
+                )
+            }
+        )
+        if t.num_columns
+        else pa.schema([("tot", pa.int64())]).empty_table(),
+        batch_format="pyarrow",
+    )
+    max_degree = int(tot.max("tot") or 0)
+    n_triangles = int(tri.sum("n_triangles") or 0) // 3
+    density_micro = (
+        (2 * n_und * 1_000_000) // (n_nodes * (n_nodes - 1)) if n_nodes >= 2 else 0
+    )
+    return pa.table(
+        {
+            "n_nodes": pa.array([n_nodes], type=pa.int64()),
+            "n_edges": pa.array([n_edges], type=pa.int64()),
+            "n_und_pairs": pa.array([n_und], type=pa.int64()),
+            "n_preds": pa.array([n_preds], type=pa.int64()),
+            "total_weight": pa.array([total_weight], type=pa.int64()),
+            "max_degree": pa.array([max_degree], type=pa.int64()),
+            "n_triangles": pa.array([n_triangles], type=pa.int64()),
+            "density_micro": pa.array([density_micro], type=pa.int64()),
+        }
+    )

@@ -200,6 +200,7 @@ SQL_CHECKED = [
     "kg_entity_salience",
     "crawl_depth",
     "ivf_recall",
+    "kg_graph_card",
 ]
 
 #: queries with neither a SQL twin nor a golden parquet — none left;
@@ -1924,3 +1925,19 @@ def test_ivf_recall_bounds_and_exactness():
     e0 = set(ex.loc[ex.query_id == 0, "vec_id"])
     a0 = set(ap.loc[ap.query_id == 0, "vec_id"])
     assert out.loc[0, "n_hits"] == len(e0 & a0)
+
+
+def test_kg_graph_card_consistent_with_sources():
+    from bioner_ray.pipelines.analytics import kg_degree, kg_edges, kg_graph_card, kg_triangles
+
+    card = _to_pandas(kg_graph_card(SF_DIR)).iloc[0]
+    edges = _to_pandas(kg_edges(SF_DIR))
+    deg = _to_pandas(kg_degree(SF_DIR))
+    tri = _to_pandas(kg_triangles(SF_DIR))
+    assert card["n_edges"] == len(edges)
+    assert card["total_weight"] == edges["weight"].sum()
+    assert card["n_preds"] == edges["pred"].nunique()
+    assert card["n_nodes"] == len(deg)
+    assert card["max_degree"] == (deg["out_degree"] + deg["in_degree"]).max()
+    assert card["n_triangles"] == tri["n_triangles"].sum() // 3
+    assert 0 <= card["density_micro"] <= 1_000_000
