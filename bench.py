@@ -310,6 +310,7 @@ OPERATOR_QUERIES = [
     "crawl_depth",
     "ivf_recall",
     "kg_graph_card",
+    "host_lang_profile",
 ]
 
 

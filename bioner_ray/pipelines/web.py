@@ -1173,3 +1173,73 @@ def crawl_depth(sf_dir: str, n_seeds: int = 3, max_hops: int = 4):
         [("n_urls", "sum")],
     )
     return pin_schema(agg, out_schema, ensure_block=True)
+
+
+def host_lang_profile(sf_dir: str):
+    """Per-host language routing table: how a host's pages distribute
+    over predicted languages — the signal a crawler uses to route
+    hosts to per-language pipelines (and to flag hosts whose declared
+    and detected languages diverge at the site level, the host-grain
+    companion to lang_confusion). Page→host follows the synthetic
+    crawl's generator contract (stages/weblinks._host_idx — on a real
+    crawl this is host_of(url)); language is the shared langid stage.
+
+    Scale shape: one stateless pass (langid + host tag), one
+    (host, lang)-keyed bucketed aggregate of block-combined partials,
+    and a single-block share fold over the physically bounded
+    hosts × languages result (≤ |hosts| · |profiles + und| rows — the
+    value_percentiles driver-finish argument). Columns: host,
+    pred_lang, n_docs, share."""
+    import ray.data as rd
+
+    from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema, with_ones
+    from bioner_ray.stages.textstats import langid_batch
+
+    part_schema = pa.schema([("host", pa.string()), ("pred_lang", pa.string())])
+
+    def tag(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return part_schema.empty_table()
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype("int64")
+        import numpy as np
+
+        hosts = [f"site{h}.example.com" for h in _host_idx(ids).tolist()]
+        preds = langid_batch(t).column("pred_lang")
+        return pa.table(
+            {"host": pa.array(hosts, type=pa.string()), "pred_lang": preds}
+        )
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    agg_schema = pa.schema(
+        [("host", pa.string()), ("pred_lang", pa.string()), ("n_docs", pa.int64())]
+    )
+    agg = pin_schema(
+        bucketed_aggregate(
+            with_ones(docs.map_batches(tag, batch_format="pyarrow"), "n_docs"),
+            ["host", "pred_lang"],
+            [("n_docs", "sum")],
+        ),
+        agg_schema,
+    )
+    out_schema = pa.schema(list(agg_schema) + [("share", pa.float64())])
+
+    def share(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return out_schema.empty_table()
+        import numpy as np
+
+        t = t.sort_by([("host", "ascending"), ("pred_lang", "ascending")])
+        hosts = t.column("host").to_numpy(zero_copy_only=False)
+        n = t.column("n_docs").to_numpy(zero_copy_only=False).astype("int64")
+        starts = np.flatnonzero(np.r_[True, hosts[1:] != hosts[:-1]])
+        seg = np.repeat(np.arange(starts.size), np.diff(np.r_[starts, hosts.size]))
+        totals = np.bincount(seg, weights=n)[seg]
+        return t.append_column("share", pa.array(n / totals, type=pa.float64()))
+
+    return pin_schema(
+        agg.repartition(1).map_batches(share, batch_format="pyarrow"),
+        out_schema,
+        ensure_block=True,
+    )

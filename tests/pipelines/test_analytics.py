@@ -201,6 +201,7 @@ SQL_CHECKED = [
     "crawl_depth",
     "ivf_recall",
     "kg_graph_card",
+    "host_lang_profile",
 ]
 
 #: queries with neither a SQL twin nor a golden parquet — none left;
@@ -1941,3 +1942,13 @@ def test_kg_graph_card_consistent_with_sources():
     assert card["max_degree"] == (deg["out_degree"] + deg["in_degree"]).max()
     assert card["n_triangles"] == tri["n_triangles"].sum() // 3
     assert 0 <= card["density_micro"] <= 1_000_000
+
+
+def test_host_lang_profile_shares_sum_to_one():
+    from bioner_ray.pipelines.web import host_lang_profile
+
+    out = _to_pandas(host_lang_profile(SF_DIR))
+    sums = out.groupby("host")["share"].sum()
+    assert ((sums - 1.0).abs() < 1e-12).all()
+    totals = out.groupby("host")["n_docs"].sum()
+    assert totals.sum() == 500  # every document lands on exactly one host
