@@ -311,6 +311,8 @@ OPERATOR_QUERIES = [
     "ivf_recall",
     "kg_graph_card",
     "host_lang_profile",
+    # round-3 eleventh session
+    "kg_modularity",
 ]
 
 

@@ -1267,6 +1267,20 @@ def kg_communities(sf_dir: str, rounds: int = 4):
     return label_propagation(kg_edges(sf_dir), rounds=rounds)
 
 
+def kg_modularity(sf_dir: str, rounds: int = 4):
+    """Community-quality decomposition of the kg_communities partition
+    (stages/graph.py community_stats): per community, exact int64
+    ``n_nodes``, ``degree_w`` (Σ weighted degree — the null-model mass)
+    and ``intra_w`` (double-counted internal weight), from which
+    modularity Q = Σ_c [intra_w/2m − (degree_w/2m)²]. The quality gate
+    a KG build runs on its topic partition before serving — a
+    community with intra_w ≪ degree_w²/2m is noise, not topic.
+    Columns: label, n_nodes, degree_w, intra_w."""
+    from bioner_ray.stages.graph import community_stats
+
+    return community_stats(kg_edges(sf_dir), rounds=rounds)
+
+
 def kg_edge_wjaccard(sf_dir: str, edges=None):
     """Per-edge WEIGHTED structural Jaccard of the endpoints' neighbor
     weight vectors (stages/graph.py edge_weighted_jaccard) — the

@@ -2374,6 +2374,55 @@ def hop_histogram(
     )
 
 
+def undirected_adjacency(
+    edges_ds,
+    subj_col: str = "subj",
+    obj_col: str = "obj",
+    weight_col: str = "weight",
+    num_buckets: int = 256,
+):
+    """Collapse a (possibly multi-)edge stream to the symmetric
+    weighted adjacency ``(src, dst, w)``: self-loops dropped, both
+    directions emitted, parallel edges/preds summed — ONE bucketed
+    aggregate over the edge stream, materialized so downstream
+    consumers (label_propagation rounds, community_stats) reread blocks
+    instead of re-running the shuffle. ``weight_col`` absent → every
+    row counts 1."""
+    import pyarrow.compute as pc
+
+    from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema
+
+    def to_adj(batch: pa.Table) -> pa.Table:
+        s = pc.cast(batch.column(subj_col), pa.string()).combine_chunks()
+        o = pc.cast(batch.column(obj_col), pa.string()).combine_chunks()
+        if weight_col in batch.column_names:
+            w = pc.cast(batch.column(weight_col), pa.int64()).combine_chunks()
+        else:
+            w = pa.array([1] * batch.num_rows, type=pa.int64())
+        keep = pc.not_equal(s, o)
+        s, o, w = s.filter(keep), o.filter(keep), w.filter(keep)
+        return pa.table(
+            {
+                "src": pa.chunked_array([s, o]).combine_chunks(),
+                "dst": pa.chunked_array([o, s]).combine_chunks(),
+                "w": pa.chunked_array([w, w]).combine_chunks(),
+            }
+        )
+
+    adj_schema = pa.schema(
+        [("src", pa.string()), ("dst", pa.string()), ("w", pa.int64())]
+    )
+    return pin_schema(
+        bucketed_aggregate(
+            edges_ds.map_batches(to_adj, batch_format="pyarrow"),
+            ["src", "dst"],
+            [("w", "sum")],
+            num_buckets=num_buckets,
+        ),
+        adj_schema,
+    ).materialize()
+
+
 def label_propagation(
     edges_ds,
     rounds: int = 4,
@@ -2381,6 +2430,7 @@ def label_propagation(
     obj_col: str = "obj",
     weight_col: str = "weight",
     num_buckets: int = 256,
+    adj=None,
 ):
     """Deterministic synchronous weighted label propagation — the
     community-detection pass a KG build runs between entity resolution
@@ -2413,37 +2463,17 @@ def label_propagation(
     triples, entity_level_precision_recall.py evaluates spans);
     extension per SURVEY.md §2.11.
     """
-    import pyarrow.compute as pc
-
-    def to_adj(batch: pa.Table) -> pa.Table:
-        s = pc.cast(batch.column(subj_col), pa.string()).combine_chunks()
-        o = pc.cast(batch.column(obj_col), pa.string()).combine_chunks()
-        if weight_col in batch.column_names:
-            w = pc.cast(batch.column(weight_col), pa.int64()).combine_chunks()
-        else:
-            w = pa.array([1] * batch.num_rows, type=pa.int64())
-        keep = pc.not_equal(s, o)
-        s, o, w = s.filter(keep), o.filter(keep), w.filter(keep)
-        return pa.table(
-            {
-                "src": pa.chunked_array([s, o]).combine_chunks(),
-                "dst": pa.chunked_array([o, s]).combine_chunks(),
-                "w": pa.chunked_array([w, w]).combine_chunks(),
-            }
-        )
-
     adj_schema = pa.schema(
         [("src", pa.string()), ("dst", pa.string()), ("w", pa.int64())]
     )
-    adj = pin_schema(
-        bucketed_aggregate(
-            edges_ds.map_batches(to_adj, batch_format="pyarrow"),
-            ["src", "dst"],
-            [("w", "sum")],
+    if adj is None:
+        adj = undirected_adjacency(
+            edges_ds,
+            subj_col=subj_col,
+            obj_col=obj_col,
+            weight_col=weight_col,
             num_buckets=num_buckets,
-        ),
-        adj_schema,
-    ).materialize()
+        )
 
     lab_schema = pa.schema([("node", pa.string()), ("label", pa.string())])
 
@@ -2508,6 +2538,175 @@ def label_propagation(
         ).materialize()
 
     return labels
+
+
+def community_stats(
+    edges_ds,
+    rounds: int = 4,
+    subj_col: str = "subj",
+    obj_col: str = "obj",
+    weight_col: str = "weight",
+    num_buckets: int = 256,
+):
+    """Per-community modularity decomposition over the deterministic
+    label-propagation partition: for each community c, ``n_nodes``,
+    ``degree_w`` = Σ_{i∈c} k_i (weighted degree mass, denominator term
+    of modularity's null model) and ``intra_w`` = Σ A_ij over pairs with
+    both endpoints in c (directed-double-counted, consistent with
+    2m = Σ degree_w). Global modularity is then
+    Q = Σ_c [ intra_w_c / 2m − (degree_w_c / 2m)² ] — kept as exact
+    int64 decomposition rows rather than one quantized scalar so the
+    output stays integer-exact AND community-partitioned (no
+    Σ d_c² overflow, no driver-side collect of the community table).
+
+    Scale shape: adjacency + LP as in ``label_propagation`` (shared
+    materialized adj, computed once); then ONE edge-scale bucketed join
+    per endpoint (src→label, dst→label), a (label) weight aggregate for
+    intra_w, a node-scale join for degrees and a label-keyed outer join
+    to assemble — every exchange bucketed, nothing driver-side.
+
+    No reference analog; extension per SURVEY.md §2.11 (community
+    quality gate before serving a KG topic partition).
+    """
+    import pyarrow.compute as pc
+
+    adj = undirected_adjacency(
+        edges_ds,
+        subj_col=subj_col,
+        obj_col=obj_col,
+        weight_col=weight_col,
+        num_buckets=num_buckets,
+    )
+    labels = label_propagation(
+        edges_ds, rounds=rounds, num_buckets=num_buckets, adj=adj
+    )
+
+    adj_schema = pa.schema(
+        [("src", pa.string()), ("dst", pa.string()), ("w", pa.int64())]
+    )
+    lab_src = pa.schema([("src", pa.string()), ("l_src", pa.string())])
+    lab_dst = pa.schema([("dst", pa.string()), ("l_dst", pa.string())])
+
+    # endpoint labels: two edge-scale bucketed joins on the same adj
+    j1 = pin_schema(
+        bucketed_inner_join(
+            adj,
+            labels.map_batches(
+                lambda t: t.rename_columns(["src", "l_src"]), batch_format="pyarrow"
+            ),
+            ["src"],
+            adj_schema,
+            lab_src,
+            num_buckets=num_buckets,
+        ),
+        pa.schema(list(adj_schema) + [("l_src", pa.string())]),
+    )
+    j2 = pin_schema(
+        bucketed_inner_join(
+            j1,
+            labels.map_batches(
+                lambda t: t.rename_columns(["dst", "l_dst"]), batch_format="pyarrow"
+            ),
+            ["dst"],
+            pa.schema(list(adj_schema) + [("l_src", pa.string())]),
+            lab_dst,
+            num_buckets=num_buckets,
+        ),
+        pa.schema(list(adj_schema) + [("l_src", pa.string()), ("l_dst", pa.string())]),
+    )
+
+    def intra_only(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t.column("l_src"), t.column("l_dst"))
+        t = t.filter(keep)
+        return pa.table({"label": t.column("l_src"), "intra_w": t.column("w")})
+
+    intra_schema = pa.schema([("label", pa.string()), ("intra_w", pa.int64())])
+    intra = pin_schema(
+        bucketed_aggregate(
+            j2.map_batches(intra_only, batch_format="pyarrow"),
+            ["label"],
+            [("intra_w", "sum")],
+            num_buckets=num_buckets,
+        ),
+        intra_schema,
+    )
+
+    # per-node weighted degree → per-community degree mass + node count
+    deg_schema = pa.schema([("node", pa.string()), ("degree_w", pa.int64())])
+    deg = pin_schema(
+        bucketed_aggregate(
+            adj.map_batches(
+                lambda t: pa.table(
+                    {"node": t.column("src"), "degree_w": t.column("w")}
+                ),
+                batch_format="pyarrow",
+            ),
+            ["node"],
+            [("degree_w", "sum")],
+            num_buckets=num_buckets,
+        ),
+        deg_schema,
+    )
+    degl = pin_schema(
+        bucketed_inner_join(
+            deg,
+            labels,
+            ["node"],
+            deg_schema,
+            pa.schema([("node", pa.string()), ("label", pa.string())]),
+            num_buckets=num_buckets,
+        ),
+        pa.schema(list(deg_schema) + [("label", pa.string())]),
+    )
+    comm_schema = pa.schema(
+        [("label", pa.string()), ("degree_w", pa.int64()), ("n_nodes", pa.int64())]
+    )
+    comm = pin_schema(
+        bucketed_aggregate(
+            with_ones(degl, "n_nodes").map_batches(
+                lambda t: t.select(["label", "degree_w", "n_nodes"]),
+                batch_format="pyarrow",
+            ),
+            ["label"],
+            [("degree_w", "sum"), ("n_nodes", "sum")],
+            num_buckets=num_buckets,
+        ),
+        comm_schema,
+    )
+
+    # assemble: every community has nodes; one with zero internal edges
+    # (all mass on the cut) needs intra_w = 0, hence left outer
+    out = bucketed_inner_join(
+        comm,
+        intra,
+        ["label"],
+        comm_schema,
+        intra_schema,
+        num_buckets=num_buckets,
+        join_type="left outer",
+    )
+
+    def fill(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "label": t.column("label"),
+                "n_nodes": t.column("n_nodes"),
+                "degree_w": t.column("degree_w"),
+                "intra_w": pc.fill_null(t.column("intra_w"), 0),
+            }
+        )
+
+    return pin_schema(
+        out.map_batches(fill, batch_format="pyarrow"),
+        pa.schema(
+            [
+                ("label", pa.string()),
+                ("n_nodes", pa.int64()),
+                ("degree_w", pa.int64()),
+                ("intra_w", pa.int64()),
+            ]
+        ),
+    )
 
 
 def adamic_adar(

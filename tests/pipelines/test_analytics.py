@@ -116,6 +116,7 @@ SQL_CHECKED = [
     "purchase_context",
     "distinct_users_hll",
     "kg_communities",
+    "kg_modularity",
     "pii_scrub",
     "heavy_hitters",
     "embedding_kmeans",

@@ -317,6 +317,40 @@ class TestLabelPropagation:
         assert sorted(zip(a["node"], a["label"])) == sorted(zip(b["node"], b["label"]))
 
 
+class TestCommunityStats:
+    def test_two_triangles_decomposition(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from bioner_ray.stages.graph import community_stats
+
+        # two weight-3 triangles + a weight-1 bridge: LP yields {a,b,c}
+        # and {x,y,z}; by hand, each community has degree mass
+        # 6+6+7 = 19 (the bridge endpoint carries the +1) and internal
+        # directed-double-counted weight 6 pairs x 3 = 18; the bridge's
+        # 2x1 mass is the cut
+        e = [
+            ("a", "b", 3), ("b", "c", 3), ("c", "a", 3),
+            ("x", "y", 3), ("y", "z", 3), ("z", "x", 3),
+            ("c", "x", 1),
+        ]
+        t = pa.table(
+            {
+                "subj": pa.array([s for s, _, _ in e], type=pa.string()),
+                "obj": pa.array([o for _, o, _ in e], type=pa.string()),
+                "weight": pa.array([w for _, _, w in e], type=pa.int64()),
+            }
+        )
+        out = community_stats(rd.from_arrow(t).repartition(3), rounds=4).to_pandas()
+        got = {
+            r.label: (r.n_nodes, r.degree_w, r.intra_w) for r in out.itertuples()
+        }
+        assert got == {"a": (3, 19, 18), "x": (3, 19, 18)}
+        # modularity check: Q = sum(intra/2m - (deg/2m)^2), 2m = 38
+        q = sum(iw / 38 - (dw / 38) ** 2 for _, dw, iw in got.values())
+        assert abs(q - (2 * (18 / 38 - (19 / 38) ** 2))) < 1e-12
+
+
 class TestClusteringCoefficients:
     def test_crafted_graph(self):
         from bioner_ray.stages.graph import clustering_coefficients
