@@ -313,6 +313,7 @@ OPERATOR_QUERIES = [
     "host_lang_profile",
     # round-3 eleventh session
     "kg_modularity",
+    "kg_conflict_edges",
 ]
 
 

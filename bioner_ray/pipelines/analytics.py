@@ -1131,6 +1131,73 @@ def kg_relation_cardinality(sf_dir: str):
     return j2.map_batches(finish, batch_format="pyarrow")
 
 
+def kg_conflict_edges(sf_dir: str, min_obj: int = 2):
+    """Functional-consistency audit of the canonical edge table: every
+    (pred, subj) carrying ≥ ``min_obj`` distinct objects — the
+    contradiction candidates a KG governance pass routes to review when
+    a predicate is expected functional (kg_relation_cardinality
+    classifies which are). Emits the conflict size, total triple mass,
+    and the heaviest object (``top_obj``, ties to the lexicographically
+    smallest — the deterministic resolution candidate).
+
+    Engine shape: ONE coarse-bucketed shuffle on (pred, subj)
+    (shuffle.bucketed_map_groups) with a vectorized sort + run-scan per
+    bucket — no per-key Ray groups, no driver state; input is the
+    already-canonical edge stream so row count per group IS the
+    distinct-object count. Columns: pred, subj, n_obj, w_total,
+    top_obj."""
+    import numpy as np
+
+    from bioner_ray.stages.shuffle import bucketed_map_groups, pin_schema
+
+    out_schema = pa.schema(
+        [
+            ("pred", pa.string()),
+            ("subj", pa.string()),
+            ("n_obj", pa.int64()),
+            ("w_total", pa.int64()),
+            ("top_obj", pa.string()),
+        ]
+    )
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return out_schema.empty_table()
+        t = t.select(["pred", "subj", "obj", "weight"]).sort_by(
+            [
+                ("pred", "ascending"),
+                ("subj", "ascending"),
+                ("weight", "descending"),
+                ("obj", "ascending"),
+            ]
+        )
+        pred = t.column("pred").to_numpy(zero_copy_only=False)
+        subj = t.column("subj").to_numpy(zero_copy_only=False)
+        obj = t.column("obj").to_numpy(zero_copy_only=False)
+        w = t.column("weight").to_numpy(zero_copy_only=False).astype(np.int64)
+        starts = np.flatnonzero(
+            np.r_[True, (pred[1:] != pred[:-1]) | (subj[1:] != subj[:-1])]
+        )
+        n = np.diff(np.r_[starts, len(pred)])
+        w_total = np.add.reduceat(w, starts)
+        keep = n >= min_obj
+        return pa.table(
+            {
+                "pred": pa.array(pred[starts][keep], type=pa.string()),
+                "subj": pa.array(subj[starts][keep], type=pa.string()),
+                "n_obj": pa.array(n[keep].astype(np.int64)),
+                "w_total": pa.array(w_total[keep]),
+                "top_obj": pa.array(obj[starts][keep], type=pa.string()),
+            },
+            schema=out_schema,
+        )
+
+    return pin_schema(
+        bucketed_map_groups(kg_edges(sf_dir), ["pred", "subj"], per_bucket),
+        out_schema,
+    )
+
+
 def kg_adamic_adar(sf_dir: str, k: int = 50):
     """Adamic–Adar affinity of entity pairs over the canonical KG
     (stages/graph.py adamic_adar): common-neighbor evidence discounted

@@ -117,6 +117,7 @@ SQL_CHECKED = [
     "distinct_users_hll",
     "kg_communities",
     "kg_modularity",
+    "kg_conflict_edges",
     "pii_scrub",
     "heavy_hitters",
     "embedding_kmeans",
