@@ -314,6 +314,7 @@ OPERATOR_QUERIES = [
     # round-3 eleventh session
     "kg_modularity",
     "kg_conflict_edges",
+    "url_templates",
 ]
 
 

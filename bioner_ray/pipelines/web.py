@@ -1243,3 +1243,48 @@ def host_lang_profile(sf_dir: str):
         out_schema,
         ensure_block=True,
     )
+
+
+def _url_paths_batch(batch: pa.Table) -> pa.Table:
+    """Synthetic crawl URL set with real path STRUCTURE (fixture
+    construction, not under test — on a real crawl the pages table's
+    url column is the input): per doc one of four sections, mixing
+    high-cardinality positions (ids), mid (months), and low (years,
+    version tags, literals)."""
+    import numpy as np
+
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    hosts = _host_idx(ids)
+    urls = []
+    for i, h in zip(ids.tolist(), hosts.tolist()):
+        m = i % 4
+        if m == 0:
+            p = f"/news/{2020 + i % 3}/{i % 12 + 1}/{i}"
+        elif m == 1:
+            p = f"/products/{i}/reviews"
+        elif m == 2:
+            p = f"/docs/v{i % 2 + 1}/intro"
+        else:
+            p = f"/blog/{i}"
+        urls.append(f"https://site{h}.example.com{p}")
+    return pa.table({"url": pa.array(urls, type=pa.string())})
+
+
+def url_templates(sf_dir: str):
+    """Per-host URL path-template mining over the synthetic crawl's
+    frontier (stages/weblinks.py url_templates): positions with ≥ 8
+    distinct values within (host, section, depth) fold to ``*`` —
+    ``/products/{id}/reviews`` becomes one ``/products/*/reviews`` row
+    per host. The frontier-compression / spider-trap audit a crawl
+    scheduler runs before budgeting. Columns: host, template, n_urls,
+    example_url."""
+    import ray.data as rd
+
+    from bioner_ray.stages import weblinks
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    return weblinks.url_templates(
+        docs.map_batches(_url_paths_batch, batch_format="pyarrow")
+    )

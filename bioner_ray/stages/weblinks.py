@@ -226,3 +226,160 @@ def canonicalize_urls_batch(batch: pa.Table, url_col: str = "url") -> pa.Table:
     rest = pc.replace_substring_regex(u, _PREFIX_RE, "")
     canon = pc.binary_join_element_wise(pre, rest, "")
     return batch.append_column("canonical_url", canon)
+
+
+TEMPLATE_SCHEMA = pa.schema(
+    [
+        ("host", pa.string()),
+        ("template", pa.string()),
+        ("n_urls", pa.int64()),
+        ("example_url", pa.string()),
+    ]
+)
+
+_TMPL_LONG_SCHEMA = pa.schema(
+    [
+        ("host", pa.string()),
+        ("sec", pa.string()),
+        ("nseg", pa.int64()),
+        ("pos", pa.int64()),
+        ("seg", pa.string()),
+    ]
+)
+
+
+def _url_parts(batch: pa.Table):
+    """url column → (urls, host, flat path segments, per-row segment
+    count, flat offsets), all numpy. Path = everything after
+    scheme://host and before ?#; the leading slash is stripped before
+    the split so ``/a/b`` yields segments [a, b]."""
+    urls = pc.cast(batch.column("url"), pa.string()).combine_chunks()
+    host = host_of(urls).to_numpy(zero_copy_only=False)
+    path = pc.replace_substring_regex(urls, _SCHEME_PREFIX_RE + r"[^/:?#]*", "")
+    path = pc.replace_substring_regex(path, r"[?#].*$", "")
+    inner = pc.replace_substring_regex(path, r"^/", "")
+    segs = pc.split_pattern(inner, "/")
+    if isinstance(segs, pa.ChunkedArray):
+        segs = segs.combine_chunks()
+    flat = pc.list_flatten(segs).to_numpy(zero_copy_only=False)
+    nseg = pc.list_value_length(segs).to_numpy(zero_copy_only=False).astype(np.int64)
+    off = np.r_[0, np.cumsum(nseg)]
+    return urls.to_numpy(zero_copy_only=False), host, flat, nseg, off
+
+
+def _tmpl_long_batch(batch: pa.Table) -> pa.Table:
+    if batch.num_columns == 0 or batch.num_rows == 0:
+        return _TMPL_LONG_SCHEMA.empty_table()
+    _, host, flat, nseg, off = _url_parts(batch)
+    pos = np.arange(len(flat), dtype=np.int64) - np.repeat(off[:-1], nseg) + 1
+    return pa.table(
+        {
+            "host": pa.array(np.repeat(host, nseg), type=pa.string()),
+            "sec": pa.array(np.repeat(flat[off[:-1]], nseg), type=pa.string()),
+            "nseg": pa.array(np.repeat(nseg, nseg)),
+            "pos": pa.array(pos),
+            "seg": pa.array(flat, type=pa.string()),
+        },
+        schema=_TMPL_LONG_SCHEMA,
+    )
+
+
+def url_templates(ds, min_distinct: int = 8, num_buckets: int = 64):
+    """Per-host URL path-template induction — the crawl-dedup /
+    frontier-compression primitive that folds ``/products/{id}/reviews``
+    pages into one template: within every (host, first-segment section,
+    path depth), a position generalizes to ``*`` iff it carries
+    ``min_distinct``+ distinct segment values; otherwise it stays
+    literal. Deterministic (a counting rule, no RNG) and replayed
+    verbatim by the SQL twin.
+
+    Scale shape: the url stream flattens to a long segment form (all
+    pyarrow list kernels, zero per-row Python), two combiner-compressed
+    bucketed aggregates produce the decision table — STRUCTURALLY
+    bounded by hosts × sections × depths × positions, NOT by url count,
+    so it collects driver-side and broadcasts via ONE ray.put — and the
+    template strings then build in one stateless vectorized pass over
+    the stream (per-wildcard-key numpy masks; the only per-row work is
+    the final ≤depth-element join). The url stream shuffles exactly
+    once: the closing (host, template) fold. Columns: host, template,
+    n_urls, example_url (lexicographically first member)."""
+    import ray
+
+    from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema, with_ones
+
+    long_ds = ds.map_batches(_tmpl_long_batch, batch_format="pyarrow")
+    d1 = pin_schema(
+        bucketed_aggregate(
+            with_ones(long_ds),
+            ["host", "sec", "nseg", "pos", "seg"],
+            [("one", "min")],
+            num_buckets=num_buckets,
+        ),
+        pa.schema(list(_TMPL_LONG_SCHEMA) + [("one", pa.int64())]),
+    )
+    d2 = pin_schema(
+        bucketed_aggregate(
+            d1.map_batches(
+                lambda t: t.select(["host", "sec", "nseg", "pos", "one"]),
+                batch_format="pyarrow",
+            ),
+            ["host", "sec", "nseg", "pos"],
+            [("one", "sum")],
+            num_buckets=num_buckets,
+        ),
+        pa.schema(
+            [
+                ("host", pa.string()),
+                ("sec", pa.string()),
+                ("nseg", pa.int64()),
+                ("pos", pa.int64()),
+                ("one", pa.int64()),
+            ]
+        ),
+    )
+    dec = d2.to_pandas()  # bounded: hosts x sections x depths x positions
+    wild = [
+        (r.host, r.sec, int(r.nseg), int(r.pos))
+        for r in dec.itertuples()
+        if int(r.one) >= min_distinct
+    ]
+    wild_ref = ray.put(wild)
+
+    def build(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return pa.schema(
+                [("host", pa.string()), ("template", pa.string()), ("url", pa.string())]
+            ).empty_table()
+        urls, host, flat, nseg, off = _url_parts(batch)
+        pos = np.arange(len(flat), dtype=np.int64) - np.repeat(off[:-1], nseg) + 1
+        host_rep = np.repeat(host, nseg)
+        sec_rep = np.repeat(flat[off[:-1]], nseg)
+        nseg_rep = np.repeat(nseg, nseg)
+        out = flat.copy()
+        for h, s, n, p in ray.get(wild_ref):
+            m = (host_rep == h) & (sec_rep == s) & (nseg_rep == n) & (pos == p)
+            out[m] = "*"
+        tpl = ["/" + "/".join(out[a:b]) for a, b in zip(off[:-1], off[1:])]
+        return pa.table(
+            {
+                "host": pa.array(host, type=pa.string()),
+                "template": pa.array(tpl, type=pa.string()),
+                "url": pa.array(urls, type=pa.string()),
+            }
+        )
+
+    agg = bucketed_aggregate(
+        with_ones(ds.map_batches(build, batch_format="pyarrow"), "n_urls"),
+        ["host", "template"],
+        [("n_urls", "sum"), ("url", "min")],
+        num_buckets=num_buckets,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return TEMPLATE_SCHEMA.empty_table()
+        return t.rename_columns(
+            ["example_url" if c == "url" else c for c in t.schema.names]
+        )
+
+    return pin_schema(agg.map_batches(finish, batch_format="pyarrow"), TEMPLATE_SCHEMA)

@@ -118,6 +118,7 @@ SQL_CHECKED = [
     "kg_communities",
     "kg_modularity",
     "kg_conflict_edges",
+    "url_templates",
     "pii_scrub",
     "heavy_hitters",
     "embedding_kmeans",

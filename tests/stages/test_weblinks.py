@@ -263,3 +263,46 @@ class TestQueries:
         assert len(df) == 500
         assert (df["n_dups"] == 2).all()
         assert df["canonical_url"].str.contains(r"[#?]|:443|HTTPS").sum() == 0
+
+
+class TestUrlTemplates:
+    def test_wildcard_rule_and_example(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from bioner_ray.stages.weblinks import url_templates
+
+        # host a: 8 distinct product ids at pos 2 (>= threshold -> *);
+        # host b: only 3 ids (stays literal); query strings must not
+        # leak into segments
+        urls = [f"https://a.com/item/{i}/view?ref=x" for i in range(8)]
+        urls += [f"https://b.com/item/{i}/view" for i in range(3)]
+        out = (
+            url_templates(rd.from_arrow(pa.table({"url": urls})), min_distinct=8)
+            .to_pandas()
+            .sort_values(["host", "template"])
+            .reset_index(drop=True)
+        )
+        a = out[out.host == "a.com"]
+        assert list(a.template) == ["/item/*/view"]
+        assert int(a.n_urls.iloc[0]) == 8
+        assert a.example_url.iloc[0] == "https://a.com/item/0/view?ref=x"
+        b = out[out.host == "b.com"]
+        assert sorted(b.template) == [f"/item/{i}/view" for i in range(3)]
+        assert (b.n_urls == 1).all()
+
+    def test_sections_partition_decisions(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from bioner_ray.stages.weblinks import url_templates
+
+        # same depth, different first segment: the high-cardinality
+        # /p/{id} section folds while /docs/{v} (2 values) stays put
+        urls = [f"https://h.com/p/{i}" for i in range(10)]
+        urls += ["https://h.com/docs/v1", "https://h.com/docs/v2"]
+        out = url_templates(
+            rd.from_arrow(pa.table({"url": urls})), min_distinct=8
+        ).to_pandas()
+        tpls = set(out.template)
+        assert "/p/*" in tpls and "/docs/v1" in tpls and "/docs/v2" in tpls
