@@ -315,6 +315,7 @@ OPERATOR_QUERIES = [
     "kg_modularity",
     "kg_conflict_edges",
     "url_templates",
+    "html_table_cells",
 ]
 
 

@@ -1288,3 +1288,52 @@ def url_templates(sf_dir: str):
     return weblinks.url_templates(
         docs.map_batches(_url_paths_batch, batch_format="pyarrow")
     )
+
+
+def _table_pages_batch(batch: pa.Table) -> pa.Table:
+    """Synthetic structured pages (fixture construction, not under
+    test): docs ending in 4 mod 5 carry no table; the rest carry one
+    spec table of (doc_id % 3 + 1) property rows with attribute noise
+    on every tag and an entity escape in each value cell — exactly the
+    shapes extract_table_cells_batch must tolerate."""
+    import numpy as np
+
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    hosts = _host_idx(ids)
+    props = ("color", "size", "weight")
+    urls, htmls = [], []
+    for i, h in zip(ids.tolist(), hosts.tolist()):
+        parts = [f"<html><body><p>spec page {i}</p>"]
+        if i % 5 != 4:
+            parts.append('<table class="specs" border="1">')
+            for r in range(i % 3 + 1):
+                parts.append(
+                    f'<tr valign="top"><td align="left"><b>{props[r]}</b></td>'
+                    f'<td>v&amp;{(i * 7 + r) % 10}</td></tr>'
+                )
+            parts.append("</table>")
+        parts.append("</body></html>")
+        urls.append(f"https://site{h}.example.com/doc/{i}")
+        htmls.append("".join(parts).encode("utf-8"))
+    return pa.table(
+        {"url": pa.array(urls, type=pa.string()), "html": pa.array(htmls, type=pa.binary())}
+    )
+
+
+def html_table_cells(sf_dir: str):
+    """Web-table harvesting over the synthetic structured crawl
+    (stages/extract.py extract_table_cells_batch): every ``<td>/<th>``
+    cell with its (table, row, col) coordinates — the WebTables-style
+    fact-extraction feed (col 0 = property surface, col 1 = value)
+    that a KG build joins into candidate triples. Columns: url,
+    table_idx, row_idx, col_idx, cell."""
+    import ray.data as rd
+
+    from bioner_ray.stages.extract import extract_table_cells_batch
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    return docs.map_batches(_table_pages_batch, batch_format="pyarrow").map_batches(
+        extract_table_cells_batch, batch_format="pyarrow"
+    )

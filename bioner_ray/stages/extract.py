@@ -68,3 +68,62 @@ def extract_batch(batch: pa.Table) -> pa.Table:
 def extract_stage(ds, batch_size: int = 256):
     """Dataset stage: pages → extracted text (html dropped)."""
     return ds.map_batches(extract_batch, batch_format="pyarrow", batch_size=batch_size)
+
+
+_TABLE_RE = re.compile(rb"<table(?:\s[^>]*)?>(.*?)</table>", re.DOTALL | re.IGNORECASE)
+_TR_RE = re.compile(rb"<tr(?:\s[^>]*)?>(.*?)</tr>", re.DOTALL | re.IGNORECASE)
+_CELL_RE = re.compile(rb"<t[dh](?:\s[^>]*)?>(.*?)</t[dh]>", re.DOTALL | re.IGNORECASE)
+_TAG_RE = re.compile(r"<[^>]+>")
+
+TABLE_CELLS_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("table_idx", pa.int64()),
+        ("row_idx", pa.int64()),
+        ("col_idx", pa.int64()),
+        ("cell", pa.string()),
+    ]
+)
+
+
+def extract_table_cells_batch(batch: pa.Table) -> pa.Table:
+    """(url, html) → one row per ``<td>``/``<th>`` cell: (url,
+    table_idx, row_idx, col_idx, cell) — the web-table harvesting step
+    a KG build runs on structured pages (WebTables-style fact
+    extraction). Attribute noise on any tag is tolerated; inner markup
+    is stripped and entities unescaped; pages with no table emit
+    nothing, so output fan-out tracks real table bytes.
+
+    Same per-page compiled-regex scan shape as extract_links_batch —
+    the one per-document pass every text stage pays; no DOM, no
+    per-token Python."""
+    if batch.num_columns == 0 or batch.num_rows == 0:
+        return TABLE_CELLS_SCHEMA.empty_table()
+    urls = batch.column("url").to_pylist()
+    htmls = batch.column("html").to_pylist()
+    out_url: list[str] = []
+    out_t: list[int] = []
+    out_r: list[int] = []
+    out_c: list[int] = []
+    out_cell: list[str] = []
+    for u, h in zip(urls, htmls):
+        for ti, tm in enumerate(_TABLE_RE.finditer(h or b"")):
+            for ri, rm in enumerate(_TR_RE.finditer(tm.group(1))):
+                for ci, cm in enumerate(_CELL_RE.finditer(rm.group(1))):
+                    raw = cm.group(1).decode("utf-8", errors="replace")
+                    cell = html_mod.unescape(_TAG_RE.sub("", raw)).strip()
+                    out_url.append(u)
+                    out_t.append(ti)
+                    out_r.append(ri)
+                    out_c.append(ci)
+                    out_cell.append(cell)
+    return pa.table(
+        {
+            "url": pa.array(out_url, type=pa.string()),
+            "table_idx": pa.array(out_t, type=pa.int64()),
+            "row_idx": pa.array(out_r, type=pa.int64()),
+            "col_idx": pa.array(out_c, type=pa.int64()),
+            "cell": pa.array(out_cell, type=pa.string()),
+        },
+        schema=TABLE_CELLS_SCHEMA,
+    )

@@ -119,6 +119,7 @@ SQL_CHECKED = [
     "kg_modularity",
     "kg_conflict_edges",
     "url_templates",
+    "html_table_cells",
     "pii_scrub",
     "heavy_hitters",
     "embedding_kmeans",
