@@ -316,6 +316,7 @@ OPERATOR_QUERIES = [
     "kg_conflict_edges",
     "url_templates",
     "html_table_cells",
+    "table_triples",
 ]
 
 

@@ -1337,3 +1337,59 @@ def html_table_cells(sf_dir: str):
     return docs.map_batches(_table_pages_batch, batch_format="pyarrow").map_batches(
         extract_table_cells_batch, batch_format="pyarrow"
     )
+
+
+def table_triples(sf_dir: str):
+    """Candidate KG facts from the harvested web tables: within each
+    (url, table, row), col 0 is the property surface and col 1 the
+    value — pivoted IN-BATCH (extraction is per-page, so a row's cells
+    never straddle blocks; zero extra shuffle) and folded to (pred,
+    obj) with distinct-page support. The WebTables fact-candidate
+    generator that feeds kg-edge confidence scoring. Columns: pred,
+    obj, n_pages."""
+    import ray.data as rd
+
+    from bioner_ray.stages.extract import extract_table_cells_batch
+    from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema, with_ones
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    cells = docs.map_batches(_table_pages_batch, batch_format="pyarrow").map_batches(
+        extract_table_cells_batch, batch_format="pyarrow"
+    )
+
+    def pivot(t: pa.Table) -> pa.Table:
+        empty = pa.schema([("pred", pa.string()), ("obj", pa.string())])
+        if t.num_columns == 0 or t.num_rows == 0:
+            return empty.empty_table()
+        k = t.filter(pc.equal(t.column("col_idx"), 0))
+        v = t.filter(pc.equal(t.column("col_idx"), 1))
+        kt = pa.table(
+            {
+                "url": k.column("url"),
+                "table_idx": k.column("table_idx"),
+                "row_idx": k.column("row_idx"),
+                "pred": k.column("cell"),
+            }
+        )
+        vt = pa.table(
+            {
+                "url": v.column("url"),
+                "table_idx": v.column("table_idx"),
+                "row_idx": v.column("row_idx"),
+                "obj": v.column("cell"),
+            }
+        )
+        j = kt.join(vt, keys=["url", "table_idx", "row_idx"], join_type="inner")
+        return j.select(["pred", "obj"])
+
+    agg = bucketed_aggregate(
+        with_ones(cells.map_batches(pivot, batch_format="pyarrow"), "n_pages"),
+        ["pred", "obj"],
+        [("n_pages", "sum")],
+    )
+    return pin_schema(
+        agg,
+        pa.schema([("pred", pa.string()), ("obj", pa.string()), ("n_pages", pa.int64())]),
+    )

@@ -120,6 +120,7 @@ SQL_CHECKED = [
     "kg_conflict_edges",
     "url_templates",
     "html_table_cells",
+    "table_triples",
     "pii_scrub",
     "heavy_hitters",
     "embedding_kmeans",
