@@ -317,6 +317,7 @@ OPERATOR_QUERIES = [
     "url_templates",
     "html_table_cells",
     "table_triples",
+    "recrawl_change_rate",
 ]
 
 

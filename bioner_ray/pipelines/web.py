@@ -1393,3 +1393,120 @@ def table_triples(sf_dir: str):
         agg,
         pa.schema([("pred", pa.string()), ("obj", pa.string()), ("n_pages", pa.int64())]),
     )
+
+
+def recrawl_change_rate(sf_dir: str):
+    """Per-host recrawl change audit — the scheduling signal that tells
+    a crawler which sites churn: the same url set fetched in two
+    snapshots (fixture: snapshot B's body changes iff doc_id % 5 == 0),
+    each fetch content-hashed DISTRIBUTEDLY with exact-dedup's md5
+    content key, the two hash streams joined on url by the engine's
+    bucketed join (never the page bodies — only (url, hash) pairs move)
+    and folded per host. Columns: host, n_urls, n_changed,
+    change_rate."""
+    import numpy as np
+    import ray.data as rd
+
+    from bioner_ray.stages.dedup import content_key_batch
+    from bioner_ray.stages.shuffle import (
+        bucketed_aggregate,
+        bucketed_inner_join,
+        pin_schema,
+        with_ones,
+    )
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def with_url(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        hosts = _host_idx(ids)
+        urls = [
+            f"https://site{h}.example.com/doc/{i}"
+            for i, h in zip(ids.tolist(), hosts.tolist())
+        ]
+        return batch.append_column("url", pa.array(urls, type=pa.string()))
+
+    def refetch(batch: pa.Table) -> pa.Table:
+        # snapshot B (fixture construction): every fifth page updated
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = batch.column("text").to_pylist()
+        texts = [
+            (t or "") + "\nupdated" if i % 5 == 0 else (t or "")
+            for i, t in zip(ids.tolist(), texts)
+        ]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "text": pa.array(texts, type=pa.string()),
+                "url": batch.column("url"),
+            }
+        )
+
+    pages = docs.map_batches(with_url, batch_format="pyarrow")
+
+    def keyed(ds, key_name):
+        k = ds.map_batches(
+            content_key_batch,
+            fn_kwargs={"text_col": "text", "id_col": "url"},
+            batch_format="pyarrow",
+        )
+        return k.map_batches(
+            lambda t, kn=key_name: t.rename_columns(
+                [kn if c == "key" else c for c in t.schema.names]
+            ),
+            batch_format="pyarrow",
+        )
+
+    a = keyed(pages, "key_a")
+    b = keyed(pages.map_batches(refetch, batch_format="pyarrow"), "key_b")
+    side = lambda kn: pa.schema([("url", pa.string()), (kn, pa.string())])
+    j = pin_schema(
+        bucketed_inner_join(a, b, ["url"], side("key_a"), side("key_b")),
+        pa.schema([("url", pa.string()), ("key_a", pa.string()), ("key_b", pa.string())]),
+    )
+
+    def per_url(t: pa.Table) -> pa.Table:
+        host = pc.utf8_lower(
+            pc.struct_field(
+                pc.extract_regex(t.column("url"), r"^https://(?P<h>[^/]+)/"), "h"
+            )
+        )
+        changed = pc.cast(
+            pc.not_equal(t.column("key_a"), t.column("key_b")), pa.int64()
+        )
+        return pa.table({"host": host, "n_changed": changed})
+
+    agg = bucketed_aggregate(
+        with_ones(j.map_batches(per_url, batch_format="pyarrow"), "n_urls"),
+        ["host"],
+        [("n_changed", "sum"), ("n_urls", "sum")],
+    )
+    out_schema = pa.schema(
+        [
+            ("host", pa.string()),
+            ("n_urls", pa.int64()),
+            ("n_changed", pa.int64()),
+            ("change_rate", pa.float64()),
+        ]
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return out_schema.empty_table()
+        rate = pc.divide(
+            pc.cast(t.column("n_changed"), pa.float64()),
+            pc.cast(t.column("n_urls"), pa.float64()),
+        )
+        return pa.table(
+            {
+                "host": t.column("host"),
+                "n_urls": t.column("n_urls"),
+                "n_changed": t.column("n_changed"),
+                "change_rate": rate,
+            },
+            schema=out_schema,
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

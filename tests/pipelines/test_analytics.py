@@ -121,6 +121,7 @@ SQL_CHECKED = [
     "url_templates",
     "html_table_cells",
     "table_triples",
+    "recrawl_change_rate",
     "pii_scrub",
     "heavy_hitters",
     "embedding_kmeans",
