@@ -318,6 +318,7 @@ OPERATOR_QUERIES = [
     "html_table_cells",
     "table_triples",
     "recrawl_change_rate",
+    "semantic_dedup",
 ]
 
 

@@ -3043,3 +3043,19 @@ def ivf_recall(sf_dir: str, k: int = 10, n_queries: int = 8):
             "recall": pa.array(n_hits.astype(np.float64) / k),
         }
     )
+
+
+def semantic_dedup(sf_dir: str, k: int = 4, iters: int = 2, tau: float = 0.45):
+    """SemDeDup over the embeddings table (stages/cluster.py
+    semantic_dedup): deterministic k-means partition, within-cluster
+    cosine, dominated-by-earlier drop rule — the paraphrase-level dedup
+    pass that runs after exact/minhash dedup in a training-data
+    pipeline. Columns: vec_id, cluster, kept."""
+    from bioner_ray.stages.cluster import semantic_dedup as _sd
+
+    return _sd(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        k=k,
+        iters=iters,
+        tau=tau,
+    )

@@ -122,6 +122,7 @@ SQL_CHECKED = [
     "html_table_cells",
     "table_triples",
     "recrawl_change_rate",
+    "semantic_dedup",
     "pii_scrub",
     "heavy_hitters",
     "embedding_kmeans",

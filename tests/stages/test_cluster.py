@@ -137,3 +137,51 @@ class TestPCATopComponent:
             div = max(1, max(abs(x) for x in u) // scale)
             v = [_trunc_div(x, div) for x in u]
         assert got.sort_values("dim")["loading"].tolist() == v
+
+
+class TestSemanticDedup:
+    def test_near_pair_dropped_later_kept_earlier(self):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from bioner_ray.stages.cluster import semantic_dedup
+
+        rng = np.random.RandomState(7)
+        base = rng.randn(6, 8).astype(np.float32)
+        # vec 5 = vec 0 scaled (cosine 1.0); vec 4 = orthogonal-ish noise
+        base[5] = base[0] * 2.0
+        t = pa.table(
+            {
+                "vec_id": pa.array(np.arange(6, dtype=np.int64)),
+                "embedding": pa.array([list(r) for r in base], type=pa.list_(pa.float32())),
+            }
+        )
+        out = (
+            semantic_dedup(rd.from_arrow(t).repartition(2), k=2, iters=2, tau=0.99)
+            .to_pandas()
+            .set_index("vec_id")
+        )
+        assert len(out) == 6
+        assert out.loc[0, "kept"] == 1  # earlier of the duplicate pair
+        assert out.loc[5, "kept"] == 0  # dominated by vec 0 (same cluster: identical direction)
+        assert out.kept.sum() == 5
+
+    def test_verdict_partition_invariance(self):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from bioner_ray.stages.cluster import semantic_dedup
+
+        rng = np.random.RandomState(11)
+        m = rng.randn(40, 8).astype(np.float32)
+        t = pa.table(
+            {
+                "vec_id": pa.array(np.arange(40, dtype=np.int64)),
+                "embedding": pa.array([list(r) for r in m], type=pa.list_(pa.float32())),
+            }
+        )
+        a = semantic_dedup(rd.from_arrow(t).repartition(1), k=3, iters=2, tau=0.5).to_pandas()
+        b = semantic_dedup(rd.from_arrow(t).repartition(7), k=3, iters=2, tau=0.5).to_pandas()
+        assert sorted(map(tuple, a.values.tolist())) == sorted(map(tuple, b.values.tolist()))
