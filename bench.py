@@ -60,11 +60,13 @@ def _bench_vocab():
 
 # Sized so compute dominates the fixed costs (actor start, canonicalize
 # shuffle, write) at BOTH parallelism levels — the scaling rule measures
-# the job, not the constant term. 288k pages ~= 9s of pool compute at 32
-# CPUs after the r2 per-page optimizations (was 96k before them); the
-# fixed ~5-8s term (actor start, canonicalize sort, single-task write)
-# must stay small against the scaled work at BOTH levels.
-SCALING_PAGES = int(os.environ.get("GRAFT_SCALING_PAGES", "384000"))
+# the job, not the constant term. Re-sized 384k → 1.152M in round 3's
+# eleventh session: the round's per-page speedups pushed the 32-CPU wall
+# at 384k down to ~19-25 s, of which ~10 s is the fixed ramp/driver term
+# (measured: marginal rate 43 µs/page between 384k and 1.152M), i.e. the
+# fixed term had grown to ~40% of the measurement and dominated the
+# efficiency figure. At 1.152M the 32-CPU run is ~60 s (fixed ≈ 17%).
+SCALING_PAGES = int(os.environ.get("GRAFT_SCALING_PAGES", "1152000"))
 SCALING_SHARDS = 64
 
 
