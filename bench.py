@@ -321,6 +321,7 @@ OPERATOR_QUERIES = [
     "table_triples",
     "recrawl_change_rate",
     "semantic_dedup",
+    "kg_pred_domains",
 ]
 
 

@@ -6085,6 +6085,151 @@ def kg_type_inference(sf_dir: str):
     ).drop_columns(["rk"])
 
 
+def kg_pred_domains(sf_dir: str):
+    """Predicate domain/range induction — the ontology-bootstrap step
+    after per-node typing (kg_type_inference): for every predicate, the
+    dominant (subject-type, object-type) signature by triple mass, with
+    the predicate's total mass alongside so coverage = w / w_total is
+    one replayable division away. Nodes never seen as a subject carry
+    no induced type and fold into 'untyped' (left-outer fill) instead
+    of silently dropping their edges.
+
+    Scale shape: the node-type table rides two edge-scale bucketed
+    LEFT OUTER joins (subj then obj — the community_stats plan), one
+    (pred, type_s, type_o) aggregate bounded by preds x types², a
+    combiner-pruned per-pred top-1 and one pred-bounded join for the
+    totals. Columns: pred, type_s, type_o, w, w_total."""
+    from bioner_ray.stages.rank import top_k_per_group
+    from bioner_ray.stages.shuffle import (
+        bucketed_aggregate,
+        bucketed_inner_join,
+        pin_schema,
+    )
+
+    edges = kg_edges(sf_dir)
+    types = kg_type_inference(sf_dir).map_batches(
+        lambda t: t.select(["node", "type"]) if t.num_columns else t,
+        batch_format="pyarrow",
+    )
+    e_schema = pa.schema(
+        [
+            ("subj", pa.string()),
+            ("pred", pa.string()),
+            ("obj", pa.string()),
+            ("w", pa.int64()),
+        ]
+    )
+    e = edges.map_batches(
+        lambda t: pa.table(
+            {
+                "subj": t.column("subj"),
+                "pred": t.column("pred"),
+                "obj": t.column("obj"),
+                "w": pc.cast(t.column("weight"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    j1 = pin_schema(
+        bucketed_inner_join(
+            e,
+            types.map_batches(
+                lambda t: t.rename_columns(["subj", "type_s"]), batch_format="pyarrow"
+            ),
+            ["subj"],
+            e_schema,
+            pa.schema([("subj", pa.string()), ("type_s", pa.string())]),
+            join_type="left outer",
+        ),
+        pa.schema(list(e_schema) + [("type_s", pa.string())]),
+    )
+    j2 = pin_schema(
+        bucketed_inner_join(
+            j1,
+            types.map_batches(
+                lambda t: t.rename_columns(["obj", "type_o"]), batch_format="pyarrow"
+            ),
+            ["obj"],
+            pa.schema(list(e_schema) + [("type_s", pa.string())]),
+            pa.schema([("obj", pa.string()), ("type_o", pa.string())]),
+            join_type="left outer",
+        ),
+        pa.schema(
+            list(e_schema) + [("type_s", pa.string()), ("type_o", pa.string())]
+        ),
+    )
+
+    def fill(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "pred": t.column("pred"),
+                "type_s": pc.fill_null(t.column("type_s"), "untyped"),
+                "type_o": pc.fill_null(t.column("type_o"), "untyped"),
+                "w": t.column("w"),
+            }
+        )
+
+    g_schema = pa.schema(
+        [
+            ("pred", pa.string()),
+            ("type_s", pa.string()),
+            ("type_o", pa.string()),
+            ("w", pa.int64()),
+        ]
+    )
+    g = pin_schema(
+        bucketed_aggregate(
+            j2.map_batches(fill, batch_format="pyarrow"),
+            ["pred", "type_s", "type_o"],
+            [("w", "sum")],
+        ),
+        g_schema,
+    )
+    totals = pin_schema(
+        bucketed_aggregate(
+            g.map_batches(
+                lambda t: pa.table({"pred": t.column("pred"), "w_total": t.column("w")}),
+                batch_format="pyarrow",
+            ),
+            ["pred"],
+            [("w_total", "sum")],
+        ),
+        pa.schema([("pred", pa.string()), ("w_total", pa.int64())]),
+    )
+    top = pin_schema(
+        top_k_per_group(
+            g,
+            key_col="pred",
+            order_by=[("w", "descending"), ("type_s", "ascending"), ("type_o", "ascending")],
+            k=1,
+        ),
+        g_schema,
+    )
+    out = bucketed_inner_join(
+        top,
+        totals,
+        ["pred"],
+        g_schema,
+        pa.schema([("pred", pa.string()), ("w_total", pa.int64())]),
+    )
+    out_schema = pa.schema(
+        [
+            ("pred", pa.string()),
+            ("type_s", pa.string()),
+            ("type_o", pa.string()),
+            ("w", pa.int64()),
+            ("w_total", pa.int64()),
+        ]
+    )
+    return pin_schema(
+        out.map_batches(
+            lambda t: t.select(out_schema.names) if t.num_columns else t,
+            batch_format="pyarrow",
+        ),
+        out_schema,
+    )
+
+
 def ngram_diversity(sf_dir: str, n: int = 3):
     """Per-source corpus diversity: the type/token ratio of word
     ``n``-grams — the repetition audit an LLM-data pipeline runs per

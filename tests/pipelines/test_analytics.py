@@ -123,6 +123,7 @@ SQL_CHECKED = [
     "table_triples",
     "recrawl_change_rate",
     "semantic_dedup",
+    "kg_pred_domains",
     "pii_scrub",
     "heavy_hitters",
     "embedding_kmeans",
