@@ -322,6 +322,7 @@ OPERATOR_QUERIES = [
     "recrawl_change_rate",
     "semantic_dedup",
     "kg_pred_domains",
+    "fetch_schedule",
 ]
 
 

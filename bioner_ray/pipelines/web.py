@@ -1510,3 +1510,69 @@ def recrawl_change_rate(sf_dir: str):
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def fetch_schedule(sf_dir: str, gap: int = 10):
+    """Politeness-scheduled fetch plan over the crawl frontier: per
+    host, URLs are fetched in deterministic lexicographic order with
+    ``gap`` time slots between consecutive hits to the same host, and
+    hosts staggered by an md5-derived offset (the engine's 61-bit
+    md5-UBIGINT idiom, replayed verbatim in SQL) so slot 0 is not a
+    thundering herd — slot = (rank_in_host − 1)·gap + md5_61(host) mod
+    gap. The scheduler output a fetch fleet consumes directly; one
+    coarse host-bucketed shuffle with a vectorized run-scan per bucket,
+    host count never bounds parallelism. Columns: url, host, rk,
+    slot."""
+    import hashlib
+
+    import numpy as np
+    import ray.data as rd
+
+    from bioner_ray.stages.shuffle import bucketed_map_groups, pin_schema
+    from bioner_ray.stages.weblinks import host_of
+
+    out_schema = pa.schema(
+        [
+            ("url", pa.string()),
+            ("host", pa.string()),
+            ("rk", pa.int64()),
+            ("slot", pa.int64()),
+        ]
+    )
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    urls = docs.map_batches(_url_paths_batch, batch_format="pyarrow").map_batches(
+        lambda t: t.append_column("host", host_of(t.column("url").combine_chunks())),
+        batch_format="pyarrow",
+    )
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return out_schema.empty_table()
+        t = t.sort_by([("host", "ascending"), ("url", "ascending")])
+        host = t.column("host").to_numpy(zero_copy_only=False)
+        url = t.column("url").to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, host[1:] != host[:-1]])
+        nseg = np.diff(np.r_[starts, len(host)])
+        rk = np.arange(len(host), dtype=np.int64) - np.repeat(starts, nseg) + 1
+        offs = np.array(
+            [
+                (int.from_bytes(hashlib.md5(h.encode()).digest()[:8], "big") % (1 << 61)) % gap
+                for h in host[starts]
+            ],
+            dtype=np.int64,
+        )
+        slot = (rk - 1) * gap + np.repeat(offs, nseg)
+        return pa.table(
+            {
+                "url": pa.array(url, type=pa.string()),
+                "host": pa.array(host, type=pa.string()),
+                "rk": pa.array(rk),
+                "slot": pa.array(slot),
+            },
+            schema=out_schema,
+        )
+
+    return pin_schema(bucketed_map_groups(urls, ["host"], per_bucket), out_schema)

@@ -124,6 +124,7 @@ SQL_CHECKED = [
     "recrawl_change_rate",
     "semantic_dedup",
     "kg_pred_domains",
+    "fetch_schedule",
     "pii_scrub",
     "heavy_hitters",
     "embedding_kmeans",
