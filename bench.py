@@ -323,6 +323,7 @@ OPERATOR_QUERIES = [
     "semantic_dedup",
     "kg_pred_domains",
     "fetch_schedule",
+    "host_dup_rate",
 ]
 
 

@@ -1576,3 +1576,92 @@ def fetch_schedule(sf_dir: str, gap: int = 10):
         )
 
     return pin_schema(bucketed_map_groups(urls, ["host"], per_bucket), out_schema)
+
+
+def host_dup_rate(sf_dir: str):
+    """Per-host exact-duplicate rate — the crawl-quality signal that
+    separates template/mirror farms (every page the same bytes) from
+    content sites, read before spending recrawl budget. The engine
+    content-hashes each page (exact-dedup's md5 key), collapses
+    (host, key) with ONE bucketed aggregate — the only corpus-scale
+    exchange, one row per distinct content per host — then folds to
+    host grain. dup_rate = 1 − distinct/docs as a replayable division.
+    Columns: host, n_docs, n_distinct, dup_rate."""
+    import numpy as np
+    import ray.data as rd
+
+    from bioner_ray.stages.dedup import content_key_batch
+    from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema, with_ones
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def with_host(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        hosts = _host_idx(ids)
+        return batch.append_column(
+            "host",
+            pa.array(
+                [f"site{h}.example.com" for h in hosts.tolist()], type=pa.string()
+            ),
+        )
+
+    keyed = docs.map_batches(with_host, batch_format="pyarrow").map_batches(
+        content_key_batch,
+        fn_kwargs={"text_col": "text", "id_col": "host"},
+        batch_format="pyarrow",
+    )
+    # level 1: (host, key) collapse with per-key copy counts
+    lvl1 = pin_schema(
+        bucketed_aggregate(
+            with_ones(keyed, "n_docs"), ["host", "key"], [("n_docs", "sum")]
+        ),
+        pa.schema([("host", pa.string()), ("key", pa.string()), ("n_docs", pa.int64())]),
+    )
+    # level 2: host grain — docs = Σ copies, distinct = row count
+    lvl2 = pin_schema(
+        bucketed_aggregate(
+            with_ones(
+                lvl1.map_batches(
+                    lambda t: t.select(["host", "n_docs"]), batch_format="pyarrow"
+                ),
+                "n_distinct",
+            ),
+            ["host"],
+            [("n_docs", "sum"), ("n_distinct", "sum")],
+        ),
+        pa.schema(
+            [("host", pa.string()), ("n_docs", pa.int64()), ("n_distinct", pa.int64())]
+        ),
+    )
+    out_schema = pa.schema(
+        [
+            ("host", pa.string()),
+            ("n_docs", pa.int64()),
+            ("n_distinct", pa.int64()),
+            ("dup_rate", pa.float64()),
+        ]
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return out_schema.empty_table()
+        rate = pc.subtract(
+            pa.scalar(1.0),
+            pc.divide(
+                pc.cast(t.column("n_distinct"), pa.float64()),
+                pc.cast(t.column("n_docs"), pa.float64()),
+            ),
+        )
+        return pa.table(
+            {
+                "host": t.column("host"),
+                "n_docs": t.column("n_docs"),
+                "n_distinct": t.column("n_distinct"),
+                "dup_rate": rate,
+            },
+            schema=out_schema,
+        )
+
+    return lvl2.map_batches(finish, batch_format="pyarrow")

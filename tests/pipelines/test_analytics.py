@@ -125,6 +125,7 @@ SQL_CHECKED = [
     "semantic_dedup",
     "kg_pred_domains",
     "fetch_schedule",
+    "host_dup_rate",
     "pii_scrub",
     "heavy_hitters",
     "embedding_kmeans",
