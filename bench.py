@@ -324,6 +324,10 @@ OPERATOR_QUERIES = [
     "kg_pred_domains",
     "fetch_schedule",
     "host_dup_rate",
+    # round-3 twelfth session
+    "kg_katz",
+    "ntriples_roundtrip",
+    "kg_edge_recency",
 ]
 
 
@@ -397,10 +401,35 @@ def bench_once(num_cpus: int, sf_dir: str, headline_only: bool = False) -> dict:
     }
 
 
+def _stat_snap() -> list[int] | None:
+    """(user…steal…) jiffies from /proc/stat, None off-Linux."""
+    try:
+        with open("/proc/stat") as f:
+            return [int(x) for x in f.readline().split()[1:]]
+    except OSError:
+        return None
+
+
+def _steal_pct(a: list[int] | None, b: list[int] | None) -> float | None:
+    """Hypervisor steal as % of all elapsed CPU time between two
+    snapshots — the shared-box confounder that caps measurable scaling
+    efficiency (a VM given only 22/32 effective cores cannot show 4×
+    from 8→32 no matter how well the engine scales). Recorded with
+    every scaling child so each BASELINE entry carries its own
+    environment evidence."""
+    if a is None or b is None:
+        return None
+    d = [y - x for x, y in zip(a, b)]
+    tot = sum(d)
+    return round(100.0 * d[7] / tot, 2) if tot and len(d) > 7 else None
+
+
 def _run_child(cpus: int, sf_dir: str, repeats: int, ballast: int = 0) -> dict:
     """Best-of-N fresh-process headline runs, optionally with ``ballast``
     busy-spin processes occupying the remaining cores for the run's
-    duration (clock equalization, see run_scaling)."""
+    duration (clock equalization, see run_scaling). Each repeat also
+    measures hypervisor steal%% across its own wall interval; the
+    returned best carries the steal of ITS repeat."""
     spin = [
         subprocess.Popen([sys.executable, "-c", "while True: pass"])
         for _ in range(ballast)
@@ -408,14 +437,17 @@ def _run_child(cpus: int, sf_dir: str, repeats: int, ballast: int = 0) -> dict:
     try:
         best = None
         for _ in range(repeats):
+            s0 = _stat_snap()
             proc = subprocess.run(
                 [sys.executable, os.path.join(REPO, "bench.py"), "--child",
                  "--cpus", str(cpus), "--sf-dir", sf_dir],
                 capture_output=True, text=True, check=True,
                 env={**os.environ, "PYTHONPATH": REPO},
             )
+            steal = _steal_pct(s0, _stat_snap())
             line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
             r = json.loads(line)
+            r["steal_pct"] = steal
             if best is None or r["queries"]["kg_streaming"] < best["queries"]["kg_streaming"]:
                 best = r
         return best
@@ -467,6 +499,13 @@ def run_scaling(sf_dir: str, low: int = 8, high: int = 32, repeats: int = 3) -> 
             f"triples_per_s_cpus{high}": res_high["throughput"]["triples_per_s"],
             "speedup_eq": round(t_low_eq / t_high, 3),
             "efficiency_raw": round(eff_raw, 3),
+            # hypervisor steal%% during each phase's best repeat — the
+            # environment evidence behind any sub-0.8 reading (see
+            # _steal_pct): steal S at the high level caps efficiency
+            # at ~(1-S/100)/(1-S_low/100·high/low-adjusted)
+            f"steal_pct_cpus{high}": res_high.get("steal_pct"),
+            f"steal_pct_cpus{low}_raw": res_low_raw.get("steal_pct"),
+            f"steal_pct_cpus{low}_eq": res_low_eq.get("steal_pct"),
         },
         "sf": res_high["sf"],
         "num_cpus": high,

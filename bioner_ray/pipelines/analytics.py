@@ -869,6 +869,33 @@ def kg_nodes(sf_dir: str):
     return out
 
 
+def ntriples_roundtrip(sf_dir: str):
+    """N-Triples sink→source parity over the canonical edge table —
+    the RDF serialization a published KG ships (sources/ntriples.py).
+    The distinct (subj, pred, obj) set is written as one ``part-*.nt``
+    file per block (percent-encoded IRIs), read back with the
+    distributed line reader, and returned; the driver's hash match
+    against the trip-chain twin pins that serialization∘parse is the
+    identity on the real graph. The manifest count is asserted against
+    the input so a dropped block can never pass as a smaller graph.
+    Columns: subj, pred, obj."""
+    import os
+    import shutil
+    import uuid
+
+    from bioner_ray.sources.ntriples import read_ntriples, write_ntriples
+
+    path = os.path.join("/tmp/bioner_nt", uuid.uuid4().hex)
+    shutil.rmtree(path, ignore_errors=True)
+    edges = kg_edges(sf_dir).select_columns(["subj", "pred", "obj"])
+    manifest = write_ntriples(edges, path)
+    n_written = sum(r["n_triples"] for r in manifest.take_all())
+    n_edges = edges.count()
+    if n_written != n_edges:
+        raise RuntimeError(f"ntriples manifest {n_written} != edges {n_edges}")
+    return read_ntriples(path)
+
+
 def kg_degree(sf_dir: str):
     """Graph-quality report over the canonical edge table: per-node
     out/in degree and strength (stages/graph.py degree_stats). The hub
@@ -4588,6 +4615,19 @@ def kg_hits(sf_dir: str, iters: int = 2):
     return hits(kg_edges(sf_dir), iters=iters)
 
 
+def kg_katz(sf_dir: str, iters: int = 3):
+    """Fixed-iteration weighted Katz centrality over the canonical KG
+    edges (stages/graph.py katz — scaled-integer per-edge attenuation
+    α = 1/8, floor-divide renormalization, so the DuckDB twin replays
+    it bit-exactly). The out-degree-unnormalized complement to
+    PageRank: attenuated-walk mass, the classic prior for entity
+    prominence in citation/mention graphs. Columns: node, katz
+    (score × 10^6 as int64)."""
+    from bioner_ray.stages.graph import katz
+
+    return katz(kg_edges(sf_dir), iters=iters)
+
+
 def forecast_revenue(
     sf_dir: str,
     year: int = 1996,
@@ -5193,6 +5233,82 @@ def kg_synonym_pairs(sf_dir: str, min_conf: float = 0.9, edges=None):
         return t.select(["lo", "hi", "conf_fwd", "conf_rev"])
 
     return pin_schema(joined.map_batches(finish, batch_format="pyarrow"), out_schema)
+
+
+def kg_edge_recency(
+    sf_dir: str,
+    horizon_days: int = 365,
+    half_life_days: int = 30,
+    pools: int = 2,
+):
+    """Freshness-weighted edge confidence — the temporal-KG maintenance
+    signal (recrawl prioritization, stale-fact decay: an edge seen only
+    in old crawls should outrank-decay one re-attested yesterday).
+    Each supporting mention contributes ``10^6 // 2^(age_days //
+    half_life_days)`` micro-units (exact integer half-life decay — a
+    bit shift, no libm), where age_days derives deterministically from
+    the source page id (``doc_id % horizon_days`` — the fixture's
+    stand-in for now() − warc_ts; on the real crawl this is a timestamp
+    subtraction on the ``warc_ts`` column and nothing downstream
+    changes). ONE corpus-sized pass over the triple stream + ONE
+    bucketed aggregate on the edge key; no joins. Columns: subj, pred,
+    obj, weight, fresh_micro (Σ decayed support), min_age_days
+    (freshest attestation)."""
+    import numpy as np
+    import ray
+
+    from bioner_ray.stages.link import ConceptIndex
+    from bioner_ray.stages.pool import sized_pool
+    from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema
+    from bioner_ray.stages.triples import triples_stage
+
+    index_ref = ray.put(ConceptIndex(make_identity_concepts()))
+    triples = triples_stage(
+        _tagged_documents(sf_dir, pools=pools),
+        index_ref,
+        concurrency=sized_pool(
+            _nrows(sf_dir, "documents"), batch_size=64, max_actors=16, pools=pools
+        ),
+        relation_lexicon=frozenset(RELATION_WORDS),
+    )
+    out_schema = pa.schema(
+        [
+            ("subj", pa.string()),
+            ("pred", pa.string()),
+            ("obj", pa.string()),
+            ("weight", pa.int64()),
+            ("fresh_micro", pa.int64()),
+            ("min_age_days", pa.int64()),
+        ]
+    )
+
+    def decay(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return out_schema.empty_table()
+        doc_id = pc.cast(
+            pc.utf8_slice_codeunits(t.column("url"), 6), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        age = doc_id % horizon_days
+        fresh = (10**6) >> np.minimum(age // half_life_days, 62)
+        return pa.table(
+            {
+                "subj": t.column("subj"),
+                "pred": t.column("pred"),
+                "obj": t.column("obj"),
+                "weight": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                "fresh_micro": pa.array(fresh.astype(np.int64)),
+                "min_age_days": pa.array(age.astype(np.int64)),
+            }
+        )
+
+    return pin_schema(
+        bucketed_aggregate(
+            triples.map_batches(decay, batch_format="pyarrow"),
+            ["subj", "pred", "obj"],
+            [("weight", "sum"), ("fresh_micro", "sum"), ("min_age_days", "min")],
+        ),
+        out_schema,
+    )
 
 
 def kg_edge_provenance(sf_dir: str, pools: int = 2):

@@ -3083,6 +3083,175 @@ def hits(
     )
 
 
+def _katz_contrib(x, w, alpha_num: int, alpha_den: int):
+    """Exact per-edge ``(alpha_num · x · w) // alpha_den`` as int64,
+    with the _pagerank_contrib big-int fallback when the vectorized
+    product could exceed 2^63."""
+    import numpy as np
+
+    x = np.asarray(x, dtype=np.int64)
+    w = np.asarray(w, dtype=np.int64)
+    if x.size == 0:
+        return np.zeros(0, dtype=np.int64)
+    if alpha_num * int(x.max()) * int(w.max()) < 2**63:
+        return (alpha_num * x * w) // alpha_den
+    return np.array(
+        [(alpha_num * int(a) * int(b)) // alpha_den for a, b in zip(x.tolist(), w.tolist())],
+        dtype=np.int64,
+    )
+
+
+def katz(
+    edges_ds,
+    iters: int = 3,
+    scale: int = 10**6,
+    alpha_num: int = 1,
+    alpha_den: int = 8,
+    subj_col: str = "subj",
+    obj_col: str = "obj",
+    weight_col: str = "weight",
+    num_buckets: int = 256,
+):
+    """Fixed-iteration weighted Katz centrality (Katz '53) over a
+    directed edge table, in deterministic scaled-integer arithmetic:
+    (node, katz) with score ≈ value × ``scale``. Unlike PageRank, Katz
+    does NOT normalize by out-degree — a node inherits the full
+    attenuated mass of every walker reaching it, so prolific linkers
+    count more, not less (the complementary prior for web/KG entity
+    importance; PageRank answers "where does a random surfer end up",
+    Katz "how many attenuated walks end here").
+
+    Semantics (exactly replayable in SQL, hence oracle-checkable):
+      * multi-edges collapse to (subj, obj, Σweight) first;
+      * katz₀[v] = scale for every node (the β·1 injection);
+      * per round: raw[v] = scale + Σ over in-edges (s→v, w) of
+        ``(alpha_num · katz[s] · w) // alpha_den`` (per-edge floor
+        division — the attenuation α = alpha_num/alpha_den), then the
+        hits()-style FLOOR-DIVIDE renormalization
+        ``katz[v] = raw[v] // max(1, max_v(raw) // scale)`` — a
+        monotone transform, so the ranking is exactly Katz's while
+        every value stays ≤ ~2·scale (no geometric-series overflow,
+        no convergence-radius condition on α).
+
+    Shape per round: ONE bucketed join (edge stream ⋈ the bounded
+    node-score table) + ONE bucketed aggregate + one streamed max —
+    identical to stages/graph.pagerank / hits, with the same
+    materialize-per-round lineage cut; hot hubs ride the edge stream.
+
+    No reference analog; §2.11 KG-analytics extension (third member of
+    the centrality family next to pagerank/ppr and hits).
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def to_pair(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "subj": pc.cast(batch.column(subj_col), pa.string()),
+                "obj": pc.cast(batch.column(obj_col), pa.string()),
+                "w": pc.cast(batch.column(weight_col), pa.int64()),
+            }
+        )
+
+    edge_schema = pa.schema(
+        [("subj", pa.string()), ("obj", pa.string()), ("w", pa.int64())]
+    )
+    score_schema = pa.schema([("node", pa.string()), ("s", pa.int64())])
+
+    edges = pin_schema(
+        bucketed_aggregate(
+            edges_ds.map_batches(to_pair, batch_format="pyarrow"),
+            ["subj", "obj"],
+            [("w", "sum")],
+            num_buckets=num_buckets,
+        ),
+        edge_schema,
+    ).materialize()
+
+    def endpoint_nodes(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.chunked_array(
+                    [
+                        batch.column("subj").combine_chunks(),
+                        batch.column("obj").combine_chunks(),
+                    ]
+                ).combine_chunks()
+            }
+        ).append_column("s", pa.array(np.zeros(2 * batch.num_rows, dtype=np.int64)))
+
+    zeros = pin_schema(
+        bucketed_aggregate(
+            edges.map_batches(endpoint_nodes, batch_format="pyarrow"),
+            ["node"],
+            [("s", "min")],
+            num_buckets=num_buckets,
+        ),
+        score_schema,
+    ).materialize()
+
+    def with_const(value: int):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "node": t.column("node"),
+                    "s": pa.array(np.full(t.num_rows, value, dtype=np.int64)),
+                }
+            )
+
+        return fn
+
+    k = zeros.map_batches(with_const(scale), batch_format="pyarrow").materialize()
+
+    for _ in range(iters):
+        joined = bucketed_inner_join(
+            edges,
+            k.rename_columns({"node": "subj"}),
+            ["subj"],
+            edge_schema,
+            pa.schema([("subj", pa.string()), ("s", pa.int64())]),
+            num_buckets=num_buckets,
+        )
+
+        def contrib(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0:
+                return score_schema.empty_table()
+            c = _katz_contrib(
+                t.column("s").to_numpy(zero_copy_only=False),
+                t.column("w").to_numpy(zero_copy_only=False),
+                alpha_num,
+                alpha_den,
+            )
+            return pa.table({"node": t.column("obj"), "s": pa.array(c)})
+
+        agg = pin_schema(
+            bucketed_aggregate(
+                zeros.union(joined.map_batches(contrib, batch_format="pyarrow")),
+                ["node"],
+                [("s", "sum")],
+                num_buckets=num_buckets,
+            ),
+            score_schema,
+        ).materialize()
+        # raw = agg + scale per node; max(raw) = max(agg) + scale (the
+        # +scale is a constant shift), so the renormalizer needs no
+        # second pass over the table
+        div = max(1, (int(agg.max("s") or 0) + scale) // scale)
+
+        def norm(t: pa.Table, _div=div) -> pa.Table:
+            raw = pc.add(t.column("s"), pa.scalar(scale, type=pa.int64()))
+            return pa.table(
+                {
+                    "node": t.column("node"),
+                    "s": pc.divide(raw, pa.scalar(_div, type=pa.int64())),
+                }
+            )
+
+        k = agg.map_batches(norm, batch_format="pyarrow").materialize()
+
+    return k.rename_columns({"s": "katz"})
+
+
 def sssp_distances(
     edges_ds,
     n_seeds: int = 3,
