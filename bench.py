@@ -319,6 +319,7 @@ OPERATOR_QUERIES = [
     "url_templates",
     "html_table_cells",
     "table_triples",
+    "jsonld_triples",
     "recrawl_change_rate",
     "semantic_dedup",
     "kg_pred_domains",

@@ -1665,3 +1665,80 @@ def host_dup_rate(sf_dir: str):
         )
 
     return lvl2.map_batches(finish, batch_format="pyarrow")
+
+
+def _jsonld_pages_batch(batch: pa.Table) -> pa.Table:
+    """Synthetic structured-data pages (fixture construction, not
+    under test): docs ≡ 3 (mod 7) carry no JSON-LD block, docs ≡ 5
+    (mod 7) carry a MALFORMED one (truncated JSON — the wild-crawl
+    case the extractor must skip), and the rest carry one well-formed
+    schema.org object cycling Product (nested brand object) / Person
+    (scalar array) / Article (numeric scalar) by doc_id % 3 — exactly
+    the value shapes _flatten_jsonld must handle."""
+    import json
+
+    import numpy as np
+
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    hosts = _host_idx(ids)
+    urls, htmls = [], []
+    for i, h in zip(ids.tolist(), hosts.tolist()):
+        parts = ["<html><head>"]
+        m = i % 7
+        if m == 5:
+            parts.append(
+                '<script type="application/ld+json">{"@type": "Product", "name": </script>'
+            )
+        elif m != 3:
+            t = i % 3
+            if t == 0:
+                obj = {
+                    "@context": "https://schema.org",
+                    "@type": "Product",
+                    "name": f"entity {i % 50}",
+                    "brand": {"@type": "Brand", "name": f"brand {i % 11}"},
+                }
+            elif t == 1:
+                obj = {
+                    "@context": "https://schema.org",
+                    "@type": "Person",
+                    "name": f"entity {i % 50}",
+                    "knowsAbout": [f"topic {i % 5}", f"topic {(i + 1) % 5}"],
+                }
+            else:
+                obj = {
+                    "@context": "https://schema.org",
+                    "@type": "Article",
+                    "name": f"entity {i % 50}",
+                    "wordCount": i % 900 + 100,
+                }
+            parts.append(
+                '<script type="application/ld+json">' + json.dumps(obj) + "</script>"
+            )
+        parts.append(f"</head><body><p>page {i}</p></body></html>")
+        urls.append(f"https://site{h}.example.com/doc/{i}")
+        htmls.append("".join(parts).encode("utf-8"))
+    return pa.table(
+        {"url": pa.array(urls, type=pa.string()), "html": pa.array(htmls, type=pa.binary())}
+    )
+
+
+def jsonld_triples(sf_dir: str):
+    """Schema.org JSON-LD harvest over the synthetic structured crawl
+    (stages/extract.py extract_jsonld_batch) — the Web Data Commons
+    extraction that on a real crawl yields the highest-precision KG
+    facts (explicit publisher-asserted types and properties, no NER
+    needed). Stateless map_batches end-to-end: pages stream through
+    the regex+json.loads scan, fan-out tracks structured bytes, and
+    nothing shuffles — per-page triples are already the answer.
+    Columns: url, subj, pred, obj."""
+    import ray.data as rd
+
+    from bioner_ray.stages.extract import extract_jsonld_batch
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    return docs.map_batches(_jsonld_pages_batch, batch_format="pyarrow").map_batches(
+        extract_jsonld_batch, batch_format="pyarrow"
+    )
