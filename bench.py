@@ -173,6 +173,7 @@ OPERATOR_QUERIES = [
     "doc_length_deciles",
     "orders_profile",
     "doc_bigram_logprob",
+    "doc_kn_logprob",
     "kg_ppr",
     "weekly_active_users",
     "kg_incremental_edges",

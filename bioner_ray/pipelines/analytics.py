@@ -2123,6 +2123,72 @@ def weekly_active_users(sf_dir: str):
     return counts.map_batches(finish, batch_format="pyarrow")
 
 
+def _bigram_micro_score_ds(sf_dir: str, lp: dict, fallback: dict, out_col: str):
+    """Streaming bigram score pass shared by the add-one and Kneser-Ney
+    LMs: the within-doc bigram stream is built vectorized from the
+    split offsets (consecutive filtered tokens, no cross-doc pairs),
+    mapped through the broadcast micro-nat lookup (absent bigram →
+    ``fallback[w1]``; pass ``{}`` when the model is trained on the
+    corpus it scores, so every bigram is present), and segment-summed
+    in int64 — order-independent, bit-equal under any partitioning.
+    Docs with < 2 tokens emit no row (matching the SQL GROUP BY)."""
+    import ray
+
+    SEP = "\x1f"
+    lp_ref = ray.put(lp)
+    fb_ref = ray.put(fallback)
+
+    def score(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        table, fb = ray.get(lp_ref), ray.get(fb_ref)
+        text = pc.fill_null(batch.column("text"), "")
+        split = pc.split_pattern_regex(pc.utf8_lower(text), r"\s+").combine_chunks()
+        off = split.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_docs = len(off) - 1
+        doc_out = batch.column("doc_id")
+        vals = pd.Series(split.values.slice(off[0], off[-1] - off[0]).to_pylist())
+        doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), np.diff(off))
+        keep = (vals != "").to_numpy()
+        toks = vals[keep].reset_index(drop=True)
+        d = doc_idx[keep]
+        if len(toks) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=doc_out.type),
+                    "n_bigrams": pa.array([], type=pa.int64()),
+                    out_col: pa.array([], type=pa.int64()),
+                }
+            )
+        same = np.r_[d[1:] == d[:-1], False]
+        keys = toks + SEP + toks.shift(-1).fillna("")
+        kl = pd.Series(keys.to_numpy()[same])
+        w1 = pd.Series(toks.to_numpy()[same])
+        micro = kl.map(table)
+        if fb:
+            micro = micro.fillna(w1.map(fb))
+        micro = micro.to_numpy(dtype=np.int64)
+        dd = d[same]
+        sums = np.zeros(n_docs, dtype=np.int64)
+        cnts = np.zeros(n_docs, dtype=np.int64)
+        np.add.at(sums, dd, micro)
+        np.add.at(cnts, dd, 1)
+        nz = cnts > 0
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    doc_out.to_numpy(zero_copy_only=False)[nz]
+                ).cast(doc_out.type),
+                "n_bigrams": pa.array(cnts[nz]),
+                out_col: pa.array(sums[nz]),
+            }
+        )
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow"
+    )
+
+
 def doc_bigram_logprob(sf_dir: str):
     """Bigram-LM document scoring — the doc_logprob upgrade from
     unigram surprise to conditional add-one bigram probability
@@ -2197,58 +2263,73 @@ def doc_bigram_logprob(sf_dir: str):
     fb = {
         w: math.floor(math.log(1.0 / (c + v)) * 1000000.0) for w, c in c1.items()
     }
-    lp_ref = ray.put(lp)
-    fb_ref = ray.put(fb)
+    return _bigram_micro_score_ds(sf_dir, lp, fb, "logprob_micro")
 
-    def score(batch: pa.Table) -> pa.Table:
-        import pandas as pd
 
-        table, fallback = ray.get(lp_ref), ray.get(fb_ref)
-        text = pc.fill_null(batch.column("text"), "")
-        split = pc.split_pattern_regex(pc.utf8_lower(text), r"\s+").combine_chunks()
-        off = split.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        n_docs = len(off) - 1
-        doc_out = batch.column("doc_id")
-        # filtered token stream with doc ids
-        vals = pd.Series(split.values.slice(off[0], off[-1] - off[0]).to_pylist())
-        doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), np.diff(off))
-        keep = (vals != "").to_numpy()
-        toks = vals[keep].reset_index(drop=True)
-        d = doc_idx[keep]
-        if len(toks) == 0:
-            return pa.table(
-                {
-                    "doc_id": pa.array([], type=doc_out.type),
-                    "n_bigrams": pa.array([], type=pa.int64()),
-                    "logprob_micro": pa.array([], type=pa.int64()),
-                }
-            )
-        # consecutive pairs within the same doc
-        same = np.r_[d[1:] == d[:-1], False]
-        keys = toks + SEP + toks.shift(-1).fillna("")
-        kl = pd.Series(keys.to_numpy()[same])
-        w1 = pd.Series(toks.to_numpy()[same])
-        micro = kl.map(table)
-        micro = micro.fillna(w1.map(fallback)).to_numpy(dtype=np.int64)
-        dd = d[same]
-        sums = np.zeros(n_docs, dtype=np.int64)
-        cnts = np.zeros(n_docs, dtype=np.int64)
-        np.add.at(sums, dd, micro)
-        np.add.at(cnts, dd, 1)
-        nz = cnts > 0
+def doc_kn_logprob(sf_dir: str):
+    """Interpolated Kneser-Ney bigram scoring (absolute discount
+    d = 0.75) — the CCNet/KenLM-grade perplexity-filter signal one
+    rung above doc_bigram_logprob's add-one smoothing:
+
+        P(w2|w1) = (max(c12 − d, 0) + d · N1+(w1·) · Pcont(w2)) / c1(w1)
+        Pcont(w2) = N1+(·w2) / |distinct bigram types|
+
+    where c1(w1) is w1's left-context bigram total and N1+ are the
+    forward/backward continuation type counts. The model is trained on
+    the corpus it scores, so every scored bigram exists — no OOV
+    branch (a web-scale deployment trains on a held-out slice and adds
+    doc_bigram_logprob's fallback path, which the shared score stage
+    already supports). Engine shape: ONE bigram-count shuffle
+    (per-block partial dicts → bucketed aggregate) over one corpus
+    read; the continuation statistics are derived from the collected
+    count table driver-side (engineered-vocab bounded, the word_count
+    collection contract), pinned to libm ``math.log`` micro-nats —
+    DuckDB's ``ln`` replays them bit-exactly, numpy's SIMD log does
+    not — and broadcast once; then the shared streaming score pass.
+    Columns: doc_id, n_bigrams, kn_logprob_micro."""
+    import math
+
+    import pandas as pd
+
+    from bioner_ray.stages.shuffle import bucketed_aggregate
+    from bioner_ray.stages.textstats import _split_lower
+
+    SEP = "\x1f"
+
+    def bg_partial(batch: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for toks in _split_lower(batch, "text"):
+            for x, y in zip(toks, toks[1:]):
+                k = x + SEP + y
+                counts[k] = counts.get(k, 0) + 1
         return pa.table(
             {
-                "doc_id": pa.array(
-                    doc_out.to_numpy(zero_copy_only=False)[nz]
-                ).cast(doc_out.type),
-                "n_bigrams": pa.array(cnts[nz]),
-                "logprob_micro": pa.array(sums[nz]),
+                "bg": pa.array(list(counts.keys()), type=pa.string()),
+                "cnt": pa.array(list(counts.values()), type=pa.int64()),
             }
         )
 
-    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
-        score, batch_format="pyarrow"
-    )
+    docs = _read(sf_dir, "documents", columns=["text"])
+    bg = bucketed_aggregate(
+        docs.map_batches(bg_partial, batch_format="pyarrow"), ["bg"], [("cnt", "sum")]
+    ).to_pandas()
+    ks = bg["bg"].str.split(SEP, n=1, expand=True)
+    df = pd.DataFrame({"w1": ks[0], "w2": ks[1], "c12": bg["cnt"].astype("int64")})
+    g1 = df.groupby("w1")["c12"].agg(["sum", "size"])
+    g2 = df.groupby("w2")["c12"].size()
+    T = float(len(df))
+    c1 = df["w1"].map(g1["sum"]).to_numpy(dtype=np.float64)
+    nf = df["w1"].map(g1["size"]).to_numpy(dtype=np.float64)
+    nb = df["w2"].map(g2).to_numpy(dtype=np.float64)
+    c12 = df["c12"].to_numpy(dtype=np.float64)
+    # element-wise float composition mirrors the SQL twin term order:
+    # (greatest(c12 - d, 0) + d*nf*(nb/t)) / c1 — then libm log
+    p = (np.maximum(c12 - 0.75, 0.0) + 0.75 * nf * (nb / T)) / c1
+    lp = {
+        k: math.floor(math.log(x) * 1000000.0)
+        for k, x in zip(bg["bg"].tolist(), p.tolist())
+    }
+    return _bigram_micro_score_ds(sf_dir, lp, {}, "kn_logprob_micro")
 
 
 def word_count(sf_dir: str, min_count: int = 10):

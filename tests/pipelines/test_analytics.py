@@ -121,6 +121,7 @@ SQL_CHECKED = [
     "url_templates",
     "html_table_cells",
     "table_triples",
+    "jsonld_triples",
     "recrawl_change_rate",
     "semantic_dedup",
     "kg_pred_domains",
@@ -141,6 +142,7 @@ SQL_CHECKED = [
     "kg_incremental_edges",
     "orders_profile",
     "doc_bigram_logprob",
+    "doc_kn_logprob",
     "kg_ppr",
     "weekly_active_users",
     "kg_negative_samples",

@@ -73,3 +73,43 @@ def test_bigram_logprob_excludes_cross_doc_pairs_and_short_docs(tmp_path):
     lp_ab = math.floor(math.log((1 + 1.0) / (2.0 + 3.0)) * 1e6)
     assert got.loc[1, "n_bigrams"] == 1 and got.loc[1, "logprob_micro"] == lp_ab
     assert got.loc[2, "logprob_micro"] == lp_ab  # symmetric counts
+
+
+def test_kn_logprob_hand_computed(tmp_path):
+    """Crafted corpus with a hand-derived interpolated-KN score:
+    bigram types, continuation counts and the d=0.75 discount all
+    exercised; 1-token and empty docs emit no row."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bioner_ray.pipelines.analytics import doc_kn_logprob
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+                "text": ["a b a b", "a c", "solo", ""],
+            }
+        ),
+        sf / "documents.parquet",
+    )
+    got = doc_kn_logprob(str(sf)).to_pandas().set_index("doc_id")
+    assert sorted(got.index) == [1, 2]
+    # bigrams: (a,b)=2, (b,a)=1, (a,c)=1 → T=3 types
+    # c1(a)=3, nf(a)=2; c1(b)=1, nf(b)=1
+    # nb(b)=1, nb(a)=1, nb(c)=1
+    def p(c12, c1, nf, nb):
+        return (max(c12 - 0.75, 0.0) + 0.75 * nf * (nb / 3.0)) / c1
+
+    m = lambda x: math.floor(math.log(x) * 1e6)  # noqa: E731
+    ab = m(p(2, 3.0, 2.0, 1.0))
+    ba = m(p(1, 1.0, 1.0, 1.0))
+    ac = m(p(1, 3.0, 2.0, 1.0))
+    assert got.loc[1, "n_bigrams"] == 3
+    assert got.loc[1, "kn_logprob_micro"] == ab + ba + ab
+    assert got.loc[2, "n_bigrams"] == 1
+    assert got.loc[2, "kn_logprob_micro"] == ac
