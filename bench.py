@@ -149,6 +149,7 @@ OPERATOR_QUERIES = [
     "doc_logprob",
     # round 3: vectorized walk corpus, k-core peel, Bloom membership
     "kg_walks",
+    "kg_walk_pairs",
     "kg_kcore",
     "bloom_decontaminate",
     # round-3 close: segment dedup, band join, frontier BFS, sketches

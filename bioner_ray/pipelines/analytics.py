@@ -1096,6 +1096,52 @@ def kg_walks(sf_dir: str, length: int = 3):
     return hash_walks(kg_edges(sf_dir), length=length)
 
 
+def kg_walk_pairs(sf_dir: str, window: int = 2, length: int = 3):
+    """Skip-gram (center, context) training-pair counts over the
+    deterministic walk corpus (kg_walks) — the DeepWalk/node2vec
+    pair generator a KG-embedding trainer consumes: each completed
+    walk ``[start, n1 … nL]`` contributes every ordered position pair
+    within ``window`` (both directions, the word2vec contract). Pair
+    expansion is a stateless vectorized map over the walk table —
+    column concatenation per (i, j) position pair, no per-walk Python
+    — and ONE bucketed aggregate folds to counts; exchange volume is
+    pairs-per-walk × walks, never edges. Columns: center, context,
+    n_pairs."""
+    from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema, with_ones
+
+    walks = kg_walks(sf_dir, length=length)
+    cols = ["start"] + [f"n{i}" for i in range(1, length + 1)]
+    empty = pa.schema([("center", pa.string()), ("context", pa.string())])
+
+    def expand(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return empty.empty_table()
+        cs: list = []
+        xs: list = []
+        for i in range(len(cols)):
+            for j in range(i + 1, min(i + window, len(cols) - 1) + 1):
+                a = t.column(cols[i]).combine_chunks()
+                b = t.column(cols[j]).combine_chunks()
+                cs.extend((a, b))
+                xs.extend((b, a))
+        return pa.table(
+            {
+                "center": pa.concat_arrays([c.cast(pa.string()) for c in cs]),
+                "context": pa.concat_arrays([x.cast(pa.string()) for x in xs]),
+            }
+        )
+
+    pairs = walks.map_batches(expand, batch_format="pyarrow")
+    return pin_schema(
+        bucketed_aggregate(
+            with_ones(pairs, "n_pairs"), ["center", "context"], [("n_pairs", "sum")]
+        ),
+        pa.schema(
+            [("center", pa.string()), ("context", pa.string()), ("n_pairs", pa.int64())]
+        ),
+    )
+
+
 def kg_triangles(sf_dir: str):
     """Per-node triangle participation over the KG's undirected simple
     graph (stages/graph.py triangle_counts — degree-ordered orientation

@@ -84,6 +84,7 @@ SQL_CHECKED = [
     "kg_edge_delta",
     "kg_edge_pmi",
     "kg_walks",
+    "kg_walk_pairs",
     "alias_groups",
     "doc_logprob",
     "kg_node_profiles",
