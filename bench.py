@@ -326,6 +326,7 @@ OPERATOR_QUERIES = [
     "semantic_dedup",
     "kg_pred_domains",
     "fetch_schedule",
+    "robots_fetch_gate",
     "host_dup_rate",
     # round-3 twelfth session
     "kg_katz",

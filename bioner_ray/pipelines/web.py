@@ -1742,3 +1742,40 @@ def jsonld_triples(sf_dir: str):
     return docs.map_batches(_jsonld_pages_batch, batch_format="pyarrow").map_batches(
         extract_jsonld_batch, batch_format="pyarrow"
     )
+
+
+def robots_fetch_gate(sf_dir: str):
+    """Robots.txt admission control over the synthetic frontier
+    (stages/weblinks.py robots_gate — real longest-prefix-match with
+    Allow-beats-Disallow ties): the pre-fetch politeness gate a crawl
+    scheduler composes with fetch_schedule. Fixture robots rules
+    (arithmetic in the host index, so the twin re-derives verdicts):
+    hosts ≡ 0 (mod 3) disallow ``/blog/``, hosts ≡ 2 (mod 4) disallow
+    ``/docs/``, hosts ≡ 0 (mod 5) disallow ``/news/`` but ALLOW
+    ``/news/2021`` — the longest-match override case (moduli chosen so
+    every rule kind intersects the hosts its path form actually lands
+    on: the generator routes even-id forms to hosts 0/2). Columns: url,
+    host, allowed (0/1), rule (winning prefix or '')."""
+    import ray.data as rd
+
+    from bioner_ray.stages.weblinks import robots_gate
+
+    rules: dict = {}
+    for h in range(16):
+        r = []
+        if h % 3 == 0:
+            r.append(("/blog/", False))
+        if h % 4 == 2:
+            r.append(("/docs/", False))
+        if h % 5 == 0:
+            r.append(("/news/", False))
+            r.append(("/news/2021", True))
+        if r:
+            rules[f"site{h}.example.com"] = r
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    return robots_gate(
+        docs.map_batches(_url_paths_batch, batch_format="pyarrow"), rules
+    )

@@ -383,3 +383,71 @@ def url_templates(ds, min_distinct: int = 8, num_buckets: int = 64):
         )
 
     return pin_schema(agg.map_batches(finish, batch_format="pyarrow"), TEMPLATE_SCHEMA)
+
+
+ROBOTS_GATE_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("host", pa.string()),
+        ("allowed", pa.int64()),
+        ("rule", pa.string()),
+    ]
+)
+
+_PATH_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/]+(?P<p>/.*)$"
+
+
+def robots_gate(urls_ds, rules_by_host: dict):
+    """Pre-fetch robots.txt gate under Google-style longest-prefix-
+    match semantics: among a host's rules (``(path_prefix, allow)``
+    pairs) whose prefix matches the URL path, the LONGEST prefix wins
+    and a length tie goes to Allow; a URL matching no rule is allowed
+    with rule ``''``. ``allowed`` is int64 0/1 (replayable compare).
+
+    The rule table is robots.txt-sized — tiny and bounded — so it
+    ships inside the closure once per task, and the scan is ONE
+    vectorized starts_with mask per (host, rule) over the whole batch:
+    rules × O(batch) numpy, never a per-URL Python loop over rules.
+    Columns: url, host, allowed, rule."""
+    flat = [
+        (h, prefix, bool(allow))
+        for h, rl in sorted(rules_by_host.items())
+        for prefix, allow in rl
+    ]
+
+    def gate(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return ROBOTS_GATE_SCHEMA.empty_table()
+        urls = batch.column("url")
+        hosts = host_of(urls)
+        paths = pc.fill_null(
+            pc.struct_field(pc.extract_regex(urls, _PATH_RE), "p"), ""
+        )
+        hn = hosts.to_numpy(zero_copy_only=False)
+        best_len = np.full(batch.num_rows, -1, dtype=np.int64)
+        best_allow = np.ones(batch.num_rows, dtype=bool)
+        best_rule = np.full(batch.num_rows, "", dtype=object)
+        for h, prefix, allow in flat:
+            mask = pc.and_(
+                pc.equal(hosts, h), pc.starts_with(paths, prefix)
+            ).to_numpy(zero_copy_only=False)
+            mask = np.asarray(mask, dtype=bool) & (hn == h)
+            ln = len(prefix)
+            upd = mask & (
+                (ln > best_len)
+                | ((ln == best_len) & allow & ~best_allow)
+            )
+            best_len[upd] = ln
+            best_allow[upd] = allow
+            best_rule[upd] = prefix
+        return pa.table(
+            {
+                "url": pc.cast(urls, pa.string()),
+                "host": pc.cast(hosts, pa.string()),
+                "allowed": pa.array(best_allow.astype(np.int64)),
+                "rule": pa.array(best_rule.tolist(), type=pa.string()),
+            },
+            schema=ROBOTS_GATE_SCHEMA,
+        )
+
+    return urls_ds.map_batches(gate, batch_format="pyarrow")

@@ -127,6 +127,7 @@ SQL_CHECKED = [
     "semantic_dedup",
     "kg_pred_domains",
     "fetch_schedule",
+    "robots_fetch_gate",
     "host_dup_rate",
     "pii_scrub",
     "heavy_hitters",

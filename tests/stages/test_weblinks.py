@@ -306,3 +306,37 @@ class TestUrlTemplates:
         ).to_pandas()
         tpls = set(out.template)
         assert "/p/*" in tpls and "/docs/v1" in tpls and "/docs/v2" in tpls
+
+
+class TestRobotsGate:
+    def test_longest_match_allow_tie_and_no_match(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from bioner_ray.stages.weblinks import robots_gate
+
+        urls = [
+            "https://a.example.com/private/x",       # blocked by /private/
+            "https://a.example.com/private/pub/x",   # allowed: longer Allow
+            "https://a.example.com/open/x",          # no rule -> allowed
+            "https://b.example.com/private/x",       # other host, no rules
+            "https://a.example.com/dup/x",           # equal-length tie -> Allow wins
+        ]
+        rules = {
+            "a.example.com": [
+                ("/private/", False),
+                ("/private/pub/", True),
+                ("/dup/", False),
+                ("/dup/", True),
+            ]
+        }
+        out = (
+            robots_gate(rd.from_arrow(pa.table({"url": urls})), rules)
+            .to_pandas()
+            .set_index("url")
+        )
+        assert out.loc[urls[0], "allowed"] == 0 and out.loc[urls[0], "rule"] == "/private/"
+        assert out.loc[urls[1], "allowed"] == 1 and out.loc[urls[1], "rule"] == "/private/pub/"
+        assert out.loc[urls[2], "allowed"] == 1 and out.loc[urls[2], "rule"] == ""
+        assert out.loc[urls[3], "allowed"] == 1
+        assert out.loc[urls[4], "allowed"] == 1 and out.loc[urls[4], "rule"] == "/dup/"
