@@ -332,6 +332,9 @@ OPERATOR_QUERIES = [
     "kg_katz",
     "ntriples_roundtrip",
     "kg_edge_recency",
+    # round-3 thirteenth session
+    "wav_window_energy",
+    "bmp_luma_stats",
 ]
 
 

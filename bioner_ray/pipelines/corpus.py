@@ -572,6 +572,147 @@ def media_features(sf_dir: str, side: int = 16):
     ).map_batches(norm, batch_format="pyarrow")
 
 
+def wav_window_energy(sf_dir: str, window: int = 256):
+    """Audio feature extraction through the REAL RIFF/WAVE codec with
+    an EXACT integer feature set — the oracle-checked companion to the
+    float RMS/ZCR stage (stages/multimodal.AudioFeatureExtractor):
+    deterministic int16 PCM (sample k of doc i is
+    ``(i·7919 + k·104729) mod 65536 − 32768``, 1024 + (i mod 4)·256
+    samples) is ENCODED to genuine WAV bytes in the fixture step, then
+    the query under test walks the RIFF chunks back (fmt/data parse,
+    word alignment) and reduces each non-partial 256-sample window to
+    int64 energy ``Σ s²`` and the within-window sign-change count —
+    both integers, so the DuckDB twin re-derives them from the sample
+    arithmetic bit-for-bit. Media-batch hygiene: payload rows are KBs
+    here but MBs in production, so the stage runs at batch_size=64.
+    Columns: doc_id, win_idx, sumsq, zc."""
+    import numpy as np
+
+    from bioner_ray.functions.codecs import decode_wav, encode_wav
+
+    def to_media(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        payloads = []
+        for i in ids.tolist():
+            n = 1024 + (i % 4) * 256
+            k = np.arange(n, dtype=np.int64)
+            s = ((i * 7919 + k * 104729) % 65536 - 32768).astype(np.int16)
+            payloads.append(encode_wav(s))
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "payload": pa.array(payloads, type=pa.binary()),
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("win_idx", pa.int64()),
+            ("sumsq", pa.int64()),
+            ("zc", pa.int64()),
+        ]
+    )
+
+    def features(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return out_schema.empty_table()
+        ids_out, wins, sumsqs, zcs = [], [], [], []
+        for i, p in zip(t.column("doc_id").to_pylist(), t.column("payload").to_pylist()):
+            samples, _rate = decode_wav(p)
+            v = samples[:, 0].astype(np.int64)
+            nw = len(v) // window
+            w = v[: nw * window].reshape(nw, window)
+            ss = (w * w).sum(axis=1)
+            zc = ((w[:, 1:] < 0) != (w[:, :-1] < 0)).sum(axis=1)
+            ids_out.extend([i] * nw)
+            wins.extend(range(nw))
+            sumsqs.extend(ss.tolist())
+            zcs.extend(zc.tolist())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_out, type=pa.int64()),
+                "win_idx": pa.array(wins, type=pa.int64()),
+                "sumsq": pa.array(sumsqs, type=pa.int64()),
+                "zc": pa.array(zcs, type=pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+    return docs.map_batches(to_media, batch_format="pyarrow", batch_size=64).map_batches(
+        features, batch_format="pyarrow", batch_size=64
+    )
+
+
+def bmp_luma_stats(sf_dir: str):
+    """Image feature extraction through the REAL BMP codec with an
+    EXACT integer feature: deterministic RGB rasters (channel c of
+    pixel (y, x) of doc i is ``(i + y·w + x + 37c) mod 256``, dims
+    ``w = 8 + i mod 5, h = 8 + i mod 3``) are ENCODED to genuine
+    24-bit BMP bytes (stride padding, BGR order, bottom-up raster) in
+    the fixture step; the query under test parses the header + raster
+    back and reduces each image to its integer BT.601 luma sum — the
+    same ``(299R + 587G + 114B + 500) // 1000`` the decoder pins, so
+    the DuckDB twin replays it exactly from the pixel arithmetic.
+    Columns: doc_id, width, height, luma_sum."""
+    import numpy as np
+
+    from bioner_ray.functions.codecs import decode_image, encode_bmp
+
+    def to_media(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        payloads = []
+        for i in ids.tolist():
+            w, h = 8 + i % 5, 8 + i % 3
+            y, x = np.mgrid[0:h, 0:w]
+            base = i + y * w + x
+            img = np.stack(
+                [(base % 256), ((base + 37) % 256), ((base + 74) % 256)], axis=-1
+            ).astype(np.uint8)
+            payloads.append(encode_bmp(img))
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "payload": pa.array(payloads, type=pa.binary()),
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("width", pa.int64()),
+            ("height", pa.int64()),
+            ("luma_sum", pa.int64()),
+        ]
+    )
+
+    def stats(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return out_schema.empty_table()
+        ids_out, ws, hs, sums = [], [], [], []
+        for i, p in zip(t.column("doc_id").to_pylist(), t.column("payload").to_pylist()):
+            luma = decode_image(p)
+            ids_out.append(i)
+            hs.append(luma.shape[0])
+            ws.append(luma.shape[1])
+            sums.append(int(luma.astype(np.int64).sum()))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_out, type=pa.int64()),
+                "width": pa.array(ws, type=pa.int64()),
+                "height": pa.array(hs, type=pa.int64()),
+                "luma_sum": pa.array(sums, type=pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+    return docs.map_batches(to_media, batch_format="pyarrow", batch_size=64).map_batches(
+        stats, batch_format="pyarrow", batch_size=64
+    )
+
+
 def quality_docs(sf_dir: str, min_tokens: int = 20, min_ttr: float = 0.3):
     """C4-style quality gate: documents inside the token window with
     enough lexical diversity. Columns: doc_id."""

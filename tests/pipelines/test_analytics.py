@@ -109,6 +109,8 @@ SQL_CHECKED = [
     "knn_ivf_topk",
     "encoding_stats",
     "media_features",
+    "wav_window_energy",
+    "bmp_luma_stats",
     "paragraph_dedup",
     "order_priority",
     "shipping_priority",
