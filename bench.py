@@ -325,6 +325,7 @@ OPERATOR_QUERIES = [
     "recrawl_change_rate",
     "semantic_dedup",
     "kg_pred_domains",
+    "kg_shape_violations",
     "fetch_schedule",
     "robots_fetch_gate",
     "host_dup_rate",

@@ -6283,11 +6283,15 @@ def sales_opportunity(sf_dir: str, cutoff: str = "2000-01-01"):
     )
 
 
-def kg_type_inference(sf_dir: str):
+def kg_type_inference(sf_dir: str, exclude_preds: tuple = ()):
     """Per-node type induction by predicate majority vote — the KG
     schema-bootstrap step: a node's inferred type is the predicate that
     carries the most triple mass with the node as SUBJECT (ties broken
     lexicographically, so the vote is deterministic and replayable).
+    ``exclude_preds`` drops topic-neutral catch-all relations (e.g. a
+    generic co-occurrence predicate) from the vote — they dominate
+    every node's mass while carrying no type signal; the shape audit
+    passes the corpus' generic predicate here.
     The canonical edge table folds to (node, pred) mass via ONE
     bucketed aggregate (vocab²-bounded), then the combiner-pruned
     top-1-per-group keeps each block's local argmax before the single
@@ -6298,12 +6302,25 @@ def kg_type_inference(sf_dir: str):
     mass = pin_schema(
         bucketed_aggregate(
             kg_edges(sf_dir).map_batches(
-                lambda t: pa.table(
-                    {
-                        "node": t.column("subj"),
-                        "type": t.column("pred"),
-                        "n": pc.cast(t.column("weight"), pa.int64()),
-                    }
+                lambda t: (
+                    lambda f: pa.table(
+                        {
+                            "node": f.column("subj"),
+                            "type": f.column("pred"),
+                            "n": pc.cast(f.column("weight"), pa.int64()),
+                        }
+                    )
+                )(
+                    t.filter(
+                        pc.invert(
+                            pc.is_in(
+                                t.column("pred"),
+                                value_set=pa.array(list(exclude_preds), type=pa.string()),
+                            )
+                        )
+                    )
+                    if exclude_preds
+                    else t
                 ),
                 batch_format="pyarrow",
             ),
@@ -6328,29 +6345,18 @@ def kg_type_inference(sf_dir: str):
     ).drop_columns(["rk"])
 
 
-def kg_pred_domains(sf_dir: str):
-    """Predicate domain/range induction — the ontology-bootstrap step
-    after per-node typing (kg_type_inference): for every predicate, the
-    dominant (subject-type, object-type) signature by triple mass, with
-    the predicate's total mass alongside so coverage = w / w_total is
-    one replayable division away. Nodes never seen as a subject carry
-    no induced type and fold into 'untyped' (left-outer fill) instead
-    of silently dropping their edges.
-
-    Scale shape: the node-type table rides two edge-scale bucketed
-    LEFT OUTER joins (subj then obj — the community_stats plan), one
-    (pred, type_s, type_o) aggregate bounded by preds x types², a
-    combiner-pruned per-pred top-1 and one pred-bounded join for the
-    totals. Columns: pred, type_s, type_o, w, w_total."""
-    from bioner_ray.stages.rank import top_k_per_group
-    from bioner_ray.stages.shuffle import (
-        bucketed_aggregate,
-        bucketed_inner_join,
-        pin_schema,
-    )
+def _typed_edges(sf_dir: str, exclude_preds: tuple = ()):
+    """Canonical edges annotated with both endpoints' induced types
+    (kg_type_inference majority vote; never-subject nodes — and, when
+    ``exclude_preds`` is set, nodes with only excluded-predicate mass —
+    fill to 'untyped') — the shared input of the domain/range induction
+    and the shape-violation audit. Two edge-scale bucketed LEFT OUTER
+    joins (subj then obj). Columns: subj, pred, obj, w, type_s,
+    type_o."""
+    from bioner_ray.stages.shuffle import bucketed_inner_join, pin_schema
 
     edges = kg_edges(sf_dir)
-    types = kg_type_inference(sf_dir).map_batches(
+    types = kg_type_inference(sf_dir, exclude_preds=exclude_preds).map_batches(
         lambda t: t.select(["node", "type"]) if t.num_columns else t,
         batch_format="pyarrow",
     )
@@ -6401,16 +6407,49 @@ def kg_pred_domains(sf_dir: str):
             list(e_schema) + [("type_s", pa.string()), ("type_o", pa.string())]
         ),
     )
+    typed_schema = pa.schema(
+        list(e_schema) + [("type_s", pa.string()), ("type_o", pa.string())]
+    )
 
     def fill(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return typed_schema.empty_table()
         return pa.table(
             {
+                "subj": t.column("subj"),
                 "pred": t.column("pred"),
+                "obj": t.column("obj"),
+                "w": t.column("w"),
                 "type_s": pc.fill_null(t.column("type_s"), "untyped"),
                 "type_o": pc.fill_null(t.column("type_o"), "untyped"),
-                "w": t.column("w"),
             }
         )
+
+    return pin_schema(j2.map_batches(fill, batch_format="pyarrow"), typed_schema)
+
+
+def kg_pred_domains(sf_dir: str):
+    """Predicate domain/range induction — the ontology-bootstrap step
+    after per-node typing (kg_type_inference): for every predicate, the
+    dominant (subject-type, object-type) signature by triple mass, with
+    the predicate's total mass alongside so coverage = w / w_total is
+    one replayable division away. Nodes never seen as a subject carry
+    no induced type and fold into 'untyped' (left-outer fill) instead
+    of silently dropping their edges.
+
+    Scale shape: the node-type table rides two edge-scale bucketed
+    LEFT OUTER joins (subj then obj — the community_stats plan), one
+    (pred, type_s, type_o) aggregate bounded by preds x types², a
+    combiner-pruned per-pred top-1 and one pred-bounded join for the
+    totals. Columns: pred, type_s, type_o, w, w_total."""
+    from bioner_ray.stages.rank import top_k_per_group
+    from bioner_ray.stages.shuffle import (
+        bucketed_aggregate,
+        bucketed_inner_join,
+        pin_schema,
+    )
+
+    typed = _typed_edges(sf_dir)
 
     g_schema = pa.schema(
         [
@@ -6422,7 +6461,12 @@ def kg_pred_domains(sf_dir: str):
     )
     g = pin_schema(
         bucketed_aggregate(
-            j2.map_batches(fill, batch_format="pyarrow"),
+            typed.map_batches(
+                lambda t: t.select(["pred", "type_s", "type_o", "w"])
+                if t.num_columns
+                else t,
+                batch_format="pyarrow",
+            ),
             ["pred", "type_s", "type_o"],
             [("w", "sum")],
         ),
@@ -6471,6 +6515,118 @@ def kg_pred_domains(sf_dir: str):
         ),
         out_schema,
     )
+
+
+def kg_shape_violations(sf_dir: str, exclude_preds: tuple = ("co_occurs_with",)):
+    """SHACL-style shape audit over the induced schema: edges whose
+    (subject-type, object-type) signature disagrees with their
+    predicate's DOMINANT signature — the per-edge violation queue a KG
+    quality gate reviews before publishing, the edge-level drill-down
+    of the relation-cardinality and conflict audits. Types are induced
+    EXCLUDING the corpus' generic co-occurrence predicate
+    (``exclude_preds``): the catch-all relation dominates every node's
+    subject mass while carrying no type signal, which would collapse
+    every signature to one value and make the audit vacuous. Engine
+    shape: the shared typed-edge table (``_typed_edges`` — two
+    edge-scale left-outer joins, materialized once and reused for both
+    the signature fold and the drill-down) → ONE pred×types²-bounded
+    aggregate → combiner-pruned per-pred top-1 → ONE pred-keyed
+    bucketed join back + a vectorized mismatch filter; violation
+    fan-out tracks real off-signature mass. Columns: pred, subj, obj,
+    type_s, type_o, exp_s, exp_o, w."""
+    from bioner_ray.stages.rank import top_k_per_group
+    from bioner_ray.stages.shuffle import (
+        bucketed_aggregate,
+        bucketed_inner_join,
+        pin_schema,
+    )
+
+    typed = _typed_edges(sf_dir, exclude_preds=exclude_preds).materialize()
+    typed_schema = pa.schema(
+        [
+            ("subj", pa.string()),
+            ("pred", pa.string()),
+            ("obj", pa.string()),
+            ("w", pa.int64()),
+            ("type_s", pa.string()),
+            ("type_o", pa.string()),
+        ]
+    )
+    g_schema = pa.schema(
+        [
+            ("pred", pa.string()),
+            ("type_s", pa.string()),
+            ("type_o", pa.string()),
+            ("w", pa.int64()),
+        ]
+    )
+    g = pin_schema(
+        bucketed_aggregate(
+            typed.map_batches(
+                lambda t: t.select(["pred", "type_s", "type_o", "w"])
+                if t.num_columns
+                else t,
+                batch_format="pyarrow",
+            ),
+            ["pred", "type_s", "type_o"],
+            [("w", "sum")],
+        ),
+        g_schema,
+    )
+    dom_schema = pa.schema(
+        [("pred", pa.string()), ("exp_s", pa.string()), ("exp_o", pa.string())]
+    )
+    dom = pin_schema(
+        top_k_per_group(
+            g,
+            key_col="pred",
+            order_by=[
+                ("w", "descending"),
+                ("type_s", "ascending"),
+                ("type_o", "ascending"),
+            ],
+            k=1,
+        ),
+        pa.schema(list(g_schema) + [("rk", pa.int64())]),
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "pred": t.column("pred"),
+                "exp_s": t.column("type_s"),
+                "exp_o": t.column("type_o"),
+            }
+        )
+        if t.num_columns
+        else dom_schema.empty_table(),
+        batch_format="pyarrow",
+    )
+    joined = pin_schema(
+        bucketed_inner_join(typed, dom, ["pred"], typed_schema, dom_schema),
+        pa.schema(list(typed_schema) + [("exp_s", pa.string()), ("exp_o", pa.string())]),
+    )
+    out_schema = pa.schema(
+        [
+            ("pred", pa.string()),
+            ("subj", pa.string()),
+            ("obj", pa.string()),
+            ("type_s", pa.string()),
+            ("type_o", pa.string()),
+            ("exp_s", pa.string()),
+            ("exp_o", pa.string()),
+            ("w", pa.int64()),
+        ]
+    )
+
+    def viol(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return out_schema.empty_table()
+        keep = pc.or_(
+            pc.not_equal(t.column("type_s"), t.column("exp_s")),
+            pc.not_equal(t.column("type_o"), t.column("exp_o")),
+        )
+        return t.filter(keep).select(out_schema.names)
+
+    return pin_schema(joined.map_batches(viol, batch_format="pyarrow"), out_schema)
 
 
 def ngram_diversity(sf_dir: str, n: int = 3):
