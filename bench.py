@@ -328,6 +328,8 @@ OPERATOR_QUERIES = [
     "kg_shape_violations",
     "fetch_schedule",
     "robots_fetch_gate",
+    "sitemap_gap",
+    "wet_shards",
     "host_dup_rate",
     # round-3 twelfth session
     "kg_katz",

@@ -1779,3 +1779,237 @@ def robots_fetch_gate(sf_dir: str):
     return robots_gate(
         docs.map_batches(_url_paths_batch, batch_format="pyarrow"), rules
     )
+
+
+def sitemap_gap(sf_dir: str, phantom_every: int = 3):
+    """Sitemap-vs-crawl coverage audit — the crawl-ops complement of
+    orphan_pages (crawled-but-unlinked): URLs a host DECLARES in its
+    sitemap that the crawl never fetched. Fixture sitemap (arithmetic,
+    twin-replayable): every host declares each of its crawled pages
+    PLUS one phantom ``/doc/{i}p`` entry per page with
+    doc_id ≡ 0 (mod ``phantom_every``) — stale sitemap entries, the
+    wild-crawl norm. Engine shape: declared minus fetched is ONE
+    url-keyed bucketed LEFT ANTI join (the engine's own
+    empty-partition-proof join, never Ray's native anti), then one
+    host-bounded fold. Columns: host, n_declared, n_missing,
+    miss_rate."""
+    import numpy as np
+    import ray.data as rd
+
+    from bioner_ray.stages.shuffle import (
+        bucketed_aggregate,
+        bucketed_inner_join,
+        pin_schema,
+        with_ones,
+    )
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+
+    def declared(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        hosts = _host_idx(ids)
+        us, hs = [], []
+        for i, h in zip(ids.tolist(), hosts.tolist()):
+            host = f"site{h}.example.com"
+            us.append(f"https://{host}/doc/{i}")
+            hs.append(host)
+            if i % phantom_every == 0:
+                us.append(f"https://{host}/doc/{i}p")
+                hs.append(host)
+        return pa.table(
+            {
+                "url": pa.array(us, type=pa.string()),
+                "host": pa.array(hs, type=pa.string()),
+            }
+        )
+
+    def fetched(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        hosts = _host_idx(ids)
+        return pa.table(
+            {
+                "url": pa.array(
+                    [
+                        f"https://site{h}.example.com/doc/{i}"
+                        for i, h in zip(ids.tolist(), hosts.tolist())
+                    ],
+                    type=pa.string(),
+                )
+            }
+        )
+
+    dec_schema = pa.schema([("url", pa.string()), ("host", pa.string())])
+    fetch_schema = pa.schema([("url", pa.string())])
+    missing = pin_schema(
+        bucketed_inner_join(
+            docs.map_batches(declared, batch_format="pyarrow"),
+            docs.map_batches(fetched, batch_format="pyarrow"),
+            ["url"],
+            dec_schema,
+            fetch_schema,
+            join_type="left anti",
+        ),
+        dec_schema,
+    )
+
+    n_declared = pin_schema(
+        bucketed_aggregate(
+            with_ones(
+                docs.map_batches(declared, batch_format="pyarrow").map_batches(
+                    lambda t: t.select(["host"]) if t.num_columns else t,
+                    batch_format="pyarrow",
+                ),
+                "n_declared",
+            ),
+            ["host"],
+            [("n_declared", "sum")],
+        ),
+        pa.schema([("host", pa.string()), ("n_declared", pa.int64())]),
+    )
+    n_missing = pin_schema(
+        bucketed_aggregate(
+            with_ones(
+                missing.map_batches(
+                    lambda t: t.select(["host"]) if t.num_columns else t,
+                    batch_format="pyarrow",
+                ),
+                "n_missing",
+            ),
+            ["host"],
+            [("n_missing", "sum")],
+        ),
+        pa.schema([("host", pa.string()), ("n_missing", pa.int64())]),
+    )
+    out = pin_schema(
+        bucketed_inner_join(
+            n_declared,
+            n_missing,
+            ["host"],
+            pa.schema([("host", pa.string()), ("n_declared", pa.int64())]),
+            pa.schema([("host", pa.string()), ("n_missing", pa.int64())]),
+        ),
+        pa.schema(
+            [
+                ("host", pa.string()),
+                ("n_declared", pa.int64()),
+                ("n_missing", pa.int64()),
+            ]
+        ),
+    )
+
+    def rate(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return pa.schema(
+                [
+                    ("host", pa.string()),
+                    ("n_declared", pa.int64()),
+                    ("n_missing", pa.int64()),
+                    ("miss_rate", pa.float64()),
+                ]
+            ).empty_table()
+        return t.append_column(
+            "miss_rate",
+            pc.divide(
+                pc.cast(t.column("n_missing"), pa.float64()),
+                pc.cast(t.column("n_declared"), pa.float64()),
+            ),
+        )
+
+    return out.map_batches(rate, batch_format="pyarrow")
+
+
+def wet_shards(sf_dir: str, num_shards: int = 16):
+    """WET-style conversion-export audit — the format sink of a crawl
+    pipeline, verified by content digest instead of by re-reading the
+    files: every page is rendered to a deterministic WARC-conversion
+    record (``WARC/1.0`` + Target-URI + byte Content-Length + body),
+    sharded by the engine's replayable md5-61-bit url hash, and each
+    shard folds to (record count, byte total, md5 digest of the
+    url-ordered record stream) — the manifest row a resumable export
+    writes next to the shard (state/checkpoint.py contract). Engine
+    shape: record rendering is a stateless map; the ONLY exchange is
+    one shard-keyed bucketed map_groups whose per-shard sort is the
+    writer's required output order anyway. The DuckDB twin rebuilds
+    records with the same byte grammar and replays the digests via
+    ``md5(string_agg(.. ORDER BY url))``. Columns: shard, n_records,
+    n_bytes, digest."""
+    import hashlib
+
+    import numpy as np
+    import ray.data as rd
+
+    from bioner_ray.stages.shuffle import bucketed_map_groups, pin_schema
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    m61 = (1 << 61)
+
+    def render(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        hosts = _host_idx(ids)
+        texts = batch.column("text").to_pylist()
+        urls, recs, shards = [], [], []
+        for i, h, t in zip(ids.tolist(), hosts.tolist(), texts):
+            u = f"https://site{h}.example.com/doc/{i}"
+            body = t or ""
+            n = len(body.encode("utf-8"))
+            recs.append(
+                f"WARC/1.0\nWARC-Target-URI: {u}\nContent-Length: {n}\n\n{body}\n\n"
+            )
+            urls.append(u)
+            shards.append(
+                int.from_bytes(hashlib.md5(u.encode()).digest()[:8], "big")
+                % m61
+                % num_shards
+            )
+        return pa.table(
+            {
+                "shard": pa.array(shards, type=pa.int64()),
+                "url": pa.array(urls, type=pa.string()),
+                "rec": pa.array(recs, type=pa.string()),
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            ("shard", pa.int64()),
+            ("n_records", pa.int64()),
+            ("n_bytes", pa.int64()),
+            ("digest", pa.string()),
+        ]
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return out_schema.empty_table()
+        t = t.sort_by([("shard", "ascending"), ("url", "ascending")])
+        sh = t.column("shard").to_numpy(zero_copy_only=False)
+        recs = t.column("rec").to_pylist()
+        starts = np.flatnonzero(np.r_[True, sh[1:] != sh[:-1]])
+        ends = np.r_[starts[1:], len(sh)]
+        out_s, out_n, out_b, out_d = [], [], [], []
+        for a, b in zip(starts.tolist(), ends.tolist()):
+            blob = "".join(recs[a:b]).encode("utf-8")
+            out_s.append(int(sh[a]))
+            out_n.append(b - a)
+            out_b.append(len(blob))
+            out_d.append(hashlib.md5(blob).hexdigest())
+        return pa.table(
+            {
+                "shard": pa.array(out_s, type=pa.int64()),
+                "n_records": pa.array(out_n, type=pa.int64()),
+                "n_bytes": pa.array(out_b, type=pa.int64()),
+                "digest": pa.array(out_d, type=pa.string()),
+            },
+            schema=out_schema,
+        )
+
+    return pin_schema(
+        bucketed_map_groups(
+            docs.map_batches(render, batch_format="pyarrow"), ["shard"], fold
+        ),
+        out_schema,
+    )

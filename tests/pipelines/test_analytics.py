@@ -131,6 +131,8 @@ SQL_CHECKED = [
     "kg_shape_violations",
     "fetch_schedule",
     "robots_fetch_gate",
+    "sitemap_gap",
+    "wet_shards",
     "host_dup_rate",
     "pii_scrub",
     "heavy_hitters",
