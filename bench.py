@@ -175,6 +175,7 @@ OPERATOR_QUERIES = [
     "orders_profile",
     "doc_bigram_logprob",
     "doc_kn_logprob",
+    "lesk_disambiguation",
     "kg_ppr",
     "weekly_active_users",
     "kg_incremental_edges",

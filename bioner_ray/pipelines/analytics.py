@@ -5651,6 +5651,114 @@ def local_supplier_volume(sf_dir: str, year: int = 1996):
     )
 
 
+# Ambiguous-surface sense inventory for the Lesk disambiguator:
+# (surface, concept_id, profile tokens). Module-level so the DuckDB
+# twin generator inlines the SAME table (the cms_params/bloom_params
+# contract). Profiles use real corpus vocabulary so overlaps occur.
+LESK_SENSES = (
+    ("sort", "sort/order", ("order", "key")),
+    ("sort", "sort/merge", ("merge", "hash")),
+    ("join", "join/hash", ("hash", "batch")),
+    ("join", "join/merge", ("merge", "sort")),
+    ("scan", "scan/table", ("table", "row")),
+    ("scan", "scan/filter", ("filter", "query")),
+)
+
+
+def lesk_disambiguation(sf_dir: str, window: int = 3):
+    """Simplified-Lesk word-sense disambiguation — the WSD step an
+    entity linker runs on ambiguous surface forms before concept
+    assignment (Lesk 1986: pick the sense whose signature overlaps the
+    occurrence's context most): every occurrence of an ambiguous
+    surface scores each candidate sense by the count of ±``window``
+    context tokens inside the sense's profile, the argmax wins (ties →
+    concept id ascending — every occurrence gets a sense, the Lesk
+    default), and wins fold to per-(surface, concept) totals.
+
+    Engine shape: ONE streaming pass over the corpus — the flat token
+    stream comes from the split offsets, occurrences and per-shift
+    context membership are numpy masks (shifts × senses passes over
+    the occurrence vector, never a per-token Python loop), per-block
+    partial win counts combine before the single sense-bounded
+    shuffle. The DuckDB twin replays the window join and the
+    (overlap DESC, concept ASC) vote verbatim. Columns: surface,
+    concept, n_wins."""
+    import pandas as pd
+
+    from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema
+
+    surfaces = sorted({s for s, _, _ in LESK_SENSES})
+    by_surface: dict = {}
+    for su, co, prof in LESK_SENSES:
+        by_surface.setdefault(su, []).append((co, np.array(prof, dtype=object)))
+    for su in by_surface:
+        by_surface[su].sort()  # concept ascending = argmax tie rule
+
+    out_schema = pa.schema(
+        [("surface", pa.string()), ("concept", pa.string()), ("n_wins", pa.int64())]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch.column("text"), "")
+        split = pc.split_pattern_regex(pc.utf8_lower(text), r"\s+").combine_chunks()
+        off = split.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_docs = len(off) - 1
+        vals = pd.Series(split.values.slice(off[0], off[-1] - off[0]).to_pylist())
+        doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), np.diff(off))
+        keep = (vals != "").to_numpy()
+        tok = vals[keep].to_numpy()
+        d = doc_idx[keep]
+        n = len(tok)
+        counts: dict = {}
+        if n:
+            occ_mask = np.isin(tok, surfaces)
+            occ = np.flatnonzero(occ_mask)
+            if len(occ):
+                # context token per shift (None where out of doc/bounds)
+                shifts = [s for s in range(-window, window + 1) if s != 0]
+                neigh = []
+                for sh in shifts:
+                    j = occ + sh
+                    valid = (j >= 0) & (j < n)
+                    jj = np.clip(j, 0, n - 1)
+                    valid &= d[jj] == d[occ]
+                    nt = tok[jj].copy()
+                    nt[~valid] = ""
+                    neigh.append(nt)
+                occ_tok = tok[occ]
+                for su in surfaces:
+                    m = occ_tok == su
+                    if not m.any():
+                        continue
+                    cands = by_surface[su]
+                    ov = np.zeros((int(m.sum()), len(cands)), dtype=np.int64)
+                    for ci, (_co, prof) in enumerate(cands):
+                        for nt in neigh:
+                            ov[:, ci] += np.isin(nt[m], prof)
+                    winner = np.argmax(ov, axis=1)  # first max = concept asc
+                    for ci, cnt in zip(*np.unique(winner, return_counts=True)):
+                        key = (su, cands[int(ci)][0])
+                        counts[key] = counts.get(key, 0) + int(cnt)
+        return pa.table(
+            {
+                "surface": pa.array([k[0] for k in counts], type=pa.string()),
+                "concept": pa.array([k[1] for k in counts], type=pa.string()),
+                "n_wins": pa.array(list(counts.values()), type=pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    docs = _read(sf_dir, "documents", columns=["text"])
+    return pin_schema(
+        bucketed_aggregate(
+            docs.map_batches(partial, batch_format="pyarrow"),
+            ["surface", "concept"],
+            [("n_wins", "sum")],
+        ),
+        out_schema,
+    )
+
+
 def kg_window_cooccurrence(sf_dir: str, window: int = 5):
     """Windowed entity co-mention graph — the PMI-graph builder used
     when KG edges come from proximity rather than adjacency: every

@@ -150,6 +150,7 @@ SQL_CHECKED = [
     "orders_profile",
     "doc_bigram_logprob",
     "doc_kn_logprob",
+    "lesk_disambiguation",
     "kg_ppr",
     "weekly_active_users",
     "kg_negative_samples",

@@ -113,3 +113,48 @@ def test_kn_logprob_hand_computed(tmp_path):
     assert got.loc[1, "kn_logprob_micro"] == ab + ba + ab
     assert got.loc[2, "n_bigrams"] == 1
     assert got.loc[2, "kn_logprob_micro"] == ac
+
+
+def test_lesk_hand_crafted(tmp_path):
+    """Crafted corpus: context overlap picks each sense; a zero-overlap
+    occurrence falls to the lexicographically first concept; window
+    does not cross document boundaries."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bioner_ray.pipelines.analytics import lesk_disambiguation
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+                # doc1: 'sort' with 'order key' context -> sort/order
+                "text": [
+                    "the order key sort wins here",
+                    # doc2: 'sort' near 'merge hash' -> sort/merge
+                    "big merge hash sort pipeline",
+                    # doc3: zero overlap -> tie -> sort/merge (lexicographic)
+                    "a b c sort d e f",
+                    # doc4: 'merge' is the LAST token of this doc; the next
+                    # doc's tokens must not leak into its window
+                    "x y z sort q w merge",
+                ],
+            }
+        ),
+        sf / "documents.parquet",
+    )
+    got = (
+        lesk_disambiguation(str(sf))
+        .to_pandas()
+        .set_index(["surface", "concept"])["n_wins"]
+        .to_dict()
+    )
+    # doc4: window of its 'sort' (rank 3) spans ranks 0..6 minus itself ->
+    # includes 'merge' (rank 6)? no: window=3 -> ranks 0..2,4..6 -> merge IS
+    # at rank 6 -> sort/merge
+    assert got == {
+        ("sort", "sort/order"): 1,
+        ("sort", "sort/merge"): 3,
+    }
