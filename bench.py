@@ -331,6 +331,7 @@ OPERATOR_QUERIES = [
     "robots_fetch_gate",
     "sitemap_gap",
     "wet_shards",
+    "web_host_scc",
     "host_dup_rate",
     # round-3 twelfth session
     "kg_katz",

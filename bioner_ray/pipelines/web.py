@@ -2013,3 +2013,97 @@ def wet_shards(sf_dir: str, num_shards: int = 16):
         ),
         out_schema,
     )
+
+
+def web_host_scc(sf_dir: str, rounds: int = 4):
+    """Strongly-connected components of the DIRECTED host link graph —
+    the crawl-ops condensation audit: link-farm rings and one-way
+    link tiers are invisible to the undirected family/component
+    queries (web_host_components), but split cleanly into SCCs. Host
+    granularity by construction (hosts stay ≤ millions even at crawl
+    scale and this fixture's graph is tens), so full reachability
+    pairs stay hosts²-bounded — page-level reachability remains with
+    the BFS/frontier family (crawl_depth, kg_bfs). Fixed-round
+    PATH-DOUBLING closure: each round unions reach∘reach through ONE
+    bucketed join + ONE dedup aggregate, covering diameter 2^rounds
+    (16 at the default — the twin's recursive CTE is converged at
+    this size); scc_id(v) = min over mutually-reachable partners
+    (self included). Columns: host, scc_id."""
+    from bioner_ray.stages.shuffle import (
+        bucketed_aggregate,
+        bucketed_inner_join,
+        pin_schema,
+        with_ones,
+    )
+
+    pair_schema = pa.schema([("a", pa.string()), ("b", pa.string())])
+
+    def to_pairs(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pair_schema.empty_table()
+        keep = pc.not_equal(t.column("src_host"), t.column("dst_host"))
+        f = t.filter(keep)
+        return pa.table({"a": f.column("src_host"), "b": f.column("dst_host")})
+
+    def dedup_pairs(ds):
+        return pin_schema(
+            bucketed_aggregate(with_ones(ds, "one"), ["a", "b"], [("one", "min")]),
+            pair_schema,  # select() drops the ones column
+        )
+
+    reach = dedup_pairs(
+        web_link_graph(sf_dir).map_batches(to_pairs, batch_format="pyarrow")
+    ).materialize()
+
+    for _ in range(rounds):
+        hop = bucketed_inner_join(
+            reach.map_batches(
+                lambda t: t.rename_columns(["a", "m"]) if t.num_columns else t,
+                batch_format="pyarrow",
+            ),
+            reach.map_batches(
+                lambda t: t.rename_columns(["m", "b"]) if t.num_columns else t,
+                batch_format="pyarrow",
+            ),
+            ["m"],
+            pa.schema([("a", pa.string()), ("m", pa.string())]),
+            pa.schema([("m", pa.string()), ("b", pa.string())]),
+        ).map_batches(
+            lambda t: t.select(["a", "b"]) if t.num_columns else pair_schema.empty_table(),
+            batch_format="pyarrow",
+        )
+        reach = dedup_pairs(reach.union(hop)).materialize()
+
+    swapped = reach.map_batches(
+        lambda t: pa.table({"a": t.column("b"), "b": t.column("a")})
+        if t.num_columns
+        else pair_schema.empty_table(),
+        batch_format="pyarrow",
+    )
+    mutual = pin_schema(
+        bucketed_inner_join(
+            reach, swapped, ["a", "b"], pair_schema, pair_schema, join_type="left semi"
+        ),
+        pair_schema,
+    )
+
+    def nodes(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return pair_schema.empty_table()
+        allv = pa.chunked_array(
+            [t.column("a").combine_chunks(), t.column("b").combine_chunks()]
+        ).combine_chunks()
+        return pa.table({"a": allv, "b": allv})
+
+    ident = reach.map_batches(nodes, batch_format="pyarrow")
+    return pin_schema(
+        bucketed_aggregate(
+            mutual.union(ident).map_batches(
+                lambda t: t.rename_columns(["host", "scc_id"]) if t.num_columns else t,
+                batch_format="pyarrow",
+            ),
+            ["host"],
+            [("scc_id", "min")],
+        ),
+        pa.schema([("host", pa.string()), ("scc_id", pa.string())]),
+    )

@@ -133,6 +133,7 @@ SQL_CHECKED = [
     "robots_fetch_gate",
     "sitemap_gap",
     "wet_shards",
+    "web_host_scc",
     "host_dup_rate",
     "pii_scrub",
     "heavy_hitters",
