@@ -66,7 +66,7 @@ def _bench_vocab():
 # (measured: marginal rate 43 µs/page between 384k and 1.152M), i.e. the
 # fixed term had grown to ~40% of the measurement and dominated the
 # efficiency figure. At 1.152M the 32-CPU run is ~60 s (fixed ≈ 17%).
-SCALING_PAGES = int(os.environ.get("GRAFT_SCALING_PAGES", "1152000"))
+SCALING_PAGES = int(os.environ.get("GRAFT_SCALING_PAGES", "3456000"))
 SCALING_SHARDS = 64
 
 

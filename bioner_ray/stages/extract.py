@@ -152,26 +152,34 @@ def _jsonld_scalar(v) -> str:
     return str(v)
 
 
-def _flatten_jsonld(node: dict, subj: str, url: str, out: list) -> None:
+_JSONLD_MAX_DEPTH = 32
+
+
+def _flatten_jsonld(node: dict, subj: str, url: str, out: list, depth: int = 0) -> None:
     """Depth-first flatten of one JSON-LD object to (url, subj, pred,
     obj) rows. Nested objects become blank-node-style subjects
     ``subj/pred`` (array elements ``subj/pred#idx``) linked from the
     parent by a triple whose object IS the child id; scalar arrays fan
     out one triple per element; ``@context`` is annotation, not a
-    fact, and is skipped; JSON null carries no assertion."""
+    fact, and is skipped; JSON null carries no assertion. Nesting
+    beyond ``_JSONLD_MAX_DEPTH`` is dropped (the parent link is still
+    emitted) — wild-crawl JSON nests adversarially and a recursion
+    crash in one page must not kill the batch."""
+    if depth >= _JSONLD_MAX_DEPTH:
+        return
     for k, v in node.items():
         if k == "@context":
             continue
         if isinstance(v, dict):
             child = f"{subj}/{k}"
             out.append((url, subj, k, child))
-            _flatten_jsonld(v, child, url, out)
+            _flatten_jsonld(v, child, url, out, depth + 1)
         elif isinstance(v, list):
             for idx, el in enumerate(v):
                 if isinstance(el, dict):
                     child = f"{subj}/{k}#{idx}"
                     out.append((url, subj, k, child))
-                    _flatten_jsonld(el, child, url, out)
+                    _flatten_jsonld(el, child, url, out, depth + 1)
                 elif el is not None:
                     out.append((url, subj, k, _jsonld_scalar(el)))
         elif v is not None:
@@ -203,7 +211,10 @@ def extract_jsonld_batch(batch: pa.Table) -> pa.Table:
         for bi, m in enumerate(_JSONLD_RE.finditer(h or b"")):
             try:
                 root = json.loads(m.group(1).decode("utf-8", errors="replace"))
-            except json.JSONDecodeError:
+            except (json.JSONDecodeError, RecursionError):
+                # malformed JSON, or nesting so deep the C decoder
+                # itself recurses out — one hostile page must not kill
+                # the batch
                 continue
             if isinstance(root, dict):
                 _flatten_jsonld(root, f"{u}#ld{bi}", u, out)

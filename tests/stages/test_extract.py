@@ -100,3 +100,19 @@ class TestJsonLd:
             (u + "#ld0_1", "knows", u + "#ld0_1/knows#0"),
             (u + "#ld0_1/knows#0", "name", "y"),
         }
+
+    def test_pathological_nesting_is_capped_not_crashed(self):
+        # 5000 deep: the stdlib DECODER recurses out -> page skipped whole
+        blob = '{"child": ' * 5000 + '"x"' + "}" * 5000
+        out = self._run(
+            b'<script type="application/ld+json">' + blob.encode() + b"</script>"
+        )
+        assert out.num_rows == 0
+        # 200 deep: decodable, flattener caps at _JSONLD_MAX_DEPTH
+        blob = '{"child": ' * 200 + '"x"' + "}" * 200
+        out = self._run(
+            b'<script type="application/ld+json">' + blob.encode() + b"</script>"
+        )
+        from bioner_ray.stages.extract import _JSONLD_MAX_DEPTH
+
+        assert out.num_rows == _JSONLD_MAX_DEPTH
