@@ -329,6 +329,7 @@ OPERATOR_QUERIES = [
     "kg_shape_violations",
     "fetch_schedule",
     "robots_fetch_gate",
+    "crawl_plan",
     "sitemap_gap",
     "wet_shards",
     "web_host_scc",

@@ -1512,24 +1512,17 @@ def recrawl_change_rate(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
-def fetch_schedule(sf_dir: str, gap: int = 10):
-    """Politeness-scheduled fetch plan over the crawl frontier: per
-    host, URLs are fetched in deterministic lexicographic order with
-    ``gap`` time slots between consecutive hits to the same host, and
-    hosts staggered by an md5-derived offset (the engine's 61-bit
-    md5-UBIGINT idiom, replayed verbatim in SQL) so slot 0 is not a
-    thundering herd — slot = (rank_in_host − 1)·gap + md5_61(host) mod
-    gap. The scheduler output a fetch fleet consumes directly; one
-    coarse host-bucketed shuffle with a vectorized run-scan per bucket,
-    host count never bounds parallelism. Columns: url, host, rk,
-    slot."""
+def _schedule_urls(urls_ds, gap: int = 10):
+    """The politeness-scheduling fold shared by fetch_schedule and
+    crawl_plan: per host, lexicographic url order with ``gap`` slots
+    between same-host hits and an md5-61-bit host stagger. Input needs
+    (url, host); one coarse host-bucketed shuffle, vectorized run-scan
+    per bucket. Columns: url, host, rk, slot."""
     import hashlib
 
     import numpy as np
-    import ray.data as rd
 
     from bioner_ray.stages.shuffle import bucketed_map_groups, pin_schema
-    from bioner_ray.stages.weblinks import host_of
 
     out_schema = pa.schema(
         [
@@ -1538,14 +1531,6 @@ def fetch_schedule(sf_dir: str, gap: int = 10):
             ("rk", pa.int64()),
             ("slot", pa.int64()),
         ]
-    )
-
-    docs = rd.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
-    )
-    urls = docs.map_batches(_url_paths_batch, batch_format="pyarrow").map_batches(
-        lambda t: t.append_column("host", host_of(t.column("url").combine_chunks())),
-        batch_format="pyarrow",
     )
 
     def per_bucket(t: pa.Table) -> pa.Table:
@@ -1575,7 +1560,32 @@ def fetch_schedule(sf_dir: str, gap: int = 10):
             schema=out_schema,
         )
 
-    return pin_schema(bucketed_map_groups(urls, ["host"], per_bucket), out_schema)
+    return pin_schema(bucketed_map_groups(urls_ds, ["host"], per_bucket), out_schema)
+
+
+def fetch_schedule(sf_dir: str, gap: int = 10):
+    """Politeness-scheduled fetch plan over the crawl frontier: per
+    host, URLs are fetched in deterministic lexicographic order with
+    ``gap`` time slots between consecutive hits to the same host, and
+    hosts staggered by an md5-derived offset (the engine's 61-bit
+    md5-UBIGINT idiom, replayed verbatim in SQL) so slot 0 is not a
+    thundering herd — slot = (rank_in_host − 1)·gap + md5_61(host) mod
+    gap. The scheduler output a fetch fleet consumes directly; one
+    coarse host-bucketed shuffle with a vectorized run-scan per bucket,
+    host count never bounds parallelism. Columns: url, host, rk,
+    slot."""
+    import ray.data as rd
+
+    from bioner_ray.stages.weblinks import host_of
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    urls = docs.map_batches(_url_paths_batch, batch_format="pyarrow").map_batches(
+        lambda t: t.append_column("host", host_of(t.column("url").combine_chunks())),
+        batch_format="pyarrow",
+    )
+    return _schedule_urls(urls, gap=gap)
 
 
 def host_dup_rate(sf_dir: str):
@@ -2107,3 +2117,48 @@ def web_host_scc(sf_dir: str, rounds: int = 4):
         ),
         pa.schema([("host", pa.string()), ("scc_id", pa.string())]),
     )
+
+
+def crawl_plan(sf_dir: str, gap: int = 10):
+    """The composed crawl plan a fetch fleet actually executes:
+    robots admission (robots_fetch_gate's longest-prefix-match rules)
+    FIRST, then politeness scheduling (_schedule_urls) over the
+    admitted URLs only — per-host ranks and slots are recomputed on
+    the allowed subset, so a host whose /docs/ tree is disallowed
+    compresses its fetch timeline instead of leaving slot holes. Pure
+    operator composition: the gate's output is the scheduler's input,
+    no extra exchange beyond each stage's own. Columns: url, host,
+    rk, slot."""
+    import ray.data as rd
+
+    from bioner_ray.stages.weblinks import robots_gate
+
+    rules: dict = {}
+    for h in range(16):
+        r = []
+        if h % 3 == 0:
+            r.append(("/blog/", False))
+        if h % 4 == 2:
+            r.append(("/docs/", False))
+        if h % 5 == 0:
+            r.append(("/news/", False))
+            r.append(("/news/2021", True))
+        if r:
+            rules[f"site{h}.example.com"] = r
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    gated = robots_gate(
+        docs.map_batches(_url_paths_batch, batch_format="pyarrow"), rules
+    )
+
+    def allowed(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.schema(
+                [("url", pa.string()), ("host", pa.string())]
+            ).empty_table()
+        f = t.filter(pc.equal(t.column("allowed"), 1))
+        return f.select(["url", "host"])
+
+    return _schedule_urls(gated.map_batches(allowed, batch_format="pyarrow"), gap=gap)

@@ -131,6 +131,7 @@ SQL_CHECKED = [
     "kg_shape_violations",
     "fetch_schedule",
     "robots_fetch_gate",
+    "crawl_plan",
     "sitemap_gap",
     "wet_shards",
     "web_host_scc",
