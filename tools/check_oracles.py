@@ -24,7 +24,15 @@ def to_pandas(res) -> pd.DataFrame:
     import ray.data
 
     if isinstance(res, ray.data.Dataset):
-        return res.to_pandas()
+        df = res.to_pandas()
+        if df.shape[1] == 0:
+            # Ray's to_pandas drops column names when every block is
+            # empty; recover them from the dataset schema so a 0-row
+            # result still column-compares against the oracle
+            sch = res.schema()
+            if sch is not None and getattr(sch, "names", None):
+                df = pd.DataFrame({n: pd.Series(dtype="object") for n in sch.names})
+        return df
     if isinstance(res, pa.Table):
         return res.to_pandas()
     return res
