@@ -277,6 +277,7 @@ OPERATOR_QUERIES = [
     "web_link_graph",
     "host_pagerank",
     "anchor_text_index",
+    "anchor_linking_prior",
     "url_canonical_dedup",
     "web_mirror_candidates",
     "kg_closeness",

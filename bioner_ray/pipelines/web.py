@@ -2162,3 +2162,96 @@ def crawl_plan(sf_dir: str, gap: int = 10):
         return f.select(["url", "host"])
 
     return _schedule_urls(gated.map_batches(allowed, batch_format="pyarrow"), gap=gap)
+
+
+def anchor_linking_prior(sf_dir: str):
+    """Anchor→target linking prior P(dst_host | anchor) — the
+    probability table an entity linker consults when an anchor string
+    is the only evidence (the web-corpus analog of a surface-form →
+    concept prior; complements anchor_text_index's per-target view
+    with the per-SURFACE conditional). Engine shape: ONE
+    (anchor, dst_host) bounded aggregate over the resolved link
+    stream, ONE anchor-bounded re-fold for the denominators, ONE
+    anchor-keyed bucketed join, and a replayable float division.
+    Columns: anchor, dst_host, n, n_anchor, share."""
+    from bioner_ray.stages.shuffle import (
+        bucketed_aggregate,
+        bucketed_inner_join,
+        pin_schema,
+        with_ones,
+    )
+
+    c_schema = pa.schema(
+        [("anchor", pa.string()), ("dst_host", pa.string()), ("n", pa.int64())]
+    )
+    c = pin_schema(
+        bucketed_aggregate(
+            with_ones(
+                _resolved_links(sf_dir).map_batches(
+                    lambda t: pa.table(
+                        {
+                            "anchor": t.column("anchor"),
+                            "dst_host": t.column("dst_host"),
+                        }
+                    )
+                    if t.num_columns
+                    else pa.schema(
+                        [("anchor", pa.string()), ("dst_host", pa.string())]
+                    ).empty_table(),
+                    batch_format="pyarrow",
+                ),
+                "n",
+            ),
+            ["anchor", "dst_host"],
+            [("n", "sum")],
+        ),
+        c_schema,
+    ).materialize()
+    totals = pin_schema(
+        bucketed_aggregate(
+            c.map_batches(
+                lambda t: pa.table({"anchor": t.column("anchor"), "n_anchor": t.column("n")})
+                if t.num_columns
+                else pa.schema([("anchor", pa.string()), ("n_anchor", pa.int64())]).empty_table(),
+                batch_format="pyarrow",
+            ),
+            ["anchor"],
+            [("n_anchor", "sum")],
+        ),
+        pa.schema([("anchor", pa.string()), ("n_anchor", pa.int64())]),
+    )
+    out_schema = pa.schema(
+        [
+            ("anchor", pa.string()),
+            ("dst_host", pa.string()),
+            ("n", pa.int64()),
+            ("n_anchor", pa.int64()),
+            ("share", pa.float64()),
+        ]
+    )
+
+    def share(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return out_schema.empty_table()
+        return pa.table(
+            {
+                "anchor": t.column("anchor"),
+                "dst_host": t.column("dst_host"),
+                "n": t.column("n"),
+                "n_anchor": t.column("n_anchor"),
+                "share": pc.divide(
+                    pc.cast(t.column("n"), pa.float64()),
+                    pc.cast(t.column("n_anchor"), pa.float64()),
+                ),
+            },
+            schema=out_schema,
+        )
+
+    joined = bucketed_inner_join(
+        c,
+        totals,
+        ["anchor"],
+        c_schema,
+        pa.schema([("anchor", pa.string()), ("n_anchor", pa.int64())]),
+    )
+    return pin_schema(joined.map_batches(share, batch_format="pyarrow"), out_schema)

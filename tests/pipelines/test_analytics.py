@@ -135,6 +135,7 @@ SQL_CHECKED = [
     "sitemap_gap",
     "wet_shards",
     "web_host_scc",
+    "anchor_linking_prior",
     "host_dup_rate",
     "pii_scrub",
     "heavy_hitters",
