@@ -342,6 +342,8 @@ OPERATOR_QUERIES = [
     # round-3 thirteenth session
     "wav_window_energy",
     "bmp_luma_stats",
+    # round-4 first session
+    "bilstm_mentions",
 ]
 
 

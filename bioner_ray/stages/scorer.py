@@ -478,6 +478,192 @@ class BioNERTorchModel:
         return self.predict_documents([sentences])[0]
 
 
+def load_npz_state_dict(path: str) -> dict[str, np.ndarray]:
+    """Load a torch-layout state dict from an ``.npz``. Accepts both the
+    golden-fixture convention (keys prefixed ``sd/``, extra non-weight
+    arrays ignored) and a flat dump whose every key is a weight."""
+    z = np.load(path, allow_pickle=True)
+    if any(k.startswith("sd/") for k in z.files):
+        return {k[3:]: z[k] for k in z.files if k.startswith("sd/")}
+    return {k: z[k] for k in z.files}
+
+
+def _sigmoid(x: np.ndarray) -> np.ndarray:
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+class BiLSTMNumpyModel:
+    """Container-runnable numpy forward for the REAL BioNER BiLSTM
+    architecture (bioner_model.py:16-93): relu(ff1) → BiLSTM → 2×BiLSTM
+    → LSTM decoder → linear(3), eval mode (dropout = identity).
+
+    This is the executable twin of ``BioNERTorchModel``: identical
+    state-dict key names/layouts (a published ``.pt`` converted to
+    ``.npz`` drops in unchanged), identical packed/padded semantics
+    (annotator.py:26-46, 266-281) — each sequence is processed to its
+    true length from zero initial state; pad positions are exactly 0.0
+    (``pad_packed_sequence`` fill) at every layer boundary and final
+    rows are truncated to true length. nn.LSTM cell per the pytorch
+    contract: gates split (i, f, g, o); i,f,o sigmoid, g tanh;
+    c' = f·c + i·g; h' = o·tanh(c').
+
+    The batched recurrence follows ``DatexisNumpyModel``'s collator
+    shape (A4, annotator.py:26-46, with length bucketing): input
+    projections run on the unpadded concatenation, the time loop runs
+    max_len steps of (S, 4H) matmuls, and both h and c are re-zeroed at
+    pad steps so the reverse direction enters each sequence's valid
+    region with zero state — exactly the packed forward."""
+
+    name = "bilstm-numpy"
+    INFERENCE_SENTENCE_BATCH = INFERENCE_SENTENCE_BATCH  # annotator.py:272-273
+
+    def __init__(
+        self,
+        weights: "dict[str, np.ndarray] | str",
+        encoder_backend: str = "hash",
+        encoder_model_path: Optional[str] = None,
+    ):
+        from bioner_ray.stages.encode import EmbeddingEncoder
+
+        sd = load_npz_state_dict(weights) if isinstance(weights, str) else weights
+        self.sd = {k: np.ascontiguousarray(v, dtype=np.float32) for k, v in sd.items()}
+        self.input_dim = self.sd["ff1.weight"].shape[1]
+        self.hidden = self.sd["hidden2tag.weight"].shape[1]
+        self.encoder = EmbeddingEncoder(
+            backend=encoder_backend, model_path=encoder_model_path, dim=self.input_dim
+        )
+
+    def _lstm_dir(
+        self,
+        x: np.ndarray,
+        mask: np.ndarray,
+        prefix: str,
+        reverse: bool,
+    ) -> np.ndarray:
+        """One direction of one layer over a padded bucket.
+        x (S, L, I) zero-padded, mask (S, L) float32 {0,1} →
+        (S, L, H), pad positions exactly 0.0."""
+        sd = self.sd
+        sfx = "_reverse" if reverse else ""
+        w_ih = sd[f"{prefix}.weight_ih_l0{sfx}"]
+        w_hh = sd[f"{prefix}.weight_hh_l0{sfx}"]
+        b_ih = sd[f"{prefix}.bias_ih_l0{sfx}"]
+        b_hh = sd[f"{prefix}.bias_hh_l0{sfx}"]
+        n_sent, max_len, _ = x.shape
+        hdim = w_hh.shape[1]
+        # input projection on the full (S·L, I) at once; same operand
+        # order as the cell contract: (W_ih·x + b_ih) first
+        xp = (x.reshape(n_sent * max_len, -1) @ w_ih.T + b_ih).reshape(
+            n_sent, max_len, 4 * hdim
+        )
+        h = np.zeros((n_sent, hdim), dtype=np.float32)
+        c = np.zeros((n_sent, hdim), dtype=np.float32)
+        out = np.zeros((n_sent, max_len, hdim), dtype=np.float32)
+        steps = range(max_len - 1, -1, -1) if reverse else range(max_len)
+        for t in steps:
+            g = xp[:, t] + (h @ w_hh.T + b_hh)
+            i = _sigmoid(g[:, :hdim])
+            f = _sigmoid(g[:, hdim : 2 * hdim])
+            gg = np.tanh(g[:, 2 * hdim : 3 * hdim])
+            o = _sigmoid(g[:, 3 * hdim :])
+            c = f * c + i * gg
+            h = o * np.tanh(c)
+            # pad step: zero BOTH h and c — the reverse direction then
+            # enters the valid region with zero state (packed semantics)
+            # and pad outputs are exactly pad_packed's 0.0 fill
+            m = mask[:, t : t + 1]
+            h *= m
+            c *= m
+            out[:, t] = h
+        return out
+
+    def _forward_bucket(self, feats: list[np.ndarray]) -> list[np.ndarray]:
+        """Padded batched forward over a length bucket →
+        per-sentence uint8 argmax tags truncated to true length
+        (annotator.py:277-279)."""
+        sd = self.sd
+        n_sent = len(feats)
+        lens = np.array([f.shape[0] for f in feats], dtype=np.int64)
+        max_len = int(lens.max()) if n_sent else 0
+        if max_len == 0:
+            return [np.zeros(0, dtype=np.uint8) for _ in feats]
+        mask = (np.arange(max_len)[None, :] < lens[:, None]).astype(np.float32)
+        # ff1 + ReLU on the unpadded concatenation, then pad
+        cat = np.concatenate(feats) if n_sent > 1 else feats[0]
+        acts = np.maximum(cat @ sd["ff1.weight"].T + sd["ff1.bias"], 0.0)
+        x = np.zeros((n_sent, max_len, acts.shape[1]), dtype=np.float32)
+        off = 0
+        for i, ln in enumerate(lens):
+            x[i, :ln] = acts[off : off + ln]
+            off += ln
+        for prefix in ("biLSTM", "additional_biLSTM_layers.0", "additional_biLSTM_layers.1"):
+            fwd = self._lstm_dir(x, mask, prefix, reverse=False)
+            bwd = self._lstm_dir(x, mask, prefix, reverse=True)
+            x = np.concatenate([fwd, bwd], axis=2)
+        x = self._lstm_dir(x, mask, "encoderLSTM", reverse=False)
+        logits = x @ sd["hidden2tag.weight"].T + sd["hidden2tag.bias"]
+        pred = np.argmax(logits, axis=2).astype(np.uint8)
+        return [pred[i, : lens[i]] for i in range(n_sent)]
+
+    def forward_logits(self, x: np.ndarray) -> np.ndarray:
+        """Single unpadded sequence (L, INPUT) → logits (L, OUT) — the
+        parity entry the golden-fixture test pins against
+        tools/make_bilstm_golden.forward_seq."""
+        sd = self.sd
+        if len(x) == 0:
+            return np.zeros((0, sd["hidden2tag.weight"].shape[0]), dtype=np.float32)
+        mask = np.ones((1, len(x)), dtype=np.float32)
+        acts = np.maximum(x @ sd["ff1.weight"].T + sd["ff1.bias"], 0.0)
+        h = acts[None].astype(np.float32)
+        for prefix in ("biLSTM", "additional_biLSTM_layers.0", "additional_biLSTM_layers.1"):
+            fwd = self._lstm_dir(h, mask, prefix, reverse=False)
+            bwd = self._lstm_dir(h, mask, prefix, reverse=True)
+            h = np.concatenate([fwd, bwd], axis=2)
+        h = self._lstm_dir(h, mask, "encoderLSTM", reverse=False)
+        return (h @ sd["hidden2tag.weight"].T + sd["hidden2tag.bias"])[0]
+
+    #: same bucket size as the reference inference batch — one giant
+    #: sentence pads only its own bucket (SURVEY.md §7.4.5)
+    RNN_BUCKET = INFERENCE_SENTENCE_BATCH
+
+    def predict_documents_tokens(
+        self, docs: list[list[list[str]]]
+    ) -> list[list[np.ndarray]]:
+        """Cross-document batched inference with length bucketing (same
+        scheme as DatexisNumpyModel.predict_documents_tokens)."""
+        enc_per_doc = [
+            [self.encoder._encode_tokens(list(toks)).astype(np.float32) for toks in sents]
+            for sents in docs
+        ]
+        flat = [
+            (d, s, f)
+            for d, doc in enumerate(enc_per_doc)
+            for s, f in enumerate(doc)
+        ]
+        results: list[list[np.ndarray]] = [
+            [np.zeros(0, dtype=np.uint8) for _ in doc] for doc in enc_per_doc
+        ]
+        order = sorted(range(len(flat)), key=lambda i: flat[i][2].shape[0])
+        for c0 in range(0, len(order), self.RNN_BUCKET):
+            idxs = order[c0 : c0 + self.RNN_BUCKET]
+            preds = self._forward_bucket([flat[i][2] for i in idxs])
+            for i, p in zip(idxs, preds):
+                d, s, _ = flat[i]
+                results[d][s] = p
+        return results
+
+    def predict_documents(self, docs: list[list[dict]]) -> list[list[list[int]]]:
+        return [
+            [t.tolist() for t in doc]
+            for doc in self.predict_documents_tokens(
+                [[s["token_text"] for s in sents] for sents in docs]
+            )
+        ]
+
+    def predict_document(self, sentences: list[dict]) -> list[list[int]]:
+        return self.predict_documents([sentences])[0]
+
+
 def load_model(name: str, **config):
     """Model registry by name string (reference ModelLoader.load_model,
     model_loader.py:64-115: unknown name raises)."""
@@ -490,6 +676,8 @@ def load_model(name: str, **config):
             ff=config.get("ff", 128),
             seed=config.get("seed", 1632737901),
         )
+    if name == "bilstm-numpy":
+        return BiLSTMNumpyModel(**config)
     if name == "bioner-bilstm":
         return BioNERTorchModel(**config)
     raise ValueError(f"unknown model: {name}")

@@ -106,6 +106,7 @@ SQL_CHECKED = [
     "doc_entity_density",
     "kg_edges_pruned",
     "datexis_mentions",
+    "bilstm_mentions",
     "knn_ivf_topk",
     "encoding_stats",
     "media_features",

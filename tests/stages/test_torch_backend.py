@@ -188,3 +188,75 @@ class TestTorchForward:
         out = m.predict_documents_tokens([[["a", "b", "c"], []], [["d"]]])
         assert [len(t) for doc in out for t in doc] == [3, 0, 1]
         assert all(int(v) in (0, 1, 2) for doc in out for t in doc for v in t)
+
+
+class TestBiLSTMNumpy:
+    """The container-runnable A2 forward (VERDICT r3, Next #1): the
+    numpy implementation of the reference BiLSTM architecture must
+    reproduce the golden fixture's logits (computed independently by
+    tools/make_bilstm_golden.forward_seq) and its end-to-end argmax —
+    making the torch seam a cross-check instead of the only path."""
+
+    def _model(self):
+        from bioner_ray.stages.scorer import load_model
+
+        return load_model("bilstm-numpy", weights=GOLDEN, encoder_backend="hash")
+
+    def test_logit_parity_with_golden(self):
+        import numpy as np
+
+        m = self._model()
+        z = np.load(GOLDEN, allow_pickle=True)
+        for i in range(3):
+            y = m.forward_logits(z[f"x{i}"])
+            # exact up to BLAS kernel choice (matvec in the generator vs
+            # batched gemm here); argmax must be identical
+            np.testing.assert_allclose(y, z[f"y{i}"], rtol=1e-5, atol=1e-6)
+            np.testing.assert_array_equal(
+                np.argmax(y, axis=1), np.argmax(z[f"y{i}"], axis=1)
+            )
+
+    def test_end_to_end_predict_matches_golden_argmax(self):
+        import numpy as np
+
+        m = self._model()
+        z = np.load(GOLDEN, allow_pickle=True)
+        sents = [joined.split("\x1f") for joined in z["tokens"]]
+        got = m.predict_documents_tokens([sents])[0]
+        for i, p in enumerate(got):
+            np.testing.assert_array_equal(p, z[f"ey{i}"])
+
+    def test_bucketed_batch_matches_single_sequence(self):
+        # padded batched recurrence (mixed ragged lengths incl. len-1)
+        # must equal the per-sequence forward — the packed-semantics pin
+        import numpy as np
+
+        m = self._model()
+        z = np.load(GOLDEN, allow_pickle=True)
+        xs = [z["x0"], z["x1"], z["x2"]]
+        batched = m._forward_bucket(xs)
+        for x, p in zip(xs, batched):
+            single = np.argmax(m.forward_logits(x), axis=1).astype(np.uint8)
+            np.testing.assert_array_equal(p, single)
+
+    def test_empty_and_zero_length(self):
+        import numpy as np
+
+        m = self._model()
+        assert m.forward_logits(np.zeros((0, 8), dtype=np.float32)).shape == (0, 3)
+        out = m.predict_documents_tokens([[["a"], []], []])
+        assert [len(t) for doc in out for t in doc] == [1, 0]
+
+    def test_flat_npz_state_dict_accepted(self, tmp_path):
+        import numpy as np
+
+        from bioner_ray.stages.scorer import BiLSTMNumpyModel, load_npz_state_dict
+
+        sd = load_npz_state_dict(GOLDEN)
+        flat = tmp_path / "flat.npz"
+        np.savez(flat, **sd)
+        m = BiLSTMNumpyModel(weights=str(flat))
+        z = np.load(GOLDEN, allow_pickle=True)
+        np.testing.assert_allclose(
+            m.forward_logits(z["x0"]), z["y0"], rtol=1e-5, atol=1e-6
+        )
