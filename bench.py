@@ -294,6 +294,7 @@ OPERATOR_QUERIES = [
     "copurchase_betweenness",
     "ccnet_buckets",
     "dsir_weights",
+    "dsir_weights_capped",
     "host_boilerplate_ratio",
     # round-3 eighth session: schema mining, GNN sampling, split audit
     "kg_metapaths",

@@ -876,7 +876,7 @@ def _min_source_from_footer(sf_dir: str) -> str | None:
     return min(mins) if mins else None
 
 
-def dsir_weights(sf_dir: str, k: int = 100, max_vocab: int | None = None):
+def dsir_weights(sf_dir: str, k: int = 100, max_vocab: int | None = 262144):
     """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169):
     rank raw-pool documents by the log-likelihood ratio of a TARGET
     unigram model over a RAW unigram model — the data-selection score
@@ -893,13 +893,19 @@ def dsir_weights(sf_dir: str, k: int = 100, max_vocab: int | None = None):
     score pass is the vectorized segment-sum kernel, integer
     micro-nats end to end (floor(ln·1e6) per word ONCE, libm log —
     both model logs floored separately so the SQL twin replays
-    bit-for-bit); top-k by (weight desc, doc_id). ``max_vocab`` is the
-    web-scale mode (same shape as ``doc_logprob``): the top-K words by
-    (ct+cr desc, word) survive a combiner-pruned distributed top-K —
-    the driver only ever sees ≤ K rows — and every other token scores
-    through one shared OOV bucket per side carrying the remaining
-    mass. The oracle-checked configuration is the full union vocab
-    (bounded at test scale); capped mode is pinned by its own pytest.
+    bit-for-bit); top-k by (weight desc, doc_id). ``max_vocab`` BOUNDS
+    the model by DEFAULT (VERDICT r3, Next #3 — 2^18 classes; same
+    shape as ``doc_logprob``): the top-K words by (ct+cr desc, word)
+    survive a combiner-pruned distributed top-K — the driver only ever
+    sees ≤ K rows, never the 10⁸⁺-string union vocabulary of a 100-TB
+    corpus — and every other token scores through one shared OOV
+    bucket per side carrying the remaining mass. ``max_vocab=None`` is
+    the explicit small-corpus escape hatch (full union vocab collected
+    driver-side). Both registered queries run bounded: ``dsir_weights``
+    at the default (twin mirrors v = kept+1 capped math) and
+    ``dsir_weights_capped`` at max_vocab=16, where the OOV bucket is
+    live at every test scale (31-word fixture vocab) so the shared-mass
+    math is hash-checked by the driver, not only by pytest.
     Columns: doc_id, n_tokens, weight_micro."""
     import math
 

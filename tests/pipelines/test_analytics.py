@@ -206,6 +206,7 @@ SQL_CHECKED = [
     "copurchase_betweenness",
     "ccnet_buckets",
     "dsir_weights",
+    "dsir_weights_capped",
     "host_boilerplate_ratio",
     "kg_metapaths",
     "kg_neighbor_sample",
