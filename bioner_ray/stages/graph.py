@@ -236,14 +236,27 @@ def string_components(
 
     import hashlib
 
+    import numpy as np
+
     def _hid(arr) -> pa.Array:
-        return pa.array(
-            [
+        # dictionary-encode → md5 the DISTINCT values → take (VERDICT
+        # r3, Next #4): identical hashes, Python loop bounded by the
+        # batch's unique-node count instead of its row count
+        a = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        denc = a.dictionary_encode()
+        uniq = denc.dictionary.to_pylist()
+        if not uniq:
+            return pa.array(np.empty(0, dtype=np.int64), type=pa.int64())
+        uh = np.fromiter(
+            (
                 int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big") >> 1
-                for s in arr.to_pylist()
-            ],
-            type=pa.int64(),
+                for s in uniq
+            ),
+            dtype=np.int64,
+            count=len(uniq),
         )
+        idx = denc.indices.to_numpy(zero_copy_only=False)
+        return pa.array(uh[idx], type=pa.int64())
 
     int_pairs = pairs_ds.map_batches(
         lambda t: pa.table({"a": _hid(t.column(lo_col)), "b": _hid(t.column(hi_col))})
@@ -601,21 +614,32 @@ def _walk_params(length: int, seed: int = 42):
 def _node_hash_column(col, memo: dict) -> "np.ndarray":
     """61-bit md5-derived node hash (first 8 bytes, masked), memoized
     per distinct string — SQL replay:
-    ``CAST(concat('0x', substr(md5(node), 1, 16)) AS UBIGINT) % 2^61``."""
+    ``CAST(concat('0x', substr(md5(node), 1, 16)) AS UBIGINT) % 2^61``.
+
+    Arrow ``dictionary_encode`` first (VERDICT r3, Next #4): the Python
+    md5 loop runs over the batch's DISTINCT values only, then a numpy
+    take fans the hashes back onto rows — on a Zipfian node column the
+    per-row Python cost disappears while hashes and twins stay
+    byte-identical."""
     import hashlib
 
     import numpy as np
 
     mask = (1 << 61) - 1
-    vals = col.to_pylist()
-    out = np.empty(len(vals), dtype=np.uint64)
-    for i, s in enumerate(vals):
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    denc = arr.dictionary_encode()
+    uniq = denc.dictionary.to_pylist()
+    uh = np.empty(len(uniq), dtype=np.uint64)
+    for i, s in enumerate(uniq):
         h = memo.get(s)
         if h is None:
             h = int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big") & mask
             memo[s] = h
-        out[i] = h
-    return out
+        uh[i] = h
+    if not len(uniq):
+        return np.empty(0, dtype=np.uint64)
+    idx = denc.indices.to_numpy(zero_copy_only=False)
+    return uh[idx]
 
 
 def hash_walks(
