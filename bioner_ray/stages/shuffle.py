@@ -34,6 +34,51 @@ _FNV = np.uint64(1099511628211)
 #: ops whose partial and final step are the same op (decomposable)
 _OPS = {"sum", "min", "max"}
 
+#: polars fixed-seed hash PIN (VERDICT r3, Next #5): bucket assignment
+#: must agree across every process of a run, and polars documents no
+#: cross-version stability for Series.hash. These are the probe
+#: outputs recorded under the image's pinned polars (1.42.1); a polars
+#: whose seed/algorithm behavior differs flips at least one of them,
+#: in which case the bucket hash falls back to the crc32 loop (slower,
+#: version-independent) with a loud one-time warning instead of
+#: silently re-bucketing half a cluster.
+_POLARS_PROBE = ["", "a", "bioner-ray-bucket-probe", "héllo-世界", "site0.example.com/doc/123"]
+_POLARS_PROBE_EXPECTED = (
+    3619183968405584189,
+    13223116160119632573,
+    3564398302012424403,
+    4093727340295390195,
+    3696737862696830403,
+)
+_polars_hash_validated: bool | None = None
+
+
+def _polars_hash_usable() -> bool:
+    """True iff polars is importable AND its fixed-seed string hash
+    reproduces the recorded probe values. Memoized per process."""
+    global _polars_hash_validated
+    if _polars_hash_validated is None:
+        try:
+            import polars as pl
+        except ImportError:
+            _polars_hash_validated = False
+        else:
+            got = tuple(pl.Series(_POLARS_PROBE).hash(seed=0).to_list())
+            _polars_hash_validated = got == _POLARS_PROBE_EXPECTED
+            if not _polars_hash_validated:
+                import warnings
+
+                warnings.warn(
+                    "polars Series.hash(seed=0) does not reproduce the "
+                    f"pinned probe values (polars {pl.__version__}; got "
+                    f"{got}). Falling back to the crc32 bucket hash — "
+                    "correct but slower. Re-pin _POLARS_PROBE_EXPECTED "
+                    "for this polars version.",
+                    RuntimeWarning,
+                    stacklevel=3,
+                )
+    return _polars_hash_validated
+
 
 def hash_strings_u64(col) -> np.ndarray:
     """Vectorized 64-bit hash of a string column/array — ONE C call
@@ -42,18 +87,18 @@ def hash_strings_u64(col) -> np.ndarray:
     Bucket ids are partitioning-only: every caller drops them before
     any result column, so the only contract is determinism across
     processes WITHIN a run — polars' fixed-seed hash is stable for a
-    given polars version, and every worker in a cluster runs the same
-    image. Falls back to the original crc32 loop when polars is absent
-    or the column isn't a plain string type."""
+    given polars version, every worker in a cluster runs the same
+    image, and ``_polars_hash_usable`` verifies the version actually
+    behaves as recorded before the first bucket is assigned. Falls
+    back to the crc32 loop when polars is absent, fails the probe, or
+    the column isn't a plain string type."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    try:
-        import polars as pl
-    except ImportError:
-        pl = None
-    if pl is not None and (
+    if _polars_hash_usable() and (
         pa.types.is_string(col.type) or pa.types.is_large_string(col.type)
     ):
+        import polars as pl
+
         return pl.from_arrow(col).hash(seed=0).to_numpy().astype(np.uint64)
     return np.fromiter(
         (zlib.crc32(str(x).encode()) for x in col.to_pylist()),

@@ -255,3 +255,49 @@ class TestBucketedInnerJoin:
         ds = rd.from_arrow(pa.Table.from_pylist([{"k": 1, "v": 1}], schema=schema))
         with pytest.raises(ValueError, match="disjoint"):
             bucketed_inner_join(ds, ds, ["k"], schema, schema)
+
+
+class TestPolarsHashPin:
+    """VERDICT r3, Next #5: the bucket hash rides polars' fixed-seed
+    xxhash, which is stable only per polars version. The probe pin must
+    hold on this image, and a simulated mismatch must engage the crc32
+    fallback loudly rather than silently re-bucketing."""
+
+    def _reset(self, monkeypatch):
+        from bioner_ray.stages import shuffle as sh
+
+        monkeypatch.setattr(sh, "_polars_hash_validated", None)
+        return sh
+
+    def test_probe_pin_holds_on_this_image(self, monkeypatch):
+        sh = self._reset(monkeypatch)
+        assert sh._polars_hash_usable() is True
+
+    def test_mismatch_engages_crc32_fallback_with_warning(self, monkeypatch):
+        import warnings
+        import zlib
+
+        import numpy as np
+        import pyarrow as pa
+
+        sh = self._reset(monkeypatch)
+        monkeypatch.setattr(
+            sh, "_POLARS_PROBE_EXPECTED", (1, 2, 3, 4, 5)
+        )  # simulate a polars whose seed behavior changed
+        col = pa.array(["x", "y", "x", "héllo-世界"], type=pa.string())
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            got = sh.hash_strings_u64(col)
+        assert any("crc32" in str(w.message) for w in rec)
+        want = np.fromiter(
+            (zlib.crc32(s.encode()) for s in ["x", "y", "x", "héllo-世界"]),
+            dtype=np.uint64,
+            count=4,
+        )
+        np.testing.assert_array_equal(got, want)
+        # memoized: second call stays on the fallback without re-warning
+        with warnings.catch_warnings(record=True) as rec2:
+            warnings.simplefilter("always")
+            got2 = sh.hash_strings_u64(col)
+        assert not rec2
+        np.testing.assert_array_equal(got2, want)
