@@ -2213,6 +2213,18 @@ def _bigram_micro_score_ds(sf_dir: str, lp: dict, fallback: dict, out_col: str):
         micro = kl.map(table)
         if fb:
             micro = micro.fillna(w1.map(fb))
+        if micro.isna().any():
+            # contract violation, not a cast crash (ADVICE r3): a
+            # scored bigram is absent from the broadcast model and no
+            # fallback covers its w1 — only possible when a caller
+            # passes a FOREIGN model with an empty/partial fallback
+            missing = kl[micro.isna()].iloc[0].replace(SEP, " ")
+            raise ValueError(
+                f"bigram {missing!r} missing from the broadcast LM and "
+                "no fallback entry for its first word — "
+                "_bigram_micro_score_ds requires a model trained on "
+                "the scored corpus, or a total fallback table"
+            )
         micro = micro.to_numpy(dtype=np.int64)
         dd = d[same]
         sums = np.zeros(n_docs, dtype=np.int64)
@@ -2359,6 +2371,22 @@ def doc_kn_logprob(sf_dir: str):
     bg = bucketed_aggregate(
         docs.map_batches(bg_partial, batch_format="pyarrow"), ["bg"], [("cnt", "sum")]
     ).to_pandas()
+    if bg.empty:
+        # degenerate corpus (every doc < 2 tokens): no bigram model can
+        # exist; pin the empty output schema (ADVICE r3 — the split
+        # below would yield a zero-column frame and KeyError, and T=0
+        # would divide by zero; the twin returns empty here too)
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("n_bigrams", pa.int64()),
+                    ("kn_logprob_micro", pa.int64()),
+                ]
+            ).empty_table()
+        )
     ks = bg["bg"].str.split(SEP, n=1, expand=True)
     df = pd.DataFrame({"w1": ks[0], "w2": ks[1], "c12": bg["cnt"].astype("int64")})
     g1 = df.groupby("w1")["c12"].agg(["sum", "size"])

@@ -1892,6 +1892,10 @@ def sitemap_gap(sf_dir: str, phantom_every: int = 3):
         ),
         pa.schema([("host", pa.string()), ("n_missing", pa.int64())]),
     )
+    # LEFT OUTER from n_declared (ADVICE r3): hosts whose sitemap is
+    # fully covered must appear with n_missing = 0 — an audit that
+    # silently drops its cleanest hosts reads as if they were never
+    # audited. Null from the unmatched side fills to 0 below.
     out = pin_schema(
         bucketed_inner_join(
             n_declared,
@@ -1899,6 +1903,7 @@ def sitemap_gap(sf_dir: str, phantom_every: int = 3):
             ["host"],
             pa.schema([("host", pa.string()), ("n_declared", pa.int64())]),
             pa.schema([("host", pa.string()), ("n_missing", pa.int64())]),
+            join_type="left outer",
         ),
         pa.schema(
             [
@@ -1907,6 +1912,15 @@ def sitemap_gap(sf_dir: str, phantom_every: int = 3):
                 ("n_missing", pa.int64()),
             ]
         ),
+    ).map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("n_missing"),
+            "n_missing",
+            pc.fill_null(t.column("n_missing"), 0),
+        )
+        if t.num_columns
+        else t,
+        batch_format="pyarrow",
     )
 
     def rate(t: pa.Table) -> pa.Table:

@@ -409,10 +409,9 @@ def robots_gate(urls_ds, rules_by_host: dict):
     vectorized starts_with mask per (host, rule) over the whole batch:
     rules × O(batch) numpy, never a per-URL Python loop over rules.
     Columns: url, host, allowed, rule."""
-    flat = [
-        (h, prefix, bool(allow))
+    by_host = [
+        (h, [(prefix, bool(allow)) for prefix, allow in rl])
         for h, rl in sorted(rules_by_host.items())
-        for prefix, allow in rl
     ]
 
     def gate(batch: pa.Table) -> pa.Table:
@@ -423,23 +422,30 @@ def robots_gate(urls_ds, rules_by_host: dict):
         paths = pc.fill_null(
             pc.struct_field(pc.extract_regex(urls, _PATH_RE), "p"), ""
         )
-        hn = hosts.to_numpy(zero_copy_only=False)
         best_len = np.full(batch.num_rows, -1, dtype=np.int64)
         best_allow = np.ones(batch.num_rows, dtype=bool)
         best_rule = np.full(batch.num_rows, "", dtype=object)
-        for h, prefix, allow in flat:
-            mask = pc.and_(
-                pc.equal(hosts, h), pc.starts_with(paths, prefix)
-            ).to_numpy(zero_copy_only=False)
-            mask = np.asarray(mask, dtype=bool) & (hn == h)
-            ln = len(prefix)
-            upd = mask & (
-                (ln > best_len)
-                | ((ln == best_len) & allow & ~best_allow)
+        # host mask computed ONCE per host (ADVICE r3 — it was
+        # redundantly re-derived per rule), rules of absent hosts skipped
+        for h, rl in by_host:
+            hmask = np.asarray(
+                pc.equal(hosts, h).to_numpy(zero_copy_only=False), dtype=bool
             )
-            best_len[upd] = ln
-            best_allow[upd] = allow
-            best_rule[upd] = prefix
+            if not hmask.any():
+                continue
+            for prefix, allow in rl:
+                mask = hmask & np.asarray(
+                    pc.starts_with(paths, prefix).to_numpy(zero_copy_only=False),
+                    dtype=bool,
+                )
+                ln = len(prefix)
+                upd = mask & (
+                    (ln > best_len)
+                    | ((ln == best_len) & allow & ~best_allow)
+                )
+                best_len[upd] = ln
+                best_allow[upd] = allow
+                best_rule[upd] = prefix
         return pa.table(
             {
                 "url": pc.cast(urls, pa.string()),

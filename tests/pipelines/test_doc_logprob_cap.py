@@ -158,3 +158,57 @@ def test_lesk_hand_crafted(tmp_path):
         ("sort", "sort/order"): 1,
         ("sort", "sort/merge"): 3,
     }
+
+
+def test_kn_logprob_degenerate_corpus_returns_typed_empty(tmp_path):
+    # ADVICE r3: every doc < 2 tokens → zero bigrams; the KN model
+    # cannot exist and the query must return a TYPED empty dataset
+    # (the twin's GROUP BY over zero bigram rows), not KeyError/ZeroDiv
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bioner_ray.pipelines.analytics import doc_kn_logprob
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                "text": pa.array(["one", "word", ""], type=pa.string()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    ds = doc_kn_logprob(str(tmp_path))
+    # schema asserted on the Dataset: Ray's to_pandas() drops column
+    # names when every block is empty (check_oracles compensates)
+    assert ds.schema().names == ["doc_id", "n_bigrams", "kn_logprob_micro"]
+    assert ds.count() == 0
+
+
+def test_bigram_scorer_foreign_model_raises_clear_contract_error(tmp_path):
+    # ADVICE r3: a scored bigram absent from the broadcast model with
+    # an empty fallback must fail with the contract message, not an
+    # opaque NaN→int64 cast crash inside the task
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+    import ray
+
+    from bioner_ray.pipelines.analytics import _bigram_micro_score_ds
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1], type=pa.int64()),
+                "text": pa.array(["alpha beta gamma"], type=pa.string()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    ds = _bigram_micro_score_ds(
+        str(tmp_path), {"alpha\x1fbeta": -5}, {}, "logprob_micro"
+    )
+    with pytest.raises(
+        (ValueError, ray.exceptions.RayTaskError), match="missing from the broadcast LM"
+    ):
+        ds.to_pandas()
