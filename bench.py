@@ -345,6 +345,7 @@ OPERATOR_QUERIES = [
     "bmp_luma_stats",
     # round-4 first session
     "bilstm_mentions",
+    "kg_daily_increment",
 ]
 
 

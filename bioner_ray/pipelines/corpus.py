@@ -3206,3 +3206,14 @@ def semantic_dedup(sf_dir: str, k: int = 4, iters: int = 2, tau: float = 0.45):
         iters=iters,
         tau=tau,
     )
+
+
+def kg_daily_increment(sf_dir: str):
+    """The composed daily-increment flagship (pipelines/ingest.py):
+    new shard in → LSH dedup against the persistent band store →
+    survivors' edges extracted → delta vs the checkpointed canonical
+    edge table out; the old corpus is never re-shingled, re-scored or
+    re-aggregated. Columns: subj, pred, obj, w_a, w_b, status."""
+    from bioner_ray.pipelines.ingest import kg_daily_increment as _kdi
+
+    return _kdi(sf_dir)

@@ -296,3 +296,208 @@ def kg_incremental_edges(sf_dir: str, store_root: str | None = None):
     return pin_schema(merged, out_schema).map_batches(
         lambda t: t.select(out_schema.names), batch_format="pyarrow"
     )
+
+
+def kg_daily_increment(
+    sf_dir: str,
+    threshold: float = 0.8,
+    store_root: str | None = None,
+):
+    """The composed "daily increment" flagship (VERDICT r3, Next #6):
+    one query proving the PRODUCTION resume path end to end — a new
+    crawl shard lands, is near-dup-deduplicated AGAINST THE PERSISTED
+    BAND STORE (the old corpus is never re-shingled), the survivors'
+    edges are extracted, and the delta against the CHECKPOINTED
+    canonical edge table is emitted — the old corpus is never
+    re-scored, re-linked or re-aggregated.
+
+    Day-0 state (in production: persisted from yesterday's run;
+    rebuilt here once per call for driver determinism):
+      * the MinHash LSH band-hash store over the even-doc_id corpus
+        (``init_store`` — partitioned Parquet, manifest per shard);
+      * the canonical base edge table, written to a checkpoint
+        directory with a ``_DONE`` manifest (``kg_edges`` parity 0 —
+        "yesterday's persisted output", read back from Parquet below,
+        NOT recomputed).
+
+    Day-1 increment (odd doc_ids = the new shard):
+      1. ``ingest_shard`` → LSH candidates; only the store join and
+         the shard's own bands are computed (shard-sized work);
+      2. cross-shard pairs (one even + one odd side) with
+         est_jaccard ≥ ``threshold`` mark the odd doc as a near-dup
+         of the existing corpus → dropped. The drop set is bounded by
+         the shard's near-dup rate and is broadcast as a url set
+         (in-shard new×new dedup stays with the batch dedup family —
+         the shard itself is small);
+      3. survivors flow through the normal score→link→triple path
+         (shard-sized actor-pool work) → canonicalized shard edges;
+      4. delta merge: base rows tagged (w_a=w, w_b=w), shard rows
+         (w_a=0, w_b=w), ONE bucketed aggregate; rows where the shard
+         contributed (w_a ≠ w_b) are the update set — 'added' when
+         the edge is new, 'changed' when its weight grew. Increments
+         never remove edges, so no 'removed' status here (that is
+         kg_edge_delta's snapshot-diff job).
+
+    The DuckDB twin composes the minhash twin (drop set replay), the
+    trip CTE restricted per side, and the delta join — fully
+    SQL-checkable. Columns: subj, pred, obj, w_a, w_b, status."""
+    import ray
+    import ray.data as rd
+
+    from bioner_ray.pipelines.analytics import (
+        RELATION_WORDS,
+        _nrows,
+        _read,
+        _tagged_documents,
+        make_identity_concepts,
+    )
+    from bioner_ray.stages.link import ConceptIndex
+    from bioner_ray.stages.pool import sized_pool
+    from bioner_ray.stages.shuffle import pin_schema
+    from bioner_ray.stages.triples import canonicalize_edges, triples_stage
+
+    import numpy as np
+
+    root = store_root or os.path.join(
+        "/tmp/bioner_daily",
+        f"{os.path.basename(os.path.abspath(sf_dir))}-{os.getpid()}",
+    )
+    band_store = os.path.join(root, "bands_store")
+    edges_ckpt = os.path.join(root, "base_edges")
+
+    def _docs(parity: int):
+        return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+            lambda t: t.filter(
+                pc.equal(
+                    pc.bit_wise_and(pc.cast(t.column("doc_id"), pa.int64()), 1),
+                    parity,
+                )
+            ),
+            batch_format="pyarrow",
+        )
+
+    # ---- day-0 state (persisted; skipped when the manifests exist) ----
+    if not os.path.exists(os.path.join(band_store, MANIFEST)):
+        shutil.rmtree(band_store, ignore_errors=True)
+        init_store(_docs(0), band_store, shard_name="base")
+        with open(os.path.join(band_store, MANIFEST), "w") as f:
+            f.write("ok")
+    base_marker = os.path.join(edges_ckpt, "_DONE")
+    if not os.path.exists(base_marker):
+        from bioner_ray.pipelines.analytics import kg_edges
+
+        shutil.rmtree(edges_ckpt, ignore_errors=True)
+        kg_edges(sf_dir, doc_parity=0).write_parquet(edges_ckpt)
+        with open(base_marker, "w") as f:
+            f.write("ok")
+
+    # ---- 1-2: dedup the new shard against the store ----
+    pairs = ingest_shard(_docs(1), band_store, shard_name="day1")
+
+    def cross_dups(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64())})
+        a = pc.cast(t.column("a"), pa.int64())
+        b = pc.cast(t.column("b"), pa.int64())
+        cross = pc.and_(
+            pc.not_equal(pc.bit_wise_and(a, 1), pc.bit_wise_and(b, 1)),
+            pc.greater_equal(t.column("est_jaccard"), threshold),
+        )
+        f = t.filter(cross)
+        fa = pc.cast(f.column("a"), pa.int64())
+        fb = pc.cast(f.column("b"), pa.int64())
+        odd = pc.if_else(
+            pc.equal(pc.bit_wise_and(fa, 1), 1), fa, fb
+        )
+        return pa.table({"doc_id": odd})
+
+    # drop set: bounded by the shard's near-dup rate (logged), collected
+    # for broadcast — the same bounded-collect contract as the hot-band cap
+    dropped_ids = sorted(
+        {r["doc_id"] for r in pairs.map_batches(cross_dups, batch_format="pyarrow").take_all()}
+    )
+    _LOG.info("kg_daily_increment: dropping %d near-dup shard docs", len(dropped_ids))
+    drop_urls = pa.array([f"doc://{i:08d}" for i in dropped_ids], type=pa.string())
+    drop_ref = ray.put(drop_urls)
+
+    # ---- 3: survivors → shard edge table (shard-sized work only) ----
+    def keep_survivors(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return t
+        dset = ray.get(drop_ref)
+        if len(dset) == 0:
+            return t
+        return t.filter(pc.invert(pc.is_in(t.column("url"), value_set=dset)))
+
+    survivors = _tagged_documents(sf_dir, doc_parity=1).map_batches(
+        keep_survivors, batch_format="pyarrow"
+    )
+    index_ref = ray.put(ConceptIndex(make_identity_concepts()))
+    shard_edges = canonicalize_edges(
+        triples_stage(
+            survivors,
+            index_ref,
+            concurrency=sized_pool(
+                _nrows(sf_dir, "documents"), batch_size=64, max_actors=16, pools=2
+            ),
+            relation_lexicon=frozenset(RELATION_WORDS),
+        )
+    ).drop_columns(["score"])
+
+    # ---- 4: delta merge against the checkpointed base table ----
+    delta_schema = pa.schema(
+        [
+            ("subj", pa.string()),
+            ("pred", pa.string()),
+            ("obj", pa.string()),
+            ("w_a", pa.int64()),
+            ("w_b", pa.int64()),
+            ("status", pa.string()),
+        ]
+    )
+
+    def tag(base_side: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0:
+                return pa.schema(
+                    [
+                        ("subj", pa.string()),
+                        ("pred", pa.string()),
+                        ("obj", pa.string()),
+                        ("w_a", pa.int64()),
+                        ("w_b", pa.int64()),
+                    ]
+                ).empty_table()
+            w = pc.cast(t.column("weight"), pa.int64())
+            zeros = pa.array(np.zeros(t.num_rows, dtype=np.int64))
+            return pa.table(
+                {
+                    "subj": t.column("subj"),
+                    "pred": t.column("pred"),
+                    "obj": t.column("obj"),
+                    "w_a": w if base_side else zeros,
+                    "w_b": w,
+                }
+            )
+
+        return fn
+
+    base = rd.read_parquet(edges_ckpt).map_batches(tag(True), batch_format="pyarrow")
+    merged = bucketed_aggregate(
+        base.union(shard_edges.map_batches(tag(False), batch_format="pyarrow")),
+        ["subj", "pred", "obj"],
+        [("w_a", "sum"), ("w_b", "sum")],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return delta_schema.empty_table()
+        t = t.filter(pc.not_equal(t.column("w_a"), t.column("w_b")))
+        status = pc.if_else(
+            pc.equal(t.column("w_a"), 0), pa.scalar("added"), pa.scalar("changed")
+        )
+        return t.append_column("status", status)
+
+    return pin_schema(
+        merged.map_batches(finish, batch_format="pyarrow"), delta_schema
+    )

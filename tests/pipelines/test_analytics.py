@@ -207,6 +207,7 @@ SQL_CHECKED = [
     "ccnet_buckets",
     "dsir_weights",
     "dsir_weights_capped",
+    "kg_daily_increment",
     "host_boilerplate_ratio",
     "kg_metapaths",
     "kg_neighbor_sample",

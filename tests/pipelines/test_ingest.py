@@ -136,3 +136,40 @@ class TestKgIncrementalEdges:
         )
         assert len(inc) == len(b) and (inc["weight"] == b["weight"]).all()
         shutil.rmtree(store, ignore_errors=True)
+
+
+def test_kg_daily_increment_resume_skips_day0(tmp_path):
+    """The production resume property: the second call with the same
+    persistent root must SKIP day-0 state building (band store +
+    base-edge checkpoint manifests) and produce identical deltas from
+    the persisted artifacts."""
+    import os
+
+    import pandas as pd
+
+    from bioner_ray.pipelines.ingest import kg_daily_increment
+
+    sf = "/root/testdata/sf0.001"
+    root = str(tmp_path / "daily")
+    out1 = (
+        kg_daily_increment(sf, store_root=root)
+        .to_pandas()
+        .sort_values(["subj", "pred", "obj"], ignore_index=True)
+    )
+    assert len(out1) > 0
+    assert set(out1["status"]) <= {"added", "changed"}
+    band_manifest = os.path.join(root, "bands_store", "_SUCCESS")
+    edges_manifest = os.path.join(root, "base_edges", "_DONE")
+    assert os.path.exists(band_manifest) and os.path.exists(edges_manifest)
+    t_band = os.path.getmtime(band_manifest)
+    t_edges = os.path.getmtime(edges_manifest)
+
+    out2 = (
+        kg_daily_increment(sf, store_root=root)
+        .to_pandas()
+        .sort_values(["subj", "pred", "obj"], ignore_index=True)
+    )
+    # day-0 state untouched (not rebuilt), deltas identical
+    assert os.path.getmtime(band_manifest) == t_band
+    assert os.path.getmtime(edges_manifest) == t_edges
+    pd.testing.assert_frame_equal(out1, out2)
