@@ -378,6 +378,82 @@ def run_operator_suite(sf_dir: str, repeats: int = 2) -> dict[str, float]:
     return times
 
 
+class _MemSampler:
+    """Background /proc/meminfo sampler: records the PEAK system memory
+    in use over the run (MemTotal − MemAvailable — captures worker
+    heaps AND the plasma shm segment, which per-process RSS misses).
+    The 128 GiB → multi-node extrapolation (BASELINE.md) reads this,
+    not a design argument."""
+
+    def __init__(self, interval: float = 0.5):
+        import threading
+
+        self._stop = threading.Event()
+        self._peak_used_kb = 0
+        self._base_used_kb = self._used_kb()
+        self._peak_spill_b = 0
+        self._interval = interval
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+
+    @staticmethod
+    def _used_kb() -> int:
+        try:
+            info = {}
+            with open("/proc/meminfo") as f:
+                for line in f:
+                    k, v = line.split(":", 1)
+                    info[k] = int(v.strip().split()[0])
+            return info["MemTotal"] - info["MemAvailable"]
+        except (OSError, KeyError, ValueError):
+            return 0
+
+    @staticmethod
+    def _spill_bytes() -> int:
+        # plasma spill files of the LIVE session (freed objects delete
+        # their files — sampling records the peak); grpc is absent from
+        # this container so ray's memory_summary API is unavailable
+        import glob
+
+        total = 0
+        for f in glob.glob("/tmp/ray/session_latest/ray_spilled_objects*/*"):
+            try:
+                total += os.path.getsize(f)
+            except OSError:
+                pass
+        return total
+
+    def _loop(self):
+        while not self._stop.wait(self._interval):
+            self._peak_used_kb = max(self._peak_used_kb, self._used_kb())
+            self._peak_spill_b = max(self._peak_spill_b, self._spill_bytes())
+
+    def __enter__(self):
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc):
+        self._stop.set()
+        self._thread.join(timeout=2)
+
+    def stats(self) -> dict:
+        import resource
+
+        out = {
+            "sys_peak_used_mb": round(self._peak_used_kb / 1024.0, 1),
+            "sys_base_used_mb": round(self._base_used_kb / 1024.0, 1),
+            "sys_peak_delta_mb": round(
+                max(0, self._peak_used_kb - self._base_used_kb) / 1024.0, 1
+            ),
+            "driver_peak_rss_mb": round(
+                resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0, 1
+            ),
+        }
+        out["object_store_spilled_peak_mb"] = round(
+            max(self._peak_spill_b, self._spill_bytes()) / (1024.0 * 1024.0), 1
+        )
+        return out
+
+
 def bench_once(num_cpus: int, sf_dir: str, headline_only: bool = False) -> dict:
     import ray
 
@@ -391,7 +467,9 @@ def bench_once(num_cpus: int, sf_dir: str, headline_only: bool = False) -> dict:
     quiet_empty_bundle_warnings()
 
     if headline_only:
-        head = run_streaming_headline(num_cpus, SCALING_PAGES)
+        with _MemSampler() as mem:
+            head = run_streaming_headline(num_cpus, SCALING_PAGES)
+        head["memory"] = mem.stats()
         queries = {"kg_streaming": round(head["wall_s"], 3)}
     else:
         head = run_headline(num_cpus)
@@ -403,7 +481,7 @@ def bench_once(num_cpus: int, sf_dir: str, headline_only: bool = False) -> dict:
     ray.shutdown()
     total = round(sum(queries.values()), 3)
     sf = 0.1 if "sf0.1" in sf_dir else (0.01 if "sf0.01" in sf_dir else 0.001)
-    return {
+    out = {
         "metric": "end-to-end wall seconds (headline KG pipeline + operator suite)",
         "value": total,
         "unit": "sec",
@@ -417,6 +495,9 @@ def bench_once(num_cpus: int, sf_dir: str, headline_only: bool = False) -> dict:
             "triples": head["triples"],
         },
     }
+    if "memory" in head:
+        out["memory"] = head["memory"]
+    return out
 
 
 def _stat_snap() -> list[int] | None:
@@ -524,6 +605,12 @@ def run_scaling(sf_dir: str, low: int = 8, high: int = 32, repeats: int = 3) -> 
             f"steal_pct_cpus{high}": res_high.get("steal_pct"),
             f"steal_pct_cpus{low}_raw": res_low_raw.get("steal_pct"),
             f"steal_pct_cpus{low}_eq": res_low_eq.get("steal_pct"),
+        },
+        # peak memory per phase (VERDICT r3, Next #7): the measured
+        # basis for the 128 GiB -> multi-node extrapolation
+        "memory": {
+            f"cpus{high}": res_high.get("memory"),
+            f"cpus{low}_raw": res_low_raw.get("memory"),
         },
         "sf": res_high["sf"],
         "num_cpus": high,
