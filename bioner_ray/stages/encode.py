@@ -20,7 +20,7 @@ Three backends:
   wheel's ``model[token]`` returns for dense models. Runs in this
   container today; the reference's encode semantics
   (fasttext_encoder.py:17-28) without the wheel.
-* ``fasttext`` — the wheel itself, import-gated (needed for quantized
+* ``fasttext`` — the wheel itself, import-gated (needed only for pruned-dictionary
   ``.ftz`` models): absent here, so constructing it raises
   ``NotImplementedError`` with a clear STUB marker.
 

@@ -187,3 +187,94 @@ class TestWheelParity:
             np.testing.assert_allclose(
                 ours[w], theirs.get_word_vector(w), rtol=1e-6, atol=1e-7
             )
+
+
+class TestQuantized:
+    """Product-quantized (.ftz) input matrix (VERDICT r3, Next #9):
+    the QuantMatrix/ProductQuantizer layout parses and decodes to
+    dense rows. The fixture writer stores EXACT per-row codes
+    (≤ 256 rows), so decode must reproduce the dense model
+    bit-for-bit (qnorm=False) / to float roundoff (qnorm=True,
+    normalize→rescale is two extra roundings)."""
+
+    WORDS = ["alpha", "beta", "gamma", "héllo", "世界"]
+    BUCKET = 64
+
+    def _matrix(self):
+        rng = np.random.default_rng(7)
+        return rng.normal(0, 0.3, (len(self.WORDS) + self.BUCKET, 6)).astype(
+            np.float32
+        )
+
+    def _paths(self, tmp_path, dsub=2, qnorm=False):
+        from bioner_ray.functions.fasttext_io import write_fasttext_bin_quantized
+
+        M = self._matrix()
+        dense = str(tmp_path / "d.bin")
+        quant = str(tmp_path / "q.ftz")
+        write_fasttext_bin(dense, self.WORDS, M, bucket=self.BUCKET, minn=2, maxn=4)
+        write_fasttext_bin_quantized(
+            quant, self.WORDS, M, dsub=dsub, qnorm=qnorm,
+            bucket=self.BUCKET, minn=2, maxn=4,
+        )
+        return dense, quant
+
+    def test_exact_code_decode_matches_dense_bitwise(self, tmp_path):
+        dense, quant = self._paths(tmp_path, dsub=2, qnorm=False)
+        d, q = FastTextBin(dense), FastTextBin(quant)
+        np.testing.assert_array_equal(d.input, q.input)
+        for w in self.WORDS + ["outofvocab", "zz"]:
+            np.testing.assert_array_equal(d[w], q[w])
+
+    def test_qnorm_roundtrip_close(self, tmp_path):
+        dense, quant = self._paths(tmp_path, dsub=4, qnorm=True)
+        d, q = FastTextBin(dense), FastTextBin(quant)
+        np.testing.assert_allclose(d.input, q.input, rtol=1e-5, atol=1e-6)
+        for w in self.WORDS + ["outofvocab"]:
+            np.testing.assert_allclose(d[w], q[w], rtol=1e-5, atol=1e-6)
+
+    def test_uneven_dsub_exercises_lastdsub(self, tmp_path):
+        # dim 6, dsub 4 → nsubq 2, lastdsub 2 — the asymmetric-layout
+        # branch of get_centroids
+        dense, quant = self._paths(tmp_path, dsub=4, qnorm=False)
+        d, q = FastTextBin(dense), FastTextBin(quant)
+        np.testing.assert_array_equal(d.input, q.input)
+
+    def test_corrupt_pq_header_rejected(self, tmp_path):
+        import struct
+
+        _, quant = self._paths(tmp_path)
+        raw = bytearray(open(quant, "rb").read())
+        # PQ header sits right after codes; find it by recomputing the
+        # offset is brittle — instead flip nsubq via targeted search of
+        # the (dim, nsubq, dsub, lastdsub) int32 quadruple
+        needle = struct.pack("<4i", 6, 3, 2, 2)
+        i = raw.find(needle)
+        assert i > 0
+        raw[i : i + 16] = struct.pack("<4i", 6, 4, 2, 2)
+        bad = tmp_path / "bad.ftz"
+        bad.write_bytes(bytes(raw))
+        with pytest.raises(ValueError, match="inconsistent PQ header"):
+            FastTextBin(str(bad))
+
+    def test_encoder_backend_loads_quantized(self, tmp_path):
+        from bioner_ray.stages.encode import EmbeddingEncoder
+
+        _, quant = self._paths(tmp_path)
+        enc = EmbeddingEncoder(backend="fasttext-bin", model_path=quant)
+        assert enc.dim == 6
+        vecs = enc._encode_tokens(["alpha", "nope"])
+        assert vecs.shape == (2, 6)
+        assert np.abs(vecs).sum() > 0
+
+    @pytest.mark.skipif(not HAVE_FASTTEXT, reason="fasttext not installed")
+    def test_quant_reader_matches_wheel(self, tmp_path):
+        # the day a wheel appears: a real quantized model's vectors must
+        # match this reader (same seam as TestWheelParity)
+        import fasttext
+
+        _, quant = self._paths(tmp_path)
+        m = fasttext.load_model(quant)
+        q = FastTextBin(quant)
+        for w in self.WORDS:
+            np.testing.assert_allclose(m[w], q[w], rtol=1e-5, atol=1e-6)
