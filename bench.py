@@ -346,6 +346,8 @@ OPERATOR_QUERIES = [
     # round-4 first session
     "bilstm_mentions",
     "kg_daily_increment",
+    "repeated_spans",
+    "warc_roundtrip",
 ]
 
 

@@ -3217,3 +3217,106 @@ def kg_daily_increment(sf_dir: str):
     from bioner_ray.pipelines.ingest import kg_daily_increment as _kdi
 
     return _kdi(sf_dir)
+
+
+def repeated_spans(sf_dir: str, n: int = 8, k: int = 100):
+    """Cross-document repeated n-token spans — the exact-substring
+    duplication signal of Lee et al. 2022 (arXiv:2107.06499,
+    "Deduplicating Training Data Makes Language Models Better") at
+    n-gram granularity: every n-token window that occurs in ≥ 2
+    DISTINCT documents, with its document count and total occurrence
+    count — the removal list a substring-dedup pass consumes (their
+    ExactSubstr uses a suffix array; fixed-n windows are its
+    shuffle-friendly distributed form: candidates at span length n,
+    extendable by chaining overlapping spans downstream).
+
+    Scale shape: the window walk is per-doc local (the shingle-kernel
+    pattern of stages/dedup.py); the wide steps are TWO bucketed
+    aggregates — (span, doc) occurrence partials, then per-span
+    (n_docs, n_occ) — so the shuffle moves per-doc-combined rows, and
+    the ≥2-docs filter plus combiner-pruned global top-k run
+    distributed; the driver sees ≤ k rows. Columns: shingle, n_docs,
+    n_occ, rk."""
+    from bioner_ray.stages.rank import top_k_per_group
+    from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema
+    from bioner_ray.stages.textstats import _split_lower
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: dict[tuple, int] = {}
+        for doc_id, toks in zip(
+            batch.column("doc_id").to_pylist(), _split_lower(batch, "text")
+        ):
+            for i in range(len(toks) - n + 1):
+                key = (" ".join(toks[i : i + n]), doc_id)
+                counts[key] = counts.get(key, 0) + 1
+        return pa.table(
+            {
+                "shingle": pa.array([s for s, _ in counts], type=pa.string()),
+                "doc_id": pa.array([d for _, d in counts], type=pa.int64()),
+                "cnt": pa.array(list(counts.values()), type=pa.int64()),
+            }
+        )
+
+    per_doc = bucketed_aggregate(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["shingle", "doc_id"],
+        [("cnt", "sum")],
+    )
+
+    def fold_rows(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return pa.schema(
+                [("shingle", pa.string()), ("n_docs", pa.int64()), ("n_occ", pa.int64())]
+            ).empty_table()
+        return pa.table(
+            {
+                "shingle": t.column("shingle"),
+                "n_docs": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                "n_occ": t.column("cnt"),
+            }
+        )
+
+    spans = bucketed_aggregate(
+        per_doc.map_batches(fold_rows, batch_format="pyarrow"),
+        ["shingle"],
+        [("n_docs", "sum"), ("n_occ", "sum")],
+    )
+
+    def keep_cross_doc(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return pa.schema(
+                [
+                    ("shingle", pa.string()),
+                    ("n_docs", pa.int64()),
+                    ("n_occ", pa.int64()),
+                    ("_g", pa.int64()),
+                ]
+            ).empty_table()
+        t = t.filter(pc.greater_equal(t.column("n_docs"), 2))
+        return t.append_column("_g", pa.array(np.zeros(t.num_rows, dtype=np.int64)))
+
+    ranked = top_k_per_group(
+        spans.map_batches(keep_cross_doc, batch_format="pyarrow"),
+        key_col="_g",
+        order_by=[("n_occ", "descending"), ("shingle", "ascending")],
+        k=k,
+    )
+    out_schema = pa.schema(
+        [
+            ("shingle", pa.string()),
+            ("n_docs", pa.int64()),
+            ("n_occ", pa.int64()),
+            ("rk", pa.int64()),
+        ]
+    )
+    return pin_schema(
+        ranked.map_batches(
+            lambda t: t.select(["shingle", "n_docs", "n_occ", "rk"])
+            if t.num_columns
+            else out_schema.empty_table(),
+            batch_format="pyarrow",
+        ),
+        out_schema,
+    )

@@ -2506,3 +2506,53 @@ def anchor_linking_prior(sf_dir: str):
         pa.schema([("anchor", pa.string()), ("n_anchor", pa.int64())]),
     )
     return pin_schema(joined.map_batches(share, batch_format="pyarrow"), out_schema)
+
+
+def warc_roundtrip(sf_dir: str, num_shards: int = 16):
+    """WARC conversion-record sink→source parity (sources/warc.py) —
+    the ntriples_roundtrip contract applied to the crawl format: the
+    corpus is rendered to sharded WARC files (Content-Length-framed
+    records, md5-61-bit url sharding), read back with the distributed
+    whole-file parser, and returned; the driver's hash match against
+    the plain documents twin pins serialize∘parse = identity on real
+    text (including bodies containing blank lines and header
+    look-alikes, which a separator-split reader would corrupt). The
+    manifest record count is asserted against the input so a dropped
+    shard can never pass as a smaller corpus. Columns: url, text."""
+    import shutil
+    import uuid
+
+    import numpy as np
+    import ray.data as rd
+
+    from bioner_ray.sources.warc import read_warc, write_warc
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        hosts = _host_idx(ids)
+        return pa.table(
+            {
+                "url": pa.array(
+                    [
+                        f"https://site{h}.example.com/doc/{i}"
+                        for i, h in zip(ids.tolist(), hosts.tolist())
+                    ],
+                    type=pa.string(),
+                ),
+                "text": batch.column("text"),
+            }
+        )
+
+    pages = docs.map_batches(to_pages, batch_format="pyarrow")
+    out_dir = os.path.join("/tmp/bioner_warc", uuid.uuid4().hex)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    manifest = write_warc(pages, out_dir, num_shards=num_shards)
+    n_written = sum(r["n_records"] for r in manifest.take_all())
+    n_docs = docs.count()
+    if n_written != n_docs:
+        raise RuntimeError(f"warc manifest {n_written} != docs {n_docs}")
+    return read_warc(out_dir)

@@ -208,6 +208,8 @@ SQL_CHECKED = [
     "dsir_weights",
     "dsir_weights_capped",
     "kg_daily_increment",
+    "repeated_spans",
+    "warc_roundtrip",
     "host_boilerplate_ratio",
     "kg_metapaths",
     "kg_neighbor_sample",
