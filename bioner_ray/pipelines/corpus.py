@@ -3237,6 +3237,8 @@ def repeated_spans(sf_dir: str, n: int = 8, k: int = 100):
     the ≥2-docs filter plus combiner-pruned global top-k run
     distributed; the driver sees ≤ k rows. Columns: shingle, n_docs,
     n_occ, rk."""
+    import pyarrow.compute as pc
+
     from bioner_ray.stages.rank import top_k_per_group
     from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema
     from bioner_ray.stages.textstats import _split_lower
