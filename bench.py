@@ -347,6 +347,7 @@ OPERATOR_QUERIES = [
     "bilstm_mentions",
     "kg_daily_increment",
     "repeated_spans",
+    "c4_filters",
     "warc_roundtrip",
 ]
 

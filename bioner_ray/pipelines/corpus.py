@@ -3322,3 +3322,108 @@ def repeated_spans(sf_dir: str, n: int = 8, k: int = 100):
         ),
         out_schema,
     )
+
+
+def c4_filters(sf_dir: str):
+    """C4 heuristic cleaning rules (Raffel et al. 2020, arXiv:1910.10683
+    §2.2 — the canonical public web-corpus filter): per line, keep only
+    lines ending in terminal punctuation with ≥ 3 words and no
+    "javascript"; per page, drop pages with < 5 kept lines, any
+    "lorem ipsum", or any curly brace. The line filter is the REAL
+    operator (one vectorized Arrow pass over the flattened line stream:
+    regex terminal-punct match + word-count + substring masks combined,
+    then a segment-sum back to documents — no per-line Python); the
+    fixture corpus has no line structure, so each doc's text is first
+    rendered into lines by REPLAYABLE arithmetic (the
+    html_table_cells/jsonld pattern): 5-token chunks, chunk i
+    terminated with '.' iff (doc_id + i) % 3 ≠ 0, a 'lorem ipsum
+    dolor' line appended iff doc_id % 13 == 0, a '{ config }' line iff
+    doc_id % 17 == 0 — so every rule fires on real rows at every test
+    scale. Columns: doc_id, n_lines, n_kept, has_lorem, has_brace,
+    keep (int64 0/1)."""
+    import pyarrow.compute as pc
+
+    from bioner_ray.stages.textstats import _split_lower
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def render(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        out = []
+        for doc_id, toks in zip(ids, _split_lower(batch, "text")):
+            lines = []
+            for i in range(0, len(toks), 5):
+                line = " ".join(toks[i : i + 5])
+                if (doc_id + i // 5) % 3 != 0:
+                    line += "."
+                lines.append(line)
+            if doc_id % 13 == 0:
+                lines.append("lorem ipsum dolor")
+            if doc_id % 17 == 0:
+                lines.append("{ config }")
+            out.append("\n".join(lines))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "page": pa.array(out, type=pa.string()),
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_lines", pa.int64()),
+            ("n_kept", pa.int64()),
+            ("has_lorem", pa.int64()),
+            ("has_brace", pa.int64()),
+            ("keep", pa.int64()),
+        ]
+    )
+
+    def flags(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return out_schema.empty_table()
+        pages = batch.column("page")
+        split = pc.split_pattern(pages, "\n").combine_chunks()
+        off = split.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        lines = split.values
+        # the C4 line rule, one Arrow pass over the flattened stream
+        term = pc.match_substring_regex(lines, r'[.!?"]$')
+        nwords = pc.list_value_length(pc.split_pattern(lines, " "))
+        enough = pc.greater_equal(nwords, 3)
+        nojs = pc.invert(pc.match_substring(pc.utf8_lower(lines), "javascript"))
+        kept = pc.and_(pc.and_(term, enough), nojs).to_numpy(zero_copy_only=False)
+        kept = np.asarray(kept, dtype=np.float64)
+        n_docs = len(off) - 1
+        base = off - off[0]
+        n_lines = np.diff(base)
+        csum = np.concatenate([[0.0], np.cumsum(kept)])
+        n_kept = (csum[base[1:]] - csum[base[:-1]]).astype(np.int64)
+        low = pc.utf8_lower(pages)
+        lorem = pc.cast(pc.match_substring(low, "lorem ipsum"), pa.int64())
+        brace = pc.cast(pc.match_substring(pages, "{"), pa.int64())
+        keep = pc.cast(
+            pc.and_(
+                pc.and_(
+                    pa.array(n_kept >= 5),
+                    pc.equal(lorem, 0),
+                ),
+                pc.equal(brace, 0),
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_lines": pa.array(n_lines, type=pa.int64()),
+                "n_kept": pa.array(n_kept, type=pa.int64()),
+                "has_lorem": lorem,
+                "has_brace": brace,
+                "keep": keep,
+            },
+            schema=out_schema,
+        )
+
+    return docs.map_batches(render, batch_format="pyarrow").map_batches(
+        flags, batch_format="pyarrow"
+    )

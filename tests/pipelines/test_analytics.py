@@ -209,6 +209,7 @@ SQL_CHECKED = [
     "dsir_weights_capped",
     "kg_daily_increment",
     "repeated_spans",
+    "c4_filters",
     "warc_roundtrip",
     "host_boilerplate_ratio",
     "kg_metapaths",
