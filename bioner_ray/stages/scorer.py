@@ -532,6 +532,10 @@ class BiLSTMNumpyModel:
         self.encoder = EmbeddingEncoder(
             backend=encoder_backend, model_path=encoder_model_path, dim=self.input_dim
         )
+        # per-actor token→vector memo (the datexis trigram-memo pattern):
+        # web text is Zipfian, the same tokens recur constantly; capped so
+        # a pathological vocabulary can't grow an actor heap unboundedly
+        self._enc_memo: dict[str, np.ndarray] = {}
 
     def _lstm_dir(
         self,
@@ -626,15 +630,47 @@ class BiLSTMNumpyModel:
     #: sentence pads only its own bucket (SURVEY.md §7.4.5)
     RNN_BUCKET = INFERENCE_SENTENCE_BATCH
 
+    def _encode_all(self, docs: list[list[list[str]]]) -> list[list[np.ndarray]]:
+        """Encode EVERY token of the Ray batch in one pass: unique
+        tokens resolved through the per-actor memo (one encoder call
+        for the misses only), gathered back onto positions, then
+        sliced per sentence (views, no copies). The per-sentence
+        encoder-call overhead of the naive form dominated the tiny-
+        model profile."""
+        all_tokens = [t for sents in docs for toks in sents for t in toks]
+        if not all_tokens:
+            return [[np.zeros((0, self.input_dim), dtype=np.float32) for _ in sents] for sents in docs]
+        uniq, inv = np.unique(np.asarray(all_tokens, dtype=object), return_inverse=True)
+        mat = np.empty((len(uniq), self.input_dim), dtype=np.float32)
+        miss_idx = [i for i, t in enumerate(uniq) if t not in self._enc_memo]
+        if miss_idx:
+            fresh = self.encoder._encode_tokens([uniq[i] for i in miss_idx]).astype(
+                np.float32
+            )
+            for j, i in enumerate(miss_idx):
+                if len(self._enc_memo) < 262144:
+                    self._enc_memo[uniq[i]] = fresh[j]
+                mat[i] = fresh[j]
+        for i, t in enumerate(uniq):
+            if t in self._enc_memo:
+                mat[i] = self._enc_memo[t]
+        flat = mat[inv]
+        out: list[list[np.ndarray]] = []
+        off = 0
+        for sents in docs:
+            doc_out = []
+            for toks in sents:
+                doc_out.append(flat[off : off + len(toks)])
+                off += len(toks)
+            out.append(doc_out)
+        return out
+
     def predict_documents_tokens(
         self, docs: list[list[list[str]]]
     ) -> list[list[np.ndarray]]:
         """Cross-document batched inference with length bucketing (same
         scheme as DatexisNumpyModel.predict_documents_tokens)."""
-        enc_per_doc = [
-            [self.encoder._encode_tokens(list(toks)).astype(np.float32) for toks in sents]
-            for sents in docs
-        ]
+        enc_per_doc = self._encode_all(docs)
         flat = [
             (d, s, f)
             for d, doc in enumerate(enc_per_doc)
