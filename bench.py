@@ -343,6 +343,7 @@ OPERATOR_QUERIES = [
     # round-3 thirteenth session
     "wav_window_energy",
     "bmp_luma_stats",
+    "y4m_motion_stats",
     # round-4 first session
     "bilstm_mentions",
     "kg_daily_increment",

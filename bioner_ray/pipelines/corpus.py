@@ -3427,3 +3427,75 @@ def c4_filters(sf_dir: str):
     return docs.map_batches(render, batch_format="pyarrow").map_batches(
         flags, batch_format="pyarrow"
     )
+
+
+def y4m_motion_stats(sf_dir: str):
+    """Video feature extraction through the REAL YUV4MPEG2 codec with
+    EXACT integer features — the Y4M companion to wav_window_energy /
+    bmp_luma_stats (the multimodal axis' hash-checked driver oracles):
+    deterministic gray frames (pixel (t, y, x) of doc i is
+    ``(i + t·131 + y·w + x) mod 256``; 3 + i%4 frames of
+    (8 + i%3) × (8 + i%5)) are ENCODED to genuine Y4M bytes
+    (``Cmono``, FRAME headers), and the query under test parses the
+    stream back (functions/codecs.decode_y4m) and reduces each doc to
+    int64 luma_sum and inter-frame motion ``Σ_t Σ |f_t − f_{t−1}|`` —
+    the frame-sampling shape a video-curation pipeline runs, with
+    integers the DuckDB twin re-derives from the pixel arithmetic
+    bit-for-bit. batch_size=64 (media-batch hygiene). Columns:
+    doc_id, n_frames, width, height, luma_sum, motion."""
+    import numpy as np
+
+    from bioner_ray.functions.codecs import decode_y4m, encode_y4m
+
+    def to_media(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        payloads = []
+        for i in ids.tolist():
+            w, h, nf = 8 + i % 5, 8 + i % 3, 3 + i % 4
+            tt, yy, xx = np.meshgrid(
+                np.arange(nf, dtype=np.int64),
+                np.arange(h, dtype=np.int64),
+                np.arange(w, dtype=np.int64),
+                indexing="ij",
+            )
+            frames = ((i + tt * 131 + yy * w + xx) % 256).astype(np.uint8)
+            payloads.append(encode_y4m(frames))
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "payload": pa.array(payloads, type=pa.binary()),
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_frames", pa.int64()),
+            ("width", pa.int64()),
+            ("height", pa.int64()),
+            ("luma_sum", pa.int64()),
+            ("motion", pa.int64()),
+        ]
+    )
+
+    def features(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return out_schema.empty_table()
+        rows = {k: [] for k in out_schema.names}
+        for i, p in zip(t.column("doc_id").to_pylist(), t.column("payload").to_pylist()):
+            f = decode_y4m(p).astype(np.int64)
+            rows["doc_id"].append(i)
+            rows["n_frames"].append(f.shape[0])
+            rows["height"].append(f.shape[1])
+            rows["width"].append(f.shape[2])
+            rows["luma_sum"].append(int(f.sum()))
+            rows["motion"].append(int(np.abs(f[1:] - f[:-1]).sum()))
+        return pa.table(
+            {k: pa.array(v, type=pa.int64()) for k, v in rows.items()},
+            schema=out_schema,
+        )
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+    return docs.map_batches(to_media, batch_format="pyarrow", batch_size=64).map_batches(
+        features, batch_format="pyarrow", batch_size=64
+    )

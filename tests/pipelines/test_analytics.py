@@ -112,6 +112,7 @@ SQL_CHECKED = [
     "media_features",
     "wav_window_energy",
     "bmp_luma_stats",
+    "y4m_motion_stats",
     "paragraph_dedup",
     "order_priority",
     "shipping_priority",
