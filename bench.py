@@ -349,6 +349,7 @@ OPERATOR_QUERIES = [
     "kg_daily_increment",
     "repeated_spans",
     "c4_filters",
+    "dedup_keep_best",
     "warc_roundtrip",
 ]
 

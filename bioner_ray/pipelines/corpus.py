@@ -3499,3 +3499,102 @@ def y4m_motion_stats(sf_dir: str):
     return docs.map_batches(to_media, batch_format="pyarrow", batch_size=64).map_batches(
         features, batch_format="pyarrow", batch_size=64
     )
+
+
+def dedup_keep_best(sf_dir: str, threshold: float = 0.5):
+    """Quality-aware near-dup representative selection — the production
+    refinement of ``dedup_filter``'s min-id rule: within each near-dup
+    cluster KEEP THE HIGHEST-QUALITY member (here the distinct-token
+    count n_types, the lexical-richness proxy; ties by doc_id), drop
+    the rest. A boilerplate-laden mirror of a good page no longer wins
+    representative status by having the smaller id.
+
+    Fully distributed end to end: exact Jaccard pairs → pointer-jumping
+    components (both bounded by the near-dup population), the corpus
+    pass computes n_types ONLY for clustered docs (broadcast node-set
+    semi-join, vectorized distinct-count), one bucketed join attaches
+    components, and the per-cluster argmax is ``top_k_per_group``'s
+    combiner-pruned rank — kept = (rk == 1). Output is the bounded
+    per-cluster decision table. Columns: doc_id, component, n_types,
+    kept (int64 0/1)."""
+    import pyarrow.compute as pc
+    import ray
+
+    from bioner_ray.stages.dedup import jaccard_pairs
+    from bioner_ray.stages.graph import connected_components
+    from bioner_ray.stages.rank import top_k_per_group
+    from bioner_ray.stages.shuffle import bucketed_inner_join, pin_schema
+    from bioner_ray.stages.textstats import _split_lower
+
+    comps = connected_components(
+        jaccard_pairs(_documents(sf_dir), threshold=threshold)
+    ).materialize()
+    node_set = pa.array(
+        sorted(r["node"] for r in comps.take_all()), type=pa.int64()
+    )  # bounded by the near-dup population
+    nodes_ref = ray.put(node_set)
+
+    def quality(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch.column("doc_id"), value_set=ray.get(nodes_ref))
+        batch = batch.filter(mask)
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "n_types": pa.array([], type=pa.int64()),
+                }
+            )
+        ntypes = [len(set(toks)) for toks in _split_lower(batch, "text")]
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+                "n_types": pa.array(ntypes, type=pa.int64()),
+            }
+        )
+
+    q = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        quality, batch_format="pyarrow"
+    )
+    comp_schema = pa.schema([("doc_id", pa.int64()), ("component", pa.int64())])
+    joined = bucketed_inner_join(
+        pin_schema(
+            comps.map_batches(
+                lambda t: t.rename_columns(["doc_id", "component"]) if t.num_columns else t,
+                batch_format="pyarrow",
+            ),
+            comp_schema,
+        ),
+        q,
+        ["doc_id"],
+        comp_schema,
+        pa.schema([("doc_id", pa.int64()), ("n_types", pa.int64())]),
+    )
+    ranked = top_k_per_group(
+        joined,
+        key_col="component",
+        order_by=[("n_types", "descending"), ("doc_id", "ascending")],
+        k=1 << 30,  # rank ALL cluster members; kept = rk == 1
+    )
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("component", pa.int64()),
+            ("n_types", pa.int64()),
+            ("kept", pa.int64()),
+        ]
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return out_schema.empty_table()
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "component": t.column("component"),
+                "n_types": t.column("n_types"),
+                "kept": pc.cast(pc.equal(t.column("rk"), 1), pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    return pin_schema(ranked.map_batches(finish, batch_format="pyarrow"), out_schema)

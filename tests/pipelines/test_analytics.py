@@ -211,6 +211,7 @@ SQL_CHECKED = [
     "kg_daily_increment",
     "repeated_spans",
     "c4_filters",
+    "dedup_keep_best",
     "warc_roundtrip",
     "host_boilerplate_ratio",
     "kg_metapaths",
