@@ -350,6 +350,7 @@ OPERATOR_QUERIES = [
     "repeated_spans",
     "c4_filters",
     "dedup_keep_best",
+    "user_state_scd2",
     "warc_roundtrip",
 ]
 

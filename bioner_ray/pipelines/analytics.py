@@ -9559,3 +9559,15 @@ def kg_graph_card(sf_dir: str):
             "density_micro": pa.array([density_micro], type=pa.int64()),
         }
     )
+
+
+def user_state_scd2(sf_dir: str):
+    """SCD-2 state history per user (stages/window.scd2_intervals):
+    the event stream collapses into per-user state runs with validity
+    intervals — the incremental-upsert table a warehouse merge
+    maintains. One coarse-bucket shuffle, vectorized run-scan.
+    Columns: user_id, state, valid_from_us, valid_to_us, n_events."""
+    from bioner_ray.stages.window import scd2_intervals
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+    return scd2_intervals(ev)

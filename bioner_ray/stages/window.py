@@ -481,3 +481,72 @@ def asof_join_next(
         .groupby("bucket")
         .map_groups(merge, batch_format="pyarrow")
     )
+
+
+def scd2_intervals(
+    events_ds,
+    key_col: str = "user_id",
+    state_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    num_buckets: int = 256,
+):
+    """Slowly-changing-dimension (type-2) validity intervals: per key,
+    events ordered by ``(ts, id)`` collapse into STATE RUNS — each
+    maximal stretch of one ``state_col`` value becomes one row with
+    ``valid_from_us`` (first event's timestamp), ``valid_to_us`` (the
+    NEXT run's first timestamp, −1 for the current open state) and the
+    run's event count. The latest-state-per-key table a warehouse
+    upsert/merge maintains, derived from the raw stream in one pass.
+
+    Shuffle shape: identical to ``sessionize`` — ONE coarse-bucket
+    shuffle (``bucketed_map_groups``), multi-key vectorized run-scan
+    inside each bucket; a key's events must share a bucket (run
+    continuity), which is the honest lower bound. Output columns:
+    key_col, state, valid_from_us, valid_to_us, n_events."""
+    from bioner_ray.stages.shuffle import bucketed_map_groups
+
+    def fold(group: pa.Table) -> pa.Table:
+        if group.num_columns == 0:
+            return group
+        out_schema = pa.schema(
+            [
+                (key_col, group.schema.field(key_col).type),
+                ("state", pa.string()),
+                ("valid_from_us", pa.int64()),
+                ("valid_to_us", pa.int64()),
+                ("n_events", pa.int64()),
+            ]
+        )
+        if group.num_rows == 0:
+            return out_schema.empty_table()
+        group = group.sort_by(
+            [(key_col, "ascending"), (ts_col, "ascending"), (id_col, "ascending")]
+        )
+        keys = group.column(key_col).to_numpy(zero_copy_only=False)
+        ts = group.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)  # µs
+        states = np.asarray(group.column(state_col).to_pylist(), dtype=object)
+        newkey = np.r_[True, keys[1:] != keys[:-1]]
+        newrun = newkey | np.r_[True, states[1:] != states[:-1]]
+        starts = np.flatnonzero(newrun)
+        ends = np.r_[starts[1:], len(keys)]
+        run_key = keys[starts]
+        valid_from = ts[starts]
+        # next run's first ts WITHIN the same key, else -1 (open state)
+        nxt = np.full(len(starts), -1, dtype=np.int64)
+        same_key_next = np.r_[run_key[1:] == run_key[:-1], False]
+        nxt[: len(starts) - 1][same_key_next[: len(starts) - 1]] = valid_from[1:][
+            run_key[1:] == run_key[:-1]
+        ]
+        return pa.table(
+            {
+                key_col: pa.array(run_key).cast(group.schema.field(key_col).type),
+                "state": pa.array(states[starts].tolist(), type=pa.string()),
+                "valid_from_us": pa.array(valid_from, type=pa.int64()),
+                "valid_to_us": pa.array(nxt, type=pa.int64()),
+                "n_events": pa.array(ends - starts, type=pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    return bucketed_map_groups(events_ds, [key_col], fold, num_buckets=num_buckets)

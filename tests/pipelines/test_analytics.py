@@ -212,6 +212,7 @@ SQL_CHECKED = [
     "repeated_spans",
     "c4_filters",
     "dedup_keep_best",
+    "user_state_scd2",
     "warc_roundtrip",
     "host_boilerplate_ratio",
     "kg_metapaths",
