@@ -351,6 +351,7 @@ OPERATOR_QUERIES = [
     "c4_filters",
     "dedup_keep_best",
     "user_state_scd2",
+    "ann_dim_truncation",
     "warc_roundtrip",
 ]
 

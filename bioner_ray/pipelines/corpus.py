@@ -3598,3 +3598,55 @@ def dedup_keep_best(sf_dir: str, threshold: float = 0.5):
         )
 
     return pin_schema(ranked.map_batches(finish, batch_format="pyarrow"), out_schema)
+
+
+def ann_dim_truncation(sf_dir: str, trunc_dim: int = 32, k: int = 10, n_queries: int = 8):
+    """Matryoshka-style dimension-truncation quality audit (Kusupati et
+    al. 2022, arXiv:2205.13147): how much of the exact top-k
+    neighborhood survives when embeddings are truncated to their first
+    ``trunc_dim`` dims and re-normalized — the measurement behind
+    serving embeddings at half width. Two exact brute-force passes
+    (the knn_topk machinery: per-block matmul + local k-cut, Q×k rows
+    to the driver) — one at full width, one over the sliced columns —
+    then a per-query set intersection. Integer overlap, so the DuckDB
+    twin (list_slice + list_cosine_similarity) replays it exactly.
+    Columns: query_id, dim_full, dim_trunc, n_overlap."""
+    import pyarrow.compute as pc
+
+    from bioner_ray.stages.similarity import knn_brute_force
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q_full = _query_matrix(sf_dir, n_queries)
+    dim_full = q_full.shape[1]
+
+    def slice_cols(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return t
+        arr = t.column("embedding").combine_chunks()
+        sliced = pc.list_slice(arr, 0, trunc_dim)
+        return pa.table({"vec_id": t.column("vec_id"), "embedding": sliced})
+
+    full = knn_brute_force(emb, q_full, k=k)
+    trunc = knn_brute_force(
+        emb.map_batches(slice_cols, batch_format="pyarrow"),
+        q_full[:, :trunc_dim],
+        k=k,
+    )
+    # Q×k each — bounded; intersect per query
+    f = {}
+    for r in zip(full.column("query_id").to_pylist(), full.column("vec_id").to_pylist()):
+        f.setdefault(r[0], set()).add(r[1])
+    t = {}
+    for r in zip(trunc.column("query_id").to_pylist(), trunc.column("vec_id").to_pylist()):
+        t.setdefault(r[0], set()).add(r[1])
+    qids = sorted(f)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "dim_full": pa.array([dim_full] * len(qids), type=pa.int64()),
+            "dim_trunc": pa.array([trunc_dim] * len(qids), type=pa.int64()),
+            "n_overlap": pa.array(
+                [len(f[q] & t.get(q, set())) for q in qids], type=pa.int64()
+            ),
+        }
+    )

@@ -213,6 +213,7 @@ SQL_CHECKED = [
     "c4_filters",
     "dedup_keep_best",
     "user_state_scd2",
+    "ann_dim_truncation",
     "warc_roundtrip",
     "host_boilerplate_ratio",
     "kg_metapaths",
