@@ -352,6 +352,7 @@ OPERATOR_QUERIES = [
     "dedup_keep_best",
     "user_state_scd2",
     "ann_dim_truncation",
+    "boilerplate_blocks",
     "warc_roundtrip",
 ]
 

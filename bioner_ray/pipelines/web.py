@@ -2556,3 +2556,63 @@ def warc_roundtrip(sf_dir: str, num_shards: int = 16):
     if n_written != n_docs:
         raise RuntimeError(f"warc manifest {n_written} != docs {n_docs}")
     return read_warc(out_dir)
+
+
+def _content_pages_batch(batch: pa.Table) -> pa.Table:
+    """Synthetic boilerplate-laden pages (fixture construction, not
+    under test): a nav div (all-link), (doc_id % 3 + 1) prose
+    paragraphs of ≤ 10 real corpus tokens each — paragraph p carries
+    one inline link around its first token iff (doc_id + p) % 4 == 0 —
+    and a footer div (all-link). Exactly the block mix the
+    link-density rule must separate."""
+    import numpy as np
+
+    from bioner_ray.stages.textstats import _split_lower
+
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    hosts = _host_idx(ids)
+    urls, htmls = [], []
+    for (i, h), toks in zip(
+        zip(ids.tolist(), hosts.tolist()), _split_lower(batch, "text")
+    ):
+        parts = [
+            '<html><body><div class="nav"><a href="/">home</a> '
+            '<a href="/a">about</a> <a href="/c">contact</a></div>'
+        ]
+        for p in range(i % 3 + 1):
+            chunk = toks[p * 10 : p * 10 + 10]
+            if not chunk:
+                chunk = ["filler"]
+            if (i + p) % 4 == 0:
+                chunk = [f'<a href="/t">{chunk[0]}</a>'] + chunk[1:]
+            parts.append(f'<p class="body">{" ".join(chunk)}</p>')
+        parts.append(
+            '<div class="footer"><a href="/x">terms</a> <a href="/y">privacy</a></div>'
+            "</body></html>"
+        )
+        urls.append(f"https://site{h}.example.com/doc/{i}")
+        htmls.append("".join(parts).encode("utf-8"))
+    return pa.table(
+        {"url": pa.array(urls, type=pa.string()), "html": pa.array(htmls, type=pa.binary())}
+    )
+
+
+def boilerplate_blocks(sf_dir: str):
+    """Main-content extraction by link density (stages/extract.py
+    extract_main_blocks_batch — the jusText/trafilatura-family
+    heuristic every web-corpus build runs between fetch and text):
+    per flat block, exact word / link-word counts and the keep
+    verdict; nav and footer divs drop (density 1), prose paragraphs
+    survive, and the one-in-four inline-link paragraphs pin the
+    fractional-density arithmetic. Columns: url, block_idx, n_words,
+    n_link_words, kept."""
+    import ray.data as rd
+
+    from bioner_ray.stages.extract import extract_main_blocks_batch
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return docs.map_batches(_content_pages_batch, batch_format="pyarrow").map_batches(
+        extract_main_blocks_batch, batch_format="pyarrow"
+    )

@@ -234,3 +234,75 @@ def extract_jsonld_batch(batch: pa.Table) -> pa.Table:
         },
         schema=JSONLD_TRIPLES_SCHEMA,
     )
+
+
+_BLOCK_RE = re.compile(rb"<(p|div)(?:\s[^>]*)?>(.*?)</\1>", re.DOTALL | re.IGNORECASE)
+_A_RE = re.compile(rb"<a(?:\s[^>]*)?>(.*?)</a>", re.DOTALL | re.IGNORECASE)
+
+MAIN_BLOCKS_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("block_idx", pa.int64()),
+        ("n_words", pa.int64()),
+        ("n_link_words", pa.int64()),
+        ("kept", pa.int64()),
+    ]
+)
+
+
+def extract_main_blocks_batch(
+    batch: pa.Table, max_link_density: float = 0.5, min_words: int = 3
+) -> pa.Table:
+    """(url, html) → one row per flat ``<p>``/``<div>`` block with the
+    jusText/trafilatura-family boilerplate verdict: a block is KEPT
+    when its link density (words inside ``<a>`` ÷ all words) is below
+    ``max_link_density`` AND it has ≥ ``min_words`` words — navigation
+    bars and footers (all-link, few-word blocks) drop, prose
+    paragraphs survive. Same compiled-regex per-page scan shape as
+    extract_table_cells_batch; flat blocks only (nested ``<div>``
+    trees need the DOM pass this engine reserves for the import-gated
+    seam — the Common-Crawl main-content heuristic operates on flat
+    text blocks).
+
+    Counts are exact integers, so the verdict is SQL-replayable; the
+    kept-block text itself is ``_TAG_RE``-stripped and
+    entity-unescaped exactly like the table harvester."""
+    if batch.num_columns == 0 or batch.num_rows == 0:
+        return MAIN_BLOCKS_SCHEMA.empty_table()
+    urls = batch.column("url").to_pylist()
+    htmls = batch.column("html").to_pylist()
+    out = {k: [] for k in MAIN_BLOCKS_SCHEMA.names}
+    for u, h in zip(urls, htmls):
+        for bi, bm in enumerate(_BLOCK_RE.finditer(h or b"")):
+            body = bm.group(2)
+            n_link = sum(
+                len(
+                    html_mod.unescape(
+                        _TAG_RE.sub("", am.group(1).decode("utf-8", errors="replace"))
+                    ).split()
+                )
+                for am in _A_RE.finditer(body)
+            )
+            text = html_mod.unescape(
+                _TAG_RE.sub("", body.decode("utf-8", errors="replace"))
+            )
+            n_words = len(text.split())
+            kept = int(
+                n_words >= min_words
+                and (n_words == 0 or n_link / n_words < max_link_density)
+            )
+            out["url"].append(u)
+            out["block_idx"].append(bi)
+            out["n_words"].append(n_words)
+            out["n_link_words"].append(n_link)
+            out["kept"].append(kept)
+    return pa.table(
+        {
+            "url": pa.array(out["url"], type=pa.string()),
+            "block_idx": pa.array(out["block_idx"], type=pa.int64()),
+            "n_words": pa.array(out["n_words"], type=pa.int64()),
+            "n_link_words": pa.array(out["n_link_words"], type=pa.int64()),
+            "kept": pa.array(out["kept"], type=pa.int64()),
+        },
+        schema=MAIN_BLOCKS_SCHEMA,
+    )

@@ -214,6 +214,7 @@ SQL_CHECKED = [
     "dedup_keep_best",
     "user_state_scd2",
     "ann_dim_truncation",
+    "boilerplate_blocks",
     "warc_roundtrip",
     "host_boilerplate_ratio",
     "kg_metapaths",
