@@ -353,6 +353,7 @@ OPERATOR_QUERIES = [
     "user_state_scd2",
     "ann_dim_truncation",
     "boilerplate_blocks",
+    "wordpiece_tokens",
     "warc_roundtrip",
 ]
 

@@ -3650,3 +3650,17 @@ def ann_dim_truncation(sf_dir: str, trunc_dim: int = 32, k: int = 10, n_queries:
             ),
         }
     )
+
+
+def wordpiece_tokens(sf_dir: str, vocab_k: int = 64, max_sub: int = 4):
+    """WordPiece greedy segmentation over the distinct-word table
+    (stages/wordpiece.py): piece vocabulary = top-64 weighted
+    word-initial/##-continuation substrings (≤ 4 chars), then the
+    BERT-tokenizer longest-match rule per word; uncoverable words are
+    [UNK] (live at test scale — the vocab cap excludes rare pieces).
+    Columns: word, n_occurrences, n_pieces, is_unk."""
+    from bioner_ray.stages.wordpiece import wordpiece_word_table
+
+    return wordpiece_word_table(
+        _read(sf_dir, "documents", columns=["text"]), vocab_k=vocab_k, max_sub=max_sub
+    )

@@ -215,6 +215,7 @@ SQL_CHECKED = [
     "user_state_scd2",
     "ann_dim_truncation",
     "boilerplate_blocks",
+    "wordpiece_tokens",
     "warc_roundtrip",
     "host_boilerplate_ratio",
     "kg_metapaths",
