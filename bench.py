@@ -354,6 +354,7 @@ OPERATOR_QUERIES = [
     "ann_dim_truncation",
     "boilerplate_blocks",
     "wordpiece_tokens",
+    "postings_bytes",
     "warc_roundtrip",
 ]
 

@@ -3664,3 +3664,91 @@ def wordpiece_tokens(sf_dir: str, vocab_k: int = 64, max_sub: int = 4):
     return wordpiece_word_table(
         _read(sf_dir, "documents", columns=["text"]), vocab_k=vocab_k, max_sub=max_sub
     )
+
+
+def postings_bytes(sf_dir: str):
+    """Inverted-index size estimation — the index-construction planning
+    op a serving stack runs before building postings: per term, the
+    document frequency, total term frequency, and the byte size of the
+    delta-gap + LEB128-varint encoded posting list (gap₀ = doc_id₀ + 1,
+    gapᵢ = doc_idᵢ − doc_idᵢ₋₁; varint width = 1 byte per 7 bits).
+    Zipf terms compress hardest (dense postings → small gaps) — the
+    size model that drives shard-count and tiering decisions.
+
+    Shape: one corpus pass emits per-block (term, doc_id, tf)
+    partials; ONE bucketed aggregate dedups/sums them; ONE
+    coarse-bucket map_groups sorts each term's postings and
+    vectorizes the gap/width arithmetic (numpy digitize against the
+    2^7k boundaries — no per-posting Python). Columns: term, df,
+    total_tf, postings_bytes."""
+    import pyarrow.compute as pc
+
+    from bioner_ray.stages.shuffle import (
+        bucketed_aggregate,
+        bucketed_map_groups,
+        pin_schema,
+    )
+    from bioner_ray.stages.textstats import _split_lower
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: dict[tuple, int] = {}
+        for doc_id, toks in zip(
+            batch.column("doc_id").to_pylist(), _split_lower(batch, "text")
+        ):
+            for t in toks:
+                key = (t, doc_id)
+                counts[key] = counts.get(key, 0) + 1
+        return pa.table(
+            {
+                "term": pa.array([t for t, _ in counts], type=pa.string()),
+                "doc_id": pa.array([d for _, d in counts], type=pa.int64()),
+                "tf": pa.array(list(counts.values()), type=pa.int64()),
+            }
+        )
+
+    tfs = bucketed_aggregate(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["term", "doc_id"],
+        [("tf", "sum")],
+    )
+
+    out_schema = pa.schema(
+        [
+            ("term", pa.string()),
+            ("df", pa.int64()),
+            ("total_tf", pa.int64()),
+            ("postings_bytes", pa.int64()),
+        ]
+    )
+    #: LEB128 width boundaries: gaps < 2^7 take 1 byte, < 2^14 two, …
+    bounds = np.array([1 << 7, 1 << 14, 1 << 21, 1 << 28, 1 << 35], dtype=np.int64)
+
+    def fold(group: pa.Table) -> pa.Table:
+        if group.num_columns == 0:
+            return out_schema.empty_table()
+        if group.num_rows == 0:
+            return out_schema.empty_table()
+        group = group.sort_by([("term", "ascending"), ("doc_id", "ascending")])
+        terms = np.asarray(group.column("term").to_pylist(), dtype=object)
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        tf = group.column("tf").to_numpy(zero_copy_only=False).astype(np.int64)
+        new = np.r_[True, terms[1:] != terms[:-1]]
+        gaps = np.where(new, ids + 1, np.r_[0, np.diff(ids)])
+        widths = np.digitize(gaps, bounds) + 1
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], len(terms)]
+        cw = np.concatenate([[0], np.cumsum(widths)])
+        ct = np.concatenate([[0], np.cumsum(tf)])
+        return pa.table(
+            {
+                "term": pa.array(terms[starts].tolist(), type=pa.string()),
+                "df": pa.array(ends - starts, type=pa.int64()),
+                "total_tf": pa.array(ct[ends] - ct[starts], type=pa.int64()),
+                "postings_bytes": pa.array(cw[ends] - cw[starts], type=pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    return pin_schema(bucketed_map_groups(tfs, ["term"], fold), out_schema)

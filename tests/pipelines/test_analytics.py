@@ -216,6 +216,7 @@ SQL_CHECKED = [
     "ann_dim_truncation",
     "boilerplate_blocks",
     "wordpiece_tokens",
+    "postings_bytes",
     "warc_roundtrip",
     "host_boilerplate_ratio",
     "kg_metapaths",
