@@ -355,6 +355,7 @@ OPERATOR_QUERIES = [
     "boilerplate_blocks",
     "wordpiece_tokens",
     "postings_bytes",
+    "dom_depth_stats",
     "warc_roundtrip",
 ]
 

@@ -2616,3 +2616,24 @@ def boilerplate_blocks(sf_dir: str):
     return docs.map_batches(_content_pages_batch, batch_format="pyarrow").map_batches(
         extract_main_blocks_batch, batch_format="pyarrow"
     )
+
+
+def dom_depth_stats(sf_dir: str):
+    """DOM complexity audit over the structured-page fixture
+    (stages/extract.py dom_depth_batch): per page, max tag-nesting
+    depth and tag count from a single open/close balance scan — deep
+    DOM with little text marks template/widget pages a quality filter
+    drops. Spec pages with a table nest to depth 6 (html→body→table→
+    tr→td→b), tableless pages stop at 3; tag count tracks the row
+    arithmetic, so both columns replay in SQL. Columns: url,
+    max_depth, n_tags."""
+    import ray.data as rd
+
+    from bioner_ray.stages.extract import dom_depth_batch
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    return docs.map_batches(_table_pages_batch, batch_format="pyarrow").map_batches(
+        dom_depth_batch, batch_format="pyarrow"
+    )

@@ -306,3 +306,51 @@ def extract_main_blocks_batch(
         },
         schema=MAIN_BLOCKS_SCHEMA,
     )
+
+
+_ANY_TAG_RE = re.compile(rb"<(/?)([a-zA-Z][a-zA-Z0-9]*)(?:\s[^>]*)?>")
+#: HTML void elements — never pushed on the depth stack
+_VOID_TAGS = frozenset(
+    b"area base br col embed hr img input link meta param source track wbr".split()
+)
+
+DOM_DEPTH_SCHEMA = pa.schema(
+    [("url", pa.string()), ("max_depth", pa.int64()), ("n_tags", pa.int64())]
+)
+
+
+def dom_depth_batch(batch: pa.Table) -> pa.Table:
+    """(url, html) → per-page max tag-nesting depth and total tag count
+    — the page-complexity signal quality filters use to flag
+    template/widget-heavy pages (deep DOM, little text). One compiled
+    regex scan per page: open tags push, close tags pop (void elements
+    skipped; stray closers clamp at zero — real crawl HTML is
+    unbalanced and the scanner must not go negative)."""
+    if batch.num_columns == 0 or batch.num_rows == 0:
+        return DOM_DEPTH_SCHEMA.empty_table()
+    urls = batch.column("url").to_pylist()
+    htmls = batch.column("html").to_pylist()
+    out_d, out_n = [], []
+    for h in htmls:
+        depth = mx = n = 0
+        for m in _ANY_TAG_RE.finditer(h or b""):
+            tag = m.group(2).lower()
+            if tag in _VOID_TAGS:
+                n += 1
+                continue
+            if m.group(1):
+                depth = max(0, depth - 1)
+            else:
+                n += 1
+                depth += 1
+                mx = max(mx, depth)
+        out_d.append(mx)
+        out_n.append(n)
+    return pa.table(
+        {
+            "url": pa.array(urls, type=pa.string()),
+            "max_depth": pa.array(out_d, type=pa.int64()),
+            "n_tags": pa.array(out_n, type=pa.int64()),
+        },
+        schema=DOM_DEPTH_SCHEMA,
+    )

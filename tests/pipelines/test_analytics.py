@@ -217,6 +217,7 @@ SQL_CHECKED = [
     "boilerplate_blocks",
     "wordpiece_tokens",
     "postings_bytes",
+    "dom_depth_stats",
     "warc_roundtrip",
     "host_boilerplate_ratio",
     "kg_metapaths",
