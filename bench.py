@@ -356,6 +356,7 @@ OPERATOR_QUERIES = [
     "wordpiece_tokens",
     "postings_bytes",
     "dom_depth_stats",
+    "minhash_recall",
     "warc_roundtrip",
 ]
 

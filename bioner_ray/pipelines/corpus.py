@@ -3752,3 +3752,70 @@ def postings_bytes(sf_dir: str):
         )
 
     return pin_schema(bucketed_map_groups(tfs, ["term"], fold), out_schema)
+
+
+def minhash_recall(sf_dir: str, threshold: float = 0.5):
+    """The RECALL half of the sketch calibration pair
+    (``minhash_precision`` counts band-collision false positives; this
+    counts the misses): every TRUE near-dup pair — exact shingle
+    Jaccard ≥ ``threshold`` — joined left-outer against the MinHash+LSH
+    candidate set; ``found`` = 0 marks a genuine duplicate the sketch
+    would silently leave in a 100-TB corpus (no band agreed). Both
+    sides are existing oracle-checked operators; the audit is one
+    bounded pair-keyed join. Columns: a, b, n_common, jaccard, found."""
+    import pyarrow.compute as pc
+
+    from bioner_ray.stages.dedup import jaccard_pairs, minhash_dedup_pairs
+    from bioner_ray.stages.shuffle import bucketed_inner_join, pin_schema
+
+    truth = jaccard_pairs(_documents(sf_dir), threshold=threshold)
+    truth_schema = pa.schema(
+        [
+            ("a", pa.int64()),
+            ("b", pa.int64()),
+            ("n_common", pa.int64()),
+            ("jaccard", pa.float64()),
+        ]
+    )
+    cand = minhash_dedup_pairs(_documents(sf_dir)).map_batches(
+        lambda t: t.select(["a", "b"]).append_column(
+            "found", pa.array(np.ones(t.num_rows, dtype=np.int64))
+        )
+        if t.num_columns
+        else pa.schema(
+            [("a", pa.int64()), ("b", pa.int64()), ("found", pa.int64())]
+        ).empty_table(),
+        batch_format="pyarrow",
+    )
+    out_schema = pa.schema(
+        [
+            ("a", pa.int64()),
+            ("b", pa.int64()),
+            ("n_common", pa.int64()),
+            ("jaccard", pa.float64()),
+            ("found", pa.int64()),
+        ]
+    )
+    joined = bucketed_inner_join(
+        pin_schema(truth, truth_schema),
+        pin_schema(
+            cand, pa.schema([("a", pa.int64()), ("b", pa.int64()), ("found", pa.int64())])
+        ),
+        ["a", "b"],
+        truth_schema,
+        pa.schema([("a", pa.int64()), ("b", pa.int64()), ("found", pa.int64())]),
+        join_type="left outer",
+    )
+    return pin_schema(
+        joined.map_batches(
+            lambda t: t.set_column(
+                t.schema.get_field_index("found"),
+                "found",
+                pc.fill_null(t.column("found"), 0),
+            )
+            if t.num_columns
+            else out_schema.empty_table(),
+            batch_format="pyarrow",
+        ),
+        out_schema,
+    )

@@ -218,6 +218,7 @@ SQL_CHECKED = [
     "wordpiece_tokens",
     "postings_bytes",
     "dom_depth_stats",
+    "minhash_recall",
     "warc_roundtrip",
     "host_boilerplate_ratio",
     "kg_metapaths",
