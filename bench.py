@@ -357,6 +357,7 @@ OPERATOR_QUERIES = [
     "postings_bytes",
     "dom_depth_stats",
     "minhash_recall",
+    "relation_patterns",
     "warc_roundtrip",
 ]
 

@@ -9571,3 +9571,84 @@ def user_state_scd2(sf_dir: str):
 
     ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
     return scd2_intervals(ev)
+
+
+def relation_patterns(sf_dir: str, min_support: int = 2):
+    """Relation-pattern induction between consecutive entity mentions —
+    the distant-supervision step that proposes textual templates for
+    new predicates (Hearst-pattern family): for every adjacent entity
+    pair in token order, the inter-entity token string is the pattern
+    instance ('' = entities touching); patterns with ≥ ``min_support``
+    instances are reported with instance and distinct-document counts.
+    The candidate inventory kg-schema curation reviews before
+    promoting a pattern to a predicate (the trip chain's relation
+    lexicon is the promoted subset).
+
+    Shape: per-doc vectorized entity-position scan (set membership
+    over the token sequence), bounded per-batch pattern partials, then
+    the two-level count-distinct — (pattern, doc) sums, per-pattern
+    fold — with the support filter distributed. Columns: pattern,
+    n_instances, n_docs."""
+    from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema
+    from bioner_ray.stages.textstats import _split_lower
+
+    ent = frozenset(ENTITY_SURFACES)
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: dict[tuple, int] = {}
+        for doc_id, toks in zip(
+            batch.column("doc_id").to_pylist(), _split_lower(batch, "text")
+        ):
+            pos = [i for i, t in enumerate(toks) if t in ent]
+            for p1, p2 in zip(pos, pos[1:]):
+                key = (" ".join(toks[p1 + 1 : p2]), doc_id)
+                counts[key] = counts.get(key, 0) + 1
+        return pa.table(
+            {
+                "pattern": pa.array([p for p, _ in counts], type=pa.string()),
+                "doc_id": pa.array([d for _, d in counts], type=pa.int64()),
+                "inst": pa.array(list(counts.values()), type=pa.int64()),
+            }
+        )
+
+    per_doc = bucketed_aggregate(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["pattern", "doc_id"],
+        [("inst", "sum")],
+    )
+
+    def fold_rows(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return pa.schema(
+                [
+                    ("pattern", pa.string()),
+                    ("n_instances", pa.int64()),
+                    ("n_docs", pa.int64()),
+                ]
+            ).empty_table()
+        return pa.table(
+            {
+                "pattern": t.column("pattern"),
+                "n_instances": t.column("inst"),
+                "n_docs": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    out_schema = pa.schema(
+        [("pattern", pa.string()), ("n_instances", pa.int64()), ("n_docs", pa.int64())]
+    )
+    agg = bucketed_aggregate(
+        per_doc.map_batches(fold_rows, batch_format="pyarrow"),
+        ["pattern"],
+        [("n_instances", "sum"), ("n_docs", "sum")],
+    )
+    return pin_schema(
+        agg.map_batches(
+            lambda t: t.filter(pc.greater_equal(t.column("n_instances"), min_support))
+            if t.num_columns
+            else out_schema.empty_table(),
+            batch_format="pyarrow",
+        ),
+        out_schema,
+    )

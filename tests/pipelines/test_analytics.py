@@ -219,6 +219,7 @@ SQL_CHECKED = [
     "postings_bytes",
     "dom_depth_stats",
     "minhash_recall",
+    "relation_patterns",
     "warc_roundtrip",
     "host_boilerplate_ratio",
     "kg_metapaths",
