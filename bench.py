@@ -358,6 +358,7 @@ OPERATOR_QUERIES = [
     "dom_depth_stats",
     "minhash_recall",
     "relation_patterns",
+    "edge_cut_audit",
     "warc_roundtrip",
 ]
 

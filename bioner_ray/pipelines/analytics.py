@@ -9652,3 +9652,72 @@ def relation_patterns(sf_dir: str, min_support: int = 2):
         ),
         out_schema,
     )
+
+
+def edge_cut_audit(sf_dir: str, num_parts: int = 16):
+    """Partitioning-quality audit for the canonical edge table: with
+    nodes hash-partitioned by the engine's replayable md5-61-bit hash
+    (the same key every kg_* shuffle buckets on), how many edges CROSS
+    partitions? The cut fraction is the co-location cost model for
+    graph stages — a high cut on the chosen key argues for a different
+    partitioning (or edge-cut-aware placement) before a 100-TB graph
+    job ships its adjacency twice per round. Per source partition:
+    edge count, cut count, and the weight-weighted cut. Pure
+    vectorized arithmetic over the edge table; one bounded aggregate.
+    Columns: part, n_edges, n_cut, w_total, w_cut."""
+    import hashlib
+
+    from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema
+
+    edges = kg_edges(sf_dir)
+    m61 = 1 << 61
+    out_schema = pa.schema(
+        [
+            ("part", pa.int64()),
+            ("n_edges", pa.int64()),
+            ("n_cut", pa.int64()),
+            ("w_total", pa.int64()),
+            ("w_cut", pa.int64()),
+        ]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return out_schema.empty_table()
+        memo: dict = {}
+
+        def h(col):
+            from bioner_ray.stages.graph import _node_hash_column
+
+            return (_node_hash_column(col, memo) % np.uint64(num_parts)).astype(
+                np.int64
+            )
+
+        ps = h(t.column("subj"))
+        po = h(t.column("obj"))
+        w = t.column("weight").to_numpy(zero_copy_only=False).astype(np.int64)
+        cut = (ps != po).astype(np.int64)
+        tbl = pa.table(
+            {
+                "part": pa.array(ps),
+                "n_edges": pa.array(np.ones(len(ps), dtype=np.int64)),
+                "n_cut": pa.array(cut),
+                "w_total": pa.array(w),
+                "w_cut": pa.array(w * cut),
+            }
+        )
+        return tbl
+
+    return pin_schema(
+        bucketed_aggregate(
+            edges.map_batches(partial, batch_format="pyarrow"),
+            ["part"],
+            [
+                ("n_edges", "sum"),
+                ("n_cut", "sum"),
+                ("w_total", "sum"),
+                ("w_cut", "sum"),
+            ],
+        ),
+        out_schema,
+    )

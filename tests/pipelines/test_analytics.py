@@ -220,6 +220,7 @@ SQL_CHECKED = [
     "dom_depth_stats",
     "minhash_recall",
     "relation_patterns",
+    "edge_cut_audit",
     "warc_roundtrip",
     "host_boilerplate_ratio",
     "kg_metapaths",
