@@ -347,6 +347,7 @@ OPERATOR_QUERIES = [
     # round-4 first session
     "bilstm_mentions",
     "kg_daily_increment",
+    "kg_daily_node_increment",
     "repeated_spans",
     "c4_filters",
     "dedup_keep_best",

@@ -3853,3 +3853,14 @@ def minhash_recall(sf_dir: str, threshold: float = 0.5):
         ),
         out_schema,
     )
+
+
+def kg_daily_node_increment(sf_dir: str):
+    """Node-table half of the daily increment (pipelines/ingest.py):
+    same shard-dedup state as kg_daily_increment (shared memo), the
+    survivors' linked mentions canonicalized, and the delta against
+    the checkpointed base node table. Columns: concept_id, c_a, c_b,
+    u_a, u_b, status."""
+    from bioner_ray.pipelines.ingest import kg_daily_node_increment as _kni
+
+    return _kni(sf_dir)

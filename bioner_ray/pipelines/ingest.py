@@ -298,6 +298,93 @@ def kg_incremental_edges(sf_dir: str, store_root: str | None = None):
     )
 
 
+#: per-process memo of the daily dedup state (band store + drop set) —
+#: the edge and node increment queries share one shard ingest, exactly
+#: as one production daily run computes its drop set once
+_DAILY_STATE_MEMO: dict = {}
+
+
+def _daily_docs(sf_dir: str, parity: int):
+    from bioner_ray.pipelines.analytics import _read
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        lambda t: t.filter(
+            pc.equal(
+                pc.bit_wise_and(pc.cast(t.column("doc_id"), pa.int64()), 1),
+                parity,
+            )
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _daily_dedup_state(
+    sf_dir: str, threshold: float = 0.8, store_root: str | None = None
+):
+    """Day-0 band store (manifest-guarded) + day-1 shard ingest + the
+    broadcast drop-url set. Memoized per (sf_dir, threshold, root):
+    the edge and node increments share one ingest."""
+    import ray
+
+    root = store_root or os.path.join(
+        "/tmp/bioner_daily",
+        f"{os.path.basename(os.path.abspath(sf_dir))}-{os.getpid()}",
+    )
+    key = (os.path.abspath(sf_dir), threshold, root)
+    cached = _DAILY_STATE_MEMO.get(key)
+    if cached is not None:
+        return cached
+
+    band_store = os.path.join(root, "bands_store")
+    if not os.path.exists(os.path.join(band_store, MANIFEST)):
+        shutil.rmtree(band_store, ignore_errors=True)
+        init_store(_daily_docs(sf_dir, 0), band_store, shard_name="base")
+        with open(os.path.join(band_store, MANIFEST), "w") as f:
+            f.write("ok")
+
+    pairs = ingest_shard(_daily_docs(sf_dir, 1), band_store, shard_name="day1")
+
+    def cross_dups(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64())})
+        a = pc.cast(t.column("a"), pa.int64())
+        b = pc.cast(t.column("b"), pa.int64())
+        cross = pc.and_(
+            pc.not_equal(pc.bit_wise_and(a, 1), pc.bit_wise_and(b, 1)),
+            pc.greater_equal(t.column("est_jaccard"), threshold),
+        )
+        f = t.filter(cross)
+        fa = pc.cast(f.column("a"), pa.int64())
+        fb = pc.cast(f.column("b"), pa.int64())
+        odd = pc.if_else(pc.equal(pc.bit_wise_and(fa, 1), 1), fa, fb)
+        return pa.table({"doc_id": odd})
+
+    # drop set: bounded by the shard's near-dup rate (logged), collected
+    # for broadcast — the same bounded-collect contract as the hot-band cap
+    dropped_ids = sorted(
+        {r["doc_id"] for r in pairs.map_batches(cross_dups, batch_format="pyarrow").take_all()}
+    )
+    _LOG.info("daily increment: dropping %d near-dup shard docs", len(dropped_ids))
+    drop_urls = pa.array([f"doc://{i:08d}" for i in dropped_ids], type=pa.string())
+    state = {"root": root, "drop_urls": drop_urls, "drop_ref": ray.put(drop_urls)}
+    _DAILY_STATE_MEMO[key] = state
+    return state
+
+
+def _survivor_filter(drop_ref):
+    import ray
+
+    def keep_survivors(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return t
+        dset = ray.get(drop_ref)
+        if len(dset) == 0:
+            return t
+        return t.filter(pc.invert(pc.is_in(t.column("url"), value_set=dset)))
+
+    return keep_survivors
+
+
 def kg_daily_increment(
     sf_dir: str,
     threshold: float = 0.8,
@@ -347,7 +434,6 @@ def kg_daily_increment(
     from bioner_ray.pipelines.analytics import (
         RELATION_WORDS,
         _nrows,
-        _read,
         _tagged_documents,
         make_identity_concepts,
     )
@@ -358,30 +444,9 @@ def kg_daily_increment(
 
     import numpy as np
 
-    root = store_root or os.path.join(
-        "/tmp/bioner_daily",
-        f"{os.path.basename(os.path.abspath(sf_dir))}-{os.getpid()}",
-    )
-    band_store = os.path.join(root, "bands_store")
-    edges_ckpt = os.path.join(root, "base_edges")
-
-    def _docs(parity: int):
-        return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
-            lambda t: t.filter(
-                pc.equal(
-                    pc.bit_wise_and(pc.cast(t.column("doc_id"), pa.int64()), 1),
-                    parity,
-                )
-            ),
-            batch_format="pyarrow",
-        )
-
-    # ---- day-0 state (persisted; skipped when the manifests exist) ----
-    if not os.path.exists(os.path.join(band_store, MANIFEST)):
-        shutil.rmtree(band_store, ignore_errors=True)
-        init_store(_docs(0), band_store, shard_name="base")
-        with open(os.path.join(band_store, MANIFEST), "w") as f:
-            f.write("ok")
+    # ---- day-0 band store + 1-2 dedup drop set (shared state) ----
+    state = _daily_dedup_state(sf_dir, threshold=threshold, store_root=store_root)
+    edges_ckpt = os.path.join(state["root"], "base_edges")
     base_marker = os.path.join(edges_ckpt, "_DONE")
     if not os.path.exists(base_marker):
         from bioner_ray.pipelines.analytics import kg_edges
@@ -391,46 +456,9 @@ def kg_daily_increment(
         with open(base_marker, "w") as f:
             f.write("ok")
 
-    # ---- 1-2: dedup the new shard against the store ----
-    pairs = ingest_shard(_docs(1), band_store, shard_name="day1")
-
-    def cross_dups(t: pa.Table) -> pa.Table:
-        if t.num_columns == 0 or t.num_rows == 0:
-            return pa.table({"doc_id": pa.array([], type=pa.int64())})
-        a = pc.cast(t.column("a"), pa.int64())
-        b = pc.cast(t.column("b"), pa.int64())
-        cross = pc.and_(
-            pc.not_equal(pc.bit_wise_and(a, 1), pc.bit_wise_and(b, 1)),
-            pc.greater_equal(t.column("est_jaccard"), threshold),
-        )
-        f = t.filter(cross)
-        fa = pc.cast(f.column("a"), pa.int64())
-        fb = pc.cast(f.column("b"), pa.int64())
-        odd = pc.if_else(
-            pc.equal(pc.bit_wise_and(fa, 1), 1), fa, fb
-        )
-        return pa.table({"doc_id": odd})
-
-    # drop set: bounded by the shard's near-dup rate (logged), collected
-    # for broadcast — the same bounded-collect contract as the hot-band cap
-    dropped_ids = sorted(
-        {r["doc_id"] for r in pairs.map_batches(cross_dups, batch_format="pyarrow").take_all()}
-    )
-    _LOG.info("kg_daily_increment: dropping %d near-dup shard docs", len(dropped_ids))
-    drop_urls = pa.array([f"doc://{i:08d}" for i in dropped_ids], type=pa.string())
-    drop_ref = ray.put(drop_urls)
-
     # ---- 3: survivors → shard edge table (shard-sized work only) ----
-    def keep_survivors(t: pa.Table) -> pa.Table:
-        if t.num_columns == 0 or t.num_rows == 0:
-            return t
-        dset = ray.get(drop_ref)
-        if len(dset) == 0:
-            return t
-        return t.filter(pc.invert(pc.is_in(t.column("url"), value_set=dset)))
-
     survivors = _tagged_documents(sf_dir, doc_parity=1).map_batches(
-        keep_survivors, batch_format="pyarrow"
+        _survivor_filter(state["drop_ref"]), batch_format="pyarrow"
     )
     index_ref = ray.put(ConceptIndex(make_identity_concepts()))
     shard_edges = canonicalize_edges(
@@ -500,4 +528,89 @@ def kg_daily_increment(
 
     return pin_schema(
         merged.map_batches(finish, batch_format="pyarrow"), delta_schema
+    )
+
+
+def kg_daily_node_increment(
+    sf_dir: str,
+    threshold: float = 0.8,
+    store_root: str | None = None,
+):
+    """The NODE-table half of the daily increment: the same shard
+    dedup state as ``kg_daily_increment`` (shared via the per-process
+    memo — one production daily run computes its drop set once), the
+    survivors' linked mentions canonicalized into shard node rows, and
+    the delta against the CHECKPOINTED base node table. Mention counts
+    and distinct-url counts are both shard-mergeable here because the
+    parity shards partition the url space — disjoint url sets make
+    distinct counts additive, the same property a date-partitioned
+    crawl gives a real daily run. Increments never remove nodes.
+    Columns: concept_id, c_a, c_b, u_a, u_b, status (added/changed)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from bioner_ray.pipelines.analytics import (
+        _nrows,
+        _tagged_documents,
+        make_identity_concepts,
+    )
+    from bioner_ray.stages.link import ConceptIndex, link_stage
+    from bioner_ray.stages.mentions import mentions_stage
+    from bioner_ray.stages.pool import sized_pool
+    from bioner_ray.stages.triples import canonicalize_nodes
+
+    state = _daily_dedup_state(sf_dir, threshold=threshold, store_root=store_root)
+    nodes_ckpt = os.path.join(state["root"], "base_nodes")
+    marker = os.path.join(nodes_ckpt, "_DONE")
+    index_ref = ray.put(ConceptIndex(make_identity_concepts()))
+    conc = sized_pool(_nrows(sf_dir, "documents"), batch_size=64, max_actors=16, pools=2)
+    if not os.path.exists(marker):
+        shutil.rmtree(nodes_ckpt, ignore_errors=True)
+        os.makedirs(nodes_ckpt, exist_ok=True)
+        base_linked = link_stage(
+            mentions_stage(_tagged_documents(sf_dir, doc_parity=0)),
+            index_ref,
+            concurrency=conc,
+        )
+        pq.write_table(
+            canonicalize_nodes(base_linked), os.path.join(nodes_ckpt, "nodes.parquet")
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+    base = pq.read_table(os.path.join(nodes_ckpt, "nodes.parquet"))
+
+    survivors = _tagged_documents(sf_dir, doc_parity=1).map_batches(
+        _survivor_filter(state["drop_ref"]), batch_format="pyarrow"
+    )
+    shard = canonicalize_nodes(
+        link_stage(mentions_stage(survivors), index_ref, concurrency=conc)
+    )
+
+    # both tables are concept-bounded — the delta join is driver-side
+    # Arrow, exactly like canonicalize_nodes' own final merge
+    ca = {c: (int(n), int(u)) for c, n, u in zip(
+        base.column("concept_id").to_pylist(),
+        base.column("count").to_pylist(),
+        base.column("n_urls").to_pylist(),
+    )}
+    rows = []
+    for c, n, u in zip(
+        shard.column("concept_id").to_pylist(),
+        shard.column("count").to_pylist(),
+        shard.column("n_urls").to_pylist(),
+    ):
+        a_n, a_u = ca.get(c, (0, 0))
+        rows.append(
+            (c, a_n, a_n + int(n), a_u, a_u + int(u), "changed" if c in ca else "added")
+        )
+    rows.sort()
+    return pa.table(
+        {
+            "concept_id": pa.array([r[0] for r in rows], type=pa.string()),
+            "c_a": pa.array([r[1] for r in rows], type=pa.int64()),
+            "c_b": pa.array([r[2] for r in rows], type=pa.int64()),
+            "u_a": pa.array([r[3] for r in rows], type=pa.int64()),
+            "u_b": pa.array([r[4] for r in rows], type=pa.int64()),
+            "status": pa.array([r[5] for r in rows], type=pa.string()),
+        }
     )

@@ -209,6 +209,7 @@ SQL_CHECKED = [
     "dsir_weights",
     "dsir_weights_capped",
     "kg_daily_increment",
+    "kg_daily_node_increment",
     "repeated_spans",
     "c4_filters",
     "dedup_keep_best",
