@@ -360,6 +360,7 @@ OPERATOR_QUERIES = [
     "minhash_recall",
     "relation_patterns",
     "edge_cut_audit",
+    "crawl_budget_waterfill",
     "warc_roundtrip",
 ]
 

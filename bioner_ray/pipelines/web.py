@@ -2637,3 +2637,71 @@ def dom_depth_stats(sf_dir: str):
     return docs.map_batches(_table_pages_batch, batch_format="pyarrow").map_batches(
         dom_depth_batch, batch_format="pyarrow"
     )
+
+
+def crawl_budget_waterfill(sf_dir: str, budget_frac_den: int = 2):
+    """Crawl-budget allocation under politeness caps — the waterfilling
+    shape a fetch fleet solves each cycle: a global page budget
+    (``total_docs // budget_frac_den``) is split across hosts
+    proportional to host value (doc count), clamped by each host's
+    politeness cap (32 + 16·(h mod 4) — tiered crawl-delay classes, sized so the fixture's hottest hosts CLAMP and the surplus redistribution fires at every test scale),
+    and the clamped surplus is redistributed once among uncapped hosts
+    (two exact integer rounds; a third round moves < #hosts units and
+    real schedulers stop here too). All floor-division integer
+    arithmetic over the HOST-BOUNDED table (collected once — hosts ≤
+    millions at crawl scale, the module-wide bound), so the twin
+    replays it bit-for-bit. Columns: host, n_docs, cap, alloc."""
+    import numpy as np
+    import ray.data as rd
+
+    from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema, with_ones
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+
+    def to_host(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        hosts = _host_idx(ids)
+        return pa.table(
+            {
+                "host": pa.array(
+                    [f"site{h}.example.com" for h in hosts.tolist()], type=pa.string()
+                ),
+                "h": pa.array(hosts.astype(np.int64)),
+            }
+        )
+
+    counts = pin_schema(
+        bucketed_aggregate(
+            with_ones(docs.map_batches(to_host, batch_format="pyarrow"), "n_docs"),
+            ["host", "h"],
+            [("n_docs", "sum")],
+        ),
+        pa.schema([("host", pa.string()), ("h", pa.int64()), ("n_docs", pa.int64())]),
+    ).to_pandas()  # host-bounded
+
+    counts = counts.sort_values("host", ignore_index=True)
+    v = counts["n_docs"].to_numpy(dtype=np.int64)
+    cap = 32 + 16 * (counts["h"].to_numpy(dtype=np.int64) % 4)
+    total = int(v.sum())
+    budget = total // budget_frac_den
+    # round 1: proportional, clamped
+    a1 = np.minimum(cap, budget * v // total)
+    # round 2: redistribute the surplus among uncapped hosts
+    residual = budget - int(a1.sum())
+    uncapped = a1 < cap
+    vu = int(v[uncapped].sum())
+    a2 = a1.copy()
+    if residual > 0 and vu > 0:
+        a2[uncapped] = np.minimum(
+            cap[uncapped], a1[uncapped] + residual * v[uncapped] // vu
+        )
+    return pa.table(
+        {
+            "host": pa.array(counts["host"].tolist(), type=pa.string()),
+            "n_docs": pa.array(v, type=pa.int64()),
+            "cap": pa.array(cap, type=pa.int64()),
+            "alloc": pa.array(a2, type=pa.int64()),
+        }
+    )

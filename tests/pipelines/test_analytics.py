@@ -222,6 +222,7 @@ SQL_CHECKED = [
     "minhash_recall",
     "relation_patterns",
     "edge_cut_audit",
+    "crawl_budget_waterfill",
     "warc_roundtrip",
     "host_boilerplate_ratio",
     "kg_metapaths",
