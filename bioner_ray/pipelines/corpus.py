@@ -3864,3 +3864,13 @@ def kg_daily_node_increment(sf_dir: str):
     from bioner_ray.pipelines.ingest import kg_daily_node_increment as _kni
 
     return _kni(sf_dir)
+
+
+def qlm_topk(sf_dir: str, k: int = 10):
+    """Dirichlet query-likelihood top-k retrieval for the pinned query
+    bag (stages/retrieval.py qlm_topk — integer micro-nat scores, one
+    libm log per distinct (tf, dl) pair). The LM ranker companion to
+    bm25_topk. Columns: doc_id, dl, score_micro."""
+    from bioner_ray.stages.retrieval import qlm_topk as _qlm
+
+    return _qlm(_documents(sf_dir), terms=BM25_TERMS, k=k)

@@ -142,3 +142,96 @@ def bm25_topk(
         .sort(["score", id_col], descending=[True, False])
         .limit(k)
     )
+
+
+def qlm_topk(
+    ds,
+    terms: list[str],
+    k: int = 10,
+    mu: int = 200,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty
+    2001) — the LM ranker next to BM25: score(d) = Σ_q ln((tf_q·|C| +
+    μ·cf_q) / ((dl + μ)·|C|)), every document scored (smoothing gives
+    unseen terms collection mass). Scores are INTEGER micro-nats —
+    one libm log per DISTINCT (tf, dl) pair per term (numpy's SIMD log
+    diverges from libm in the last ulp; the engine's established
+    DuckDB-parity discipline), summed exactly, so ordering and the SQL
+    twin are bit-stable. Same two-pass shape as ``bm25_topk``: one
+    bounded stats row (collection frequencies + token mass), then
+    vectorized scoring with batch-local top-k prune.
+    Columns: id_col, dl, score_micro."""
+    from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema
+
+    nt = len(terms)
+
+    def stat_partial(batch: pa.Table) -> pa.Table:
+        t = _doc_term_stats(batch, text_col, id_col, terms)
+        row = {
+            "g": pa.array([0], type=pa.int64()),
+            "c_total": pa.array([pc.sum(t.column("dl")).as_py() or 0], type=pa.int64()),
+        }
+        for i in range(nt):
+            row[f"cf{i}"] = pa.array(
+                [pc.sum(t.column(f"tf{i}")).as_py() or 0], type=pa.int64()
+            )
+        return pa.table(row)
+
+    stat_schema = pa.schema(
+        [("g", pa.int64()), ("c_total", pa.int64())]
+        + [(f"cf{i}", pa.int64()) for i in range(nt)]
+    )
+    (s,) = pin_schema(
+        bucketed_aggregate(
+            ds.map_batches(stat_partial, batch_format="pyarrow"),
+            ["g"],
+            [("c_total", "sum")] + [(f"cf{i}", "sum") for i in range(nt)],
+            num_buckets=1,
+        ),
+        stat_schema,
+    ).take_all()
+    c_total = int(s["c_total"])
+    cf = [int(s[f"cf{i}"]) for i in range(nt)]
+
+    out_schema = pa.schema(
+        [(id_col, pa.int64()), ("dl", pa.int64()), ("score_micro", pa.int64())]
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        t = _doc_term_stats(batch, text_col, id_col, terms)
+        dl = t.column("dl").to_numpy(zero_copy_only=False).astype(np.int64)
+        total = np.zeros(t.num_rows, dtype=np.int64)
+        memo: dict = {}
+        for i in range(nt):
+            tf = t.column(f"tf{i}").to_numpy(zero_copy_only=False).astype(np.int64)
+            num = tf * c_total + mu * cf[i]
+            den = (dl + mu) * c_total
+            # one libm log per DISTINCT (num, den) pair — tf and dl take
+            # few distinct values per batch, so the memo is the dedup
+            row_micro = np.empty(len(num), dtype=np.int64)
+            for idx in range(len(num)):
+                pair = (int(num[idx]), int(den[idx]))
+                v = memo.get(pair)
+                if v is None:
+                    v = math.floor(math.log(pair[0] / pair[1]) * 1000000.0)
+                    memo[pair] = v
+                row_micro[idx] = v
+            total = total + row_micro
+        out = pa.table(
+            {
+                id_col: pc.cast(t.column(id_col), pa.int64()),
+                "dl": pa.array(dl),
+                "score_micro": pa.array(total),
+            }
+        )
+        return out.sort_by(
+            [("score_micro", "descending"), (id_col, "ascending")]
+        ).slice(0, k)
+
+    return (
+        ds.map_batches(score, batch_format="pyarrow")
+        .sort(["score_micro", id_col], descending=[True, False])
+        .limit(k)
+    )

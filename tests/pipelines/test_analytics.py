@@ -223,6 +223,7 @@ SQL_CHECKED = [
     "relation_patterns",
     "edge_cut_audit",
     "crawl_budget_waterfill",
+    "qlm_topk",
     "warc_roundtrip",
     "host_boilerplate_ratio",
     "kg_metapaths",
