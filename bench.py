@@ -362,6 +362,7 @@ OPERATOR_QUERIES = [
     "edge_cut_audit",
     "crawl_budget_waterfill",
     "qlm_topk",
+    "rrf_fusion",
     "warc_roundtrip",
 ]
 

@@ -3874,3 +3874,40 @@ def qlm_topk(sf_dir: str, k: int = 10):
     from bioner_ray.stages.retrieval import qlm_topk as _qlm
 
     return _qlm(_documents(sf_dir), terms=BM25_TERMS, k=k)
+
+
+def rrf_fusion(sf_dir: str, k: int = 10, c: int = 60):
+    """Reciprocal-rank fusion (Cormack et al. 2009) of the engine's two
+    rankers — the standard hybrid-retrieval merge: each doc's fused
+    score is Σ over rankers of 1/(c + rank), computed in exact integer
+    micro-units (floor(1e9 / (c + rank)) — ranks are small integers,
+    so the sum is bit-stable and SQL-replayable). Docs absent from a
+    ranker's top-k contribute nothing from it (the standard truncated
+    form). Both input rankings are the bounded k-row outputs of
+    bm25_topk and qlm_topk; the fusion is driver-side Arrow over ≤ 2k
+    rows. Columns: doc_id, rank_bm25, rank_qlm, rrf_micro (rank 0 =
+    absent from that ranker's top-k)."""
+    bm = bm25_topk(sf_dir, k=k).to_pandas()
+    ql = qlm_topk(sf_dir, k=k).to_pandas()
+    bm = bm.sort_values(["score", "doc_id"], ascending=[False, True], ignore_index=True)
+    ql = ql.sort_values(
+        ["score_micro", "doc_id"], ascending=[False, True], ignore_index=True
+    )
+    r_bm = {int(d): i + 1 for i, d in enumerate(bm["doc_id"])}
+    r_ql = {int(d): i + 1 for i, d in enumerate(ql["doc_id"])}
+    docs = sorted(set(r_bm) | set(r_ql))
+    rows = []
+    for d in docs:
+        rb, rq = r_bm.get(d, 0), r_ql.get(d, 0)
+        micro = (1_000_000_000 // (c + rb) if rb else 0) + (
+            1_000_000_000 // (c + rq) if rq else 0
+        )
+        rows.append((d, rb, rq, micro))
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "rank_bm25": pa.array([r[1] for r in rows], type=pa.int64()),
+            "rank_qlm": pa.array([r[2] for r in rows], type=pa.int64()),
+            "rrf_micro": pa.array([r[3] for r in rows], type=pa.int64()),
+        }
+    )

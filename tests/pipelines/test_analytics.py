@@ -224,6 +224,7 @@ SQL_CHECKED = [
     "edge_cut_audit",
     "crawl_budget_waterfill",
     "qlm_topk",
+    "rrf_fusion",
     "warc_roundtrip",
     "host_boilerplate_ratio",
     "kg_metapaths",
