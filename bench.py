@@ -363,6 +363,7 @@ OPERATOR_QUERIES = [
     "crawl_budget_waterfill",
     "qlm_topk",
     "rrf_fusion",
+    "ndcg_eval",
     "warc_roundtrip",
 ]
 

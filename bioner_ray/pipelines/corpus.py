@@ -3911,3 +3911,91 @@ def rrf_fusion(sf_dir: str, k: int = 10, c: int = 60):
             "rrf_micro": pa.array([r[3] for r in rows], type=pa.int64()),
         }
     )
+
+
+def ndcg_eval(sf_dir: str, k: int = 10):
+    """Ranking-quality evaluation (nDCG@k) of both rankers against a
+    REPLAYABLE relevance rule — relevant ⇔ the document contains ≥ 2
+    DISTINCT query-bag terms AND doc_id ≡ 0 (mod 3) (graded 1; the
+    modular component stands in for the human-label axis a ranking
+    signal cannot see, so nDCG discriminates instead of saturating —
+    both rankers would top-10 all-relevant under a term-only rule). Per-rank gains are exact-ordered floats floored
+    once to integer micro-units (g_r = floor(1e9 / (ln(r+1)/ln 2)),
+    libm both sides), DCG/IDCG are integer sums, and
+    ndcg_milli = 1000·DCG // IDCG — bit-stable. IDCG places the |R|
+    relevant docs at the top ranks (truncated at k).
+    Columns: ranker, n_rel, n_rel_in_k, dcg, idcg, ndcg_milli."""
+    import math
+
+    import pyarrow.compute as pc
+
+    from bioner_ray.stages.textstats import _split_lower
+
+    # relevance labels: docs with >= 2 distinct query terms
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    terms = set(BM25_TERMS)
+
+    def rel_partial(batch: pa.Table) -> pa.Table:
+        ids, flags = [], []
+        for doc_id, toks in zip(
+            batch.column("doc_id").to_pylist(), _split_lower(batch, "text")
+        ):
+            ids.append(doc_id)
+            flags.append(int(len(terms & set(toks)) >= 2 and doc_id % 3 == 0))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "rel": pa.array(flags, type=pa.int64()),
+            }
+        )
+
+    rel_tbl = docs.map_batches(rel_partial, batch_format="pyarrow")
+    n_rel = int(
+        rel_tbl.map_batches(
+            lambda t: pa.table({"s": pa.array([pc.sum(t.column("rel")).as_py() or 0])}),
+            batch_format="pyarrow",
+        )
+        .to_pandas()["s"]
+        .sum()
+    )
+    rel_set = set(
+        r["doc_id"]
+        for r in rel_tbl.map_batches(
+            lambda t: t.filter(pc.equal(t.column("rel"), 1)), batch_format="pyarrow"
+        ).take_all()
+    )  # bounded by the relevant population of a 3-term query bag
+
+    gains = [
+        math.floor(1000000000.0 / (math.log(r + 1) / math.log(2.0)))
+        for r in range(1, k + 1)
+    ]
+    idcg = sum(gains[: min(n_rel, k)])
+
+    rows = []
+    for name, ranked in (
+        ("bm25", bm25_topk(sf_dir, k=k).to_pandas().sort_values(
+            ["score", "doc_id"], ascending=[False, True], ignore_index=True
+        )),
+        ("qlm", qlm_topk(sf_dir, k=k).to_pandas().sort_values(
+            ["score_micro", "doc_id"], ascending=[False, True], ignore_index=True
+        )),
+    ):
+        dcg = 0
+        hits = 0
+        for r, d in enumerate(ranked["doc_id"], start=1):
+            if int(d) in rel_set:
+                dcg += gains[r - 1]
+                hits += 1
+        rows.append(
+            (name, n_rel, hits, dcg, idcg, (1000 * dcg) // idcg if idcg else 0)
+        )
+    return pa.table(
+        {
+            "ranker": pa.array([r[0] for r in rows], type=pa.string()),
+            "n_rel": pa.array([r[1] for r in rows], type=pa.int64()),
+            "n_rel_in_k": pa.array([r[2] for r in rows], type=pa.int64()),
+            "dcg": pa.array([r[3] for r in rows], type=pa.int64()),
+            "idcg": pa.array([r[4] for r in rows], type=pa.int64()),
+            "ndcg_milli": pa.array([r[5] for r in rows], type=pa.int64()),
+        }
+    )

@@ -225,6 +225,7 @@ SQL_CHECKED = [
     "crawl_budget_waterfill",
     "qlm_topk",
     "rrf_fusion",
+    "ndcg_eval",
     "warc_roundtrip",
     "host_boilerplate_ratio",
     "kg_metapaths",
