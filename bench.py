@@ -364,6 +364,7 @@ OPERATOR_QUERIES = [
     "qlm_topk",
     "rrf_fusion",
     "ndcg_eval",
+    "dedup_savings",
     "warc_roundtrip",
 ]
 

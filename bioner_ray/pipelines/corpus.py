@@ -3999,3 +3999,106 @@ def ndcg_eval(sf_dir: str, k: int = 10):
             "ndcg_milli": pa.array([r[5] for r in rows], type=pa.int64()),
         }
     )
+
+
+def dedup_savings(sf_dir: str):
+    """The corpus-hygiene summary a dedup run publishes: document and
+    byte counts for the raw corpus, after EXACT dedup (first doc per
+    md5(text)), and after NEAR-dup removal (``dedup_filter``'s
+    representative rule) — the headline numbers that justify the
+    pipeline's cost. Three bounded aggregates; the near side reuses the
+    memoized pair tables. Columns: stage, n_docs, n_bytes."""
+    import hashlib
+
+    import pyarrow.compute as pc
+    import ray
+
+    from bioner_ray.stages.graph import connected_components
+    from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema
+
+    docs = _documents(sf_dir)
+
+    def base_partial(t: pa.Table) -> pa.Table:
+        lens = pc.binary_length(pc.cast(pc.fill_null(t.column("text"), ""), pa.string()))
+        return pa.table(
+            {
+                "g": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+                "n_docs": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                "n_bytes": pc.cast(lens, pa.int64()),
+            }
+        )
+
+    # exact: min doc_id per md5(text) — keep rows where doc_id == min
+    def keyed(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        keys = [hashlib.md5((x or "").encode()).hexdigest() for x in texts]
+        lens = [len((x or "").encode()) for x in texts]
+        return pa.table(
+            {
+                "key": pa.array(keys, type=pa.string()),
+                "keep_id": pc.cast(t.column("doc_id"), pa.int64()),
+                "n_bytes": pa.array(lens, type=pa.int64()),
+            }
+        )
+
+    exact = pin_schema(
+        bucketed_aggregate(
+            docs.map_batches(keyed, batch_format="pyarrow"),
+            ["key"],
+            [("keep_id", "min"), ("n_bytes", "min")],
+        ),
+        pa.schema(
+            [("key", pa.string()), ("keep_id", pa.int64()), ("n_bytes", pa.int64())]
+        ),
+    )
+
+    # near: drop non-representative cluster members corpus-wide
+    comps = connected_components(_jaccard_pairs_memo(sf_dir, 0.5))
+    drop = pa.array(
+        sorted(r["node"] for r in comps.take_all() if r["node"] != r["component"]),
+        type=pa.int64(),
+    )
+    drop_ref = ray.put(drop)
+
+    def near_partial(t: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.is_in(t.column("doc_id"), value_set=ray.get(drop_ref)))
+        t = t.filter(keep)
+        return base_partial(t)
+
+    def fold(ds, stage):
+        (row,) = pin_schema(
+            bucketed_aggregate(
+                ds, ["g"], [("n_docs", "sum"), ("n_bytes", "sum")], num_buckets=1
+            ),
+            pa.schema([("g", pa.int64()), ("n_docs", pa.int64()), ("n_bytes", pa.int64())]),
+        ).take_all()
+        return (stage, int(row["n_docs"]), int(row["n_bytes"]))
+
+    rows = [
+        fold(docs.map_batches(base_partial, batch_format="pyarrow"), "raw"),
+        fold(
+            exact.map_batches(
+                lambda t: pa.table(
+                    {
+                        "g": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+                        "n_docs": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                        "n_bytes": t.column("n_bytes"),
+                    }
+                )
+                if t.num_columns
+                else pa.schema(
+                    [("g", pa.int64()), ("n_docs", pa.int64()), ("n_bytes", pa.int64())]
+                ).empty_table(),
+                batch_format="pyarrow",
+            ),
+            "exact",
+        ),
+        fold(docs.map_batches(near_partial, batch_format="pyarrow"), "near"),
+    ]
+    return pa.table(
+        {
+            "stage": pa.array([r[0] for r in rows], type=pa.string()),
+            "n_docs": pa.array([r[1] for r in rows], type=pa.int64()),
+            "n_bytes": pa.array([r[2] for r in rows], type=pa.int64()),
+        }
+    )

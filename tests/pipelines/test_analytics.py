@@ -226,6 +226,7 @@ SQL_CHECKED = [
     "qlm_topk",
     "rrf_fusion",
     "ndcg_eval",
+    "dedup_savings",
     "warc_roundtrip",
     "host_boilerplate_ratio",
     "kg_metapaths",
