@@ -361,6 +361,7 @@ OPERATOR_QUERIES = [
     "relation_patterns",
     "edge_cut_audit",
     "crawl_budget_waterfill",
+    "template_clusters",
     "qlm_topk",
     "rrf_fusion",
     "ndcg_eval",

@@ -2705,3 +2705,48 @@ def crawl_budget_waterfill(sf_dir: str, budget_frac_den: int = 2):
             "alloc": pa.array(a2, type=pa.int64()),
         }
     )
+
+
+def template_clusters(sf_dir: str):
+    """Server-template detection over the structured-page fixture
+    (stages/extract.py tag_sequence_fingerprint_batch): pages cluster
+    by the md5 of their open-tag sequence — text-independent, so one
+    CMS template yields one fingerprint per host however the content
+    varies. The step a crawl pipeline runs BEFORE boilerplate removal
+    (per-template block statistics need template groups). The spec
+    pages fall into 4 structural classes per host (tableless, 1-3
+    spec rows), pinning real cluster structure at every scale. One
+    bucketed aggregate over (host, fingerprint). Columns: host,
+    fingerprint, n_pages."""
+    import ray.data as rd
+
+    from bioner_ray.stages.extract import tag_sequence_fingerprint_batch
+    from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema, with_ones
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    fps = docs.map_batches(_table_pages_batch, batch_format="pyarrow").map_batches(
+        tag_sequence_fingerprint_batch, batch_format="pyarrow"
+    )
+
+    def host_of_url(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.schema(
+                [("host", pa.string()), ("fingerprint", pa.string())]
+            ).empty_table()
+        hosts = pc.struct_field(
+            pc.extract_regex(t.column("url"), r"^[a-z]+://(?P<h>[^/]+)"), "h"
+        )
+        return pa.table({"host": hosts, "fingerprint": t.column("fingerprint")})
+
+    return pin_schema(
+        bucketed_aggregate(
+            with_ones(fps.map_batches(host_of_url, batch_format="pyarrow"), "n_pages"),
+            ["host", "fingerprint"],
+            [("n_pages", "sum")],
+        ),
+        pa.schema(
+            [("host", pa.string()), ("fingerprint", pa.string()), ("n_pages", pa.int64())]
+        ),
+    )

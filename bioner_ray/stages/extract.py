@@ -354,3 +354,33 @@ def dom_depth_batch(batch: pa.Table) -> pa.Table:
         },
         schema=DOM_DEPTH_SCHEMA,
     )
+
+
+def tag_sequence_fingerprint_batch(batch: pa.Table) -> pa.Table:
+    """(url, html) → (url, fingerprint): md5 of the page's open-tag
+    sequence (text and attributes ignored, void elements included in
+    order) — the structural fingerprint template detection clusters
+    on: pages generated from one server template share it even when
+    every text node differs. One compiled-regex scan per page."""
+    out_schema = pa.schema([("url", pa.string()), ("fingerprint", pa.string())])
+    if batch.num_columns == 0 or batch.num_rows == 0:
+        return out_schema.empty_table()
+    import hashlib
+
+    urls = batch.column("url").to_pylist()
+    htmls = batch.column("html").to_pylist()
+    fps = []
+    for h in htmls:
+        tags = [
+            m.group(2).lower().decode()
+            for m in _ANY_TAG_RE.finditer(h or b"")
+            if not m.group(1)  # open tags only
+        ]
+        fps.append(hashlib.md5(" ".join(tags).encode()).hexdigest())
+    return pa.table(
+        {
+            "url": pa.array(urls, type=pa.string()),
+            "fingerprint": pa.array(fps, type=pa.string()),
+        },
+        schema=out_schema,
+    )

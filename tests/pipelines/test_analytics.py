@@ -223,6 +223,7 @@ SQL_CHECKED = [
     "relation_patterns",
     "edge_cut_audit",
     "crawl_budget_waterfill",
+    "template_clusters",
     "qlm_topk",
     "rrf_fusion",
     "ndcg_eval",
