@@ -362,6 +362,7 @@ OPERATOR_QUERIES = [
     "edge_cut_audit",
     "crawl_budget_waterfill",
     "template_clusters",
+    "user_activity_outliers",
     "qlm_topk",
     "rrf_fusion",
     "ndcg_eval",

@@ -9721,3 +9721,82 @@ def edge_cut_audit(sf_dir: str, num_parts: int = 16):
         ),
         out_schema,
     )
+
+
+def user_activity_outliers(sf_dir: str):
+    """Behavioral burst audit over the event stream — the
+    abuse/automation screen a pipeline runs before trusting engagement
+    counts: per user, active-day count, total events, the busiest
+    day's count, and an integer burstiness verdict
+    (``max_day · n_days > 3 · n_events`` — the peak day exceeds 3× the
+    user's own mean daily rate; exact cross-multiplication, no
+    floats). Two bucketed aggregates: (user, day) counts, then the
+    per-user fold — the shuffle moves day-combined rows. Columns:
+    user_id, n_days, n_events, max_day, bursty."""
+    from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema, with_ones
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def day_rows(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("user_id"), pa.int64())
+        days = pc.divide(
+            pc.cast(t.column("ts"), pa.int64()), pa.scalar(86400000000, type=pa.int64())
+        )
+        return pa.table({"user_id": us, "day": pc.cast(days, pa.int64())})
+
+    per_day = pin_schema(
+        bucketed_aggregate(
+            with_ones(ev.map_batches(day_rows, batch_format="pyarrow"), "cnt"),
+            ["user_id", "day"],
+            [("cnt", "sum")],
+        ),
+        pa.schema([("user_id", pa.int64()), ("day", pa.int64()), ("cnt", pa.int64())]),
+    )
+
+    def fold_rows(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return pa.schema(
+                [
+                    ("user_id", pa.int64()),
+                    ("n_days", pa.int64()),
+                    ("n_events", pa.int64()),
+                    ("max_day", pa.int64()),
+                ]
+            ).empty_table()
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "n_days": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                "n_events": t.column("cnt"),
+                "max_day": t.column("cnt"),
+            }
+        )
+
+    agg = bucketed_aggregate(
+        per_day.map_batches(fold_rows, batch_format="pyarrow"),
+        ["user_id"],
+        [("n_days", "sum"), ("n_events", "sum"), ("max_day", "max")],
+    )
+    out_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("n_days", pa.int64()),
+            ("n_events", pa.int64()),
+            ("max_day", pa.int64()),
+            ("bursty", pa.int64()),
+        ]
+    )
+
+    def verdict(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return out_schema.empty_table()
+        b = pc.cast(
+            pc.greater(
+                pc.multiply(t.column("max_day"), t.column("n_days")),
+                pc.multiply(t.column("n_events"), pa.scalar(3, type=pa.int64())),
+            ),
+            pa.int64(),
+        )
+        return t.append_column("bursty", b)
+
+    return pin_schema(agg.map_batches(verdict, batch_format="pyarrow"), out_schema)

@@ -224,6 +224,7 @@ SQL_CHECKED = [
     "edge_cut_audit",
     "crawl_budget_waterfill",
     "template_clusters",
+    "user_activity_outliers",
     "qlm_topk",
     "rrf_fusion",
     "ndcg_eval",
