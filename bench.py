@@ -363,6 +363,7 @@ OPERATOR_QUERIES = [
     "crawl_budget_waterfill",
     "template_clusters",
     "user_activity_outliers",
+    "referential_audit",
     "qlm_topk",
     "rrf_fusion",
     "ndcg_eval",

@@ -9800,3 +9800,47 @@ def user_activity_outliers(sf_dir: str):
         return t.append_column("bursty", b)
 
     return pin_schema(agg.map_batches(verdict, batch_format="pyarrow"), out_schema)
+
+
+def referential_audit(sf_dir: str):
+    """Referential-integrity audit over the relational tables — the
+    data-quality gate a warehouse load runs before trusting joins:
+    orphan counts for the three core foreign keys (lineitem→orders,
+    orders→customer, customer→nation) plus each child table's row
+    count. Three bucketed LEFT ANTI joins (the engine's
+    empty-partition-proof join, key columns only leave the scan), each
+    reduced to one bounded count row. Columns: fk, n_rows, n_orphans."""
+    from bioner_ray.stages.shuffle import bucketed_inner_join, pin_schema
+
+    checks = [
+        ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ]
+    rows = []
+    for name, child, ck, parent, pk in checks:
+        c = _read(sf_dir, child, columns=[ck]).map_batches(
+            lambda t, ck=ck: pa.table({"k": pc.cast(t.column(ck), pa.int64())}),
+            batch_format="pyarrow",
+        )
+        p = _read(sf_dir, parent, columns=[pk]).map_batches(
+            lambda t, pk=pk: pa.table({"k": pc.cast(t.column(pk), pa.int64())}),
+            batch_format="pyarrow",
+        )
+        key_schema = pa.schema([("k", pa.int64())])
+        orphans = bucketed_inner_join(
+            pin_schema(c, key_schema),
+            pin_schema(p, key_schema),
+            ["k"],
+            key_schema,
+            key_schema,
+            join_type="left anti",
+        )
+        rows.append((name, c.count(), orphans.count()))
+    return pa.table(
+        {
+            "fk": pa.array([r[0] for r in rows], type=pa.string()),
+            "n_rows": pa.array([r[1] for r in rows], type=pa.int64()),
+            "n_orphans": pa.array([r[2] for r in rows], type=pa.int64()),
+        }
+    )

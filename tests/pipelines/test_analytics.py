@@ -225,6 +225,7 @@ SQL_CHECKED = [
     "crawl_budget_waterfill",
     "template_clusters",
     "user_activity_outliers",
+    "referential_audit",
     "qlm_topk",
     "rrf_fusion",
     "ndcg_eval",
