@@ -364,6 +364,7 @@ OPERATOR_QUERIES = [
     "template_clusters",
     "user_activity_outliers",
     "referential_audit",
+    "pq_distortion",
     "qlm_topk",
     "rrf_fusion",
     "ndcg_eval",

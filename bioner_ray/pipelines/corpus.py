@@ -4102,3 +4102,52 @@ def dedup_savings(sf_dir: str):
             "n_bytes": pa.array([r[2] for r in rows], type=pa.int64()),
         }
     )
+
+
+def pq_distortion(sf_dir: str, m: int = 4, k: int = 4, iters: int = 2):
+    """Codebook-quality report for the PQ layout — the distortion audit
+    that decides whether m/k suffice before an IVF-PQ index ships: per
+    subspace, vector count, total and max integer micromark distance²
+    (the residual the compressed representation loses). One bounded
+    aggregate over ``embedding_pq``'s long-form output. Columns: sub,
+    n_vecs, sum_dist2, max_dist2."""
+    import pyarrow.compute as pc
+
+    from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema
+
+    codes = embedding_pq(sf_dir, m=m, k=k, iters=iters)
+
+    def fold_rows(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return pa.schema(
+                [
+                    ("sub", pa.int64()),
+                    ("n_vecs", pa.int64()),
+                    ("sum_dist2", pa.int64()),
+                    ("max_dist2", pa.int64()),
+                ]
+            ).empty_table()
+        return pa.table(
+            {
+                "sub": t.column("sub"),
+                "n_vecs": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                "sum_dist2": t.column("dist2"),
+                "max_dist2": t.column("dist2"),
+            }
+        )
+
+    return pin_schema(
+        bucketed_aggregate(
+            codes.map_batches(fold_rows, batch_format="pyarrow"),
+            ["sub"],
+            [("n_vecs", "sum"), ("sum_dist2", "sum"), ("max_dist2", "max")],
+        ),
+        pa.schema(
+            [
+                ("sub", pa.int64()),
+                ("n_vecs", pa.int64()),
+                ("sum_dist2", pa.int64()),
+                ("max_dist2", pa.int64()),
+            ]
+        ),
+    )

@@ -226,6 +226,7 @@ SQL_CHECKED = [
     "template_clusters",
     "user_activity_outliers",
     "referential_audit",
+    "pq_distortion",
     "qlm_topk",
     "rrf_fusion",
     "ndcg_eval",
