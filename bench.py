@@ -365,6 +365,7 @@ OPERATOR_QUERIES = [
     "user_activity_outliers",
     "referential_audit",
     "pq_distortion",
+    "host_coverage_gini",
     "qlm_topk",
     "rrf_fusion",
     "ndcg_eval",

@@ -2750,3 +2750,54 @@ def template_clusters(sf_dir: str):
             [("host", pa.string()), ("fingerprint", pa.string()), ("n_pages", pa.int64())]
         ),
     )
+
+
+def host_coverage_gini(sf_dir: str):
+    """Crawl-balance summary: the Gini coefficient of pages-per-host —
+    the one-number skew report a crawl scheduler watches (0 = every
+    host equally covered; →1 = coverage concentrated on a few hosts).
+    Exact integer arithmetic over the HOST-BOUNDED count table
+    (Σᵢ Σⱼ |xᵢ−xⱼ| cross-differences, gini_milli = floor(1000·Σ|Δ| /
+    (2·n·Σx))) — hosts ≤ millions at crawl scale, and the pairwise sum
+    over the bounded table is exact where a float Lorenz integral
+    would not replay. Columns: n_hosts, n_docs, gini_milli."""
+    import numpy as np
+    import ray.data as rd
+
+    from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema, with_ones
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+
+    def to_host(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        hosts = _host_idx(ids)
+        return pa.table(
+            {
+                "host": pa.array(
+                    [f"site{h}.example.com" for h in hosts.tolist()], type=pa.string()
+                )
+            }
+        )
+
+    counts = pin_schema(
+        bucketed_aggregate(
+            with_ones(docs.map_batches(to_host, batch_format="pyarrow"), "n"),
+            ["host"],
+            [("n", "sum")],
+        ),
+        pa.schema([("host", pa.string()), ("n", pa.int64())]),
+    ).to_pandas()  # host-bounded
+    x = counts["n"].to_numpy(dtype=np.int64)
+    n = len(x)
+    total = int(x.sum())
+    diff = int(np.abs(x[:, None] - x[None, :]).sum())
+    gini_milli = (1000 * diff) // (2 * n * total) if total else 0
+    return pa.table(
+        {
+            "n_hosts": pa.array([n], type=pa.int64()),
+            "n_docs": pa.array([total], type=pa.int64()),
+            "gini_milli": pa.array([gini_milli], type=pa.int64()),
+        }
+    )

@@ -227,6 +227,7 @@ SQL_CHECKED = [
     "user_activity_outliers",
     "referential_audit",
     "pq_distortion",
+    "host_coverage_gini",
     "qlm_topk",
     "rrf_fusion",
     "ndcg_eval",
