@@ -366,6 +366,7 @@ OPERATOR_QUERIES = [
     "referential_audit",
     "pq_distortion",
     "host_coverage_gini",
+    "warc_cdx_index",
     "qlm_topk",
     "rrf_fusion",
     "ndcg_eval",

@@ -2801,3 +2801,87 @@ def host_coverage_gini(sf_dir: str):
             "gini_milli": pa.array([gini_milli], type=pa.int64()),
         }
     )
+
+
+def warc_cdx_index(sf_dir: str, num_shards: int = 16):
+    """CDX-style offset index for the WARC export — the companion
+    artifact Common Crawl ships next to every WARC: per record, its
+    shard, byte offset within the shard file and byte length, computed
+    from the REAL rendered record bytes (sources/warc.py grammar) with
+    per-shard prefix sums in url order (the writer's record order).
+    A reader with this index fetches any page by (shard, offset,
+    length) without scanning. One shard-keyed bucketed map_groups —
+    the same exchange the writer itself needs. The twin re-derives
+    lengths arithmetically (47 + len(url) + digits(len(text)) +
+    len(text)) and offsets via a window sum, so a single byte of
+    grammar drift breaks the hash. Columns: url, shard, offset,
+    length."""
+    import hashlib
+
+    import numpy as np
+    import ray.data as rd
+
+    from bioner_ray.sources.warc import format_warc_record
+    from bioner_ray.stages.shuffle import bucketed_map_groups, pin_schema
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    m61 = 1 << 61
+    out_schema = pa.schema(
+        [
+            ("url", pa.string()),
+            ("shard", pa.int64()),
+            ("offset", pa.int64()),
+            ("length", pa.int64()),
+        ]
+    )
+
+    def render(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        hosts = _host_idx(ids)
+        texts = batch.column("text").to_pylist()
+        urls, shards, lens = [], [], []
+        for i, h, t in zip(ids.tolist(), hosts.tolist(), texts):
+            u = f"https://site{h}.example.com/doc/{i}"
+            urls.append(u)
+            shards.append(
+                int.from_bytes(hashlib.md5(u.encode()).digest()[:8], "big")
+                % m61
+                % num_shards
+            )
+            lens.append(len(format_warc_record(u, t or "")))
+        return pa.table(
+            {
+                "shard": pa.array(shards, type=pa.int64()),
+                "url": pa.array(urls, type=pa.string()),
+                "length": pa.array(lens, type=pa.int64()),
+            }
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        if group.num_columns == 0 or group.num_rows == 0:
+            return out_schema.empty_table()
+        group = group.sort_by([("shard", "ascending"), ("url", "ascending")])
+        sh = group.column("shard").to_numpy(zero_copy_only=False)
+        lens = group.column("length").to_numpy(zero_copy_only=False).astype(np.int64)
+        new = np.r_[True, sh[1:] != sh[:-1]]
+        csum = np.concatenate([[0], np.cumsum(lens)])[:-1]
+        base = np.maximum.accumulate(np.where(new, csum, 0))
+        offsets = csum - base
+        return pa.table(
+            {
+                "url": group.column("url"),
+                "shard": pa.array(sh, type=pa.int64()),
+                "offset": pa.array(offsets, type=pa.int64()),
+                "length": pa.array(lens, type=pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    return pin_schema(
+        bucketed_map_groups(
+            docs.map_batches(render, batch_format="pyarrow"), ["shard"], fold
+        ),
+        out_schema,
+    )

@@ -228,6 +228,7 @@ SQL_CHECKED = [
     "referential_audit",
     "pq_distortion",
     "host_coverage_gini",
+    "warc_cdx_index",
     "qlm_topk",
     "rrf_fusion",
     "ndcg_eval",
