@@ -367,6 +367,7 @@ OPERATOR_QUERIES = [
     "pq_distortion",
     "host_coverage_gini",
     "warc_cdx_index",
+    "prf_expansion_terms",
     "qlm_topk",
     "rrf_fusion",
     "ndcg_eval",

@@ -4151,3 +4151,55 @@ def pq_distortion(sf_dir: str, m: int = 4, k: int = 4, iters: int = 2):
             ]
         ),
     )
+
+
+def prf_expansion_terms(sf_dir: str, k: int = 10, n_terms: int = 5):
+    """Pseudo-relevance feedback (Rocchio-style) query expansion — the
+    classic second-pass retrieval step: take the BM25 top-``k``
+    documents as pseudo-relevant, count their terms, drop the original
+    query bag, and propose the top-``n_terms`` expansion terms by
+    (total tf in the top-k desc, doc frequency desc, term asc) — exact
+    integer ordering. The feedback doc set is k rows; the term count
+    over it is bounded by k documents' vocabulary. Columns: term,
+    tf_topk, df_topk, rk."""
+    from collections import Counter
+
+    from bioner_ray.stages.textstats import _split_lower
+
+    top = bm25_topk(sf_dir, k=k).to_pandas()
+    top_ids = set(int(d) for d in top["doc_id"])
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def pull(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.is_in(
+            pc.cast(batch.column("doc_id"), pa.int64()),
+            value_set=pa.array(sorted(top_ids), type=pa.int64()),
+        )
+        return batch.filter(keep)
+
+    fb = docs.map_batches(pull, batch_format="pyarrow").take_all()  # ≤ k rows
+    tf: Counter = Counter()
+    df: Counter = Counter()
+    qbag = set(BM25_TERMS)
+    for row in fb:
+        toks = [
+            t
+            for t in (row["text"] or "").lower().split()
+            if t
+        ]
+        # same tokenization as _split_lower's regex on fixture text
+        # (single-space separated); Counter over the doc
+        c = Counter(t for t in toks if t not in qbag)
+        tf.update(c)
+        df.update({t: 1 for t in c})
+    ranked = sorted(tf.items(), key=lambda kv: (-kv[1], -df[kv[0]], kv[0]))[:n_terms]
+    return pa.table(
+        {
+            "term": pa.array([t for t, _ in ranked], type=pa.string()),
+            "tf_topk": pa.array([int(v) for _, v in ranked], type=pa.int64()),
+            "df_topk": pa.array([int(df[t]) for t, _ in ranked], type=pa.int64()),
+            "rk": pa.array(list(range(1, len(ranked) + 1)), type=pa.int64()),
+        }
+    )

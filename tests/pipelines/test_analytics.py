@@ -229,6 +229,7 @@ SQL_CHECKED = [
     "pq_distortion",
     "host_coverage_gini",
     "warc_cdx_index",
+    "prf_expansion_terms",
     "qlm_topk",
     "rrf_fusion",
     "ndcg_eval",
