@@ -368,6 +368,7 @@ OPERATOR_QUERIES = [
     "host_coverage_gini",
     "warc_cdx_index",
     "prf_expansion_terms",
+    "mirror_confirmed",
     "qlm_topk",
     "rrf_fusion",
     "ndcg_eval",

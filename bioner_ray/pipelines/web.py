@@ -2885,3 +2885,119 @@ def warc_cdx_index(sf_dir: str, num_shards: int = 16):
         ),
         out_schema,
     )
+
+
+def mirror_confirmed(sf_dir: str, prefix_tokens: int = 4, threshold: float = 0.8):
+    """Mirror detection, CONFIRMATION stage — the precision pass after
+    ``web_mirror_candidates``' cheap prefix blocking (4-token prefix
+    here — looser than the candidate query's 8, so FALSE candidates
+    exist and the reject branch is live at test scale): every
+    cross-host candidate doc pair is verified against its EXACT
+    shingle Jaccard
+    (the memoized truth table), and host pairs report candidate vs
+    confirmed counts — the evidence grade a crawl dedup uses before
+    folding a host family. One pair-keyed left-outer join (candidate-
+    set-sized) + one bounded host-pair aggregate on top of the
+    blocking stage's own exchange. Columns: host_a, host_b,
+    n_candidates, n_confirmed."""
+    import numpy as np
+    import ray.data as rd
+
+    from bioner_ray.pipelines.corpus import _jaccard_pairs_memo
+    from bioner_ray.stages.dedup import _bucketed_pairs
+    from bioner_ray.stages.shuffle import (
+        bucketed_aggregate,
+        bucketed_inner_join,
+        pin_schema,
+    )
+    from bioner_ray.stages.textstats import _split_lower
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def key_rows(t: pa.Table) -> pa.Table:
+        keys = [" ".join(toks[:prefix_tokens]) for toks in _split_lower(t, "text")]
+        return pa.table(
+            {"k": pa.array(keys, type=pa.string()), "doc_id": t.column("doc_id")}
+        )
+
+    cand_pairs = _bucketed_pairs(
+        docs.map_batches(key_rows, batch_format="pyarrow"), "k", "doc_id",
+        max_group=1024,
+    )
+
+    pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+
+    def cross_only(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pair_schema.empty_table()
+        a = t.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = _host_idx(a) != _host_idx(b)
+        return pa.table(
+            {"a": pa.array(a[keep]), "b": pa.array(b[keep])}, schema=pair_schema
+        )
+
+    truth = _jaccard_pairs_memo(sf_dir, 0.5).map_batches(
+        lambda t: pa.table(
+            {
+                "a": pc.cast(t.column("a"), pa.int64()),
+                "b": pc.cast(t.column("b"), pa.int64()),
+                "jaccard": t.column("jaccard"),
+            }
+        )
+        if t.num_columns
+        else pa.schema(
+            [("a", pa.int64()), ("b", pa.int64()), ("jaccard", pa.float64())]
+        ).empty_table(),
+        batch_format="pyarrow",
+    )
+    joined = bucketed_inner_join(
+        pin_schema(
+            cand_pairs.map_batches(cross_only, batch_format="pyarrow"), pair_schema
+        ),
+        pin_schema(
+            truth,
+            pa.schema([("a", pa.int64()), ("b", pa.int64()), ("jaccard", pa.float64())]),
+        ),
+        ["a", "b"],
+        pair_schema,
+        pa.schema([("a", pa.int64()), ("b", pa.int64()), ("jaccard", pa.float64())]),
+        join_type="left outer",
+    )
+    out_schema = pa.schema(
+        [
+            ("host_a", pa.string()),
+            ("host_b", pa.string()),
+            ("n_candidates", pa.int64()),
+            ("n_confirmed", pa.int64()),
+        ]
+    )
+
+    def fold_hosts(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return out_schema.empty_table()
+        a = t.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+        j = pc.fill_null(t.column("jaccard"), 0.0).to_numpy(zero_copy_only=False)
+        ha, hb = _host_idx(a), _host_idx(b)
+        lo = np.minimum(ha, hb)
+        hi = np.maximum(ha, hb)
+        return pa.table(
+            {
+                "host_a": pa.array([f"site{h}.example.com" for h in lo.tolist()]),
+                "host_b": pa.array([f"site{h}.example.com" for h in hi.tolist()]),
+                "n_candidates": pa.array(np.ones(len(a), dtype=np.int64)),
+                "n_confirmed": pa.array((j >= threshold).astype(np.int64)),
+            }
+        )
+
+    return pin_schema(
+        bucketed_aggregate(
+            joined.map_batches(fold_hosts, batch_format="pyarrow"),
+            ["host_a", "host_b"],
+            [("n_candidates", "sum"), ("n_confirmed", "sum")],
+        ),
+        out_schema,
+    )

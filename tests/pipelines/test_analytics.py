@@ -230,6 +230,7 @@ SQL_CHECKED = [
     "host_coverage_gini",
     "warc_cdx_index",
     "prf_expansion_terms",
+    "mirror_confirmed",
     "qlm_topk",
     "rrf_fusion",
     "ndcg_eval",
