@@ -369,6 +369,7 @@ OPERATOR_QUERIES = [
     "warc_cdx_index",
     "prf_expansion_terms",
     "mirror_confirmed",
+    "retention_cohorts",
     "qlm_topk",
     "rrf_fusion",
     "ndcg_eval",

@@ -9844,3 +9844,96 @@ def referential_audit(sf_dir: str):
             "n_orphans": pa.array([r[2] for r in rows], type=pa.int64()),
         }
     )
+
+
+def retention_cohorts(sf_dir: str):
+    """Weekly cohort retention — the product-analytics matrix every
+    engagement dashboard serves: users grouped by FIRST-event week
+    (cohort), counted as retained in each later week they appear
+    (week offset 0, 1, 2, …). Integer week keys
+    (epoch_us // (7·86400·10⁶)). Two wide steps: distinct
+    (user, week) pairs, then per-user min week joined back — both
+    bucketed; output bounded by weeks². Columns: cohort_week,
+    week_offset, n_users."""
+    from bioner_ray.stages.shuffle import (
+        bucketed_aggregate,
+        bucketed_inner_join,
+        pin_schema,
+        with_ones,
+    )
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+    wk = pa.scalar(7 * 86400 * 1000000, type=pa.int64())
+
+    def week_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": pc.cast(t.column("user_id"), pa.int64()),
+                "week": pc.cast(
+                    pc.divide(pc.cast(t.column("ts"), pa.int64()), wk), pa.int64()
+                ),
+            }
+        )
+
+    uw_schema = pa.schema([("user_id", pa.int64()), ("week", pa.int64())])
+    # distinct (user, week)
+    uw = pin_schema(
+        bucketed_aggregate(
+            with_ones(ev.map_batches(week_rows, batch_format="pyarrow"), "one"),
+            ["user_id", "week"],
+            [("one", "min")],
+        ),
+        uw_schema,
+    ).materialize()
+    # cohort = per-user min week
+    cohort = pin_schema(
+        bucketed_aggregate(
+            uw.map_batches(
+                lambda t: pa.table(
+                    {"user_id": t.column("user_id"), "cohort_week": t.column("week")}
+                )
+                if t.num_columns
+                else pa.schema(
+                    [("user_id", pa.int64()), ("cohort_week", pa.int64())]
+                ).empty_table(),
+                batch_format="pyarrow",
+            ),
+            ["user_id"],
+            [("cohort_week", "min")],
+        ),
+        pa.schema([("user_id", pa.int64()), ("cohort_week", pa.int64())]),
+    )
+    joined = bucketed_inner_join(
+        uw,
+        cohort,
+        ["user_id"],
+        uw_schema,
+        pa.schema([("user_id", pa.int64()), ("cohort_week", pa.int64())]),
+    )
+    out_schema = pa.schema(
+        [
+            ("cohort_week", pa.int64()),
+            ("week_offset", pa.int64()),
+            ("n_users", pa.int64()),
+        ]
+    )
+
+    def offset_rows(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return out_schema.empty_table()
+        return pa.table(
+            {
+                "cohort_week": t.column("cohort_week"),
+                "week_offset": pc.subtract(t.column("week"), t.column("cohort_week")),
+                "n_users": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    return pin_schema(
+        bucketed_aggregate(
+            joined.map_batches(offset_rows, batch_format="pyarrow"),
+            ["cohort_week", "week_offset"],
+            [("n_users", "sum")],
+        ),
+        out_schema,
+    )

@@ -231,6 +231,7 @@ SQL_CHECKED = [
     "warc_cdx_index",
     "prf_expansion_terms",
     "mirror_confirmed",
+    "retention_cohorts",
     "qlm_topk",
     "rrf_fusion",
     "ndcg_eval",
