@@ -370,6 +370,7 @@ OPERATOR_QUERIES = [
     "prf_expansion_terms",
     "mirror_confirmed",
     "retention_cohorts",
+    "event_type_stationary",
     "qlm_topk",
     "rrf_fusion",
     "ndcg_eval",

@@ -9937,3 +9937,39 @@ def retention_cohorts(sf_dir: str):
         ),
         out_schema,
     )
+
+
+def event_type_stationary(sf_dir: str, rounds: int = 3):
+    """Quasi-stationary mass of the event-type Markov chain — scaled-
+    integer power iteration (the kg_pagerank idiom on the behavioral
+    transition matrix): start every type at 10¹², apply
+    p′(t) = Σ_f p(f)·n(f→t) // out(f) for ``rounds`` fixed rounds
+    (types with no outgoing transitions evaporate their mass, the
+    pagerank dangling convention — document, don't hide). The
+    transition counts come from ``event_transitions`` (types²-bounded);
+    the iteration is exact integer arithmetic over that tiny table, so
+    the twin unrolls the same rounds in HUGEINT. Columns: event_type,
+    mass_scaled."""
+    rows = event_transitions(sf_dir).take_all()  # event-type² bounded
+    n: dict = {}
+    out: dict = {}
+    types = set()
+    for r in rows:
+        f, t, c = r["from_type"], r["to_type"], int(r["n"])
+        n[(f, t)] = c
+        out[f] = out.get(f, 0) + c
+        types.add(f)
+        types.add(t)
+    p = {t: 10**12 for t in types}
+    for _ in range(rounds):
+        nxt = {t: 0 for t in types}
+        for (f, t), c in n.items():
+            nxt[t] += p[f] * c // out[f]
+        p = nxt
+    ordered = sorted(types)
+    return pa.table(
+        {
+            "event_type": pa.array(ordered, type=pa.string()),
+            "mass_scaled": pa.array([p[t] for t in ordered], type=pa.int64()),
+        }
+    )

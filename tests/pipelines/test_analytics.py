@@ -232,6 +232,7 @@ SQL_CHECKED = [
     "prf_expansion_terms",
     "mirror_confirmed",
     "retention_cohorts",
+    "event_type_stationary",
     "qlm_topk",
     "rrf_fusion",
     "ndcg_eval",
