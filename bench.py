@@ -371,6 +371,7 @@ OPERATOR_QUERIES = [
     "mirror_confirmed",
     "retention_cohorts",
     "event_type_stationary",
+    "simhash_precision",
     "qlm_topk",
     "rrf_fusion",
     "ndcg_eval",

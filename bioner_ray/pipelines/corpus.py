@@ -4203,3 +4203,62 @@ def prf_expansion_terms(sf_dir: str, k: int = 10, n_terms: int = 5):
             "rk": pa.array(list(range(1, len(ranked) + 1)), type=pa.int64()),
         }
     )
+
+
+def simhash_precision(sf_dir: str, max_hamming: int = 8):
+    """SimHash calibration — the fingerprint-distance analog of
+    ``minhash_precision``: every SimHash candidate pair (Hamming ≤
+    ``max_hamming``) joined left-outer against its EXACT shingle
+    Jaccard. jaccard 0.0 marks a fingerprint collision between
+    unrelated docs — the false-positive class whose rate justifies
+    the 64-bit/8-ham parameters before a corpus-scale dedup trusts
+    them. Columns: a, b, hamming, jaccard."""
+    import pyarrow.compute as pc
+
+    from bioner_ray.stages.dedup import jaccard_pairs
+    from bioner_ray.stages.shuffle import bucketed_inner_join, pin_schema
+
+    cand_schema = pa.schema(
+        [("a", pa.int64()), ("b", pa.int64()), ("hamming", pa.int64())]
+    )
+    exact_schema = pa.schema(
+        [("a", pa.int64()), ("b", pa.int64()), ("jaccard", pa.float64())]
+    )
+    cand = pin_schema(dedup_simhash_pairs(sf_dir, max_hamming=max_hamming), cand_schema)
+    exact = jaccard_pairs(_documents(sf_dir), threshold=0.0).map_batches(
+        lambda t: t.select(["a", "b", "jaccard"])
+        if t.num_columns
+        else exact_schema.empty_table(),
+        batch_format="pyarrow",
+    )
+    joined = bucketed_inner_join(
+        cand,
+        pin_schema(exact, exact_schema),
+        ["a", "b"],
+        cand_schema,
+        exact_schema,
+        join_type="left outer",
+    )
+    out_schema = pa.schema(
+        [
+            ("a", pa.int64()),
+            ("b", pa.int64()),
+            ("hamming", pa.int64()),
+            ("jaccard", pa.float64()),
+        ]
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return out_schema.empty_table()
+        return pa.table(
+            {
+                "a": t.column("a"),
+                "b": t.column("b"),
+                "hamming": t.column("hamming"),
+                "jaccard": pc.fill_null(t.column("jaccard"), 0.0),
+            },
+            schema=out_schema,
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")

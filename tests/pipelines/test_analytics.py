@@ -233,6 +233,7 @@ SQL_CHECKED = [
     "mirror_confirmed",
     "retention_cohorts",
     "event_type_stationary",
+    "simhash_precision",
     "qlm_topk",
     "rrf_fusion",
     "ndcg_eval",
