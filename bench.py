@@ -372,6 +372,7 @@ OPERATOR_QUERIES = [
     "retention_cohorts",
     "event_type_stationary",
     "simhash_precision",
+    "hll_merge_proof",
     "qlm_topk",
     "rrf_fusion",
     "ndcg_eval",

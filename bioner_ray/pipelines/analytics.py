@@ -9973,3 +9973,104 @@ def event_type_stationary(sf_dir: str, rounds: int = 3):
             "mass_scaled": pa.array([p[t] for t in ordered], type=pa.int64()),
         }
     )
+
+
+def hll_merge_proof(sf_dir: str, p: int = 8):
+    """Distributed-sketch mergeability, proven END TO END: the event
+    stream is split into two shards (event_id parity — users overlap
+    both), each shard builds its own HLL register table, the two are
+    MERGED (per-(type, bucket) max — the operation a tree of cluster
+    nodes applies), and the merged estimate is reported next to the
+    single-pass full-stream estimate. Equality is the property that
+    makes HLL safe to combine across 256 nodes without a central pass;
+    the twin re-derives BOTH sides independently (the half registers
+    max-merged in SQL vs the full registers), so the hash pins the
+    merge law itself, not one shared expression. Columns: event_type,
+    v_zero, s_int, est_distinct, v_zero_merged, s_int_merged,
+    est_merged, equal."""
+    from bioner_ray.stages.shuffle import bucketed_inner_join, pin_schema
+    from bioner_ray.stages.sketch import hll_finish, hll_merge, hll_registers
+
+    ev = _read(sf_dir, "events", columns=["event_id", "event_type", "user_id"])
+
+    def half(parity: int):
+        return ev.map_batches(
+            lambda t, parity=parity: t.filter(
+                pc.equal(
+                    pc.bit_wise_and(pc.cast(t.column("event_id"), pa.int64()), 1),
+                    parity,
+                )
+            ).select(["event_type", "user_id"]),
+            batch_format="pyarrow",
+        )
+
+    full = hll_finish(
+        hll_registers(ev.select_columns(["event_type", "user_id"]), "event_type", "user_id", p=p),
+        "event_type",
+        p=p,
+    )
+    merged = hll_finish(
+        hll_merge(
+            hll_registers(half(0), "event_type", "user_id", p=p),
+            hll_registers(half(1), "event_type", "user_id", p=p),
+            "event_type",
+        ),
+        "event_type",
+        p=p,
+    )
+    f_schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("v_zero", pa.int64()),
+            ("s_int", pa.int64()),
+            ("est_distinct", pa.float64()),
+        ]
+    )
+    m_schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("v_zero_merged", pa.int64()),
+            ("s_int_merged", pa.int64()),
+            ("est_merged", pa.float64()),
+        ]
+    )
+    joined = bucketed_inner_join(
+        pin_schema(full, f_schema),
+        pin_schema(
+            merged.map_batches(
+                lambda t: t.rename_columns(
+                    ["event_type", "v_zero_merged", "s_int_merged", "est_merged"]
+                )
+                if t.num_columns
+                else t,
+                batch_format="pyarrow",
+            ),
+            m_schema,
+        ),
+        ["event_type"],
+        f_schema,
+        m_schema,
+    )
+    out_schema = pa.schema(
+        list(f_schema)
+        + [
+            ("v_zero_merged", pa.int64()),
+            ("s_int_merged", pa.int64()),
+            ("est_merged", pa.float64()),
+            ("equal", pa.int64()),
+        ]
+    )
+
+    def verdict(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return out_schema.empty_table()
+        eq = pc.cast(
+            pc.and_(
+                pc.equal(t.column("s_int"), t.column("s_int_merged")),
+                pc.equal(t.column("v_zero"), t.column("v_zero_merged")),
+            ),
+            pa.int64(),
+        )
+        return t.append_column("equal", eq)
+
+    return pin_schema(joined.map_batches(verdict, batch_format="pyarrow"), out_schema)

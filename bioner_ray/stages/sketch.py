@@ -130,11 +130,16 @@ def hll_distinct(ds, key_col: str, value_col: str, p: int = 8):
     ``math.log``, the kg_edge_pmi pinning. The per-key finish walks a
     table bounded by keys × m — the value_percentiles driver-finish
     argument. Columns: key_col, v_zero, s_int, est_distinct."""
-    import math
+    return hll_finish(hll_registers(ds, key_col, value_col, p=p), key_col, p=p)
 
-    from bioner_ray.stages.shuffle import bucketed_aggregate
 
-    m = 1 << p
+def hll_registers(ds, key_col: str, value_col: str, p: int = 8):
+    """The mergeable half of the HLL: per-key (bucket, max-rank)
+    register table — union two register tables and re-max to MERGE
+    sketches (the property ``hll_merge_proof`` pins end to end).
+    Bounded by keys × 2^p rows."""
+    from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema
+
     tail_bits = 61 - p
     rank_cap = tail_bits + 1  # 54 at p=8
 
@@ -168,12 +173,42 @@ def hll_distinct(ds, key_col: str, value_col: str, p: int = 8):
             }
         )
 
-    regs = bucketed_aggregate(
-        ds.map_batches(partial, batch_format="pyarrow"),
-        [key_col, "bucket"],
-        [("rank", "max")],
+    reg_schema = pa.schema(
+        [(key_col, pa.string()), ("bucket", pa.int64()), ("rank", pa.int64())]
+    )
+    return pin_schema(
+        bucketed_aggregate(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            [key_col, "bucket"],
+            [("rank", "max")],
+        ),
+        reg_schema,
     )
 
+
+def hll_merge(regs_a, regs_b, key_col: str):
+    """Sketch merge = per-(key, bucket) max over the unioned register
+    tables — associative and order-free."""
+    from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema
+
+    reg_schema = pa.schema(
+        [(key_col, pa.string()), ("bucket", pa.int64()), ("rank", pa.int64())]
+    )
+    return pin_schema(
+        bucketed_aggregate(
+            regs_a.union(regs_b), [key_col, "bucket"], [("rank", "max")]
+        ),
+        reg_schema,
+    )
+
+
+def hll_finish(regs, key_col: str, p: int = 8):
+    """Registers → (v_zero, s_int, est_distinct) per key."""
+    import math
+
+    m = 1 << p
+    tail_bits = 61 - p
+    rank_cap = tail_bits + 1
     alpha = 0.7213 / (1.0 + 1.079 / float(m))
 
     def finish(t: pa.Table) -> pa.Table:
@@ -211,16 +246,7 @@ def hll_distinct(ds, key_col: str, value_col: str, p: int = 8):
 
     # the register table is bounded by keys × m — per-key finish groups
     # whole keys via the same coarse-bucket shuffle as every aggregate
-    from bioner_ray.stages.shuffle import pin_schema
-
-    reg_schema = pa.schema(
-        [(key_col, pa.string()), ("bucket", pa.int64()), ("rank", pa.int64())]
-    )
-    return (
-        pin_schema(regs, reg_schema)
-        .groupby(key_col)
-        .map_groups(finish, batch_format="pyarrow")
-    )
+    return regs.groupby(key_col).map_groups(finish, batch_format="pyarrow")
 
 
 def cms_params(depth: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:

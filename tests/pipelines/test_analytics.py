@@ -234,6 +234,7 @@ SQL_CHECKED = [
     "retention_cohorts",
     "event_type_stationary",
     "simhash_precision",
+    "hll_merge_proof",
     "qlm_topk",
     "rrf_fusion",
     "ndcg_eval",
