@@ -373,6 +373,7 @@ OPERATOR_QUERIES = [
     "event_type_stationary",
     "simhash_precision",
     "hll_merge_proof",
+    "rfm_segments",
     "qlm_topk",
     "rrf_fusion",
     "ndcg_eval",

@@ -10074,3 +10074,88 @@ def hll_merge_proof(sf_dir: str, p: int = 8):
         return t.append_column("equal", eq)
 
     return pin_schema(joined.map_batches(verdict, batch_format="pyarrow"), out_schema)
+
+
+def rfm_segments(sf_dir: str):
+    """RFM customer segmentation — the classic marketing-analytics
+    cube: per customer, Recency (days since last order, against the
+    corpus max order day), Frequency (order count) and Monetary (cent
+    total), each scored 1-3 by EXACT discrete tercile cutpoints
+    (``quantile_disc`` rule — the value_percentiles idiom: integer
+    order statistics, no interpolation, identical in DuckDB), composed
+    into the segment code 100·r + 10·f + m. Shape: one bucketed
+    per-customer aggregate; cutpoints are six scalars from the bounded
+    customer table; scoring is a vectorized second pass. Columns:
+    o_custkey, recency_days, n_orders, total_cents, segment."""
+    from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema, with_ones
+
+    orders = _read(
+        sf_dir, "orders", columns=["o_custkey", "o_totalprice", "o_orderdate"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        day = pc.cast(
+            pc.divide(
+                pc.cast(t.column("o_orderdate"), pa.int64()),
+                pa.scalar(86400000000, type=pa.int64()),
+            ),
+            pa.int64(),
+        )
+        cents = pc.cast(pc.round(pc.multiply(t.column("o_totalprice"), 100)), pa.int64())
+        return pa.table(
+            {
+                "o_custkey": pc.cast(t.column("o_custkey"), pa.int64()),
+                "last_day": day,
+                "n_orders": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                "total_cents": cents,
+            }
+        )
+
+    per_cust = pin_schema(
+        bucketed_aggregate(
+            orders.map_batches(prep, batch_format="pyarrow"),
+            ["o_custkey"],
+            [("last_day", "max"), ("n_orders", "sum"), ("total_cents", "sum")],
+        ),
+        pa.schema(
+            [
+                ("o_custkey", pa.int64()),
+                ("last_day", pa.int64()),
+                ("n_orders", pa.int64()),
+                ("total_cents", pa.int64()),
+            ]
+        ),
+    ).materialize()
+
+    # cutpoints over the CUSTOMER-bounded table (quantile_disc rule:
+    # the element at ceil(q*n)-1 of the ascending sort)
+    df = per_cust.to_pandas()
+    max_day = int(df["last_day"].max())
+    df["recency_days"] = max_day - df["last_day"]
+
+    def cuts(col):
+        v = np.sort(df[col].to_numpy(np.int64))
+        n = len(v)
+        idx = lambda q: v[max(0, int(np.ceil(q * n)) - 1)]
+        return int(idx(1 / 3)), int(idx(2 / 3))
+
+    rc1, rc2 = cuts("recency_days")
+    fc1, fc2 = cuts("n_orders")
+    mc1, mc2 = cuts("total_cents")
+
+    def score(v, c1, c2, invert=False):
+        s = np.where(v <= c1, 1, np.where(v <= c2, 2, 3)).astype(np.int64)
+        return (4 - s) if invert else s
+
+    r = score(df["recency_days"].to_numpy(np.int64), rc1, rc2, invert=True)
+    f = score(df["n_orders"].to_numpy(np.int64), fc1, fc2)
+    m = score(df["total_cents"].to_numpy(np.int64), mc1, mc2)
+    return pa.table(
+        {
+            "o_custkey": pa.array(df["o_custkey"].to_numpy(np.int64)),
+            "recency_days": pa.array(df["recency_days"].to_numpy(np.int64)),
+            "n_orders": pa.array(df["n_orders"].to_numpy(np.int64)),
+            "total_cents": pa.array(df["total_cents"].to_numpy(np.int64)),
+            "segment": pa.array(100 * r + 10 * f + m, type=pa.int64()),
+        }
+    )

@@ -235,6 +235,7 @@ SQL_CHECKED = [
     "event_type_stationary",
     "simhash_precision",
     "hll_merge_proof",
+    "rfm_segments",
     "qlm_topk",
     "rrf_fusion",
     "ndcg_eval",
