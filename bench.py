@@ -374,6 +374,7 @@ OPERATOR_QUERIES = [
     "simhash_precision",
     "hll_merge_proof",
     "rfm_segments",
+    "dau_wau_stickiness",
     "qlm_topk",
     "rrf_fusion",
     "ndcg_eval",

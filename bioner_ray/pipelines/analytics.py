@@ -10159,3 +10159,134 @@ def rfm_segments(sf_dir: str):
             "segment": pa.array(100 * r + 10 * f + m, type=pa.int64()),
         }
     )
+
+
+def dau_wau_stickiness(sf_dir: str):
+    """Stickiness (DAU/WAU) per week — the engagement ratio product
+    dashboards track: per week, the weekly-active count, the SUM of
+    daily-active counts, and stickiness_milli = 1000·Σdau // (7·wau)
+    (exact integers; the mean-DAU-over-WAU convention with a fixed
+    7-day denominator so partial weeks read honestly low). Two
+    distinct-pair aggregates ((user, day) and (user, week)) plus
+    bounded folds — the two-level count-distinct pattern twice.
+    Columns: week, wau, sum_dau, stickiness_milli."""
+    from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema, with_ones
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+    day_us = pa.scalar(86400000000, type=pa.int64())
+
+    def keys(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t.column("ts"), pa.int64())
+        day = pc.cast(pc.divide(ts, day_us), pa.int64())
+        week = pc.cast(
+            pc.divide(ts, pa.scalar(604800000000, type=pa.int64())), pa.int64()
+        )
+        return pa.table(
+            {
+                "user_id": pc.cast(t.column("user_id"), pa.int64()),
+                "day": day,
+                "week": week,
+            }
+        )
+
+    kd = ev.map_batches(keys, batch_format="pyarrow").materialize()
+    ud = pin_schema(
+        bucketed_aggregate(
+            with_ones(
+                kd.map_batches(
+                    lambda t: t.select(["user_id", "day", "week"]),
+                    batch_format="pyarrow",
+                ),
+                "one",
+            ),
+            ["user_id", "day", "week"],
+            [("one", "min")],
+        ),
+        pa.schema(
+            [("user_id", pa.int64()), ("day", pa.int64()), ("week", pa.int64())]
+        ),
+    )
+    # Σdau per week: distinct (user, day) rows folded by week
+    dau = bucketed_aggregate(
+        ud.map_batches(
+            lambda t: pa.table(
+                {
+                    "week": t.column("week"),
+                    "sum_dau": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                }
+            )
+            if t.num_columns
+            else pa.schema([("week", pa.int64()), ("sum_dau", pa.int64())]).empty_table(),
+            batch_format="pyarrow",
+        ),
+        ["week"],
+        [("sum_dau", "sum")],
+    )
+    # wau: distinct (user, week)
+    uw = pin_schema(
+        bucketed_aggregate(
+            with_ones(
+                kd.map_batches(
+                    lambda t: t.select(["user_id", "week"]), batch_format="pyarrow"
+                ),
+                "one",
+            ),
+            ["user_id", "week"],
+            [("one", "min")],
+        ),
+        pa.schema([("user_id", pa.int64()), ("week", pa.int64())]),
+    )
+    wau = bucketed_aggregate(
+        uw.map_batches(
+            lambda t: pa.table(
+                {
+                    "week": t.column("week"),
+                    "wau": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                }
+            )
+            if t.num_columns
+            else pa.schema([("week", pa.int64()), ("wau", pa.int64())]).empty_table(),
+            batch_format="pyarrow",
+        ),
+        ["week"],
+        [("wau", "sum")],
+    )
+    from bioner_ray.stages.shuffle import bucketed_inner_join
+
+    wk_schema_d = pa.schema([("week", pa.int64()), ("sum_dau", pa.int64())])
+    wk_schema_w = pa.schema([("week", pa.int64()), ("wau", pa.int64())])
+    joined = bucketed_inner_join(
+        pin_schema(dau, wk_schema_d),
+        pin_schema(wau, wk_schema_w),
+        ["week"],
+        wk_schema_d,
+        wk_schema_w,
+    )
+    out_schema = pa.schema(
+        [
+            ("week", pa.int64()),
+            ("wau", pa.int64()),
+            ("sum_dau", pa.int64()),
+            ("stickiness_milli", pa.int64()),
+        ]
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return out_schema.empty_table()
+        import numpy as np
+
+        sd = t.column("sum_dau").to_numpy(zero_copy_only=False).astype(np.int64)
+        w = t.column("wau").to_numpy(zero_copy_only=False).astype(np.int64)
+        st = np.where(w > 0, (1000 * sd) // (7 * np.maximum(w, 1)), 0)
+        return pa.table(
+            {
+                "week": t.column("week"),
+                "wau": pa.array(w),
+                "sum_dau": pa.array(sd),
+                "stickiness_milli": pa.array(st),
+            },
+            schema=out_schema,
+        )
+
+    return pin_schema(joined.map_batches(finish, batch_format="pyarrow"), out_schema)

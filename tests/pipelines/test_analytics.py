@@ -236,6 +236,7 @@ SQL_CHECKED = [
     "simhash_precision",
     "hll_merge_proof",
     "rfm_segments",
+    "dau_wau_stickiness",
     "qlm_topk",
     "rrf_fusion",
     "ndcg_eval",
