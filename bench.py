@@ -375,6 +375,7 @@ OPERATOR_QUERIES = [
     "hll_merge_proof",
     "rfm_segments",
     "dau_wau_stickiness",
+    "kg_reciprocity",
     "qlm_topk",
     "rrf_fusion",
     "ndcg_eval",

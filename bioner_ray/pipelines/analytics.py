@@ -10290,3 +10290,58 @@ def dau_wau_stickiness(sf_dir: str):
         )
 
     return pin_schema(joined.map_batches(finish, batch_format="pyarrow"), out_schema)
+
+
+def kg_reciprocity(sf_dir: str):
+    """Directed-edge reciprocity of the canonical KG — the graph-shape
+    scalar separating citation-like DAGs (→0) from social/co-occurrence
+    graphs (→1), the sanity bound KG link-prediction baselines quote:
+    among distinct directed (subj, obj) pairs (self-loops out), the
+    fraction whose reverse pair also exists, in exact integer milli.
+    One dedup aggregate + one pair-keyed left-semi join against the
+    swapped table + a bounded fold. Columns: n_directed,
+    n_reciprocated, reciprocity_milli."""
+    from bioner_ray.stages.shuffle import (
+        bucketed_aggregate,
+        bucketed_inner_join,
+        pin_schema,
+        with_ones,
+    )
+
+    pair_schema = pa.schema([("a", pa.string()), ("b", pa.string())])
+    edges = kg_edges(sf_dir)
+
+    def to_pairs(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pair_schema.empty_table()
+        f = t.filter(pc.not_equal(t.column("subj"), t.column("obj")))
+        return pa.table({"a": f.column("subj"), "b": f.column("obj")})
+
+    distinct = pin_schema(
+        bucketed_aggregate(
+            with_ones(edges.map_batches(to_pairs, batch_format="pyarrow"), "one"),
+            ["a", "b"],
+            [("one", "min")],
+        ),
+        pair_schema,
+    ).materialize()
+    swapped = distinct.map_batches(
+        lambda t: pa.table({"a": t.column("b"), "b": t.column("a")})
+        if t.num_columns
+        else pair_schema.empty_table(),
+        batch_format="pyarrow",
+    )
+    mutual = bucketed_inner_join(
+        distinct, swapped, ["a", "b"], pair_schema, pair_schema, join_type="left semi"
+    )
+    n_dir = distinct.count()
+    n_rec = mutual.count()
+    return pa.table(
+        {
+            "n_directed": pa.array([n_dir], type=pa.int64()),
+            "n_reciprocated": pa.array([n_rec], type=pa.int64()),
+            "reciprocity_milli": pa.array(
+                [(1000 * n_rec) // n_dir if n_dir else 0], type=pa.int64()
+            ),
+        }
+    )

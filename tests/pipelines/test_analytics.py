@@ -237,6 +237,7 @@ SQL_CHECKED = [
     "hll_merge_proof",
     "rfm_segments",
     "dau_wau_stickiness",
+    "kg_reciprocity",
     "qlm_topk",
     "rrf_fusion",
     "ndcg_eval",
