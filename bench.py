@@ -147,6 +147,7 @@ OPERATOR_QUERIES = [
     "kg_triangles",
     "kg_publish",
     "doc_logprob",
+    "doc_logprob_capped",
     # round 3: vectorized walk corpus, k-core peel, Bloom membership
     "kg_walks",
     "kg_walk_pairs",
@@ -174,7 +175,9 @@ OPERATOR_QUERIES = [
     "doc_length_deciles",
     "orders_profile",
     "doc_bigram_logprob",
+    "doc_bigram_logprob_capped",
     "doc_kn_logprob",
+    "doc_kn_logprob_capped",
     "lesk_disambiguation",
     "kg_ppr",
     "weekly_active_users",

@@ -1946,21 +1946,42 @@ def alias_groups(sf_dir: str, min_variants: int = 2):
     return merged
 
 
-def doc_logprob(sf_dir: str, max_vocab: int | None = None):
+def _global_top_k(counts_ds, order_by, k: int):
+    """Combiner-pruned GLOBAL top-K collect: every block keeps its own
+    local top-K before the single-bucket reduce, so ≤ K rows leave each
+    block and the driver sees ≤ K rows total — never the full table.
+    Returns a pandas frame of the kept rows (the model-broadcast step
+    of every capped-LM build)."""
+    from bioner_ray.stages.rank import top_k_per_group
+
+    def grp(t: pa.Table) -> pa.Table:
+        return t.append_column("_g", pa.array(np.zeros(t.num_rows, dtype=np.int64)))
+
+    return top_k_per_group(
+        counts_ds.map_batches(grp, batch_format="pyarrow"),
+        key_col="_g",
+        order_by=order_by,
+        k=k,
+    ).to_pandas()
+
+
+def doc_logprob(sf_dir: str, max_vocab: int | None = 262144):
     """Unigram-surprise document scoring — the perplexity-filter
     stand-in (CCNet-style: rank documents by how improbable their
     tokens are under a corpus LM; here an add-one-smoothed unigram
     model built from the corpus itself). Two passes:
 
-    1. global token counts (ONE ``bucketed_aggregate``); the vocabulary
-       table collects driver-side to build the log-prob lookup — the
-       model-broadcast step. ``max_vocab`` is the web-scale mode (the
-       standard KenLM/CCNet shape): the top-K words by (count desc,
-       word) are kept — filtered DISTRIBUTED before the collect, so the
-       driver only ever sees ≤ K rows — and every other token scores as
-       one shared OOV bucket carrying the REMAINING total count. The
-       oracle-checked configuration uses the full vocab (bounded at
-       test scale); capped mode is pinned by its own pytest.
+    1. global token counts (ONE ``bucketed_aggregate`` over the
+       vectorized ``token_count_partial`` combiner); the model table
+       collects driver-side to build the log-prob lookup — the
+       model-broadcast step. ``max_vocab`` (DEFAULT: the web-scale
+       mode, the standard KenLM/CCNet shape) keeps the top-K words by
+       (count desc, word) — filtered DISTRIBUTED before the collect,
+       so the driver only ever sees ≤ K rows — and every other token
+       scores as ONE shared OOV bucket carrying the REMAINING total
+       count (add-one over kept-words + the OOV class). ``None`` is
+       the explicit small-corpus escape hatch that collects the full
+       vocabulary.
     2. per-document score: tokens are flattened vectorized (same
        split/offset kernel as ``alias_groups``), mapped through the
        broadcast lookup, and segment-summed — no shuffle at all.
@@ -1976,23 +1997,11 @@ def doc_logprob(sf_dir: str, max_vocab: int | None = None):
     import ray
 
     from bioner_ray.stages.shuffle import bucketed_aggregate
-    from bioner_ray.stages.textstats import _split_lower
-
-    def partial(batch: pa.Table) -> pa.Table:
-        counts: dict[str, int] = {}
-        for toks in _split_lower(batch, "text"):
-            for t in toks:
-                counts[t] = counts.get(t, 0) + 1
-        return pa.table(
-            {
-                "word": pa.array(list(counts.keys()), type=pa.string()),
-                "cnt": pa.array(list(counts.values()), type=pa.int64()),
-            }
-        )
+    from bioner_ray.stages.textstats import token_count_partial
 
     counts = bucketed_aggregate(
         _read(sf_dir, "documents", columns=["text"]).map_batches(
-            partial, batch_format="pyarrow"
+            token_count_partial, batch_format="pyarrow"
         ),
         ["word"],
         [("cnt", "sum")],
@@ -2007,27 +2016,15 @@ def doc_logprob(sf_dir: str, max_vocab: int | None = None):
         }
         oov_lp = 0  # unreachable: the model covers its own corpus
     else:
-        from bioner_ray.stages.rank import top_k_per_group
         from bioner_ray.stages.shuffle import pin_schema
 
         counts = pin_schema(
             counts, pa.schema([("word", pa.string()), ("cnt", pa.int64())])
         ).materialize()
-        n_total = float(counts.sum("cnt"))
-
-        def grp(t: pa.Table) -> pa.Table:
-            return t.append_column(
-                "_g", pa.array(np.zeros(t.num_rows, dtype=np.int64))
-            )
-
-        # combiner-pruned GLOBAL top-K: ≤ K rows leave each block, the
-        # driver sees ≤ K rows total — never the full vocabulary
-        vocab = top_k_per_group(
-            counts.map_batches(grp, batch_format="pyarrow"),
-            key_col="_g",
-            order_by=[("cnt", "descending"), ("word", "ascending")],
-            k=max_vocab,
-        ).to_pandas()
+        n_total = float(counts.sum("cnt") or 0)
+        vocab = _global_top_k(
+            counts, [("cnt", "descending"), ("word", "ascending")], max_vocab
+        )
         kept_total = float(vocab["cnt"].sum())
         # classes = kept words + ONE shared OOV bucket (add-one over all)
         denom = n_total + float(len(vocab)) + 1.0
@@ -2169,25 +2166,42 @@ def weekly_active_users(sf_dir: str):
     return counts.map_batches(finish, batch_format="pyarrow")
 
 
-def _bigram_micro_score_ds(sf_dir: str, lp: dict, fallback: dict, out_col: str):
+def _bigram_micro_score_ds(
+    sf_dir: str,
+    lp: dict,
+    fallback: dict,
+    out_col: str,
+    fallback2: dict | None = None,
+    fallback_default: int | None = None,
+    fallback2_default: int | None = None,
+):
     """Streaming bigram score pass shared by the add-one and Kneser-Ney
     LMs: the within-doc bigram stream is built vectorized from the
     split offsets (consecutive filtered tokens, no cross-doc pairs),
-    mapped through the broadcast micro-nat lookup (absent bigram →
-    ``fallback[w1]``; pass ``{}`` when the model is trained on the
-    corpus it scores, so every bigram is present), and segment-summed
+    mapped through the broadcast micro-nat lookup, and segment-summed
     in int64 — order-independent, bit-equal under any partitioning.
+
+    Absent-bigram handling (the capped-LM backoff): micro =
+    ``fallback[w1]`` (→ ``fallback_default`` when w1 is itself outside
+    the capped model), PLUS — when ``fallback2`` is given — the
+    continuation component ``fallback2[w2]`` (→ ``fallback2_default``).
+    Each component is pre-floored to integer micro-nats by the model
+    builder, so the two-component sum is exact integer arithmetic the
+    SQL twin replays verbatim. Pass ``{}``/None when the model is
+    trained on the corpus it scores, so every bigram is present.
     Docs with < 2 tokens emit no row (matching the SQL GROUP BY)."""
     import ray
 
     SEP = "\x1f"
     lp_ref = ray.put(lp)
     fb_ref = ray.put(fallback)
+    fb2_ref = ray.put(fallback2)
 
     def score(batch: pa.Table) -> pa.Table:
         import pandas as pd
 
         table, fb = ray.get(lp_ref), ray.get(fb_ref)
+        fb2 = ray.get(fb2_ref)
         text = pc.fill_null(batch.column("text"), "")
         split = pc.split_pattern_regex(pc.utf8_lower(text), r"\s+").combine_chunks()
         off = split.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
@@ -2211,8 +2225,17 @@ def _bigram_micro_score_ds(sf_dir: str, lp: dict, fallback: dict, out_col: str):
         kl = pd.Series(keys.to_numpy()[same])
         w1 = pd.Series(toks.to_numpy()[same])
         micro = kl.map(table)
-        if fb:
-            micro = micro.fillna(w1.map(fb))
+        if fb or fallback_default is not None:
+            fb_part = w1.map(fb) if fb else pd.Series(np.nan, index=w1.index)
+            if fallback_default is not None:
+                fb_part = fb_part.fillna(fallback_default)
+            if fb2 is not None:
+                w2 = pd.Series(toks.shift(-1).to_numpy()[same])
+                fb2_part = w2.map(fb2) if fb2 else pd.Series(np.nan, index=w2.index)
+                if fallback2_default is not None:
+                    fb2_part = fb2_part.fillna(fallback2_default)
+                fb_part = fb_part + fb2_part
+            micro = micro.fillna(fb_part)
         if micro.isna().any():
             # contract violation, not a cast crash (ADVICE r3): a
             # scored bigram is absent from the broadcast model and no
@@ -2247,84 +2270,105 @@ def _bigram_micro_score_ds(sf_dir: str, lp: dict, fallback: dict, out_col: str):
     )
 
 
-def doc_bigram_logprob(sf_dir: str):
+def doc_bigram_logprob(
+    sf_dir: str,
+    max_bigrams: int | None = 1048576,
+    max_vocab: int | None = 262144,
+):
     """Bigram-LM document scoring — the doc_logprob upgrade from
     unigram surprise to conditional add-one bigram probability
-    ``P(w2|w1) = (C12 + 1) / (C1 + V)`` (V = unigram vocab size): the
-    standard KenLM-shaped perplexity-filter signal, here with the
-    exact-replay contract.
+    ``P(w2|w1) = (C12 + 1) / (C1 + V)``: the standard KenLM-shaped
+    perplexity-filter signal, with the exact-replay contract.
 
-    Two passes: (1) bigram + unigram count tables (two bucketed
-    aggregates over ONE corpus read each); both are engineered-vocab
-    bounded here and broadcast as micro-nat lookup dicts — at web
-    scale the bigram table gets the same top-K + OOV-bucket cap
-    doc_logprob's ``max_vocab`` mode documents. (2) a streaming score
-    pass: the within-doc bigram stream is built vectorized from the
-    split offsets (consecutive FILTERED tokens, no cross-doc pairs),
-    mapped through the broadcast dicts (absent bigram → the same
-    ``ln(1/(C1+V))`` add-one fallback the SQL coalesce path computes),
-    and segment-summed in integer micro-nats (``floor(ln(p)·1e6)``,
-    libm log) — order-independent, bit-equal under any partitioning.
-    Docs with < 2 tokens emit no row (matching the SQL GROUP BY).
+    Model build (pass 1): bigram + unigram count tables — two bucketed
+    aggregates over the vectorized ``bigram_count_partial`` /
+    ``token_count_partial`` combiners. BOTH tables are capped by
+    DEFAULT (the web-scale mode — at 100 TB the bigram type count is
+    10⁹⁺): a combiner-pruned distributed top-K by (count desc, key)
+    runs BEFORE the driver collect, so the driver only ever sees
+    ≤ max_bigrams + max_vocab rows. The capped unigram model is
+    doc_logprob's shape exactly — kept words + ONE shared OOV context
+    bucket carrying the remaining count mass, V = kept + 1 classes —
+    and a bigram pruned from (or absent from) the kept table scores
+    as the add-one miss ``ln(1/(C1'+V))`` where C1' is the kept count
+    of w1, or the OOV bucket's mass when w1 itself was pruned.
+    ``None`` on either cap is the explicit small-corpus escape hatch
+    (full-table collect, V = vocab size, no OOV class).
+
+    Pass 2: the shared streaming score pass — within-doc bigram stream
+    built vectorized from the split offsets (consecutive FILTERED
+    tokens, no cross-doc pairs), mapped through the broadcast dicts,
+    segment-summed in integer micro-nats (``floor(ln(p)·1e6)``, libm
+    log) — order-independent, bit-equal under any partitioning. Docs
+    with < 2 tokens emit no row (matching the SQL GROUP BY).
     Columns: doc_id, n_bigrams, logprob_micro."""
     import math
 
-    import ray
-
-    from bioner_ray.stages.shuffle import bucketed_aggregate
-    from bioner_ray.stages.textstats import _split_lower
-
-    SEP = "\x1f"
-
-    def bg_partial(batch: pa.Table) -> pa.Table:
-        counts: dict[str, int] = {}
-        for toks in _split_lower(batch, "text"):
-            for x, y in zip(toks, toks[1:]):
-                k = x + SEP + y
-                counts[k] = counts.get(k, 0) + 1
-        return pa.table(
-            {
-                "bg": pa.array(list(counts.keys()), type=pa.string()),
-                "cnt": pa.array(list(counts.values()), type=pa.int64()),
-            }
-        )
-
-    def uni_partial(batch: pa.Table) -> pa.Table:
-        counts: dict[str, int] = {}
-        for toks in _split_lower(batch, "text"):
-            for t in toks:
-                counts[t] = counts.get(t, 0) + 1
-        return pa.table(
-            {
-                "word": pa.array(list(counts.keys()), type=pa.string()),
-                "cnt": pa.array(list(counts.values()), type=pa.int64()),
-            }
-        )
+    from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema
+    from bioner_ray.stages.textstats import (
+        BIGRAM_SEP as SEP,
+        bigram_count_partial,
+        token_count_partial,
+    )
 
     docs = _read(sf_dir, "documents", columns=["text"])
-    bg = bucketed_aggregate(
-        docs.map_batches(bg_partial, batch_format="pyarrow"), ["bg"], [("cnt", "sum")]
-    ).to_pandas()
-    uni = bucketed_aggregate(
-        docs.map_batches(uni_partial, batch_format="pyarrow"),
+    bg_counts = bucketed_aggregate(
+        docs.map_batches(bigram_count_partial, batch_format="pyarrow"),
+        ["bg"],
+        [("cnt", "sum")],
+    )
+    uni_counts = bucketed_aggregate(
+        docs.map_batches(token_count_partial, batch_format="pyarrow"),
         ["word"],
         [("cnt", "sum")],
-    ).to_pandas()
-    v = float(len(uni))
-    c1 = dict(zip(uni["word"], (float(c) for c in uni["cnt"])))
+    )
+    if max_vocab is None:
+        uni = uni_counts.to_pandas()
+        v = float(len(uni))
+        c1_map = dict(zip(uni["word"], (float(c) for c in uni["cnt"])))
+        c1_oov = None
+    else:
+        uni_counts = pin_schema(
+            uni_counts, pa.schema([("word", pa.string()), ("cnt", pa.int64())])
+        ).materialize()
+        n_uni_total = float(uni_counts.sum("cnt") or 0)
+        uni = _global_top_k(
+            uni_counts, [("cnt", "descending"), ("word", "ascending")], max_vocab
+        )
+        v = float(len(uni)) + 1.0
+        c1_map = dict(zip(uni["word"], (float(c) for c in uni["cnt"])))
+        c1_oov = n_uni_total - float(uni["cnt"].sum())
+    if max_bigrams is None:
+        bg = bg_counts.to_pandas()
+    else:
+        bg_counts = pin_schema(
+            bg_counts, pa.schema([("bg", pa.string()), ("cnt", pa.int64())])
+        ).materialize()
+        bg = _global_top_k(
+            bg_counts, [("cnt", "descending"), ("bg", "ascending")], max_bigrams
+        )
     lp = {}
     for key, c12 in zip(bg["bg"], bg["cnt"]):
         w1 = key.split(SEP, 1)[0]
+        c1p = c1_map[w1] if c1_oov is None else c1_map.get(w1, c1_oov)
         lp[key] = math.floor(
-            math.log((float(c12) + 1.0) / (c1[w1] + v)) * 1000000.0
+            math.log((float(c12) + 1.0) / (c1p + v)) * 1000000.0
         )
     fb = {
-        w: math.floor(math.log(1.0 / (c + v)) * 1000000.0) for w, c in c1.items()
+        w: math.floor(math.log(1.0 / (c + v)) * 1000000.0)
+        for w, c in c1_map.items()
     }
-    return _bigram_micro_score_ds(sf_dir, lp, fb, "logprob_micro")
+    fb_default = (
+        None
+        if c1_oov is None
+        else math.floor(math.log(1.0 / (c1_oov + v)) * 1000000.0)
+    )
+    return _bigram_micro_score_ds(
+        sf_dir, lp, fb, "logprob_micro", fallback_default=fb_default
+    )
 
 
-def doc_kn_logprob(sf_dir: str):
+def doc_kn_logprob(sf_dir: str, max_bigrams: int | None = 1048576):
     """Interpolated Kneser-Ney bigram scoring (absolute discount
     d = 0.75) — the CCNet/KenLM-grade perplexity-filter signal one
     rung above doc_bigram_logprob's add-one smoothing:
@@ -2333,44 +2377,51 @@ def doc_kn_logprob(sf_dir: str):
         Pcont(w2) = N1+(·w2) / |distinct bigram types|
 
     where c1(w1) is w1's left-context bigram total and N1+ are the
-    forward/backward continuation type counts. The model is trained on
-    the corpus it scores, so every scored bigram exists — no OOV
-    branch (a web-scale deployment trains on a held-out slice and adds
-    doc_bigram_logprob's fallback path, which the shared score stage
-    already supports). Engine shape: ONE bigram-count shuffle
-    (per-block partial dicts → bucketed aggregate) over one corpus
-    read; the continuation statistics are derived from the collected
-    count table driver-side (engineered-vocab bounded, the word_count
-    collection contract), pinned to libm ``math.log`` micro-nats —
-    DuckDB's ``ln`` replays them bit-exactly, numpy's SIMD log does
-    not — and broadcast once; then the shared streaming score pass.
+    forward/backward continuation type counts — ALL derived from the
+    KEPT bigram table. ``max_bigrams`` (DEFAULT: the web-scale mode)
+    caps that table at the top-K bigram types by (count desc, key) via
+    a combiner-pruned distributed top-K BEFORE the driver collect —
+    the driver only ever sees ≤ K rows, never the 10⁹⁺-type corpus
+    bigram vocabulary. A scored bigram pruned from the kept table
+    backs off to its two KN components with c12 = 0, each pre-floored
+    to micro-nats so the sum is exact integer arithmetic:
+
+        micro = floor(ln(d·N1+(w1·)/c1(w1))·1e6)   [w1 unseen → ln(d)]
+              + floor(ln(Pcont(w2))·1e6)           [w2 unseen → ln(1/T)]
+
+    (the unseen-side floors model a unit-count context / singleton
+    continuation class — deterministic, mirrored in the SQL twin).
+    ``None`` is the explicit small-corpus escape hatch: full-table
+    collect, model covers its own corpus, no backoff branch. Engine
+    shape: ONE bigram-count shuffle (vectorized per-block
+    ``bigram_count_partial`` combiners → bucketed aggregate) over one
+    corpus read; continuation stats from the bounded kept table
+    driver-side, pinned to libm ``math.log`` micro-nats — DuckDB's
+    ``ln`` replays them bit-exactly, numpy's SIMD log does not — and
+    broadcast once; then the shared streaming score pass.
     Columns: doc_id, n_bigrams, kn_logprob_micro."""
     import math
 
     import pandas as pd
 
-    from bioner_ray.stages.shuffle import bucketed_aggregate
-    from bioner_ray.stages.textstats import _split_lower
-
-    SEP = "\x1f"
-
-    def bg_partial(batch: pa.Table) -> pa.Table:
-        counts: dict[str, int] = {}
-        for toks in _split_lower(batch, "text"):
-            for x, y in zip(toks, toks[1:]):
-                k = x + SEP + y
-                counts[k] = counts.get(k, 0) + 1
-        return pa.table(
-            {
-                "bg": pa.array(list(counts.keys()), type=pa.string()),
-                "cnt": pa.array(list(counts.values()), type=pa.int64()),
-            }
-        )
+    from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema
+    from bioner_ray.stages.textstats import BIGRAM_SEP as SEP, bigram_count_partial
 
     docs = _read(sf_dir, "documents", columns=["text"])
-    bg = bucketed_aggregate(
-        docs.map_batches(bg_partial, batch_format="pyarrow"), ["bg"], [("cnt", "sum")]
-    ).to_pandas()
+    bg_counts = bucketed_aggregate(
+        docs.map_batches(bigram_count_partial, batch_format="pyarrow"),
+        ["bg"],
+        [("cnt", "sum")],
+    )
+    if max_bigrams is None:
+        bg = bg_counts.to_pandas()
+    else:
+        bg_counts = pin_schema(
+            bg_counts, pa.schema([("bg", pa.string()), ("cnt", pa.int64())])
+        ).materialize()
+        bg = _global_top_k(
+            bg_counts, [("cnt", "descending"), ("bg", "ascending")], max_bigrams
+        )
     if bg.empty:
         # degenerate corpus (every doc < 2 tokens): no bigram model can
         # exist; pin the empty output schema (ADVICE r3 — the split
@@ -2403,7 +2454,28 @@ def doc_kn_logprob(sf_dir: str):
         k: math.floor(math.log(x) * 1000000.0)
         for k, x in zip(bg["bg"].tolist(), p.tolist())
     }
-    return _bigram_micro_score_ds(sf_dir, lp, {}, "kn_logprob_micro")
+    if max_bigrams is None:
+        return _bigram_micro_score_ds(sf_dir, lp, {}, "kn_logprob_micro")
+    # capped mode: two-component KN backoff for pruned bigrams — each
+    # component floored independently (the SQL twin sums the same two
+    # floors), keyed by the kept table's per-side stats
+    fb1 = {
+        w: math.floor(math.log(0.75 * float(nf_w) / float(c1_w)) * 1000000.0)
+        for w, c1_w, nf_w in zip(g1.index, g1["sum"], g1["size"])
+    }
+    fb2 = {
+        w: math.floor(math.log(float(nb_w) / T) * 1000000.0)
+        for w, nb_w in zip(g2.index, g2)
+    }
+    return _bigram_micro_score_ds(
+        sf_dir,
+        lp,
+        fb1,
+        "kn_logprob_micro",
+        fallback2=fb2,
+        fallback_default=math.floor(math.log(0.75) * 1000000.0),
+        fallback2_default=math.floor(math.log(1.0 / T) * 1000000.0),
+    )
 
 
 def word_count(sf_dir: str, min_count: int = 10):
@@ -2413,19 +2485,7 @@ def word_count(sf_dir: str, min_count: int = 10):
     insertion-order ties, ngram_encoder.py:102-107). Columns: word, cnt,
     rank. The surviving vocab is bounded (reference LookupCache is
     in-memory too), so ranking collects it driver-side."""
-    from bioner_ray.stages.textstats import _split_lower
-
-    def partial(batch: pa.Table) -> pa.Table:
-        counts: dict[str, int] = {}
-        for toks in _split_lower(batch, "text"):
-            for t in toks:
-                counts[t] = counts.get(t, 0) + 1
-        return pa.table(
-            {
-                "word": pa.array(list(counts.keys()), type=pa.string()),
-                "cnt": pa.array(list(counts.values()), type=pa.int64()),
-            }
-        )
+    from bioner_ray.stages.textstats import token_count_partial as partial
 
     from bioner_ray.stages.shuffle import bucketed_aggregate
 

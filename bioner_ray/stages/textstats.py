@@ -55,6 +55,61 @@ def _split_lower(batch: pa.Table, text_col: str) -> list[list[str]]:
     return [[t for t in row if t] if row is not None else [] for row in split.to_pylist()]
 
 
+_TOKEN_COUNT_SCHEMA = pa.schema([("word", pa.string()), ("cnt", pa.int64())])
+_BIGRAM_COUNT_SCHEMA = pa.schema([("bg", pa.string()), ("cnt", pa.int64())])
+
+#: bigram-key separator shared by the LM builders and their score pass.
+BIGRAM_SEP = "\x1f"
+
+
+def token_count_partial(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-block partial token counts — the combiner half of every
+    vocabulary/unigram-LM build, on the flattened split-offset kernel
+    (no Python loop over tokens): one vectorized lower+split, one
+    Arrow ``value_counts`` over the non-empty token values. Document
+    boundaries are irrelevant for a pure token multiset, so the list
+    offsets are simply ignored. Columns: word, cnt."""
+    text = pc.fill_null(batch.column(text_col), "")
+    split = pc.split_pattern_regex(pc.utf8_lower(text), r"\s+").combine_chunks()
+    vals = split.flatten()
+    vals = vals.filter(pc.not_equal(vals, ""))
+    if len(vals) == 0:
+        return _TOKEN_COUNT_SCHEMA.empty_table()
+    vc = vals.value_counts()
+    return pa.table(
+        {"word": vc.field("values"), "cnt": vc.field("counts").cast(pa.int64())}
+    )
+
+
+def bigram_count_partial(
+    batch: pa.Table, text_col: str = "text", sep: str = BIGRAM_SEP
+) -> pa.Table:
+    """Per-block partial WITHIN-document bigram counts, vectorized:
+    the same split-offset kernel the LM score passes use (consecutive
+    filtered tokens, no cross-document pairs), joined into
+    ``w1 + sep + w2`` keys with one Arrow element-wise join, counted
+    with one ``value_counts``. Columns: bg, cnt."""
+    text = pc.fill_null(batch.column(text_col), "")
+    split = pc.split_pattern_regex(pc.utf8_lower(text), r"\s+").combine_chunks()
+    off = split.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    vals = split.values.slice(off[0], off[-1] - off[0])
+    doc_idx = np.repeat(np.arange(len(off) - 1, dtype=np.int64), np.diff(off))
+    keep = pc.not_equal(vals, "").to_numpy(zero_copy_only=False)
+    toks = vals.filter(pa.array(keep))
+    d = doc_idx[keep]
+    if len(toks) < 2:
+        return _BIGRAM_COUNT_SCHEMA.empty_table()
+    same = pa.array(d[1:] == d[:-1])
+    w1 = toks.slice(0, len(toks) - 1).filter(same)
+    w2 = toks.slice(1, len(toks) - 1).filter(same)
+    if len(w1) == 0:
+        return _BIGRAM_COUNT_SCHEMA.empty_table()
+    vc = pc.binary_join_element_wise(w1, w2, sep).value_counts()
+    return pa.table(
+        {"bg": vc.field("values"), "cnt": vc.field("counts").cast(pa.int64())}
+    )
+
+
 def token_stats_batch(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
     """Per-document token statistics + quality scores.
 

@@ -87,6 +87,7 @@ SQL_CHECKED = [
     "kg_walk_pairs",
     "alias_groups",
     "doc_logprob",
+    "doc_logprob_capped",
     "kg_node_profiles",
     "kg_triangles",
     "kg_edge_support",
@@ -154,7 +155,9 @@ SQL_CHECKED = [
     "kg_incremental_edges",
     "orders_profile",
     "doc_bigram_logprob",
+    "doc_bigram_logprob_capped",
     "doc_kn_logprob",
+    "doc_kn_logprob_capped",
     "lesk_disambiguation",
     "kg_ppr",
     "weekly_active_users",

@@ -67,12 +67,79 @@ def test_bigram_logprob_excludes_cross_doc_pairs_and_short_docs(tmp_path):
         ),
         sf / "documents.parquet",
     )
-    got = doc_bigram_logprob(str(sf)).to_pandas().set_index("doc_id")
+    got = (
+        doc_bigram_logprob(str(sf), max_bigrams=None, max_vocab=None)
+        .to_pandas()
+        .set_index("doc_id")
+    )
     assert sorted(got.index) == [1, 2]  # no row for "solo" or ""
     # uni: a=2, b=2, solo=1 → V=3; bigrams: (a,b)=1, (b,a)=1
     lp_ab = math.floor(math.log((1 + 1.0) / (2.0 + 3.0)) * 1e6)
     assert got.loc[1, "n_bigrams"] == 1 and got.loc[1, "logprob_micro"] == lp_ab
     assert got.loc[2, "logprob_micro"] == lp_ab  # symmetric counts
+    # capped DEFAULT on the same corpus: nothing is pruned (caps >>
+    # table sizes) but the model carries the OOV class → V = kept + 1
+    got_c = doc_bigram_logprob(str(sf)).to_pandas().set_index("doc_id")
+    lp_ab_c = math.floor(math.log((1 + 1.0) / (2.0 + 4.0)) * 1e6)
+    assert got_c.loc[1, "logprob_micro"] == lp_ab_c
+    assert got_c.loc[2, "logprob_micro"] == lp_ab_c
+
+
+def test_bigram_and_kn_prune_backoff_hand_computed(tmp_path):
+    """Tiny caps force the prune/backoff branches: a bigram OUTSIDE the
+    kept top-K must score the documented backoff on both LMs, and a w1
+    outside the kept unigram set must use the OOV context bucket."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bioner_ray.pipelines.analytics import doc_bigram_logprob, doc_kn_logprob
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    # bigram counts: (a,b)=3  (b,a)=2  (b,c)=1 → top-2 keeps ab, ba
+    # unigram counts: a=4? -> text: "a b a b a b" (a=3,b=3) + "b a" (a=4,b=4) + "b c" (b=5,c=1)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                "text": ["a b a b a b", "b a", "b c"],
+            }
+        ),
+        sf / "documents.parquet",
+    )
+    m = lambda x: math.floor(math.log(x) * 1e6)  # noqa: E731
+    # corpus stats: uni a=4, b=5, c=1; bigrams ab=3, ba=3 (2 in doc1 +
+    # 1 in doc2), bc=1 → top-2 keeps ab, ba (tie broken by key), bc
+    # pruned
+    # --- add-one LM, max_bigrams=2, max_vocab=1 ---
+    # kept uni top-1 = b(5) → V = 2; OOV context mass = 10 - 5 = 5
+    got = (
+        doc_bigram_logprob(str(sf), max_bigrams=2, max_vocab=1)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    lp_ab = m((3 + 1.0) / (5.0 + 2.0))  # kept bigram, w1=a OOV → c1'=5
+    lp_ba = m((3 + 1.0) / (5.0 + 2.0))  # kept bigram, w1=b kept → c1'=5
+    lp_bc = m(1.0 / (5.0 + 2.0))  # PRUNED bigram → add-one miss on w1=b
+    assert got.loc[1, "logprob_micro"] == 3 * lp_ab + 2 * lp_ba
+    assert got.loc[2, "logprob_micro"] == lp_ba
+    assert got.loc[3, "logprob_micro"] == lp_bc
+    # --- KN LM, max_bigrams=2 ---
+    # kept: ab=3, ba=3 → T=2; c1(a)=3,nf(a)=1 (from ab); c1(b)=3,
+    # nf(b)=1 (from ba); nb(a)=1, nb(b)=1
+    def p(c12, c1, nf, nb):
+        return (max(c12 - 0.75, 0.0) + 0.75 * nf * (nb / 2.0)) / c1
+
+    kn = doc_kn_logprob(str(sf), max_bigrams=2).to_pandas().set_index("doc_id")
+    kn_ab, kn_ba = m(p(3, 3.0, 1.0, 1.0)), m(p(3, 3.0, 1.0, 1.0))
+    # pruned (b,c): w1=b kept side → floor(ln(0.75·nf(b)/c1(b))·1e6);
+    # w2=c absent from kept continuations → floor(ln(1/T)·1e6)
+    kn_bc = m(0.75 * 1.0 / 3.0) + m(1.0 / 2.0)
+    assert kn.loc[1, "kn_logprob_micro"] == 3 * kn_ab + 2 * kn_ba
+    assert kn.loc[2, "kn_logprob_micro"] == kn_ba
+    assert kn.loc[3, "kn_logprob_micro"] == kn_bc
 
 
 def test_kn_logprob_hand_computed(tmp_path):
