@@ -25,6 +25,8 @@ the full list of valid options in the error.
 
 from __future__ import annotations
 
+from bioner_ray.sources.parquet_io import read_parquet_clean
+
 import inspect
 from dataclasses import dataclass
 from typing import Any, Callable
@@ -97,7 +99,7 @@ def run_config(cfg: dict | list, input_path: str, output_path: str, columns=None
     """Read parquet → configured stages → partitioned parquet out."""
     import ray.data as rd
 
-    ds = rd.read_parquet(input_path, columns=columns)
+    ds = read_parquet_clean(input_path, columns=columns)
     out = build_pipeline(cfg)(ds)
     out.write_parquet(output_path)
     check = rd.read_parquet(output_path)
@@ -174,7 +176,7 @@ def _decontaminate(ds, eval_path: str = "", n: int = 8, id_col: str = "doc_id", 
 
     from bioner_ray.stages.contamination import decontaminate_stage, eval_gram_set
 
-    ev = rd.read_parquet(eval_path, columns=[text_col])
+    ev = read_parquet_clean(eval_path, columns=[text_col])
     return decontaminate_stage(
         ds, eval_gram_set(ev, n=n, text_col=text_col), n=n, id_col=id_col, text_col=text_col
     )

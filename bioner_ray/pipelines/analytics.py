@@ -24,6 +24,8 @@ from __future__ import annotations
 
 import os
 
+from bioner_ray.sources.parquet_io import read_parquet_clean
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -60,7 +62,7 @@ TEST_SOURCES = ["src17", "src18", "src19"]
 def _read(sf_dir: str, name: str, columns=None):
     import ray.data as rd
 
-    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+    return read_parquet_clean(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
 
 
 def _nrows(sf_dir: str, name: str) -> int:

@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import os
 
+from bioner_ray.sources.parquet_io import read_parquet_clean
+
 import numpy as np
 import pyarrow as pa
 
@@ -19,7 +21,7 @@ import pyarrow as pa
 def _read(sf_dir: str, name: str, columns=None):
     import ray.data as rd
 
-    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+    return read_parquet_clean(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
 
 
 def _documents(sf_dir: str):
@@ -1492,7 +1494,7 @@ def jsonl_roundtrip(sf_dir: str):
     shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path, exist_ok=True)
     cols = ["doc_id", "text", "lang", "source"]
-    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=cols)
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"), columns=cols)
     write_jsonl(docs, path)
     return read_jsonl(path, columns=cols)
 
@@ -1515,7 +1517,7 @@ def csv_roundtrip(sf_dir: str):
     shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path, exist_ok=True)
     cols = ["event_id", "user_id", "event_type", "value"]
-    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=cols)
+    ev = read_parquet_clean(os.path.join(sf_dir, "events.parquet"), columns=cols)
     write_csv(ev, path)
     return read_csv(path, columns=cols)
 
@@ -3382,9 +3384,10 @@ def c4_filters(sf_dir: str):
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def render(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        out = []
-        for doc_id, toks in zip(ids, _split_lower(batch, "text")):
+        out_ids, out = [], []
+        for doc_id, toks in zip(
+            batch.column("doc_id").to_pylist(), _split_lower(batch, "text")
+        ):
             lines = []
             for i in range(0, len(toks), 5):
                 line = " ".join(toks[i : i + 5])
@@ -3395,10 +3398,17 @@ def c4_filters(sf_dir: str):
                 lines.append("lorem ipsum dolor")
             if doc_id % 17 == 0:
                 lines.append("{ config }")
+            if not lines:
+                # zero-token doc with no synthetic extras: emit NO page
+                # (splitting '' would count one phantom empty line; the
+                # SQL twin's generate_series emits no chunk rows either
+                # — ADVICE r4 degenerate-doc agreement)
+                continue
+            out_ids.append(doc_id)
             out.append("\n".join(lines))
         return pa.table(
             {
-                "doc_id": pa.array(ids, type=pa.int64()),
+                "doc_id": pa.array(out_ids, type=pa.int64()),
                 "page": pa.array(out, type=pa.string()),
             }
         )

@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import json
 import os
+
+from bioner_ray.sources.parquet_io import read_parquet_clean
 from typing import Optional
 
 import pyarrow as pa
@@ -68,7 +70,7 @@ def run_kg_streaming(
     index_ref = ray.put(ConceptIndex(concepts))
     surfaces = concepts.column("surface").to_pylist()
 
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         pages_path,
         columns=["url", "warc_ts", "html", "lang"],
         override_num_blocks=override_num_blocks,
@@ -185,7 +187,7 @@ def run_kg_pipeline(
 
     def build_documents():
         # prune at the read: html is needed for extraction, text/golden is not
-        ds = rd.read_parquet(pages_path, columns=["url", "warc_ts", "html", "lang"])
+        ds = read_parquet_clean(pages_path, columns=["url", "warc_ts", "html", "lang"])
         ds = extract_stage(ds)
         if lang_filter:
             import pyarrow.compute as pc

@@ -23,6 +23,8 @@ from __future__ import annotations
 
 import os
 
+from bioner_ray.sources.parquet_io import read_parquet_clean
+
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -53,7 +55,7 @@ def _synthetic_pages(sf_dir: str, snapshot_mod: int | None = None):
     import ray.data as rd
 
     n = _nrows(sf_dir, "documents")
-    docs = rd.read_parquet(
+    docs = read_parquet_clean(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
     )
     if snapshot_mod is not None:
@@ -562,7 +564,7 @@ def host_split(sf_dir: str):
 
     import ray.data as rd
 
-    docs = rd.read_parquet(
+    docs = read_parquet_clean(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
     per_host = pin_schema(
@@ -668,7 +670,7 @@ def host_quality_report(sf_dir: str, min_tokens: int = 20, min_ttr: float = 0.3)
     from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema
     from bioner_ray.stages.textstats import _split_lower
 
-    docs = rd.read_parquet(
+    docs = read_parquet_clean(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
 
@@ -825,7 +827,7 @@ def web_mirror_candidates(
     from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema, with_ones
     from bioner_ray.stages.textstats import _split_lower
 
-    docs = rd.read_parquet(
+    docs = read_parquet_clean(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
 
@@ -909,7 +911,7 @@ def url_canonical_dedup(sf_dir: str):
 
     from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema, with_ones
 
-    docs = rd.read_parquet(
+    docs = read_parquet_clean(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
     )
     sighted = docs.map_batches(_url_variants_batch, batch_format="pyarrow").map_batches(
@@ -1000,7 +1002,7 @@ def host_family_rollup(sf_dir: str):
     fam_df = web_host_components(sf_dir).to_pandas()  # bounded: O(hosts)
     fam_ref = ray.put(dict(zip(fam_df["host"], fam_df["family"])))
 
-    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
 
     def to_host(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -1209,7 +1211,7 @@ def host_lang_profile(sf_dir: str):
             {"host": pa.array(hosts, type=pa.string()), "pred_lang": preds}
         )
 
-    docs = rd.read_parquet(
+    docs = read_parquet_clean(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
     agg_schema = pa.schema(
@@ -1282,7 +1284,7 @@ def url_templates(sf_dir: str):
 
     from bioner_ray.stages import weblinks
 
-    docs = rd.read_parquet(
+    docs = read_parquet_clean(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
     )
     return weblinks.url_templates(
@@ -1331,7 +1333,7 @@ def html_table_cells(sf_dir: str):
 
     from bioner_ray.stages.extract import extract_table_cells_batch
 
-    docs = rd.read_parquet(
+    docs = read_parquet_clean(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
     )
     return docs.map_batches(_table_pages_batch, batch_format="pyarrow").map_batches(
@@ -1352,7 +1354,7 @@ def table_triples(sf_dir: str):
     from bioner_ray.stages.extract import extract_table_cells_batch
     from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema, with_ones
 
-    docs = rd.read_parquet(
+    docs = read_parquet_clean(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
     )
     cells = docs.map_batches(_table_pages_batch, batch_format="pyarrow").map_batches(
@@ -1415,7 +1417,7 @@ def recrawl_change_rate(sf_dir: str):
         with_ones,
     )
 
-    docs = rd.read_parquet(
+    docs = read_parquet_clean(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
 
@@ -1578,7 +1580,7 @@ def fetch_schedule(sf_dir: str, gap: int = 10):
 
     from bioner_ray.stages.weblinks import host_of
 
-    docs = rd.read_parquet(
+    docs = read_parquet_clean(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
     )
     urls = docs.map_batches(_url_paths_batch, batch_format="pyarrow").map_batches(
@@ -1603,7 +1605,7 @@ def host_dup_rate(sf_dir: str):
     from bioner_ray.stages.dedup import content_key_batch
     from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema, with_ones
 
-    docs = rd.read_parquet(
+    docs = read_parquet_clean(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
 
@@ -1746,7 +1748,7 @@ def jsonld_triples(sf_dir: str):
 
     from bioner_ray.stages.extract import extract_jsonld_batch
 
-    docs = rd.read_parquet(
+    docs = read_parquet_clean(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
     )
     return docs.map_batches(_jsonld_pages_batch, batch_format="pyarrow").map_batches(
@@ -1783,7 +1785,7 @@ def robots_fetch_gate(sf_dir: str):
         if r:
             rules[f"site{h}.example.com"] = r
 
-    docs = rd.read_parquet(
+    docs = read_parquet_clean(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
     )
     return robots_gate(
@@ -1813,7 +1815,7 @@ def sitemap_gap(sf_dir: str, phantom_every: int = 3):
         with_ones,
     )
 
-    docs = rd.read_parquet(
+    docs = read_parquet_clean(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
     )
 
@@ -1966,7 +1968,7 @@ def wet_shards(sf_dir: str, num_shards: int = 16):
 
     from bioner_ray.stages.shuffle import bucketed_map_groups, pin_schema
 
-    docs = rd.read_parquet(
+    docs = read_parquet_clean(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
     m61 = (1 << 61)
@@ -2175,7 +2177,12 @@ def scc_min_label(edges, max_outer: int = 32, max_inner: int = 64):
             # one union of typed candidate rows; '' ranks below every
             # real host so min() ignores the absent side and max(old*)
             # recovers each node's previous label from its self row
-            hi = "\x7f\x7f"  # sorts above every host label
+            # U+10FFFF (UTF-8 F4 8F BF BF) is the maximum code point:
+            # under Arrow's UTF-8 byte comparison it sorts ≥ every
+            # valid character — including non-ASCII/IDN labels, which a
+            # '\\x7f' sentinel would NOT dominate (ADVICE r4). Doubled
+            # so only a label of repeated U+10FFFF could ever tie.
+            hi = "\U0010ffff\U0010ffff"
 
             def self_rows(t: pa.Table) -> pa.Table:
                 if t.num_columns == 0:
@@ -2397,7 +2404,7 @@ def crawl_plan(sf_dir: str, gap: int = 10):
         if r:
             rules[f"site{h}.example.com"] = r
 
-    docs = rd.read_parquet(
+    docs = read_parquet_clean(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
     )
     gated = robots_gate(
@@ -2527,7 +2534,7 @@ def warc_roundtrip(sf_dir: str, num_shards: int = 16):
 
     from bioner_ray.sources.warc import read_warc, write_warc
 
-    docs = rd.read_parquet(
+    docs = read_parquet_clean(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
 
@@ -2610,7 +2617,7 @@ def boilerplate_blocks(sf_dir: str):
 
     from bioner_ray.stages.extract import extract_main_blocks_batch
 
-    docs = rd.read_parquet(
+    docs = read_parquet_clean(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
     return docs.map_batches(_content_pages_batch, batch_format="pyarrow").map_batches(
@@ -2631,7 +2638,7 @@ def dom_depth_stats(sf_dir: str):
 
     from bioner_ray.stages.extract import dom_depth_batch
 
-    docs = rd.read_parquet(
+    docs = read_parquet_clean(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
     )
     return docs.map_batches(_table_pages_batch, batch_format="pyarrow").map_batches(
@@ -2656,7 +2663,7 @@ def crawl_budget_waterfill(sf_dir: str, budget_frac_den: int = 2):
 
     from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema, with_ones
 
-    docs = rd.read_parquet(
+    docs = read_parquet_clean(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
     )
 
@@ -2723,7 +2730,7 @@ def template_clusters(sf_dir: str):
     from bioner_ray.stages.extract import tag_sequence_fingerprint_batch
     from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema, with_ones
 
-    docs = rd.read_parquet(
+    docs = read_parquet_clean(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
     )
     fps = docs.map_batches(_table_pages_batch, batch_format="pyarrow").map_batches(
@@ -2766,7 +2773,7 @@ def host_coverage_gini(sf_dir: str):
 
     from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema, with_ones
 
-    docs = rd.read_parquet(
+    docs = read_parquet_clean(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
     )
 
@@ -2824,7 +2831,7 @@ def warc_cdx_index(sf_dir: str, num_shards: int = 16):
     from bioner_ray.sources.warc import format_warc_record
     from bioner_ray.stages.shuffle import bucketed_map_groups, pin_schema
 
-    docs = rd.read_parquet(
+    docs = read_parquet_clean(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
     m61 = 1 << 61
@@ -2912,7 +2919,7 @@ def mirror_confirmed(sf_dir: str, prefix_tokens: int = 4, threshold: float = 0.8
     )
     from bioner_ray.stages.textstats import _split_lower
 
-    docs = rd.read_parquet(
+    docs = read_parquet_clean(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
 

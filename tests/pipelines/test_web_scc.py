@@ -81,3 +81,17 @@ class TestSCCMinLabel:
         edges = [("a", "b"), ("b", "c"), ("c", "a")]
         with pytest.raises(RuntimeError, match="not converged"):
             _scc(edges, max_inner=1)
+
+    def test_non_ascii_hosts_beat_the_sentinel(self):
+        # raw-IDN labels (bytes ≥ 0x80) sort ABOVE an ASCII-range
+        # sentinel under UTF-8 byte comparison — with the old '\x7f\x7f'
+        # placeholder the absent-side marker could win min() and corrupt
+        # the fixpoint labels (ADVICE r4). Ring of two unicode hosts +
+        # a pendant; labels must be real hosts, never the sentinel.
+        ja, de, asc = "日本語.example", "münchen.example", "a.example"
+        edges = [(ja, de), (de, ja), (ja, asc)]
+        got = _scc(edges)
+        assert set(got) == {ja, de, asc}
+        assert got[ja] == got[de] == min(ja, de)
+        assert got[asc] == asc
+        assert all("\U0010ffff" not in v for v in got.values())
