@@ -322,18 +322,27 @@ def _daily_dedup_state(
     sf_dir: str, threshold: float = 0.8, store_root: str | None = None
 ):
     """Day-0 band store (manifest-guarded) + day-1 shard ingest + the
-    broadcast drop-url set. Memoized per (sf_dir, threshold, root):
-    the edge and node increments share one ingest."""
+    broadcast drop-url set. Memoized per (Ray session, sf_dir,
+    threshold, root): the edge and node increments share one ingest,
+    and the session id in the key invalidates the cached ``ray.put``
+    drop-set ref across ray.shutdown()/re-init (ADVICE r4 — a stale
+    ObjectRef from a dead session is unusable)."""
     import ray
 
     root = store_root or os.path.join(
         "/tmp/bioner_daily",
         f"{os.path.basename(os.path.abspath(sf_dir))}-{os.getpid()}",
     )
-    key = (os.path.abspath(sf_dir), threshold, root)
+    session = (
+        ray.get_runtime_context().get_job_id() if ray.is_initialized() else None
+    )
+    key = (session, os.path.abspath(sf_dir), threshold, root)
     cached = _DAILY_STATE_MEMO.get(key)
     if cached is not None:
         return cached
+    # drop entries from other (dead) sessions so the memo stays bounded
+    for k in [k for k in _DAILY_STATE_MEMO if k[0] != session]:
+        del _DAILY_STATE_MEMO[k]
 
     band_store = os.path.join(root, "bands_store")
     if not os.path.exists(os.path.join(band_store, MANIFEST)):

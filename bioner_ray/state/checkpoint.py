@@ -86,6 +86,16 @@ def run_stage(
     if lineage:
         ds = add_lineage(ds, stage)
     ds.write_parquet(out)
+    if not any(f.endswith(".parquet") for f in os.listdir(out)):
+        # zero-block dataset: write_parquet emits no files and the
+        # read-back would fail — persist one typed empty file so the
+        # checkpoint stays a valid, schema-carrying artifact
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            ds.schema().base_schema.empty_table(),
+            os.path.join(out, "empty-000.parquet"),
+        )
     check = rd.read_parquet(out)
     manifest = {
         "stage": stage,
