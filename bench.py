@@ -561,12 +561,18 @@ def _steal_pct(a: list[int] | None, b: list[int] | None) -> float | None:
     return round(100.0 * d[7] / tot, 2) if tot and len(d) > 7 else None
 
 
-def _run_child(cpus: int, sf_dir: str, repeats: int, ballast: int = 0) -> dict:
+def _run_child(
+    cpus: int, sf_dir: str, repeats: int, ballast: int = 0,
+    cpuset: str | None = None,
+) -> dict:
     """Best-of-N fresh-process headline runs, optionally with ``ballast``
     busy-spin processes occupying the remaining cores for the run's
-    duration (clock equalization, see run_scaling). Each repeat also
-    measures hypervisor steal%% across its own wall interval; the
-    returned best carries the steal of ITS repeat."""
+    duration (clock equalization, see run_scaling), or with the whole
+    child process tree CONFINED to ``cpuset`` (``taskset -c``) so a
+    low-parallelism run physically cannot spread its workers across
+    idle cores (the cpuset-confined RAW protocol, VERDICT r4 Next #3).
+    Each repeat also measures hypervisor steal%% across its own wall
+    interval; the returned best carries the steal of ITS repeat."""
     spin = [
         subprocess.Popen([sys.executable, "-c", "while True: pass"])
         for _ in range(ballast)
@@ -575,9 +581,12 @@ def _run_child(cpus: int, sf_dir: str, repeats: int, ballast: int = 0) -> dict:
         best = None
         for _ in range(repeats):
             s0 = _stat_snap()
+            cmd = [sys.executable, os.path.join(REPO, "bench.py"), "--child",
+                   "--cpus", str(cpus), "--sf-dir", sf_dir]
+            if cpuset is not None:
+                cmd = ["taskset", "-c", cpuset] + cmd
             proc = subprocess.run(
-                [sys.executable, os.path.join(REPO, "bench.py"), "--child",
-                 "--cpus", str(cpus), "--sf-dir", sf_dir],
+                cmd,
                 capture_output=True, text=True, check=True,
                 env={**os.environ, "PYTHONPATH": REPO},
             )
@@ -609,14 +618,23 @@ def run_scaling(sf_dir: str, low: int = 8, high: int = 32, repeats: int = 3) -> 
       same per-core conditions the ``high`` run gets. This is the
       faithful stand-in for "N nodes vs 4N nodes, each node equally
       busy"; its efficiency is the headline value.
+    * cpuset-pinned raw — the low run CONFINED to ``low`` physical
+      cores via ``taskset`` (threads-per-core is 1 on this box), so
+      its workers cannot spread across the idle 3/4 of the chip and
+      borrow per-core turbo/LLC headroom. This is the non-equalized
+      measurement the r4 verdict asked for: if it reads ≥ 0.8, the
+      clock-equalization argument is no longer load-bearing.
     """
     res_high = _run_child(high, sf_dir, repeats)
     res_low_raw = _run_child(low, sf_dir, repeats)
+    res_low_pin = _run_child(low, sf_dir, repeats, cpuset=f"0-{low - 1}")
     res_low_eq = _run_child(low, sf_dir, repeats, ballast=high - low)
     t_high = res_high["queries"]["kg_streaming"]
     t_low_raw = res_low_raw["queries"]["kg_streaming"]
+    t_low_pin = res_low_pin["queries"]["kg_streaming"]
     t_low_eq = res_low_eq["queries"]["kg_streaming"]
     eff_raw = (t_low_raw / t_high) / (high / low)
+    eff_pin = (t_low_pin / t_high) / (high / low)
     eff_eq = (t_low_eq / t_high) / (high / low)
     return {
         "metric": "scaling efficiency (headline KG pipeline, "
@@ -626,22 +644,26 @@ def run_scaling(sf_dir: str, low: int = 8, high: int = 32, repeats: int = 3) -> 
         "unit": "efficiency",
         "queries": {
             f"kg_streaming_cpus{low}_raw": t_low_raw,
+            f"kg_streaming_cpus{low}_pinned": t_low_pin,
             f"kg_streaming_cpus{low}_eq": t_low_eq,
             f"kg_streaming_cpus{high}": t_high,
         },
         "throughput": {
             f"docs_per_s_cpus{low}_raw": res_low_raw["throughput"]["docs_per_s"],
+            f"docs_per_s_cpus{low}_pinned": res_low_pin["throughput"]["docs_per_s"],
             f"docs_per_s_cpus{low}_eq": res_low_eq["throughput"]["docs_per_s"],
             f"docs_per_s_cpus{high}": res_high["throughput"]["docs_per_s"],
             f"triples_per_s_cpus{high}": res_high["throughput"]["triples_per_s"],
             "speedup_eq": round(t_low_eq / t_high, 3),
             "efficiency_raw": round(eff_raw, 3),
+            "efficiency_pinned": round(eff_pin, 3),
             # hypervisor steal%% during each phase's best repeat — the
             # environment evidence behind any sub-0.8 reading (see
             # _steal_pct): steal S at the high level caps efficiency
             # at ~(1-S/100)/(1-S_low/100·high/low-adjusted)
             f"steal_pct_cpus{high}": res_high.get("steal_pct"),
             f"steal_pct_cpus{low}_raw": res_low_raw.get("steal_pct"),
+            f"steal_pct_cpus{low}_pinned": res_low_pin.get("steal_pct"),
             f"steal_pct_cpus{low}_eq": res_low_eq.get("steal_pct"),
         },
         # peak memory per phase (VERDICT r3, Next #7): the measured

@@ -119,12 +119,18 @@ def knn_brute_force(
 
 def build_ivf_centroids(
     ds, n_clusters: int = 16, sample_size: int = 2048, iters: int = 10,
-    vec_col: str = "embedding", seed: int = 42,
+    vec_col: str = "embedding", seed: int = 42, id_col: str = "vec_id",
 ) -> np.ndarray:
     """Deterministic Lloyd iterations over a bounded sample (the
     centroid table is tiny and broadcast; the corpus itself never
-    materializes)."""
+    materializes). The sample is sorted by ``id_col`` before seeding:
+    Ray's streaming executor does not preserve block order by default
+    (``preserve_order`` is off), so ``limit().to_pandas()`` row order
+    varies with block completion — the sort pins the kmeans input (and
+    therefore every IVF result) regardless of scheduling."""
     sample = ds.limit(sample_size).to_pandas()
+    if id_col in sample.columns:
+        sample = sample.sort_values(id_col).reset_index(drop=True)
     m = _normalize_rows(np.asarray(list(sample[vec_col]), dtype=np.float64))
     rng = np.random.default_rng(seed)
     cent = m[rng.choice(len(m), size=min(n_clusters, len(m)), replace=False)]
