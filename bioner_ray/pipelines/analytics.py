@@ -1959,12 +1959,19 @@ def _global_top_k(counts_ds, order_by, k: int):
     def grp(t: pa.Table) -> pa.Table:
         return t.append_column("_g", pa.array(np.zeros(t.num_rows, dtype=np.int64)))
 
-    return top_k_per_group(
+    df = top_k_per_group(
         counts_ds.map_batches(grp, batch_format="pyarrow"),
         key_col="_g",
         order_by=order_by,
         k=k,
     ).to_pandas()
+    if df.shape[1] == 0:
+        # empty-corpus edge: Ray drops column names when every block is
+        # empty — rebuild the (value, count) frame from the order spec
+        import pandas as pd
+
+        df = pd.DataFrame({c: [] for c, _ in order_by})
+    return df
 
 
 def doc_logprob(sf_dir: str, max_vocab: int | None = 262144):
@@ -2788,19 +2795,7 @@ def zipf_alpha(sf_dir: str, top_ranks: int = 1000):
     import math
 
     from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema
-    from bioner_ray.stages.textstats import _split_lower
-
-    def partial(batch: pa.Table) -> pa.Table:
-        counts: dict[str, int] = {}
-        for toks in _split_lower(batch, "text"):
-            for t in toks:
-                counts[t] = counts.get(t, 0) + 1
-        return pa.table(
-            {
-                "word": pa.array(list(counts.keys()), type=pa.string()),
-                "cnt": pa.array(list(counts.values()), type=pa.int64()),
-            }
-        )
+    from bioner_ray.stages.textstats import token_count_partial as partial
 
     counts = pin_schema(
         bucketed_aggregate(

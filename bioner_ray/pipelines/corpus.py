@@ -3749,23 +3749,31 @@ def postings_bytes(sf_dir: str):
         bucketed_map_groups,
         pin_schema,
     )
-    from bioner_ray.stages.textstats import _split_lower
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        counts: dict[tuple, int] = {}
-        for doc_id, toks in zip(
-            batch.column("doc_id").to_pylist(), _split_lower(batch, "text")
-        ):
-            for t in toks:
-                key = (t, doc_id)
-                counts[key] = counts.get(key, 0) + 1
+        # vectorized (term, doc_id, tf) combiner: flattened split-offset
+        # kernel + one Arrow group_by — no Python loop over tokens
+        text = pc.fill_null(batch.column("text"), "")
+        split = pc.split_pattern_regex(pc.utf8_lower(text), r"\s+").combine_chunks()
+        off = split.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = split.values.slice(off[0], off[-1] - off[0])
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_idx = np.repeat(ids, np.diff(off))
+        keep = pc.not_equal(vals, "").to_numpy(zero_copy_only=False)
+        flat = pa.table(
+            {
+                "term": vals.filter(pa.array(keep)),
+                "doc_id": pa.array(doc_idx[keep]),
+            }
+        )
+        g = flat.group_by(["term", "doc_id"]).aggregate([("doc_id", "count")])
         return pa.table(
             {
-                "term": pa.array([t for t, _ in counts], type=pa.string()),
-                "doc_id": pa.array([d for _, d in counts], type=pa.int64()),
-                "tf": pa.array(list(counts.values()), type=pa.int64()),
+                "term": g.column("term"),
+                "doc_id": g.column("doc_id"),
+                "tf": g.column("doc_id_count").cast(pa.int64()),
             }
         )
 

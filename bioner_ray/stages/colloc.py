@@ -51,35 +51,30 @@ _OUT_SCHEMA = pa.schema(
 
 
 def _bigram_partial(batch: pa.Table, text_col: str) -> pa.Table:
-    from bioner_ray.stages.textstats import _split_lower
+    # vectorized within-doc bigram combiner (shared split-offset +
+    # value_counts kernel), split back into (a, b) on the reserved
+    # separator — the '\x1f' never occurs in whitespace-split tokens
+    from bioner_ray.stages.textstats import BIGRAM_SEP, bigram_count_partial
 
-    counts: dict[tuple[str, str], int] = {}
-    for toks in _split_lower(batch, text_col):
-        for x, y in zip(toks, toks[1:]):
-            counts[(x, y)] = counts.get((x, y), 0) + 1
-    ks = list(counts.keys())
+    bg = bigram_count_partial(batch, text_col=text_col)
+    if bg.num_rows == 0:
+        return _BG_SCHEMA.empty_table()
+    parts = pc.split_pattern(bg.column("bg"), BIGRAM_SEP, max_splits=1)
+    flat = parts.combine_chunks() if isinstance(parts, pa.ChunkedArray) else parts
     return pa.table(
         {
-            "a": pa.array([k[0] for k in ks], type=pa.string()),
-            "b": pa.array([k[1] for k in ks], type=pa.string()),
-            "n_ab": pa.array(list(counts.values()), type=pa.int64()),
+            "a": pc.list_element(flat, 0),
+            "b": pc.list_element(flat, 1),
+            "n_ab": bg.column("cnt"),
         }
     )
 
 
 def _unigram_partial(batch: pa.Table, text_col: str) -> pa.Table:
-    from bioner_ray.stages.textstats import _split_lower
+    from bioner_ray.stages.textstats import token_count_partial
 
-    counts: dict[str, int] = {}
-    for toks in _split_lower(batch, text_col):
-        for t in toks:
-            counts[t] = counts.get(t, 0) + 1
-    return pa.table(
-        {
-            "w": pa.array(list(counts.keys()), type=pa.string()),
-            "c": pa.array(list(counts.values()), type=pa.int64()),
-        }
-    )
+    tc = token_count_partial(batch, text_col=text_col)
+    return pa.table({"w": tc.column("word"), "c": tc.column("cnt")})
 
 
 def collocations(

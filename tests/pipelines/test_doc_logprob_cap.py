@@ -279,3 +279,36 @@ def test_bigram_scorer_foreign_model_raises_clear_contract_error(tmp_path):
         (ValueError, ray.exceptions.RayTaskError), match="missing from the broadcast LM"
     ):
         ds.to_pandas()
+
+
+def test_capped_lms_on_empty_corpus(tmp_path):
+    """Empty/whitespace-only corpus: the capped builds must survive
+    Ray's drop-column-names-on-empty quirk and emit zero rows with the
+    pinned schemas."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bioner_ray.pipelines.analytics import (
+        doc_bigram_logprob,
+        doc_kn_logprob,
+        doc_logprob,
+    )
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], type=pa.int64()),
+                "text": ["", "   \t "],
+            }
+        ),
+        sf / "documents.parquet",
+    )
+    lp = doc_logprob(str(sf))
+    assert lp.count() == 0
+    bg = doc_bigram_logprob(str(sf))
+    assert bg.count() == 0
+    kn = doc_kn_logprob(str(sf))
+    assert kn.count() == 0
+    assert kn.schema().names == ["doc_id", "n_bigrams", "kn_logprob_micro"]
