@@ -3319,10 +3319,16 @@ def _basket_pair_stream(sf_dir: str):
             schema=out_schema,
         )
 
-    return (
-        items.map_batches(partial, batch_format="pyarrow")
-        .groupby("_bucket")
-        .map_groups(lambda g: emit_pairs(g), batch_format="pyarrow")
+    from bioner_ray.stages.shuffle import _shuffle_input_guard
+
+    # inline-slice guard (r5 blowup audit): the (orderkey, partkey)
+    # stream is ~16 B/row — estimate from the parquet footer so the
+    # small-block regime coalesces before the bucket shuffle
+    est = _nrows(sf_dir, "lineitem") * 24
+    return _shuffle_input_guard(
+        items.map_batches(partial, batch_format="pyarrow"), est, 256
+    ).groupby("_bucket").map_groups(
+        lambda g: emit_pairs(g), batch_format="pyarrow"
     )
 
 
@@ -3342,7 +3348,11 @@ def basket_pairs(sf_dir: str, min_support: int = 2, k: int = 100):
     pairs = _basket_pair_stream(sf_dir)
     counts = pin_schema(
         bucketed_aggregate(
-            with_ones(pairs, "support"), ["p1", "p2"], [("support", "sum")]
+            with_ones(pairs, "support"),
+            ["p1", "p2"],
+            [("support", "sum")],
+            # pair fanout ≤ C(7,2)/order ≈ 2×items; 24 B/pair row
+            est_bytes=_nrows(sf_dir, "lineitem") * 48,
         ),
         pa.schema([("p1", pa.int64()), ("p2", pa.int64()), ("support", pa.int64())]),
     )
@@ -3670,6 +3680,7 @@ def copurchase_assortativity(sf_dir: str):
             with_ones(_basket_pair_stream(sf_dir), "one"),
             ["p1", "p2"],
             [("one", "min")],
+            est_bytes=_nrows(sf_dir, "lineitem") * 48,  # inline-slice guard
         ),
         pair_schema,
     ).materialize()
@@ -7484,7 +7495,12 @@ def waiting_suppliers(sf_dir: str, k: int = 10):
         batch_format="pyarrow",
     )
     per_os = pin_schema(
-        bucketed_aggregate(li, ["o_orderkey", "l_suppkey"], [("ret", "max")]),
+        bucketed_aggregate(
+            li,
+            ["o_orderkey", "l_suppkey"],
+            [("ret", "max")],
+            est_bytes=_nrows(sf_dir, "lineitem") * 24,  # inline-slice guard
+        ),
         pa.schema([("o_orderkey", pa.int64()), ("l_suppkey", pa.int64()), ("ret", pa.int64())]),
     )
 
@@ -7517,6 +7533,7 @@ def waiting_suppliers(sf_dir: str, k: int = 10):
             per_os.map_batches(order_fold, batch_format="pyarrow"),
             ["o_orderkey"],
             [("n_supp", "sum"), ("n_ret_supp", "sum"), ("blamed", "max")],
+            est_bytes=_nrows(sf_dir, "lineitem") * 40,  # inline-slice guard
         ),
         pa.schema(
             [
@@ -7544,6 +7561,7 @@ def waiting_suppliers(sf_dir: str, k: int = 10):
             ]
         ),
         pa.schema([("o_orderkey", pa.int64())]),
+        est_bytes=_nrows(sf_dir, "orders") * 48,  # inline-slice guard
     ).map_batches(
         lambda t: pa.table(
             {
@@ -9355,6 +9373,7 @@ def copurchase_ego(sf_dir: str, hops: int = 1):
             with_ones(_basket_pair_stream(sf_dir), "n_baskets"),
             ["p1", "p2"],
             [("n_baskets", "sum")],
+            est_bytes=_nrows(sf_dir, "lineitem") * 48,  # inline-slice guard
         ),
         e_schema,
     )

@@ -131,18 +131,60 @@ def _arrow_agg(t: pa.Table, keys: list[str], aggs: list[tuple[str, str]]) -> pa.
     return out.rename_columns(list(keys) + [c for c, _ in aggs])
 
 
+#: Ray returns task outputs under ~100 KB INLINE to the owning driver
+#: instead of plasma; with headroom, slices ≥ 128 KB always go to the
+#: object store.
+_INLINE_SLICE_BYTES = 131072
+
+
+def _shuffle_input_guard(ds, est_bytes: int | None, num_buckets: int):
+    """Inline-slice guard for Ray's sort shuffle (round-5 blowup-audit
+    finding): the sort behind ``groupby`` splits every input block into
+    one slice per reduce partition, and any slice under the ~100 KB
+    inline threshold is returned INLINE into the owning driver's heap —
+    with sub-26 MB input blocks that is a dataset-sized transient spike
+    in driver RSS (measured 369 MB on a 96 MB stream at sf1; 15 MB
+    after this guard). Production-sized blocks (Ray's 128 MB default
+    target) are immune — slices clear the threshold naturally — so the
+    guard only acts in the small-block regime: when the caller's byte
+    estimate says blocks would be small AND the resulting block count
+    is below the cluster's natural parallelism, coalesce with one
+    cheap ``repartition`` so each (block × bucket) slice lands in
+    plasma."""
+    if est_bytes is None:
+        return ds
+    # below ~4 coalesced blocks' worth (128 MB at the default 256
+    # buckets) the inline spike is bounded by est_bytes itself —
+    # harmless — and coalescing would only serialize the reduce; act
+    # only when the stream is big enough for the spike to matter,
+    # which also guarantees ≥ 5 reduce partitions after the coalesce
+    if est_bytes < 4 * num_buckets * _INLINE_SLICE_BYTES:
+        return ds
+    import ray
+
+    target = int(est_bytes // (num_buckets * _INLINE_SLICE_BYTES)) + 1
+    cpus = (
+        int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    )
+    if target < cpus * 2:
+        return ds.repartition(target)
+    return ds
+
+
 def bucketed_aggregate(
     ds,
     keys: list[str],
     aggs: list[tuple[str, str]],
     num_buckets: int = 256,
     batch_size: int = 65536,
+    est_bytes: int | None = None,
 ):
     """Exact distributed groupby for arbitrary key cardinality.
 
     ``aggs`` = [(column, op)] with op ∈ {sum, min, max}; output columns
     keep their input names. See module docstring for the plan shape.
-    """
+    ``est_bytes`` (optional): approximate byte size of the combined
+    stream, enabling the ``_shuffle_input_guard`` block coalesce."""
     for _, op in aggs:
         if op not in _OPS:
             raise ValueError(f"unsupported op {op!r}; use sum/min/max (+ ones column for count)")
@@ -151,17 +193,23 @@ def bucketed_aggregate(
         t = _arrow_agg(batch, keys, aggs)
         return t.append_column("_bucket", _bucket_column(t, keys, num_buckets))
 
-    def final(group: pa.Table) -> pa.Table:
-        return _arrow_agg(group.drop_columns(["_bucket"]), keys, aggs)
-
     return (
-        ds.map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
+        _shuffle_input_guard(
+            ds.map_batches(partial, batch_format="pyarrow", batch_size=batch_size),
+            est_bytes,
+            num_buckets,
+        )
         .groupby("_bucket")
-        .map_groups(final, batch_format="pyarrow")
+        .map_groups(
+            lambda group: _arrow_agg(group.drop_columns(["_bucket"]), keys, aggs),
+            batch_format="pyarrow",
+        )
     )
 
 
-def bucketed_map_groups(ds, keys: list[str], fn, num_buckets: int = 256):
+def bucketed_map_groups(
+    ds, keys: list[str], fn, num_buckets: int = 256, est_bytes: int | None = None
+):
     """``groupby(keys).map_groups(fn)`` WITHOUT one Ray group per
     distinct key: rows shuffle on the coarse bucket of the key columns
     (``num_buckets`` groups total) and ``fn`` runs once per bucket over
@@ -185,7 +233,11 @@ def bucketed_map_groups(ds, keys: list[str], fn, num_buckets: int = 256):
         return fn(group)
 
     return (
-        ds.map_batches(add_bucket, batch_format="pyarrow")
+        _shuffle_input_guard(
+            ds.map_batches(add_bucket, batch_format="pyarrow"),
+            est_bytes,
+            num_buckets,
+        )
         .groupby("_bucket")
         .map_groups(run, batch_format="pyarrow")
     )
@@ -200,9 +252,11 @@ def bucketed_inner_join(
     num_buckets: int = 256,
     batch_size: int = 65536,
     join_type: str = "inner",
+    est_bytes: int | None = None,
 ):
     """Empty-partition-proof distributed hash join (``inner`` or
-    ``left anti``).
+    ``left anti``). ``est_bytes``: optional combined-size estimate for
+    the ``_shuffle_input_guard`` inline-slice coalesce.
 
     Ray's native ``Dataset.join`` (2.49) crashes whenever a hash
     partition receives zero rows on either side: the aggregator builds
@@ -255,8 +309,16 @@ def bucketed_inner_join(
 
         return fn
 
-    u = left.map_batches(prep(0, left_schema), batch_format="pyarrow", batch_size=batch_size).union(
-        right.map_batches(prep(1, right_schema), batch_format="pyarrow", batch_size=batch_size)
+    u = _shuffle_input_guard(
+        left.map_batches(
+            prep(0, left_schema), batch_format="pyarrow", batch_size=batch_size
+        ).union(
+            right.map_batches(
+                prep(1, right_schema), batch_format="pyarrow", batch_size=batch_size
+            )
+        ),
+        est_bytes,
+        num_buckets,
     )
 
     def final(g: pa.Table) -> pa.Table:

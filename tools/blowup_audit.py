@@ -48,8 +48,12 @@ def run(sf_dir: str, out_path: str, skip: set[str]) -> None:
 
     qs = entrymod.queries()
     results: dict[str, dict] = {}
+    try:  # resume: completed queries are skipped on relaunch
+        results = json.load(open(out_path))["queries"]
+    except (OSError, ValueError):
+        pass
     for i, name in enumerate(sorted(qs)):
-        if name in skip:
+        if name in skip or name in results:
             continue
         gc.collect()
         r0 = _rss_mb()

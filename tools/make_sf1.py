@@ -120,7 +120,9 @@ def main(out_dir: str = "/tmp/testdata_sf1") -> None:
                     pa.ListArray.from_arrays(emb.offsets, pa.array(vals, type=emb.values.type)),
                 )
             copies.append(tab)
-        out = pa.concat_tables(copies)
+        # strip the source's pandas schema-metadata blob so sf1 blocks
+        # hash cleanly (see bioner_ray/sources/parquet_io.py)
+        out = pa.concat_tables(copies).replace_schema_metadata(None)
         pq.write_table(out, os.path.join(out_dir, f"{t}.parquet"))
         print(f"{t}: {src.num_rows} -> {out.num_rows}")
 
