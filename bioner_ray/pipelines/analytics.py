@@ -2183,6 +2183,7 @@ def _bigram_micro_score_ds(
     fallback2: dict | None = None,
     fallback_default: int | None = None,
     fallback2_default: int | None = None,
+    score_parity: int | None = None,
 ):
     """Streaming bigram score pass shared by the add-one and Kneser-Ney
     LMs: the within-doc bigram stream is built vectorized from the
@@ -2209,6 +2210,15 @@ def _bigram_micro_score_ds(
     def score(batch: pa.Table) -> pa.Table:
         import pandas as pd
 
+        if score_parity is not None:
+            batch = batch.filter(
+                pc.equal(
+                    pc.bit_wise_and(
+                        pc.cast(batch.column("doc_id"), pa.int64()), 1
+                    ),
+                    score_parity,
+                )
+            )
         table, fb = ray.get(lp_ref), ray.get(fb_ref)
         fb2 = ray.get(fb2_ref)
         text = pc.fill_null(batch.column("text"), "")
@@ -2283,6 +2293,7 @@ def doc_bigram_logprob(
     sf_dir: str,
     max_bigrams: int | None = 1048576,
     max_vocab: int | None = 262144,
+    train_parity: int | None = None,
 ):
     """Bigram-LM document scoring — the doc_logprob upgrade from
     unigram surprise to conditional add-one bigram probability
@@ -2320,7 +2331,29 @@ def doc_bigram_logprob(
         token_count_partial,
     )
 
-    docs = _read(sf_dir, "documents", columns=["text"])
+    if train_parity is None:
+        docs = _read(sf_dir, "documents", columns=["text"])
+    else:
+        # held-out deployment shape (the docstring's web-scale mode):
+        # train the LM on one doc_id parity, score ONLY the other —
+        # every scored doc is out-of-sample, so the miss/backoff paths
+        # carry real traffic. Requires the capped model (the fallback
+        # machinery); the uncapped escape hatch has no OOV class.
+        if max_bigrams is None or max_vocab is None:
+            raise ValueError(
+                "train_parity requires the capped model (max_bigrams "
+                "and max_vocab set): an uncapped model has no OOV class "
+                "to score out-of-sample tokens"
+            )
+        docs = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+            lambda t: t.filter(
+                pc.equal(
+                    pc.bit_wise_and(pc.cast(t.column("doc_id"), pa.int64()), 1),
+                    train_parity,
+                )
+            ),
+            batch_format="pyarrow",
+        )
     bg_counts = bucketed_aggregate(
         docs.map_batches(bigram_count_partial, batch_format="pyarrow"),
         ["bg"],
@@ -2373,7 +2406,12 @@ def doc_bigram_logprob(
         else math.floor(math.log(1.0 / (c1_oov + v)) * 1000000.0)
     )
     return _bigram_micro_score_ds(
-        sf_dir, lp, fb, "logprob_micro", fallback_default=fb_default
+        sf_dir,
+        lp,
+        fb,
+        "logprob_micro",
+        fallback_default=fb_default,
+        score_parity=None if train_parity is None else 1 - train_parity,
     )
 
 

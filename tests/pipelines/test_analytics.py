@@ -156,6 +156,7 @@ SQL_CHECKED = [
     "orders_profile",
     "doc_bigram_logprob",
     "doc_bigram_logprob_capped",
+    "doc_bigram_logprob_heldout",
     "doc_kn_logprob",
     "doc_kn_logprob_capped",
     "lesk_disambiguation",

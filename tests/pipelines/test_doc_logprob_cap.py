@@ -312,3 +312,22 @@ def test_capped_lms_on_empty_corpus(tmp_path):
     kn = doc_kn_logprob(str(sf))
     assert kn.count() == 0
     assert kn.schema().names == ["doc_id", "n_bigrams", "kn_logprob_micro"]
+
+
+def test_bigram_heldout_scores_only_out_of_sample_docs():
+    """Held-out mode: train on even doc_ids, score odd ones — every
+    output doc is odd, misses fall to the documented backoff, and
+    uncapped+heldout is rejected loudly."""
+    import pytest
+
+    from bioner_ray.pipelines.analytics import doc_bigram_logprob
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        doc_bigram_logprob(sf, max_bigrams=4096, max_vocab=512, train_parity=0)
+        .to_pandas()
+    )
+    assert len(got) > 0
+    assert (got["doc_id"] % 2 == 1).all()
+    with pytest.raises(ValueError, match="train_parity requires"):
+        doc_bigram_logprob(sf, max_bigrams=None, max_vocab=None, train_parity=0)
