@@ -2415,7 +2415,11 @@ def doc_bigram_logprob(
     )
 
 
-def doc_kn_logprob(sf_dir: str, max_bigrams: int | None = 1048576):
+def doc_kn_logprob(
+    sf_dir: str,
+    max_bigrams: int | None = 1048576,
+    train_parity: int | None = None,
+):
     """Interpolated Kneser-Ney bigram scoring (absolute discount
     d = 0.75) — the CCNet/KenLM-grade perplexity-filter signal one
     rung above doc_bigram_logprob's add-one smoothing:
@@ -2454,7 +2458,27 @@ def doc_kn_logprob(sf_dir: str, max_bigrams: int | None = 1048576):
     from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema
     from bioner_ray.stages.textstats import BIGRAM_SEP as SEP, bigram_count_partial
 
-    docs = _read(sf_dir, "documents", columns=["text"])
+    if train_parity is None:
+        docs = _read(sf_dir, "documents", columns=["text"])
+    else:
+        # held-out deployment shape (see doc_bigram_logprob): train on
+        # one doc_id parity, score only the other — the two-component
+        # KN backoff carries real out-of-sample traffic
+        if max_bigrams is None:
+            raise ValueError(
+                "train_parity requires the capped model (max_bigrams "
+                "set): the uncapped path has no backoff for unseen "
+                "bigrams"
+            )
+        docs = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+            lambda t: t.filter(
+                pc.equal(
+                    pc.bit_wise_and(pc.cast(t.column("doc_id"), pa.int64()), 1),
+                    train_parity,
+                )
+            ),
+            batch_format="pyarrow",
+        )
     bg_counts = bucketed_aggregate(
         docs.map_batches(bigram_count_partial, batch_format="pyarrow"),
         ["bg"],
@@ -2522,6 +2546,7 @@ def doc_kn_logprob(sf_dir: str, max_bigrams: int | None = 1048576):
         fallback2=fb2,
         fallback_default=math.floor(math.log(0.75) * 1000000.0),
         fallback2_default=math.floor(math.log(1.0 / T) * 1000000.0),
+        score_parity=None if train_parity is None else 1 - train_parity,
     )
 
 

@@ -159,6 +159,7 @@ SQL_CHECKED = [
     "doc_bigram_logprob_heldout",
     "doc_kn_logprob",
     "doc_kn_logprob_capped",
+    "doc_kn_logprob_heldout",
     "lesk_disambiguation",
     "kg_ppr",
     "weekly_active_users",
