@@ -298,6 +298,7 @@ OPERATOR_QUERIES = [
     "crawl_frontier",
     "copurchase_betweenness",
     "ccnet_buckets",
+    "ccnet_buckets_heldout",
     "dsir_weights",
     "dsir_weights_capped",
     "host_boilerplate_ratio",

@@ -817,12 +817,20 @@ def langid(sf_dir: str):
     return langid_stage(_documents(sf_dir))
 
 
-def ccnet_buckets(sf_dir: str):
+def ccnet_buckets(sf_dir: str, scorer: str = "unigram"):
     """CCNet-style perplexity bucketing (Wenzek et al. 2020,
     arXiv:1911.00359 §3.3): per LANGUAGE, documents split into
     head/middle/tail terciles of per-token unigram surprise — the
     standard web-corpus quality partition a pretraining mix samples
     from (head = most fluent third under the corpus LM).
+
+    ``scorer="bigram_heldout"`` is the PUBLISHED CCNet shape one step
+    closer: the LM is trained on a held-out slice (the even doc_id
+    parity) and every bucketed document is scored OUT-OF-SAMPLE by the
+    capped add-one bigram model (doc_bigram_logprob's train_parity
+    mode), per-bigram-normalized — so the tercile cuts partition only
+    the odd parity, exactly as CCNet buckets a crawl against a
+    Wikipedia-trained LM it was not part of.
 
     Composition: the langid stage and the doc_logprob scorer each
     stream their own pass; ONE doc_id-bucketed join lines them up; the
@@ -833,7 +841,7 @@ def ccnet_buckets(sf_dir: str):
     same driver-finish argument as value_percentiles. Cut rule: first
     bin with cumulative count ≥ ceil(n/3) / ceil(2n/3); ties share the
     lower bucket on both sides. Columns: lang, bucket, n_docs."""
-    from bioner_ray.pipelines.analytics import doc_logprob
+    from bioner_ray.pipelines.analytics import doc_bigram_logprob, doc_logprob
     from bioner_ray.stages.shuffle import (
         bucketed_aggregate,
         bucketed_inner_join,
@@ -842,9 +850,20 @@ def ccnet_buckets(sf_dir: str):
     )
     from bioner_ray.stages.textstats import langid_stage
 
+    if scorer == "unigram":
+        lp_ds, count_col = doc_logprob(sf_dir), "n_tokens"
+    elif scorer == "bigram_heldout":
+        lp_ds, count_col = (
+            doc_bigram_logprob(
+                sf_dir, max_bigrams=4096, max_vocab=512, train_parity=0
+            ),
+            "n_bigrams",
+        )
+    else:
+        raise ValueError(f"unknown scorer {scorer!r}")
     lid_schema = pa.schema([("doc_id", pa.int64()), ("lang", pa.string())])
     lp_schema = pa.schema(
-        [("doc_id", pa.int64()), ("n_tokens", pa.int64()), ("logprob_micro", pa.int64())]
+        [("doc_id", pa.int64()), (count_col, pa.int64()), ("logprob_micro", pa.int64())]
     )
 
     def lid_prep(t: pa.Table) -> pa.Table:
@@ -858,7 +877,7 @@ def ccnet_buckets(sf_dir: str):
         langid_stage(_documents(sf_dir)).map_batches(lid_prep, batch_format="pyarrow"),
         lid_schema,
     )
-    lp = pin_schema(doc_logprob(sf_dir), lp_schema)
+    lp = pin_schema(lp_ds, lp_schema)
     joined = bucketed_inner_join(lp, lid, ["doc_id"], lp_schema, lid_schema)
 
     bin_schema = pa.schema([("lang", pa.string()), ("bin", pa.int64())])
@@ -867,7 +886,7 @@ def ccnet_buckets(sf_dir: str):
         if t.num_columns == 0 or t.num_rows == 0:
             return bin_schema.empty_table()
         surprise = -t.column("logprob_micro").to_numpy(zero_copy_only=False)
-        ntok = t.column("n_tokens").to_numpy(zero_copy_only=False)
+        ntok = t.column(count_col).to_numpy(zero_copy_only=False)
         return pa.table(
             {"lang": t.column("lang"), "bin": pa.array((surprise // ntok) // 1000)}
         )

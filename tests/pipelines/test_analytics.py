@@ -211,6 +211,7 @@ SQL_CHECKED = [
     "crawl_frontier",
     "copurchase_betweenness",
     "ccnet_buckets",
+    "ccnet_buckets_heldout",
     "dsir_weights",
     "dsir_weights_capped",
     "kg_daily_increment",
