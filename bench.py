@@ -189,6 +189,7 @@ OPERATOR_QUERIES = [
     # round-3 third session: TPC-H family, graph affinity, windows,
     # PQ/kNN-graph, text information measures, semi-structured extract
     "basket_pairs",
+    "basket_rules",
     "customer_distribution",
     "orders_cohort_ltv",
     "market_share",

@@ -3426,6 +3426,150 @@ def basket_pairs(sf_dir: str, min_support: int = 2, k: int = 100):
     return frequent.sort(["support", "p1", "p2"], descending=[True, False, False]).limit(k)
 
 
+def basket_rules(sf_dir: str, min_support: int = 2, k: int = 100):
+    """Association-rule mining metrics (the Apriori rule step on top of
+    basket_pairs): for every frequent unordered part pair, support
+    (baskets containing both), both directed confidences and the lift
+    — all in EXACT integer micro units so the distributed fold and the
+    SQL twin land on identical integers:
+
+        conf(p1→p2)_micro = ⌊support·10⁶ / c(p1)⌋
+        lift_micro        = ⌊support·N·10⁶ / (c(p1)·c(p2))⌋
+
+    with c(p) = baskets containing p and N = total baskets. Scale
+    shape: the shared orderkey-keyed pair stream folds to ONE (p1, p2)
+    bucketed aggregate (inline-slice-guarded); the per-part basket
+    counts are catalog-bounded and broadcast once via ``ray.put`` (the
+    parts_supplier_counts dim-broadcast pattern); the rule filter runs
+    distributed and a combiner-pruned global top-k keeps the
+    ``k``-bounded result (lift desc, p1, p2). int64 headroom:
+    support·N·10⁶ < 2^63 up to N ≈ 3M baskets — beyond that the
+    micro scale drops to 10³ (documented, not silent). Columns: p1,
+    p2, support, conf12_micro, conf21_micro, lift_micro."""
+    import ray
+
+    from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema, with_ones
+
+    # per-part basket counts + total baskets: catalog-bounded collect
+    items = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def op_dedup(t: pa.Table) -> pa.Table:
+        g = t.group_by(["l_orderkey", "l_partkey"]).aggregate([])
+        return pa.table({"o": g.column("l_orderkey"), "p": g.column("l_partkey")})
+
+    op = pin_schema(
+        bucketed_aggregate(
+            with_ones(items.map_batches(op_dedup, batch_format="pyarrow")),
+            ["o", "p"],
+            [("one", "min")],
+            est_bytes=_nrows(sf_dir, "lineitem") * 24,
+        ),
+        pa.schema([("o", pa.int64()), ("p", pa.int64()), ("one", pa.int64())]),
+    ).materialize()
+    cp = (
+        pin_schema(
+            bucketed_aggregate(
+                op.map_batches(
+                    lambda t: pa.table({"p": t.column("p"), "c": t.column("one")}),
+                    batch_format="pyarrow",
+                ),
+                ["p"],
+                [("c", "sum")],
+            ),
+            pa.schema([("p", pa.int64()), ("c", pa.int64())]),
+        )
+        .to_pandas()
+    )
+    cp_map = dict(zip(cp["p"].astype(int), cp["c"].astype(int)))
+    n_baskets = int(
+        pin_schema(
+            bucketed_aggregate(
+                op.map_batches(
+                    lambda t: pa.table(
+                        {"o": t.column("o"), "one": t.column("one")}
+                    ),
+                    batch_format="pyarrow",
+                ),
+                ["o"],
+                [("one", "min")],
+            ),
+            pa.schema([("o", pa.int64()), ("one", pa.int64())]),
+        ).count()
+    )
+    cp_ref = ray.put(cp_map)
+
+    counts = pin_schema(
+        bucketed_aggregate(
+            with_ones(_basket_pair_stream(sf_dir), "support"),
+            ["p1", "p2"],
+            [("support", "sum")],
+            est_bytes=_nrows(sf_dir, "lineitem") * 48,
+        ),
+        pa.schema([("p1", pa.int64()), ("p2", pa.int64()), ("support", pa.int64())]),
+    )
+
+    out_schema = pa.schema(
+        [
+            ("p1", pa.int64()),
+            ("p2", pa.int64()),
+            ("support", pa.int64()),
+            ("conf12_micro", pa.int64()),
+            ("conf21_micro", pa.int64()),
+            ("lift_micro", pa.int64()),
+        ]
+    )
+
+    def rules(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return out_schema.empty_table()
+        t = t.filter(pc.greater_equal(t.column("support"), min_support))
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        cmap = ray.get(cp_ref)
+        p1 = t.column("p1").to_numpy(zero_copy_only=False).astype(np.int64)
+        p2 = t.column("p2").to_numpy(zero_copy_only=False).astype(np.int64)
+        sup = t.column("support").to_numpy(zero_copy_only=False).astype(np.int64)
+        c1 = np.array([cmap[x] for x in p1], dtype=np.int64)
+        c2 = np.array([cmap[x] for x in p2], dtype=np.int64)
+        m = np.int64(1000000)
+        return pa.table(
+            {
+                "p1": pa.array(p1),
+                "p2": pa.array(p2),
+                "support": pa.array(sup),
+                "conf12_micro": pa.array((sup * m) // c1),
+                "conf21_micro": pa.array((sup * m) // c2),
+                "lift_micro": pa.array((sup * np.int64(n_baskets) * m) // (c1 * c2)),
+            },
+            schema=out_schema,
+        )
+
+    ranked = _global_top_k(
+        counts.map_batches(rules, batch_format="pyarrow"),
+        [
+            ("lift_micro", "descending"),
+            ("p1", "ascending"),
+            ("p2", "ascending"),
+        ],
+        k,
+    )
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            c: ranked[c]
+            for c in [
+                "p1",
+                "p2",
+                "support",
+                "conf12_micro",
+                "conf21_micro",
+                "lift_micro",
+            ]
+        }
+    )
+
+
 def parts_supplier_counts(sf_dir: str, min_acctbal: float = 1000.0):
     """TPC-H Q16 shape: how many distinct (non-excluded) suppliers ship
     each (p_brand, p_size) part family — supplier-diversity per

@@ -165,6 +165,7 @@ SQL_CHECKED = [
     "weekly_active_users",
     "kg_negative_samples",
     "basket_pairs",
+    "basket_rules",
     "customer_distribution",
     "kg_adamic_adar",
     "events_cum_value",
