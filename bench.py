@@ -281,6 +281,7 @@ OPERATOR_QUERIES = [
     "kg_star_ids",
     "kg_shuffle_skew",
     "web_link_graph",
+    "host_inlink_entropy",
     "host_pagerank",
     "anchor_text_index",
     "anchor_linking_prior",

@@ -142,6 +142,70 @@ def web_link_graph(sf_dir: str, snapshot_mod: int | None = None):
     )
 
 
+def host_inlink_entropy(sf_dir: str):
+    """Inlink-source diversity per destination host — the link-farm /
+    paid-network screen a crawl-quality auditor runs: a host whose
+    inlinks come from ONE source host (H ≈ 0) is boosted artificially;
+    a genuinely popular host draws links from many sources (high H).
+    H(src | dst) over the host link graph, in the engine's exact
+    integer entropy convention (each term c·⌊10⁶·ln(n/c)⌋, libm log —
+    bit-replayed by the twin).
+
+    Scale shape: the link graph is hosts²-bounded (web_link_graph's
+    combiner-compressed aggregate); ONE dst-bucketed map_groups folds
+    each host's inlink distribution with run-scan segment arithmetic —
+    no driver walk, no join. Columns: dst_host, n_inlinks,
+    n_src_hosts, h_micro."""
+    import math
+
+    from bioner_ray.stages.shuffle import bucketed_map_groups, pin_schema
+
+    out_schema = pa.schema(
+        [
+            ("dst_host", pa.string()),
+            ("n_inlinks", pa.int64()),
+            ("n_src_hosts", pa.int64()),
+            ("h_micro", pa.int64()),
+        ]
+    )
+
+    def fold(g: pa.Table) -> pa.Table:
+        if g.num_columns == 0 or g.num_rows == 0:
+            return out_schema.empty_table()
+        g = g.sort_by([("dst_host", "ascending"), ("src_host", "ascending")])
+        import numpy as np
+
+        dst = np.asarray(g.column("dst_host").to_pylist(), dtype=object)
+        c = g.column("n_links").to_numpy(zero_copy_only=False).astype(np.int64)
+        starts = np.flatnonzero(np.r_[True, dst[1:] != dst[:-1]])
+        ends = np.r_[starts[1:], len(dst)]
+        cs = np.concatenate([[0], np.cumsum(c)])
+        n_run = cs[ends] - cs[starts]
+        d_out, h_out = [], []
+        for s_, e_, n in zip(starts, ends, n_run):
+            # per-term libm log keeps the micro floors bit-identical to
+            # DuckDB's ln (numpy's SIMD log drifts 1 ulp on this box)
+            h = sum(
+                int(x) * math.floor(math.log(int(n) / int(x)) * 1_000_000)
+                for x in c[s_:e_]
+            )
+            d_out.append(dst[s_])
+            h_out.append(h)
+        return pa.table(
+            {
+                "dst_host": pa.array(d_out, type=pa.string()),
+                "n_inlinks": pa.array(n_run.astype(np.int64)),
+                "n_src_hosts": pa.array((ends - starts).astype(np.int64)),
+                "h_micro": pa.array(np.array(h_out, dtype=np.int64)),
+            },
+            schema=out_schema,
+        )
+
+    return pin_schema(
+        bucketed_map_groups(web_link_graph(sf_dir), ["dst_host"], fold), out_schema
+    )
+
+
 def web_link_delta(sf_dir: str):
     """Crawl-to-crawl host-graph diff: snapshot A (every third
     doc_id) vs the full crawl B, FULL OUTER joined on the host pair via

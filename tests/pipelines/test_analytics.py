@@ -208,6 +208,7 @@ SQL_CHECKED = [
     "kg_shuffle_skew",
     "host_outlink_profile",
     "web_link_delta",
+    "host_inlink_entropy",
     "orphan_pages",
     "crawl_frontier",
     "copurchase_betweenness",
