@@ -301,6 +301,7 @@ OPERATOR_QUERIES = [
     "copurchase_betweenness",
     "ccnet_buckets",
     "ccnet_buckets_heldout",
+    "split_ngram_leakage",
     "dsir_weights",
     "dsir_weights_capped",
     "host_boilerplate_ratio",

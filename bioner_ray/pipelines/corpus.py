@@ -340,6 +340,94 @@ def conlleval_export(sf_dir: str):
     )
 
 
+def split_ngram_leakage(sf_dir: str, k: int = 8):
+    """Train/test split-leakage audit (the Lee/Brown-et-al
+    decontamination check applied to a SPLIT instead of a benchmark):
+    how many distinct ``k``-gram shingles of the test parity (odd
+    doc_ids) also occur in the train parity (even doc_ids). A high
+    ``leak_micro`` (= ⌊shared·10⁶ / test-distinct⌋) means held-out
+    metrics on this split are contaminated by verbatim overlap — the
+    audit run before trusting any split-based eval (incl. this
+    engine's own *_heldout LM queries, which train/score on exactly
+    these parities).
+
+    Scale shape: the dedup family's hashed shingle stream (8 bytes per
+    shuffled row), ONE per-shingle bucketed aggregate folding the two
+    presence flags (max), then a combiner partial-sum — the driver
+    sees three integers. Columns (one row): n_train_ngrams,
+    n_test_ngrams, n_shared, leak_micro."""
+    from bioner_ray.stages.dedup import shingle_rows_batch
+    from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema
+
+    def with_parity(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        sh = shingle_rows_batch(t, k=k)
+        if sh.num_rows == 0:
+            return pa.table(
+                {
+                    "shingle": pa.array([], type=pa.uint64()),
+                    "tr": pa.array([], type=pa.int64()),
+                    "te": pa.array([], type=pa.int64()),
+                }
+            )
+        par = pc.bit_wise_and(pc.cast(sh.column("doc_id"), pa.int64()), 1)
+        return pa.table(
+            {
+                "shingle": sh.column("shingle"),
+                "tr": pc.subtract(1, par),
+                "te": par,
+            }
+        )
+
+    flags = pin_schema(
+        bucketed_aggregate(
+            _documents(sf_dir).map_batches(with_parity, batch_format="pyarrow"),
+            ["shingle"],
+            [("tr", "max"), ("te", "max")],
+        ),
+        pa.schema(
+            [("shingle", pa.uint64()), ("tr", pa.int64()), ("te", pa.int64())]
+        ),
+    )
+
+    def partial_sums(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.table(
+                {
+                    "n_train_ngrams": pa.array([], type=pa.int64()),
+                    "n_test_ngrams": pa.array([], type=pa.int64()),
+                    "n_shared": pa.array([], type=pa.int64()),
+                }
+            )
+        tr = t.column("tr").to_numpy(zero_copy_only=False)
+        te = t.column("te").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n_train_ngrams": pa.array([int(tr.sum())], type=pa.int64()),
+                "n_test_ngrams": pa.array([int(te.sum())], type=pa.int64()),
+                "n_shared": pa.array([int((tr * te).sum())], type=pa.int64()),
+            }
+        )
+
+    import pandas as pd
+
+    sums = flags.map_batches(partial_sums, batch_format="pyarrow").to_pandas()
+    n_tr = int(sums["n_train_ngrams"].sum())
+    n_te = int(sums["n_test_ngrams"].sum())
+    n_sh = int(sums["n_shared"].sum())
+    return pd.DataFrame(
+        [
+            {
+                "n_train_ngrams": n_tr,
+                "n_test_ngrams": n_te,
+                "n_shared": n_sh,
+                "leak_micro": (n_sh * 1000000) // n_te if n_te else 0,
+            }
+        ]
+    )
+
+
 def dedup_filter(sf_dir: str, threshold: float = 0.5):
     """The end-to-end corpus-hygiene composition a 100-TB run executes:
     exact Jaccard pairs → connected components → KEEP one document per

@@ -214,6 +214,7 @@ SQL_CHECKED = [
     "copurchase_betweenness",
     "ccnet_buckets",
     "ccnet_buckets_heldout",
+    "split_ngram_leakage",
     "dsir_weights",
     "dsir_weights_capped",
     "kg_daily_increment",
