@@ -302,6 +302,7 @@ OPERATOR_QUERIES = [
     "ccnet_buckets",
     "ccnet_buckets_heldout",
     "split_ngram_leakage",
+    "ranker_agreement",
     "dsir_weights",
     "dsir_weights_capped",
     "host_boilerplate_ratio",

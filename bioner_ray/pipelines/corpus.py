@@ -340,6 +340,53 @@ def conlleval_export(sf_dir: str):
     )
 
 
+def ranker_agreement(sf_dir: str, k: int = 10):
+    """Ranker-diff audit between the two lexical retrieval models
+    (BM25 vs Dirichlet QLM) on the shared fixed query: top-k overlap
+    and Kendall concordance over the common documents — the check a
+    serving stack runs before swapping scorers ("do they even agree on
+    what is relevant?"). Pure integer statistics (concordant /
+    discordant pair counts, tau as numerator 2·C−P over denominator P)
+    so the SQL twin replays them exactly with no float or
+    negative-division semantics. Both input rankings are existing
+    oracle-checked operators; the agreement fold walks ≤ k² pairs
+    driver-side (k = 10). Columns (one row): n_common, union_n,
+    n_concordant, n_discordant, tau_num, tau_den."""
+    import pandas as pd
+
+    b = bm25_topk(sf_dir, k=k)
+    b = (b.to_pandas() if hasattr(b, "to_pandas") else b).copy()
+    q = qlm_topk(sf_dir, k=k)
+    q = (q.to_pandas() if hasattr(q, "to_pandas") else q).copy()
+    b = b.sort_values(["score", "doc_id"], ascending=[False, True]).reset_index(drop=True)
+    b["rb"] = range(1, len(b) + 1)
+    q = q.sort_values(["score_micro", "doc_id"], ascending=[False, True]).reset_index(drop=True)
+    q["rq"] = range(1, len(q) + 1)
+    c = b[["doc_id", "rb"]].merge(q[["doc_id", "rq"]], on="doc_id")
+    n = len(c)
+    conc = disc = 0
+    rows = list(zip(c["rb"], c["rq"]))
+    for i in range(n):
+        for j in range(i + 1, n):
+            if (rows[i][0] < rows[j][0]) == (rows[i][1] < rows[j][1]):
+                conc += 1
+            else:
+                disc += 1
+    npairs = n * (n - 1) // 2
+    return pd.DataFrame(
+        [
+            {
+                "n_common": n,
+                "union_n": len(b) + len(q) - n,
+                "n_concordant": conc,
+                "n_discordant": disc,
+                "tau_num": 2 * conc - npairs,
+                "tau_den": npairs,
+            }
+        ]
+    )
+
+
 def split_ngram_leakage(sf_dir: str, k: int = 8):
     """Train/test split-leakage audit (the Lee/Brown-et-al
     decontamination check applied to a SPLIT instead of a benchmark):

@@ -215,6 +215,7 @@ SQL_CHECKED = [
     "ccnet_buckets",
     "ccnet_buckets_heldout",
     "split_ngram_leakage",
+    "ranker_agreement",
     "dsir_weights",
     "dsir_weights_capped",
     "kg_daily_increment",
