@@ -282,6 +282,7 @@ OPERATOR_QUERIES = [
     "kg_shuffle_skew",
     "web_link_graph",
     "host_inlink_entropy",
+    "host_pagerank_delta",
     "host_pagerank",
     "anchor_text_index",
     "anchor_linking_prior",

@@ -142,6 +142,76 @@ def web_link_graph(sf_dir: str, snapshot_mod: int | None = None):
     )
 
 
+def host_pagerank_delta(sf_dir: str):
+    """Authority shift between crawl snapshots: the scaled-integer
+    PageRank of snapshot A (every third doc_id — web_link_delta's
+    convention) vs the full crawl B, LEFT-joined on host (A's pages
+    are a subset of B's, so A's host set is too). ``rank_delta`` in
+    exact scaled-integer units ranks the hosts GAINING authority as
+    the crawl grows — the recrawl-priority / trending-domain signal.
+    Both PageRank runs are the engine's deterministic fixed-iteration
+    kernel (scale 10^12, damping 850/1000, 3 rounds), so the deltas
+    are exact integer subtractions the twin replays bit-for-bit; the
+    join is ONE host-bucketed exchange over node-sized tables.
+    Columns: node, rank_a, rank_b, rank_delta, status (new/shared)."""
+    from bioner_ray.stages.graph import pagerank
+    from bioner_ray.stages.shuffle import bucketed_inner_join, pin_schema
+
+    def pr(snapshot_mod):
+        return pagerank(
+            web_link_graph(sf_dir, snapshot_mod=snapshot_mod),
+            subj_col="src_host",
+            obj_col="dst_host",
+            weight_col="n_links",
+        )
+
+    a_schema = pa.schema([("node", pa.string()), ("rank_a", pa.int64())])
+    b_schema = pa.schema([("node", pa.string()), ("rank_b", pa.int64())])
+    pra = pr(3).map_batches(
+        lambda t: pa.table({"node": t.column("node"), "rank_a": t.column("rank")})
+        if t.num_columns
+        else a_schema.empty_table(),
+        batch_format="pyarrow",
+    )
+    prb = pr(None).map_batches(
+        lambda t: pa.table({"node": t.column("node"), "rank_b": t.column("rank")})
+        if t.num_columns
+        else b_schema.empty_table(),
+        batch_format="pyarrow",
+    )
+    joined = bucketed_inner_join(
+        prb, pra, ["node"], b_schema, a_schema, join_type="left outer"
+    )
+
+    out_schema = pa.schema(
+        [
+            ("node", pa.string()),
+            ("rank_a", pa.int64()),
+            ("rank_b", pa.int64()),
+            ("rank_delta", pa.int64()),
+            ("status", pa.string()),
+        ]
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return out_schema.empty_table()
+        new = pc.is_null(t.column("rank_a"))
+        ra = pc.fill_null(t.column("rank_a"), 0)
+        return pa.table(
+            {
+                "node": t.column("node"),
+                "rank_a": ra,
+                "rank_b": t.column("rank_b"),
+                "rank_delta": pc.subtract(t.column("rank_b"), ra),
+                "status": pc.if_else(new, "new", "shared"),
+            },
+            schema=out_schema,
+        )
+
+    return pin_schema(joined.map_batches(finish, batch_format="pyarrow"), out_schema)
+
+
 def host_inlink_entropy(sf_dir: str):
     """Inlink-source diversity per destination host — the link-farm /
     paid-network screen a crawl-quality auditor runs: a host whose

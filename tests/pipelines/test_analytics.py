@@ -209,6 +209,7 @@ SQL_CHECKED = [
     "host_outlink_profile",
     "web_link_delta",
     "host_inlink_entropy",
+    "host_pagerank_delta",
     "orphan_pages",
     "crawl_frontier",
     "copurchase_betweenness",
