@@ -190,6 +190,7 @@ OPERATOR_QUERIES = [
     # PQ/kNN-graph, text information measures, semi-structured extract
     "basket_pairs",
     "basket_rules",
+    "ship_lag_deciles",
     "customer_distribution",
     "orders_cohort_ltv",
     "market_share",

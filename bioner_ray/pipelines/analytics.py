@@ -3426,6 +3426,132 @@ def basket_pairs(sf_dir: str, min_support: int = 2, k: int = 100):
     return frequent.sort(["support", "p1", "p2"], descending=[True, False, False]).limit(k)
 
 
+def ship_lag_deciles(sf_dir: str):
+    """Order-to-ship lag deciles per order priority — the fulfillment
+    SLA profile (does URGENT actually ship faster, and where do the
+    tails sit?). Exact equi-depth deciles with doc_length_deciles'
+    verified integer contract: cutoff = first lag with cumulative
+    count ≥ ⌈p·n⌉ (quantile_disc semantics), ties to the lower bin,
+    duplicate cutoffs leave empty bins on both sides.
+
+    Scale shape: ONE orderkey-bucketed join (lineitem ⋈ orders
+    projection, inline-slice-guarded), then a (priority, lag) count
+    aggregate whose cardinality is priorities × the lag-day domain —
+    physically bounded, so the decile walk (and the whole output)
+    finishes on that histogram driver-side; the fact table is never
+    collected. Columns: priority, decile, n_items, lo_days, hi_days."""
+    from bioner_ray.stages.shuffle import (
+        bucketed_aggregate,
+        bucketed_inner_join,
+        pin_schema,
+        with_ones,
+    )
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"]).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t.column("l_orderkey"),
+                "ship_day": pc.cast(
+                    pc.cast(t.column("l_shipdate"), pa.date32()), pa.int32()
+                ).cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    od = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "order_day": pc.cast(
+                    pc.cast(t.column("o_orderdate"), pa.date32()), pa.int32()
+                ).cast(pa.int64()),
+                "priority": t.column("o_orderpriority"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    j = bucketed_inner_join(
+        li,
+        od,
+        ["o_orderkey"],
+        pa.schema([("o_orderkey", pa.int64()), ("ship_day", pa.int64())]),
+        pa.schema(
+            [
+                ("o_orderkey", pa.int64()),
+                ("order_day", pa.int64()),
+                ("priority", pa.string()),
+            ]
+        ),
+        est_bytes=_nrows(sf_dir, "lineitem") * 32,  # inline-slice guard
+    )
+    hist_schema = pa.schema(
+        [("priority", pa.string()), ("lag", pa.int64()), ("one", pa.int64())]
+    )
+    hist = pin_schema(
+        bucketed_aggregate(
+            with_ones(
+                j.map_batches(
+                    lambda t: pa.table(
+                        {
+                            "priority": t.column("priority"),
+                            "lag": pc.subtract(
+                                t.column("ship_day"), t.column("order_day")
+                            ),
+                        }
+                    )
+                    if t.num_columns
+                    else pa.schema(
+                        [("priority", pa.string()), ("lag", pa.int64())]
+                    ).empty_table(),
+                    batch_format="pyarrow",
+                )
+            ),
+            ["priority", "lag"],
+            [("one", "sum")],
+            num_buckets=16,
+        ),
+        hist_schema,
+    ).take_all()  # bounded: priorities × lag-day domain
+
+    by_p: dict[str, list[tuple[int, int]]] = {}
+    for r in hist:
+        by_p.setdefault(r["priority"], []).append((int(r["lag"]), int(r["one"])))
+    rows = []
+    for prio in sorted(by_p):
+        bins = sorted(by_p[prio])
+        n = sum(c for _, c in bins)
+        cuts = []
+        for p_ in range(1, 10):
+            target = (p_ * n + 9) // 10
+            cum = 0
+            for v, c in bins:
+                cum += c
+                if cum >= target:
+                    cuts.append(v)
+                    break
+        agg: dict[int, list[int]] = {}
+        for v, c in bins:
+            d = 1 + sum(1 for cv in cuts if v > cv)
+            cur = agg.setdefault(d, [0, v, v])
+            cur[0] += c
+            cur[1] = min(cur[1], v)
+            cur[2] = max(cur[2], v)
+        for d in sorted(agg):
+            cnt, lo, hi = agg[d]
+            rows.append((prio, d, cnt, lo, hi))
+    return pa.table(
+        {
+            "priority": pa.array([r[0] for r in rows], type=pa.string()),
+            "decile": pa.array([r[1] for r in rows], type=pa.int64()),
+            "n_items": pa.array([r[2] for r in rows], type=pa.int64()),
+            "lo_days": pa.array([r[3] for r in rows], type=pa.int64()),
+            "hi_days": pa.array([r[4] for r in rows], type=pa.int64()),
+        }
+    )
+
+
 def basket_rules(sf_dir: str, min_support: int = 2, k: int = 100):
     """Association-rule mining metrics (the Apriori rule step on top of
     basket_pairs): for every frequent unordered part pair, support

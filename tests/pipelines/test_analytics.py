@@ -166,6 +166,7 @@ SQL_CHECKED = [
     "kg_negative_samples",
     "basket_pairs",
     "basket_rules",
+    "ship_lag_deciles",
     "customer_distribution",
     "kg_adamic_adar",
     "events_cum_value",
