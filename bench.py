@@ -191,6 +191,7 @@ OPERATOR_QUERIES = [
     "basket_pairs",
     "basket_rules",
     "ship_lag_deciles",
+    "events_fano_burstiness",
     "customer_distribution",
     "orders_cohort_ltv",
     "market_share",

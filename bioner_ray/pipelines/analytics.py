@@ -3426,6 +3426,106 @@ def basket_pairs(sf_dir: str, min_support: int = 2, k: int = 100):
     return frequent.sort(["support", "p1", "p2"], descending=[True, False, False]).limit(k)
 
 
+def events_fano_burstiness(sf_dir: str):
+    """Overdispersion of the daily event-count series per event type —
+    the Fano factor (variance/mean) as an EXACT integer ratio:
+
+        fano_num = n_days·Σx² − (Σx)²        fano_den = n_days·Σx
+
+    (variance/mean = num/den after the common n_days² cancels; a
+    Poisson-like steady stream has num ≈ den, a bursty/campaign-driven
+    type has num ≫ den). Kept as a numerator/denominator pair — no
+    float, no division — so the twin replays it bit-for-bit. Scale
+    shape: ONE (type, day) bucketed count, then a three-sum fold per
+    type; int64 headroom to ~3·10⁹ events/day. Columns: event_type,
+    n_days, total, fano_num, fano_den."""
+    from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema, with_ones
+
+    ev = _read(sf_dir, "events", columns=["ts", "event_type"]).map_batches(
+        lambda t: pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "day": pc.cast(
+                    pc.cast(t.column("ts"), pa.date32()), pa.int32()
+                ).cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    daily = pin_schema(
+        bucketed_aggregate(
+            with_ones(ev), ["event_type", "day"], [("one", "sum")]
+        ),
+        pa.schema(
+            [("event_type", pa.string()), ("day", pa.int64()), ("one", pa.int64())]
+        ),
+    )
+
+    def moments(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.schema(
+                [
+                    ("event_type", pa.string()),
+                    ("n_days", pa.int64()),
+                    ("total", pa.int64()),
+                    ("total_sq", pa.int64()),
+                ]
+            ).empty_table()
+        x = t.column("one").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "n_days": pa.array(np.ones(len(x), dtype=np.int64)),
+                "total": pa.array(x),
+                "total_sq": pa.array(x * x),
+            }
+        )
+
+    m = pin_schema(
+        bucketed_aggregate(
+            daily.map_batches(moments, batch_format="pyarrow"),
+            ["event_type"],
+            [("n_days", "sum"), ("total", "sum"), ("total_sq", "sum")],
+        ),
+        pa.schema(
+            [
+                ("event_type", pa.string()),
+                ("n_days", pa.int64()),
+                ("total", pa.int64()),
+                ("total_sq", pa.int64()),
+            ]
+        ),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [
+                ("event_type", pa.string()),
+                ("n_days", pa.int64()),
+                ("total", pa.int64()),
+                ("fano_num", pa.int64()),
+                ("fano_den", pa.int64()),
+            ]
+        )
+        if t.num_columns == 0 or t.num_rows == 0:
+            return out_schema.empty_table()
+        n = t.column("n_days").to_numpy(zero_copy_only=False).astype(np.int64)
+        tot = t.column("total").to_numpy(zero_copy_only=False).astype(np.int64)
+        sq = t.column("total_sq").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "n_days": pa.array(n),
+                "total": pa.array(tot),
+                "fano_num": pa.array(n * sq - tot * tot),
+                "fano_den": pa.array(n * tot),
+            },
+            schema=out_schema,
+        )
+
+    return m.map_batches(finish, batch_format="pyarrow")
+
+
 def ship_lag_deciles(sf_dir: str):
     """Order-to-ship lag deciles per order priority — the fulfillment
     SLA profile (does URGENT actually ship faster, and where do the

@@ -167,6 +167,7 @@ SQL_CHECKED = [
     "basket_pairs",
     "basket_rules",
     "ship_lag_deciles",
+    "events_fano_burstiness",
     "customer_distribution",
     "kg_adamic_adar",
     "events_cum_value",
