@@ -192,6 +192,7 @@ OPERATOR_QUERIES = [
     "basket_rules",
     "ship_lag_deciles",
     "events_fano_burstiness",
+    "discount_volume_corr",
     "customer_distribution",
     "orders_cohort_ltv",
     "market_share",

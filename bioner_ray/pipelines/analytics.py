@@ -3426,6 +3426,130 @@ def basket_pairs(sf_dir: str, min_support: int = 2, k: int = 100):
     return frequent.sort(["support", "p1", "p2"], descending=[True, False, False]).limit(k)
 
 
+def discount_volume_corr(sf_dir: str):
+    """Does a deeper discount actually move more units? Per part
+    brand, the Pearson-correlation MOMENTS of (discount, quantity)
+    over its lineitems — kept as EXACT integer second-moment
+    numerators (the events_fano convention, one step richer):
+
+        sxy = n·Σxy − Σx·Σy     sxx = n·Σxx − (Σx)²     syy = n·Σyy − (Σy)²
+
+    with x = discount in exact cents (the ``_cents`` half-away
+    contract) and y = quantity in exact cents. r² = sxy²/(sxx·syy)
+    whenever a consumer wants the float; the engine ships the exact
+    integers so the twin replays bit-for-bit and the fold is
+    order-independent. Scale shape: ONE partkey-bucketed join
+    (lineitem ⋈ part's brand projection, inline-slice-guarded), then a
+    six-sum brand fold — brands are catalog-bounded. Columns: p_brand,
+    n_items, sxy, sxx, syy."""
+    from bioner_ray.stages.shuffle import (
+        bucketed_aggregate,
+        bucketed_inner_join,
+        pin_schema,
+    )
+
+    li = _read(
+        sf_dir, "lineitem", columns=["l_partkey", "l_discount", "l_quantity"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "p_partkey": t.column("l_partkey"),
+                "x": _cents(t.column("l_discount")),
+                "y": _cents(t.column("l_quantity")),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    pt = _read(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    j = bucketed_inner_join(
+        li,
+        pt,
+        ["p_partkey"],
+        pa.schema([("p_partkey", pa.int64()), ("x", pa.int64()), ("y", pa.int64())]),
+        pa.schema([("p_partkey", pa.int64()), ("p_brand", pa.string())]),
+        est_bytes=_nrows(sf_dir, "lineitem") * 32,  # inline-slice guard
+    )
+
+    def moments(t: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [
+                ("p_brand", pa.string()),
+                ("n", pa.int64()),
+                ("sx", pa.int64()),
+                ("sy", pa.int64()),
+                ("sxx", pa.int64()),
+                ("syy", pa.int64()),
+                ("sxy", pa.int64()),
+            ]
+        )
+        if t.num_columns == 0 or t.num_rows == 0:
+            return schema.empty_table()
+        x = t.column("x").to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t.column("y").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "p_brand": t.column("p_brand"),
+                "n": pa.array(np.ones(len(x), dtype=np.int64)),
+                "sx": pa.array(x),
+                "sy": pa.array(y),
+                "sxx": pa.array(x * x),
+                "syy": pa.array(y * y),
+                "sxy": pa.array(x * y),
+            },
+            schema=schema,
+        )
+
+    m = pin_schema(
+        bucketed_aggregate(
+            j.map_batches(moments, batch_format="pyarrow"),
+            ["p_brand"],
+            [(c, "sum") for c in ("n", "sx", "sy", "sxx", "syy", "sxy")],
+        ),
+        pa.schema(
+            [
+                ("p_brand", pa.string()),
+                ("n", pa.int64()),
+                ("sx", pa.int64()),
+                ("sy", pa.int64()),
+                ("sxx", pa.int64()),
+                ("syy", pa.int64()),
+                ("sxy", pa.int64()),
+            ]
+        ),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [
+                ("p_brand", pa.string()),
+                ("n_items", pa.int64()),
+                ("sxy", pa.int64()),
+                ("sxx", pa.int64()),
+                ("syy", pa.int64()),
+            ]
+        )
+        if t.num_columns == 0 or t.num_rows == 0:
+            return out_schema.empty_table()
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        sx = t.column("sx").to_numpy(zero_copy_only=False).astype(np.int64)
+        sy = t.column("sy").to_numpy(zero_copy_only=False).astype(np.int64)
+        sxx = t.column("sxx").to_numpy(zero_copy_only=False).astype(np.int64)
+        syy = t.column("syy").to_numpy(zero_copy_only=False).astype(np.int64)
+        sxy = t.column("sxy").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "p_brand": t.column("p_brand"),
+                "n_items": pa.array(n),
+                "sxy": pa.array(n * sxy - sx * sy),
+                "sxx": pa.array(n * sxx - sx * sx),
+                "syy": pa.array(n * syy - sy * sy),
+            },
+            schema=out_schema,
+        )
+
+    return m.map_batches(finish, batch_format="pyarrow")
+
+
 def events_fano_burstiness(sf_dir: str):
     """Overdispersion of the daily event-count series per event type —
     the Fano factor (variance/mean) as an EXACT integer ratio:

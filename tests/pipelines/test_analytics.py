@@ -168,6 +168,7 @@ SQL_CHECKED = [
     "basket_rules",
     "ship_lag_deciles",
     "events_fano_burstiness",
+    "discount_volume_corr",
     "customer_distribution",
     "kg_adamic_adar",
     "events_cum_value",
