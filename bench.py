@@ -307,6 +307,7 @@ OPERATOR_QUERIES = [
     "ccnet_buckets_heldout",
     "split_ngram_leakage",
     "ranker_agreement",
+    "lang_gate_rates",
     "dsir_weights",
     "dsir_weights_capped",
     "host_boilerplate_ratio",

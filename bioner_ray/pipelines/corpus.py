@@ -340,6 +340,109 @@ def conlleval_export(sf_dir: str):
     )
 
 
+def lang_gate_rates(sf_dir: str):
+    """Per-language quality-gate retention — the mix-planning matrix a
+    multilingual pretraining build reads before setting sampling
+    weights: for each detected language, how many documents exist and
+    what fraction survives the Gopher rule gate (a language whose
+    retention collapses needs language-specific thresholds, the known
+    Gopher/MassiveText caveat). Composition of two oracle-checked
+    operators (langid ⋈ gopher_rules) on ONE doc_id-bucketed join;
+    pass rate as exact integer micro. Columns: lang, n_docs, n_pass,
+    pass_micro."""
+    import pyarrow.compute as pc
+
+    from bioner_ray.stages.shuffle import (
+        bucketed_aggregate,
+        bucketed_inner_join,
+        pin_schema,
+    )
+    from bioner_ray.stages.textstats import langid_stage
+
+    lid_schema = pa.schema([("doc_id", pa.int64()), ("lang", pa.string())])
+    lid = pin_schema(
+        langid_stage(_documents(sf_dir)).map_batches(
+            lambda t: pa.table(
+                {"doc_id": t.column("doc_id"), "lang": t.column("pred_lang")}
+            )
+            if t.num_columns
+            else lid_schema.empty_table(),
+            batch_format="pyarrow",
+        ),
+        lid_schema,
+    )
+    gate_schema = pa.schema([("doc_id", pa.int64()), ("keep", pa.int64())])
+    gate = pin_schema(
+        gopher_rules(sf_dir).map_batches(
+            lambda t: pa.table(
+                {
+                    "doc_id": t.column("doc_id"),
+                    "keep": pc.cast(t.column("keep"), pa.int64()),
+                }
+            )
+            if t.num_columns
+            else gate_schema.empty_table(),
+            batch_format="pyarrow",
+        ),
+        gate_schema,
+    )
+    j = bucketed_inner_join(gate, lid, ["doc_id"], gate_schema, lid_schema)
+    counts = pin_schema(
+        bucketed_aggregate(
+            j.map_batches(
+                lambda t: pa.table(
+                    {
+                        "lang": t.column("lang"),
+                        "n_docs": pa.array(
+                            np.ones(t.num_rows, dtype=np.int64)
+                        ),
+                        "n_pass": t.column("keep"),
+                    }
+                )
+                if t.num_columns
+                else pa.schema(
+                    [
+                        ("lang", pa.string()),
+                        ("n_docs", pa.int64()),
+                        ("n_pass", pa.int64()),
+                    ]
+                ).empty_table(),
+                batch_format="pyarrow",
+            ),
+            ["lang"],
+            [("n_docs", "sum"), ("n_pass", "sum")],
+        ),
+        pa.schema(
+            [("lang", pa.string()), ("n_docs", pa.int64()), ("n_pass", pa.int64())]
+        ),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [
+                ("lang", pa.string()),
+                ("n_docs", pa.int64()),
+                ("n_pass", pa.int64()),
+                ("pass_micro", pa.int64()),
+            ]
+        )
+        if t.num_columns == 0 or t.num_rows == 0:
+            return out_schema.empty_table()
+        nd = t.column("n_docs").to_numpy(zero_copy_only=False).astype(np.int64)
+        np_ = t.column("n_pass").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "lang": t.column("lang"),
+                "n_docs": pa.array(nd),
+                "n_pass": pa.array(np_),
+                "pass_micro": pa.array((np_ * np.int64(1000000)) // nd),
+            },
+            schema=out_schema,
+        )
+
+    return counts.map_batches(finish, batch_format="pyarrow")
+
+
 def ranker_agreement(sf_dir: str, k: int = 10):
     """Ranker-diff audit between the two lexical retrieval models
     (BM25 vs Dirichlet QLM) on the shared fixed query: top-k overlap

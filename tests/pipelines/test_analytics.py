@@ -220,6 +220,7 @@ SQL_CHECKED = [
     "ccnet_buckets_heldout",
     "split_ngram_leakage",
     "ranker_agreement",
+    "lang_gate_rates",
     "dsir_weights",
     "dsir_weights_capped",
     "kg_daily_increment",
