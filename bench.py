@@ -308,6 +308,7 @@ OPERATOR_QUERIES = [
     "split_ngram_leakage",
     "ranker_agreement",
     "lang_gate_rates",
+    "dedup_containment_pairs",
     "dsir_weights",
     "dsir_weights_capped",
     "host_boilerplate_ratio",

@@ -340,6 +340,17 @@ def conlleval_export(sf_dir: str):
     )
 
 
+def dedup_containment_pairs(sf_dir: str, threshold: float = 0.9):
+    """Asymmetric near-dup pairs by containment coefficient
+    (stages/dedup.containment_pairs): |A∩B| / min(|A|,|B|) ≥ threshold
+    — catches a short document embedded verbatim in a long one (quote
+    farms, boilerplate wraps), which symmetric Jaccard scores near
+    zero. Columns: a, b, n_common, containment, contained_id."""
+    from bioner_ray.stages.dedup import containment_pairs
+
+    return containment_pairs(_documents(sf_dir), threshold=threshold)
+
+
 def lang_gate_rates(sf_dir: str):
     """Per-language quality-gate retention — the mix-planning matrix a
     multilingual pretraining build reads before setting sampling

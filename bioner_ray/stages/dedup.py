@@ -331,6 +331,36 @@ def jaccard_pairs(
     Columns: a, b, n_common, jaccard. Shuffled payload is only the
     inverted index and the pair keys — never documents.
     """
+    return _shingle_pair_counts(
+        ds, k, text_col, id_col, max_shingle_docs, num_buckets
+    ).map_batches(_jaccard_finish(threshold), batch_format="pyarrow")
+
+
+def _jaccard_finish(threshold: float):
+    def finish(batch: pa.Table) -> pa.Table:
+        c = batch.column("n_common").to_numpy().astype(np.float64)
+        na = batch.column("na").to_numpy().astype(np.float64)
+        nb = batch.column("nb").to_numpy().astype(np.float64)
+        jac = c / (na + nb - c)
+        out = pa.table(
+            {
+                "a": batch.column("a"),
+                "b": batch.column("b"),
+                "n_common": batch.column("n_common"),
+                "jaccard": pa.array(jac, type=pa.float64()),
+            }
+        )
+        return out.filter(pa.array(jac >= threshold))
+
+    return finish
+
+
+def _shingle_pair_counts(
+    ds, k: int, text_col: str, id_col: str, max_shingle_docs: int, num_buckets: int
+):
+    """Shared candidate machinery of jaccard_pairs / containment_pairs:
+    inverted index → bucketed in-shingle pair emission (stop-shingle
+    capped) → ONE (a, b) aggregate carrying n_common + both set sizes."""
     inv = ds.map_batches(
         shingle_rows_batch,
         fn_kwargs={"k": k, "text_col": text_col, "id_col": id_col},
@@ -381,20 +411,50 @@ def jaccard_pairs(
         num_buckets=num_buckets,
     )
 
+    return agg
+
+
+def containment_pairs(
+    ds,
+    k: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_docs: int = 1024,
+    num_buckets: int = 256,
+):
+    """Asymmetric near-dup pairs by the CONTAINMENT (overlap)
+    coefficient ``|A∩B| / min(|A|, |B|)`` — the quote-inclusion /
+    boilerplate-wrap detector symmetric Jaccard misses: a short doc
+    fully embedded in a long one scores containment ≈ 1 while its
+    Jaccard stays tiny. Identical join-free plan to ``jaccard_pairs``
+    (same inverted index, same stop-shingle cap, same (a, b)
+    aggregate); only the final coefficient and the ``contained_id``
+    column (the smaller side — the removal candidate) differ.
+    Columns: a, b, n_common, containment, contained_id."""
+    agg = _shingle_pair_counts(
+        ds, k, text_col, id_col, max_shingle_docs, num_buckets
+    )
+
     def finish(batch: pa.Table) -> pa.Table:
         c = batch.column("n_common").to_numpy().astype(np.float64)
-        na = batch.column("na").to_numpy().astype(np.float64)
-        nb = batch.column("nb").to_numpy().astype(np.float64)
-        jac = c / (na + nb - c)
+        na_i = batch.column("na").to_numpy().astype(np.int64)
+        nb_i = batch.column("nb").to_numpy().astype(np.int64)
+        cont = c / np.minimum(na_i, nb_i).astype(np.float64)
+        a_ids = batch.column("a").to_numpy().astype(np.int64)
+        b_ids = batch.column("b").to_numpy().astype(np.int64)
         out = pa.table(
             {
                 "a": batch.column("a"),
                 "b": batch.column("b"),
                 "n_common": batch.column("n_common"),
-                "jaccard": pa.array(jac, type=pa.float64()),
+                "containment": pa.array(cont, type=pa.float64()),
+                "contained_id": pa.array(
+                    np.where(na_i <= nb_i, a_ids, b_ids), type=pa.int64()
+                ),
             }
         )
-        return out.filter(pa.array(jac >= threshold))
+        return out.filter(pa.array(cont >= threshold))
 
     return agg.map_batches(finish, batch_format="pyarrow")
 

@@ -221,6 +221,7 @@ SQL_CHECKED = [
     "split_ngram_leakage",
     "ranker_agreement",
     "lang_gate_rates",
+    "dedup_containment_pairs",
     "dsir_weights",
     "dsir_weights_capped",
     "kg_daily_increment",

@@ -178,3 +178,39 @@ class TestSegmentDedup:
         )
         out = segment_dedup(ds, window=10).to_pandas()
         assert sorted(out["doc_id"]) == [2]
+
+
+def test_containment_catches_short_in_long_that_jaccard_misses(ray_session, tmp_path):
+    """A short doc embedded verbatim in a much longer one: containment
+    = 1.0 flags it (contained_id = the short side) while Jaccard at
+    the same threshold misses the pair entirely."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from bioner_ray.stages.dedup import containment_pairs, jaccard_pairs
+
+    short = "alpha beta gamma delta epsilon"
+    long = short + " " + " ".join(f"filler{i} tokena{i} tokenb{i}" for i in range(30))
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                "text": [short, long, "completely different words here entirely now"],
+            }
+        )
+    )
+    cont = containment_pairs(ds, threshold=0.9).to_pandas()
+    assert len(cont) == 1
+    assert (cont.loc[0, "a"], cont.loc[0, "b"]) == (1, 2)
+    assert cont.loc[0, "containment"] == 1.0
+    assert cont.loc[0, "contained_id"] == 1  # the short doc is the removal candidate
+    ds2 = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                "text": [short, long, "completely different words here entirely now"],
+            }
+        )
+    )
+    jac = jaccard_pairs(ds2, threshold=0.9).to_pandas()
+    assert len(jac) == 0  # symmetric Jaccard is blind to the wrap
