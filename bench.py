@@ -193,6 +193,7 @@ OPERATOR_QUERIES = [
     "ship_lag_deciles",
     "events_fano_burstiness",
     "discount_volume_corr",
+    "kg_completeness_matrix",
     "customer_distribution",
     "orders_cohort_ltv",
     "market_share",

@@ -3426,6 +3426,114 @@ def basket_pairs(sf_dir: str, min_support: int = 2, k: int = 100):
     return frequent.sort(["support", "p1", "p2"], descending=[True, False, False]).limit(k)
 
 
+def kg_completeness_matrix(sf_dir: str):
+    """KG completeness / coverage matrix — for every (inferred entity
+    type, predicate): what fraction of that type's entities carry at
+    least one such edge. The schema-coverage report a KG curator reads
+    to find systematically MISSING facts (a type×predicate cell near
+    zero that the shape expectations say should be dense is an
+    extraction gap, the complement of kg_shape_violations' wrong-type
+    audit). Coverage in exact integer micro.
+
+    Scale shape: distinct (subj, pred) via ONE bucketed aggregate over
+    the canonical edges; the node→type map is vocab-bounded (the
+    kg_type_inference output) and broadcast once via ``ray.put``; the
+    (type, pred) fold is type×predicate-bounded. Columns: type, pred,
+    n_nodes, n_with, coverage_micro."""
+    import ray
+
+    from bioner_ray.stages.shuffle import bucketed_aggregate, pin_schema, with_ones
+
+    ty = kg_type_inference(sf_dir).to_pandas()  # vocab-bounded
+    ty_map = dict(zip(ty["node"], ty["type"]))
+    n_nodes = ty.groupby("type")["node"].size().to_dict()
+    ty_ref = ray.put(ty_map)
+
+    sp = pin_schema(
+        bucketed_aggregate(
+            with_ones(
+                kg_edges(sf_dir).map_batches(
+                    lambda t: pa.table(
+                        {"subj": t.column("subj"), "pred": t.column("pred")}
+                    )
+                    if t.num_columns
+                    else pa.schema(
+                        [("subj", pa.string()), ("pred", pa.string())]
+                    ).empty_table(),
+                    batch_format="pyarrow",
+                )
+            ),
+            ["subj", "pred"],
+            [("one", "min")],
+        ),
+        pa.schema(
+            [("subj", pa.string()), ("pred", pa.string()), ("one", pa.int64())]
+        ),
+    )
+
+    def to_type(t: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [("type", pa.string()), ("pred", pa.string()), ("n_with", pa.int64())]
+        )
+        if t.num_columns == 0 or t.num_rows == 0:
+            return schema.empty_table()
+        tmap = ray.get(ty_ref)
+        types = [tmap.get(s_) for s_ in t.column("subj").to_pylist()]
+        keep = pa.array([x is not None for x in types])
+        return pa.table(
+            {
+                "type": pa.array(
+                    [x for x in types if x is not None], type=pa.string()
+                ),
+                "pred": t.column("pred").filter(keep),
+                "n_with": pa.array(
+                    np.ones(sum(1 for x in types if x is not None), dtype=np.int64)
+                ),
+            },
+            schema=schema,
+        )
+
+    counts = pin_schema(
+        bucketed_aggregate(
+            sp.map_batches(to_type, batch_format="pyarrow"),
+            ["type", "pred"],
+            [("n_with", "sum")],
+        ),
+        pa.schema(
+            [("type", pa.string()), ("pred", pa.string()), ("n_with", pa.int64())]
+        ),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [
+                ("type", pa.string()),
+                ("pred", pa.string()),
+                ("n_nodes", pa.int64()),
+                ("n_with", pa.int64()),
+                ("coverage_micro", pa.int64()),
+            ]
+        )
+        if t.num_columns == 0 or t.num_rows == 0:
+            return out_schema.empty_table()
+        nn = np.array(
+            [n_nodes[x] for x in t.column("type").to_pylist()], dtype=np.int64
+        )
+        nw = t.column("n_with").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "type": t.column("type"),
+                "pred": t.column("pred"),
+                "n_nodes": pa.array(nn),
+                "n_with": pa.array(nw),
+                "coverage_micro": pa.array((nw * np.int64(1000000)) // nn),
+            },
+            schema=out_schema,
+        )
+
+    return counts.map_batches(finish, batch_format="pyarrow")
+
+
 def discount_volume_corr(sf_dir: str):
     """Does a deeper discount actually move more units? Per part
     brand, the Pearson-correlation MOMENTS of (discount, quantity)

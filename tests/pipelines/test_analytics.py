@@ -169,6 +169,7 @@ SQL_CHECKED = [
     "ship_lag_deciles",
     "events_fano_burstiness",
     "discount_volume_corr",
+    "kg_completeness_matrix",
     "customer_distribution",
     "kg_adamic_adar",
     "events_cum_value",
